@@ -1,0 +1,151 @@
+package graft
+
+import graft.model.GraftStore
+import graft.ops.Search
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the qp/search operator family (SURVEY.md §2.2,
+  * §2.5, §2.7) with their DuckDB oracles. */
+object SearchQueries {
+
+  private def st(s: SparkSession, dir: String): GraftStore =
+    GraftStore.forDir(s, dir)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Equals (`::`) term filter
+    "q_search_eq" -> ((s, dir) =>
+      Search.run(st(s, dir),
+        Search.Request(path = "/customer", qp = Some("mktsegment::BUILDING")))
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // Must conjunction + typed numeric range (`>`)
+    "q_search_range" -> ((s, dir) =>
+      Search.run(st(s, dir), Search.Request(path = "/customer",
+          qp = Some("mktsegment::BUILDING,acctbal>1000")))
+        .select(col("system.path").as("path"),
+          Search.fieldN("acctbal").as("acctbal")).orderBy("path")),
+
+    // Should group (SoftBoolean OR, FTSService.scala:1886-1905)
+    "q_search_should" -> ((s, dir) =>
+      Search.run(st(s, dir), Search.Request(path = "/customer",
+          qp = Some("*mktsegment::BUILDING,*mktsegment::MACHINERY")))
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // MustNot (`-`) + LessThanOrEquals (`<<`)
+    "q_search_mustnot" -> ((s, dir) =>
+      Search.run(st(s, dir), Search.Request(path = "/customer",
+          qp = Some("-mktsegment::BUILDING,acctbal<<500")))
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // nested bool group `[...]` (Parsers.scala:599-610)
+    "q_search_nested" -> ((s, dir) =>
+      Search.run(st(s, dir), Search.Request(path = "/customer",
+          qp = Some("[*mktsegment::BUILDING,*mktsegment::MACHINERY],acctbal>9000")))
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // field-existence filter over the WHOLE store (dynamic schema:
+    // only customers carry `mktsegment`)
+    "q_search_exists" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/", qp = Some("mktsegment:")))
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // Contains (`:`) — tokenized match
+    "q_search_contains" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("name:widget")))
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // Like (`~`) — fuzzy, ES AUTO fuzziness
+    "q_search_fuzzy" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/region", qp = Some("name~AMERIKA")))
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // sort-by desc + offset/length pagination (§2.5)
+    "q_sort_page" -> ((s, dir) =>
+      Search.search(st(s, dir),
+          Search.Request(path = "/customer", sortBy = Some("-acctbal")),
+        offset = 20, length = 10)
+        .select(col("system.path").as("path"),
+          Search.fieldN("acctbal").as("acctbal"))),
+
+    // listChildren of root — synthesized directory infotons (§2.5)
+    "q_children" -> ((s, dir) =>
+      Search.listChildren(st(s, dir), "/")
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // DatesFilter on version axis: /user versions in a window
+    // (with-history read, §2.7)
+    "q_dates" -> ((s, dir) =>
+      Search.run(st(s, dir), Search.Request(path = "/user",
+          withHistory = true,
+          from = Some("2024-01-15 00:00:00"), to = Some("2024-01-20 00:00:00")))
+        .select(Search.fieldN("event_id").cast("long").as("event_id"))
+        .orderBy("event_id")),
+
+    // default current-only read: latest version per /user path (§1.5)
+    "q_current" -> ((s, dir) =>
+      Search.run(st(s, dir), Search.Request(path = "/user"))
+        .select(Search.fieldN("user_id").cast("long").as("user_id"),
+          Search.fieldN("event_id").cast("long").as("event_id"))
+        .orderBy("user_id")),
+
+    // with-history: version count per path (§2.7)
+    "q_history_count" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/user", withHistory = true))
+        .groupBy(col("system.path").as("path"))
+        .agg(count(lit(1)).as("versions")).orderBy("path")))
+
+  val oracles: Map[String, String] = Map(
+    "q_search_eq" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path
+        |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY path""".stripMargin,
+    "q_search_range" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path, c_acctbal AS acctbal
+        |FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+        |ORDER BY path""".stripMargin,
+    "q_search_should" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path
+        |FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+        |ORDER BY path""".stripMargin,
+    "q_search_mustnot" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path
+        |FROM customer WHERE c_mktsegment <> 'BUILDING' AND c_acctbal <= 500
+        |ORDER BY path""".stripMargin,
+    "q_search_nested" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path
+        |FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+        |AND c_acctbal > 9000 ORDER BY path""".stripMargin,
+    "q_search_exists" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path
+        |FROM customer ORDER BY path""".stripMargin,
+    "q_search_contains" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
+        |ORDER BY path""".stripMargin,
+    "q_search_fuzzy" ->
+      """SELECT '/region/' || CAST(r_regionkey AS VARCHAR) AS path FROM region
+        |WHERE levenshtein(lower(r_name), 'amerika') <= 2 ORDER BY path""".stripMargin,
+    "q_sort_page" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path, c_acctbal AS acctbal
+        |FROM customer
+        |ORDER BY c_acctbal DESC, path ASC LIMIT 10 OFFSET 20""".stripMargin,
+    "q_children" ->
+      """SELECT path FROM (VALUES ('/customer'),('/documents'),('/lineitem'),
+        |('/nation'),('/orders'),('/part'),('/region'),('/supplier'),('/user'))
+        |AS t(path) ORDER BY path""".stripMargin,
+    "q_dates" ->
+      """SELECT event_id FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |AND ts <= TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id""".stripMargin,
+    "q_current" ->
+      """SELECT user_id, event_id FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_history_count" ->
+      """SELECT '/user/' || CAST(user_id AS VARCHAR) AS path,
+        |count(*) AS versions FROM events GROUP BY 1 ORDER BY path""".stripMargin)
+}

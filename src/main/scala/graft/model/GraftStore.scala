@@ -1,0 +1,63 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import java.util.concurrent.ConcurrentHashMap
+
+/** A loaded infoton store: the `infotons` DataFrame plus derived views.
+  *
+  * `quads` is the exploded EAV/RDF view (SURVEY.md §1.6 (2)) — one row
+  * per (subject, predicate, value). Graph traversal (yg incoming hops)
+  * and the SPARQL BGP compiler join on it.
+  *
+  * Both views are persisted: on a cluster they'd be Parquet tables
+  * (infotons partitioned by parent; quads bucketed by subject AND a
+  * second copy bucketed by `s` for reverse-edge joins); on local[32]
+  * MEMORY_AND_DISK gives the same read-amplification profile.
+  */
+final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
+                       val fieldTypes: Map[String, String]) {
+
+  lazy val quads: DataFrame = {
+    val q = infotons
+      .select(col("system.*"), explode(col("fields")).as(Seq("predicate", "values")))
+      .select(col("path").as("subject"), col("predicate"),
+        explode(col("values")).as("v"),
+        col("lastModified"), col("indexTime"), col("current"), col("kind"))
+      .select(col("subject"), col("predicate"), col("v.*"),
+        col("lastModified"), col("indexTime"), col("current"), col("kind"))
+    q.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Current, non-deleted snapshot — the default query surface
+    * (implicit filters, FTSService.scala:850-854). */
+  lazy val current: DataFrame =
+    infotons.where(col("system.current") && col("system.kind") =!= InfotonModel.KindDeleted)
+
+  def vTypeOf(field: String): Option[String] = fieldTypes.get(field)
+}
+
+object GraftStore {
+  private val cache = new ConcurrentHashMap[String, GraftStore]()
+
+  /** Load (once per sf dir per JVM) the driver tables as an infoton
+    * store. The persist is the local stand-in for the one-time ETL that
+    * would materialize the store as Parquet at cluster scale. */
+  def forDir(spark: SparkSession, dir: String): GraftStore =
+    cache.computeIfAbsent(dir, { d =>
+      val inf = TableLoader.load(spark, d)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      new GraftStore(spark, inf, TableLoader.fieldTypes)
+    })
+
+  /** Store over an arbitrary infoton DataFrame (e.g. RDF ingest); field
+    * types are sampled from the data — the dictionary is tiny (distinct
+    * predicate names), the analog of /meta/ns + PassiveFieldTypesCache. */
+  def fromInfotons(spark: SparkSession, inf: DataFrame): GraftStore = {
+    val types = inf.select(explode(col("fields")).as(Seq("k", "vs")))
+      .select(col("k"), element_at(col("vs"), 1).getField("vType").as("t"))
+      .distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    new GraftStore(spark, inf, types)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.model.{GraftStore, InfotonModel}
+import graft.qp.{FilterCompiler, QpParser}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** `op=search` — the main read path (reference lifecycle SURVEY.md §3.1:
+  * Application.handleSearch → FTSService.search, FTSService.scala:
+  * 208-315).
+  *
+  * Everything composes into one declarative plan: path filter + implicit
+  * current/not-deleted filters + compiled qp predicate + sort +
+  * offset/limit. Catalyst pushes the conjunction into the scan; the sort
+  * only shuffles when a sort is actually requested.
+  */
+object Search {
+
+  /** Operational limits from the reference's config (BASELINE.md). */
+  object Limits {
+    val MaxLength = 10000   // webservice.max-length
+    val MaxOffset = 1000    // webservice.max-offset
+    val DefaultLength = 10
+    val ExpansionLimit = 10000 // webservice.xg.limit
+  }
+
+  final case class Request(
+      path: String = "/",
+      descendants: Boolean = true,   // recursive search under path
+      qp: Option[String] = None,
+      from: Option[String] = None,   // DatesFilter on system.lastModified
+      to: Option[String] = None,
+      sortBy: Option[String] = None, // default: -system.lastModified
+      withHistory: Boolean = false,
+      withDeleted: Boolean = false)
+
+  /** PathFilter (FTSService.scala:856-864): non-recursive = direct
+    * children (`system.parent == p`); recursive = hierarchy prefix
+    * match on the path itself. */
+  def pathPredicate(path: String, descendants: Boolean): Column = {
+    val p = if (path == "/") "" else path.stripSuffix("/")
+    if (!descendants) col("system.parent") === (if (p.isEmpty) "/" else p)
+    else if (p.isEmpty) col("system.path") =!= "/"
+    else col("system.path").startsWith(p + "/")
+  }
+
+  /** Full (unpaginated) filtered result as infoton rows. */
+  def run(store: GraftStore, req: Request): DataFrame = {
+    var pred = pathPredicate(req.path, req.descendants)
+    if (!req.withHistory) pred = pred && col("system.current")
+    if (!req.withDeleted)
+      pred = pred && col("system.kind") =!= InfotonModel.KindDeleted
+    req.from.foreach(f => pred = pred &&
+      col("system.lastModified") >= to_timestamp(lit(f)))
+    req.to.foreach(t => pred = pred &&
+      col("system.lastModified") <= to_timestamp(lit(t)))
+    req.qp.foreach { q =>
+      pred = pred && new FilterCompiler(store).compile(QpParser.parse(q))
+    }
+    store.infotons.where(pred)
+  }
+
+  /** Sort keys → Columns. Data fields sort on the typed slot; ties are
+    * broken by path so pagination is deterministic (the reference
+    * defaults to `system.lastModified DESC`, FTSService.scala:302-314). */
+  def sortColumns(store: GraftStore, sortBy: Option[String]): Seq[Column] = {
+    val keys = sortBy.map(QpParser.parseSortBy)
+      .getOrElse(Seq(("system.lastModified", false)))
+    keys.map { case (name, asc) =>
+      val c =
+        if (name.startsWith("system.")) col(name)
+        else store.vTypeOf(name) match {
+          case Some(t) if t == "i" || t == "l" || t == "d" || t == "f" =>
+            element_at(col("fields").getItem(name), 1).getField("n")
+          case Some("w") =>
+            element_at(col("fields").getItem(name), 1).getField("t")
+          case _ =>
+            element_at(col("fields").getItem(name), 1).getField("s")
+        }
+      if (asc) c.asc_nulls_last else c.desc_nulls_last
+    } :+ col("system.path").asc
+  }
+
+  /** search = run + sort + clamped pagination (Application.scala:
+    * 2126-2145: offset ≤ 1000, length ≤ 10000, default 10). */
+  def search(store: GraftStore, req: Request, offset: Int = 0,
+             length: Int = Limits.DefaultLength): DataFrame = {
+    val df = run(store, req).orderBy(sortColumns(store, req.sortBy): _*)
+    val off = math.min(offset, Limits.MaxOffset)
+    val len = math.min(length, Limits.MaxLength)
+    (if (off > 0) df.offset(off) else df).limit(len)
+  }
+
+  /** listChildren — one level under a path (FTSService.scala:198-206). */
+  def listChildren(store: GraftStore, path: String): DataFrame =
+    run(store, Request(path = path, descendants = false))
+
+  // ---- projection helpers (field → typed Column) -----------------------
+
+  /** First value's lexical form — fine for single-valued fields. */
+  def fieldS(name: String): Column =
+    element_at(col("fields").getItem(name), 1).getField("s")
+  def fieldN(name: String): Column =
+    element_at(col("fields").getItem(name), 1).getField("n")
+  def fieldT(name: String): Column =
+    element_at(col("fields").getItem(name), 1).getField("t")
+
+  /** `fields=` mask (Infoton.masked, Infoton.scala:215-218). */
+  def maskFields(df: DataFrame, mask: Seq[String]): DataFrame = {
+    val keep = array(mask.map(lit): _*)
+    df.withColumn("fields",
+      map_filter(col("fields"), (k, _) => array_contains(keep, k)))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.qp
+
+import graft.model.{GraftStore, InfotonModel}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiles a [[FieldFilter]] tree into ONE Catalyst `Column` predicate
+  * over the `infotons` schema.
+  *
+  * This is the Spark analog of the reference's whole-tree compile to a
+  * single ES bool query (FTSService.applyFiltersToRequest:840-933):
+  * because the result is a single declarative predicate, Catalyst
+  * pushes the cheap parts into the Parquet scan and codegens the rest —
+  * no per-filter passes over the data.
+  *
+  * Typed dispatch: the reference routes each predicate to the right
+  * typed ES field via name-mangling (FTSService.scala:280-300,886-903);
+  * here the store's field-type dictionary routes it to the right slot
+  * (`n`/`t`/`b`/`s`) of the value struct, so numeric ranges compare
+  * doubles, never strings.
+  *
+  * Should semantics ("SoftBoolean", FTSService.scala:1886-1915): a
+  * bool with at least one Must keeps Should clauses non-constraining
+  * (scoring only); a bool with no Must requires at least one Should to
+  * match.
+  */
+final class FilterCompiler(store: GraftStore) {
+  import FieldOp._
+  import ValueOp._
+  import InfotonModel._
+
+  def compile(f: FieldFilter): Column = f match {
+    case MultiFieldFilter(_, children) => compileBool(children)
+    case s: SingleFieldFilter => compileBool(Seq(s))
+  }
+
+  private def compileBool(children: Seq[FieldFilter]): Column = {
+    val musts = children.filter(_.op == Must).map(positive)
+    val mustNots = children.filter(_.op == MustNot).map(c => !positive(c))
+    val shoulds = children.filter(_.op == Should).map(positive)
+    val hard = musts ++ mustNots
+    val withShould =
+      if (shoulds.nonEmpty && musts.isEmpty) hard :+ shoulds.reduce(_ || _)
+      else hard
+    if (withShould.isEmpty) lit(true) else withShould.reduce(_ && _)
+  }
+
+  /** The filter's own predicate, ignoring its outer Must/MustNot role. */
+  private def positive(f: FieldFilter): Column = f match {
+    case MultiFieldFilter(_, children) => compileBool(children)
+    case SingleFieldFilter(_, vo, field, value) => single(vo, field, value)
+  }
+
+  private def single(vo: ValueOp, field: String,
+                     value: Option[String]): Column = {
+    if (field.startsWith("system."))
+      return systemPredicate(vo, field, value.getOrElse(""))
+    val arr = col("fields").getItem(field)
+    value match {
+      case None => // existence (FTSService.scala:909-915)
+        arr.isNotNull && size(arr) > 0
+      case Some(v) =>
+        val pred: Column => Column = valuePredicate(vo, field, v)
+        arr.isNotNull && exists(arr, pred)
+    }
+  }
+
+  /** ES AUTO fuzziness: 0 edits below 3 chars, 1 for 3-5, else 2. */
+  private def autoFuzz(v: String): Int =
+    if (v.length < 3) 0 else if (v.length <= 5) 1 else 2
+
+  private def valuePredicate(vo: ValueOp, field: String, v: String)
+      : Column => Column = {
+    val vType = store.vTypeOf(field).getOrElse(TString)
+    vType match {
+      case TInt | TLong | TDouble | TFloat =>
+        val litv = lit(v.toDouble)
+        vo match {
+          case Equals | Contains => _.getField("n") === litv
+          case GreaterThan => _.getField("n") > litv
+          case GreaterThanOrEquals => _.getField("n") >= litv
+          case LessThan => _.getField("n") < litv
+          case LessThanOrEquals => _.getField("n") <= litv
+          case Like => _.getField("n") === litv
+        }
+      case TDate =>
+        // lenient input formats (reference DateParser,
+        // Parsers.scala:765-808 accepts date / datetime forms)
+        val litv = to_timestamp(lit(v.replace("T", " ").stripSuffix("Z")))
+        vo match {
+          case Equals | Contains => _.getField("t") === litv
+          case GreaterThan => _.getField("t") > litv
+          case GreaterThanOrEquals => _.getField("t") >= litv
+          case LessThan => _.getField("t") < litv
+          case LessThanOrEquals => _.getField("t") <= litv
+          case Like => _.getField("t") === litv
+        }
+      case TBool =>
+        c => c.getField("b") === lit(v.toBoolean)
+      case _ => // string / reference
+        vo match {
+          case Equals => _.getField("s") === lit(v)
+          case Contains =>
+            // match-phrase approximation: single token → tokenized
+            // containment (the `allFields`-style analyzer is a simple
+            // lowercase non-alnum splitter); phrase → substring on
+            // lowercased text
+            if (v.exists(_.isWhitespace))
+              c => c.getField("s").contains(lit(v)) ||
+                lower(c.getField("s")).contains(lit(v.toLowerCase))
+            else
+              c => array_contains(
+                split(lower(c.getField("s")), "[^a-z0-9]+"), v.toLowerCase)
+          case Like =>
+            c => levenshtein(lower(c.getField("s")), lit(v.toLowerCase)) <=
+              lit(autoFuzz(v))
+          case GreaterThan => _.getField("s") > lit(v)
+          case GreaterThanOrEquals => _.getField("s") >= lit(v)
+          case LessThan => _.getField("s") < lit(v)
+          case LessThanOrEquals => _.getField("s") <= lit(v)
+        }
+    }
+  }
+
+  private def systemPredicate(vo: ValueOp, field: String,
+                              v: String): Column = {
+    val c = col(field)
+    vo match {
+      case Equals | Contains => c === lit(v)
+      case GreaterThan => c > lit(v)
+      case GreaterThanOrEquals => c >= lit(v)
+      case LessThan => c < lit(v)
+      case LessThanOrEquals => c <= lit(v)
+      case Like => levenshtein(c, lit(v)) <= lit(autoFuzz(v))
+    }
+  }
+}
