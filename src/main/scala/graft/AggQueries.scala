@@ -1,6 +1,105 @@
 package graft
+
+import graft.model.GraftStore
+import graft.ops.{Aggregations, Search}
+import graft.qp.ApParser
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the aggregation family (SURVEY.md §2.4), each
+  * driven through the `ap=` parser exactly as the HTTP API would. */
 object AggQueries {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private def st(s: SparkSession, dir: String): GraftStore =
+    GraftStore.forDir(s, dir)
+
+  private def run(s: SparkSession, dir: String, path: String, ap: String,
+                  qp: Option[String] = None): DataFrame = {
+    val store = st(s, dir)
+    val base = Search.run(store, Search.Request(path = path, qp = qp))
+    Aggregations.run(store, base, ApParser.parse(ap).head)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // type:term — top-K by doc count, ES tie-break (count desc, key asc)
+    "q_agg_term" -> ((s, dir) =>
+      run(s, dir, "/orders", "type:term,field::orderpriority,size:3")),
+
+    // type:stats — count/min/max/sum/avg on a numeric field
+    "q_agg_stats" -> ((s, dir) =>
+      run(s, dir, "/lineitem", "type:stats,field::quantity")),
+
+    // type:stats under a qp filter (aggregate over a search result)
+    "q_agg_stats_filtered" -> ((s, dir) =>
+      run(s, dir, "/lineitem", "type:stats,field::extendedprice",
+        qp = Some("returnflag::R,quantity>25"))),
+
+    // type:hist — fixed-interval histogram
+    "q_agg_hist" -> ((s, dir) =>
+      run(s, dir, "/orders", "type:hist,field::totalprice,interval:50000")),
+
+    // type:card — exact distinct count
+    "q_agg_card" -> ((s, dir) =>
+      run(s, dir, "/orders", "type:card,field::custkey")),
+
+    // nested: term buckets with per-bucket stats sub-aggregation
+    "q_agg_nested" -> ((s, dir) =>
+      run(s, dir, "/orders",
+        "type:term,field::orderstatus,size:3<type:stats,field::totalprice>")
+        .orderBy(col("doc_count").desc, col("key").asc)),
+
+    // type:sig — significant event types among high-value versions
+    // vs all versions (JLH-style score)
+    "q_agg_sig" -> ((s, dir) => {
+      val store = st(s, dir)
+      val fg = Search.run(store, Search.Request(path = "/user",
+        withHistory = true, qp = Some("value>150")))
+      val bg = Search.run(store, Search.Request(path = "/user",
+        withHistory = true))
+      Aggregations.sigTerms(store, fg, bg,
+        Aggregations.SigTermsAgg("sig", "event_type", size = 5))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_term" ->
+      """SELECT o_orderpriority AS key, count(*) AS doc_count FROM orders
+        |GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 3""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT count(l_quantity) AS "count", min(l_quantity) AS "min",
+        |max(l_quantity) AS "max",
+        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS "sum",
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS "avg"
+        |FROM lineitem""".stripMargin,
+    "q_agg_stats_filtered" ->
+      """SELECT count(l_extendedprice) AS "count", min(l_extendedprice) AS "min",
+        |max(l_extendedprice) AS "max",
+        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS "sum",
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS "avg"
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25""".stripMargin,
+    "q_agg_hist" ->
+      """SELECT floor(o_totalprice / 50000) * 50000 AS bucket,
+        |count(*) AS doc_count FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_agg_card" ->
+      "SELECT count(DISTINCT o_custkey) AS card FROM orders",
+    "q_agg_nested" ->
+      """SELECT o_orderstatus AS key, count(*) AS doc_count,
+        |count(o_totalprice) AS totalprice_count, min(o_totalprice) AS totalprice_min,
+        |max(o_totalprice) AS totalprice_max,
+        |sum(CAST(o_totalprice AS DECIMAL(18,2))) AS totalprice_sum
+        |FROM orders GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 3""".stripMargin,
+    "q_agg_sig" ->
+      """WITH fg AS (SELECT event_type AS key, count(*) AS fg_count FROM events
+        |  WHERE "value" > 150 GROUP BY 1),
+        |bg AS (SELECT event_type AS key, count(*) AS bg_count FROM events GROUP BY 1),
+        |j AS (SELECT fg.key, fg_count, bg_count,
+        |  (SELECT sum(fg_count) FROM fg) AS fg_total,
+        |  (SELECT sum(bg_count) FROM bg) AS bg_total
+        |  FROM fg JOIN bg ON fg.key = bg.key)
+        |SELECT key, fg_count, bg_count,
+        |  (((CAST(fg_count AS DOUBLE) / fg_total) - (CAST(bg_count AS DOUBLE) / bg_total))
+        |   * (CAST(fg_count AS DOUBLE) / fg_total)) / (CAST(bg_count AS DOUBLE) / bg_total) AS score
+        |FROM j WHERE fg_count >= 1
+        |AND (((CAST(fg_count AS DOUBLE) / fg_total) - (CAST(bg_count AS DOUBLE) / bg_total))
+        |   * (CAST(fg_count AS DOUBLE) / fg_total)) / (CAST(bg_count AS DOUBLE) / bg_total) > 0
+        |ORDER BY score DESC, key ASC LIMIT 5""".stripMargin)
 }

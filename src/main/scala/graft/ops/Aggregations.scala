@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.model.GraftStore
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `op=aggregate` / `op=stats` — the `ap=` aggregation algebra
+  * (SURVEY.md §2.4).
+  *
+  * Reference: AST cmwell-domain/.../AggregationFilter.scala:22-79,
+  * parser Parsers.scala:157-275, ES build + response mapping
+  * FTSService.scala:940-1105. All bucket aggregations support strict
+  * nesting via `subFilters` (`<...>` in ap).
+  *
+  * Spark shape: every aggregation is a groupBy over the *values* of a
+  * field (multi-valued fields explode first, like ES counting each
+  * value into its bucket); nesting = re-group by (parent key, child
+  * key) semi-joined to the parent's surviving buckets — a strict
+  * nesting tree, NOT rollup/cube. Partial (map-side) aggregation and
+  * the final top-K are Catalyst built-ins, so at 100 TB each agg is
+  * one shuffle of pre-combined partials.
+  */
+object Aggregations {
+
+  sealed trait AggSpec {
+    def name: String; def field: String; def subs: Seq[AggSpec]
+  }
+  /** top-`size` values by doc count (AggregationFilter.scala:43-52). */
+  final case class TermAgg(name: String, field: String, size: Int = 10,
+      subs: Seq[AggSpec] = Nil) extends AggSpec
+  /** count/min/max/avg/sum (AggregationFilter.scala:38-41). */
+  final case class StatsAgg(name: String, field: String) extends AggSpec {
+    def subs: Seq[AggSpec] = Nil
+  }
+  /** numeric histogram (AggregationFilter.scala:54-61). */
+  final case class HistAgg(name: String, field: String, interval: Double,
+      minDocCount: Int = 1, subs: Seq[AggSpec] = Nil) extends AggSpec
+  /** distinct count; `precisionThreshold` maps to approx rsd — exact
+    * below threshold (AggregationFilter.scala:76-79). */
+  final case class CardAgg(name: String, field: String,
+      precisionThreshold: Option[Long] = None) extends AggSpec {
+    def subs: Seq[AggSpec] = Nil
+  }
+  /** significant terms vs background set, JLH-style score
+    * (AggregationFilter.scala:63-74; FTSService.scala:991-997). */
+  final case class SigTermsAgg(name: String, field: String, size: Int = 10,
+      minDocCount: Int = 1) extends AggSpec {
+    def subs: Seq[AggSpec] = Nil
+  }
+
+  private def slot(store: GraftStore, field: String, v: Column): Column =
+    store.vTypeOf(field) match {
+      case Some(t) if "ildf".contains(t) => v.getField("n")
+      case Some("w") => v.getField("t")
+      case Some("b") => v.getField("b")
+      case _ => v.getField("s")
+    }
+
+  /** Exploded (bucket-key) view of `base` for one field — one row per
+    * value (ES buckets each value of a multi-valued field). */
+  def keyed(store: GraftStore, base: DataFrame, field: String,
+            as: String): DataFrame =
+    base.where(col("fields").getItem(field).isNotNull)
+      .select(col("system.path").as("path"),
+        explode(col("fields").getItem(field)).as("__v"), col("fields"))
+      .select(col("path"), slot(store, field, col("__v")).as(as),
+        col("fields"))
+
+  /** type:term — ES tie-break: doc_count desc, then key asc. */
+  def term(store: GraftStore, base: DataFrame, spec: TermAgg): DataFrame = {
+    val buckets = keyed(store, base, spec.field, "key")
+      .groupBy("key").agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(spec.size)
+    if (spec.subs.isEmpty) buckets
+    else spec.subs.foldLeft(buckets) { (acc, sub) =>
+      val child = subAgg(store, base, spec.field, sub)
+      // broadcast: surviving parent buckets are ≤ size rows
+      child.join(broadcast(acc), Seq("key"))
+        .select(acc.columns.map(col) ++
+          child.columns.filterNot(_ == "key").map(col): _*)
+    }
+  }
+
+  private def subAgg(store: GraftStore, base: DataFrame, parentField: String,
+                     sub: AggSpec): DataFrame = sub match {
+    case s: StatsAgg =>
+      keyed(store, base, parentField, "key")
+        .select(col("key"),
+          element_at(col("fields").getItem(s.field), 1).getField("n").as("v"))
+        .groupBy("key")
+        .agg(count(col("v")).as(s"${s.name}_count"),
+          min(col("v")).as(s"${s.name}_min"),
+          max(col("v")).as(s"${s.name}_max"),
+          sum(col("v").cast("decimal(18,2)")).as(s"${s.name}_sum"))
+    case t: TermAgg =>
+      keyed(store, base, parentField, "key")
+        .select(col("key"),
+          element_at(col("fields").getItem(t.field), 1).getField("s")
+            .as(s"${t.name}_key"))
+        .groupBy("key", s"${t.name}_key")
+        .agg(count(lit(1)).as(s"${t.name}_count"))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported sub-agg $other")
+  }
+
+  /** type:stats — count/min/max/avg/sum. Sum runs in decimal so the
+    * result is independent of partition order (double accumulation
+    * would make the hash non-deterministic); avg derives from the
+    * exact sum. */
+  def stats(store: GraftStore, base: DataFrame, spec: StatsAgg): DataFrame =
+    keyed(store, base, spec.field, "v")
+      .agg(count(col("v")).as("count"),
+        min(col("v")).as("min"), max(col("v")).as("max"),
+        sum(col("v").cast("decimal(18,2)")).as("sum"))
+      .withColumn("avg", col("sum").cast("double") / col("count"))
+
+  /** type:hist — fixed-interval numeric histogram. */
+  def hist(store: GraftStore, base: DataFrame, spec: HistAgg): DataFrame =
+    keyed(store, base, spec.field, "v")
+      .groupBy((floor(col("v") / spec.interval) * spec.interval).as("bucket"))
+      .agg(count(lit(1)).as("doc_count"))
+      .where(col("doc_count") >= spec.minDocCount)
+      .orderBy("bucket")
+
+  /** type:card — exact below precisionThreshold, HLL above (the same
+    * contract ES documents for cardinality). */
+  def card(store: GraftStore, base: DataFrame, spec: CardAgg): DataFrame = {
+    val k = keyed(store, base, spec.field, "v")
+    spec.precisionThreshold match {
+      case Some(t) if t > 0 && t < 40000 =>
+        k.agg(approx_count_distinct(col("v"), 1.04 / math.sqrt(t.toDouble))
+          .as("card"))
+      case _ => k.agg(countDistinct(col("v")).as("card"))
+    }
+  }
+
+  /** type:sig — significant terms: foreground (the filtered base) vs
+    * background (all docs carrying the field in `bg`), scored like
+    * ES JLH: (fgFreq - bgFreq) * fgFreq / bgFreq
+    * (FTSService.scala:991-997,1062-1074).
+    *
+    * Two grouped counts + a broadcast join — no collect; totals come
+    * from window sums over the (small) grouped frames. */
+  def sigTerms(store: GraftStore, fg: DataFrame, bg: DataFrame,
+               spec: SigTermsAgg): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    val fgc = keyed(store, fg, spec.field, "key")
+      .groupBy("key").agg(count(lit(1)).as("fg_count"))
+      .withColumn("fg_total", sum("fg_count").over(w))
+    val bgc = keyed(store, bg, spec.field, "key")
+      .groupBy("key").agg(count(lit(1)).as("bg_count"))
+      .withColumn("bg_total", sum("bg_count").over(w))
+    val fgF = col("fg_count").cast("double") / col("fg_total")
+    val bgF = col("bg_count").cast("double") / col("bg_total")
+    fgc.join(broadcast(bgc), Seq("key"))
+      .where(col("fg_count") >= spec.minDocCount)
+      .withColumn("score", ((fgF - bgF) * fgF) / bgF)
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("key").asc)
+      .limit(spec.size)
+      .select("key", "fg_count", "bg_count", "score")
+  }
+
+  /** Dispatch for a parsed ap spec against a search result. */
+  def run(store: GraftStore, base: DataFrame, spec: AggSpec): DataFrame =
+    spec match {
+      case t: TermAgg => term(store, base, t)
+      case s: StatsAgg => stats(store, base, s)
+      case h: HistAgg => hist(store, base, h)
+      case c: CardAgg => card(store, base, c)
+      case g: SigTermsAgg => sigTerms(store, base, store.current, g)
+    }
+}
