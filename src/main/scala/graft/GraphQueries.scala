@@ -1,6 +1,107 @@
 package graft
+
+import graft.model.GraftStore
+import graft.ops.{Graph, Search}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries for graph traversal (SURVEY.md §2.3): xg / yg /
+  * gqp over the FK reference edges of the loaded store. */
 object GraphQueries {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private def st(s: SparkSession, dir: String): GraftStore =
+    GraftStore.forDir(s, dir)
+
+  private def pathsOf(df: DataFrame): DataFrame =
+    df.select(col("system.path").as("path")).orderBy("path")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // xg one hop: urgent expensive orders + their customers
+    "q_xg" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/orders",
+        qp = Some("orderpriority::1-URGENT,totalprice>95000")))
+      pathsOf(Graph.xg(store, base, Graph.parseXg("refCustomer", Nil)))
+    }),
+
+    // xg two-level chain: max-quantity lineitems -> orders -> customers
+    "q_xg_2level" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/lineitem",
+        qp = Some("quantity>49.5")))
+      pathsOf(Graph.xg(store, base,
+        Graph.parseXg("refOrders.refCustomer", Nil)))
+    }),
+
+    // yg incoming hop with per-hop filter: top BUILDING customers plus
+    // the expensive orders that point at them (expandUp — the reversed
+    // equi-join, wsutil/package.scala:617-714)
+    "q_yg_in" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/customer",
+        qp = Some("mktsegment::BUILDING,acctbal>9900")))
+      pathsOf(Graph.yg(store, base, "<refCustomer[totalprice>100000]"))
+    }),
+
+    // gqp: pure existence filter — customers having any order over 200k
+    // (LEFT SEMI JOIN chain, never adds infotons)
+    "q_gqp" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/customer"))
+      pathsOf(Graph.gqp(store, base, "<refCustomer[totalprice>200000]"))
+    }),
+
+    // gqp two-hop chain: suppliers with a max-quantity lineitem whose
+    // order is 1-URGENT (supplier <- lineitem -> order)
+    "q_gqp_2hop" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/supplier"))
+      pathsOf(Graph.gqp(store, base,
+        "<refSupplier[quantity>49]>refOrders[orderpriority::1-URGENT]"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_xg" ->
+      """SELECT path FROM (
+        |  SELECT '/orders/' || CAST(o_orderkey AS VARCHAR) AS path FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 95000
+        |  UNION
+        |  SELECT '/customer/' || CAST(o_custkey AS VARCHAR) FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 95000
+        |) ORDER BY path""".stripMargin,
+    "q_xg_2level" ->
+      """SELECT path FROM (
+        |  SELECT '/lineitem/' || CAST(l_orderkey AS VARCHAR) || '-' ||
+        |    CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_partkey AS VARCHAR)
+        |    || '-' || CAST(l_suppkey AS VARCHAR) AS path
+        |  FROM lineitem WHERE l_quantity > 49.5
+        |  UNION
+        |  SELECT '/orders/' || CAST(l_orderkey AS VARCHAR) FROM lineitem
+        |  WHERE l_quantity > 49.5
+        |  UNION
+        |  SELECT '/customer/' || CAST(o_custkey AS VARCHAR)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity > 49.5
+        |) ORDER BY path""".stripMargin,
+    "q_yg_in" ->
+      """SELECT path FROM (
+        |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
+        |  UNION
+        |  SELECT '/orders/' || CAST(o_orderkey AS VARCHAR)
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
+        |    AND o_totalprice > 100000
+        |) ORDER BY path""".stripMargin,
+    "q_gqp" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY path""".stripMargin,
+    "q_gqp_2hop" ->
+      """SELECT '/supplier/' || CAST(s_suppkey AS VARCHAR) AS path FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_suppkey = s_suppkey AND l_quantity > 49
+        |    AND o_orderpriority = '1-URGENT')
+        |ORDER BY path""".stripMargin)
 }

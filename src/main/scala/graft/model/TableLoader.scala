@@ -169,9 +169,11 @@ object TableLoader {
           lit("refCustomer"), array(rVal(
             concat(lit("/customer/"), col("o_custkey").cast("string"))))))
 
+    // (orderkey, linenumber) is NOT unique in the synthetic data; the
+    // 4-tuple with partkey+suppkey is — use it as the path key
     val lineitem = static(pq(spark, dir, "lineitem"), "lineitem",
-      concat(col("l_orderkey").cast("string"), lit("-"),
-        col("l_linenumber").cast("string")),
+      concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")),
       map(lit("orderkey"), array(lVal(col("l_orderkey"))),
           lit("partkey"), array(lVal(col("l_partkey"))),
           lit("suppkey"), array(lVal(col("l_suppkey"))),

@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.model.{GraftStore, InfotonModel}
+import graft.qp.{FilterCompiler, QpParser}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph traversal operators — `xg` (expand out), `yg` (expand along a
+  * path, both directions), `gqp` (path-existence filter). SURVEY.md
+  * §2.3; reference eval: wsutil/package.scala:521-919 (`expandIn`,
+  * `expandUp`, `deepExpandGraph`, `pathExpansionParser`, `gqpFilter`).
+  *
+  * Spark shape: every hop is ONE equi-join —
+  *   outgoing (`>f` / xg): frontier's reference values joined to
+  *     infoton paths (the reference re-issues point lookups per uuid;
+  *     here it's a single distributed hash join);
+  *   incoming (`<f`): a reversed equi-join through the quads view
+  *     (find subjects whose field value IS a frontier path).
+  * Frontiers shrink fast in practice; AQE turns the frontier side into
+  * a broadcast join at runtime when it fits, which is exactly the
+  * behavior we want at 100 TB — no hand scheduling.
+  *
+  * The reference caps expansion at 10k retrieved infotons
+  * (webservice.xg.limit, application.conf:71). The cap is enforced
+  * only when requested (`limit=Some(n)`): analytics jobs run
+  * unbounded and pay zero extra actions; interactive callers pass the
+  * reference default and get the same abort semantics.
+  */
+object Graph {
+
+  /** One traversal hop: direction, reference field, optional qp filter
+    * on the hop's targets (yg per-level filters, Parsers.scala:467-509). */
+  final case class Hop(incoming: Boolean, field: String,
+                       filter: Option[String] = None)
+
+  /** Parse a yg/gqp expression: `<f1[qp]>f2[qp]...` */
+  def parseHops(expr: String): Seq[Hop] = {
+    val re = "([<>])([A-Za-z0-9_.$]+)(?:\\[([^\\]]*)\\])?".r
+    val hops = re.findAllMatchIn(expr).map { m =>
+      Hop(m.group(1) == "<", m.group(2), Option(m.group(3)))
+    }.toSeq
+    require(hops.nonEmpty, s"bad yg/gqp expression '$expr'")
+    hops
+  }
+
+  /** Parse an xg expression: `f1.f2.f3` (field chain), `N` (levels over
+    * all reference fields) or `_` (one level, all fields) —
+    * Parsers.scala:384-465. */
+  def parseXg(expr: String, allRefFields: Seq[String]): Seq[Seq[String]] =
+    expr match {
+      case "_" => Seq(allRefFields)
+      case d if d.forall(_.isDigit) =>
+        Seq.fill(d.toInt)(allRefFields)
+      case chain => chain.split('.').toSeq.map(Seq(_))
+    }
+
+  private def checkLimit(frontier: DataFrame, limit: Option[Int]): Unit =
+    limit.foreach { l =>
+      if (frontier.limit(l + 1).count() > l)
+        throw new IllegalStateException(
+          s"expansion exceeded limit $l (webservice.xg.limit semantics)")
+    }
+
+  /** Edge view for one reference field: (from, to) pairs. */
+  private def edges(store: GraftStore, field: String): DataFrame =
+    store.quads.where(col("current") &&
+        col("kind") =!= InfotonModel.KindDeleted &&
+        col("predicate") === field && col("vType") === InfotonModel.TRef)
+      .select(col("subject").as("from"), col("s").as("to"))
+
+  /** Paths reachable from `frontierPaths` (col `p`) over one hop.
+    * Aliased to survive self-joins in chained traversals. */
+  private def hopTargets(store: GraftStore, frontierPaths: DataFrame,
+                         hop: Hop): DataFrame = {
+    val e = edges(store, hop.field).alias("e")
+    val fr = frontierPaths.hint("broadcast").alias("fr")
+    val next =
+      if (hop.incoming) // reversed equi-join: edge target == frontier path
+        e.join(fr, col("e.to") === col("fr.p")).select(col("e.from").as("p"))
+      else              // forward: frontier's ref values are target paths
+        e.join(fr, col("e.from") === col("fr.p")).select(col("e.to").as("p"))
+    hop.filter.fold(next.distinct()) { f =>
+      val pred = new FilterCompiler(store).compile(QpParser.parse(f))
+      store.current.where(pred)
+        .join(next.distinct().hint("broadcast"),
+          col("system.path") === col("p"), "left_semi")
+        .select(col("system.path").as("p"))
+    }
+  }
+
+  private def paths(df: DataFrame): DataFrame =
+    df.select(col("system.path").as("p")).distinct()
+
+  /** xg — expand N levels outgoing from a search result; returns the
+    * originals plus every expanded infoton (wsutil/package.scala:
+    * 716-749). Each level may fan out over several fields. */
+  def xg(store: GraftStore, base: DataFrame, levels: Seq[Seq[String]],
+         limit: Option[Int] = None): DataFrame = {
+    var frontier = paths(base)
+    var reached = frontier
+    levels.foreach { fields =>
+      val next = fields.map(f =>
+          hopTargets(store, frontier, Hop(incoming = false, f)))
+        .reduce(_ union _).distinct()
+      checkLimit(next, limit)
+      frontier = next
+      reached = reached.union(next).distinct()
+    }
+    store.current.join(reached.hint("broadcast"),
+      col("system.path") === col("p"), "left_semi")
+  }
+
+  /** yg — chained path expansion (both directions, per-hop filters);
+    * returns originals plus every infoton on a satisfied path
+    * (wsutil/package.scala:850-919). */
+  def yg(store: GraftStore, base: DataFrame, expr: String,
+         limit: Option[Int] = None): DataFrame = {
+    var frontier = paths(base)
+    var reached = frontier
+    parseHops(expr).foreach { hop =>
+      val next = hopTargets(store, frontier, hop)
+      checkLimit(next, limit)
+      frontier = next
+      reached = reached.union(next).distinct()
+    }
+    store.current.join(reached.hint("broadcast"),
+      col("system.path") === col("p"), "left_semi")
+  }
+
+  /** gqp — keep only base infotons for which the FULL hop chain
+    * exists; never adds to the result (wsutil/package.scala:751-848).
+    * Implemented as an origin-preserving join chain finished with one
+    * LEFT SEMI JOIN. */
+  def gqp(store: GraftStore, base: DataFrame, expr: String): DataFrame = {
+    var chain = base.select(col("system.path").as("origin"),
+      col("system.path").as("p"))
+    parseHops(expr).foreach { hop =>
+      val e = edges(store, hop.field).alias("e")
+      val ch = chain.alias("ch")
+      val nextAll =
+        if (hop.incoming)
+          e.join(ch, col("e.to") === col("ch.p"))
+            .select(col("ch.origin").as("origin"), col("e.from").as("p"))
+        else
+          e.join(ch, col("e.from") === col("ch.p"))
+            .select(col("ch.origin").as("origin"), col("e.to").as("p"))
+      chain = hop.filter.fold(nextAll.distinct()) { f =>
+        val pred = new FilterCompiler(store).compile(QpParser.parse(f))
+        nextAll.join(store.current.where(pred)
+            .select(col("system.path").as("fp")),
+          col("p") === col("fp"), "left_semi").distinct()
+      }
+    }
+    base.join(chain.select("origin").distinct().hint("broadcast"),
+      col("system.path") === col("origin"), "left_semi")
+  }
+}
