@@ -1,6 +1,69 @@
 package graft
+
+import graft.model.GraftStore
+import graft.ops.{Consume, Search}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the consume/streaming-export family
+  * (SURVEY.md §2.6) — ordered resumable scans over the /user version
+  * stream (indexTime = event ts in micros). */
 object ConsumeQueries {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private def st(s: SparkSession, dir: String): GraftStore =
+    GraftStore.forDir(s, dir)
+
+  private def ids(df: DataFrame): DataFrame =
+    df.select(Search.fieldN("event_id").cast("long").as("event_id"))
+      .orderBy("event_id")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // first _consume chunk (chunk-size 3000, token from create-consumer)
+    "q_consume_chunk" -> ((s, dir) => {
+      val store = st(s, dir)
+      val token = Consume.createConsumer("/user")
+      ids(Consume.consume(store, token).chunk)
+    }),
+
+    // resume from the returned position token: the SECOND chunk
+    "q_consume_resume" -> ((s, dir) => {
+      val store = st(s, dir)
+      val t0 = Consume.createConsumer("/user")
+      val r1 = Consume.consume(store, t0)
+      ids(Consume.consume(store, r1.nextToken.get).chunk)
+    }),
+
+    // consume with a qp filter: only purchase events flow to the consumer
+    "q_consume_filtered" -> ((s, dir) => {
+      val store = st(s, dir)
+      val token = Consume.createConsumer("/user",
+        qp = Some("event_type::purchase"))
+      ids(Consume.consume(store, token, chunkSize = 1000).chunk)
+    }),
+
+    // bulk-consume: one large indexTime range slice
+    "q_bulk_consume" -> ((s, dir) => {
+      val store = st(s, dir)
+      val token = Consume.createConsumer("/user")
+      ids(Consume.bulkConsume(store, token, threshold = 5000).chunk)
+    }))
+
+  // Oracle: boundary = ts of the chunkSize-th row; chunk = everything
+  // <= boundary (the same-indexTime-inclusive set semantics).
+  private def chunkSql(lower: String, n: Int, extra: String = "") =
+    s"""WITH o AS (SELECT event_id, epoch_us(ts) AS it FROM events
+       |  WHERE TRUE $extra),
+       |b AS (SELECT max(it) AS bd FROM (SELECT it FROM o WHERE it > $lower
+       |  ORDER BY it LIMIT $n))
+       |SELECT event_id FROM o WHERE it > $lower AND it <= (SELECT bd FROM b)
+       |ORDER BY event_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_consume_chunk" -> chunkSql("0", 3000),
+    "q_consume_resume" -> chunkSql(
+      """(SELECT max(it) FROM (SELECT epoch_us(ts) AS it FROM events
+        | ORDER BY it LIMIT 3000))""".stripMargin.replace("\n", " "), 3000),
+    "q_consume_filtered" -> chunkSql("0", 1000,
+      "AND event_type = 'purchase'"),
+    "q_bulk_consume" -> chunkSql("0", 5000))
 }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.model.GraftStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** The consume family — ordered, resumable delta scans keyed by the
+  * monotone `indexTime` (SURVEY.md §2.6).
+  *
+  * Reference: `op=create-consumer`/`_consume` (Application.scala:
+  * 1395-1453; Streams.qStream:366-441), `op=bulk-consume`
+  * (BulkScrollHandler.scala:56-200), position token = gzip+base64
+  * `ConsumeState` (cmwell/ws/adt/ConsumeState.scala:26-60).
+  *
+  * Chunk semantics: a chunk is "everything with
+  * `from < indexTime <= boundary`", where boundary is the indexTime of
+  * the chunkSize-th row. Including ALL rows that share the boundary
+  * indexTime is how the reference avoids losing rows when a chunk
+  * boundary splits equal timestamps (the same-indexTime edge case,
+  * Streams.qStream:397-437) — this makes every chunk a deterministic
+  * SET, so a consumer can resume from the token with no loss and no
+  * duplicates.
+  *
+  * Scale: finding the boundary is a `limit(N).agg(max)` — a top-N over
+  * a (pushed-down) range filter, not a global sort; the chunk itself
+  * is a pure range predicate, so at 100 TB a consumer only ever scans
+  * the parquet row groups whose indexTime min/max overlap the range
+  * (storage sorted/partitioned by indexTime makes this file pruning).
+  */
+object Consume {
+
+  /** Position token (gzip+base64 of k=v lines — same trick as the
+    * reference's ConsumeState). */
+  final case class State(path: String, from: Long, qp: Option[String],
+                         withHistory: Boolean = true) {
+    def encode: String = {
+      val s = s"path=$path\nfrom=$from\nqp=${qp.getOrElse("")}\n" +
+        s"withHistory=$withHistory"
+      val bos = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos)
+      gz.write(s.getBytes(UTF_8)); gz.close()
+      Base64.getUrlEncoder.encodeToString(bos.toByteArray)
+    }
+  }
+  object State {
+    def decode(token: String): State = {
+      val bytes = Base64.getUrlDecoder.decode(token)
+      val gz = new GZIPInputStream(new ByteArrayInputStream(bytes))
+      val s = new String(gz.readAllBytes(), UTF_8)
+      val kv = s.linesIterator.map { l =>
+        val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+      }.toMap
+      State(kv("path"), kv("from").toLong,
+        Option(kv.getOrElse("qp", "")).filter(_.nonEmpty),
+        kv.get("withHistory").forall(_.toBoolean))
+    }
+  }
+
+  final case class Result(chunk: DataFrame, nextToken: Option[String])
+
+  /** `op=create-consumer` — initial token for a path+qp scan. */
+  def createConsumer(path: String, qp: Option[String] = None): String =
+    State(path, 0L, qp).encode
+
+  private def matching(store: GraftStore, st: State): DataFrame =
+    Search.run(store, Search.Request(path = st.path, qp = st.qp,
+      withHistory = st.withHistory))
+
+  /** `_consume` — next chunk after the token; chunkSize defaults to the
+    * reference's consume.simple-chunk-size=3000. */
+  def consume(store: GraftStore, token: String,
+              chunkSize: Int = 3000): Result = {
+    val st = State.decode(token)
+    val pending = matching(store, st)
+      .where(col("system.indexTime") > st.from)
+    // boundary = indexTime of the chunkSize-th pending row (driver-side
+    // scalar — this IS the position-token computation)
+    val bRow = pending.select(col("system.indexTime").as("it"))
+      .orderBy("it").limit(chunkSize).agg(max("it"), count(lit(1))).head()
+    if (bRow.isNullAt(0)) Result(pending.limit(0), None) // drained
+    else {
+      val boundary = bRow.getLong(0)
+      val chunk = pending.where(col("system.indexTime") <= boundary)
+      Result(chunk, Some(st.copy(from = boundary).encode))
+    }
+  }
+
+  /** `op=bulk-consume` — like consume but sized for throughput
+    * (consume.bulk.threshold=100000): one indexTime RANGE per call.
+    * The reference binary-searches the range end; here it's the exact
+    * threshold-th indexTime (same one-pass top-N as above). */
+  def bulkConsume(store: GraftStore, token: String,
+                  threshold: Int = 100000): Result =
+    consume(store, token, threshold)
+
+  /** Drain everything as range slices of ~`sliceSize` rows — the batch
+    * analog of repeated bulk-consume. Returns (sliceId, chunk range)
+    * bounds; the full export itself is just a range-partitioned scan
+    * (repartitionByRange on indexTime), which Spark parallelizes
+    * natively (SURVEY.md §2.6 bulk-consume mapping). */
+  def exportSlices(store: GraftStore, path: String,
+                   sliceSize: Int): DataFrame = {
+    val base = Search.run(store,
+        Search.Request(path = path, withHistory = true))
+      .select(col("system.indexTime").as("it"))
+    base.withColumn("slice",
+      floor((row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("it")) - 1) / sliceSize))
+      .groupBy("slice")
+      .agg(min("it").as("from_it"), max("it").as("to_it"),
+        count(lit(1)).as("rows"))
+      .orderBy("slice")
+  }
+}
