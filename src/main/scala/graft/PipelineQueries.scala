@@ -1,6 +1,148 @@
 package graft
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the training-data-pipeline operators (dedup /
+  * similarity / text analysis) over the `documents` and `embeddings`
+  * tables. */
 object PipelineQueries {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup (hash-groupBy on content digest)
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).select("keep_id", "copies")
+        .orderBy("keep_id")),
+
+    // n-gram (bigram) Jaccard near-dup pairs, exact
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), n = 2, tau = 0.8)
+        .orderBy("d1", "d2")),
+
+    // MinHash+LSH near-dup pairs (banded bucket join + exact verify);
+    // oracle = the exact-jaccard pair set (recall at j≈0.99 with
+    // 128 hashes / 32 bands is 1 - (1-j^4)^32 ≈ 1)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), n = 2, numHashes = 128, bands = 32,
+        tau = 0.8).select("d1", "d2").orderBy("d1", "d2")),
+
+    // SimHash near-dup pairs (16-bit chunk blocking, hamming <= 3);
+    // engine-specific hash -> rows-only check + ScalaTest oracle
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
+        .orderBy("d1", "d2")),
+
+    // brute-force cosine top-5 neighbors for three query vectors
+    "q_knn" -> ((s, dir) =>
+      Similarity.cosineTopK(emb(s, dir), Seq(0L, 1L, 2L), 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")),
+
+    // LSH-bucketed ANN (scale path) — rows-only + ScalaTest recall check
+    "q_knn_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")),
+
+    // token/char counting incl. BPE-ish estimate
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")),
+
+    // quality scoring (stopword/punct/repetition ratios)
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir)).orderBy("doc_id")),
+
+    // stopword-profile language-ID heuristic
+    "q_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
+
+    // rolling-hash document fingerprint (portable arithmetic)
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")))
+
+  private val TokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  private val JaccardPairsSql =
+    s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS sh
+       |  FROM tok, UNNEST(generate_series(1, len(ts)-1)) AS t(i)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) AS jaccard
+       |FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+       |JOIN sizes s2 ON d2 = s2.doc_id
+       |WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8""".stripMargin
+
+  private val LangScores = TextAnalysis.LangProfiles.map { case (l, ws) =>
+    val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(ts, t -> list_contains($arr, t))) AS s_$l"
+  }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents
+        |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_dedup_jaccard" -> (JaccardPairsSql + " ORDER BY d1, d2"),
+    "q_dedup_minhash" ->
+      s"SELECT d1, d2 FROM ($JaccardPairsSql) ORDER BY d1, d2",
+    "q_knn" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(e.v, q.qv) AS cosine
+        |  FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_text_stats" ->
+      s"""SELECT doc_id, len($TokensSql) AS n_tokens,
+         |length(text) AS n_chars,
+         |len(list_distinct($TokensSql)) AS n_distinct_tokens,
+         |CAST(floor(length(regexp_replace(text, '\\s+', '', 'g')) / 4
+         |  + len($TokensSql)) AS BIGINT) AS bpe_token_estimate
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $TokensSql AS ts FROM documents)
+         |SELECT doc_id, len(ts) AS n_tokens,
+         |CAST(len(list_filter(ts, x -> list_contains(
+         |  ['the','a','an','and','of','to','in','is','it','for'], x)))
+         |  AS DOUBLE) / len(ts) AS stopword_ratio,
+         |length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+         |  / length(text) AS punct_ratio,
+         |length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(ts)
+         |  AS mean_word_len,
+         |1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+         |  AS repetition
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |s AS (SELECT doc_id, $LangScores FROM t),
+         |b AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM s)
+         |SELECT doc_id, CASE
+         |  WHEN best = 0 THEN 'und'
+         |  WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+         |  WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+         |  ELSE 'und' END AS lang_guess
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT),
+         |    list_transform($TokensSql,
+         |      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+         |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin)
 }

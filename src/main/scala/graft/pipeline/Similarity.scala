@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — the QUERY side is broadcast
+  * (queries are few), so the big side streams once with no shuffle
+  * until the final per-query top-k.
+  *
+  * Scale path: random-hyperplane LSH bucketing — each vector lands in
+  * one of 2^planes buckets; probing a query's bucket (plus optional
+  * multi-probe neighbors) turns the scan into a bucket-pruned lookup.
+  * An IVF variant would k-means the space instead; hyperplane LSH is
+  * chosen because it is stateless/deterministic (no trained model to
+  * ship).
+  */
+object Similarity {
+
+  /** dot product of two double arrays — index-ordered accumulation
+    * (deterministic; used for oracle-parity too). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** l2-normalize (as double), so cosine == dot. */
+  def normalized(a: Column): Column = {
+    val d = transform(a, x => x.cast("double"))
+    transform(d, x => x / sqrt(aggregate(
+      transform(d, y => y * y), lit(0.0), (acc, y) => acc + y)))
+  }
+
+  /** Brute-force cosine top-k: for each query vector (small set,
+    * broadcast), the k nearest among all embeddings. Returns
+    * (query_id, rank, neighbor_id, cosine). */
+  def cosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), normalized(col("embedding")).as("v"))
+    val queries = broadcast(
+      base.where(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val scored = base.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("v"), col("qv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Deterministic random hyperplanes (seeded — no trained state). */
+  private def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id per vector: sign bits against `numPlanes` random
+    * hyperplanes. */
+  def lshBuckets(emb: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      val planeDot = aggregate(
+        zip_with(v, array(p.map(lit): _*), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(planeDot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    emb.withColumn("bucket", bucket)
+  }
+
+  /** Bucketed ANN top-k: exact search restricted to each query's
+    * bucket. Trades recall for a 2^planes scan reduction; recall is
+    * recovered in practice with multi-probe (flipping low-confidence
+    * bits) — kept single-probe here for determinism. */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = lshBuckets(emb, numPlanes, dim)
+      .select(col("vec_id"), col("bucket"),
+        normalized(col("embedding")).as("v"))
+    val queries = broadcast(bucketed
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("bucket").as("qb"),
+        col("v").as("qv")))
+    val scored = bucketed.join(queries,
+        col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("v"), col("qv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}
