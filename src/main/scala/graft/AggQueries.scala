@@ -67,13 +67,13 @@ object AggQueries {
     "q_agg_stats" ->
       """SELECT count(l_quantity) AS "count", min(l_quantity) AS "min",
         |max(l_quantity) AS "max",
-        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS "sum",
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS "sum",
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS "avg"
         |FROM lineitem""".stripMargin,
     "q_agg_stats_filtered" ->
       """SELECT count(l_extendedprice) AS "count", min(l_extendedprice) AS "min",
         |max(l_extendedprice) AS "max",
-        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS "sum",
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS "sum",
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS "avg"
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25""".stripMargin,
     "q_agg_hist" ->
@@ -85,7 +85,7 @@ object AggQueries {
       """SELECT o_orderstatus AS key, count(*) AS doc_count,
         |count(o_totalprice) AS totalprice_count, min(o_totalprice) AS totalprice_min,
         |max(o_totalprice) AS totalprice_max,
-        |sum(CAST(o_totalprice AS DECIMAL(18,2))) AS totalprice_sum
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS totalprice_sum
         |FROM orders GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 3""".stripMargin,
     "q_agg_sig" ->
       """WITH fg AS (SELECT event_type AS key, count(*) AS fg_count FROM events

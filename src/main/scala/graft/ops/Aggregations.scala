@@ -93,7 +93,11 @@ object Aggregations {
         .agg(count(col("v")).as(s"${s.name}_count"),
           min(col("v")).as(s"${s.name}_min"),
           max(col("v")).as(s"${s.name}_max"),
-          sum(col("v").cast("decimal(18,2)")).as(s"${s.name}_sum"))
+          // accumulate in decimal (partition-order independent), emit
+          // double — a decimal output column would hash differently
+          // from the oracle's float conversion
+          sum(col("v").cast("decimal(18,2)")).cast("double")
+            .as(s"${s.name}_sum"))
     case t: TermAgg =>
       keyed(store, base, parentField, "key")
         .select(col("key"),
@@ -113,8 +117,8 @@ object Aggregations {
     keyed(store, base, spec.field, "v")
       .agg(count(col("v")).as("count"),
         min(col("v")).as("min"), max(col("v")).as("max"),
-        sum(col("v").cast("decimal(18,2)")).as("sum"))
-      .withColumn("avg", col("sum").cast("double") / col("count"))
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("sum"))
+      .withColumn("avg", col("sum") / col("count"))
 
   /** type:hist — fixed-interval numeric histogram. */
   def hist(store: GraftStore, base: DataFrame, spec: HistAgg): DataFrame =

@@ -19,7 +19,12 @@ for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"MISSING OUTPUT {name}"); fail += 1; continue
-    got = con.sql(f"SELECT * FROM '{files[0]}'").fetchdf()
+    # read engine output with pandas/pyarrow (NOT duckdb): preserves
+    # decimal columns as Decimal objects the way the driver's hasher
+    # sees them — a decimal(28,2) "1524135.00" vs float "1524135.0"
+    # mismatch only shows up this way
+    import pandas as pd
+    got = pd.read_parquet(files[0])
     try:
         want = con.sql(sql).fetchdf()
     except Exception as e:
