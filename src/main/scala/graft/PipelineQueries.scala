@@ -20,7 +20,8 @@ object PipelineQueries {
       Dedup.exact(docs(s, dir)).select("keep_id", "copies")
         .orderBy("keep_id")),
 
-    // n-gram (bigram) Jaccard near-dup pairs, exact
+    // n-gram (bigram) Jaccard near-dup pairs — EXACT result via
+    // prefix-filtered candidate generation (no all-pairs join)
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), n = 2, tau = 0.8)
         .orderBy("d1", "d2")),
@@ -69,6 +70,9 @@ object PipelineQueries {
   private val TokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** Bigram-Jaccard pair SQL — the plain inverted-index formulation
+    * (the engine's prefix-filtered join is exact, so this IS its
+    * oracle). */
   private val JaccardPairsSql =
     s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS sh

@@ -1,0 +1,33 @@
+package graft.ingest
+
+import graft.model.InfotonModel
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.sql.Timestamp
+
+/** `POST /_in` as a batch job (SURVEY.md §3.2 Spark shape): RDF lines →
+  * per-subject commands → [[Merger.merge]] against a snapshot. The
+  * parse is per-line (mapPartitions-parallel); the only shuffle is the
+  * groupByKey on subject path, which is also the merge key.
+  */
+object Ingest {
+
+  /** Empty infoton store (ingest target for a fresh graph). */
+  def emptyStore(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      InfotonModel.InfotonType)
+
+  /** N-Triples/N-Quads lines → write commands, one per subject
+    * (LDFormatParser.rdfToInfotonsMap:586-605). */
+  def commands(spark: SparkSession, lines: Dataset[String],
+               lastModified: Timestamp): Dataset[Merger.Command] = {
+    import spark.implicits._
+    lines.flatMap(Rdf.parseLine(_))
+      .groupByKey(st => Rdf.iriToPath(st.subj))
+      .mapGroups { (path, sts) => Rdf.toCommand(path, sts.toSeq, lastModified) }
+  }
+
+  /** Full ingest: parse, fold to commands, merge onto `infotons`. */
+  def ingest(spark: SparkSession, infotons: DataFrame, lines: Dataset[String],
+             lastModified: Timestamp): DataFrame =
+    Merger.merge(spark, infotons, commands(spark, lines, lastModified))
+}

@@ -1,0 +1,181 @@
+package graft.ingest
+
+import graft.model.InfotonModel
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import scala.collection.immutable.ListMap
+
+/** The write-side merge — the heart of ingest (SURVEY.md §2.8).
+  *
+  * Reference: cmwell-bg/Merger.scala:55-300 — fold a path's command
+  * sequence onto its current version: field-set UNION for writes
+  * (`merge_f`), value/quad-aware delete (`delete_f`), replace
+  * (`update_f`), tombstones for path deletes; no-op updates are dropped
+  * (ImpStream.filterDups:308-312); every effective merge appends a new
+  * immutable version and flips the previous `current` flag
+  * (IndexerStream "current" maintenance).
+  *
+  * Spark shape: commands and the current snapshot are cogrouped on
+  * path (one shuffle each side, both pre-partitioned by the natural
+  * key), the per-path fold runs as plain Scala inside `cogroup`, and
+  * the result is a DataFrame union: old versions with flipped flags +
+  * new versions + synthesized parents. At 100 TB the snapshot side is
+  * parquet bucketed by path, so only the commands (the small delta)
+  * actually move.
+  */
+object Merger {
+
+  /** One typed field value (InfotonModel.ValueType as a case class). */
+  final case class FieldValue(s: String, n: Option[Double],
+                              t: Option[Timestamp], b: Option[Boolean],
+                              vType: String, lang: Option[String],
+                              quad: Option[String])
+
+  /** One write command (reference CommandSerializer.scala:51-100):
+    * op ∈ write | update | delete_attrs | delete_path.
+    * `deleteFields`: field → values to remove; an EMPTY value list
+    * removes the whole field (markReplace). */
+  final case class Command(op: String, path: String, lastModified: Timestamp,
+                           fields: Map[String, Seq[FieldValue]],
+                           deleteFields: Map[String, Seq[FieldValue]])
+
+  final case class SystemRow(path: String, parent: String,
+                             lastModified: Timestamp, lastModifiedBy: String,
+                             uuid: String, dc: String, indexTime: Long,
+                             current: Boolean, kind: String, protocol: String)
+  final case class InfotonRow(system: SystemRow,
+                              fields: Option[Map[String, Seq[FieldValue]]])
+
+  /** Value identity for union/delete — the reference treats values as a
+    * Set[FieldValue]; equality is (lexical, type, lang, quad). */
+  private def vKey(v: FieldValue) = (v.s, v.vType, v.lang, v.quad)
+
+  private def union(base: Map[String, Seq[FieldValue]],
+                    add: Map[String, Seq[FieldValue]]) =
+    add.foldLeft(base) { case (acc, (f, vs)) =>
+      val cur = acc.getOrElse(f, Seq.empty)
+      val seen = cur.map(vKey).toSet
+      acc.updated(f, cur ++ vs.filterNot(v => seen(vKey(v))))
+    }
+
+  private def remove(base: Map[String, Seq[FieldValue]],
+                     del: Map[String, Seq[FieldValue]]) =
+    del.foldLeft(base) { case (acc, (f, vs)) =>
+      if (vs.isEmpty) acc - f // whole-field delete (markReplace)
+      else {
+        val drop = vs.map(vKey).toSet
+        val left = acc.getOrElse(f, Seq.empty).filterNot(v => drop(vKey(v)))
+        if (left.isEmpty) acc - f else acc.updated(f, left)
+      }
+    }
+
+  /** Fold one path's commands onto its base version. Returns the new
+    * version to append, or None when the merge is a no-op
+    * (filterDups semantics). */
+  def mergeOne(path: String, base: Option[InfotonRow],
+               cmds: Seq[Command]): Option[InfotonRow] = {
+    if (cmds.isEmpty) return None
+    val sorted = cmds.sortBy(c => (c.lastModified.getTime, c.op))
+    var fields = base.flatMap(_.fields).getOrElse(Map.empty[String, Seq[FieldValue]])
+    var deleted = base.exists(_.system.kind == InfotonModel.KindDeleted)
+    sorted.foreach { c =>
+      c.op match {
+        case "write" => deleted = false; fields = union(fields, c.fields)
+        case "update" =>
+          deleted = false
+          fields = union(remove(fields, c.deleteFields), c.fields)
+        case "delete_attrs" => fields = remove(fields, c.deleteFields)
+        case "delete_path" => deleted = true; fields = Map.empty
+        case other => throw new IllegalArgumentException(s"bad op $other")
+      }
+    }
+    val baseFields = base.flatMap(_.fields).getOrElse(Map.empty)
+      .map { case (f, vs) => f -> vs.map(vKey).toSet }
+    val newFields = fields.map { case (f, vs) => f -> vs.map(vKey).toSet }
+    val baseDeleted = base.exists(_.system.kind == InfotonModel.KindDeleted)
+    if (base.nonEmpty && newFields == baseFields && deleted == baseDeleted)
+      None // no-op (same content ⇒ same uuid ⇒ dropped)
+    else {
+      // strictly-increasing lastModified per path (the reference bumps
+      // the merged time past the base version, Merger.scala)
+      val lmCmd = sorted.map(_.lastModified.getTime).max
+      val lm = base.fold(lmCmd)(b => math.max(lmCmd, b.system.lastModified.getTime + 1))
+      // deterministic field order ⇒ deterministic to_json ⇒ stable uuid
+      val ordered = ListMap(fields.toSeq.sortBy(_._1).map { case (f, vs) =>
+        f -> vs.sortBy(v => (v.s, v.vType, v.lang.getOrElse(""), v.quad.getOrElse("")))
+      }: _*)
+      val parent0 = path.replaceAll("/[^/]+$", "")
+      val parent = if (path == "/") "$root" else if (parent0.isEmpty) "/" else parent0
+      Some(InfotonRow(
+        SystemRow(path, parent, new Timestamp(lm), "ingest",
+          uuid = null, dc = "local", indexTime = lm * 1000L, current = true,
+          kind = if (deleted) InfotonModel.KindDeleted else InfotonModel.KindObject,
+          protocol = "cmwell"),
+        if (deleted) None else Some(ordered)))
+    }
+  }
+
+  /** Content-addressed version id, identical to the loader's
+    * (Infoton.scala:139-168 analog): MD5 over path | lastModified |
+    * canonical-json(fields). */
+  def uuidCol(system: Column, fields: Column): Column =
+    md5(concat_ws("|", system.getField("path"),
+      date_format(system.getField("lastModified"),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+      to_json(fields)))
+
+  /** Apply a command batch to an infoton store snapshot: returns the
+    * full new infotons DataFrame (history preserved, `current` flags
+    * rewritten, new versions appended, missing parents synthesized). */
+  def merge(spark: SparkSession, infotons: DataFrame,
+            commands: Dataset[Command]): DataFrame = {
+    import spark.implicits._
+    val baseCur = infotons.where(col("system.current")).as[InfotonRow]
+    val merged = commands.groupByKey(_.path)
+      .cogroup(baseCur.groupByKey(_.system.path)) { (path, cs, bs) =>
+        mergeOne(path, bs.toSeq.headOption, cs.toSeq).iterator
+      }
+    val newV = merged.toDF()
+      .withColumn("system", col("system")
+        .withField("uuid", uuidCol(col("system"), col("fields"))))
+      .select(col("system").cast(InfotonModel.SystemType).as("system"),
+        col("fields").cast(InfotonModel.InfotonType("fields").dataType)
+          .as("fields"))
+    val changed = newV.select(col("system.path").as("__np")).distinct()
+    val flipped = infotons
+      .join(changed, col("system.path") === col("__np"), "left")
+      .withColumn("system",
+        when(col("__np").isNotNull && col("system.current"),
+          col("system").withField("current", lit(false)))
+          .otherwise(col("system")))
+      .drop("__np")
+    val all = flipped.unionByName(newV)
+    // missing-parents synthesis (ImpStream.scala:326-356): ancestors of
+    // new paths that don't exist yet become directory infotons
+    val parents = newV.select(explode(ancestors(col("system.path"))).as("p"))
+      .distinct()
+      .join(all.select(col("system.path").as("p")).distinct(), Seq("p"),
+        "left_anti")
+      .select(struct(
+        col("p").as("path"),
+        when(col("p") === "/", "$root")
+          .otherwise(when(regexp_replace(col("p"), "/[^/]+$", "") === "", "/")
+            .otherwise(regexp_replace(col("p"), "/[^/]+$", ""))).as("parent"),
+        to_timestamp(lit("2024-06-01 00:00:00")).as("lastModified"),
+        lit("ingest").as("lastModifiedBy"), lit(null).cast("string").as("uuid"),
+        lit("local").as("dc"), lit(0L).as("indexTime"),
+        lit(true).as("current"), lit(InfotonModel.KindObject).as("kind"),
+        lit("cmwell").as("protocol")).cast(InfotonModel.SystemType).as("system"),
+        lit(null).cast(InfotonModel.InfotonType("fields").dataType).as("fields"))
+    all.unionByName(parents)
+  }
+
+  /** All proper ancestors of a path: /a/b/c → [/, /a, /a/b]. */
+  private def ancestors(path: Column): Column = {
+    val parts = split(path, "/") // ["", "a", "b", "c"]
+    filter(transform(sequence(lit(1), size(parts) - 1),
+      i => when(i === 1, "/")
+        .otherwise(concat_ws("/", slice(parts, lit(1), i)))), p => p =!= path)
+  }
+}

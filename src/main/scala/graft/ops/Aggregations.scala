@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.model.GraftStore
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** `op=aggregate` / `op=stats` — the `ap=` aggregation algebra
@@ -145,20 +144,22 @@ object Aggregations {
     * ES JLH: (fgFreq - bgFreq) * fgFreq / bgFreq
     * (FTSService.scala:991-997,1062-1074).
     *
-    * Two grouped counts + a broadcast join — no collect; totals come
-    * from window sums over the (small) grouped frames. */
+    * Two grouped counts joined on the term key — no collect, no forced
+    * broadcast (a high-cardinality background would OOM a broadcast;
+    * AQE picks one at runtime when the side is genuinely small).
+    * Totals are 1-row aggregates cross-joined in (Spark broadcasts a
+    * single row for free) instead of a global unpartitioned window. */
   def sigTerms(store: GraftStore, fg: DataFrame, bg: DataFrame,
                spec: SigTermsAgg): DataFrame = {
-    val w = Window.partitionBy(lit(1))
     val fgc = keyed(store, fg, spec.field, "key")
       .groupBy("key").agg(count(lit(1)).as("fg_count"))
-      .withColumn("fg_total", sum("fg_count").over(w))
     val bgc = keyed(store, bg, spec.field, "key")
       .groupBy("key").agg(count(lit(1)).as("bg_count"))
-      .withColumn("bg_total", sum("bg_count").over(w))
     val fgF = col("fg_count").cast("double") / col("fg_total")
     val bgF = col("bg_count").cast("double") / col("bg_total")
-    fgc.join(broadcast(bgc), Seq("key"))
+    fgc.crossJoin(fgc.agg(sum("fg_count").as("fg_total")))
+      .join(bgc.crossJoin(bgc.agg(sum("bg_count").as("bg_total"))),
+        Seq("key"))
       .where(col("fg_count") >= spec.minDocCount)
       .withColumn("score", ((fgF - bgF) * fgF) / bgF)
       .where(col("score") > 0)

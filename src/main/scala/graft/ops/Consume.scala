@@ -97,19 +97,33 @@ object Consume {
                   threshold: Int = 100000): Result =
     consume(store, token, threshold)
 
-  /** Drain everything as range slices of ~`sliceSize` rows — the batch
-    * analog of repeated bulk-consume. Returns (sliceId, chunk range)
-    * bounds; the full export itself is just a range-partitioned scan
-    * (repartitionByRange on indexTime), which Spark parallelizes
-    * natively (SURVEY.md §2.6 bulk-consume mapping). */
+  /** Drain everything as indexTime-range slices of ~`sliceSize` rows —
+    * the batch analog of repeated bulk-consume (the reference
+    * binary-searches each range end; BulkScrollHandler.scala:81-129).
+    *
+    * Slice boundaries come from `approxQuantile` on indexTime (a
+    * driver-side array of numSlices longs — the position-token scalars
+    * themselves), and slice assignment is a pure expression against
+    * that literal array, so nothing is ever globally sorted or moved
+    * to one partition. Rows sharing a boundary indexTime land in the
+    * same slice (set semantics — no loss, no duplication at seams);
+    * slice sizes are therefore approximate, exactly like the
+    * reference's ~100k-doc ranges. */
   def exportSlices(store: GraftStore, path: String,
                    sliceSize: Int): DataFrame = {
     val base = Search.run(store,
         Search.Request(path = path, withHistory = true))
       .select(col("system.indexTime").as("it"))
+    val n = base.count()
+    val numSlices = math.max(1L, n / sliceSize).toInt
+    val bounds: Array[Long] =
+      if (numSlices <= 1) Array.empty
+      else base.stat.approxQuantile("it",
+        (1 until numSlices).map(_.toDouble / numSlices).toArray, 0.001)
+        .map(_.toLong).distinct
+    val boundsArr = array(bounds.map(lit(_)): _*)
     base.withColumn("slice",
-      floor((row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy("it")) - 1) / sliceSize))
+        size(filter(boundsArr, b => b < col("it"))).cast("long"))
       .groupBy("slice")
       .agg(min("it").as("from_it"), max("it").as("to_it"),
         count(lit(1)).as("rows"))

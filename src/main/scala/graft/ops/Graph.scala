@@ -73,7 +73,7 @@ object Graph {
   private def hopTargets(store: GraftStore, frontierPaths: DataFrame,
                          hop: Hop): DataFrame = {
     val e = edges(store, hop.field).alias("e")
-    val fr = frontierPaths.hint("broadcast").alias("fr")
+    val fr = frontierPaths.alias("fr")
     val next =
       if (hop.incoming) // reversed equi-join: edge target == frontier path
         e.join(fr, col("e.to") === col("fr.p")).select(col("e.from").as("p"))
@@ -82,7 +82,7 @@ object Graph {
     hop.filter.fold(next.distinct()) { f =>
       val pred = new FilterCompiler(store).compile(QpParser.parse(f))
       store.current.where(pred)
-        .join(next.distinct().hint("broadcast"),
+        .join(next.distinct(),
           col("system.path") === col("p"), "left_semi")
         .select(col("system.path").as("p"))
     }
@@ -106,7 +106,7 @@ object Graph {
       frontier = next
       reached = reached.union(next).distinct()
     }
-    store.current.join(reached.hint("broadcast"),
+    store.current.join(reached,
       col("system.path") === col("p"), "left_semi")
   }
 
@@ -123,7 +123,7 @@ object Graph {
       frontier = next
       reached = reached.union(next).distinct()
     }
-    store.current.join(reached.hint("broadcast"),
+    store.current.join(reached,
       col("system.path") === col("p"), "left_semi")
   }
 
@@ -151,7 +151,7 @@ object Graph {
           col("p") === col("fp"), "left_semi").distinct()
       }
     }
-    base.join(chain.select("origin").distinct().hint("broadcast"),
+    base.join(chain.select("origin").distinct(),
       col("system.path") === col("origin"), "left_semi")
   }
 }
