@@ -1,0 +1,120 @@
+package graft
+
+import graft.ingest.{Ingest, Merger}
+import graft.model.{GraftStore, InfotonModel}
+import graft.ops.{Formatters, Search}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Declared queries for the write path (SURVEY.md §2.1 ingest, §2.8
+  * merge) — each drives format → parse → commands → merge → search
+  * end-to-end and lands on a result plain SQL can reproduce from the
+  * raw tables. */
+object IngestQueries {
+
+  private def st(s: SparkSession, dir: String): GraftStore =
+    GraftStore.forDir(s, dir)
+
+  private val T0 = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  /** customer → N-Triples → ingest into an empty store → search back.
+    * Round-trips the nt formatter, the line parser, command folding and
+    * the merge (fresh-path branch). */
+  private def roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
+    val nt = Formatters.ntriples(cust).as[String]
+    val ingested = Ingest.ingest(s, Ingest.emptyStore(s), nt, T0)
+    val st2 = GraftStore.fromInfotons(s, ingested)
+    Search.run(st2, Search.Request(path = "/customer"))
+      .select(Search.fieldN("custkey").cast("long").as("custkey"),
+        Search.fieldS("name").as("name"),
+        Search.fieldN("acctbal").as("acctbal"),
+        Search.fieldS("mktsegment").as("mktsegment"))
+      .orderBy("custkey")
+  }
+
+  /** One update command per customer (replace acctbal with +100),
+    * merged onto the loaded snapshot: exercises replace-merge, version
+    * append, current-flag flip, and with-history reads. */
+  private def mergeUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = st(s, dir)
+    val cmds = store.current
+      .where(col("system.path").startsWith("/customer/"))
+      .select(col("system.path"), Search.fieldN("acctbal"))
+      .as[(String, Double)]
+      .map { case (p, bal) =>
+        val nv = bal + 100
+        Merger.Command("update", p, T0,
+          Map("acctbal" -> Seq(Merger.FieldValue(nv.toString, Some(nv),
+            None, None, InfotonModel.TDouble, None, None))),
+          Map("acctbal" -> Seq.empty))
+      }
+    val merged = Merger.merge(s, store.infotons, cmds).persist()
+    val st2 = GraftStore.fromInfotons(s, merged)
+    val versions = Search.run(st2,
+        Search.Request(path = "/customer", withHistory = true))
+      .groupBy(col("system.path").as("path"))
+      .agg(count(lit(1)).as("n_versions"))
+    Search.run(st2, Search.Request(path = "/customer"))
+      .select(col("system.path").as("path"),
+        Search.fieldN("custkey").cast("long").as("custkey"),
+        Search.fieldN("acctbal").as("acctbal"))
+      .join(versions, "path")
+      .select("custkey", "acctbal", "n_versions")
+      .orderBy("custkey")
+  }
+
+  /** DeletePath commands for every negative-balance customer: the
+    * tombstone branch. Without with-deleted the tombstoned paths
+    * vanish; the deleted query surfaces them again. */
+  private def merged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = st(s, dir)
+    val cmds = store.current
+      .where(col("system.path").startsWith("/customer/") &&
+        Search.fieldN("acctbal") < 0)
+      .select(col("system.path")).as[String]
+      .map(p => Merger.Command("delete_path", p, T0, Map.empty, Map.empty))
+    Merger.merge(s, store.infotons, cmds)
+  }
+
+  private def mergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val st2 = GraftStore.fromInfotons(s, merged(s, dir))
+    Search.run(st2, Search.Request(path = "/customer"))
+      .select(Search.fieldN("custkey").cast("long").as("custkey"))
+      .orderBy("custkey")
+  }
+
+  private def withDeleted(s: SparkSession, dir: String): DataFrame = {
+    val st2 = GraftStore.fromInfotons(s, merged(s, dir))
+    Search.run(st2,
+        Search.Request(path = "/customer", withDeleted = true))
+      .where(col("system.kind") === InfotonModel.KindDeleted)
+      .select(regexp_extract(col("system.path"), "/customer/(\\d+)", 1)
+        .cast("long").as("custkey"))
+      .orderBy("custkey")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ingest_roundtrip" -> roundtrip,
+    "q_merge_update" -> mergeUpdate,
+    "q_merge_delete" -> mergeDelete,
+    "q_with_deleted" -> withDeleted)
+
+  val oracles: Map[String, String] = Map(
+    "q_ingest_roundtrip" ->
+      """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+        |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
+    "q_merge_update" ->
+      """SELECT c_custkey AS custkey, CAST(c_acctbal AS DOUBLE) + 100 AS acctbal,
+        |CAST(2 AS BIGINT) AS n_versions FROM customer ORDER BY custkey""".stripMargin,
+    "q_merge_delete" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
+        |ORDER BY custkey""".stripMargin,
+    "q_with_deleted" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin)
+}

@@ -136,12 +136,12 @@ object Merger {
       .cogroup(baseCur.groupByKey(_.system.path)) { (path, cs, bs) =>
         mergeOne(path, bs.toSeq.headOption, cs.toSeq).iterator
       }
+    // no .cast(SystemType): the case-class schema matches field-for-field
+    // and a nullable→non-nullable struct cast is rejected; unionByName
+    // reconciles nullability
     val newV = merged.toDF()
       .withColumn("system", col("system")
         .withField("uuid", uuidCol(col("system"), col("fields"))))
-      .select(col("system").cast(InfotonModel.SystemType).as("system"),
-        col("fields").cast(InfotonModel.InfotonType("fields").dataType)
-          .as("fields"))
     val changed = newV.select(col("system.path").as("__np")).distinct()
     val flipped = infotons
       .join(changed, col("system.path") === col("__np"), "left")
@@ -166,7 +166,7 @@ object Merger {
         lit("ingest").as("lastModifiedBy"), lit(null).cast("string").as("uuid"),
         lit("local").as("dc"), lit(0L).as("indexTime"),
         lit(true).as("current"), lit(InfotonModel.KindObject).as("kind"),
-        lit("cmwell").as("protocol")).cast(InfotonModel.SystemType).as("system"),
+        lit("cmwell").as("protocol")).as("system"),
         lit(null).cast(InfotonModel.InfotonType("fields").dataType).as("fields"))
     all.unionByName(parents)
   }
