@@ -34,12 +34,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SearchQueries.all ++ AggQueries.all ++ GraphQueries.all ++
-      ConsumeQueries.all ++ PipelineQueries.all ++ IngestQueries.all
+      ConsumeQueries.all ++ PipelineQueries.all ++ IngestQueries.all ++
+      SparqlQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     SearchQueries.oracles ++ AggQueries.oracles ++ GraphQueries.oracles ++
       ConsumeQueries.oracles ++ PipelineQueries.oracles ++
-      IngestQueries.oracles
+      IngestQueries.oracles ++ SparqlQueries.oracles
 }
