@@ -46,6 +46,19 @@ object ConsumeQueries {
       val store = st(s, dir)
       val token = Consume.createConsumer("/user")
       ids(Consume.bulkConsume(store, token, threshold = 5000).chunk)
+    }),
+
+    // create-iterator / next-chunk: three keyset-scroll chunks over
+    // /orders, resumed through the returned tokens
+    "q_iterator" -> ((s, dir) => {
+      val store = st(s, dir)
+      var token = Consume.createIterator("/orders")
+      val chunks = (1 to 3).map { _ =>
+        val r = Consume.nextChunk(store, token, length = 1000)
+        token = r.nextToken.get
+        r.chunk.select(col("system.path").as("p"))
+      }
+      chunks.reduce(_ union _).orderBy("p")
     }))
 
   // Oracle: boundary = ts of the chunkSize-th row; chunk = everything
@@ -65,5 +78,8 @@ object ConsumeQueries {
         | ORDER BY it LIMIT 3000))""".stripMargin.replace("\n", " "), 3000),
     "q_consume_filtered" -> chunkSql("0", 1000,
       "AND event_type = 'purchase'"),
-    "q_bulk_consume" -> chunkSql("0", 5000))
+    "q_bulk_consume" -> chunkSql("0", 5000),
+    "q_iterator" ->
+      """SELECT '/orders/' || CAST(o_orderkey AS VARCHAR) AS p FROM orders
+        |ORDER BY p LIMIT 3000""".stripMargin)
 }

@@ -58,6 +58,16 @@ object GraphQueries {
       val base = Search.run(store, Search.Request(path = "/supplier"))
       pathsOf(Graph.gqp(store, base,
         "<refSupplier[quantity>49]>refOrders[orderpriority::1-URGENT]"))
+    }),
+
+    // xg with a per-level value filter (Parsers.scala:384-465): expand
+    // BUILDING customers along refNation, keeping only GERMANY targets
+    "q_xg_filtered" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/customer",
+        qp = Some("mktsegment::BUILDING")))
+      pathsOf(Graph.xg(store, base,
+        Graph.parseXg("refNation[name::GERMANY]", Nil)))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -103,5 +113,14 @@ object GraphQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  WHERE l_suppkey = s_suppkey AND l_quantity > 49
         |    AND o_orderpriority = '1-URGENT')
-        |ORDER BY path""".stripMargin)
+        |ORDER BY path""".stripMargin,
+    "q_xg_filtered" ->
+      """SELECT path FROM (
+        |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT DISTINCT '/nation/' || CAST(c_nationkey AS VARCHAR)
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_mktsegment = 'BUILDING' AND n_name = 'GERMANY'
+        |) ORDER BY path""".stripMargin)
 }

@@ -97,7 +97,41 @@ object SearchQueries {
       Search.run(st(s, dir),
           Search.Request(path = "/user", withHistory = true))
         .groupBy(col("system.path").as("path"))
-        .agg(count(lit(1)).as("versions")).orderBy("path")))
+        .agg(count(lit(1)).as("versions")).orderBy("path")),
+
+    // quad filter: documents whose values live in one named graph
+    // (`system.quad::alias`, §2.2)
+    "q_quad_filter" -> ((s, dir) =>
+      Search.run(st(s, dir), Search.Request(path = "/documents",
+          qp = Some("system.quad::/graph/src7")))
+        .select(Search.fieldN("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")),
+
+    // lang-tag filter: documents with a German-tagged text value
+    "q_lang_filter" -> ((s, dir) =>
+      Search.run(st(s, dir), Search.Request(path = "/documents",
+          qp = Some("system.lang::de")))
+        .select(Search.fieldN("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")),
+
+    // `_all` search across every field (§2.2 allFields)
+    "q_search_all" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("_all:green")))
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // op=read point/multi-get (§2.1)
+    "q_read_multi" -> ((s, dir) =>
+      Search.read(st(s, dir),
+          Seq("/customer/1", "/customer/2", "/nation/1"))
+        .select(col("system.path").as("path"),
+          Search.fieldS("name").as("name")).orderBy("path")),
+
+    // op=stream: full filtered export as one job (§2.6)
+    "q_stream" -> ((s, dir) =>
+      Search.stream(st(s, dir), Search.Request(path = "/lineitem",
+          qp = Some("returnflag::R,quantity>48")))
+        .select(col("system.path").as("path")).orderBy("path")))
 
   val oracles: Map[String, String] = Map(
     "q_search_eq" ->
@@ -147,5 +181,28 @@ object SearchQueries {
         |ORDER BY user_id""".stripMargin,
     "q_history_count" ->
       """SELECT '/user/' || CAST(user_id AS VARCHAR) AS path,
-        |count(*) AS versions FROM events GROUP BY 1 ORDER BY path""".stripMargin)
+        |count(*) AS versions FROM events GROUP BY 1 ORDER BY path""".stripMargin,
+    "q_quad_filter" ->
+      "SELECT doc_id FROM documents WHERE source = 'src7' ORDER BY doc_id",
+    "q_lang_filter" ->
+      "SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id",
+    "q_search_all" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'green')
+        |OR list_contains(string_split_regex(lower(p_brand), '[^a-z0-9]+'), 'green')
+        |OR list_contains(string_split_regex(lower(p_type), '[^a-z0-9]+'), 'green')
+        |ORDER BY path""".stripMargin,
+    "q_read_multi" ->
+      """SELECT path, name FROM (
+        |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path,
+        |    c_name AS name FROM customer WHERE c_custkey IN (1, 2)
+        |  UNION ALL
+        |  SELECT '/nation/' || CAST(n_nationkey AS VARCHAR), n_name
+        |  FROM nation WHERE n_nationkey = 1) ORDER BY path""".stripMargin,
+    "q_stream" ->
+      """SELECT '/lineitem/' || CAST(l_orderkey AS VARCHAR) || '-' ||
+        |  CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_partkey AS VARCHAR)
+        |  || '-' || CAST(l_suppkey AS VARCHAR) AS path
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 48
+        |ORDER BY path""".stripMargin)
 }

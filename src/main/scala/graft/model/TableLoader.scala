@@ -192,13 +192,19 @@ object TableLoader {
           lit("refSupplier"), array(rVal(
             concat(lit("/supplier/"), col("l_suppkey").cast("string"))))))
 
+    // documents carry RDF value tags: every value is quad-tagged with
+    // its source graph (`/graph/<source>`) and the text value carries
+    // the language tag — the one table exercising quad/lang filters
+    // (reference FieldValue.quad / FString.lang, Infoton.scala:660-670)
+    val docQuad = concat(lit("/graph/"), col("source"))
     val documents = static(pq(spark, dir, "documents"), "documents",
       col("doc_id"),
-      map(lit("doc_id"), array(lVal(col("doc_id"))),
-          lit("text"), array(sVal(col("text"))),
-          lit("lang"), array(sVal(col("lang"))),
-          lit("source"), array(sVal(col("source"))),
-          lit("n_chars"), array(lVal(col("n_chars")))))
+      map(lit("doc_id"), array(lVal(col("doc_id")).withField("quad", docQuad)),
+          lit("text"), array(sVal(col("text")).withField("quad", docQuad)
+            .withField("lang", col("lang"))),
+          lit("lang"), array(sVal(col("lang")).withField("quad", docQuad)),
+          lit("source"), array(sVal(col("source")).withField("quad", docQuad)),
+          lit("n_chars"), array(lVal(col("n_chars")).withField("quad", docQuad))))
 
     // events → versions of /user/<user_id>; exactly one current per path
     // (row_number over indexTime desc — SURVEY.md §1.5)

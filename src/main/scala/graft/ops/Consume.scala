@@ -97,6 +97,56 @@ object Consume {
                   threshold: Int = 100000): Result =
     consume(store, token, threshold)
 
+  /** `op=create-iterator` / `op=next-chunk` (FTSService.startScroll:721,
+    * scroll:796; ScrollActor) — a deterministic scroll over a filtered
+    * result, ordered by path.
+    *
+    * The reference keeps server-side scroll state with a TTL; here the
+    * token IS the whole state (keyset pagination): it carries the last
+    * path of the previous chunk, and the next chunk is
+    * `path > last ORDER BY path LIMIT n` — a pushed-down range
+    * predicate + top-N, so chunk N costs the same as chunk 1 (an
+    * OFFSET scroll would re-scan N·chunk rows, and server state
+    * wouldn't survive a 1000-executor restart). */
+  final case class IterState(path: String, qp: Option[String],
+                             after: Option[String]) {
+    def encode: String = {
+      val s = s"path=$path\nqp=${qp.getOrElse("")}\nafter=${after.getOrElse("")}"
+      val bos = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos)
+      gz.write(s.getBytes(UTF_8)); gz.close()
+      Base64.getUrlEncoder.encodeToString(bos.toByteArray)
+    }
+  }
+  object IterState {
+    def decode(token: String): IterState = {
+      val gz = new GZIPInputStream(new ByteArrayInputStream(
+        Base64.getUrlDecoder.decode(token)))
+      val kv = new String(gz.readAllBytes(), UTF_8).linesIterator.map { l =>
+        val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+      }.toMap
+      IterState(kv("path"), kv.get("qp").filter(_.nonEmpty),
+        kv.get("after").filter(_.nonEmpty))
+    }
+  }
+
+  /** `op=create-iterator` — initial scroll token. */
+  def createIterator(path: String, qp: Option[String] = None): String =
+    IterState(path, qp, None).encode
+
+  /** `op=next-chunk` — the next `length` infotons after the token. */
+  def nextChunk(store: GraftStore, token: String,
+                length: Int = 100): Result = {
+    val st = IterState.decode(token)
+    var pending = Search.run(store,
+      Search.Request(path = st.path, qp = st.qp))
+    st.after.foreach(a => pending = pending.where(col("system.path") > a))
+    val chunk = pending.orderBy("system.path").limit(length)
+    val lastRow = chunk.select(max(col("system.path"))).head()
+    if (lastRow.isNullAt(0)) Result(chunk.limit(0), None)
+    else Result(chunk, Some(st.copy(after = Some(lastRow.getString(0))).encode))
+  }
+
   /** Drain everything as indexTime-range slices of ~`sliceSize` rows —
     * the batch analog of repeated bulk-consume (the reference
     * binary-searches each range end; BulkScrollHandler.scala:81-129).

@@ -43,15 +43,21 @@ object Graph {
     hops
   }
 
-  /** Parse an xg expression: `f1.f2.f3` (field chain), `N` (levels over
-    * all reference fields) or `_` (one level, all fields) —
-    * Parsers.scala:384-465. */
-  def parseXg(expr: String, allRefFields: Seq[String]): Seq[Seq[String]] =
+  /** Parse an xg expression: `f1.f2.f3` (field chain, each segment may
+    * carry a per-level value filter `f[qp]`), `N` (levels over all
+    * reference fields) or `_` (one level, all fields) —
+    * Parsers.scala:384-465 incl. the per-level filters. */
+  def parseXg(expr: String, allRefFields: Seq[String]): Seq[Seq[Hop]] =
     expr match {
-      case "_" => Seq(allRefFields)
-      case d if d.forall(_.isDigit) =>
-        Seq.fill(d.toInt)(allRefFields)
-      case chain => chain.split('.').toSeq.map(Seq(_))
+      case "_" => Seq(allRefFields.map(Hop(false, _)))
+      case d if d.nonEmpty && d.forall(_.isDigit) =>
+        Seq.fill(d.toInt)(allRefFields.map(Hop(false, _)))
+      case chain =>
+        val seg = "([A-Za-z0-9_$]+)(?:\\[([^\\]]*)\\])?".r
+        chain.split('.').toSeq.map {
+          case seg(f, qp) => Seq(Hop(incoming = false, f, Option(qp)))
+          case bad => throw new IllegalArgumentException(s"bad xg segment $bad")
+        }
     }
 
   private def checkLimit(frontier: DataFrame, limit: Option[Int]): Unit =
@@ -94,13 +100,12 @@ object Graph {
   /** xg — expand N levels outgoing from a search result; returns the
     * originals plus every expanded infoton (wsutil/package.scala:
     * 716-749). Each level may fan out over several fields. */
-  def xg(store: GraftStore, base: DataFrame, levels: Seq[Seq[String]],
+  def xg(store: GraftStore, base: DataFrame, levels: Seq[Seq[Hop]],
          limit: Option[Int] = None): DataFrame = {
     var frontier = paths(base)
     var reached = frontier
-    levels.foreach { fields =>
-      val next = fields.map(f =>
-          hopTargets(store, frontier, Hop(incoming = false, f)))
+    levels.foreach { hops =>
+      val next = hops.map(h => hopTargets(store, frontier, h))
         .reduce(_ union _).distinct()
       checkLimit(next, limit)
       frontier = next

@@ -91,6 +91,18 @@ object Search {
     (if (off > 0) df.offset(off) else df).limit(len)
   }
 
+  /** `op=read` point read / `POST /_out` multi-get (Application.scala:
+    * 2326; OutputHandler.scala:172): current versions of the exact
+    * paths — a pushed-down IN filter, the engine's point-lookup shape. */
+  def read(store: GraftStore, paths: Seq[String]): DataFrame =
+    store.current.where(col("system.path").isin(paths: _*))
+
+  /** `op=stream` / `mstream` / `sstream` (Streams.scala:278-330): the
+    * full filtered result as one distributed job — Spark's partitions
+    * are the reference's per-shard scrolls, so all three variants are
+    * the same plan here. */
+  def stream(store: GraftStore, req: Request): DataFrame = run(store, req)
+
   /** listChildren — one level under a path (FTSService.scala:198-206). */
   def listChildren(store: GraftStore, path: String): DataFrame =
     run(store, Request(path = path, descendants = false))

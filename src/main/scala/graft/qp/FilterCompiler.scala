@@ -53,6 +53,30 @@ final class FilterCompiler(store: GraftStore) {
 
   private def single(vo: ValueOp, field: String,
                      value: Option[String]): Column = {
+    // quad filter (`system.quad::alias`, Parsers.scala:615-624) and the
+    // analogous lang-tag filter: match infotons with ANY value in the
+    // named graph / language. coalesce(false): fields may be null and
+    // a null predicate under MustNot would wrongly drop rows.
+    if (field == "system.quad" || field == "system.lang") {
+      val slot = if (field == "system.quad") "quad" else "lang"
+      val v = value.getOrElse(
+        throw new IllegalArgumentException(s"$field needs a value"))
+      return coalesce(exists(map_values(col("fields")),
+        vs => exists(vs, x => x.getField(slot) === lit(v))), lit(false))
+    }
+    // `_all` / allFields search (FTSService.scala:881-884): the
+    // predicate over every value of every field
+    if (field == "_all" || field == "allFields") {
+      val v = value.getOrElse(
+        throw new IllegalArgumentException("_all needs a value"))
+      val pred: Column => Column = vo match {
+        case Equals => _.getField("s") === lit(v)
+        case _ => c => array_contains(
+          split(lower(c.getField("s")), "[^a-z0-9]+"), v.toLowerCase)
+      }
+      return coalesce(exists(map_values(col("fields")),
+        vs => exists(vs, pred)), lit(false))
+    }
     if (field.startsWith("system."))
       return systemPredicate(vo, field, value.getOrElse(""))
     val arr = col("fields").getItem(field)
