@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,7 +65,14 @@ object PipelineQueries {
 
     // rolling-hash document fingerprint (portable arithmetic)
     "q_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")))
+      TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
+
+    // multimodal content store: binary payloads + typed metadata
+    // (FileInfoton/zstore analog; payload = text bytes stand-in)
+    "q_file_meta" -> ((s, dir) =>
+      Multimodal.contentStore(docs(s, dir))
+        .select("path", "mimeType", "dataLength", "sha256")
+        .orderBy("path")))
 
   private val TokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -142,6 +149,12 @@ object PipelineQueries {
          |  WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
          |  ELSE 'und' END AS lang_guess
          |FROM b ORDER BY doc_id""".stripMargin,
+    "q_file_meta" ->
+      """SELECT '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |'application/octet-stream' AS mimeType,
+        |octet_length(encode(text)) AS dataLength,
+        |sha256(text) AS sha256
+        |FROM documents ORDER BY path""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id, list_reduce(
          |  list_prepend(CAST(0 AS BIGINT),
