@@ -113,7 +113,9 @@ object Rdf {
     Some(Statement(s, p,
       objIri = if (ok == "lit") None else Some(o),
       lit = if (ok == "lit") Some(o) else None,
-      dtype = dt, lang = lg, quad = quad))
+      // graph IRIs normalize to path form, matching the loader's quad
+      // convention (and the formatter's output)
+      dtype = dt, lang = lg, quad = quad.map(iriToPath)))
   }
 
   private val Xsd = "http://www.w3.org/2001/XMLSchema#"

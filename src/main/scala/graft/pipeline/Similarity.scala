@@ -52,43 +52,60 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  /** Deterministic random hyperplanes (seeded — no trained state). */
-  private def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
+  /** Deterministic random hyperplanes (seeded per table — no trained
+    * state to ship). */
+  private def planes(table: Int, numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42L + table * 7919L)
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH bucket id per vector: sign bits against `numPlanes` random
-    * hyperplanes. */
-  def lshBuckets(emb: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
-    val ps = planes(numPlanes, dim)
+  /** Multi-table LSH buckets: one row per (vector, table) with the
+    * table's sign-bit bucket id. Classic (k, L) cosine LSH: k =
+    * `numPlanes` sign bits per table (bucket granularity ≙ scan
+    * reduction 2^k), L = `tables` independent tables unioned to
+    * recover recall — P(candidate) = 1 − (1 − p^k)^L for per-plane
+    * agreement p = 1 − θ/π. One table with many planes has near-zero
+    * recall on weakly-clustered embeddings (measured 0.0 recall@5 on
+    * the synthetic fixtures, whose nearest neighbors sit at cosine
+    * ≈ 0.35); the L-table union is what makes hyperplane LSH usable. */
+  def lshBuckets(emb: DataFrame, numPlanes: Int, dim: Int,
+                 tables: Int = 1): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
-    val bucket = ps.zipWithIndex.map { case (p, i) =>
-      val planeDot = aggregate(
-        zip_with(v, array(p.map(lit): _*), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(planeDot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    emb.withColumn("bucket", bucket)
+    val tableBuckets = (0 until tables).map { t =>
+      val bucket = planes(t, numPlanes, dim).zipWithIndex.map { case (p, i) =>
+        val planeDot = aggregate(
+          zip_with(v, array(p.map(lit): _*), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        when(planeDot >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    emb.select(col("*"), explode(array(tableBuckets: _*)).as("tb"))
+      .withColumn("table", col("tb.table"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
   }
 
-  /** Bucketed ANN top-k: exact search restricted to each query's
-    * bucket. Trades recall for a 2^planes scan reduction; recall is
-    * recovered in practice with multi-probe (flipping low-confidence
-    * bits) — kept single-probe here for determinism. */
+  /** Bucketed ANN top-k: exact cosine ranking restricted to the union
+    * of each query's buckets across L tables. At 100 TB the bucketed
+    * side is written bucketed-by (table, bucket) so a query probes
+    * L partitions instead of scanning the corpus. */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val bucketed = lshBuckets(emb, numPlanes, dim)
-      .select(col("vec_id"), col("bucket"),
+              numPlanes: Int = 4, dim: Int = 64,
+              tables: Int = 12): DataFrame = {
+    val bucketed = lshBuckets(emb, numPlanes, dim, tables)
+      .select(col("vec_id"), col("table"), col("bucket"),
         normalized(col("embedding")).as("v"))
     val queries = broadcast(bucketed
       .where(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("bucket").as("qb"),
-        col("v").as("qv")))
+      .select(col("vec_id").as("query_id"), col("table").as("qt"),
+        col("bucket").as("qb"), col("v").as("qv")))
     val scored = bucketed.join(queries,
-        col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+        col("table") === col("qt") && col("bucket") === col("qb") &&
+          col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dot(col("v"), col("qv")).as("cosine"))
+      .distinct() // a pair can meet in several tables
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

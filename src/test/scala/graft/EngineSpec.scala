@@ -1,0 +1,201 @@
+package graft
+
+import graft.ingest.Ingest
+import graft.model.GraftStore
+import graft.ops.{Consume, Formatters, Search}
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+import graft.sparql.Sparql
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** End-to-end engine semantics over micro-stores built through the
+  * ingest path, plus recall/consistency checks for the approximate
+  * operators on the sf0.001 fixtures. */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.session
+  private val Sf = "/root/testdata/sf0.001"
+  private def T(s: String) = Timestamp.valueOf(s)
+
+  private def storeOf(lines: Seq[String], t: Timestamp): GraftStore = {
+    import spark.implicits._
+    GraftStore.fromInfotons(spark,
+      Ingest.ingest(spark, Ingest.emptyStore(spark), lines.toDS(), t))
+  }
+
+  private def paths(df: DataFrame): Set[String] =
+    df.select("system.path").collect().map(_.getString(0)).toSet
+
+  // ---- SoftBoolean Should semantics (FTSService.scala:1886-1915) ----
+
+  private lazy val tagStore = storeOf(Seq(
+    "<c://doc/1> <c://o#tag> \"red\" .",
+    "<c://doc/2> <c://o#tag> \"blue\" .",
+    "<c://doc/3> <c://o#tag> \"green\" .",
+    "<c://doc/3> <c://o#num> \"5\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
+    T("2024-01-01 00:00:00"))
+
+  test("Should-only bool requires at least one Should to match") {
+    val r = Search.run(tagStore, Search.Request(path = "/doc",
+      qp = Some("*tag::red,*tag::blue")))
+    assert(paths(r) == Set("/doc/1", "/doc/2"))
+  }
+
+  test("Should clauses are non-constraining when a Must is present") {
+    val r = Search.run(tagStore, Search.Request(path = "/doc",
+      qp = Some("num::5,*tag::red")))
+    assert(paths(r) == Set("/doc/3"))
+  }
+
+  test("MustNot over a missing field keeps the row") {
+    val r = Search.run(tagStore, Search.Request(path = "/doc",
+      qp = Some("-num::5")))
+    assert(paths(r) == Set("/doc/1", "/doc/2"))
+  }
+
+  // ---- consume same-indexTime edge (Streams.qStream:397-437) ----
+
+  test("consume chunk absorbs the whole same-indexTime tie group") {
+    val b1 = (1 to 5).map(i => s"""<c://ev/$i> <c://o#v> "a" .""")
+    val b2 = (6 to 10).map(i => s"""<c://ev/$i> <c://o#v> "b" .""")
+    import spark.implicits._
+    val s1 = Ingest.ingest(spark, Ingest.emptyStore(spark), b1.toDS(),
+      T("2024-01-01 00:00:00"))
+    val s2 = Ingest.ingest(spark, s1, b2.toDS(), T("2024-01-02 00:00:00"))
+    val store = GraftStore.fromInfotons(spark, s2)
+    // chunkSize 3 < tie-group size 5: the boundary falls inside a group
+    // of equal indexTimes — the chunk must still be a complete set
+    val r1 = Consume.consume(store, Consume.createConsumer("/ev"), 3)
+    assert(paths(r1.chunk) == (1 to 5).map(i => s"/ev/$i").toSet)
+    val r2 = Consume.consume(store, r1.nextToken.get, 3)
+    assert(paths(r2.chunk) == (6 to 10).map(i => s"/ev/$i").toSet)
+    assert(Consume.consume(store, r2.nextToken.get, 3).nextToken.isEmpty)
+  }
+
+  test("export slices partition the stream with no loss or overlap") {
+    val store = GraftStore.forDir(spark, Sf)
+    val slices = Consume.exportSlices(store, "/user", 100).collect()
+    val total = Search.run(store,
+      Search.Request(path = "/user", withHistory = true)).count()
+    assert(slices.map(_.getAs[Long]("rows")).sum == total)
+    slices.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("to_it") < b.getAs[Long]("from_it"))
+      case _ =>
+    }
+  }
+
+  test("iterator chunks partition the sorted result") {
+    val store = GraftStore.forDir(spark, Sf)
+    var token = Consume.createIterator("/nation")
+    var seen = Vector.empty[String]
+    var n = 0
+    while ({ n += 1; n < 10 } && token != null) {
+      val r = Consume.nextChunk(store, token, 10)
+      val chunk = r.chunk.select("system.path").collect().map(_.getString(0))
+      assert(chunk.sorted.sameElements(chunk), "chunk is path-ordered")
+      assert(!chunk.exists(seen.contains), "no overlap across chunks")
+      seen ++= chunk
+      token = r.nextToken.orNull
+    }
+    assert(seen.size == 25) // nations
+  }
+
+  // ---- approximate operators vs exact oracles (sf0.001) ----
+
+  private lazy val docs = spark.read.parquet(s"$Sf/documents.parquet")
+
+  test("MinHash-LSH recovers exactly the exact-Jaccard pair set") {
+    val exact = Dedup.jaccardPairs(docs, 2, 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 2, 128, 32, 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "fixture has near-dup pairs")
+  }
+
+  test("SimHash finds every exact-duplicate pair at hamming 0") {
+    val dupPairs = docs.alias("a").join(docs.alias("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue))
+    val at0 = found.filter(_._3 == 0L).map(t => (t._1, t._2)).toSet
+    assert(dupPairs.subsetOf(at0), "identical docs must collide at distance 0")
+  }
+
+  test("LSH-ANN neighbors are a subset of in-bucket exact ranking") {
+    val queries = Seq(0L, 1L, 2L)
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    info(f"ANN recall@5 = $recall%.2f (12 tables x 4 planes)")
+    assert(approx.nonEmpty)
+    assert(recall >= 0.5, "multi-table LSH recall collapsed")
+  }
+
+  private lazy val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+
+  // ---- formatter/ingest roundtrip incl. lang + quad ----
+
+  test("nt/nq roundtrip preserves values, types, lang and quad tags") {
+    import spark.implicits._
+    val src = storeOf(Seq(
+      "<c://m/1> <c://o#name> \"gr\\u00FCn\"@de <c://graph/g1> .",
+      "<c://m/1> <c://o#size> \"7\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://m/1> <c://o#ref> <c://m/2> ."), T("2024-01-01 00:00:00"))
+    val lines = Formatters.ntriples(
+      src.current.where(col("system.path") === "/m/1")).as[String]
+    val back = GraftStore.fromInfotons(spark,
+      Ingest.ingest(spark, Ingest.emptyStore(spark), lines, T("2024-02-02 00:00:00")))
+    val vals = back.quads.where(col("subject") === "/m/1")
+      .select("predicate", "s", "vType", "lang", "quad")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    assert(vals == Set(
+      ("name", "gr\u00fcn", "s", Some("de"), Some("/graph/g1")),
+      ("size", "7", "l", None, None),
+      ("ref", "/m/2", "r", None, None)))
+  }
+
+  // ---- SPARQL over quads ----
+
+  test("SPARQL chain query binds across patterns") {
+    val store = GraftStore.forDir(spark, Sf)
+    val r = Sparql.select(store,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?n WHERE { ?n ont:refRegion ?r . ?r ont:name "ASIA" }
+        |ORDER BY ?n""".stripMargin).collect().map(_.getString(0))
+    assert(r.length == 5 && r.forall(_.startsWith("/nation/")))
+  }
+
+  // ---- multimodal plumbing ----
+
+  test("stub decode is deterministic with a fixed batch shape") {
+    val content = Multimodal.contentStore(docs.limit(20))
+    val d1 = Multimodal.decode(spark, content).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](3)).toMap
+    val d2 = Multimodal.decode(spark, content).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](3)).toMap
+    assert(d1.keySet.size == 20)
+    assert(d1.values.forall(_.length == 64), "8x8 pixel payload")
+    assert(d1 == d2, "decode is deterministic")
+    val feats = Multimodal.features(
+      Multimodal.decode(spark, content)).collect()
+    assert(feats.forall(_.getSeq[Float](1).length == 4))
+  }
+
+  test("frame sampling yields one frame per stride block") {
+    val content = Multimodal.contentStore(docs.limit(5))
+    val frames = Multimodal.frameSample(content, stride = 2)
+    assert(frames.count() >= 5)
+    assert(frames.columns.toSeq == Seq("path", "frame_no", "frame"))
+  }
+}

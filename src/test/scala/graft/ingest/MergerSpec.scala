@@ -1,0 +1,99 @@
+package graft.ingest
+
+import graft.model.InfotonModel
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Per-path merge fold semantics (reference Merger.scala:55-300:
+  * merge_f field-set union, delete_f, update_f, tombstones; no-op dedup
+  * per ImpStream.filterDups:308-312). */
+class MergerSpec extends AnyFunSuite {
+  import Merger._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def sv(v: String, quad: Option[String] = None) =
+    FieldValue(v, None, None, None, InfotonModel.TString, None, quad)
+  private def base(fields: Map[String, Seq[FieldValue]],
+                   lm: String = "2024-01-01 00:00:00",
+                   kind: String = InfotonModel.KindObject) =
+    InfotonRow(SystemRow("/x/1", "/x", ts(lm), "t", "u0", "dc", 0L,
+      current = true, kind, "cmwell"), Some(fields))
+
+  test("write unions value sets per field") {
+    val b = base(Map("a" -> Seq(sv("v1"))))
+    val Some(m) = mergeOne("/x/1", Some(b), Seq(
+      Command("write", "/x/1", ts("2024-02-01 00:00:00"),
+        Map("a" -> Seq(sv("v2")), "b" -> Seq(sv("w"))), Map.empty))): @unchecked
+    assert(m.fields.get("a").map(_.s).toSet == Set("v1", "v2"))
+    assert(m.fields.get("b").map(_.s) == Seq("w"))
+    assert(m.system.kind == InfotonModel.KindObject)
+  }
+
+  test("write of already-present values is a no-op (same-uuid dedup)") {
+    val b = base(Map("a" -> Seq(sv("v1"))))
+    assert(mergeOne("/x/1", Some(b), Seq(
+      Command("write", "/x/1", ts("2024-02-01 00:00:00"),
+        Map("a" -> Seq(sv("v1"))), Map.empty))).isEmpty)
+  }
+
+  test("update replaces marked fields, keeps others") {
+    val b = base(Map("a" -> Seq(sv("old1"), sv("old2")), "b" -> Seq(sv("keep"))))
+    val Some(m) = mergeOne("/x/1", Some(b), Seq(
+      Command("update", "/x/1", ts("2024-02-01 00:00:00"),
+        Map("a" -> Seq(sv("new"))), Map("a" -> Seq.empty)))): @unchecked
+    assert(m.fields.get("a").map(_.s) == Seq("new"))
+    assert(m.fields.get("b").map(_.s) == Seq("keep"))
+  }
+
+  test("delete_attrs removes specific values, drops emptied fields") {
+    val b = base(Map("a" -> Seq(sv("v1"), sv("v2")), "b" -> Seq(sv("w"))))
+    val Some(m) = mergeOne("/x/1", Some(b), Seq(
+      Command("delete_attrs", "/x/1", ts("2024-02-01 00:00:00"), Map.empty,
+        Map("a" -> Seq(sv("v1")), "b" -> Seq(sv("w")))))): @unchecked
+    assert(m.fields.get("a").map(_.s) == Seq("v2"))
+    assert(!m.fields.get.contains("b"))
+  }
+
+  test("value identity is quad-aware: same lexical in another graph stays") {
+    val b = base(Map("a" -> Seq(sv("v", Some("g1")), sv("v", Some("g2")))))
+    val Some(m) = mergeOne("/x/1", Some(b), Seq(
+      Command("delete_attrs", "/x/1", ts("2024-02-01 00:00:00"), Map.empty,
+        Map("a" -> Seq(sv("v", Some("g1"))))))): @unchecked
+    assert(m.fields.get("a").map(_.quad) == Seq(Some("g2")))
+  }
+
+  test("delete_path makes a tombstone; write after revives") {
+    val b = base(Map("a" -> Seq(sv("v"))))
+    val Some(t) = mergeOne("/x/1", Some(b), Seq(
+      Command("delete_path", "/x/1", ts("2024-02-01 00:00:00"),
+        Map.empty, Map.empty))): @unchecked
+    assert(t.system.kind == InfotonModel.KindDeleted && t.fields.isEmpty)
+    val Some(r) = mergeOne("/x/1", Some(t), Seq(
+      Command("write", "/x/1", ts("2024-03-01 00:00:00"),
+        Map("a" -> Seq(sv("v2"))), Map.empty))): @unchecked
+    assert(r.system.kind == InfotonModel.KindObject)
+    assert(r.fields.get("a").map(_.s) == Seq("v2"))
+  }
+
+  test("commands fold in lastModified order within one batch") {
+    val Some(m) = mergeOne("/x/1", None, Seq(
+      Command("update", "/x/1", ts("2024-02-02 00:00:00"),
+        Map("a" -> Seq(sv("second"))), Map("a" -> Seq.empty)),
+      Command("write", "/x/1", ts("2024-02-01 00:00:00"),
+        Map("a" -> Seq(sv("first"))), Map.empty))): @unchecked
+    assert(m.fields.get("a").map(_.s) == Seq("second"))
+  }
+
+  test("merged lastModified bumps strictly past the base version") {
+    val b = base(Map("a" -> Seq(sv("v"))), lm = "2024-05-01 00:00:00")
+    val Some(m) = mergeOne("/x/1", Some(b), Seq(
+      Command("write", "/x/1", ts("2024-02-01 00:00:00"), // older than base
+        Map("a" -> Seq(sv("v2"))), Map.empty))): @unchecked
+    assert(m.system.lastModified.getTime == b.system.lastModified.getTime + 1)
+    assert(m.system.indexTime > b.system.indexTime)
+  }
+
+  test("no commands means no version") {
+    assert(mergeOne("/x/1", Some(base(Map.empty)), Nil).isEmpty)
+  }
+}
