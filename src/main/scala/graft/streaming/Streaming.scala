@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.model.{GraftStore, InfotonModel}
+import graft.ops.Search
+import graft.qp.{FilterCompiler, QpParser}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming operators (SURVEY.md §2.6): `op=qstream` and
+  * `op=subscribe` re-expressed on Structured Streaming.
+  *
+  * Reference: qStream is an akka-streams Source of search results
+  * ordered by indexTime (Streams.qStream:366-441); subscribe evaluates
+  * RTS rules — a path filter + field predicates — against every
+  * incoming write and pushes matches (cmwell-rts Rule.scala:26-89,
+  * Publisher.scala:25-96).
+  *
+  * Spark shape: the SAME qp compiler that serves batch search compiles
+  * the rule predicate for a streaming DataFrame — one filter
+  * expression, applied per micro-batch; `indexTime` is the natural
+  * event-time column (monotone, assigned at commit), so no watermark
+  * is needed for the exactly-once delta semantics (the reference's
+  * consume contract) and `withWatermark` only enters for windowed
+  * extensions. The source is anything Spark can readStream: the
+  * engine's own parquet store directory (new version files appear as
+  * append), Kafka, or a socket of NT lines through the ingest parser.
+  */
+object Streaming {
+
+  /** `op=qstream` — the continuous variant of consume: the filtered
+    * infoton stream, restricted to rows past `fromIndexTime`. Apply to
+    * any streaming DataFrame with the infoton schema. */
+  def qstream(stream: DataFrame, store: GraftStore, req: Search.Request,
+              fromIndexTime: Long = 0L): DataFrame = {
+    var pred = Search.pathPredicate(req.path, req.descendants) &&
+      col("system.indexTime") > fromIndexTime
+    if (!req.withDeleted)
+      pred = pred && col("system.kind") =!= InfotonModel.KindDeleted
+    req.qp.foreach { q =>
+      pred = pred && new FilterCompiler(store).compile(QpParser.parse(q))
+    }
+    stream.where(pred)
+  }
+
+  /** One RTS subscription rule: subscriber id + path scope + optional
+    * qp predicate (rule parser analog: Parsers.scala:303-351). */
+  final case class Rule(subscriber: String, path: String,
+                        qp: Option[String] = None)
+
+  /** `op=subscribe` — tag every incoming infoton with the subscribers
+    * whose rule it matches; rows matching no rule are dropped. The
+    * result streams to any sink (`foreachBatch` webhook, Kafka, ...).
+    * Rules compile ONCE into a single array-of-struct projection —
+    * per-batch cost is one codegen'd predicate per rule, not a join. */
+  def subscribe(stream: DataFrame, store: GraftStore,
+                rules: Seq[Rule]): DataFrame = {
+    val compiler = new FilterCompiler(store)
+    val tags = rules.map { r =>
+      val pred = r.qp.map(q => compiler.compile(QpParser.parse(q)))
+        .foldLeft(Search.pathPredicate(r.path, descendants = true))(_ && _)
+      when(pred, lit(r.subscriber)).otherwise(lit(null).cast("string"))
+    }
+    stream
+      .withColumn("subscribers",
+        filter(array(tags: _*), t => t.isNotNull))
+      .where(size(col("subscribers")) > 0)
+  }
+
+  /** Convenience sink: deliver each micro-batch to a callback (the
+    * webhook/queue push of the reference's push-mode subscribe). */
+  def deliver(matched: DataFrame, epochIntervalMs: Long = 1000L)
+             (f: (Seq[Row], Long) => Unit): DataStreamWriter[Row] =
+    matched.writeStream
+      .trigger(Trigger.ProcessingTime(epochIntervalMs))
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        f(batch.collect().toSeq, epoch)
+      }
+}

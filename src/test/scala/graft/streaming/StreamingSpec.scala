@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.model.{GraftStore, TableLoader}
+import graft.ops.Search
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Raw event shape for the memory-stream tests (top-level: Spark
+  * product encoders can't capture an inner class's outer pointer). */
+case class Ev(path: String, parent: String, indexTime: Long,
+              kind: String, tag: String)
+
+/** qstream/subscribe over Structured Streaming micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkSuite.session
+
+  /** Shape a raw event stream into the infoton schema. */
+  private def infotonize(df: DataFrame): DataFrame =
+    df.select(
+      struct(col("path"), col("parent"),
+        lit(null).cast("timestamp").as("lastModified"),
+        lit("stream").as("lastModifiedBy"), lit(null).cast("string").as("uuid"),
+        lit("local").as("dc"), col("indexTime"), lit(true).as("current"),
+        col("kind"), lit("cmwell").as("protocol")).as("system"),
+      map(lit("tag"), array(TableLoader.sVal(col("tag")))).as("fields"))
+
+  private def store: GraftStore =
+    new GraftStore(spark, spark.emptyDataFrame, Map("tag" -> "s"))
+
+  test("subscribe tags matching rules per micro-batch, drops the rest") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val matched = Streaming.subscribe(infotonize(ms.toDF()), store, Seq(
+      Streaming.Rule("red-watcher", "/ev", Some("tag::red")),
+      Streaming.Rule("all-watcher", "/ev")))
+    val q = matched
+      .select(col("system.path").as("path"), col("subscribers"))
+      .writeStream.format("memory").queryName("subs")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Ev("/ev/1", "/ev", 10L, "ObjectInfoton", "red"),
+        Ev("/ev/2", "/ev", 11L, "ObjectInfoton", "blue"),
+        Ev("/other/3", "/other", 12L, "ObjectInfoton", "red"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM subs").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+      assert(rows == Map(
+        "/ev/1" -> Set("red-watcher", "all-watcher"),
+        "/ev/2" -> Set("all-watcher")))
+      // second micro-batch keeps flowing through the same plan
+      ms.addData(Ev("/ev/4", "/ev", 13L, "ObjectInfoton", "red"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM subs").count() == 3)
+    } finally q.stop()
+  }
+
+  test("qstream filters by search request + indexTime offset") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val out = Streaming.qstream(infotonize(ms.toDF()), store,
+      Search.Request(path = "/ev", qp = Some("tag::red")),
+      fromIndexTime = 10L)
+    val q = out.select(col("system.path").as("path"))
+      .writeStream.format("memory").queryName("qs")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Ev("/ev/1", "/ev", 10L, "ObjectInfoton", "red"),   // at offset: excluded
+        Ev("/ev/2", "/ev", 11L, "ObjectInfoton", "red"),   // in
+        Ev("/ev/3", "/ev", 12L, "ObjectInfoton", "blue"),  // qp miss
+        Ev("/ev/4", "/ev", 13L, "DeletedInfoton", "red"))  // tombstone
+      q.processAllAvailable()
+      val got = spark.sql("SELECT path FROM qs").collect().map(_.getString(0))
+      assert(got.toSet == Set("/ev/2"))
+    } finally q.stop()
+  }
+}
