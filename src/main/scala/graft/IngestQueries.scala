@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.{Ingest, Merger}
-import graft.model.{GraftStore, InfotonModel}
+import graft.model.{GraftStore, InfotonModel, TableLoader}
 import graft.ops.{Formatters, Search}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,7 +53,7 @@ object IngestQueries {
           Map("acctbal" -> Seq.empty))
       }
     val merged = Merger.merge(s, store.infotons, cmds).persist()
-    val st2 = GraftStore.fromInfotons(s, merged)
+    val st2 = GraftStore.fromInfotons(s, merged, Some(store.fieldTypes))
     val versions = Search.run(st2,
         Search.Request(path = "/customer", withHistory = true))
       .groupBy(col("system.path").as("path"))
@@ -82,14 +82,16 @@ object IngestQueries {
   }
 
   private def mergeDelete(s: SparkSession, dir: String): DataFrame = {
-    val st2 = GraftStore.fromInfotons(s, merged(s, dir))
+    val st2 = GraftStore.fromInfotons(s, merged(s, dir),
+      Some(TableLoader.fieldTypes))
     Search.run(st2, Search.Request(path = "/customer"))
       .select(Search.fieldN("custkey").cast("long").as("custkey"))
       .orderBy("custkey")
   }
 
   private def withDeleted(s: SparkSession, dir: String): DataFrame = {
-    val st2 = GraftStore.fromInfotons(s, merged(s, dir))
+    val st2 = GraftStore.fromInfotons(s, merged(s, dir),
+      Some(TableLoader.fieldTypes))
     Search.run(st2,
         Search.Request(path = "/customer", withDeleted = true))
       .where(col("system.kind") === InfotonModel.KindDeleted)

@@ -131,7 +131,12 @@ object SearchQueries {
     "q_stream" -> ((s, dir) =>
       Search.stream(st(s, dir), Search.Request(path = "/lineitem",
           qp = Some("returnflag::R,quantity>48")))
-        .select(col("system.path").as("path")).orderBy("path")))
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // CompoundInfoton: directory listing with the total envelope (§2.5)
+    "q_children_compound" -> ((s, dir) =>
+      graft.ops.Admin.compound(st(s, dir), "/region")
+        .select("child", "total").orderBy("child")))
 
   val oracles: Map[String, String] = Map(
     "q_search_eq" ->
@@ -204,5 +209,9 @@ object SearchQueries {
         |  CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_partkey AS VARCHAR)
         |  || '-' || CAST(l_suppkey AS VARCHAR) AS path
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 48
-        |ORDER BY path""".stripMargin)
+        |ORDER BY path""".stripMargin,
+    "q_children_compound" ->
+      """SELECT '/region/' || CAST(r_regionkey AS VARCHAR) AS child,
+        |(SELECT count(*) FROM region) AS total FROM region
+        |ORDER BY child""".stripMargin)
 }

@@ -131,7 +131,15 @@ object Merger {
   def merge(spark: SparkSession, infotons: DataFrame,
             commands: Dataset[Command]): DataFrame = {
     import spark.implicits._
-    val baseCur = infotons.where(col("system.current")).as[InfotonRow]
+    // only base rows whose path carries a command enter the cogroup —
+    // commands are the small delta, so this semi join keeps the
+    // expensive row→object deserialization proportional to the batch,
+    // not to the store (the reference likewise point-reads just the
+    // commanded paths, ImpStream.scala:225-244)
+    val cmdPaths = commands.select(col("path").as("__cp")).distinct()
+    val baseCur = infotons.where(col("system.current"))
+      .join(cmdPaths, col("system.path") === col("__cp"), "left_semi")
+      .as[InfotonRow]
     val merged = commands.groupByKey(_.path)
       .cogroup(baseCur.groupByKey(_.system.path)) { (path, cs, bs) =>
         mergeOne(path, bs.toSeq.headOption, cs.toSeq).iterator

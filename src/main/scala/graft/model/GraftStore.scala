@@ -51,13 +51,19 @@ object GraftStore {
       new GraftStore(spark, inf, TableLoader.fieldTypes)
     })
 
-  /** Store over an arbitrary infoton DataFrame (e.g. RDF ingest); field
-    * types are sampled from the data — the dictionary is tiny (distinct
+  /** Store over an arbitrary infoton DataFrame (e.g. RDF ingest).
+    * Field types are sampled from the data unless a known dictionary
+    * is passed (post-merge stores inherit the base store's types and
+    * skip a full-scan collect) — the dictionary is tiny (distinct
     * predicate names), the analog of /meta/ns + PassiveFieldTypesCache. */
-  def fromInfotons(spark: SparkSession, inf: DataFrame): GraftStore = {
-    val types = inf.select(explode(col("fields")).as(Seq("k", "vs")))
-      .select(col("k"), element_at(col("vs"), 1).getField("vType").as("t"))
-      .distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    new GraftStore(spark, inf, types)
-  }
+  def fromInfotons(spark: SparkSession, inf: DataFrame,
+                   knownTypes: Option[Map[String, String]] = None): GraftStore =
+    knownTypes match {
+      case Some(t) => new GraftStore(spark, inf, t)
+      case None =>
+        val types = inf.select(explode(col("fields")).as(Seq("k", "vs")))
+          .select(col("k"), element_at(col("vs"), 1).getField("vType").as("t"))
+          .distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        new GraftStore(spark, inf, types)
+    }
 }

@@ -192,6 +192,40 @@ class EngineSpec extends AnyFunSuite {
     assert(feats.forall(_.getSeq[Float](1).length == 4))
   }
 
+  // ---- admin surface ----
+
+  test("purge removes versions physically; purge-history keeps current") {
+    val store = GraftStore.forDir(spark, Sf)
+    val somePath = Search.run(store, Search.Request(path = "/user"))
+      .select("system.path").head().getString(0)
+    val purged = graft.ops.Admin.purgePath(store.infotons, somePath)
+    assert(purged.where(col("system.path") === somePath).count() == 0)
+    val trimmed = graft.ops.Admin.purgeHistory(store.infotons, somePath)
+    val left = trimmed.where(col("system.path") === somePath)
+    assert(left.count() >= 1 &&
+      left.where(!col("system.current")).count() == 0)
+  }
+
+  test("debug-info exposes the physical plan with pushed filters") {
+    val plan = graft.ops.Admin.debugInfo(
+      spark.read.parquet(s"$Sf/lineitem.parquet")
+        .where(col("l_quantity") > 45).select("l_orderkey"))
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"))
+    assert(plan.contains("ReadSchema") && !plan.contains("l_comment"))
+  }
+
+  test("tracking report counts written versions per parent") {
+    import spark.implicits._
+    val before = Ingest.ingest(spark, Ingest.emptyStore(spark),
+      Seq("<c://t/1> <c://o#a> \"x\" .").toDS(), T("2024-01-01 00:00:00"))
+    val after = Ingest.ingest(spark, before, Seq(
+      "<c://t/1> <c://o#a> \"y\" .",
+      "<c://t/2> <c://o#a> \"z\" .").toDS(), T("2024-01-02 00:00:00"))
+    val report = graft.ops.Admin.trackingReport(before, after)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report == Map("/t" -> 2L))
+  }
+
   test("frame sampling yields one frame per stride block") {
     val content = Multimodal.contentStore(docs.limit(5))
     val frames = Multimodal.frameSample(content, stride = 2)
