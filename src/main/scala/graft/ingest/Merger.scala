@@ -136,11 +136,15 @@ object Merger {
     // expensive row→object deserialization proportional to the batch,
     // not to the store (the reference likewise point-reads just the
     // commanded paths, ImpStream.scala:225-244)
-    val cmdPaths = commands.select(col("path").as("__cp")).distinct()
+    // the command batch feeds two consumers (path pushdown + cogroup):
+    // persist so a derived command pipeline isn't computed twice
+    val cmds = commands.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cmdPaths = cmds.select(col("path").as("__cp")).distinct()
     val baseCur = infotons.where(col("system.current"))
       .join(cmdPaths, col("system.path") === col("__cp"), "left_semi")
       .as[InfotonRow]
-    val merged = commands.groupByKey(_.path)
+    val merged = cmds.groupByKey(_.path)
       .cogroup(baseCur.groupByKey(_.system.path)) { (path, cs, bs) =>
         mergeOne(path, bs.toSeq.headOption, cs.toSeq).iterator
       }
@@ -161,10 +165,11 @@ object Merger {
     val all = flipped.unionByName(newV)
     // missing-parents synthesis (ImpStream.scala:326-356): ancestors of
     // new paths that don't exist yet become directory infotons
+    // anti join needs no distinct on the big side — dropping it saves a
+    // full-store shuffle per batch
     val parents = newV.select(explode(ancestors(col("system.path"))).as("p"))
       .distinct()
-      .join(all.select(col("system.path").as("p")).distinct(), Seq("p"),
-        "left_anti")
+      .join(all.select(col("system.path").as("p")), Seq("p"), "left_anti")
       .select(struct(
         col("p").as("path"),
         when(col("p") === "/", "$root")
@@ -177,6 +182,28 @@ object Merger {
         lit("cmwell").as("protocol")).as("system"),
         lit(null).cast(InfotonModel.InfotonType("fields").dataType).as("fields"))
     all.unionByName(parents)
+  }
+
+  /** `POST /_ow` overwrite (InputHandler.scala:131) — the DC-sync
+    * replay path: append fully-formed version rows AS-IS (uuid,
+    * lastModified, indexTime preserved — no merge, no bump, no new
+    * uuid), then rewrite `current` so the latest version per path
+    * wins. Used to mirror another store's history verbatim. */
+  def overwrite(spark: SparkSession, infotons: DataFrame,
+                versions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = infotons.unionByName(versions)
+    val changed = versions.select(col("system.path").as("__np")).distinct()
+    val w = Window.partitionBy(col("system.path"))
+      .orderBy(col("system.indexTime").desc, col("system.uuid").desc)
+    // only affected paths get the window pass; the rest stream through
+    val affected = all.join(changed, col("system.path") === col("__np"),
+        "left_semi")
+      .withColumn("system", col("system")
+        .withField("current", row_number().over(w) === 1))
+    val untouched = all.join(changed, col("system.path") === col("__np"),
+      "left_anti")
+    untouched.unionByName(affected)
   }
 
   /** All proper ancestors of a path: /a/b/c → [/, /a, /a/b]. */

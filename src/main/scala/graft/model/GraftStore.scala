@@ -17,9 +17,10 @@ import java.util.concurrent.ConcurrentHashMap
   * MEMORY_AND_DISK gives the same read-amplification profile.
   */
 final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
-                       val fieldTypes: Map[String, String]) {
+                       val fieldTypes: Map[String, String],
+                       quadsOverride: Option[DataFrame] = None) {
 
-  lazy val quads: DataFrame = {
+  lazy val quads: DataFrame = quadsOverride.getOrElse {
     val q = infotons
       .select(col("system.*"), explode(col("fields")).as(Seq("predicate", "values")))
       .select(col("path").as("subject"), col("predicate"),
@@ -29,6 +30,11 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
         col("lastModified"), col("indexTime"), col("current"), col("kind"))
     q.persist(StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** The same store with its quad view restricted to a subgraph (the
+    * `_sp` PATHS populate step — a filter, not a copy). */
+  def scopedTo(sub: DataFrame): GraftStore =
+    new GraftStore(spark, infotons, fieldTypes, Some(sub))
 
   /** Current, non-deleted snapshot — the default query surface
     * (implicit filters, FTSService.scala:850-854). */

@@ -190,6 +190,22 @@ object Sparql {
     }
   }
 
+  /** `POST /_sp` (SpHandler.scala:165-253, PopulateAndQuery:360-475):
+    * PATHS section = search requests whose results populate the
+    * queried subgraph; SPARQL runs against just that slice. Here the
+    * populate step is a predicate (union of searches = one OR filter
+    * over the store), so nothing materializes — the BGP compiler's
+    * scans are simply pre-filtered, and Catalyst pushes the
+    * subgraph restriction into each pattern's scan. */
+  def sp(store: GraftStore, paths: Seq[graft.ops.Search.Request],
+         query: String): DataFrame = {
+    import graft.ops.Search
+    val members = paths.map(r => Search.run(store, r)
+      .select(col("system.path").as("subject"))).reduce(_ union _).distinct()
+    val sub = store.quads.join(members, Seq("subject"), "left_semi")
+    select(store.scopedTo(sub), query)
+  }
+
   /** Compile + run a SPARQL SELECT against a store. */
   def select(store: GraftStore, query: String): DataFrame = {
     val q = parse(query)

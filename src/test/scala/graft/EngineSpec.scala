@@ -192,6 +192,52 @@ class EngineSpec extends AnyFunSuite {
     assert(feats.forall(_.getSeq[Float](1).length == 4))
   }
 
+  // ---- _ow overwrite, _sp subgraph, stp views ----
+
+  test("overwrite replays versions verbatim and recomputes current") {
+    val s1 = storeOf(Seq("<c://w/1> <c://o#a> \"v1\" ."),
+      T("2024-01-01 00:00:00"))
+    val s2 = storeOf(Seq("<c://w/1> <c://o#a> \"v2\" ."),
+      T("2024-06-01 00:00:00"))
+    val newer = s2.infotons.where(col("system.path") === "/w/1")
+    val replayedUuid = newer.select("system.uuid").head().getString(0)
+    val merged = graft.ingest.Merger.overwrite(spark, s1.infotons, newer)
+    val versions = merged.where(col("system.path") === "/w/1")
+      .select(col("system.uuid"), col("system.current"),
+        col("system.indexTime")).collect()
+    assert(versions.length == 2)
+    val current = versions.filter(_.getBoolean(1))
+    assert(current.length == 1 && current.head.getString(0) == replayedUuid)
+  }
+
+  test("_sp PATHS restrict the queried subgraph") {
+    val store = GraftStore.forDir(spark, Sf)
+    val q = """PREFIX ont: <cmwell://ont#>
+              |SELECT ?n WHERE { ?n ont:refRegion ?r . ?r ont:name "ASIA" }
+              |ORDER BY ?n""".stripMargin
+    val both = Sparql.sp(store, Seq(
+      Search.Request(path = "/nation"), Search.Request(path = "/region")), q)
+    assert(both.count() == 5)
+    // regions not populated -> the ?r name pattern has no triples
+    val nationOnly = Sparql.sp(store,
+      Seq(Search.Request(path = "/nation")), q)
+    assert(nationOnly.count() == 0)
+  }
+
+  test("stp refreshes a materialized view only when the sensor fires") {
+    import graft.streaming.Stp
+    val store = GraftStore.forDir(spark, Sf)
+    val job = Stp.Job("asia-nations", "/nation", None,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?n WHERE { ?n ont:refRegion ?r . ?r ont:name "ASIA" }
+        |ORDER BY ?n""".stripMargin)
+    val r1 = Stp.refresh(store, job, Stp.initialToken(job))
+    assert(r1.newVersions == 25 && r1.view.get.count() == 5)
+    val r2 = Stp.refresh(store, job, r1.nextToken)
+    assert(r2.newVersions == 0 && r2.view.isEmpty)
+    assert(r2.nextToken == r1.nextToken)
+  }
+
   // ---- admin surface ----
 
   test("purge removes versions physically; purge-history keeps current") {
