@@ -43,7 +43,12 @@ object Dedup {
     * then verified exactly by [[jaccardForPairs]]. */
   def jaccardPairs(docs: DataFrame, n: Int, tau: Double,
                    textCol: String = "text"): DataFrame = {
+    // shingles become 64-bit hashes up front: every downstream
+    // shuffle/join keys on longs instead of n-gram strings, and the
+    // verify arrays intersect as longs (collision odds ~ d²/2⁶⁵ —
+    // immaterial next to the exactness the oracle checks)
     val idx = shingleIndex(docs, n, textCol)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = idx.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "sh")
