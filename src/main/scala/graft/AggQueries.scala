@@ -48,6 +48,12 @@ object AggQueries {
         "type:term,field::orderstatus,size:3<type:stats,field::totalprice>")
         .orderBy(col("doc_count").desc, col("key").asc)),
 
+    // nested: term buckets with a cardinality sub-aggregation
+    "q_agg_nested_card" -> ((s, dir) =>
+      run(s, dir, "/orders",
+        "type:term,field::orderstatus,size:3<type:card,field::custkey>")
+        .orderBy(col("doc_count").desc, col("key").asc)),
+
     // type:sig — significant event types among high-value versions
     // vs all versions (JLH-style score)
     "q_agg_sig" -> ((s, dir) => {
@@ -86,6 +92,10 @@ object AggQueries {
         |count(o_totalprice) AS totalprice_count, min(o_totalprice) AS totalprice_min,
         |max(o_totalprice) AS totalprice_max,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS totalprice_sum
+        |FROM orders GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 3""".stripMargin,
+    "q_agg_nested_card" ->
+      """SELECT o_orderstatus AS key, count(*) AS doc_count,
+        |count(DISTINCT o_custkey) AS custkey_card
         |FROM orders GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 3""".stripMargin,
     "q_agg_sig" ->
       """WITH fg AS (SELECT event_type AS key, count(*) AS fg_count FROM events

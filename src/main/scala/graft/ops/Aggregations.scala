@@ -104,6 +104,20 @@ object Aggregations {
             .as(s"${t.name}_key"))
         .groupBy("key", s"${t.name}_key")
         .agg(count(lit(1)).as(s"${t.name}_count"))
+    case c: CardAgg =>
+      keyed(store, base, parentField, "key")
+        .select(col("key"),
+          element_at(col("fields").getItem(c.field), 1).getField("n").as("v"))
+        .groupBy("key")
+        .agg(countDistinct(col("v")).as(s"${c.name}_card"))
+    case h: HistAgg =>
+      keyed(store, base, parentField, "key")
+        .select(col("key"),
+          element_at(col("fields").getItem(h.field), 1).getField("n").as("v"))
+        .groupBy(col("key"),
+          (floor(col("v") / h.interval) * h.interval).as(s"${h.name}_bucket"))
+        .agg(count(lit(1)).as(s"${h.name}_count"))
+        .where(col(s"${h.name}_count") >= h.minDocCount)
     case other =>
       throw new IllegalArgumentException(s"unsupported sub-agg $other")
   }
