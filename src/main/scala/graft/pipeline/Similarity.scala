@@ -93,9 +93,12 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
               numPlanes: Int = 4, dim: Int = 64,
               tables: Int = 12): DataFrame = {
-    val bucketed = lshBuckets(emb, numPlanes, dim, tables)
-      .select(col("vec_id"), col("table"), col("bucket"),
-        normalized(col("embedding")).as("v"))
+    // normalize BEFORE the table explode — after it, the same vector
+    // would be renormalized once per table
+    val base = emb.select(col("vec_id"), col("embedding"),
+      normalized(col("embedding")).as("v"))
+    val bucketed = lshBuckets(base, numPlanes, dim, tables)
+      .select(col("vec_id"), col("table"), col("bucket"), col("v"))
     val queries = broadcast(bucketed
       .where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("table").as("qt"),
