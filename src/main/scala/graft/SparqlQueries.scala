@@ -36,7 +36,15 @@ object SparqlQueries {
       """SELECT ?c ?o WHERE {
         |  ?c <cmwell://ont#mktsegment> "BUILDING" .
         |  OPTIONAL { ?o <cmwell://ont#refCustomer> ?c }
-        |} ORDER BY ?c ?o""".stripMargin)))
+        |} ORDER BY ?c ?o""".stripMargin)),
+
+    // CONSTRUCT: derive new edges from matched solutions
+    "q_sparql_construct" -> ((s, dir) =>
+      Sparql.construct(GraftStore.forDir(s, dir),
+        """PREFIX ont: <cmwell://ont#>
+          |CONSTRUCT { ?c <cmwell://ont#inNation> ?n }
+          |WHERE { ?c ont:refNation ?n . ?n ont:name "GERMANY" }""".stripMargin)
+        .orderBy("subject")))
 
   val oracles: Map[String, String] = Map(
     "q_sparql_star" ->
@@ -57,5 +65,15 @@ object SparqlQueries {
       """SELECT '/customer/' || c_custkey AS c, '/orders/' || o_orderkey AS o
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
-        |ORDER BY c, o NULLS FIRST""".stripMargin)
+        |ORDER BY c, o NULLS FIRST""".stripMargin,
+    "q_sparql_construct" ->
+      """SELECT subject, 'inNation' AS predicate, obj FROM (
+        |  SELECT '/customer/' || c_custkey AS subject,
+        |    '/nation/' || c_nationkey AS obj FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'GERMANY'
+        |  UNION ALL
+        |  SELECT '/supplier/' || s_suppkey, '/nation/' || s_nationkey
+        |  FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'GERMANY')
+        |ORDER BY subject""".stripMargin)
 }

@@ -35,10 +35,12 @@ object Merger {
   /** One write command (reference CommandSerializer.scala:51-100):
     * op ∈ write | update | delete_attrs | delete_path.
     * `deleteFields`: field → values to remove; an EMPTY value list
-    * removes the whole field (markReplace). */
+    * removes the whole field (markReplace). `kind` lets a write create
+    * a LinkInfoton / FileInfoton instead of a plain object. */
   final case class Command(op: String, path: String, lastModified: Timestamp,
                            fields: Map[String, Seq[FieldValue]],
-                           deleteFields: Map[String, Seq[FieldValue]])
+                           deleteFields: Map[String, Seq[FieldValue]],
+                           kind: String = InfotonModel.KindObject)
 
   final case class SystemRow(path: String, parent: String,
                              lastModified: Timestamp, lastModifiedBy: String,
@@ -79,11 +81,14 @@ object Merger {
     val sorted = cmds.sortBy(c => (c.lastModified.getTime, c.op))
     var fields = base.flatMap(_.fields).getOrElse(Map.empty[String, Seq[FieldValue]])
     var deleted = base.exists(_.system.kind == InfotonModel.KindDeleted)
+    var kind = base.map(_.system.kind).filter(_ != InfotonModel.KindDeleted)
+      .getOrElse(InfotonModel.KindObject)
     sorted.foreach { c =>
       c.op match {
-        case "write" => deleted = false; fields = union(fields, c.fields)
+        case "write" =>
+          deleted = false; kind = c.kind; fields = union(fields, c.fields)
         case "update" =>
-          deleted = false
+          deleted = false; kind = c.kind
           fields = union(remove(fields, c.deleteFields), c.fields)
         case "delete_attrs" => fields = remove(fields, c.deleteFields)
         case "delete_path" => deleted = true; fields = Map.empty
@@ -94,7 +99,8 @@ object Merger {
       .map { case (f, vs) => f -> vs.map(vKey).toSet }
     val newFields = fields.map { case (f, vs) => f -> vs.map(vKey).toSet }
     val baseDeleted = base.exists(_.system.kind == InfotonModel.KindDeleted)
-    if (base.nonEmpty && newFields == baseFields && deleted == baseDeleted)
+    if (base.nonEmpty && newFields == baseFields && deleted == baseDeleted &&
+        base.exists(_.system.kind == kind))
       None // no-op (same content ⇒ same uuid ⇒ dropped)
     else {
       // strictly-increasing lastModified per path (the reference bumps
@@ -110,7 +116,7 @@ object Merger {
       Some(InfotonRow(
         SystemRow(path, parent, new Timestamp(lm), "ingest",
           uuid = null, dc = "local", indexTime = lm * 1000L, current = true,
-          kind = if (deleted) InfotonModel.KindDeleted else InfotonModel.KindObject,
+          kind = if (deleted) InfotonModel.KindDeleted else kind,
           protocol = "cmwell"),
         if (deleted) None else Some(ordered)))
     }

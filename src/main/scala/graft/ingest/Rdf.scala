@@ -157,11 +157,19 @@ object Rdf {
     else {
       val replaced = sys.filter(s => localName(s.pred) == "markReplace")
         .flatMap(_.objIri).map(localName)
+      // `#linkTo <target>` makes the subject a LinkInfoton
+      // (Infoton.scala:269-304); the target lands in a linkTo field
+      val linkTo = sys.filter(s => localName(s.pred) == "linkTo")
+        .flatMap(_.objIri).map(iriToPath)
       val fields = data.groupBy(s => localName(s.pred))
-        .map { case (f, ss) => f -> ss.map(toValue).distinct }
+        .map { case (f, ss) => f -> ss.map(toValue).distinct } ++
+        (if (linkTo.nonEmpty) Map("linkTo" -> linkTo.map(p =>
+          Merger.FieldValue(p, None, None, None, TRef, None, None)))
+         else Map.empty)
       val op = if (replaced.nonEmpty) "update" else "write"
       Merger.Command(op, path, lastModified, fields,
-        replaced.map(_ -> Seq.empty[Merger.FieldValue]).toMap)
+        replaced.map(_ -> Seq.empty[Merger.FieldValue]).toMap,
+        kind = if (linkTo.nonEmpty) KindLink else KindObject)
     }
   }
 }

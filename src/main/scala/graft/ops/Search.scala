@@ -103,6 +103,18 @@ object Search {
     * the same plan here. */
   def stream(store: GraftStore, req: Request): DataFrame = run(store, req)
 
+  /** LinkInfoton resolution (Infoton.scala:269-304): rows of kind
+    * LinkInfoton are replaced by their `linkTo` target's current
+    * version; non-links pass through. One equi-join on the link edge. */
+  def resolveLinks(store: GraftStore, df: DataFrame): DataFrame = {
+    val links = df.where(col("system.kind") === InfotonModel.KindLink)
+      .select(fieldS("linkTo").as("__target"))
+    val resolved = store.current
+      .join(links, col("system.path") === col("__target"), "left_semi")
+    df.where(col("system.kind") =!= InfotonModel.KindLink)
+      .unionByName(resolved)
+  }
+
   /** listChildren — one level under a path (FTSService.scala:198-206). */
   def listChildren(store: GraftStore, path: String): DataFrame =
     run(store, Request(path = path, descendants = false))

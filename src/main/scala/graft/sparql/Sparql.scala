@@ -42,7 +42,8 @@ object Sparql {
   final case class Query(select: Seq[String], distinct: Boolean,
                          patterns: Seq[Triple], optionals: Seq[Seq[Triple]],
                          filters: Seq[Seq[Cond]], // outer Seq = AND of OR-groups
-                         orderBy: Seq[(String, Boolean)], limit: Option[Int])
+                         orderBy: Seq[(String, Boolean)], limit: Option[Int],
+                         template: Seq[Triple] = Nil) // CONSTRUCT shape
 
   // ---------------------------------------------------------------- parse
 
@@ -64,11 +65,9 @@ object Sparql {
       next(); val p = next(); val iri = next()
       prefixes += p.stripSuffix(":") -> iri.stripPrefix("<").stripSuffix(">")
     }
-    expect("SELECT")
-    val distinct = peek.equalsIgnoreCase("DISTINCT") && { next(); true }
+    val isConstruct = peek.equalsIgnoreCase("CONSTRUCT")
     val select = Vector.newBuilder[String]
-    while (peek.startsWith("?")) select += next().drop(1)
-    expect("WHERE"); expect("{")
+    var distinct = false
     def term(): Term = {
       val t = next()
       if (t.startsWith("?")) V(t.drop(1))
@@ -93,6 +92,15 @@ object Sparql {
       }
       out.result()
     }
+    val template = Vector.newBuilder[Triple]
+    if (isConstruct) {
+      next(); expect("{"); template ++= triples(); expect("}")
+    } else {
+      expect("SELECT")
+      if (peek.equalsIgnoreCase("DISTINCT")) { next(); distinct = true }
+      while (peek.startsWith("?")) select += next().drop(1)
+    }
+    expect("WHERE"); expect("{")
     val patterns = Vector.newBuilder[Triple]
     val optionals = Vector.newBuilder[Seq[Triple]]
     val filters = Vector.newBuilder[Seq[Cond]]
@@ -134,7 +142,7 @@ object Sparql {
     val limit = if (peek.equalsIgnoreCase("LIMIT")) { next(); Some(next().toInt) }
     else None
     Query(select.result(), distinct, patterns.result(), optionals.result(),
-      filters.result(), orderBy.result(), limit)
+      filters.result(), orderBy.result(), limit, template.result())
   }
 
   // -------------------------------------------------------------- compile
@@ -206,9 +214,9 @@ object Sparql {
     select(store.scopedTo(sub), query)
   }
 
-  /** Compile + run a SPARQL SELECT against a store. */
-  def select(store: GraftStore, query: String): DataFrame = {
-    val q = parse(query)
+  /** Bind the WHERE block: patterns joined, OPTIONALs left-joined,
+    * FILTERs applied — one row per solution, one column per variable. */
+  private def solutions(store: GraftStore, q: Query): DataFrame = {
     var df = q.patterns.map(scan(store, _))
       .reduceLeft((a, b) => joined(a, b, "inner"))
     q.optionals.foreach { opt =>
@@ -225,12 +233,40 @@ object Sparql {
       }.get._1
       df = df.where(combined)
     }
-    var out = df.select(q.select.map(col): _*)
+    df
+  }
+
+  /** Compile + run a SPARQL SELECT against a store. */
+  def select(store: GraftStore, query: String): DataFrame = {
+    val q = parse(query)
+    var out = solutions(store, q).select(q.select.map(col): _*)
     if (q.distinct) out = out.distinct()
     if (q.orderBy.nonEmpty)
       out = out.orderBy(q.orderBy.map { case (v, asc) =>
         if (asc) col(v).asc_nulls_first else col(v).desc_nulls_last }: _*)
     q.limit.foreach(l => out = out.limit(l))
     out
+  }
+
+  /** Compile + run a SPARQL CONSTRUCT: instantiate the template once
+    * per solution — the result is a quads-shaped frame
+    * (subject, predicate, object), distinct, ready for the nt
+    * formatter or re-ingest (SpHandler.scala:630-631 allows exactly
+    * SELECT and CONSTRUCT). */
+  def construct(store: GraftStore, query: String): DataFrame = {
+    val q = parse(query)
+    require(q.template.nonEmpty, "not a CONSTRUCT query")
+    val bound = solutions(store, q)
+    q.template.map { t =>
+      def bind(tm: Term, pred: Boolean): Column = tm match {
+        case V(v) => col(v)
+        case I(iri) => if (pred) lit(Rdf.localName(iri))
+                       else lit(Rdf.iriToPath(iri))
+        case L(lex, _) => lit(lex)
+      }
+      bound.select(bind(t.s, pred = false).as("subject"),
+        bind(t.p, pred = true).as("predicate"),
+        bind(t.o, pred = false).as("obj"))
+    }.reduce(_ unionByName _).distinct()
   }
 }

@@ -192,6 +192,31 @@ class EngineSpec extends AnyFunSuite {
     assert(feats.forall(_.getSeq[Float](1).length == 4))
   }
 
+  test("links resolve to their target's current version") {
+    val store = storeOf(Seq(
+      "<c://real/1> <c://o#tag> \"target\" .",
+      s"<c://alias/1> <${graft.ingest.Rdf.SysNs}linkTo> <c://real/1> ."),
+      T("2024-01-01 00:00:00"))
+    val read = Search.read(store, Seq("/alias/1"))
+    assert(read.select("system.kind").head().getString(0) == "LinkInfoton")
+    val resolved = Search.resolveLinks(store, read)
+    assert(paths(resolved) == Set("/real/1"))
+    assert(resolved.select(Search.fieldS("tag")).head().getString(0) == "target")
+  }
+
+  test("SPARQL CONSTRUCT instantiates the template per solution") {
+    val store = GraftStore.forDir(spark, Sf)
+    val rows = Sparql.construct(store,
+      """PREFIX ont: <cmwell://ont#>
+        |CONSTRUCT { ?n <cmwell://ont#partOf> ?r }
+        |WHERE { ?n ont:refRegion ?r . ?r ont:name "ASIA" }""".stripMargin)
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getString(1) == "partOf" &&
+      r.getString(0).startsWith("/nation/") &&
+      r.getString(2).startsWith("/region/")))
+  }
+
   // ---- _ow overwrite, _sp subgraph, stp views ----
 
   test("overwrite replays versions verbatim and recomputes current") {
