@@ -52,17 +52,18 @@ object IngestQueries {
             None, None, InfotonModel.TDouble, None, None))),
           Map("acctbal" -> Seq.empty))
       }
-    val merged = Merger.merge(s, store.infotons, cmds).persist()
+    val merged = Merger.merge(s, store.infotons, cmds)
     val st2 = GraftStore.fromInfotons(s, merged, Some(store.fieldTypes))
-    val versions = Search.run(st2,
-        Search.Request(path = "/customer", withHistory = true))
+    // one pass over the merged store: version count + the current
+    // version's values in the same aggregation (no self-join, no
+    // second scan, nothing to persist)
+    Search.run(st2, Search.Request(path = "/customer", withHistory = true))
       .groupBy(col("system.path").as("path"))
-      .agg(count(lit(1)).as("n_versions"))
-    Search.run(st2, Search.Request(path = "/customer"))
-      .select(col("system.path").as("path"),
-        Search.fieldN("custkey").cast("long").as("custkey"),
-        Search.fieldN("acctbal").as("acctbal"))
-      .join(versions, "path")
+      .agg(count(lit(1)).as("n_versions"),
+        max(when(col("system.current"),
+          Search.fieldN("custkey"))).cast("long").as("custkey"),
+        max(when(col("system.current"),
+          Search.fieldN("acctbal"))).as("acctbal"))
       .select("custkey", "acctbal", "n_versions")
       .orderBy("custkey")
   }
