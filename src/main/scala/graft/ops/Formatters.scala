@@ -62,6 +62,10 @@ object Formatters {
       lit(" .")).as("line"))
   }
 
+  /** `format=text` — one path per line (FormatExtractor's text). */
+  def text(infotons: DataFrame): DataFrame =
+    infotons.select(col("system.path").as("line"))
+
   /** JSON-lines — one infoton per line (the reference's jsonl). */
   def jsonl(infotons: DataFrame): DataFrame =
     infotons.select(to_json(struct(col("system"), col("fields"))).as("line"))

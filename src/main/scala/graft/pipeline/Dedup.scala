@@ -26,6 +26,16 @@ object Dedup {
     docs.select(col("doc_id"),
         explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
 
+  /** Inverted index with shingles hashed to 64-bit keys — the form the
+    * join-heavy operators (Jaccard, MinHash) share: long shuffles beat
+    * string shuffles, and identical plans share one cached
+    * materialization across queries. */
+  def hashedShingleIndex(docs: DataFrame, n: Int,
+                         textCol: String = "text"): DataFrame =
+    shingleIndex(docs, n, textCol)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact n-gram Jaccard near-dup pairs (j >= tau) via PREFIX
     * FILTERING (the All-Pairs / PPJoin family: Bayardo et al. WWW'07,
     * Xiao et al. WWW'08) — EXACT, no recall loss:
@@ -43,13 +53,10 @@ object Dedup {
     * then verified exactly by [[jaccardForPairs]]. */
   def jaccardPairs(docs: DataFrame, n: Int, tau: Double,
                    textCol: String = "text"): DataFrame = {
-    // shingles become 64-bit hashes up front: every downstream
-    // shuffle/join keys on longs instead of n-gram strings, and the
-    // verify arrays intersect as longs (collision odds ~ d²/2⁶⁵ —
-    // immaterial next to the exactness the oracle checks)
-    val idx = shingleIndex(docs, n, textCol)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 64-bit hashed shingles: long shuffles, long-array verify
+    // intersections (collision odds ~ d²/2⁶⁵ — immaterial next to the
+    // exactness the oracle checks)
+    val idx = hashedShingleIndex(docs, n, textCol)
     val df = idx.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "sh")
     val prefix = idx.join(df, "sh")
@@ -105,7 +112,7 @@ object Dedup {
     * ops per index row dominated the whole LSH job. */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
                         textCol: String = "text"): DataFrame = {
-    val idx = shingleIndex(docs, n, textCol)
+    val idx = hashedShingleIndex(docs, n, textCol)
     val aggs = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("sh"))).as(s"mh_$i")
     }
@@ -140,8 +147,11 @@ object Dedup {
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
       .distinct()
     // verify: exact jaccard computed for the candidate pairs only —
-    // this is the whole point of LSH (the all-pairs job never runs)
-    jaccardForPairs(docs, candidates, n, textCol)
+    // this is the whole point of LSH (the all-pairs job never runs);
+    // the hashed index is the same plan the signatures used, so the
+    // cached materialization is shared
+    jaccardForPairs(docs, candidates, n, textCol,
+      Some(hashedShingleIndex(docs, n, textCol)))
       .where(col("jaccard") >= tau)
   }
 

@@ -192,6 +192,16 @@ class EngineSpec extends AnyFunSuite {
     assert(feats.forall(_.getSeq[Float](1).length == 4))
   }
 
+  test("qp date ranges compare on the timestamp slot") {
+    val store = GraftStore.forDir(spark, Sf)
+    val got = Search.run(store, Search.Request(path = "/lineitem",
+      qp = Some("shipdate>1996-03-01,shipdate<<1997-06-30"))).count()
+    val want = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .where(col("l_shipdate") > "1996-03-01 00:00:00" &&
+        col("l_shipdate") <= "1997-06-30 00:00:00").count()
+    assert(got == want && got > 0)
+  }
+
   test("links resolve to their target's current version") {
     val store = storeOf(Seq(
       "<c://real/1> <c://o#tag> \"target\" .",
