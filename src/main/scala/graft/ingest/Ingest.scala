@@ -30,4 +30,17 @@ object Ingest {
   def ingest(spark: SparkSession, infotons: DataFrame, lines: Dataset[String],
              lastModified: Timestamp): DataFrame =
     Merger.merge(spark, infotons, commands(spark, lines, lastModified))
+
+  /** Turtle ingest: each element is ONE whole Turtle document (Turtle
+    * carries prefix state, so the document — not the line — is the
+    * unit of parallelism; pair with `wholeTextFiles`). */
+  def ingestTurtle(spark: SparkSession, infotons: DataFrame,
+                   docs: Dataset[String],
+                   lastModified: Timestamp): DataFrame = {
+    import spark.implicits._
+    val cmds = docs.flatMap(Turtle.parse(_))
+      .groupByKey(st => Rdf.iriToPath(st.subj))
+      .mapGroups { (path, sts) => Rdf.toCommand(path, sts.toSeq, lastModified) }
+    Merger.merge(spark, infotons, cmds)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Turtle subset parsing (prefixes, `;`/`,` lists, typed/lang/shorthand
+  * literals, `a`). */
+class TurtleSpec extends AnyFunSuite {
+
+  private val Doc =
+    """@prefix ont: <cmwell://ont#> .
+      |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+      |# a comment
+      |<cmwell://customer/1> a ont:Customer ;
+      |  ont:name "Alice \"A\" Smith"@en ;
+      |  ont:acctbal "711.56"^^xsd:double ;
+      |  ont:size 42 ;
+      |  ont:ratio 0.5 ;
+      |  ont:active true ;
+      |  ont:refNation <cmwell://nation/3>, <cmwell://nation/4> .
+      |ont:standalone ont:name "solo" .
+      |""".stripMargin
+
+  test("statements, lists and literal shapes all parse") {
+    val sts = Turtle.parse(Doc)
+    assert(sts.length == 9)
+    val bySubj = sts.groupBy(_.subj)
+    assert(bySubj.keySet ==
+      Set("cmwell://customer/1", "cmwell://ont#standalone"))
+    val c1 = bySubj("cmwell://customer/1")
+    assert(c1.exists(s =>
+      s.pred == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" &&
+      s.objIri.contains("cmwell://ont#Customer")))
+    assert(c1.exists(s => s.lit.contains("Alice \"A\" Smith") &&
+      s.lang.contains("en")))
+    assert(c1.count(_.pred == "cmwell://ont#refNation") == 2)
+    val typed = c1.map(Rdf.toValue)
+    assert(typed.exists(v => v.vType == "d" && v.n.contains(711.56)))
+    assert(typed.exists(v => v.vType == "l" && v.n.contains(42.0)))
+    assert(typed.exists(v => v.vType == "d" && v.n.contains(0.5)))
+    assert(typed.exists(v => v.vType == "b" && v.b.contains(true)))
+  }
+
+  test("blank-node syntax is rejected loudly") {
+    intercept[IllegalArgumentException](
+      Turtle.parse("<c://a> <c://o#p> [ <c://o#q> \"x\" ] ."))
+  }
+
+  test("turtle ingest lands searchable infotons") {
+    val spark = graft.SparkSuite.session
+    import spark.implicits._
+    val inf = Ingest.ingestTurtle(spark, Ingest.emptyStore(spark),
+      Seq(Doc).toDS(), java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val store = graft.model.GraftStore.fromInfotons(spark, inf)
+    val hit = graft.ops.Search.run(store,
+      graft.ops.Search.Request(path = "/customer", qp = Some("active::true")))
+    assert(hit.count() == 1)
+    assert(hit.select("system.path").head().getString(0) == "/customer/1")
+  }
+}
