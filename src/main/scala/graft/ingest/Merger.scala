@@ -156,10 +156,14 @@ object Merger {
       }
     // no .cast(SystemType): the case-class schema matches field-for-field
     // and a nullable→non-nullable struct cast is rejected; unionByName
-    // reconciles nullability
+    // reconciles nullability. Persisted: the batch output feeds three
+    // consumers (flag rewrite, result union, parent synthesis) and is
+    // delta-sized — without it the whole command+cogroup pipeline runs
+    // three times.
     val newV = merged.toDF()
       .withColumn("system", col("system")
         .withField("uuid", uuidCol(col("system"), col("fields"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val changed = newV.select(col("system.path").as("__np")).distinct()
     val flipped = infotons
       .join(changed, col("system.path") === col("__np"), "left")
@@ -170,12 +174,21 @@ object Merger {
       .drop("__np")
     val all = flipped.unionByName(newV)
     // missing-parents synthesis (ImpStream.scala:326-356): ancestors of
-    // new paths that don't exist yet become directory infotons
-    // anti join needs no distinct on the big side — dropping it saves a
-    // full-store shuffle per batch
-    val parents = newV.select(explode(ancestors(col("system.path"))).as("p"))
-      .distinct()
-      .join(all.select(col("system.path").as("p")), Seq("p"), "left_anti")
+    // new paths that don't exist yet become directory infotons. The
+    // candidate set (distinct parent dirs of one batch) is tiny, so it
+    // collects to the driver and existence becomes a pushed-down IN
+    // scan instead of an anti-join shuffling the whole store.
+    val cand = newV.select(explode(ancestors(col("system.path"))).as("p"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val existing =
+      if (cand.isEmpty) Set.empty[String]
+      else infotons.select(col("system.path").as("p0"))
+        .unionByName(newV.select(col("system.path").as("p0"))) // batch may write a parent itself
+        .where(col("p0").isin(cand: _*))
+        .distinct().collect().map(_.getString(0)).toSet
+    val missing = cand.filterNot(existing)
+    val parents = spark.createDataset(missing)(
+        org.apache.spark.sql.Encoders.STRING).toDF("p")
       .select(struct(
         col("p").as("path"),
         when(col("p") === "/", "$root")
@@ -198,17 +211,26 @@ object Merger {
   def overwrite(spark: SparkSession, infotons: DataFrame,
                 versions: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // flat helper columns up front: joining/windowing on nested
+    // extractions over this union lineage trips Catalyst's nested-
+    // column pruning (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
     val all = infotons.unionByName(versions)
+      .select(col("system"), col("fields"),
+        col("system.path").as("__path"),
+        col("system.indexTime").as("__it"), col("system.uuid").as("__uuid"))
     val changed = versions.select(col("system.path").as("__np")).distinct()
-    val w = Window.partitionBy(col("system.path"))
-      .orderBy(col("system.indexTime").desc, col("system.uuid").desc)
+    val w = Window.partitionBy(col("__path"))
+      .orderBy(col("__it").desc, col("__uuid").desc)
     // only affected paths get the window pass; the rest stream through
-    val affected = all.join(changed, col("system.path") === col("__np"),
+    val affected = all.join(changed, col("__path") === col("__np"),
         "left_semi")
-      .withColumn("system", col("system")
-        .withField("current", row_number().over(w) === 1))
-    val untouched = all.join(changed, col("system.path") === col("__np"),
-      "left_anti")
+      .select(col("system"), col("fields"),
+        (row_number().over(w) === 1).as("__cur"))
+      .select(col("system").withField("current", col("__cur")).as("system"),
+        col("fields"))
+    val untouched = all.join(changed, col("__path") === col("__np"),
+        "left_anti")
+      .select(col("system"), col("fields"))
     untouched.unionByName(affected)
   }
 
