@@ -109,8 +109,12 @@ object Search {
   def resolveLinks(store: GraftStore, df: DataFrame): DataFrame = {
     val links = df.where(col("system.kind") === InfotonModel.KindLink)
       .select(fieldS("linkTo").as("__target"))
+    // flat join key: a nested extraction in a self-derived semi join
+    // can hit Catalyst's nested-pruning internal error
     val resolved = store.current
-      .join(links, col("system.path") === col("__target"), "left_semi")
+      .select(col("system"), col("fields"), col("system.path").as("__path"))
+      .join(links, col("__path") === col("__target"), "left_semi")
+      .select(col("system"), col("fields"))
     df.where(col("system.kind") =!= InfotonModel.KindLink)
       .unionByName(resolved)
   }

@@ -64,6 +64,9 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .where(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
       .select("doc_id", "sh", "sz", "pos")
+      // persisted: both sides of the candidate self-join — without it
+      // the df-join + two windows run twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefix.alias("a"); val b = prefix.alias("b")
     // PPJoin position filter: the overlap can't exceed
     // 1 + min(remaining tokens after this position on either side),
@@ -183,6 +186,9 @@ object Dedup {
     val blocked = fps.select(col("doc_id"), col("simhash"),
         explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk"), col("c.ck"))
+      // persisted: the self-join would otherwise run the 64-bit-vote
+      // aggregation twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = blocked.alias("l"); val r = blocked.alias("r")
     l.join(r, col("l.chunk") === col("r.chunk") &&
         col("l.ck") === col("r.ck") && col("l.doc_id") < col("r.doc_id"))
