@@ -48,6 +48,15 @@ object AggQueries {
         "type:term,field::orderstatus,size:3<type:stats,field::totalprice>")
         .orderBy(col("doc_count").desc, col("key").asc)),
 
+    // nested, depth 2: term buckets -> term sub-buckets -> stats leaf
+    // (arbitrary strict nesting, FTSService.scala:1008-1036)
+    "q_agg_nested_deep" -> ((s, dir) =>
+      run(s, dir, "/orders",
+        "type:term,field::orderstatus,size:3" +
+          "<type:term,field::orderpriority,name:pri,size:10" +
+          "<type:stats,field::totalprice>>")
+        .orderBy(col("key").asc, col("pri_key").asc)),
+
     // nested: term buckets with a cardinality sub-aggregation
     "q_agg_nested_card" -> ((s, dir) =>
       run(s, dir, "/orders",
@@ -93,6 +102,18 @@ object AggQueries {
         |max(o_totalprice) AS totalprice_max,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS totalprice_sum
         |FROM orders GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 3""".stripMargin,
+    "q_agg_nested_deep" ->
+      """WITH top AS (SELECT o_orderstatus AS key, count(*) AS doc_count
+        |  FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3)
+        |SELECT t.key, t.doc_count, o.o_orderpriority AS pri_key,
+        |  count(*) AS pri_count,
+        |  count(o_totalprice) AS totalprice_count,
+        |  min(o_totalprice) AS totalprice_min,
+        |  max(o_totalprice) AS totalprice_max,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totalprice_sum
+        |FROM orders o JOIN top t ON o.o_orderstatus = t.key
+        |GROUP BY 1, 2, 3 ORDER BY key ASC, pri_key ASC""".stripMargin,
     "q_agg_nested_card" ->
       """SELECT o_orderstatus AS key, count(*) AS doc_count,
         |count(DISTINCT o_custkey) AS custkey_card

@@ -74,7 +74,7 @@ object Aggregations {
       .limit(spec.size)
     if (spec.subs.isEmpty) buckets
     else spec.subs.foldLeft(buckets) { (acc, sub) =>
-      val child = subAgg(store, base, spec.field, sub)
+      val child = subAgg(store, base, Seq(spec.field -> "key"), sub)
       // broadcast: surviving parent buckets are ≤ size rows
       child.join(broadcast(acc), Seq("key"))
         .select(acc.columns.map(col) ++
@@ -82,44 +82,69 @@ object Aggregations {
     }
   }
 
-  private def subAgg(store: GraftStore, base: DataFrame, parentField: String,
-                     sub: AggSpec): DataFrame = sub match {
-    case s: StatsAgg =>
-      keyed(store, base, parentField, "key")
-        .select(col("key"),
-          element_at(col("fields").getItem(s.field), 1).getField("n").as("v"))
-        .groupBy("key")
-        .agg(count(col("v")).as(s"${s.name}_count"),
-          min(col("v")).as(s"${s.name}_min"),
-          max(col("v")).as(s"${s.name}_max"),
-          // accumulate in decimal (partition-order independent), emit
-          // double — a decimal output column would hash differently
-          // from the oracle's float conversion
-          sum(col("v").cast("decimal(18,2)")).cast("double")
-            .as(s"${s.name}_sum"))
-    case t: TermAgg =>
-      keyed(store, base, parentField, "key")
-        .select(col("key"),
-          element_at(col("fields").getItem(t.field), 1).getField("s")
-            .as(s"${t.name}_key"))
-        .groupBy("key", s"${t.name}_key")
-        .agg(count(lit(1)).as(s"${t.name}_count"))
-    case c: CardAgg =>
-      keyed(store, base, parentField, "key")
-        .select(col("key"),
-          element_at(col("fields").getItem(c.field), 1).getField("n").as("v"))
-        .groupBy("key")
-        .agg(countDistinct(col("v")).as(s"${c.name}_card"))
-    case h: HistAgg =>
-      keyed(store, base, parentField, "key")
-        .select(col("key"),
-          element_at(col("fields").getItem(h.field), 1).getField("n").as("v"))
-        .groupBy(col("key"),
-          (floor(col("v") / h.interval) * h.interval).as(s"${h.name}_bucket"))
-        .agg(count(lit(1)).as(s"${h.name}_count"))
-        .where(col(s"${h.name}_count") >= h.minDocCount)
-    case other =>
-      throw new IllegalArgumentException(s"unsupported sub-agg $other")
+  /** First value of `field` routed to its typed slot (sub-agg keys and
+    * leaf values; single-valued fields — the head of a chain explodes). */
+  private def firstVal(store: GraftStore, field: String): Column = {
+    val v = element_at(col("fields").getItem(field), 1)
+    store.vTypeOf(field) match {
+      case Some(t) if "ildf".contains(t) => v.getField("n")
+      case Some("w") => v.getField("t")
+      case Some("b") => v.getField("b")
+      case _ => v.getField("s")
+    }
+  }
+
+  /** Sub-aggregation under an ancestor chain — ARBITRARY depth
+    * (reference strict nesting, FTSService.scala:1008-1036): the chain
+    * is (field, keyColumn) per ancestor bucket level, head exploded
+    * like the top-level bucketing; a TermAgg child recurses with its
+    * own key appended. Every level is one groupBy over the same keyed
+    * view, joined back to the surviving parent buckets — grouping-sets
+    * flattening of the response tree, not rollup. */
+  private def subAgg(store: GraftStore, base: DataFrame,
+                     chain: Seq[(String, String)], sub: AggSpec): DataFrame = {
+    val (headField, headAlias) = chain.head
+    def view(extra: (String, Column)*): DataFrame = {
+      val rest = chain.tail.map { case (f, a) => firstVal(store, f).as(a) } ++
+        extra.map { case (a, c) => c.as(a) }
+      keyed(store, base, headField, headAlias)
+        .select(col(headAlias) +: rest: _*)
+    }
+    val keys = chain.map(_._2)
+    sub match {
+      case s: StatsAgg =>
+        view("v" -> element_at(col("fields").getItem(s.field), 1).getField("n"))
+          .groupBy(keys.map(col): _*)
+          .agg(count(col("v")).as(s"${s.name}_count"),
+            min(col("v")).as(s"${s.name}_min"),
+            max(col("v")).as(s"${s.name}_max"),
+            // accumulate in decimal (partition-order independent), emit
+            // double — a decimal output column would hash differently
+            // from the oracle's float conversion
+            sum(col("v").cast("decimal(18,2)")).cast("double")
+              .as(s"${s.name}_sum"))
+      case t: TermAgg =>
+        val childKey = s"${t.name}_key"
+        val buckets = view(childKey -> firstVal(store, t.field))
+          .groupBy((keys :+ childKey).map(col): _*)
+          .agg(count(lit(1)).as(s"${t.name}_count"))
+        t.subs.foldLeft(buckets) { (acc, deeper) =>
+          val child = subAgg(store, base, chain :+ ((t.field, childKey)), deeper)
+          acc.join(child, keys :+ childKey)
+        }
+      case c: CardAgg =>
+        view("v" -> element_at(col("fields").getItem(c.field), 1).getField("n"))
+          .groupBy(keys.map(col): _*)
+          .agg(countDistinct(col("v")).as(s"${c.name}_card"))
+      case h: HistAgg =>
+        view("v" -> element_at(col("fields").getItem(h.field), 1).getField("n"))
+          .groupBy(keys.map(col) :+
+            (floor(col("v") / h.interval) * h.interval).as(s"${h.name}_bucket"): _*)
+          .agg(count(lit(1)).as(s"${h.name}_count"))
+          .where(col(s"${h.name}_count") >= h.minDocCount)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported sub-agg $other")
+    }
   }
 
   /** type:stats — count/min/max/avg/sum. Sum runs in decimal so the
