@@ -78,6 +78,7 @@ object InfotonModel {
   val KindDeleted = "DeletedInfoton"
   val KindLink = "LinkInfoton"
   val KindFile = "FileInfoton"
+  val KindVirtual = "VirtualInfoton"
 
   // vType tags (Infoton.scala:527-537 type-prefix chars; `r` is ours for
   // FReference which the reference encodes as a plain string URI)

@@ -44,6 +44,36 @@ object Admin {
           .as("tombstones"))
   }
 
+  /** VirtualInfoton `/proc` (reference ActiveInfotonGenerator;
+    * Infoton.scala:441-471): store statistics synthesized AT READ TIME
+    * as infotons — one `/proc/dir<parent>` per directory with version /
+    * current counts and the high-water indexTime. Never stored; the
+    * frame is computed from the live store on each call. */
+  def proc(store: GraftStore): DataFrame = {
+    import graft.model.{InfotonModel, TableLoader}
+    store.infotons
+      .groupBy(col("system.parent").as("dir"))
+      .agg(count(lit(1)).as("versions"),
+        sum(when(col("system.current"), 1L).otherwise(0L)).as("cur"),
+        max(col("system.indexTime")).as("maxIt"))
+      .select(
+        struct(
+          concat(lit("/proc/dir"), col("dir")).as("path"),
+          lit("/proc").as("parent"),
+          to_timestamp(lit("1970-01-01 00:00:00")).as("lastModified"),
+          lit("virtual").as("lastModifiedBy"),
+          lit(null).cast("string").as("uuid"),
+          lit("local").as("dc"), col("maxIt").as("indexTime"),
+          lit(true).as("current"),
+          lit(InfotonModel.KindVirtual).as("kind"),
+          lit("cmwell").as("protocol")).as("system"),
+        map(
+          lit("versions"), array(TableLoader.lVal(col("versions"))),
+          lit("currentCount"), array(TableLoader.lVal(col("cur"))),
+          lit("maxIndexTime"), array(TableLoader.lVal(col("maxIt"))))
+          .as("fields"))
+  }
+
   /** CompoundInfoton — the directory-listing envelope
     * (Infoton.scala:241-267: children + offset/length/total). One row
     * per child plus the envelope columns; total comes from a 1-row

@@ -295,6 +295,19 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema") && !plan.contains("l_comment"))
   }
 
+  test("/proc virtual infotons expose live store statistics") {
+    val store = GraftStore.forDir(spark, Sf)
+    val proc = graft.ops.Admin.proc(store)
+    val users = proc.where(col("system.path") === "/proc/dir/user")
+    assert(users.count() == 1)
+    val versions = users.select(Search.fieldN("versions")).head().getDouble(0)
+    val expected = Search.run(store,
+      Search.Request(path = "/user", withHistory = true)).count()
+    assert(versions == expected.toDouble)
+    assert(proc.select("system.kind").distinct().head().getString(0) ==
+      "VirtualInfoton")
+  }
+
   test("tracking report counts written versions per parent") {
     import spark.implicits._
     val before = Ingest.ingest(spark, Ingest.emptyStore(spark),
