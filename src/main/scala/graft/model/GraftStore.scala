@@ -53,6 +53,42 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
 object GraftStore {
   private val cache = new ConcurrentHashMap[String, GraftStore]()
 
+  /** Write the store in its production parquet layout — the concrete
+    * 100 TB design the in-memory persist stands in for:
+    *   - `infotons/` partitioned by parent (path-prefix pruning for
+    *     path/parent predicates), rows sorted by (path, indexTime)
+    *     within files so point reads and consume ranges prune row
+    *     groups via min/max stats;
+    *   - `quads/` partitioned by predicate — graph edge scans
+    *     (`predicate === field`) read exactly one partition instead of
+    *     the whole EAV view. On a cluster both would additionally be
+    *     bucketed (path / subject) for shuffle-free joins. */
+  def materialize(store: GraftStore, dir: String): Unit = {
+    store.infotons
+      .withColumn("__parent", col("system.parent"))
+      .repartition(col("__parent"))
+      .sortWithinPartitions(col("system.path"), col("system.indexTime"))
+      .write.mode("overwrite").partitionBy("__parent")
+      .parquet(s"$dir/infotons")
+    store.quads
+      .repartition(col("predicate"))
+      .sortWithinPartitions(col("subject"))
+      .write.mode("overwrite").partitionBy("predicate")
+      .parquet(s"$dir/quads")
+  }
+
+  /** Open a materialized store. Scans hit real parquet: pushdown,
+    * partition pruning and row-group skipping all visible in
+    * `.explain` (vs the in-memory cache used for local iteration). */
+  def forParquet(spark: SparkSession, dir: String,
+                 fieldTypes: Map[String, String] = TableLoader.fieldTypes)
+      : GraftStore = {
+    val inf = spark.read.parquet(s"$dir/infotons").drop("__parent")
+    val quads = spark.read.parquet(s"$dir/quads")
+      .select(InfotonModel.QuadType.fieldNames.map(col): _*) // canonical order
+    new GraftStore(spark, inf, fieldTypes, Some(quads))
+  }
+
   /** Load (once per sf dir per JVM) the driver tables as an infoton
     * store. The persist is the local stand-in for the one-time ETL that
     * would materialize the store as Parquet at cluster scale. */

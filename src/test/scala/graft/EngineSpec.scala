@@ -273,6 +273,29 @@ class EngineSpec extends AnyFunSuite {
     assert(r2.nextToken == r1.nextToken)
   }
 
+  test("materialized parquet store answers identically with pruned scans") {
+    val store = GraftStore.forDir(spark, Sf)
+    val dir = "/tmp/graft_store_spec"
+    GraftStore.materialize(store, dir)
+    val disk = GraftStore.forParquet(spark, dir)
+    // search parity
+    val q = Search.Request(path = "/customer", qp = Some("acctbal>5000"))
+    assert(paths(Search.run(disk, q)) == paths(Search.run(store, q)))
+    // graph parity through the predicate-partitioned quad view
+    val g = graft.ops.Graph.gqp(disk,
+      Search.run(disk, Search.Request(path = "/customer")),
+      "<refCustomer[totalprice>200000]")
+    val gMem = graft.ops.Graph.gqp(store,
+      Search.run(store, Search.Request(path = "/customer")),
+      "<refCustomer[totalprice>200000]")
+    assert(paths(g) == paths(gMem))
+    // the edge scan is partition-pruned to one predicate
+    val plan = graft.ops.Admin.debugInfo(
+      disk.quads.where(col("predicate") === "refCustomer"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("refCustomer"))
+  }
+
   // ---- admin surface ----
 
   test("purge removes versions physically; purge-history keeps current") {
