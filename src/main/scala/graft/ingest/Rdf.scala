@@ -85,9 +85,12 @@ object Rdf {
           val s = i; while (i < t.length && !t.charAt(i).isWhitespace) i += 1
           ("blank", t.substring(s, i), None, None)
         case '"' =>
+          // escape-aware scan: skip \x pairs so a literal ending in a
+          // (correctly escaped) backslash doesn't hide the close quote
           var e = i + 1
-          while (e < t.length &&
-            !(t.charAt(e) == '"' && t.charAt(e - 1) != '\\')) e += 1
+          while (e < t.length && t.charAt(e) != '"') {
+            if (t.charAt(e) == '\\') e += 2 else e += 1
+          }
           require(e < t.length, s"unterminated literal in: $t")
           val v = unescape(t.substring(i + 1, e)); i = e + 1
           if (i + 1 < t.length && t.startsWith("^^<", i)) {
@@ -138,9 +141,16 @@ object Rdf {
         case Some("boolean") =>
           Merger.FieldValue(v, None, None, Some(v.toBoolean), TBool, None, st.quad)
         case Some("dateTime") | Some("date") =>
-          val ts = Timestamp.from(java.time.OffsetDateTime
-            .parse(if (v.length == 10) v + "T00:00:00Z" else v).toInstant)
-          Merger.FieldValue(v, None, Some(ts), None, TDate, None, st.quad)
+          // xsd:dateTime allows a timezone-less form — parse as UTC then
+          val lex = if (v.length == 10) v + "T00:00:00" else v
+          val instant =
+            try java.time.OffsetDateTime.parse(lex).toInstant
+            catch { case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDateTime.parse(lex)
+                .toInstant(java.time.ZoneOffset.UTC)
+            }
+          Merger.FieldValue(v, None, Some(Timestamp.from(instant)), None,
+            TDate, None, st.quad)
         case _ =>
           Merger.FieldValue(v, None, None, None, TString, st.lang, st.quad)
       }

@@ -38,9 +38,11 @@ object Turtle {
           val e = s.indexOf('>', i); require(e > 0, "unterminated IRI")
           val t = s.substring(i, e + 1); i = e + 1; t
         case '"' =>
+          // escape-aware scan (see Rdf.parseLine): skip \x pairs
           var e = i + 1
-          while (e < s.length &&
-            !(s.charAt(e) == '"' && s.charAt(e - 1) != '\\')) e += 1
+          while (e < s.length && s.charAt(e) != '"') {
+            if (s.charAt(e) == '\\') e += 2 else e += 1
+          }
           require(e < s.length, "unterminated literal")
           var j = e + 1
           if (j + 1 < s.length && s.startsWith("^^", j)) {
@@ -95,7 +97,9 @@ object Turtle {
       val Xsd = "http://www.w3.org/2001/XMLSchema#"
       if (tok.startsWith("\"")) {
         var e = 1
-        while (!(tok.charAt(e) == '"' && tok.charAt(e - 1) != '\\')) e += 1
+        while (tok.charAt(e) != '"') {
+          if (tok.charAt(e) == '\\') e += 2 else e += 1
+        }
         val body = tok.substring(1, e)
         val rest = tok.substring(e + 1)
         val (dt, lang) =
@@ -111,7 +115,9 @@ object Turtle {
       else if (tok.matches("[+-]?\\d+"))
         Rdf.Statement(subj, pred, None, Some(tok),
           Some(Xsd + "integer"), None, None)
-      else if (tok.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?"))
+      else if (tok.matches("[+-]?(\\d*\\.\\d+|\\d+)([eE][+-]?\\d+)?") &&
+               (tok.contains(".") || tok.exists(c => c == 'e' || c == 'E')))
+        // DECIMAL (dot) or DOUBLE (exponent form, incl. 1e5)
         Rdf.Statement(subj, pred, None, Some(tok),
           Some(Xsd + "decimal"), None, None)
       else Rdf.Statement(subj, pred, Some(resolve(tok)), None, None, None, None)

@@ -133,7 +133,9 @@ object Aggregations {
           acc.join(child, keys :+ childKey)
         }
       case c: CardAgg =>
-        view("v" -> element_at(col("fields").getItem(c.field), 1).getField("n"))
+        // typed slot, NOT the numeric one — card over a string field
+        // would otherwise count all-null as 0
+        view("v" -> firstVal(store, c.field))
           .groupBy(keys.map(col): _*)
           .agg(countDistinct(col("v")).as(s"${c.name}_card"))
       case h: HistAgg =>

@@ -54,7 +54,9 @@ object Graph {
         Seq.fill(d.toInt)(allRefFields.map(Hop(false, _)))
       case chain =>
         val seg = "([A-Za-z0-9_$]+)(?:\\[([^\\]]*)\\])?".r
-        chain.split('.').toSeq.map {
+        // split on dots OUTSIDE brackets only — per-level qp values may
+        // themselves contain dots (e.g. refPart[retailprice>100.5])
+        chain.split("\\.(?![^\\[]*\\])").toSeq.map {
           case seg(f, qp) => Seq(Hop(incoming = false, f, Option(qp)))
           case bad => throw new IllegalArgumentException(s"bad xg segment $bad")
         }

@@ -180,7 +180,12 @@ object Sparql {
 
   private def joined(a: DataFrame, b: DataFrame, how: String): DataFrame = {
     val on = joinVars(a, b)
-    if (on.isEmpty) a.crossJoin(b) else a.join(b, on, how)
+    // a variable bound as object on BOTH sides carries a numeric
+    // shadow on each — keep the left's (the join equates the canonical
+    // strings) or a later FILTER hits an ambiguous reference
+    val dupShadows = a.columns.intersect(b.columns).filter(_.endsWith("__n"))
+    val bClean = dupShadows.foldLeft(b)(_ drop _)
+    if (on.isEmpty) a.crossJoin(bClean) else a.join(bClean, on, how)
   }
 
   private def condCol(c: Cond): Column = {
@@ -224,13 +229,16 @@ object Sparql {
       df = joined(df, side, "left")
     }
     q.filters.foreach { group =>
-      // group is a chain where each Cond says how it connects to the next
-      val colExpr = group.map(condCol)
-      val combined = group.zip(colExpr).foldLeft(Option.empty[(Column, Boolean)]) {
-        case (None, (c, e)) => Some(e -> c.orNext)
-        case (Some((acc, true)), (c, e)) => Some((acc || e) -> c.orNext)
-        case (Some((acc, false)), (c, e)) => Some((acc && e) -> c.orNext)
-      }.get._1
+      // standard precedence: && binds tighter than || — the chain is
+      // an OR of AND-runs (each Cond's orNext says which connector
+      // follows it)
+      val andRuns = group.foldLeft(Vector(Vector.empty[Cond])) {
+        (acc, c) =>
+          val updated = acc.init :+ (acc.last :+ c)
+          if (c.orNext) updated :+ Vector.empty else updated
+      }.filter(_.nonEmpty)
+      val combined = andRuns
+        .map(_.map(condCol).reduce(_ && _)).reduce(_ || _)
       df = df.where(combined)
     }
     df

@@ -176,6 +176,37 @@ class EngineSpec extends AnyFunSuite {
     assert(r.length == 5 && r.forall(_.startsWith("/nation/")))
   }
 
+  test("xg per-level filter values may contain dots") {
+    val levels = graft.ops.Graph.parseXg("refPart[retailprice>100.5]", Nil)
+    assert(levels == Seq(Seq(
+      graft.ops.Graph.Hop(incoming = false, "refPart", Some("retailprice>100.5")))))
+  }
+
+  test("SPARQL FILTER gives && precedence over ||") {
+    val store = storeOf(Seq(
+      "<c://v/1> <c://o#a> \"1\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://v/1> <c://o#b> \"2\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
+      T("2024-01-01 00:00:00"))
+    // a=1 || (a=2 && b>5): true for v1; left-to-right folding would
+    // compute (a=1 || a=2) && b>5 = false
+    val r = Sparql.select(store,
+      """SELECT ?x WHERE { ?x <c://o#a> ?a . ?x <c://o#b> ?b .
+        |FILTER (?a = 1 || ?a = 2 && ?b > 5) }""".stripMargin)
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("/v/1"))
+  }
+
+  test("a variable bound as object in two patterns can be filtered") {
+    val store = storeOf(Seq(
+      "<c://w/1> <c://o#p> \"7\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://w/2> <c://o#q> \"7\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
+      T("2024-01-01 00:00:00"))
+    val r = Sparql.select(store,
+      """SELECT ?x ?y WHERE { ?x <c://o#p> ?v . ?y <c://o#q> ?v .
+        |FILTER (?v > 5) }""".stripMargin)
+    assert(r.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("/w/1", "/w/2")))
+  }
+
   // ---- multimodal plumbing ----
 
   test("stub decode is deterministic with a fixed batch shape") {

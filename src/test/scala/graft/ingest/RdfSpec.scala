@@ -57,6 +57,20 @@ class RdfSpec extends AnyFunSuite {
     assert(st.quad.contains("/graph/g1"))
   }
 
+  test("literal ending in an escaped backslash parses") {
+    val Some(st) = Rdf.parseLine(
+      """<c://a> <c://o#k> "ends with \\" ."""): @unchecked
+    assert(st.lit.contains("ends with \\"))
+  }
+
+  test("timezone-less xsd:dateTime parses as UTC") {
+    val v = Rdf.toValue(Rdf.parseLine(
+      """<c://a> <c://o#k> "2026-01-15T10:30:00"^^<http://www.w3.org/2001/XMLSchema#dateTime> .""").get)
+    assert(v.vType == TDate)
+    assert(v.t.get.toInstant ==
+      java.time.Instant.parse("2026-01-15T10:30:00Z"))
+  }
+
   test("comments and blanks skipped") {
     assert(Rdf.parseLine("# comment").isEmpty)
     assert(Rdf.parseLine("   ").isEmpty)

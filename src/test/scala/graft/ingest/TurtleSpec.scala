@@ -40,6 +40,16 @@ class TurtleSpec extends AnyFunSuite {
     assert(typed.exists(v => v.vType == "b" && v.b.contains(true)))
   }
 
+  test("exponent-form doubles and backslash-final literals parse") {
+    val sts = Turtle.parse(
+      """<c://x> <c://o#big> 1e5 ; <c://o#s> "tail\\" .""")
+    assert(sts.exists(s => s.lit.contains("1e5") &&
+      s.dtype.exists(_.endsWith("decimal"))))
+    assert(sts.exists(_.lit.contains("tail\\")))
+    assert(Rdf.toValue(sts.find(_.lit.contains("1e5")).get).n
+      .contains(100000.0))
+  }
+
   test("blank-node syntax is rejected loudly") {
     intercept[IllegalArgumentException](
       Turtle.parse("<c://a> <c://o#p> [ <c://o#q> \"x\" ] ."))
