@@ -84,6 +84,41 @@ object Formatters {
     infotons.select(concat_ws(sep, quoted: _*).as("line"))
   }
 
+  /** YAML — one document per infoton (reference YamlFormatter):
+    * system block + fields with first-value lexical forms. */
+  def yaml(infotons: DataFrame): DataFrame = {
+    val sys = Seq("path", "parent", "uuid", "kind").map(f =>
+      concat(lit(s"  $f: "), col(s"system.$f")))
+    val fieldLines = transform(map_entries(col("fields")),
+      e => concat(lit("  "), e.getField("key"), lit(": "),
+        e.getField("value").getItem(0).getField("s")))
+    infotons.select(concat(
+      lit("---\nsystem:\n"), concat_ws("\n", sys: _*),
+      lit("\nfields:\n"),
+      when(col("fields").isNotNull, array_join(fieldLines, "\n"))
+        .otherwise(lit("")))
+      .as("doc"))
+  }
+
+  /** Atom feed entries (reference AtomFormatter): one `<entry>` per
+    * infoton; wrap with [[atomFeed]] head/tail for a full feed. */
+  def atomEntries(infotons: DataFrame): DataFrame =
+    infotons.select(concat(
+      lit("<entry><id>"), xmlEscape(col("system.path")),
+      lit("</id><title>"), xmlEscape(col("system.path")),
+      lit("</title><updated>"),
+      date_format(col("system.lastModified"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      lit("</updated></entry>")).as("line"))
+
+  def atomFeed(title: String): (String, String) =
+    (s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+      s"""<feed xmlns="http://www.w3.org/2005/Atom"><title>$title</title>""",
+      "</feed>")
+
+  private def xmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
   /** Union of field names over a frame — the csv header dictionary
     * (small: distinct predicate names, same cardinality class as the
     * reference's /meta/ns). */

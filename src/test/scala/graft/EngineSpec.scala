@@ -165,6 +165,25 @@ class EngineSpec extends AnyFunSuite {
       ("ref", "/m/2", "r", None, None)))
   }
 
+  test("yaml and atom formatters render per-infoton documents") {
+    val store = GraftStore.forDir(spark, Sf)
+    val regions = Search.run(store, Search.Request(path = "/region"))
+    val y = graft.ops.Formatters.yaml(regions).collect().map(_.getString(0))
+    assert(y.length == 5 && y.forall(d =>
+      d.startsWith("---\nsystem:\n") && d.contains("  path: /region/")))
+    val a = graft.ops.Formatters.atomEntries(regions)
+      .collect().map(_.getString(0))
+    assert(a.forall(e => e.startsWith("<entry><id>/region/") &&
+      e.endsWith("</entry>")))
+  }
+
+  test("SPARQL DISTINCT deduplicates solutions") {
+    val store = GraftStore.forDir(spark, Sf)
+    val q = "SELECT DISTINCT ?r WHERE { ?n <cmwell://ont#refRegion> ?r }"
+    val distinct = Sparql.select(store, q).count()
+    assert(distinct == 5) // 25 nations -> 5 regions
+  }
+
   // ---- SPARQL over quads ----
 
   test("SPARQL chain query binds across patterns") {
