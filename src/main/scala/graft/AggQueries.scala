@@ -63,6 +63,14 @@ object AggQueries {
         "type:term,field::orderstatus,size:3<type:card,field::custkey>")
         .orderBy(col("doc_count").desc, col("key").asc)),
 
+    // nested: sig-terms under term buckets (FTSService.scala:1008-1036
+    // allows any nesting): fg = the bucket's orders, bg = all orders
+    "q_agg_nested_sig" -> ((s, dir) =>
+      run(s, dir, "/orders",
+        "type:term,field::orderstatus,size:3" +
+          "<type:sig,field::orderpriority,name:sig,size:3>")
+        .orderBy(col("key").asc, col("sig_key").asc)),
+
     // type:sig — significant event types among high-value versions
     // vs all versions (JLH-style score)
     "q_agg_sig" -> ((s, dir) => {
@@ -118,6 +126,27 @@ object AggQueries {
       """SELECT o_orderstatus AS key, count(*) AS doc_count,
         |count(DISTINCT o_custkey) AS custkey_card
         |FROM orders GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 3""".stripMargin,
+    "q_agg_nested_sig" ->
+      """WITH top AS (SELECT o_orderstatus AS key, count(*) AS doc_count
+        |  FROM orders GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 3),
+        |fg AS (SELECT o_orderstatus AS key, o_orderpriority AS sig_key,
+        |  count(*) AS sig_fg FROM orders GROUP BY 1, 2),
+        |fgt AS (SELECT key, sum(sig_fg) AS fg_total FROM fg GROUP BY 1),
+        |bg AS (SELECT o_orderpriority AS sig_key, count(*) AS sig_bg
+        |  FROM orders GROUP BY 1),
+        |bgt AS (SELECT sum(sig_bg) AS bg_total FROM bg),
+        |s AS (SELECT fg.key, fg.sig_key, sig_fg, sig_bg,
+        |  (((CAST(sig_fg AS DOUBLE) / fg_total) - (CAST(sig_bg AS DOUBLE) / bg_total))
+        |   * (CAST(sig_fg AS DOUBLE) / fg_total)) / (CAST(sig_bg AS DOUBLE) / bg_total)
+        |    AS sig_score
+        |  FROM fg JOIN fgt USING(key) JOIN bg USING(sig_key) CROSS JOIN bgt
+        |  WHERE sig_fg >= 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY sig_score DESC, sig_key ASC) AS rn
+        |  FROM s WHERE sig_score > 0)
+        |SELECT t.key, t.doc_count, r.sig_key, r.sig_fg, r.sig_bg, r.sig_score
+        |FROM r JOIN top t USING(key) WHERE rn <= 3
+        |ORDER BY key ASC, sig_key ASC""".stripMargin,
     "q_agg_sig" ->
       """WITH fg AS (SELECT event_type AS key, count(*) AS fg_count FROM events
         |  WHERE "value" > 150 GROUP BY 1),

@@ -21,7 +21,7 @@ object GraphQueries {
       val store = st(s, dir)
       val base = Search.run(store, Search.Request(path = "/orders",
         qp = Some("orderpriority::1-URGENT,totalprice>95000")))
-      pathsOf(Graph.xg(store, base, Graph.parseXg("refCustomer", Nil)))
+      pathsOf(Graph.xg(store, base, Graph.parseXg("refCustomer", Graph.refFields(store))))
     }),
 
     // xg two-level chain: max-quantity lineitems -> orders -> customers
@@ -30,7 +30,7 @@ object GraphQueries {
       val base = Search.run(store, Search.Request(path = "/lineitem",
         qp = Some("quantity>49.5")))
       pathsOf(Graph.xg(store, base,
-        Graph.parseXg("refOrders.refCustomer", Nil)))
+        Graph.parseXg("refOrders.refCustomer", Graph.refFields(store))))
     }),
 
     // yg incoming hop with per-hop filter: top BUILDING customers plus
@@ -60,6 +60,17 @@ object GraphQueries {
         "<refSupplier[quantity>49]>refOrders[orderpriority::1-URGENT]"))
     }),
 
+    // xg=_ wildcard: one hop over EVERY reference field in the store's
+    // type dictionary (Parsers.scala:384-465 `_` form). Base = rich
+    // BUILDING customers; only refNation edges leave /customer, so the
+    // expansion reaches their nations.
+    "q_xg_all" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/customer",
+        qp = Some("mktsegment::BUILDING,acctbal>9900")))
+      pathsOf(Graph.xg(store, base, Graph.parseXg("_", Graph.refFields(store))))
+    }),
+
     // xg with a per-level value filter (Parsers.scala:384-465): expand
     // BUILDING customers along refNation, keeping only GERMANY targets
     "q_xg_filtered" -> ((s, dir) => {
@@ -67,7 +78,7 @@ object GraphQueries {
       val base = Search.run(store, Search.Request(path = "/customer",
         qp = Some("mktsegment::BUILDING")))
       pathsOf(Graph.xg(store, base,
-        Graph.parseXg("refNation[name::GERMANY]", Nil)))
+        Graph.parseXg("refNation[name::GERMANY]", Graph.refFields(store))))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -114,6 +125,15 @@ object GraphQueries {
         |  WHERE l_suppkey = s_suppkey AND l_quantity > 49
         |    AND o_orderpriority = '1-URGENT')
         |ORDER BY path""".stripMargin,
+    "q_xg_all" ->
+      """SELECT path FROM (
+        |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
+        |  UNION
+        |  SELECT DISTINCT '/nation/' || CAST(c_nationkey AS VARCHAR)
+        |  FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
+        |) ORDER BY path""".stripMargin,
     "q_xg_filtered" ->
       """SELECT path FROM (
         |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path FROM customer

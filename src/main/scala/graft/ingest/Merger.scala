@@ -99,8 +99,11 @@ object Merger {
       .map { case (f, vs) => f -> vs.map(vKey).toSet }
     val newFields = fields.map { case (f, vs) => f -> vs.map(vKey).toSet }
     val baseDeleted = base.exists(_.system.kind == InfotonModel.KindDeleted)
+    // compare EFFECTIVE kinds — `kind` masks KindDeleted, so a delete
+    // replayed onto a tombstone must still read as a no-op
+    val effKind = if (deleted) InfotonModel.KindDeleted else kind
     if (base.nonEmpty && newFields == baseFields && deleted == baseDeleted &&
-        base.exists(_.system.kind == kind))
+        base.exists(_.system.kind == effKind))
       None // no-op (same content ⇒ same uuid ⇒ dropped)
     else {
       // strictly-increasing lastModified per path (the reference bumps
@@ -174,21 +177,29 @@ object Merger {
       .drop("__np")
     val all = flipped.unionByName(newV)
     // missing-parents synthesis (ImpStream.scala:326-356): ancestors of
-    // new paths that don't exist yet become directory infotons. The
-    // candidate set (distinct parent dirs of one batch) is tiny, so it
-    // collects to the driver and existence becomes a pushed-down IN
-    // scan instead of an anti-join shuffling the whole store.
-    val cand = newV.select(explode(ancestors(col("system.path"))).as("p"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val existing =
-      if (cand.isEmpty) Set.empty[String]
-      else infotons.select(col("system.path").as("p0"))
-        .unionByName(newV.select(col("system.path").as("p0"))) // batch may write a parent itself
-        .where(col("p0").isin(cand: _*))
-        .distinct().collect().map(_.getString(0)).toSet
-    val missing = cand.filterNot(existing)
-    val parents = spark.createDataset(missing)(
-        org.apache.spark.sql.Encoders.STRING).toDF("p")
+    // new paths that don't exist yet become directory infotons. For
+    // incremental batches the candidate set (distinct parent dirs) is
+    // tiny — collect it and let existence become a pushed-down IN scan.
+    // A bulk initial load can carry millions of distinct directories,
+    // so above a small threshold fall back to a fully-distributed
+    // anti-join instead of funneling paths through the driver.
+    val candDf = newV.select(explode(ancestors(col("system.path"))).as("p"))
+      .distinct()
+    val existingAll = infotons.select(col("system.path").as("p0"))
+      .unionByName(newV.select(col("system.path").as("p0"))) // batch may write a parent itself
+    val missingDf =
+      if (candDf.limit(10001).count() <= 10000) {
+        val cand = candDf.collect().map(_.getString(0)).toSeq
+        val existing =
+          if (cand.isEmpty) Set.empty[String]
+          else existingAll.where(col("p0").isin(cand: _*))
+            .distinct().collect().map(_.getString(0)).toSet
+        spark.createDataset(cand.filterNot(existing))(
+          org.apache.spark.sql.Encoders.STRING).toDF("p")
+      } else
+        candDf.join(existingAll.distinct(), col("p") === col("p0"),
+          "left_anti").select("p")
+    val parents = missingDf
       .select(struct(
         col("p").as("path"),
         when(col("p") === "/", "$root")

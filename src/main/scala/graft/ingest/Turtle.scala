@@ -1,159 +1,247 @@
 package graft.ingest
 
-/** Turtle subset parser → [[Rdf.Statement]]s (the `POST /_in`
-  * `text/turtle` path; reference parses via Jena,
-  * InputHandler.scala:259 — no Jena in this build).
+/** Turtle parser → [[Rdf.Statement]]s (the `POST /_in` `text/turtle`
+  * path; reference parses via Jena, InputHandler.scala:259 — no Jena in
+  * this build).
   *
   * Supported: `@prefix`/`PREFIX`, IRIs, prefixed names, `a` (rdf:type),
   * `;` predicate lists, `,` object lists, string literals with
-  * `^^datatype` / `@lang`, numeric and boolean shorthand literals,
-  * comments. Not supported (throws): blank-node property lists `[...]`,
-  * collections `(...)`, multi-line `\"\"\"` literals — the bulk-exchange
-  * formats (N-Triples/N-Quads) cover those producers.
+  * `^^datatype` / `@lang`, multi-line `"""` literals, numeric and
+  * boolean shorthand literals, blank-node labels `_:x`, blank-node
+  * property lists `[...]`, collections `(...)` (expanded to
+  * rdf:first/rdf:rest chains), comments. Not supported (throws):
+  * `@base`-relative IRIs — the reference's bulk tools always emit
+  * absolute IRIs.
+  *
+  * Unresolved single-colon prefixed names THROW (fail-loud policy): a
+  * typo'd prefix must not silently become a field name. Only genuinely
+  * scheme-qualified tokens (`cmwell://...`) pass through.
   *
   * Turtle is stateful (prefixes), so the unit of parallelism is one
   * document (e.g. one file via `wholeTextFiles`), not one line.
   */
 object Turtle {
 
-  private val Rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val Rdf_type = RdfNs + "type"
+  private val Rdf_first = RdfNs + "first"
+  private val Rdf_rest = RdfNs + "rest"
+  private val Rdf_nil = RdfNs + "nil"
+  private val Xsd = "http://www.w3.org/2001/XMLSchema#"
 
-  private final class Lexer(s: String) {
-    var i = 0
-    def ws(): Unit = {
-      while (i < s.length &&
-        (s.charAt(i).isWhitespace || s.charAt(i) == '#')) {
-        if (s.charAt(i) == '#') while (i < s.length && s.charAt(i) != '\n') i += 1
+  /** Parse one Turtle document into statements. */
+  def parse(doc: String): Seq[Rdf.Statement] = new Parser(doc).document()
+
+  private final class Parser(src: String) {
+    private var i = 0
+    private var prefixes = Map.empty[String, String]
+    private var bn = 0
+    private val out = Vector.newBuilder[Rdf.Statement]
+
+    private def freshBnode(): String = { bn += 1; "_:g" + bn }
+
+    private def ws(): Unit = {
+      while (i < src.length &&
+        (src.charAt(i).isWhitespace || src.charAt(i) == '#')) {
+        if (src.charAt(i) == '#')
+          while (i < src.length && src.charAt(i) != '\n') i += 1
         else i += 1
       }
     }
-    def eof: Boolean = { ws(); i >= s.length }
-    def peek: Char = { ws(); s.charAt(i) }
-    /** next token: IRI, pname, literal, keyword, or punctuation */
-    def next(): String = {
+    private def eof: Boolean = { ws(); i >= src.length }
+    private def peek: Char = { ws(); src.charAt(i) }
+    private def expect(c: Char): Unit = {
       ws()
-      val c = s.charAt(i)
-      c match {
-        case '<' =>
-          val e = s.indexOf('>', i); require(e > 0, "unterminated IRI")
-          val t = s.substring(i, e + 1); i = e + 1; t
-        case '"' =>
-          // escape-aware scan (see Rdf.parseLine): skip \x pairs
-          var e = i + 1
-          while (e < s.length && s.charAt(e) != '"') {
-            if (s.charAt(e) == '\\') e += 2 else e += 1
-          }
-          require(e < s.length, "unterminated literal")
-          var j = e + 1
-          if (j + 1 < s.length && s.startsWith("^^", j)) {
-            j += 2
-            if (s.charAt(j) == '<') j = s.indexOf('>', j) + 1
-            else while (j < s.length && !s.charAt(j).isWhitespace &&
-              !";,.".contains(s.charAt(j))) j += 1
-          } else if (j < s.length && s.charAt(j) == '@') {
-            j += 1
-            while (j < s.length && (s.charAt(j).isLetterOrDigit ||
-              s.charAt(j) == '-')) j += 1
-          }
-          val t = s.substring(i, j); i = j; t
-        case ';' | ',' | '.' | '[' | ']' | '(' | ')' => i += 1; c.toString
-        case _ =>
-          val st = i
-          val numeric = c.isDigit || c == '+' || c == '-'
-          def continues: Boolean = {
-            val ch = s.charAt(i)
-            if (ch.isWhitespace) false
-            // a '.' continues a numeric literal (0.5) but ends a statement
-            else if (ch == '.') numeric && i + 1 < s.length &&
-              s.charAt(i + 1).isDigit
-            else !";,<\"[]()".contains(ch)
-          }
-          while (i < s.length && continues) i += 1
-          s.substring(st, i)
+      require(i < src.length && src.charAt(i) == c,
+        s"expected '$c' at offset $i")
+      i += 1
+    }
+
+    /** Bare word / pname / IRI token (not literals or punctuation). */
+    private def nextToken(): String = {
+      ws()
+      if (src.charAt(i) == '<') {
+        val e = src.indexOf('>', i); require(e > 0, "unterminated IRI")
+        val t = src.substring(i, e + 1); i = e + 1; t
+      } else {
+        val st = i
+        val numeric = {
+          val c = src.charAt(i); c.isDigit || c == '+' || c == '-'
+        }
+        def continues: Boolean = {
+          val ch = src.charAt(i)
+          if (ch.isWhitespace) false
+          // a '.' continues a numeric literal (0.5) but ends a statement
+          else if (ch == '.') numeric && i + 1 < src.length &&
+            src.charAt(i + 1).isDigit
+          else !";,<\"[]()".contains(ch)
+        }
+        while (i < src.length && continues) i += 1
+        require(i > st, s"empty token at offset $st")
+        src.substring(st, i)
       }
     }
-  }
 
-  /** Parse one Turtle document into statements. */
-  def parse(doc: String): Seq[Rdf.Statement] = {
-    val lx = new Lexer(doc)
-    var prefixes = Map.empty[String, String]
-    val out = Vector.newBuilder[Rdf.Statement]
-
-    def resolve(tok: String): String =
+    private def resolve(tok: String): String =
       if (tok.startsWith("<")) tok.stripPrefix("<").stripSuffix(">")
       else if (tok == "a") Rdf_type
+      else if (tok.startsWith("_:")) tok // blank-node label
       else {
         val idx = tok.indexOf(':')
         require(idx >= 0, s"not an IRI or pname: $tok")
-        val (p, local) = (tok.take(idx), tok.drop(idx + 1))
-        prefixes.get(p) match {
-          case Some(ns) => ns + local
-          case None => tok // already scheme-qualified (e.g. cmwell://...)
+        prefixes.get(tok.take(idx)) match {
+          case Some(ns) => ns + tok.drop(idx + 1)
+          case None =>
+            // only genuinely scheme-qualified tokens pass through; an
+            // unregistered single-colon prefix is a typo — fail loud
+            require(tok.regionMatches(idx, "://", 0, 3),
+              s"unresolved prefix '${tok.take(idx)}:' in $tok")
+            tok
         }
       }
 
-    def objTerm(tok: String, subj: String, pred: String): Rdf.Statement = {
-      val Xsd = "http://www.w3.org/2001/XMLSchema#"
-      if (tok.startsWith("\"")) {
-        var e = 1
-        while (tok.charAt(e) != '"') {
-          if (tok.charAt(e) == '\\') e += 2 else e += 1
+    /** Scan a (short or long) string literal + optional ^^dt / @lang;
+      * emits nothing — returns the statement for (subj, pred). */
+    private def literal(subj: String, pred: String): Rdf.Statement = {
+      val long = src.startsWith("\"\"\"", i)
+      val body =
+        if (long) {
+          var e = i + 3
+          while (e < src.length && !src.startsWith("\"\"\"", e)) {
+            if (src.charAt(e) == '\\') e += 2 else e += 1
+          }
+          require(e < src.length, "unterminated long literal")
+          val b = src.substring(i + 3, e); i = e + 3; b
+        } else {
+          var e = i + 1
+          while (e < src.length && src.charAt(e) != '"') {
+            if (src.charAt(e) == '\\') e += 2 else e += 1
+          }
+          require(e < src.length, "unterminated literal")
+          val b = src.substring(i + 1, e); i = e + 1; b
         }
-        val body = tok.substring(1, e)
-        val rest = tok.substring(e + 1)
-        val (dt, lang) =
-          if (rest.startsWith("^^"))
-            (Some(resolve(rest.drop(2))), None)
-          else if (rest.startsWith("@")) (None, Some(rest.drop(1)))
-          else (None, None)
-        Rdf.Statement(subj, pred, None, Some(unquote(body)), dt, lang, None)
-      }
-      else if (tok == "true" || tok == "false")
-        Rdf.Statement(subj, pred, None, Some(tok),
-          Some(Xsd + "boolean"), None, None)
-      else if (tok.matches("[+-]?\\d+"))
-        Rdf.Statement(subj, pred, None, Some(tok),
-          Some(Xsd + "integer"), None, None)
-      else if (tok.matches("[+-]?(\\d*\\.\\d+|\\d+)([eE][+-]?\\d+)?") &&
-               (tok.contains(".") || tok.exists(c => c == 'e' || c == 'E')))
-        // DECIMAL (dot) or DOUBLE (exponent form, incl. 1e5)
-        Rdf.Statement(subj, pred, None, Some(tok),
-          Some(Xsd + "decimal"), None, None)
-      else Rdf.Statement(subj, pred, Some(resolve(tok)), None, None, None, None)
+      val (dt, lang) =
+        if (src.startsWith("^^", i)) {
+          i += 2
+          (Some(resolve(nextToken())), None)
+        } else if (i < src.length && src.charAt(i) == '@') {
+          val s0 = i + 1
+          i += 1
+          while (i < src.length && (src.charAt(i).isLetterOrDigit ||
+            src.charAt(i) == '-')) i += 1
+          (None, Some(src.substring(s0, i)))
+        } else (None, None)
+      Rdf.Statement(subj, pred, None, Some(unquote(body)), dt, lang, None)
     }
 
-    while (!lx.eof) {
-      val t = lx.next()
-      if (t.equalsIgnoreCase("@prefix") || t.equalsIgnoreCase("PREFIX")) {
-        val p = lx.next().stripSuffix(":")
-        val iri = lx.next().stripPrefix("<").stripSuffix(">")
-        prefixes += p -> iri
-        if (lx.peek == '.') lx.next()
-      } else {
-        require(t != "[" && t != "(",
-          s"blank-node/collection syntax unsupported: $t")
-        val subj = resolve(t)
-        var more = true
-        while (more) {
-          val pred = resolve(lx.next())
-          var moreObj = true
-          while (moreObj) {
-            out += objTerm(lx.next(), subj, pred)
-            if (lx.peek == ',') lx.next() else moreObj = false
-          }
-          lx.peek match {
-            case ';' =>
-              lx.next()
-              // trailing ; before . is legal
-              if (lx.peek == '.') { lx.next(); more = false }
-            case '.' => lx.next(); more = false
-            case c => throw new IllegalArgumentException(s"expected ; or . got $c")
-          }
-        }
+    /** One object for (subj, pred) — emits the statement(s), including
+      * any nested blank-node property list or collection. */
+    private def objectTerm(subj: String, pred: String): Unit = peek match {
+      case '[' =>
+        i += 1
+        val b = freshBnode()
+        if (peek != ']') predicateObjectList(b)
+        expect(']')
+        out += Rdf.Statement(subj, pred, Some(b), None, None, None, None)
+      case '(' =>
+        val head = collection()
+        out += Rdf.Statement(subj, pred, Some(head), None, None, None, None)
+      case '"' =>
+        out += literal(subj, pred)
+      case _ =>
+        val tok = nextToken()
+        out += (
+          if (tok == "true" || tok == "false")
+            Rdf.Statement(subj, pred, None, Some(tok),
+              Some(Xsd + "boolean"), None, None)
+          else if (tok.matches("[+-]?\\d+"))
+            Rdf.Statement(subj, pred, None, Some(tok),
+              Some(Xsd + "integer"), None, None)
+          else if (tok.matches("[+-]?(\\d*\\.\\d+|\\d+)([eE][+-]?\\d+)?") &&
+                   (tok.contains(".") || tok.exists(c => c == 'e' || c == 'E')))
+            // DECIMAL (dot) or DOUBLE (exponent form, incl. 1e5)
+            Rdf.Statement(subj, pred, None, Some(tok),
+              Some(Xsd + "decimal"), None, None)
+          else Rdf.Statement(subj, pred, Some(resolve(tok)),
+            None, None, None, None))
+    }
+
+    /** `( e1 e2 ... )` → rdf:first/rdf:rest cells; returns the head
+      * node (rdf:nil for the empty collection). */
+    private def collection(): String = {
+      expect('(')
+      if (peek == ')') { i += 1; return Rdf_nil }
+      var head: String = null
+      var prev: String = null
+      while (peek != ')') {
+        val cell = freshBnode()
+        if (prev == null) head = cell
+        else out += Rdf.Statement(prev, Rdf_rest, Some(cell),
+          None, None, None, None)
+        objectTerm(cell, Rdf_first)
+        prev = cell
+      }
+      i += 1 // ')'
+      out += Rdf.Statement(prev, Rdf_rest, Some(Rdf_nil), None, None, None, None)
+      head
+    }
+
+    private def objectList(subj: String, pred: String): Unit = {
+      var more = true
+      while (more) {
+        objectTerm(subj, pred)
+        if (peek == ',') i += 1 else more = false
       }
     }
-    out.result()
+
+    private def predicateObjectList(subj: String): Unit = {
+      var more = true
+      while (more) {
+        val pred = resolve(nextToken())
+        objectList(subj, pred)
+        if (peek == ';') {
+          i += 1
+          // trailing ; before . or ] is legal
+          if (peek == '.' || peek == ']') more = false
+        } else more = false
+      }
+    }
+
+    private def triples(): Unit = {
+      val subj = peek match {
+        case '[' =>
+          i += 1
+          val b = freshBnode()
+          if (peek != ']') predicateObjectList(b)
+          expect(']')
+          b
+        case '(' => collection()
+        case _ => resolve(nextToken())
+      }
+      // a blank-node property list may stand alone as the whole triple
+      if (peek != '.') predicateObjectList(subj)
+      expect('.')
+    }
+
+    def document(): Seq[Rdf.Statement] = {
+      while (!eof) {
+        // peek a word without consuming punctuation-introduced subjects
+        if (peek != '[' && peek != '(' && peek != '<') {
+          val save = i
+          val t = nextToken()
+          if (t.equalsIgnoreCase("@prefix") || t.equalsIgnoreCase("PREFIX")) {
+            val p = nextToken().stripSuffix(":")
+            val iri = nextToken().stripPrefix("<").stripSuffix(">")
+            prefixes += p -> iri
+            if (!eof && peek == '.') i += 1
+          } else if (t.equalsIgnoreCase("@base") || t.equalsIgnoreCase("BASE")) {
+            throw new IllegalArgumentException(
+              "@base-relative IRIs unsupported — emit absolute IRIs")
+          } else { i = save; triples() }
+        } else triples()
+      }
+      out.result()
+    }
   }
 
   private def unquote(s: String): String = {

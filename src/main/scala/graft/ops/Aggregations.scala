@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.model.GraftStore
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** `op=aggregate` / `op=stats` — the `ap=` aggregation algebra
@@ -47,6 +48,15 @@ object Aggregations {
       minDocCount: Int = 1) extends AggSpec {
     def subs: Seq[AggSpec] = Nil
   }
+
+  /** Numeric view of a typed value struct: dates aggregate as epoch
+    * millis (ES date-stats semantics), everything else uses the `n`
+    * slot. */
+  private def numSlot(store: GraftStore, field: String, v: Column): Column =
+    store.vTypeOf(field) match {
+      case Some("w") => unix_millis(v.getField("t"))
+      case _ => v.getField("n")
+    }
 
   private def slot(store: GraftStore, field: String, v: Column): Column =
     store.vTypeOf(field) match {
@@ -113,7 +123,8 @@ object Aggregations {
     val keys = chain.map(_._2)
     sub match {
       case s: StatsAgg =>
-        view("v" -> element_at(col("fields").getItem(s.field), 1).getField("n"))
+        view("v" -> numSlot(store, s.field,
+            element_at(col("fields").getItem(s.field), 1)))
           .groupBy(keys.map(col): _*)
           .agg(count(col("v")).as(s"${s.name}_count"),
             min(col("v")).as(s"${s.name}_min"),
@@ -125,9 +136,16 @@ object Aggregations {
               .as(s"${s.name}_sum"))
       case t: TermAgg =>
         val childKey = s"${t.name}_key"
-        val buckets = view(childKey -> firstVal(store, t.field))
+        val grouped = view(childKey -> firstVal(store, t.field))
           .groupBy((keys :+ childKey).map(col): _*)
           .agg(count(lit(1)).as(s"${t.name}_count"))
+        // ES terms truncates PER PARENT bucket — top-`size` by doc_count
+        // desc, key asc, the same tie-break as the top-level termBuckets
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(s"${t.name}_count").desc, col(childKey).asc)
+        val buckets = grouped
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= t.size).drop("__rn")
         t.subs.foldLeft(buckets) { (acc, deeper) =>
           val child = subAgg(store, base, chain :+ ((t.field, childKey)), deeper)
           acc.join(child, keys :+ childKey)
@@ -139,11 +157,42 @@ object Aggregations {
           .groupBy(keys.map(col): _*)
           .agg(countDistinct(col("v")).as(s"${c.name}_card"))
       case h: HistAgg =>
-        view("v" -> element_at(col("fields").getItem(h.field), 1).getField("n"))
+        view("v" -> numSlot(store, h.field,
+            element_at(col("fields").getItem(h.field), 1)))
           .groupBy(keys.map(col) :+
             (floor(col("v") / h.interval) * h.interval).as(s"${h.name}_bucket"): _*)
           .agg(count(lit(1)).as(s"${h.name}_count"))
           .where(col(s"${h.name}_count") >= h.minDocCount)
+      case g: SigTermsAgg =>
+        // sig-terms under a bucket chain (FTSService.scala:1008-1036
+        // allows any nesting): fg = the parent bucket's docs, bg = every
+        // doc carrying the field. Same JLH score and shuffle shape as
+        // the top-level sigTerms; the per-parent top-size is a window,
+        // not a global limit.
+        val childKey = s"${g.name}_key"
+        val fgc = view(childKey -> firstVal(store, g.field))
+          .where(col(childKey).isNotNull)
+          .groupBy((keys :+ childKey).map(col): _*)
+          .agg(count(lit(1)).as(s"${g.name}_fg"))
+        val fgTot = fgc.groupBy(keys.map(col): _*)
+          .agg(sum(s"${g.name}_fg").as("__fg_total"))
+        val bgc = keyed(store, store.current, g.field, childKey)
+          .groupBy(col(childKey)).agg(count(lit(1)).as(s"${g.name}_bg"))
+        val fgF = col(s"${g.name}_fg").cast("double") / col("__fg_total")
+        val bgF = col(s"${g.name}_bg").cast("double") / col("__bg_total")
+        val scored = fgc.join(fgTot, keys)
+          .join(bgc, Seq(childKey))
+          .crossJoin(bgc.agg(sum(s"${g.name}_bg").as("__bg_total")))
+          .where(col(s"${g.name}_fg") >= g.minDocCount)
+          .withColumn(s"${g.name}_score", ((fgF - bgF) * fgF) / bgF)
+          .where(col(s"${g.name}_score") > 0)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(s"${g.name}_score").desc, col(childKey).asc)
+        scored.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= g.size)
+          .select((keys :+ childKey).map(col) ++
+            Seq(col(s"${g.name}_fg"), col(s"${g.name}_bg"),
+              col(s"${g.name}_score")): _*)
       case other =>
         throw new IllegalArgumentException(s"unsupported sub-agg $other")
     }
@@ -153,20 +202,28 @@ object Aggregations {
     * result is independent of partition order (double accumulation
     * would make the hash non-deterministic); avg derives from the
     * exact sum. */
-  def stats(store: GraftStore, base: DataFrame, spec: StatsAgg): DataFrame =
+  def stats(store: GraftStore, base: DataFrame, spec: StatsAgg): DataFrame = {
+    // dates aggregate as epoch millis (ES date-stats); keyed() routes a
+    // date field to its timestamp slot, so remap to numeric here
+    val v = if (store.vTypeOf(spec.field).contains("w"))
+      unix_millis(col("v")) else col("v")
     keyed(store, base, spec.field, "v")
-      .agg(count(col("v")).as("count"),
-        min(col("v")).as("min"), max(col("v")).as("max"),
-        sum(col("v").cast("decimal(18,2)")).cast("double").as("sum"))
+      .agg(count(v).as("count"),
+        min(v).as("min"), max(v).as("max"),
+        sum(v.cast("decimal(18,2)")).cast("double").as("sum"))
       .withColumn("avg", col("sum") / col("count"))
+  }
 
-  /** type:hist — fixed-interval numeric histogram. */
-  def hist(store: GraftStore, base: DataFrame, spec: HistAgg): DataFrame =
+  /** type:hist — fixed-interval numeric histogram (dates in millis). */
+  def hist(store: GraftStore, base: DataFrame, spec: HistAgg): DataFrame = {
+    val v = if (store.vTypeOf(spec.field).contains("w"))
+      unix_millis(col("v")) else col("v")
     keyed(store, base, spec.field, "v")
-      .groupBy((floor(col("v") / spec.interval) * spec.interval).as("bucket"))
+      .groupBy((floor(v / spec.interval) * spec.interval).as("bucket"))
       .agg(count(lit(1)).as("doc_count"))
       .where(col("doc_count") >= spec.minDocCount)
       .orderBy("bucket")
+  }
 
   /** type:card — exact below precisionThreshold, HLL above (the same
     * contract ES documents for cardinality). */

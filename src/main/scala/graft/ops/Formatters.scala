@@ -87,8 +87,11 @@ object Formatters {
   /** YAML — one document per infoton (reference YamlFormatter):
     * system block + fields with first-value lexical forms. */
   def yaml(infotons: DataFrame): DataFrame = {
+    // coalesce each system field: a null (synthesized parents, /proc
+    // virtual infotons) must still render its key — every document
+    // keeps the same shape
     val sys = Seq("path", "parent", "uuid", "kind").map(f =>
-      concat(lit(s"  $f: "), col(s"system.$f")))
+      concat(lit(s"  $f: "), coalesce(col(s"system.$f"), lit(""))))
     val fieldLines = transform(map_entries(col("fields")),
       e => concat(lit("  "), e.getField("key"), lit(": "),
         e.getField("value").getItem(0).getField("s")))

@@ -43,14 +43,30 @@ object Graph {
     hops
   }
 
+  /** All reference-typed fields of a store — the expansion universe for
+    * the `_` / digit xg forms, derived from the type dictionary so the
+    * wildcard can never silently expand over zero fields. */
+  def refFields(store: GraftStore): Seq[String] =
+    store.fieldTypes.collect {
+      case (f, t) if t == InfotonModel.TRef => f
+    }.toSeq.sorted
+
   /** Parse an xg expression: `f1.f2.f3` (field chain, each segment may
     * carry a per-level value filter `f[qp]`), `N` (levels over all
     * reference fields) or `_` (one level, all fields) —
-    * Parsers.scala:384-465 incl. the per-level filters. */
+    * Parsers.scala:384-465 incl. the per-level filters.
+    * The wildcard forms require a non-empty reference-field universe
+    * (use `refFields(store)`); expanding over zero fields would be a
+    * silent wrong answer. */
   def parseXg(expr: String, allRefFields: Seq[String]): Seq[Seq[Hop]] =
     expr match {
-      case "_" => Seq(allRefFields.map(Hop(false, _)))
+      case "_" =>
+        require(allRefFields.nonEmpty,
+          "xg=_ needs the store's reference-field universe (Graph.refFields)")
+        Seq(allRefFields.map(Hop(false, _)))
       case d if d.nonEmpty && d.forall(_.isDigit) =>
+        require(allRefFields.nonEmpty,
+          s"xg=$d needs the store's reference-field universe (Graph.refFields)")
         Seq.fill(d.toInt)(allRefFields.map(Hop(false, _)))
       case chain =>
         val seg = "([A-Za-z0-9_$]+)(?:\\[([^\\]]*)\\])?".r

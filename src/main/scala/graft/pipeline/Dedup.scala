@@ -14,6 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Persisted intermediates registry. Spark's CacheManager dedups by
+    * logical plan, so repeated calls over the SAME input share one
+    * entry — but a long-lived session feeding DISTINCT inputs (many
+    * micro-stores, 60-query Verify runs) would accumulate entries until
+    * eviction pressure degrades the store views. Callers release after
+    * the consuming action. */
+  private val registered =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cachePersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registered.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate this module registered (blocking =
+    * false: drop asynchronously, don't stall the caller). */
+  def releaseCaches(): Unit = {
+    var df = registered.poll()
+    while (df != null) { df.unpersist(false); df = registered.poll() }
+  }
+
   /** Exact dedup: hash-groupBy on the content digest; keeps the lowest
     * id as the canonical representative. One shuffle on the digest. */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -32,9 +54,8 @@ object Dedup {
     * materialization across queries. */
   def hashedShingleIndex(docs: DataFrame, n: Int,
                          textCol: String = "text"): DataFrame =
-    shingleIndex(docs, n, textCol)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachePersist(shingleIndex(docs, n, textCol)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")))
 
   /** Exact n-gram Jaccard near-dup pairs (j >= tau) via PREFIX
     * FILTERING (the All-Pairs / PPJoin family: Bayardo et al. WWW'07,
@@ -64,10 +85,10 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .where(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
       .select("doc_id", "sh", "sz", "pos")
-      // persisted: both sides of the candidate self-join — without it
-      // the df-join + two windows run twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = prefix.alias("a"); val b = prefix.alias("b")
+    // persisted: both sides of the candidate self-join — without it
+    // the df-join + two windows run twice
+    val prefixC = cachePersist(prefix)
+    val a = prefixC.alias("a"); val b = prefixC.alias("b")
     // PPJoin position filter: the overlap can't exceed
     // 1 + min(remaining tokens after this position on either side),
     // and j >= tau needs overlap >= ceil(tau/(1+tau) * (sz1+sz2))
@@ -133,8 +154,7 @@ object Dedup {
     require(rows * bands == numHashes, "bands must divide numHashes")
     // persisted: the banding self-join would otherwise recompute (and
     // re-codegen) the whole 128-agg signature plan on both sides
-    val sig = minhashSignatures(docs, n, numHashes, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = cachePersist(minhashSignatures(docs, n, numHashes, textCol))
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         xxhash64((bnd * rows until (bnd + 1) * rows)
@@ -186,10 +206,10 @@ object Dedup {
     val blocked = fps.select(col("doc_id"), col("simhash"),
         explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk"), col("c.ck"))
-      // persisted: the self-join would otherwise run the 64-bit-vote
-      // aggregation twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = blocked.alias("l"); val r = blocked.alias("r")
+    // persisted: the self-join would otherwise run the 64-bit-vote
+    // aggregation twice
+    val blockedC = cachePersist(blocked)
+    val l = blockedC.alias("l"); val r = blockedC.alias("r")
     l.join(r, col("l.chunk") === col("r.chunk") &&
         col("l.ck") === col("r.ck") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),

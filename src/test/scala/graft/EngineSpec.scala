@@ -201,6 +201,65 @@ class EngineSpec extends AnyFunSuite {
       graft.ops.Graph.Hop(incoming = false, "refPart", Some("retailprice>100.5")))))
   }
 
+  test("nested term sub-aggregation truncates to top-size per parent") {
+    import graft.ops.Aggregations
+    import graft.qp.ApParser
+    val store = GraftStore.forDir(spark, Sf)
+    val base = Search.run(store, Search.Request(path = "/orders"))
+    val kept = Aggregations.run(store, base, ApParser.parse(
+      "type:term,field::orderstatus,size:3" +
+        "<type:term,field::orderpriority,name:pri,size:2>").head).collect()
+    val full = Aggregations.run(store, base, ApParser.parse(
+      "type:term,field::orderstatus,size:3" +
+        "<type:term,field::orderpriority,name:pri,size:10>").head).collect()
+    val keptBy = kept.groupBy(_.getAs[String]("key"))
+    assert(keptBy.values.forall(_.length <= 2))
+    // the survivors are exactly each parent's top-2 children by
+    // (count desc, key asc) — the ES terms tie-break
+    keptBy.foreach { case (k, rows) =>
+      val expect = full.filter(_.getAs[String]("key") == k)
+        .sortBy(r => (-r.getAs[Long]("pri_count"), r.getAs[String]("pri_key")))
+        .take(2).map(_.getAs[String]("pri_key")).toSet
+      assert(rows.map(_.getAs[String]("pri_key")).toSet == expect)
+    }
+  }
+
+  test("stats and hist over a date field aggregate epoch millis") {
+    import graft.ops.Aggregations
+    val store = storeOf(Seq(
+      "<c://d/1> <c://o#when> \"2024-01-01T00:00:00\"^^<http://www.w3.org/2001/XMLSchema#dateTime> .",
+      "<c://d/2> <c://o#when> \"2024-01-02T00:00:00\"^^<http://www.w3.org/2001/XMLSchema#dateTime> ."),
+      T("2024-01-01 00:00:00"))
+    val r = Aggregations.stats(store, store.current,
+      Aggregations.StatsAgg("s", "when")).collect().head
+    assert(r.getAs[Long]("count") == 2)
+    assert(r.getAs[Long]("min") == 1704067200000L)
+    assert(r.getAs[Long]("max") == 1704067200000L + 86400000L)
+    val h = Aggregations.hist(store, store.current,
+      Aggregations.HistAgg("h", "when", interval = 86400000d)).collect()
+    assert(h.length == 2 && h.forall(_.getAs[Long]("doc_count") == 1))
+  }
+
+  test("xg wildcard forms expand over the store's ref-field dictionary") {
+    // /a/1 -ref-> /b/1 -ref-> /c/1: xg=2 walks both hops, xg=_ one hop.
+    val store = storeOf(Seq(
+      "<c://a/1> <c://o#ref> <c://b/1> .",
+      "<c://b/1> <c://o#ref> <c://c/1> .",
+      "<c://c/1> <c://o#tag> \"leaf\" ."),
+      T("2024-01-01 00:00:00"))
+    val rf = graft.ops.Graph.refFields(store)
+    assert(rf == Seq("ref"))
+    val base = Search.run(store, Search.Request(path = "/a"))
+    val two = graft.ops.Graph.xg(store, base, graft.ops.Graph.parseXg("2", rf))
+    assert(paths(two) == Set("/a/1", "/b/1", "/c/1"))
+    val one = graft.ops.Graph.xg(store, base, graft.ops.Graph.parseXg("_", rf))
+    assert(paths(one) == Set("/a/1", "/b/1"))
+    // the wildcard with an empty universe must fail loudly, not return base
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.parseXg("_", Nil)
+    }
+  }
+
   test("SPARQL FILTER gives && precedence over ||") {
     val store = storeOf(Seq(
       "<c://v/1> <c://o#a> \"1\"^^<http://www.w3.org/2001/XMLSchema#long> .",

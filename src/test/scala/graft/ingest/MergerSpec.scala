@@ -93,6 +93,13 @@ class MergerSpec extends AnyFunSuite {
     assert(m.system.indexTime > b.system.indexTime)
   }
 
+  test("delete_path replayed onto a tombstone is a no-op") {
+    val b = base(Map.empty, kind = InfotonModel.KindDeleted)
+    assert(mergeOne("/x/1", Some(b), Seq(
+      Command("delete_path", "/x/1", ts("2024-02-01 00:00:00"),
+        Map.empty, Map.empty))).isEmpty)
+  }
+
   test("no commands means no version") {
     assert(mergeOne("/x/1", Some(base(Map.empty)), Nil).isEmpty)
   }

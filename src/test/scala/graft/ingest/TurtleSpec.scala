@@ -50,9 +50,51 @@ class TurtleSpec extends AnyFunSuite {
       .contains(100000.0))
   }
 
-  test("blank-node syntax is rejected loudly") {
-    intercept[IllegalArgumentException](
-      Turtle.parse("<c://a> <c://o#p> [ <c://o#q> \"x\" ] ."))
+  test("blank-node property lists expand to fresh bnode subjects") {
+    val sts = Turtle.parse(
+      "<c://a> <c://o#p> [ <c://o#q> \"x\" ; <c://o#r> 7 ] .")
+    val link = sts.find(_.subj == "c://a").get
+    val b = link.objIri.get
+    assert(b.startsWith("_:"))
+    val nested = sts.filter(_.subj == b)
+    assert(nested.exists(s => s.pred == "c://o#q" && s.lit.contains("x")))
+    assert(nested.exists(s => s.pred == "c://o#r" && s.lit.contains("7")))
+    // bnode as subject with trailing predicate list
+    val sts2 = Turtle.parse("[ <c://o#q> \"y\" ] <c://o#p> <c://b> .")
+    assert(sts2.exists(s => s.pred == "c://o#q" && s.lit.contains("y")))
+    assert(sts2.exists(s => s.pred == "c://o#p" && s.objIri.contains("c://b")))
+    assert(sts2.map(_.subj).distinct.length == 1)
+  }
+
+  test("collections expand to rdf:first/rdf:rest chains") {
+    val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val sts = Turtle.parse("<c://a> <c://o#list> ( 1 2 ) .")
+    val head = sts.find(_.subj == "c://a").get.objIri.get
+    val firsts = sts.filter(_.pred == RdfNs + "first")
+    assert(firsts.map(_.lit.get).toSet == Set("1", "2"))
+    val rests = sts.filter(_.pred == RdfNs + "rest")
+    assert(rests.length == 2 &&
+      rests.exists(_.objIri.contains(RdfNs + "nil")))
+    assert(firsts.exists(_.subj == head))
+    // empty collection is rdf:nil directly
+    val nil = Turtle.parse("<c://a> <c://o#list> () .")
+    assert(nil.head.objIri.contains(RdfNs + "nil"))
+  }
+
+  test("triple-quoted long literals parse with embedded newlines") {
+    val sts = Turtle.parse(
+      "<c://a> <c://o#text> \"\"\"line1\nline\"2\"\"\"@en .")
+    assert(sts.head.lit.contains("line1\nline\"2"))
+    assert(sts.head.lang.contains("en"))
+  }
+
+  test("unresolved single-colon prefixes throw instead of leaking") {
+    val e = intercept[IllegalArgumentException](
+      Turtle.parse("<c://a> ontt:name \"x\" ."))
+    assert(e.getMessage.contains("unresolved prefix"))
+    // genuinely scheme-qualified tokens still pass through
+    val ok = Turtle.parse("<c://a> cmwell://meta/sys#markReplace <c://o#f> .")
+    assert(ok.head.pred == "cmwell://meta/sys#markReplace")
   }
 
   test("turtle ingest lands searchable infotons") {
