@@ -19,7 +19,7 @@ object SparqlQueries {
       """PREFIX ont: <cmwell://ont#>
         |SELECT ?c WHERE {
         |  ?c ont:refNation ?n .
-        |  ?n ont:name "GERMANY" .
+        |  ?n ont:name "NATION_7" .
         |} ORDER BY ?c""".stripMargin)),
 
     // chain: lineitem → orders → customer with a typed FILTER
@@ -38,22 +38,85 @@ object SparqlQueries {
         |  OPTIONAL { ?o <cmwell://ont#refCustomer> ?c }
         |} ORDER BY ?c ?o""".stripMargin)),
 
+    // UNION: customers in nation 7 ∪ entities in nation 3 — branch-only
+    // variables stay unbound (null) in the other branch
+    "q_sparql_union" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?x WHERE {
+        |  { ?x ont:refNation ?n . ?n ont:name "NATION_7" .
+        |    ?x ont:mktsegment ?m }
+        |  UNION
+        |  { ?x ont:refNation ?n2 . ?n2 ont:name "NATION_3" .
+        |    ?x ont:acctbal ?a }
+        |} ORDER BY ?x""".stripMargin)),
+
+    // sequence property path: orders —refCustomer/refNation→ nation
+    "q_sparql_path" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?o ?n WHERE {
+        |  ?o ont:totalprice ?p .
+        |  FILTER (?p > 400000)
+        |  ?o ont:refCustomer/ont:refNation ?n .
+        |} ORDER BY ?o""".stripMargin)),
+
+    // aggregates: order count and max price per market segment
+    "q_sparql_agg" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?m (COUNT(?o) AS ?cnt) (MAX(?p) AS ?maxprice) WHERE {
+        |  ?c ont:mktsegment ?m .
+        |  ?o ont:refCustomer ?c .
+        |  ?o ont:totalprice ?p .
+        |} GROUP BY ?m ORDER BY ?m""".stripMargin)),
+
+    // regex + string-function FILTERs
+    "q_sparql_regex" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?n ?name WHERE {
+        |  ?n ont:refRegion ?r .
+        |  ?n ont:name ?name .
+        |  FILTER (regex(?name, "^NATION_1[0-9]$") || strends(?name, "_7"))
+        |} ORDER BY ?n""".stripMargin)),
+
     // CONSTRUCT: derive new edges from matched solutions
     "q_sparql_construct" -> ((s, dir) =>
       Sparql.construct(GraftStore.forDir(s, dir),
         """PREFIX ont: <cmwell://ont#>
           |CONSTRUCT { ?c <cmwell://ont#inNation> ?n }
-          |WHERE { ?c ont:refNation ?n . ?n ont:name "GERMANY" }""".stripMargin)
+          |WHERE { ?c ont:refNation ?n . ?n ont:name "NATION_7" }""".stripMargin)
         .orderBy("subject")))
 
   val oracles: Map[String, String] = Map(
+    "q_sparql_union" ->
+      """SELECT x FROM (
+        |  SELECT '/customer/' || c_custkey AS x FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'
+        |  UNION ALL
+        |  SELECT '/customer/' || c_custkey FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_3'
+        |  UNION ALL
+        |  SELECT '/supplier/' || s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3')
+        |ORDER BY x""".stripMargin,
+    "q_sparql_path" ->
+      """SELECT '/orders/' || o_orderkey AS o, '/nation/' || c_nationkey AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000 ORDER BY o""".stripMargin,
+    "q_sparql_agg" ->
+      """SELECT c_mktsegment AS m, count(*) AS cnt,
+        |  max(o_totalprice) AS maxprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY m""".stripMargin,
+    "q_sparql_regex" ->
+      """SELECT '/nation/' || n_nationkey AS n, n_name AS name FROM nation
+        |WHERE regexp_matches(n_name, '^NATION_1[0-9]$') OR n_name LIKE '%\_7' ESCAPE '\'
+        |ORDER BY n""".stripMargin,
     "q_sparql_star" ->
       """SELECT c FROM (
         |  SELECT '/customer/' || c_custkey AS c FROM customer
-        |    JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'GERMANY'
+        |    JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'
         |  UNION ALL
         |  SELECT '/supplier/' || s_suppkey AS c FROM supplier
-        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'GERMANY')
+        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
         |ORDER BY c""".stripMargin,
     "q_sparql_chain" ->
       """SELECT '/lineitem/' || l_orderkey || '-' || l_linenumber || '-'
@@ -70,10 +133,10 @@ object SparqlQueries {
       """SELECT subject, 'inNation' AS predicate, obj FROM (
         |  SELECT '/customer/' || c_custkey AS subject,
         |    '/nation/' || c_nationkey AS obj FROM customer
-        |    JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'GERMANY'
+        |    JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'
         |  UNION ALL
         |  SELECT '/supplier/' || s_suppkey, '/nation/' || s_nationkey
         |  FROM supplier
-        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'GERMANY')
+        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
         |ORDER BY subject""".stripMargin)
 }

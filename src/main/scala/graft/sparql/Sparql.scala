@@ -5,8 +5,8 @@ import graft.model.{GraftStore, InfotonModel}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** SPARQL SELECT over the store — the `_sp`/`_sparql` query surface
-  * (SURVEY.md §2.3, §3.3).
+/** SPARQL SELECT/CONSTRUCT over the store — the `_sp`/`_sparql` query
+  * surface (SURVEY.md §2.3, §3.3).
   *
   * Reference: SpHandler.scala:360-475 populates a Jena model and runs
   * ARQ; the whole-graph `_sparql` variant compiles each BGP triple
@@ -16,17 +16,22 @@ import org.apache.spark.sql.functions._
   * Spark-first shape: the `quads` view IS the triple store, so a BGP
   * compiles directly to relational algebra — each triple pattern is a
   * predicate-filtered scan of `quads`, shared variables become equi-join
-  * keys, OPTIONAL is a left outer join, FILTER a `where`, SELECT a
-  * projection. Catalyst + AQE then do what the reference's
-  * SortingAndMappingStageGenerator hand-rolls: join reordering by
-  * observed cardinality. No Jena, no collect — a BGP over 100 TB of
-  * quads is just an N-way join Spark already knows how to shuffle.
+  * keys, OPTIONAL is a left outer join, UNION a `unionByName`
+  * (allowMissingColumns: branch-only variables go null, the SPARQL
+  * unbound semantics), FILTER a `where`, sequence property paths
+  * desugar to join chains through fresh variables, aggregates compile
+  * to a `groupBy` over the solution frame. Catalyst + AQE then do what
+  * the reference's SortingAndMappingStageGenerator hand-rolls: join
+  * reordering by observed cardinality. No Jena, no collect — a BGP over
+  * 100 TB of quads is just an N-way join Spark already knows how to
+  * shuffle.
   *
-  * Supported subset: PREFIX, SELECT (DISTINCT) ?v…, WHERE { basic
-  * patterns, OPTIONAL { … }, FILTER (comparisons ∧/∨) }, ORDER BY,
-  * LIMIT. Variables bind subjects, predicates or objects; object
-  * variables carry a numeric shadow column (`<v>__n`) so FILTER
-  * comparisons run typed, never on strings.
+  * Supported subset: PREFIX, SELECT (DISTINCT) ?v… / (AGG(?v) AS ?a),
+  * CONSTRUCT, WHERE { patterns, `p1/p2` sequence paths, OPTIONAL { … },
+  * { … } UNION { … }, FILTER (comparisons ∧/∨/!, regex/contains/
+  * strStarts/strEnds) }, GROUP BY, ORDER BY, LIMIT; string literals
+  * with escapes. Not supported (throws): `*`/`+` path cardinality,
+  * inverse paths, blank nodes, HAVING, subqueries.
   */
 object Sparql {
 
@@ -36,12 +41,26 @@ object Sparql {
   final case class L(lex: String, numeric: Option[Double]) extends Term
 
   final case class Triple(s: Term, p: Term, o: Term)
-  /** One FILTER comparison: var op value (numeric when possible). */
-  final case class Cond(variable: String, op: String, value: L, orNext: Boolean)
 
-  final case class Query(select: Seq[String], distinct: Boolean,
-                         patterns: Seq[Triple], optionals: Seq[Seq[Triple]],
-                         filters: Seq[Seq[Cond]], // outer Seq = AND of OR-groups
+  /** FILTER expression tree — standard &&/||/! precedence. */
+  sealed trait FExpr
+  final case class FCmp(variable: String, op: String, value: L) extends FExpr
+  final case class FFn(fn: String, variable: String, arg: String) extends FExpr
+  final case class FAnd(l: FExpr, r: FExpr) extends FExpr
+  final case class FOr(l: FExpr, r: FExpr) extends FExpr
+  final case class FNot(e: FExpr) extends FExpr
+
+  /** One group graph pattern: basic patterns + nested OPTIONAL groups +
+    * UNION chains (each chain = 2+ alternative groups) + FILTERs. */
+  final case class Group(patterns: Seq[Triple], optionals: Seq[Group],
+                         unions: Seq[Seq[Group]], filters: Seq[FExpr])
+
+  /** One SELECT item: a plain variable, or (AGG(?v) AS ?alias). */
+  final case class SelectItem(agg: Option[String], distinct: Boolean,
+                              v: Option[String], alias: String)
+
+  final case class Query(select: Seq[SelectItem], distinct: Boolean,
+                         where: Group, groupBy: Seq[String],
                          orderBy: Seq[(String, Boolean)], limit: Option[Int],
                          template: Seq[Triple] = Nil) // CONSTRUCT shape
 
@@ -50,11 +69,37 @@ object Sparql {
   private val TokenRe =
     ("""\?[A-Za-z_][A-Za-z0-9_]*|<[^>\s]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>\s]*>|@[A-Za-z-]+)?|""" +
       """[A-Za-z][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_]*|[A-Za-z_][A-Za-z0-9_]*|""" +
-      """-?\d+(?:\.\d+)?|&&|\|\||[{}().,;]|[<>!=]=?|\*""").r
+      """-?\d+(?:\.\d+)?|&&|\|\||[{}().,;/]|[<>!=]=?|\*""").r
+
+  private val NumericDtypes = Set("integer", "long", "int", "short",
+    "double", "decimal", "float")
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case '"' => b.append('"'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'u' =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case o => b.append(o); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
 
   def parse(q: String): Query = {
     val toks = TokenRe.findAllIn(q).toVector
     var i = 0
+    var freshN = 0
     def peek = if (i < toks.length) toks(i) else ""
     def next(): String = { val t = peek; i += 1; t }
     def expect(t: String): Unit = {
@@ -65,16 +110,25 @@ object Sparql {
       next(); val p = next(); val iri = next()
       prefixes += p.stripSuffix(":") -> iri.stripPrefix("<").stripSuffix(">")
     }
-    val isConstruct = peek.equalsIgnoreCase("CONSTRUCT")
-    val select = Vector.newBuilder[String]
-    var distinct = false
     def term(): Term = {
       val t = next()
       if (t.startsWith("?")) V(t.drop(1))
       else if (t.startsWith("<")) I(t.stripPrefix("<").stripSuffix(">"))
       else if (t.startsWith("\"")) {
-        val lex = t.drop(1).takeWhile(_ != '"') // literal body (no escapes in subset)
-        L(lex, None)
+        // escape-aware: find the closing quote, then the ^^/@ suffix
+        var e = 1
+        while (t.charAt(e) != '"') {
+          if (t.charAt(e) == '\\') e += 2 else e += 1
+        }
+        val body = unescape(t.substring(1, e))
+        val suffix = t.substring(e + 1)
+        val num =
+          if (suffix.startsWith("^^<")) {
+            val dt = suffix.stripPrefix("^^<").stripSuffix(">")
+            val local = dt.substring(dt.lastIndexOf('#') + 1)
+            if (NumericDtypes(local)) Some(body.toDouble) else None
+          } else None
+        L(body, num)
       }
       else if (t.matches("-?\\d+(\\.\\d+)?")) L(t, Some(t.toDouble))
       else if (t.contains(":")) {
@@ -83,51 +137,141 @@ object Sparql {
       }
       else throw new IllegalArgumentException(s"bad term $t")
     }
+
     def triples(): Seq[Triple] = {
       val out = Vector.newBuilder[Triple]
-      while (peek != "}" && !peek.equalsIgnoreCase("OPTIONAL") &&
-             !peek.equalsIgnoreCase("FILTER")) {
-        out += Triple(term(), term(), term())
+      def stop = {
+        val p = peek
+        p == "}" || p == "{" || p.equalsIgnoreCase("OPTIONAL") ||
+          p.equalsIgnoreCase("FILTER")
+      }
+      while (!stop) {
+        val s = term()
+        var preds = Vector(term())
+        // sequence property path p1/p2/... — desugar below
+        while (peek == "/") { next(); preds :+= term() }
+        require(peek != "*" && peek != "+",
+          "path cardinality (*/+) unsupported in subset")
+        val o = term()
+        var cur = s
+        preds.zipWithIndex.foreach { case (p, idx) =>
+          val nxt =
+            if (idx == preds.length - 1) o
+            else { freshN += 1; V(s"__path$freshN") }
+          out += Triple(cur, p, nxt)
+          cur = nxt
+        }
         if (peek == ".") next()
       }
       out.result()
     }
+
+    // FILTER constraint grammar (standard precedence: ! > && > ||)
+    def orExpr(): FExpr = {
+      var l = andExpr()
+      while (peek == "||") { next(); l = FOr(l, andExpr()) }
+      l
+    }
+    def andExpr(): FExpr = {
+      var l = unary()
+      while (peek == "&&") { next(); l = FAnd(l, unary()) }
+      l
+    }
+    def fnNames = Set("regex", "contains", "strstarts", "strends")
+    def unary(): FExpr = {
+      if (peek == "(") { next(); val e = orExpr(); expect(")"); e }
+      else if (peek == "!") { next(); FNot(unary()) }
+      else if (fnNames(peek.toLowerCase)) builtin()
+      else {
+        val v = next(); require(v.startsWith("?"), s"FILTER needs var, got $v")
+        val op = next()
+        term() match {
+          case l: L => FCmp(v.drop(1), op, l)
+          case o => throw new IllegalArgumentException(s"FILTER value $o")
+        }
+      }
+    }
+    def builtin(): FExpr = {
+      val fn = next().toLowerCase
+      expect("(")
+      val v = next(); require(v.startsWith("?"), s"$fn needs a var first arg")
+      expect(",")
+      val arg = term() match {
+        case L(lex, _) => lex
+        case o => throw new IllegalArgumentException(s"$fn arg $o")
+      }
+      expect(")")
+      FFn(fn, v.drop(1), arg)
+    }
+
+    def group(): Group = {
+      expect("{")
+      val patterns = Vector.newBuilder[Triple]
+      val optionals = Vector.newBuilder[Group]
+      val unions = Vector.newBuilder[Seq[Group]]
+      val filters = Vector.newBuilder[FExpr]
+      while (peek != "}") {
+        if (peek == "{") {
+          // braced group — a UNION chain (or a plain nested group)
+          var alts = Vector(group())
+          while (peek.equalsIgnoreCase("UNION")) { next(); alts :+= group() }
+          unions += alts
+        } else if (peek.equalsIgnoreCase("OPTIONAL")) {
+          next(); optionals += group()
+        } else if (peek.equalsIgnoreCase("FILTER")) {
+          next()
+          filters += (if (peek == "(") { next(); val e = orExpr(); expect(")"); e }
+                      else builtin())
+        } else patterns ++= triples()
+      }
+      expect("}")
+      Group(patterns.result(), optionals.result(), unions.result(),
+        filters.result())
+    }
+
+    val isConstruct = peek.equalsIgnoreCase("CONSTRUCT")
+    val select = Vector.newBuilder[SelectItem]
+    var distinct = false
     val template = Vector.newBuilder[Triple]
     if (isConstruct) {
       next(); expect("{"); template ++= triples(); expect("}")
     } else {
       expect("SELECT")
       if (peek.equalsIgnoreCase("DISTINCT")) { next(); distinct = true }
-      while (peek.startsWith("?")) select += next().drop(1)
-    }
-    expect("WHERE"); expect("{")
-    val patterns = Vector.newBuilder[Triple]
-    val optionals = Vector.newBuilder[Seq[Triple]]
-    val filters = Vector.newBuilder[Seq[Cond]]
-    while (peek != "}") {
-      if (peek.equalsIgnoreCase("OPTIONAL")) {
-        next(); expect("{"); optionals += triples(); expect("}")
-      } else if (peek.equalsIgnoreCase("FILTER")) {
-        next(); expect("(")
-        val group = Vector.newBuilder[Cond]
-        var more = true
-        while (more) {
-          val v = next(); require(v.startsWith("?"), s"FILTER needs var, got $v")
-          val op = next()
-          val value = term() match {
-            case l: L => l
-            case o => throw new IllegalArgumentException(s"FILTER value $o")
+      var more = true
+      while (more) {
+        if (peek.startsWith("?")) {
+          val v = next().drop(1)
+          select += SelectItem(None, distinct = false, Some(v), v)
+        } else if (peek == "(") {
+          // (AGG(?v) AS ?alias) | (COUNT(*) AS ?alias) | (COUNT(DISTINCT ?v) ...)
+          next()
+          val fn = next().toUpperCase
+          require(Set("COUNT", "SUM", "MIN", "MAX", "AVG")(fn),
+            s"unknown aggregate $fn")
+          expect("(")
+          var dist = false
+          if (peek.equalsIgnoreCase("DISTINCT")) { next(); dist = true }
+          val v = if (peek == "*") { next(); None } else {
+            val t = next(); require(t.startsWith("?"), s"bad agg arg $t")
+            Some(t.drop(1))
           }
-          val j = peek
-          if (j == "&&" || j == "||") {
-            next(); group += Cond(v.drop(1), op, value, orNext = j == "||")
-          } else { group += Cond(v.drop(1), op, value, orNext = false); more = false }
-        }
-        expect(")")
-        filters += group.result()
-      } else patterns ++= triples()
+          expect(")")
+          expect("AS")
+          val alias = next()
+          require(alias.startsWith("?"), s"bad agg alias $alias")
+          expect(")")
+          select += SelectItem(Some(fn), dist, v, alias.drop(1))
+        } else more = false
+      }
     }
-    expect("}")
+    expect("WHERE")
+    val where = group()
+    val groupBy = Vector.newBuilder[String]
+    if (peek.equalsIgnoreCase("GROUP")) {
+      next(); expect("BY")
+      while (peek.startsWith("?")) groupBy += next().drop(1)
+    }
     val orderBy = Vector.newBuilder[(String, Boolean)]
     if (peek.equalsIgnoreCase("ORDER")) {
       next(); expect("BY")
@@ -141,8 +285,8 @@ object Sparql {
     }
     val limit = if (peek.equalsIgnoreCase("LIMIT")) { next(); Some(next().toInt) }
     else None
-    Query(select.result(), distinct, patterns.result(), optionals.result(),
-      filters.result(), orderBy.result(), limit, template.result())
+    Query(select.result(), distinct, where, groupBy.result(),
+      orderBy.result(), limit, template.result())
   }
 
   // -------------------------------------------------------------- compile
@@ -188,19 +332,52 @@ object Sparql {
     if (on.isEmpty) a.crossJoin(bClean) else a.join(bClean, on, how)
   }
 
-  private def condCol(c: Cond): Column = {
-    val target = c.value.numeric
-      .map(n => (col(s"${c.variable}__n"), lit(n)))
-      .getOrElse((col(c.variable), lit(c.value.lex)))
-    c.op match {
-      case "<" => target._1 < target._2
-      case "<=" => target._1 <= target._2
-      case ">" => target._1 > target._2
-      case ">=" => target._1 >= target._2
-      case "=" | "==" => target._1 === target._2
-      case "!=" => target._1 =!= target._2
-      case o => throw new IllegalArgumentException(s"bad FILTER op $o")
+  private def filterCol(e: FExpr): Column = e match {
+    case FCmp(v, op, value) =>
+      val (l, r) = value.numeric
+        .map(n => (col(s"${v}__n"), lit(n)))
+        .getOrElse((col(v), lit(value.lex)))
+      op match {
+        case "<" => l < r
+        case "<=" => l <= r
+        case ">" => l > r
+        case ">=" => l >= r
+        case "=" | "==" => l === r
+        case "!=" => l =!= r
+        case o => throw new IllegalArgumentException(s"bad FILTER op $o")
+      }
+    case FFn("regex", v, arg) => col(v).rlike(arg)
+    case FFn("contains", v, arg) => col(v).contains(arg)
+    case FFn("strstarts", v, arg) => col(v).startsWith(arg)
+    case FFn("strends", v, arg) => col(v).endsWith(arg)
+    case FFn(o, _, _) => throw new IllegalArgumentException(s"bad FILTER fn $o")
+    case FAnd(l, r) => filterCol(l) && filterCol(r)
+    case FOr(l, r) => filterCol(l) || filterCol(r)
+    case FNot(x) => !filterCol(x)
+  }
+
+  /** Bind one group: patterns joined, UNION chains unioned then joined
+    * in, OPTIONALs left-joined, FILTERs applied — one row per solution,
+    * one column per variable. */
+  private def solutionsOf(store: GraftStore, g: Group): DataFrame = {
+    var df: DataFrame = null
+    if (g.patterns.nonEmpty)
+      df = g.patterns.map(scan(store, _))
+        .reduceLeft((a, b) => joined(a, b, "inner"))
+    g.unions.foreach { alts =>
+      // SPARQL UNION: concatenation of the alternatives' solution
+      // multisets; variables bound in one branch only are unbound
+      // (null) in the others — exactly unionByName/allowMissingColumns
+      val u = alts.map(solutionsOf(store, _))
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      df = if (df == null) u else joined(df, u, "inner")
     }
+    require(df != null, "empty group pattern")
+    g.optionals.foreach { o =>
+      df = joined(df, solutionsOf(store, o), "left")
+    }
+    g.filters.foreach { f => df = df.where(filterCol(f)) }
+    df
   }
 
   /** `POST /_sp` (SpHandler.scala:165-253, PopulateAndQuery:360-475):
@@ -219,35 +396,38 @@ object Sparql {
     select(store.scopedTo(sub), query)
   }
 
-  /** Bind the WHERE block: patterns joined, OPTIONALs left-joined,
-    * FILTERs applied — one row per solution, one column per variable. */
-  private def solutions(store: GraftStore, q: Query): DataFrame = {
-    var df = q.patterns.map(scan(store, _))
-      .reduceLeft((a, b) => joined(a, b, "inner"))
-    q.optionals.foreach { opt =>
-      val side = opt.map(scan(store, _)).reduceLeft((a, b) => joined(a, b, "inner"))
-      df = joined(df, side, "left")
-    }
-    q.filters.foreach { group =>
-      // standard precedence: && binds tighter than || — the chain is
-      // an OR of AND-runs (each Cond's orNext says which connector
-      // follows it)
-      val andRuns = group.foldLeft(Vector(Vector.empty[Cond])) {
-        (acc, c) =>
-          val updated = acc.init :+ (acc.last :+ c)
-          if (c.orNext) updated :+ Vector.empty else updated
-      }.filter(_.nonEmpty)
-      val combined = andRuns
-        .map(_.map(condCol).reduce(_ && _)).reduce(_ || _)
-      df = df.where(combined)
-    }
-    df
-  }
-
   /** Compile + run a SPARQL SELECT against a store. */
   def select(store: GraftStore, query: String): DataFrame = {
     val q = parse(query)
-    var out = solutions(store, q).select(q.select.map(col): _*)
+    val sol = solutionsOf(store, q.where)
+    val hasAgg = q.select.exists(_.agg.nonEmpty) || q.groupBy.nonEmpty
+    var out =
+      if (hasAgg) {
+        // aggregates group over the solution multiset; SUM/AVG/MIN/MAX
+        // use the numeric shadow when the variable bound an object
+        def numOf(v: String): Column =
+          if (sol.columns.contains(s"${v}__n")) col(s"${v}__n") else col(v)
+        val aggCols = q.select.filter(_.agg.nonEmpty).map { it =>
+          val c = (it.agg.get, it.v) match {
+            case ("COUNT", None) => count(lit(1))
+            case ("COUNT", Some(v)) =>
+              if (it.distinct) countDistinct(col(v)) else count(col(v))
+            case ("SUM", Some(v)) => sum(numOf(v))
+            case ("AVG", Some(v)) => avg(numOf(v))
+            case ("MIN", Some(v)) => min(numOf(v))
+            case ("MAX", Some(v)) => max(numOf(v))
+            case (a, n) => throw new IllegalArgumentException(s"bad agg $a($n)")
+          }
+          c.as(it.alias)
+        }
+        val keys =
+          if (q.groupBy.nonEmpty) q.groupBy
+          else q.select.filter(_.agg.isEmpty).flatMap(_.v)
+        val grouped =
+          if (keys.isEmpty) sol.agg(aggCols.head, aggCols.tail: _*)
+          else sol.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        grouped.select(q.select.map(it => col(it.alias)): _*)
+      } else sol.select(q.select.map(it => col(it.alias)): _*)
     if (q.distinct) out = out.distinct()
     if (q.orderBy.nonEmpty)
       out = out.orderBy(q.orderBy.map { case (v, asc) =>
@@ -264,7 +444,7 @@ object Sparql {
   def construct(store: GraftStore, query: String): DataFrame = {
     val q = parse(query)
     require(q.template.nonEmpty, "not a CONSTRUCT query")
-    val bound = solutions(store, q)
+    val bound = solutionsOf(store, q.where)
     q.template.map { t =>
       def bind(tm: Term, pred: Boolean): Column = tm match {
         case V(v) => col(v)

@@ -260,6 +260,62 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("SPARQL UNION leaves branch-only variables unbound") {
+    val store = storeOf(Seq(
+      "<c://u/1> <c://o#a> \"x\" .",
+      "<c://u/2> <c://o#b> \"y\" ."),
+      T("2024-01-01 00:00:00"))
+    val r = Sparql.select(store,
+      """SELECT ?s ?a ?b WHERE {
+        |  { ?s <c://o#a> ?a } UNION { ?s <c://o#b> ?b }
+        |} ORDER BY ?s""".stripMargin).collect()
+    assert(r.length == 2)
+    assert(r(0).getString(0) == "/u/1" && r(0).getString(1) == "x" &&
+      r(0).isNullAt(2))
+    assert(r(1).getString(0) == "/u/2" && r(1).isNullAt(1) &&
+      r(1).getString(2) == "y")
+  }
+
+  test("SPARQL aggregates: COUNT DISTINCT and grouped SUM over numerics") {
+    val store = storeOf(Seq(
+      "<c://v/1> <c://o#g> \"a\" .",
+      "<c://v/1> <c://o#n> \"2\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://v/2> <c://o#g> \"a\" .",
+      "<c://v/2> <c://o#n> \"3\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://v/3> <c://o#g> \"b\" .",
+      "<c://v/3> <c://o#n> \"5\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
+      T("2024-01-01 00:00:00"))
+    val r = Sparql.select(store,
+      """SELECT ?g (COUNT(DISTINCT ?s) AS ?c) (SUM(?n) AS ?total) WHERE {
+        |  ?s <c://o#g> ?g . ?s <c://o#n> ?n .
+        |} GROUP BY ?g ORDER BY ?g""".stripMargin).collect()
+    assert(r.length == 2)
+    assert(r(0).getString(0) == "a" && r(0).getLong(1) == 2 &&
+      r(0).getDouble(2) == 5.0)
+    assert(r(1).getString(0) == "b" && r(1).getLong(1) == 1 &&
+      r(1).getDouble(2) == 5.0)
+  }
+
+  test("SPARQL string escapes and negation in FILTER") {
+    val store = storeOf(Seq(
+      "<c://w/1> <c://o#t> \"say \\\"hi\\\"\" .",
+      "<c://w/2> <c://o#t> \"plain\" ."),
+      T("2024-01-01 00:00:00"))
+    val hit = Sparql.select(store,
+      "SELECT ?s WHERE { ?s <c://o#t> \"say \\\"hi\\\"\" . }")
+    assert(hit.collect().map(_.getString(0)).toSeq == Seq("/w/1"))
+    val neg = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#t> ?t .
+        |FILTER (!(contains(?t, "hi"))) }""".stripMargin)
+    assert(neg.collect().map(_.getString(0)).toSeq == Seq("/w/2"))
+  }
+
+  test("SPARQL property path with cardinality modifiers is rejected") {
+    val store = tagStore
+    intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?x <c://o#p> / <c://o#q> * ?y }"))
+  }
+
   test("SPARQL FILTER gives && precedence over ||") {
     val store = storeOf(Seq(
       "<c://v/1> <c://o#a> \"1\"^^<http://www.w3.org/2001/XMLSchema#long> .",
