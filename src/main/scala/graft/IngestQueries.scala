@@ -18,14 +18,9 @@ object IngestQueries {
 
   private val T0 = Timestamp.valueOf("2026-01-01 00:00:00")
 
-  /** customer → N-Triples → ingest into an empty store → search back.
-    * Round-trips the nt formatter, the line parser, command folding and
-    * the merge (fresh-path branch). */
-  private def roundtrip(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
-    val nt = Formatters.ntriples(cust).as[String]
-    val ingested = Ingest.ingest(s, Ingest.emptyStore(s), nt, T0)
+  /** Search the re-ingested store back as comparable customer columns. */
+  private def customersBack(s: SparkSession,
+                            ingested: DataFrame): DataFrame = {
     val st2 = GraftStore.fromInfotons(s, ingested)
     Search.run(st2, Search.Request(path = "/customer"))
       .select(Search.fieldN("custkey").cast("long").as("custkey"),
@@ -33,6 +28,37 @@ object IngestQueries {
         Search.fieldN("acctbal").as("acctbal"),
         Search.fieldS("mktsegment").as("mktsegment"))
       .orderBy("custkey")
+  }
+
+  /** customer → N-Triples → ingest into an empty store → search back.
+    * Round-trips the nt formatter, the line parser, command folding and
+    * the merge (fresh-path branch). */
+  private def roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
+    val nt = Formatters.ntriples(cust).as[String]
+    customersBack(s, Ingest.ingest(s, Ingest.emptyStore(s), nt, T0))
+  }
+
+  /** customer → JSON-LD node objects → ingestJsonLd → search back:
+    * round-trips the jsonld formatter and the hand-rolled expansion
+    * parser (the common API-client format, InputHandler.scala:259). */
+  private def roundtripJsonLd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
+    val docs = Formatters.jsonldDocs(cust).as[String]
+    customersBack(s, Ingest.ingestJsonLd(s, Ingest.emptyStore(s), docs, T0))
+  }
+
+  /** customer → subject-grouped Turtle → ingestTurtle → search back:
+    * round-trips the ttl formatter (prefix header + `;`/`,` grouping)
+    * through the Turtle parser. */
+  private def roundtripTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
+    val docs = Formatters.ttl(cust).as[String]
+      .map(Formatters.ttlHeader + _)
+    customersBack(s, Ingest.ingestTurtle(s, Ingest.emptyStore(s), docs, T0))
   }
 
   /** One update command per customer (replace acctbal with +100),
@@ -103,12 +129,20 @@ object IngestQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_roundtrip" -> roundtrip,
+    "q_ingest_jsonld" -> roundtripJsonLd,
+    "q_ingest_ttl" -> roundtripTtl,
     "q_merge_update" -> mergeUpdate,
     "q_merge_delete" -> mergeDelete,
     "q_with_deleted" -> withDeleted)
 
   val oracles: Map[String, String] = Map(
     "q_ingest_roundtrip" ->
+      """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+        |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
+    "q_ingest_jsonld" ->
+      """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+        |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
+    "q_ingest_ttl" ->
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
         |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
     "q_merge_update" ->

@@ -36,9 +36,20 @@ object Ingest {
     * unit of parallelism; pair with `wholeTextFiles`). */
   def ingestTurtle(spark: SparkSession, infotons: DataFrame,
                    docs: Dataset[String],
-                   lastModified: Timestamp): DataFrame = {
+                   lastModified: Timestamp): DataFrame =
+    ingestDocs(spark, infotons, docs, lastModified, Turtle.parse)
+
+  /** JSON-LD ingest — same document-level parallelism as Turtle. */
+  def ingestJsonLd(spark: SparkSession, infotons: DataFrame,
+                   docs: Dataset[String],
+                   lastModified: Timestamp): DataFrame =
+    ingestDocs(spark, infotons, docs, lastModified, JsonLd.parse)
+
+  private def ingestDocs(spark: SparkSession, infotons: DataFrame,
+                         docs: Dataset[String], lastModified: Timestamp,
+                         parse: String => Seq[Rdf.Statement]): DataFrame = {
     import spark.implicits._
-    val cmds = docs.flatMap(Turtle.parse(_))
+    val cmds = docs.flatMap(parse(_))
       .groupByKey(st => Rdf.iriToPath(st.subj))
       .mapGroups { (path, sts) => Rdf.toCommand(path, sts.toSeq, lastModified) }
     Merger.merge(spark, infotons, cmds)

@@ -31,35 +31,184 @@ object Formatters {
   def pathToIri(protocol: Column, path: Column): Column =
     concat(protocol, lit(":/"), path)
 
-  /** One N-Triples (or N-Quads, when the value carries a quad) line per
-    * (infoton, field, value). Returns a single-column ("line") frame. */
-  def ntriples(infotons: DataFrame): DataFrame = {
-    val x = infotons
+  private val xsdMap = map(XsdByType.flatMap { case (k, x) =>
+    Seq(lit(k), lit(x)) }.toSeq: _*)
+
+  /** Typed value struct → N-Triples/Turtle term text (shared by
+    * nt/nq/ttl/trig). */
+  private def objCol(protocol: Column, v: Column): Column = {
+    val lit_ = concat(lit("\""), ntEscape(v.getField("s")), lit("\""))
+    when(v.getField("vType") === TRef,
+        concat(lit("<"), pathToIri(protocol, v.getField("s")), lit(">")))
+      .when(v.getField("vType") === TString,
+        when(v.getField("lang").isNotNull,
+          concat(lit_, lit("@"), v.getField("lang"))).otherwise(lit_))
+      .otherwise(concat(lit_, lit("^^<http://www.w3.org/2001/XMLSchema#"),
+        element_at(xsdMap, v.getField("vType")), lit(">")))
+  }
+
+  /** One row per (infoton, field, value) — the statement-level view the
+    * triple formatters project from. */
+  private def exploded(infotons: DataFrame): DataFrame =
+    infotons
       .where(col("fields").isNotNull)
       .select(col("system.protocol").as("protocol"), col("system.path").as("path"),
         explode(col("fields")).as(Seq("field", "values")))
       .select(col("protocol"), col("path"), col("field"),
         explode(col("values")).as("v"))
-    val obj = {
-      val v = col("v")
-      val lit_ = concat(lit("\""), ntEscape(v.getField("s")), lit("\""))
-      when(v.getField("vType") === TRef,
-          concat(lit("<"), pathToIri(col("protocol"), v.getField("s")), lit(">")))
-        .when(v.getField("vType") === TString,
-          when(v.getField("lang").isNotNull,
-            concat(lit_, lit("@"), v.getField("lang"))).otherwise(lit_))
-        .otherwise(concat(lit_, lit("^^<http://www.w3.org/2001/XMLSchema#"),
-          element_at(map(XsdByType.flatMap { case (k, x) =>
-            Seq(lit(k), lit(x)) }.toSeq: _*), v.getField("vType")),
-          lit(">")))
-    }
-    x.select(concat(
+
+  /** One N-Triples (or N-Quads, when the value carries a quad) line per
+    * (infoton, field, value). Returns a single-column ("line") frame. */
+  def ntriples(infotons: DataFrame): DataFrame =
+    exploded(infotons).select(concat(
       lit("<"), pathToIri(col("protocol"), col("path")), lit("> "),
       lit("<cmwell://ont#"), col("field"), lit("> "),
-      obj,
+      objCol(col("protocol"), col("v")),
       when(col("v.quad").isNotNull,
         concat(lit(" <"), col("v.quad"), lit(">"))).otherwise(lit("")),
       lit(" .")).as("line"))
+
+  /** Turtle — subject-grouped, `;`/`,` lists, predicates under the ont:
+    * prefix (reference RDFFormatter's ttl; prepend [[ttlHeader]]).
+    * One "doc" row per infoton; valid N3 too ([[n3]]). */
+  def ttl(infotons: DataFrame): DataFrame = {
+    val fieldBlocks = transform(map_entries(col("fields")), e =>
+      concat(lit("  ont:"), e.getField("key"), lit(" "),
+        array_join(transform(e.getField("value"),
+          v => objCol(col("system.protocol"), v)), ", ")))
+    infotons.where(col("fields").isNotNull)
+      .select(concat(
+        lit("<"), pathToIri(col("system.protocol"), col("system.path")),
+        lit(">\n"), array_join(fieldBlocks, " ;\n"), lit(" .")).as("doc"))
+  }
+
+  val ttlHeader: String = "@prefix ont: <cmwell://ont#> .\n"
+
+  /** N3 — the emitted Turtle subset is valid N3 (FormatExtractor lists
+    * both; Jena serializes them near-identically for plain graphs). */
+  def n3(infotons: DataFrame): DataFrame = ttl(infotons)
+
+  /** TriG — named-graph form: quad-tagged values render inside a
+    * `<graph> { … }` block (TriG allows repeated blocks per graph, so
+    * this stays one codegen'd line per statement, no grouping shuffle);
+    * default-graph values render as bare triples. */
+  def trig(infotons: DataFrame): DataFrame = {
+    val triple = concat(
+      lit("<"), pathToIri(col("protocol"), col("path")), lit("> "),
+      lit("<cmwell://ont#"), col("field"), lit("> "),
+      objCol(col("protocol"), col("v")), lit(" ."))
+    exploded(infotons).select(
+      when(col("v.quad").isNotNull,
+        concat(lit("<"), col("v.quad"), lit("> { "), triple, lit(" }")))
+        .otherwise(triple).as("line"))
+  }
+
+  /** TriX — one `<triple>` XML element per statement; wrap with
+    * [[trixWrap]]. */
+  def trix(infotons: DataFrame): DataFrame = {
+    val v = col("v")
+    val obj =
+      when(v.getField("vType") === TRef,
+        concat(lit("<uri>"), pathToIri(col("protocol"), v.getField("s")),
+          lit("</uri>")))
+      .when(v.getField("vType") === TString,
+        when(v.getField("lang").isNotNull,
+          concat(lit("<plainLiteral xml:lang=\""), v.getField("lang"),
+            lit("\">"), xmlEscape(v.getField("s")), lit("</plainLiteral>")))
+        .otherwise(concat(lit("<plainLiteral>"), xmlEscape(v.getField("s")),
+          lit("</plainLiteral>"))))
+      .otherwise(concat(
+        lit("<typedLiteral datatype=\"http://www.w3.org/2001/XMLSchema#"),
+        element_at(xsdMap, v.getField("vType")), lit("\">"),
+        xmlEscape(v.getField("s")), lit("</typedLiteral>")))
+    exploded(infotons).select(concat(
+      lit("<triple><uri>"), pathToIri(col("protocol"), col("path")),
+      lit("</uri><uri>cmwell://ont#"), col("field"), lit("</uri>"),
+      obj, lit("</triple>")).as("line"))
+  }
+
+  def trixWrap: (String, String) =
+    ("""<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"><graph>""",
+      "</graph></TriX>")
+
+  /** RDF/XML — one `<rdf:Description>` per infoton; wrap with
+    * [[rdfxmlWrap]]. */
+  def rdfxml(infotons: DataFrame): DataFrame = {
+    def elem(key: Column, v: Column): Column =
+      when(v.getField("vType") === TRef,
+        concat(lit("  <ont:"), key, lit(" rdf:resource=\""),
+          pathToIri(col("system.protocol"), v.getField("s")), lit("\"/>")))
+      .when(v.getField("vType") === TString,
+        concat(lit("  <ont:"), key,
+          when(v.getField("lang").isNotNull,
+            concat(lit(" xml:lang=\""), v.getField("lang"), lit("\"")))
+            .otherwise(lit("")),
+          lit(">"), xmlEscape(v.getField("s")),
+          lit("</ont:"), key, lit(">")))
+      .otherwise(concat(lit("  <ont:"), key,
+        lit(" rdf:datatype=\"http://www.w3.org/2001/XMLSchema#"),
+        element_at(xsdMap, v.getField("vType")), lit("\">"),
+        xmlEscape(v.getField("s")), lit("</ont:"), key, lit(">")))
+    val lines = flatten(transform(map_entries(col("fields")), e =>
+      transform(e.getField("value"), v => elem(e.getField("key"), v))))
+    infotons.where(col("fields").isNotNull)
+      .select(concat(
+        lit("<rdf:Description rdf:about=\""),
+        pathToIri(col("system.protocol"), col("system.path")), lit("\">\n"),
+        array_join(lines, "\n"), lit("\n</rdf:Description>")).as("doc"))
+  }
+
+  def rdfxmlWrap: (String, String) =
+    ("""<?xml version="1.0" encoding="UTF-8"?>""" + "\n" +
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ont="cmwell://ont#">""",
+      "</rdf:RDF>")
+
+  /** JSON-LD — one expanded-form node object per infoton ("doc" rows);
+    * [[graft.ingest.JsonLd]] re-ingests this shape (roundtrip-tested).
+    * Per-value quads are not representable in a flat node object — use
+    * nquads/trig for named-graph exchange. */
+  def jsonldDocs(infotons: DataFrame): DataFrame = {
+    def jstr(c: Column): Column = concat(lit("\""), ntEscape(c), lit("\""))
+    def one(v: Column): Column =
+      when(v.getField("vType") === TRef,
+        concat(lit("{\"@id\":"),
+          jstr(pathToIri(col("system.protocol"), v.getField("s"))), lit("}")))
+      .when(v.getField("vType") === TString,
+        when(v.getField("lang").isNotNull,
+          concat(lit("{\"@value\":"), jstr(v.getField("s")),
+            lit(",\"@language\":"), jstr(v.getField("lang")), lit("}")))
+        .otherwise(concat(lit("{\"@value\":"), jstr(v.getField("s")), lit("}"))))
+      .otherwise(concat(lit("{\"@value\":"), jstr(v.getField("s")),
+        lit(",\"@type\":\"http://www.w3.org/2001/XMLSchema#"),
+        element_at(xsdMap, v.getField("vType")), lit("\"}")))
+    val props = transform(map_entries(col("fields")), e =>
+      concat(lit("\"cmwell://ont#"), e.getField("key"), lit("\":["),
+        array_join(transform(e.getField("value"), one(_)), ","), lit("]")))
+    infotons.where(col("fields").isNotNull)
+      .select(concat(
+        lit("{\"@id\":"),
+        jstr(pathToIri(col("system.protocol"), col("system.path"))),
+        lit(","), array_join(props, ","), lit("}")).as("doc"))
+  }
+
+  /** The JSON response envelope every HTTP consumer parses
+    * (SearchResults.scala:41-57, SearchResponse + PaginationInfo).
+    * Page-bounded by the search clamps (≤ MaxLength rows), so the
+    * collect is the page, never the result set. */
+  def searchEnvelope(page: DataFrame, total: Long, offset: Long,
+                     length: Long, selfPath: String = "/"): String = {
+    val infotons = page
+      .select(to_json(struct(col("system"), col("fields"))))
+      .collect().map(_.getString(0))
+    def link(off: Long) = s""""$selfPath?op=search&offset=$off&length=$length""""
+    val lastOff = math.max(0L, (math.max(total, 1) - 1) / math.max(length, 1) * length)
+    val prev = if (offset > 0) link(math.max(0, offset - length)) else "null"
+    val next = if (offset + length < total) link(offset + length) else "null"
+    s"""{"type":"SearchResponse","pagination":{"type":"PaginationInfo",""" +
+      s""""first":${link(0)},"previous":$prev,"self":${link(offset)},""" +
+      s""""next":$next,"last":${link(lastOff)}},""" +
+      s""""results":{"type":"SearchResults","total":$total,"offset":$offset,""" +
+      s""""length":${infotons.length},"infotons":[${infotons.mkString(",")}]}}"""
   }
 
   /** `format=text` — one path per line (FormatExtractor's text). */

@@ -201,6 +201,49 @@ class EngineSpec extends AnyFunSuite {
       graft.ops.Graph.Hop(incoming = false, "refPart", Some("retailprice>100.5")))))
   }
 
+  test("trig, trix and rdfxml render statements with graph/type fidelity") {
+    val store = storeOf(Seq(
+      "<c://f/1> <c://o#tag> \"red\"@en <c://g/1> .",
+      "<c://f/1> <c://o#num> \"5\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
+      T("2024-01-01 00:00:00"))
+    val cur = store.current.where(col("system.path") === "/f/1")
+    val trig = Formatters.trig(cur).collect().map(_.getString(0)).toSet
+    assert(trig.exists(l => l.startsWith("</g/1> {") &&
+      l.contains("\"red\"@en") && l.endsWith("}")))
+    assert(trig.exists(l => l.contains("XMLSchema#long>") && l.endsWith(".")))
+    val trix = Formatters.trix(cur).collect().map(_.getString(0)).toSet
+    assert(trix.exists(l =>
+      l.contains("<plainLiteral xml:lang=\"en\">red</plainLiteral>")))
+    assert(trix.exists(l => l.contains(
+      "<typedLiteral datatype=\"http://www.w3.org/2001/XMLSchema#long\">5</typedLiteral>")))
+    val xml = Formatters.rdfxml(cur).collect().map(_.getString(0)).head
+    assert(xml.startsWith("<rdf:Description rdf:about=\"cmwell://f/1\">"))
+    assert(xml.contains("<ont:tag xml:lang=\"en\">red</ont:tag>"))
+    assert(xml.contains(
+      "rdf:datatype=\"http://www.w3.org/2001/XMLSchema#long\">5</ont:num>"))
+  }
+
+  test("search envelope carries pagination and the infoton page") {
+    val store = tagStore
+    val page = Search.search(store, Search.Request(path = "/doc"),
+      offset = 0, length = 2)
+    val env = Formatters.searchEnvelope(page, total = 3, offset = 0,
+      length = 2, selfPath = "/doc")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(env)
+    assert(root.get("type").asText() == "SearchResponse")
+    val pag = root.get("pagination")
+    assert(pag.get("type").asText() == "PaginationInfo")
+    assert(pag.get("first").asText().contains("offset=0"))
+    assert(pag.get("next").asText().contains("offset=2"))
+    assert(pag.get("previous").isNull)
+    val res = root.get("results")
+    assert(res.get("total").asLong() == 3 && res.get("length").asLong() == 2)
+    val inf = res.get("infotons")
+    assert(inf.size() == 2 &&
+      inf.get(0).get("system").get("path").asText().startsWith("/doc/"))
+  }
+
   test("nested term sub-aggregation truncates to top-size per parent") {
     import graft.ops.Aggregations
     import graft.qp.ApParser
