@@ -59,6 +59,48 @@ object ConsumeQueries {
         r.chunk.select(col("system.path").as("p"))
       }
       chunks.reduce(_ union _).orderBy("p")
+    }),
+
+    // exportSlices invariants, lifted to a relational check: the union
+    // of slices preserves every row (no loss), ranges are ordered and
+    // disjoint (no duplication at seams). The slice summary itself is
+    // planner-scalar-sized (n/sliceSize rows), so inspecting it on the
+    // driver is the same class as a position token.
+    "q_export_slices" -> ((s, dir) => {
+      val store = st(s, dir)
+      val slices = Consume.exportSlices(store, "/customer", sliceSize = 200)
+        .collect()
+      val total = slices.map(_.getAs[Long]("rows")).sum
+      val ordered = slices.forall(r =>
+        r.getAs[Long]("from_it") <= r.getAs[Long]("to_it"))
+      val disjoint = slices.sliding(2).forall {
+        case Array(a, b) => a.getAs[Long]("to_it") < b.getAs[Long]("from_it")
+        case _ => true
+      }
+      s.range(1).select(lit(total).as("total_rows"),
+        lit(ordered).as("ordered"), lit(disjoint).as("disjoint"))
+    }),
+
+    // inter-DC sync end-to-end: drain store A with the consume loop,
+    // replay each chunk verbatim into store B via `_ow` overwrite, then
+    // prove uuid fidelity with a join back to the source
+    "q_dc_sync" -> ((s, dir) => {
+      val store = st(s, dir)
+      var mirror = graft.ingest.Ingest.emptyStore(s)
+      var res = Consume.consume(store, Consume.createConsumer("/supplier"))
+      while (res.nextToken.isDefined) {
+        mirror = graft.ingest.Merger.overwrite(s, mirror, res.chunk)
+        res = Consume.consume(store, res.nextToken.get)
+      }
+      val st2 = GraftStore.fromInfotons(s, mirror, Some(store.fieldTypes))
+      val src = Search.run(store, Search.Request(path = "/supplier"))
+        .select(col("system.path").as("p0"), col("system.uuid").as("u0"))
+      Search.run(st2, Search.Request(path = "/supplier"))
+        .select(col("system.path").as("p"), col("system.uuid").as("u"),
+          Search.fieldN("suppkey").cast("long").as("suppkey"))
+        .join(src, col("p") === col("p0"), "left")
+        .select(col("suppkey"), (col("u") === col("u0")).as("uuid_match"))
+        .orderBy("suppkey")
     }))
 
   // Oracle: boundary = ts of the chunkSize-th row; chunk = everything
@@ -81,5 +123,11 @@ object ConsumeQueries {
     "q_bulk_consume" -> chunkSql("0", 5000),
     "q_iterator" ->
       """SELECT '/orders/' || CAST(o_orderkey AS VARCHAR) AS p FROM orders
-        |ORDER BY p LIMIT 3000""".stripMargin)
+        |ORDER BY p LIMIT 3000""".stripMargin,
+    "q_export_slices" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows, TRUE AS ordered,
+        |TRUE AS disjoint FROM customer""".stripMargin,
+    "q_dc_sync" ->
+      """SELECT s_suppkey AS suppkey, TRUE AS uuid_match FROM supplier
+        |ORDER BY suppkey""".stripMargin)
 }

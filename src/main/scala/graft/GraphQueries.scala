@@ -60,6 +60,22 @@ object GraphQueries {
         "<refSupplier[quantity>49]>refOrders[orderpriority::1-URGENT]"))
     }),
 
+    // expansionLimit (webservice.xg.limit): a 10-infoton cap on an
+    // expansion that reaches thousands must abort — surfaced as a
+    // boolean row so the abort semantics are oracle-checkable
+    "q_expansion_limit" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/orders"))
+      val limited =
+        try {
+          Graph.xg(store, base,
+            Graph.parseXg("refCustomer", Graph.refFields(store)),
+            limit = Some(10)).count()
+          false
+        } catch { case _: IllegalStateException => true }
+      s.range(1).select(lit(limited).as("limited"))
+    }),
+
     // xg=_ wildcard: one hop over EVERY reference field in the store's
     // type dictionary (Parsers.scala:384-465 `_` form). Base = rich
     // BUILDING customers; only refNation edges leave /customer, so the
@@ -82,6 +98,7 @@ object GraphQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_expansion_limit" -> "SELECT TRUE AS limited",
     "q_xg" ->
       """SELECT path FROM (
         |  SELECT '/orders/' || CAST(o_orderkey AS VARCHAR) AS path FROM orders

@@ -127,8 +127,34 @@ object IngestQueries {
       .orderBy("custkey")
   }
 
+  /** `POST /_ow` replay, lifted to a relational check: every customer's
+    * current version re-arrives from another DC with a later indexTime
+    * and its own uuid; overwrite must append it verbatim (2 versions)
+    * and hand `current` to the replayed copy. */
+  private def owReplay(s: SparkSession, dir: String): DataFrame = {
+    val store = st(s, dir)
+    val cust = store.infotons.where(
+      col("system.path").startsWith("/customer/") && col("system.current"))
+    val bumped = cust.withColumn("system", col("system")
+      .withField("indexTime", col("system.indexTime") + lit(1L))
+      .withField("uuid", md5(col("system.uuid"))))
+    val replayed = Merger.overwrite(s, cust, bumped)
+    val st2 = GraftStore.fromInfotons(s, replayed, Some(store.fieldTypes))
+    Search.run(st2, Search.Request(path = "/customer", withHistory = true))
+      .groupBy(col("system.path").as("path"))
+      .agg(count(lit(1)).as("n_versions"),
+        max(when(col("system.current"), col("system.indexTime"))).as("cur_it"),
+        max(col("system.indexTime")).as("max_it"),
+        max(when(col("system.current"),
+          Search.fieldN("custkey"))).cast("long").as("custkey"))
+      .select(col("custkey"), col("n_versions"),
+        (col("cur_it") === col("max_it")).as("current_is_replayed"))
+      .orderBy("custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_roundtrip" -> roundtrip,
+    "q_ow_replay" -> owReplay,
     "q_ingest_jsonld" -> roundtripJsonLd,
     "q_ingest_ttl" -> roundtripTtl,
     "q_merge_update" -> mergeUpdate,
@@ -139,6 +165,9 @@ object IngestQueries {
     "q_ingest_roundtrip" ->
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
         |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
+    "q_ow_replay" ->
+      """SELECT c_custkey AS custkey, CAST(2 AS BIGINT) AS n_versions,
+        |TRUE AS current_is_replayed FROM customer ORDER BY custkey""".stripMargin,
     "q_ingest_jsonld" ->
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
         |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,

@@ -13,6 +13,18 @@ object SearchQueries {
     GraftStore.forDir(s, dir)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `fields=` mask (Infoton.masked): only the masked keys survive in
+    // the fields map — an unmasked field reads back null
+    "q_fields_mask" -> ((s, dir) => {
+      val r = Search.run(st(s, dir), Search.Request(path = "/customer"))
+      Search.maskFields(r, Seq("name", "acctbal"))
+        .select(col("system.path").as("path"),
+          Search.fieldS("name").as("name"),
+          Search.fieldN("acctbal").as("acctbal"),
+          Search.fieldS("mktsegment").as("mktsegment"))
+        .orderBy("path")
+    }),
+
     // Equals (`::`) term filter
     "q_search_eq" -> ((s, dir) =>
       Search.run(st(s, dir),
@@ -139,6 +151,10 @@ object SearchQueries {
         .select("child", "total").orderBy("child")))
 
   val oracles: Map[String, String] = Map(
+    "q_fields_mask" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path,
+        |c_name AS name, c_acctbal AS acctbal, CAST(NULL AS VARCHAR) AS mktsegment
+        |FROM customer ORDER BY path""".stripMargin,
     "q_search_eq" ->
       """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path
         |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY path""".stripMargin,
