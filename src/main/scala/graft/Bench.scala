@@ -29,15 +29,29 @@ object Bench {
     store.quads.count()
     val etl = (System.nanoTime() - t0) / 1e9
 
+    // a failed query must surface red, not fast: collect per-query
+    // errors into the JSON line and exit nonzero if any
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}".take(300)
+      }
       name -> (System.nanoTime() - t) / 1e9
     }
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","etl":$etl,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","etl":$etl,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for log-prefix-mangling harnesses: also drop the
     // line in a file next to the repo
@@ -45,5 +59,10 @@ object Bench {
       java.nio.file.Paths.get("bench_last.json"), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries failed: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -28,14 +28,22 @@ object QpParser extends RegexParsers {
     ("<<" ^^^ ValueOp.LessThanOrEquals) | ("<" ^^^ ValueOp.LessThan) |
     ("~" ^^^ ValueOp.Like)
 
-  private def value: Parser[String] = """[^,\[\]]*""".r
+  /** Values may be double-quoted to carry `,`/`[`/`]`/leading spaces
+    * (reference grammar handles quoting, Parsers.scala:511-633);
+    * backslash escapes any char inside quotes. Raw values keep the old
+    * grammar (trimmed, empty = exists). */
+  private def value: Parser[Option[String]] =
+    (""""(?:[^"\\]|\\.)*"""".r ^^ { s =>
+      Some(s.substring(1, s.length - 1).replaceAll("\\\\(.)", "$1"))
+    }) |
+    ("""[^,\[\]]*""".r ^^ (v => Option(v.trim).filter(_.nonEmpty)))
 
   private def prefix: Parser[FieldOp] =
     ("-" ^^^ FieldOp.MustNot) | ("*" ^^^ FieldOp.Should) | success(FieldOp.Must)
 
   private def single(op: FieldOp): Parser[FieldFilter] =
     fieldName ~ valueOp ~ value ^^ { case f ~ vo ~ v =>
-      SingleFieldFilter(op, vo, f, Option(v.trim).filter(_.nonEmpty))
+      SingleFieldFilter(op, vo, f, v)
     }
 
   private def group(op: FieldOp): Parser[FieldFilter] =

@@ -68,13 +68,17 @@ object Streaming {
       .where(size(col("subscribers")) > 0)
   }
 
-  /** Convenience sink: deliver each micro-batch to a callback (the
-    * webhook/queue push of the reference's push-mode subscribe). */
+  /** Push sink: deliver each micro-batch from the EXECUTORS — the
+    * webhook/queue push of the reference's push-mode subscribe. The
+    * callback runs once per partition on the executor that holds it,
+    * so a high-volume rule match never funnels through the driver JVM;
+    * `f` must be serializable (open the connection inside the callback,
+    * the standard foreachPartition discipline). */
   def deliver(matched: DataFrame, epochIntervalMs: Long = 1000L)
-             (f: (Seq[Row], Long) => Unit): DataStreamWriter[Row] =
+             (f: (Iterator[Row], Long) => Unit): DataStreamWriter[Row] =
     matched.writeStream
       .trigger(Trigger.ProcessingTime(epochIntervalMs))
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        f(batch.collect().toSeq, epoch)
+        batch.foreachPartition((it: Iterator[Row]) => f(it, epoch))
       }
 }

@@ -58,6 +58,23 @@ class QpParserSpec extends AnyFunSuite {
       Seq(("acctbal", false), ("name", true), ("path", true)))
   }
 
+  test("quoted values carry commas, brackets and escaped quotes") {
+    assert(QpParser.parse("name::\"Smith, John [Jr]\"") ==
+      SingleFieldFilter(FieldOp.Must, ValueOp.Equals, "name",
+        Some("Smith, John [Jr]")))
+    assert(QpParser.parse("t::\"say \\\"hi\\\"\"") ==
+      SingleFieldFilter(FieldOp.Must, ValueOp.Equals, "t",
+        Some("say \"hi\"")))
+    // quoted values compose inside groups and conjunctions
+    val f = QpParser.parse("a::\"x,y\",b::plain")
+    assert(f == MultiFieldFilter(FieldOp.Must, List(
+      SingleFieldFilter(FieldOp.Must, ValueOp.Equals, "a", Some("x,y")),
+      SingleFieldFilter(FieldOp.Must, ValueOp.Equals, "b", Some("plain")))))
+    // quoted leading/trailing spaces survive (raw values trim)
+    assert(QpParser.parse("a::\" padded \"") ==
+      SingleFieldFilter(FieldOp.Must, ValueOp.Equals, "a", Some(" padded ")))
+  }
+
   test("bad input throws with position") {
     val e = intercept[IllegalArgumentException](QpParser.parse("[unclosed"))
     assert(e.getMessage.contains("bad qp"))

@@ -79,4 +79,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSet == Set("/ev/2"))
     } finally q.stop()
   }
+
+  test("deliver pushes each partition from the executors, not the driver") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    DeliverSink.got.clear()
+    val ms = MemoryStream[Ev]
+    val matched = Streaming.subscribe(infotonize(ms.toDF()), store,
+      Seq(Streaming.Rule("w", "/ev")))
+    val q = Streaming.deliver(
+      matched.select(col("system.path").as("path")), 100L) { (it, _) =>
+        it.foreach(r => DeliverSink.got.add(r.getString(0)))
+      }.start()
+    try {
+      ms.addData(
+        Ev("/ev/1", "/ev", 10L, "ObjectInfoton", "red"),
+        Ev("/ev/2", "/ev", 11L, "ObjectInfoton", "blue"))
+      q.processAllAvailable()
+      assert(DeliverSink.got.toArray.toSet ==
+        Set[Any]("/ev/1", "/ev/2"))
+    } finally q.stop()
+  }
+}
+
+/** Executor-side collector for the deliver test (object = static, so
+  * the closure serializes by reference; local mode shares the JVM). */
+object DeliverSink {
+  val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
