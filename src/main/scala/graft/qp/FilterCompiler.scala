@@ -130,8 +130,7 @@ final class FilterCompiler(store: GraftStore) {
             // lowercase non-alnum splitter); phrase → substring on
             // lowercased text
             if (v.exists(_.isWhitespace))
-              c => c.getField("s").contains(lit(v)) ||
-                lower(c.getField("s")).contains(lit(v.toLowerCase))
+              c => lower(c.getField("s")).contains(lit(v.toLowerCase))
             else
               c => array_contains(
                 split(lower(c.getField("s")), "[^a-z0-9]+"), v.toLowerCase)

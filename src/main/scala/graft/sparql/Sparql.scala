@@ -177,11 +177,14 @@ object Sparql {
       while (peek == "&&") { next(); l = FAnd(l, unary()) }
       l
     }
-    def fnNames = Set("regex", "contains", "strstarts", "strends")
     def unary(): FExpr = {
+      // any bare word followed by "(" is a function call — the four
+      // builtins, or a custom function registered via registerFunction
+      def isFnCall = !peek.startsWith("?") && !peek.startsWith("\"") &&
+        i + 1 < toks.length && toks(i + 1) == "("
       if (peek == "(") { next(); val e = orExpr(); expect(")"); e }
       else if (peek == "!") { next(); FNot(unary()) }
-      else if (fnNames(peek.toLowerCase)) builtin()
+      else if (isFnCall) builtin()
       else {
         val v = next(); require(v.startsWith("?"), s"FILTER needs var, got $v")
         val op = next()
@@ -350,7 +353,10 @@ object Sparql {
     case FFn("contains", v, arg) => col(v).contains(arg)
     case FFn("strstarts", v, arg) => col(v).startsWith(arg)
     case FFn("strends", v, arg) => col(v).endsWith(arg)
-    case FFn(o, _, _) => throw new IllegalArgumentException(s"bad FILTER fn $o")
+    // SPARQL IMPORTS analog (SpHandler.scala:201-203 loads stored Jena
+    // functions): any other name dispatches to a Spark UDF registered
+    // via [[registerFunction]] — unknown names fail at analysis
+    case FFn(other, v, arg) => call_udf(other, col(v), lit(arg))
     case FAnd(l, r) => filterCol(l) && filterCol(r)
     case FOr(l, r) => filterCol(l) || filterCol(r)
     case FNot(x) => !filterCol(x)
@@ -379,6 +385,15 @@ object Sparql {
     g.filters.foreach { f => df = df.where(filterCol(f)) }
     df
   }
+
+  /** Register a custom FILTER function — the engine's analog of the
+    * reference's SPARQL IMPORTS (SpHandler.scala:201-203, stored Jena
+    * functions): `FILTER myfn(?v, "arg")` dispatches to the Spark UDF
+    * `myfn(value, arg): Boolean`. UDFs leave whole-stage codegen, so
+    * prefer the builtins where they fit. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+                       name: String)(f: (String, String) => Boolean): Unit =
+    spark.udf.register(name, f)
 
   /** `POST /_sp` (SpHandler.scala:165-253, PopulateAndQuery:360-475):
     * PATHS section = search requests whose results populate the

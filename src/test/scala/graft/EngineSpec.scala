@@ -353,6 +353,17 @@ class EngineSpec extends AnyFunSuite {
     assert(neg.collect().map(_.getString(0)).toSeq == Seq("/w/2"))
   }
 
+  test("SPARQL custom FILTER functions dispatch to registered UDFs") {
+    Sparql.registerFunction(spark, "lenis") { (s, n) =>
+      s != null && s.length == n.toInt
+    }
+    val r = Sparql.select(tagStore,
+      """SELECT ?s WHERE { ?s <c://o#tag> ?t .
+        |FILTER lenis(?t, "4") } ORDER BY ?s""".stripMargin)
+    // "blue" is the only 4-char tag
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("/doc/2"))
+  }
+
   test("SPARQL property path with cardinality modifiers is rejected") {
     val store = tagStore
     intercept[IllegalArgumentException](Sparql.parse(
