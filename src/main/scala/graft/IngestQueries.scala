@@ -127,6 +127,17 @@ object IngestQueries {
       .orderBy("custkey")
   }
 
+  /** customer → RDF/XML descriptions → ingestRdfXml → search back: each
+    * doc wraps in the rdf:RDF envelope so namespaces resolve. */
+  private def roundtripRdfXml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
+    val (head, tail) = Formatters.rdfxmlWrap
+    val docs = Formatters.rdfxml(cust).as[String]
+      .map(d => head + "\n" + d + "\n" + tail)
+    customersBack(s, Ingest.ingestRdfXml(s, Ingest.emptyStore(s), docs, T0))
+  }
+
   /** `POST /_ow` replay, lifted to a relational check: every customer's
     * current version re-arrives from another DC with a later indexTime
     * and its own uuid; overwrite must append it verbatim (2 versions)
@@ -157,6 +168,7 @@ object IngestQueries {
     "q_ow_replay" -> owReplay,
     "q_ingest_jsonld" -> roundtripJsonLd,
     "q_ingest_ttl" -> roundtripTtl,
+    "q_ingest_rdfxml" -> roundtripRdfXml,
     "q_merge_update" -> mergeUpdate,
     "q_merge_delete" -> mergeDelete,
     "q_with_deleted" -> withDeleted)
@@ -172,6 +184,9 @@ object IngestQueries {
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
         |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
     "q_ingest_ttl" ->
+      """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+        |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
+    "q_ingest_rdfxml" ->
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
         |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
     "q_merge_update" ->

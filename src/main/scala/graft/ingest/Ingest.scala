@@ -45,6 +45,12 @@ object Ingest {
                    lastModified: Timestamp): DataFrame =
     ingestDocs(spark, infotons, docs, lastModified, JsonLd.parse)
 
+  /** RDF/XML ingest — same document-level parallelism as Turtle. */
+  def ingestRdfXml(spark: SparkSession, infotons: DataFrame,
+                   docs: Dataset[String],
+                   lastModified: Timestamp): DataFrame =
+    ingestDocs(spark, infotons, docs, lastModified, RdfXml.parse)
+
   private def ingestDocs(spark: SparkSession, infotons: DataFrame,
                          docs: Dataset[String], lastModified: Timestamp,
                          parse: String => Seq[Rdf.Statement]): DataFrame = {
