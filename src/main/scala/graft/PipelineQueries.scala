@@ -51,6 +51,13 @@ object PipelineQueries {
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")),
 
+    // IVF ANN (trained coarse quantizer, nprobe/nlist of the corpus
+    // scanned) — rows-only + ScalaTest recall check
+    "q_knn_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), Seq(0L, 1L, 2L), 5)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")),
+
     // token/char counting incl. BPE-ish estimate
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")),

@@ -105,10 +105,13 @@ object Graph {
         e.join(fr, col("e.from") === col("fr.p")).select(col("e.to").as("p"))
     hop.filter.fold(next.distinct()) { f =>
       val pred = new FilterCompiler(store).compile(QpParser.parse(f))
+      // flat helper column: a semi join keyed on a nested extraction
+      // over self-derived union lineage trips Catalyst's nested-column
+      // pruning (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
       store.current.where(pred)
-        .join(next.distinct(),
-          col("system.path") === col("p"), "left_semi")
-        .select(col("system.path").as("p"))
+        .select(col("system.path").as("fp"))
+        .join(next.distinct(), col("fp") === col("p"), "left_semi")
+        .select(col("fp").as("p"))
     }
   }
 
@@ -129,8 +132,7 @@ object Graph {
       frontier = next
       reached = reached.union(next).distinct()
     }
-    store.current.join(reached,
-      col("system.path") === col("p"), "left_semi")
+    semiByPath(store, reached)
   }
 
   /** yg — chained path expansion (both directions, per-hop filters);
@@ -146,8 +148,7 @@ object Graph {
       frontier = next
       reached = reached.union(next).distinct()
     }
-    store.current.join(reached,
-      col("system.path") === col("p"), "left_semi")
+    semiByPath(store, reached)
   }
 
   /** gqp — keep only base infotons for which the FULL hop chain
@@ -174,7 +175,18 @@ object Graph {
           col("p") === col("fp"), "left_semi").distinct()
       }
     }
-    base.join(chain.select("origin").distinct(),
-      col("system.path") === col("origin"), "left_semi")
+    base.withColumn("__path", col("system.path"))
+      .join(chain.select("origin").distinct(),
+        col("__path") === col("origin"), "left_semi")
+      .drop("__path")
   }
+
+  /** Current infotons whose path is in `reached` (col `p`) — keyed on a
+    * FLAT projected column: a semi join on the nested `system.path`
+    * over the union-built frontier lineage can hit Catalyst's
+    * nested-pruning INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in Spark 4.1. */
+  private def semiByPath(store: GraftStore, reached: DataFrame): DataFrame =
+    store.current.withColumn("__path", col("system.path"))
+      .join(reached, col("__path") === col("p"), "left_semi")
+      .drop("__path")
 }

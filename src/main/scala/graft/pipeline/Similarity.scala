@@ -115,4 +115,58 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** IVF (inverted-file) ANN — the trained-quantizer alternative to
+    * hyperplane LSH: a k-means coarse quantizer over the normalized
+    * corpus assigns every vector to one of `nlist` cells; a query
+    * probes its `nprobe` most-similar cells and ranks exactly inside
+    * them, scanning ~nprobe/nlist of the corpus. At 100 TB the corpus
+    * is written partitioned by cell, so a probe reads nprobe
+    * partitions; the quantizer (nlist × dim doubles) is driver-tiny
+    * and ships as literals. Euclidean k-means on unit vectors orders
+    * like cosine, so the cells are angular regions.
+    *
+    * Recall depends on how clustered the corpus actually is: on the
+    * near-uniform synthetic fixtures (neighbors at cosine ≈ 0.35) the
+    * measured recall@5 is 0.40 at nprobe/nlist = 1/2 — the adversarial
+    * case for every single-assignment cell method. [[lshTopK]]'s
+    * multi-table union (recall 0.73 there) stays the default scale
+    * path; prefer IVF when the embedding space has real cluster
+    * structure. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              nlist: Int = 16, nprobe: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = emb.select(col("vec_id"), normalized(col("embedding")).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base)
+    val assigned = model.transform(base).select("vec_id", "v", "cell")
+    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+    // per-query cell ranking: similarity to each centroid as literals
+    val cellDots = centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), dot(col("v"), array(c.map(lit): _*)).as("sim"))
+    }
+    val probes = assigned.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(array(cellDots: _*)).as("cd"))
+      .select(col("query_id"), col("qv"),
+        col("cd.cell").as("cell"), col("cd.sim").as("sim"))
+    val topCells = probes.withColumn("cr", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("cell").asc)))
+      .where(col("cr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = assigned.join(broadcast(topCells), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot(col("v"), col("qv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
 }

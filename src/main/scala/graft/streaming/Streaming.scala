@@ -68,6 +68,36 @@ object Streaming {
       .where(size(col("subscribers")) > 0)
   }
 
+  /** The command-source ingest sink — the reference's Kafka
+    * persist_topic consumer (cmwell-bg ImpStream) re-expressed: any
+    * readStream source with a string `value` column (Kafka, socket,
+    * file drops) carries N-Triples/N-Quads lines; each micro-batch
+    * folds to per-subject commands and merges onto the evolving store
+    * snapshot via the SAME batch merge ([[graft.ingest.Merger.merge]]),
+    * so streaming and bulk writes share one code path.
+    *
+    * The snapshot chains across batches through `localCheckpoint` —
+    * lineage is cut per batch (the streaming-state discipline; in
+    * production each batch lands in the parquet store and the next
+    * reads it back, same truncation). `onBatch` receives the new full
+    * store per epoch. */
+  def ingestCommands(lines: DataFrame, initial: DataFrame,
+                     lastModifiedOf: Long => java.sql.Timestamp)
+                    (onBatch: (DataFrame, Long) => Unit)
+      : DataStreamWriter[Row] = {
+    var snapshot = initial
+    lines.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val nt = batch.select(col("value").cast("string")).as[String]
+      val merged = graft.ingest.Ingest
+        .ingest(spark, snapshot, nt, lastModifiedOf(epoch))
+        .localCheckpoint(true) // materialize + cut lineage for the chain
+      snapshot = merged
+      onBatch(merged, epoch)
+    }
+  }
+
   /** Push sink: deliver each micro-batch from the EXECUTORS — the
     * webhook/queue push of the reference's push-mode subscribe. The
     * callback runs once per partition on the executor that holds it,

@@ -141,6 +141,25 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.5, "multi-table LSH recall collapsed")
   }
 
+  test("IVF-ANN recall against exact top-5") {
+    val queries = Seq(0L, 1L, 2L)
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.2f (nlist=16, nprobe=8)")
+    assert(approx.size == exact.size)
+    // these fixtures are near-uniform on the sphere (nearest neighbors
+    // at cosine ≈ 0.35), the adversarial case for ANY single-assignment
+    // cell method — measured 0.40 at nprobe/nlist = 1/2. On genuinely
+    // clustered corpora IVF prunes far better; the engine's primary ANN
+    // scale path stays multi-table LSH (recall 0.73 here).
+    assert(recall >= 0.3, "IVF recall collapsed")
+  }
+
   private lazy val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
 
   // ---- formatter/ingest roundtrip incl. lang + quad ----

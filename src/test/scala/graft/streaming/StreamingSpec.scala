@@ -80,6 +80,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestCommands merges each micro-batch onto the evolving store") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val stores = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = Streaming.ingestCommands(ms.toDF(),
+      graft.ingest.Ingest.emptyStore(spark),
+      e => java.sql.Timestamp.valueOf(s"2024-01-0${e + 1} 00:00:00")) {
+        (store, epoch) =>
+          stores.put(epoch, store.where(
+            col("system.path").startsWith("/doc/")).count())
+      }.start()
+    try {
+      ms.addData("<c://doc/1> <c://o#tag> \"red\" .")
+      q.processAllAvailable()
+      // batch 2 updates doc/1 (new version) and writes doc/2
+      ms.addData(
+        "<c://doc/1> <c://o#tag> \"blue\" .",
+        "<c://doc/2> <c://o#tag> \"green\" .")
+      q.processAllAvailable()
+      assert(stores.get(0L) == 1L) // one version of doc/1
+      assert(stores.get(1L) == 3L) // two versions of doc/1 + doc/2
+    } finally q.stop()
+  }
+
   test("deliver pushes each partition from the executors, not the driver") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
