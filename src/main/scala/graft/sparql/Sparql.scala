@@ -27,11 +27,13 @@ import org.apache.spark.sql.functions._
   * shuffle.
   *
   * Supported subset: PREFIX, SELECT (DISTINCT) ?v… / (AGG(?v) AS ?a),
-  * CONSTRUCT, WHERE { patterns, `p1/p2` sequence paths, OPTIONAL { … },
+  * CONSTRUCT, WHERE { patterns, `a`, `p1/p2` sequence paths, `p+`
+  * transitive paths (iterative closure), OPTIONAL { … },
   * { … } UNION { … }, FILTER (comparisons ∧/∨/!, regex/contains/
-  * strStarts/strEnds) }, GROUP BY, ORDER BY, LIMIT; string literals
-  * with escapes. Not supported (throws): `*`/`+` path cardinality,
-  * inverse paths, blank nodes, HAVING, subqueries.
+  * strStarts/strEnds, registered custom functions) }, GROUP BY, HAVING,
+  * ORDER BY, LIMIT; string literals with escapes. Not supported
+  * (throws): `*` zero-or-more paths, inverse paths, blank nodes,
+  * subqueries.
   */
 object Sparql {
 
@@ -39,6 +41,9 @@ object Sparql {
   final case class V(name: String) extends Term
   final case class I(iri: String) extends Term
   final case class L(lex: String, numeric: Option[Double]) extends Term
+  /** `p+` one-or-more path — compiled as an iterative transitive
+    * closure over the predicate's edge set. */
+  final case class Plus(pred: Term) extends Term
 
   final case class Triple(s: Term, p: Term, o: Term)
 
@@ -61,6 +66,7 @@ object Sparql {
 
   final case class Query(select: Seq[SelectItem], distinct: Boolean,
                          where: Group, groupBy: Seq[String],
+                         having: Seq[FExpr],
                          orderBy: Seq[(String, Boolean)], limit: Option[Int],
                          template: Seq[Triple] = Nil) // CONSTRUCT shape
 
@@ -69,7 +75,7 @@ object Sparql {
   private val TokenRe =
     ("""\?[A-Za-z_][A-Za-z0-9_]*|<[^>\s]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>\s]*>|@[A-Za-z-]+)?|""" +
       """[A-Za-z][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_]*|[A-Za-z_][A-Za-z0-9_]*|""" +
-      """-?\d+(?:\.\d+)?|&&|\|\||[{}().,;/]|[<>!=]=?|\*""").r
+      """-?\d+(?:\.\d+)?|&&|\|\||[{}().,;/+]|[<>!=]=?|\*""").r
 
   private val NumericDtypes = Set("integer", "long", "int", "short",
     "double", "decimal", "float")
@@ -113,6 +119,7 @@ object Sparql {
     def term(): Term = {
       val t = next()
       if (t.startsWith("?")) V(t.drop(1))
+      else if (t == "a") I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
       else if (t.startsWith("<")) I(t.stripPrefix("<").stripSuffix(">"))
       else if (t.startsWith("\"")) {
         // escape-aware: find the closing quote, then the ^^/@ suffix
@@ -150,8 +157,13 @@ object Sparql {
         var preds = Vector(term())
         // sequence property path p1/p2/... — desugar below
         while (peek == "/") { next(); preds :+= term() }
-        require(peek != "*" && peek != "+",
-          "path cardinality (*/+) unsupported in subset")
+        if (peek == "+") {
+          next()
+          require(preds.length == 1, "p+ only on a single predicate")
+          preds = Vector(Plus(preds.head))
+        }
+        require(peek != "*",
+          "zero-or-more paths (*) unsupported — use p+ for one-or-more")
         val o = term()
         var cur = s
         preds.zipWithIndex.foreach { case (p, idx) =>
@@ -275,6 +287,10 @@ object Sparql {
       next(); expect("BY")
       while (peek.startsWith("?")) groupBy += next().drop(1)
     }
+    val having = Vector.newBuilder[FExpr]
+    if (peek.equalsIgnoreCase("HAVING")) {
+      next(); expect("("); having += orExpr(); expect(")")
+    }
     val orderBy = Vector.newBuilder[(String, Boolean)]
     if (peek.equalsIgnoreCase("ORDER")) {
       next(); expect("BY")
@@ -289,10 +305,62 @@ object Sparql {
     val limit = if (peek.equalsIgnoreCase("LIMIT")) { next(); Some(next().toInt) }
     else None
     Query(select.result(), distinct, where, groupBy.result(),
-      orderBy.result(), limit, template.result())
+      having.result(), orderBy.result(), limit, template.result())
   }
 
   // -------------------------------------------------------------- compile
+
+  /** Transitive closure of one predicate's edge set — the `p+` path.
+    * Iterative frontier expansion with distinct-accumulate; each round
+    * is one distributed join, lineage cut per round via localCheckpoint
+    * (the standard Spark iterative-algorithm shape — same discipline as
+    * connected-components). Depth-bounded as a runaway guard; real
+    * reference graphs (FK chains) are shallow. */
+  private def transitive(store: GraftStore, predLocal: String,
+                         maxDepth: Int = 12): DataFrame = {
+    val e = store.quads.where(col("current") &&
+        col("kind") =!= InfotonModel.KindDeleted &&
+        col("predicate") === predLocal && col("vType") === InfotonModel.TRef)
+      .select(col("subject").as("from"), col("s").as("to")).distinct()
+      .localCheckpoint(true)
+    var acc = e
+    var frontier = e
+    var n = acc.count()
+    var depth = 1
+    var done = n == 0
+    while (!done && depth < maxDepth) {
+      val next = frontier.alias("f")
+        .join(e.alias("e2"), col("f.to") === col("e2.from"))
+        .select(col("f.from").as("from"), col("e2.to").as("to")).distinct()
+      val grown = acc.union(next).distinct().localCheckpoint(true)
+      val m = grown.count()
+      if (m == n) done = true
+      else { acc = grown; frontier = next; n = m; depth += 1 }
+    }
+    acc
+  }
+
+  /** `?s p+ ?o` → the closure frame with pattern bindings applied. */
+  private def closureScan(store: GraftStore, t: Triple,
+                          pred: Term): DataFrame = {
+    val local = pred match {
+      case I(iri) => Rdf.localName(iri)
+      case o => throw new IllegalArgumentException(s"p+ needs an IRI, got $o")
+    }
+    var df = transitive(store, local)
+    var proj = Seq.empty[Column]
+    t.s match {
+      case I(iri) => df = df.where(col("from") === Rdf.iriToPath(iri))
+      case V(v) => proj :+= col("from").as(v)
+      case o => throw new IllegalArgumentException(s"bad closure subject $o")
+    }
+    t.o match {
+      case I(iri) => df = df.where(col("to") === Rdf.iriToPath(iri))
+      case V(v) => proj :+= col("to").as(v)
+      case o => throw new IllegalArgumentException(s"bad closure object $o")
+    }
+    df.select(proj: _*)
+  }
 
   /** One triple pattern → a filtered scan of quads with variable
     * bindings as columns. */
@@ -362,14 +430,37 @@ object Sparql {
     case FNot(x) => !filterCol(x)
   }
 
+  /** HAVING condition compiler — like [[filterCol]] but comparisons hit
+    * the (already numeric) aggregate alias column, never a shadow. */
+  private def havingCol(e: FExpr): Column = e match {
+    case FCmp(v, op, value) =>
+      val l = col(v)
+      val r = value.numeric.map(lit(_)).getOrElse(lit(value.lex))
+      op match {
+        case "<" => l < r
+        case "<=" => l <= r
+        case ">" => l > r
+        case ">=" => l >= r
+        case "=" | "==" => l === r
+        case "!=" => l =!= r
+        case o => throw new IllegalArgumentException(s"bad HAVING op $o")
+      }
+    case FAnd(l, r) => havingCol(l) && havingCol(r)
+    case FOr(l, r) => havingCol(l) || havingCol(r)
+    case FNot(x) => !havingCol(x)
+    case other => throw new IllegalArgumentException(s"bad HAVING $other")
+  }
+
   /** Bind one group: patterns joined, UNION chains unioned then joined
     * in, OPTIONALs left-joined, FILTERs applied — one row per solution,
     * one column per variable. */
   private def solutionsOf(store: GraftStore, g: Group): DataFrame = {
     var df: DataFrame = null
     if (g.patterns.nonEmpty)
-      df = g.patterns.map(scan(store, _))
-        .reduceLeft((a, b) => joined(a, b, "inner"))
+      df = g.patterns.map {
+        case t @ Triple(_, Plus(p), _) => closureScan(store, t, p)
+        case t => scan(store, t)
+      }.reduceLeft((a, b) => joined(a, b, "inner"))
     g.unions.foreach { alts =>
       // SPARQL UNION: concatenation of the alternatives' solution
       // multisets; variables bound in one branch only are unbound
@@ -438,9 +529,12 @@ object Sparql {
         val keys =
           if (q.groupBy.nonEmpty) q.groupBy
           else q.select.filter(_.agg.isEmpty).flatMap(_.v)
-        val grouped =
+        var grouped =
           if (keys.isEmpty) sol.agg(aggCols.head, aggCols.tail: _*)
           else sol.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        // HAVING references the aggregate aliases directly (no shadow
+        // columns on an aggregated frame)
+        q.having.foreach(h => grouped = grouped.where(havingCol(h)))
         grouped.select(q.select.map(it => col(it.alias)): _*)
       } else sol.select(q.select.map(it => col(it.alias)): _*)
     if (q.distinct) out = out.distinct()

@@ -383,8 +383,37 @@ class EngineSpec extends AnyFunSuite {
     assert(r.collect().map(_.getString(0)).toSeq == Seq("/doc/2"))
   }
 
-  test("SPARQL property path with cardinality modifiers is rejected") {
-    val store = tagStore
+  test("SPARQL p+ computes the transitive closure") {
+    val store = storeOf(Seq(
+      "<c://n/a> <c://o#next> <c://n/b> .",
+      "<c://n/b> <c://o#next> <c://n/c> .",
+      "<c://n/c> <c://o#next> <c://n/d> ."),
+      T("2024-01-01 00:00:00"))
+    val r = Sparql.select(store,
+      """SELECT ?o WHERE { <c://n/a> <c://o#next>+ ?o } ORDER BY ?o""")
+    assert(r.collect().map(_.getString(0)).toSeq ==
+      Seq("/n/b", "/n/c", "/n/d"))
+    // closure joins with ordinary patterns through shared variables
+    val mid = Sparql.select(store,
+      """SELECT ?s ?o WHERE { ?s <c://o#next>+ ?o .
+        |?o <c://o#next> <c://n/d> . }""".stripMargin).collect()
+    assert(mid.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("/n/a", "/n/c"), ("/n/b", "/n/c")))
+  }
+
+  test("SPARQL HAVING filters aggregated groups") {
+    val store = storeOf(Seq(
+      "<c://h/1> <c://o#g> \"a\" .",
+      "<c://h/2> <c://o#g> \"a\" .",
+      "<c://h/3> <c://o#g> \"b\" ."),
+      T("2024-01-01 00:00:00"))
+    val r = Sparql.select(store,
+      """SELECT ?g (COUNT(?s) AS ?c) WHERE { ?s <c://o#g> ?g . }
+        |GROUP BY ?g HAVING (?c >= 2) ORDER BY ?g""".stripMargin).collect()
+    assert(r.length == 1 && r(0).getString(0) == "a" && r(0).getLong(1) == 2)
+  }
+
+  test("SPARQL zero-or-more path is rejected") {
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x WHERE { ?x <c://o#p> / <c://o#q> * ?y }"))
   }
