@@ -133,6 +133,14 @@ object Similarity {
     * multi-table union (recall 0.73 there) stays the default scale
     * path; prefer IVF when the embedding space has real cluster
     * structure. */
+  /** Trained coarse quantizers, memoized per (corpus plan, nlist,
+    * seed): the quantizer is an INDEX artifact — trained once when the
+    * corpus is indexed (the IVF build step), probed by every query.
+    * Re-fitting k-means per query would charge the build to the read
+    * path. */
+  private val quantizers = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Long), org.apache.spark.ml.clustering.KMeansModel]()
+
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
               nlist: Int = 16, nprobe: Int = 8,
               seed: Long = 42L): DataFrame = {
@@ -140,9 +148,11 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val base = emb.select(col("vec_id"), normalized(col("embedding")).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(base)
+    val model = quantizers.computeIfAbsent(
+      (base.queryExecution.analyzed.semanticHash(), nlist, seed),
+      _ => new KMeans().setK(nlist).setSeed(seed)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(base))
     val assigned = model.transform(base).select("vec_id", "v", "cell")
     val centroids = model.clusterCenters.map(_.toArray.toSeq)
     // per-query cell ranking: similarity to each centroid as literals
