@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   * { … } UNION { … }, FILTER (comparisons ∧/∨/!, regex/contains/
   * strStarts/strEnds, registered custom functions) }, GROUP BY, HAVING,
   * ORDER BY, LIMIT; string literals with escapes. Not supported
-  * (throws): `*` zero-or-more paths, inverse paths, blank nodes,
-  * subqueries.
+  * (throws): `*` zero-or-more paths, blank nodes, subqueries.
+  * Inverse path segments `^p` swap the hop's ends.
   */
 object Sparql {
 
@@ -75,7 +75,7 @@ object Sparql {
   private val TokenRe =
     ("""\?[A-Za-z_][A-Za-z0-9_]*|<[^>\s]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>\s]*>|@[A-Za-z-]+)?|""" +
       """[A-Za-z][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_]*|[A-Za-z_][A-Za-z0-9_]*|""" +
-      """-?\d+(?:\.\d+)?|&&|\|\||[{}().,;/+]|[<>!=]=?|\*""").r
+      """-?\d+(?:\.\d+)?|&&|\|\||[{}().,;/+^]|[<>!=]=?|\*""").r
 
   private val NumericDtypes = Set("integer", "long", "int", "short",
     "double", "decimal", "float")
@@ -152,25 +152,30 @@ object Sparql {
         p == "}" || p == "{" || p.equalsIgnoreCase("OPTIONAL") ||
           p.equalsIgnoreCase("FILTER")
       }
+      // one path segment: `p`, `^p` (inverse — swaps the hop's ends)
+      def pathSeg(): (Term, Boolean) =
+        if (peek == "^") { next(); (term(), true) } else (term(), false)
       while (!stop) {
         val s = term()
-        var preds = Vector(term())
+        var preds = Vector(pathSeg())
         // sequence property path p1/p2/... — desugar below
-        while (peek == "/") { next(); preds :+= term() }
+        while (peek == "/") { next(); preds :+= pathSeg() }
         if (peek == "+") {
           next()
-          require(preds.length == 1, "p+ only on a single predicate")
-          preds = Vector(Plus(preds.head))
+          require(preds.length == 1 && !preds.head._2,
+            "p+ only on a single forward predicate")
+          preds = Vector((Plus(preds.head._1), false))
         }
         require(peek != "*",
           "zero-or-more paths (*) unsupported — use p+ for one-or-more")
         val o = term()
         var cur = s
-        preds.zipWithIndex.foreach { case (p, idx) =>
+        preds.zipWithIndex.foreach { case ((p, inv), idx) =>
           val nxt =
             if (idx == preds.length - 1) o
             else { freshN += 1; V(s"__path$freshN") }
-          out += Triple(cur, p, nxt)
+          // inverse: the edge runs nxt → cur
+          out += (if (inv) Triple(nxt, p, cur) else Triple(cur, p, nxt))
           cur = nxt
         }
         if (peek == ".") next()

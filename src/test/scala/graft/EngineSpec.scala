@@ -413,6 +413,23 @@ class EngineSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getString(0) == "a" && r(0).getLong(1) == 2)
   }
 
+  test("SPARQL inverse path segments swap the hop's ends") {
+    val store = storeOf(Seq(
+      "<c://o/1> <c://o#refC> <c://c/1> .",
+      "<c://o/2> <c://o#refC> <c://c/1> .",
+      "<c://c/1> <c://o#name> \"alice\" ."),
+      T("2024-01-01 00:00:00"))
+    // customers ← orders: ?c ^refC ?o ≡ ?o refC ?c
+    val r = Sparql.select(store,
+      """SELECT ?o WHERE { ?c <c://o#name> "alice" .
+        |?c ^<c://o#refC> ?o . } ORDER BY ?o""".stripMargin)
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("/o/1", "/o/2"))
+    // inverse composes inside a sequence: name of the customer of /o/1
+    val n = Sparql.select(store,
+      "SELECT ?n WHERE { <c://o/1> <c://o#refC>/<c://o#name> ?n . }")
+    assert(n.collect().map(_.getString(0)).toSeq == Seq("alice"))
+  }
+
   test("SPARQL zero-or-more path is rejected") {
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x WHERE { ?x <c://o#p> / <c://o#q> * ?y }"))
