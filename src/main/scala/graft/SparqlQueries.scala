@@ -68,6 +68,16 @@ object SparqlQueries {
         |  ?o ont:totalprice ?p .
         |} GROUP BY ?m ORDER BY ?m""".stripMargin)),
 
+    // aggregates + HAVING: only segments with enough expensive orders
+    "q_sparql_having" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?m (COUNT(?o) AS ?cnt) WHERE {
+        |  ?c ont:mktsegment ?m .
+        |  ?o ont:refCustomer ?c .
+        |  ?o ont:totalprice ?p .
+        |  FILTER (?p > 300000)
+        |} GROUP BY ?m HAVING (?cnt >= 1200) ORDER BY ?m""".stripMargin)),
+
     // regex + string-function FILTERs
     "q_sparql_regex" -> ((s, dir) => run(s, dir,
       """PREFIX ont: <cmwell://ont#>
@@ -106,6 +116,11 @@ object SparqlQueries {
         |  max(o_totalprice) AS maxprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY m""".stripMargin,
+    "q_sparql_having" ->
+      """SELECT c_mktsegment AS m, count(*) AS cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 300000
+        |GROUP BY 1 HAVING count(*) >= 1200 ORDER BY m""".stripMargin,
     "q_sparql_regex" ->
       """SELECT '/nation/' || n_nationkey AS n, n_name AS name FROM nation
         |WHERE regexp_matches(n_name, '^NATION_1[0-9]$') OR n_name LIKE '%\_7' ESCAPE '\'
