@@ -30,16 +30,18 @@ object JsonLd {
 
   /** Parse one JSON-LD document into statements. */
   def parse(doc: String): Seq[Rdf.Statement] =
-    new Parser().run(mapper.readTree(doc))
+    new Parser(Rdf.bnodeTag(doc)).run(mapper.readTree(doc))
 
-  private final class Parser {
+  private final class Parser(docTag: String) {
     private var prefixes = Map.empty[String, String]
     private var terms = Map.empty[String, String]
+    private var refPreds = Set.empty[String] // @type:@id-coerced term IRIs
     private var vocab: Option[String] = None
     private var bn = 0
     private val out = Vector.newBuilder[Rdf.Statement]
 
-    private def freshBnode(): String = { bn += 1; "_:j" + bn }
+    // content-digest salt: batch-mates must not share bnode labels
+    private def freshBnode(): String = { bn += 1; "_:j" + docTag + "b" + bn }
 
     private def context(ctx: JsonNode): Unit = {
       require(ctx.isObject, "@context must be an object in this subset")
@@ -55,7 +57,13 @@ object JsonLd {
           // term alias (both resolve the same way, longest-wins below)
           if (iri.endsWith("#") || iri.endsWith("/")) prefixes += k -> iri
           else terms += k -> iri
-        } else if (v.isObject && v.has("@id")) terms += k -> v.get("@id").asText()
+        } else if (v.isObject && v.has("@id")) {
+          val id = v.get("@id").asText()
+          terms += k -> id
+          // {"@type": "@id"} coerces string values of this term to IRIs
+          if (Option(v.get("@type")).exists(_.asText() == "@id"))
+            refPreds += id
+        }
         else throw new IllegalArgumentException(s"unsupported @context entry $k")
       }
     }
@@ -82,7 +90,10 @@ object JsonLd {
                       quad: Option[String]): Unit = {
       if (v.isArray) v.elements().asScala.foreach(value(subj, pred, _, quad))
       else if (v.isTextual)
-        out += Rdf.Statement(subj, pred, None, Some(v.asText()), None, None, quad)
+        out += (if (refPreds(pred)) // coerced term: the string IS an IRI
+          Rdf.Statement(subj, pred, Some(v.asText()), None, None, None, quad)
+        else
+          Rdf.Statement(subj, pred, None, Some(v.asText()), None, None, quad))
       else if (v.isIntegralNumber)
         out += Rdf.Statement(subj, pred, None, Some(v.asText()),
           Some(Xsd + "integer"), None, quad)

@@ -187,9 +187,12 @@ object Merger {
       .distinct()
     val existingAll = infotons.select(col("system.path").as("p0"))
       .unionByName(newV.select(col("system.path").as("p0"))) // batch may write a parent itself
+    // ONE probe job decides the path: the collected prefix IS the
+    // candidate set when it fits (no second scan of the explode plan)
+    val candArr = candDf.limit(10001).collect().map(_.getString(0))
     val missingDf =
-      if (candDf.limit(10001).count() <= 10000) {
-        val cand = candDf.collect().map(_.getString(0)).toSeq
+      if (candArr.length <= 10000) {
+        val cand = candArr.toSeq
         val existing =
           if (cand.isEmpty) Set.empty[String]
           else existingAll.where(col("p0").isin(cand: _*))

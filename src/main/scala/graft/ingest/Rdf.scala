@@ -40,6 +40,17 @@ object Rdf {
   def localName(iri: String): String =
     iri.substring(math.max(iri.lastIndexOf('#'), iri.lastIndexOf('/')) + 1)
 
+  /** Stable per-document discriminator for generated blank-node labels:
+    * parsers run independently per document inside one batch, so
+    * per-document counters alone would collide across documents and
+    * merge unrelated bnodes at the same synthetic path. Content-derived
+    * (not random) so a re-parse of the same document yields the same
+    * labels — uuid determinism is preserved. */
+  def bnodeTag(doc: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+
   private def unescape(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0

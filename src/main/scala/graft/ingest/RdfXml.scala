@@ -32,7 +32,9 @@ object RdfXml {
     val r = factory.createXMLStreamReader(new StringReader(doc))
     val out = Vector.newBuilder[Rdf.Statement]
     var bn = 0
-    def freshBnode(): String = { bn += 1; "_:x" + bn }
+    // content-digest salt: batch-mates must not share bnode labels
+    val docTag = Rdf.bnodeTag(doc)
+    def freshBnode(): String = { bn += 1; "_:x" + docTag + "b" + bn }
 
     def attr(local: String): Option[String] =
       Option(r.getAttributeValue(RdfNs, local))

@@ -38,7 +38,11 @@ object Turtle {
     private var bn = 0
     private val out = Vector.newBuilder[Rdf.Statement]
 
-    private def freshBnode(): String = { bn += 1; "_:g" + bn }
+    // labels are salted with a content digest: documents parse
+    // independently (possibly in one batch), so per-document counters
+    // alone would collide across documents and merge unrelated bnodes
+    private val docTag = Rdf.bnodeTag(src)
+    private def freshBnode(): String = { bn += 1; "_:g" + docTag + "b" + bn }
 
     private def ws(): Unit = {
       while (i < src.length &&

@@ -139,7 +139,7 @@ object Similarity {
     * Re-fitting k-means per query would charge the build to the read
     * path. */
   private val quantizers = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Long), org.apache.spark.ml.clustering.KMeansModel]()
+    (String, Int, Long), org.apache.spark.ml.clustering.KMeansModel]()
 
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
               nlist: Int = 16, nprobe: Int = 8,
@@ -148,8 +148,18 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val base = emb.select(col("vec_id"), normalized(col("embedding")).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
-    val model = quantizers.computeIfAbsent(
-      (base.queryExecution.analyzed.semanticHash(), nlist, seed),
+    // 128-bit canonical-plan key (a 32-bit hash could silently hand a
+    // colliding corpus another corpus's quantizer); bounded so a
+    // long-lived session over many corpora can't grow without limit.
+    // Like any plan-keyed cache, rewriting the files BEHIND an
+    // identical plan requires a new session (same property as the
+    // store view cache).
+    val planKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(base.queryExecution.analyzed.canonicalized.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    if (quantizers.size > 16) quantizers.clear()
+    val model = quantizers.computeIfAbsent((planKey, nlist, seed),
       _ => new KMeans().setK(nlist).setSeed(seed)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(base))

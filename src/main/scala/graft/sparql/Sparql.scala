@@ -342,6 +342,9 @@ object Sparql {
       if (m == n) done = true
       else { acc = grown; frontier = next; n = m; depth += 1 }
     }
+    require(done || n == 0,
+      s"p+ closure still growing after $maxDepth rounds — deeper chains " +
+        "need an explicit maxDepth (silent truncation would drop results)")
     acc
   }
 
@@ -389,7 +392,20 @@ object Sparql {
           col("s") === Rdf.iriToPath(iri))
       case L(lex, Some(n)) => df = df.where(col("n") === n)
       case L(lex, None) => df = df.where(col("s") === lex)
-      case V(v) => proj ++= Seq(col("s").as(v), col("n").as(s"${v}__n"))
+      case V(v) =>
+        // the numeric shadow is projected only when the predicate's
+        // field can actually be numeric: a known string/ref/bool/date
+        // field carries an all-null `n` slot, which would silently
+        // null MIN/MAX and make numeric FILTERs vacuous — with no
+        // shadow those now fail loud at analysis instead
+        val mayBeNumeric = t.p match {
+          case I(iri) => store.vTypeOf(Rdf.localName(iri))
+            .forall(ty => "ildf".contains(ty))
+          case _ => true // variable predicate: type unknown, keep it
+        }
+        proj ++= (if (mayBeNumeric)
+          Seq(col("s").as(v), col("n").as(s"${v}__n"))
+        else Seq(col("s").as(v)))
     }
     df.select(proj: _*)
   }
@@ -406,6 +422,32 @@ object Sparql {
     val dupShadows = a.columns.intersect(b.columns).filter(_.endsWith("__n"))
     val bClean = dupShadows.foldLeft(b)(_ drop _)
     if (on.isEmpty) a.crossJoin(bClean) else a.join(bClean, on, how)
+  }
+
+  /** Join with SPARQL compatibility on possibly-unbound variables:
+    * null on either side is compatible, bound values must agree, and
+    * the surviving binding is the coalesce. Falls back to the plain
+    * equi-join when no shared variable is possibly-unbound. The loose
+    * predicates are residual conditions, so Spark still hashes on any
+    * strict keys; a loose-only join degrades to nested-loop — inherent
+    * to unbound-compatibility. */
+  private def compatJoin(a: DataFrame, b0: DataFrame,
+                         maybeUnbound: Set[String]): DataFrame = {
+    val on = joinVars(a, b0)
+    val loose = on.filter(maybeUnbound)
+    if (loose.isEmpty) return joined(a, b0, "inner")
+    val strict = on.filterNot(maybeUnbound)
+    val dupShadows = a.columns.intersect(b0.columns).filter(_.endsWith("__n"))
+    var b = dupShadows.foldLeft(b0)(_ drop _)
+    on.foreach(c => b = b.withColumnRenamed(c, s"__u_$c"))
+    val cond = (strict.map(c => a(c) === b(s"__u_$c")) ++
+      loose.map(c => a(c).isNull || b(s"__u_$c").isNull ||
+        a(c) === b(s"__u_$c"))).reduce(_ && _)
+    var out = a.join(b, cond, "inner")
+    loose.foreach(c =>
+      out = out.withColumn(c, coalesce(col(c), col(s"__u_$c"))))
+    on.foreach(c => out = out.drop(s"__u_$c"))
+    out
   }
 
   private def filterCol(e: FExpr): Column = e match {
@@ -458,28 +500,55 @@ object Sparql {
 
   /** Bind one group: patterns joined, UNION chains unioned then joined
     * in, OPTIONALs left-joined, FILTERs applied — one row per solution,
-    * one column per variable. */
-  private def solutionsOf(store: GraftStore, g: Group): DataFrame = {
+    * one column per variable. Returns the frame plus the set of
+    * variables that may be UNBOUND (null) in some solutions — from
+    * branch-partial UNIONs and OPTIONAL-only bindings — so enclosing
+    * joins use SPARQL compatibility semantics (unbound matches
+    * anything) instead of a null-dropping equi-join. */
+  private def solutionsOf(store: GraftStore, g: Group)
+      : (DataFrame, Set[String]) = {
     var df: DataFrame = null
+    var maybe = Set.empty[String]
+    def mergeIn(b: DataFrame, bMaybe: Set[String]): Unit = {
+      if (df == null) { df = b; maybe = bMaybe }
+      else {
+        val shared = joinVars(df, b)
+        val loose = shared.filter(c => maybe(c) || bMaybe(c)).toSet
+        df = compatJoin(df, b, loose)
+        // a var strictly bound on either side is bound after the
+        // coalescing join
+        val bound = shared.filter(c => !maybe(c) || !bMaybe(c)).toSet
+        maybe = (maybe ++ bMaybe) -- bound
+      }
+    }
     if (g.patterns.nonEmpty)
-      df = g.patterns.map {
+      mergeIn(g.patterns.map {
         case t @ Triple(_, Plus(p), _) => closureScan(store, t, p)
         case t => scan(store, t)
-      }.reduceLeft((a, b) => joined(a, b, "inner"))
+      }.reduceLeft((a, b) => joined(a, b, "inner")), Set.empty)
     g.unions.foreach { alts =>
       // SPARQL UNION: concatenation of the alternatives' solution
       // multisets; variables bound in one branch only are unbound
       // (null) in the others — exactly unionByName/allowMissingColumns
-      val u = alts.map(solutionsOf(store, _))
+      val frames = alts.map(solutionsOf(store, _))
+      val allVars = frames.flatMap(_._1.columns)
+        .filterNot(_.endsWith("__n")).distinct
+      val branchPartial = allVars
+        .filterNot(v => frames.forall(_._1.columns.contains(v))).toSet
+      val u = frames.map(_._1)
         .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-      df = if (df == null) u else joined(df, u, "inner")
+      mergeIn(u, branchPartial ++ frames.flatMap(_._2))
     }
     require(df != null, "empty group pattern")
     g.optionals.foreach { o =>
-      df = joined(df, solutionsOf(store, o), "left")
+      val (od, om) = solutionsOf(store, o)
+      val newVars = od.columns.filterNot(_.endsWith("__n")).toSet --
+        df.columns.toSet
+      df = joined(df, od, "left")
+      maybe = maybe ++ om ++ newVars
     }
     g.filters.foreach { f => df = df.where(filterCol(f)) }
-    df
+    (df, maybe)
   }
 
   /** Register a custom FILTER function — the engine's analog of the
@@ -510,7 +579,7 @@ object Sparql {
   /** Compile + run a SPARQL SELECT against a store. */
   def select(store: GraftStore, query: String): DataFrame = {
     val q = parse(query)
-    val sol = solutionsOf(store, q.where)
+    val sol = solutionsOf(store, q.where)._1
     val hasAgg = q.select.exists(_.agg.nonEmpty) || q.groupBy.nonEmpty
     var out =
       if (hasAgg) {
@@ -523,8 +592,12 @@ object Sparql {
             case ("COUNT", None) => count(lit(1))
             case ("COUNT", Some(v)) =>
               if (it.distinct) countDistinct(col(v)) else count(col(v))
-            case ("SUM", Some(v)) => sum(numOf(v))
-            case ("AVG", Some(v)) => avg(numOf(v))
+            case ("SUM", Some(v)) =>
+              if (it.distinct) sum_distinct(numOf(v)) else sum(numOf(v))
+            case ("AVG", Some(v)) =>
+              if (it.distinct) sum_distinct(numOf(v)) / countDistinct(numOf(v))
+              else avg(numOf(v))
+            // MIN/MAX are DISTINCT-invariant
             case ("MIN", Some(v)) => min(numOf(v))
             case ("MAX", Some(v)) => max(numOf(v))
             case (a, n) => throw new IllegalArgumentException(s"bad agg $a($n)")
@@ -558,7 +631,7 @@ object Sparql {
   def construct(store: GraftStore, query: String): DataFrame = {
     val q = parse(query)
     require(q.template.nonEmpty, "not a CONSTRUCT query")
-    val bound = solutionsOf(store, q.where)
+    val bound = solutionsOf(store, q.where)._1
     q.template.map { t =>
       def bind(tm: Term, pred: Boolean): Column = tm match {
         case V(v) => col(v)

@@ -430,6 +430,52 @@ class EngineSpec extends AnyFunSuite {
     assert(n.collect().map(_.getString(0)).toSeq == Seq("alice"))
   }
 
+  test("SPARQL DISTINCT aggregates and string MIN/MAX compute correctly") {
+    val store = storeOf(Seq(
+      "<c://d/1> <c://o#n> \"2\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://d/2> <c://o#n> \"2\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://d/3> <c://o#n> \"3\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://d/1> <c://o#name> \"beta\" .",
+      "<c://d/2> <c://o#name> \"alpha\" ."),
+      T("2024-01-01 00:00:00"))
+    val r = Sparql.select(store,
+      """SELECT (SUM(DISTINCT ?n) AS ?sd) (AVG(DISTINCT ?n) AS ?ad)
+        |WHERE { ?s <c://o#n> ?n . }""".stripMargin).collect().head
+    assert(r.getDouble(0) == 5.0) // 2 + 3, not 2+2+3
+    assert(r.getDouble(1) == 2.5)
+    // MAX over a known-string field aggregates the lexical value (the
+    // all-null numeric shadow used to win and return null)
+    val m = Sparql.select(store,
+      "SELECT (MAX(?name) AS ?m) WHERE { ?s <c://o#name> ?name . }")
+      .collect().head
+    assert(m.getString(0) == "beta")
+  }
+
+  test("SPARQL UNION joins use unbound-compatibility, not null equality") {
+    val store = storeOf(Seq(
+      "<c://u/1> <c://o#a> \"v1\" .",
+      "<c://u/1> <c://o#b> \"v1\" .",
+      "<c://u/2> <c://o#a> \"v2\" .",
+      "<c://u/2> <c://o#c> \"w\" ."),
+      T("2024-01-01 00:00:00"))
+    // branch 1 binds ?v (must agree with the outer ?v); branch 2 leaves
+    // ?v unbound (compatible with anything) — u/2 must survive
+    val r = Sparql.select(store,
+      """SELECT ?x ?v WHERE { ?x <c://o#a> ?v .
+        |{ { ?x <c://o#b> ?v } UNION { ?x <c://o#c> ?w } }
+        |} ORDER BY ?x""".stripMargin).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("/u/1", "/u/2"))
+    assert(r.map(_.getString(1)).toSeq == Seq("v1", "v2"))
+  }
+
+  test("SPARQL p+ fails loud instead of silently truncating deep chains") {
+    val edges = (0 until 14).map(i =>
+      s"<c://ch/$i> <c://o#next> <c://ch/${i + 1}> .")
+    val store = storeOf(edges, T("2024-01-01 00:00:00"))
+    intercept[IllegalArgumentException](Sparql.select(store,
+      "SELECT ?o WHERE { <c://ch/0> <c://o#next>+ ?o }").collect())
+  }
+
   test("SPARQL zero-or-more path is rejected") {
     intercept[IllegalArgumentException](Sparql.parse(
       "SELECT ?x WHERE { ?x <c://o#p> / <c://o#q> * ?y }"))

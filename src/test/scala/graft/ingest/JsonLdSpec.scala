@@ -63,6 +63,25 @@ class JsonLdSpec extends AnyFunSuite {
     assert(st.quad.contains("/g/1"))
   }
 
+  test("@type:@id coercion turns string values into references") {
+    val sts = JsonLd.parse(
+      """{"@context": {"ref": {"@id": "c://o#ref", "@type": "@id"},
+        |              "plain": "c://o#plain"},
+        | "@id": "c://x/1", "ref": "c://y/1", "plain": "c://y/1"}""".stripMargin)
+    val ref = sts.find(_.pred == "c://o#ref").get
+    assert(ref.objIri.contains("c://y/1") && ref.lit.isEmpty)
+    val plain = sts.find(_.pred == "c://o#plain").get
+    assert(plain.lit.contains("c://y/1") && plain.objIri.isEmpty)
+  }
+
+  test("blank-node labels are distinct across documents in one batch") {
+    def b(doc: String) =
+      JsonLd.parse(doc).find(_.pred == "c://o#addr").get.objIri.get
+    val b1 = b("""{"@id": "c://a/1", "c://o#addr": {"c://o#city": "X"}}""")
+    val b2 = b("""{"@id": "c://a/2", "c://o#addr": {"c://o#city": "Y"}}""")
+    assert(b1 != b2)
+  }
+
   test("unresolvable keys and @list throw") {
     intercept[IllegalArgumentException](
       JsonLd.parse("""{"@id": "c://a/1", "typo:name": "x"}"""))

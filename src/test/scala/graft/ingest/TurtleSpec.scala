@@ -88,6 +88,16 @@ class TurtleSpec extends AnyFunSuite {
     assert(sts.head.lang.contains("en"))
   }
 
+  test("blank-node labels are distinct across documents in one batch") {
+    val d1 = "<c://a/1> <c://o#p> [ <c://o#q> \"x\" ] ."
+    val d2 = "<c://a/2> <c://o#p> [ <c://o#q> \"y\" ] ."
+    val b1 = Turtle.parse(d1).find(_.subj == "c://a/1").get.objIri.get
+    val b2 = Turtle.parse(d2).find(_.subj == "c://a/2").get.objIri.get
+    assert(b1 != b2, "per-document counters must not collide in a batch")
+    // deterministic: re-parsing the same document yields the same label
+    assert(Turtle.parse(d1).find(_.subj == "c://a/1").get.objIri.get == b1)
+  }
+
   test("unresolved single-colon prefixes throw instead of leaking") {
     val e = intercept[IllegalArgumentException](
       Turtle.parse("<c://a> ontt:name \"x\" ."))
