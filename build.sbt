@@ -14,6 +14,9 @@ run / fork := true
 // pass forked stdout through unprefixed — the driver parses Bench's
 // single JSON line from stdout and sbt's [info] logger prefix breaks it
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// keep sbt's trailing "[success] Total time" line out of the bounded
+// stdout tail the driver captures after Bench's JSON line
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,19 +46,31 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","etl":$etl,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // belt-and-braces for log-prefix-mangling harnesses: also drop the
-    // line in a file next to the repo
+    // The harness keeps only a bounded tail of stdout, so the line the
+    // driver parses must stay short: 3-decimal (ms) per-query values,
+    // and `errors` only when nonempty. Full precision goes to
+    // bench_last.json for local regression diffing.
+    def num(v: Double): String = f"$v%.3f"
+    def mkLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val errs =
+        if (errors.isEmpty) ""
+        else ",\"errors\":" + errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+          .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","etl":${fmt(etl)},"queries":$qs$errs,"sf":"$sfDir"}"""
+    }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      java.nio.file.Paths.get("bench_last.json"), mkLine(_.toString) + "\n")
     catch { case _: Throwable => () }
+    // Stop Spark BEFORE printing: its log threads share stdout and an
+    // interleaved WARN mid-line makes the JSON unparseable (round-3 bench
+    // line was valid in bench_last.json but the driver recorded a parse
+    // failure).
     spark.stop()
+    println(mkLine(num))
+    System.out.flush()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: " +
         errors.keys.mkString(", "))

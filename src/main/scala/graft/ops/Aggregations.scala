@@ -131,8 +131,10 @@ object Aggregations {
             max(col("v")).as(s"${s.name}_max"),
             // accumulate in decimal (partition-order independent), emit
             // double — a decimal output column would hash differently
-            // from the oracle's float conversion
-            sum(col("v").cast("decimal(18,2)")).cast("double")
+            // from the oracle's float conversion. decimal(30,2): date
+            // fields sum epoch millis (~1.4e12/row), so 18 digits
+            // overflows around 10k rows
+            sum(col("v").cast("decimal(30,2)")).cast("double")
               .as(s"${s.name}_sum"))
       case t: TermAgg =>
         val childKey = s"${t.name}_key"
@@ -210,7 +212,9 @@ object Aggregations {
     keyed(store, base, spec.field, "v")
       .agg(count(v).as("count"),
         min(v).as("min"), max(v).as("max"),
-        sum(v.cast("decimal(18,2)")).cast("double").as("sum"))
+        // decimal(30,2), not (18,2): epoch-millis values (~1.4e12 each)
+        // overflow an 18-digit sum around 10k rows
+        sum(v.cast("decimal(30,2)")).cast("double").as("sum"))
       .withColumn("avg", col("sum") / col("count"))
   }
 

@@ -137,7 +137,8 @@ object Formatters {
     def elem(key: Column, v: Column): Column =
       when(v.getField("vType") === TRef,
         concat(lit("  <ont:"), key, lit(" rdf:resource=\""),
-          pathToIri(col("system.protocol"), v.getField("s")), lit("\"/>")))
+          xmlAttrEscape(pathToIri(col("system.protocol"), v.getField("s"))),
+          lit("\"/>")))
       .when(v.getField("vType") === TString,
         concat(lit("  <ont:"), key,
           when(v.getField("lang").isNotNull,
@@ -154,7 +155,8 @@ object Formatters {
     infotons.where(col("fields").isNotNull)
       .select(concat(
         lit("<rdf:Description rdf:about=\""),
-        pathToIri(col("system.protocol"), col("system.path")), lit("\">\n"),
+        xmlAttrEscape(pathToIri(col("system.protocol"), col("system.path"))),
+        lit("\">\n"),
         array_join(lines, "\n"), lit("\n</rdf:Description>")).as("doc"))
   }
 
@@ -168,7 +170,7 @@ object Formatters {
     * Per-value quads are not representable in a flat node object — use
     * nquads/trig for named-graph exchange. */
   def jsonldDocs(infotons: DataFrame): DataFrame = {
-    def jstr(c: Column): Column = concat(lit("\""), ntEscape(c), lit("\""))
+    def jstr(c: Column): Column = concat(lit("\""), jsonEscape(c), lit("\""))
     def one(v: Column): Column =
       when(v.getField("vType") === TRef,
         concat(lit("{\"@id\":"),
@@ -270,6 +272,20 @@ object Formatters {
   private def xmlEscape(c: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(c,
       "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** Attribute-position escaping — text escaping plus the quote, since
+    * attribute values are emitted inside `"…"` (an IRI containing `&`
+    * or `"` must not break the element). */
+  private def xmlAttrEscape(c: Column): Column =
+    regexp_replace(xmlEscape(c), "\"", "&quot;")
+
+  /** JSON string escaping — ntEscape covers \\ \" \n \r \t; the
+    * remaining C0 control characters (illegal bare in JSON) go to
+    * \u00XX so a field value with e.g. 0x01 still parses. */
+  private def jsonEscape(c: Column): Column =
+    (0 until 0x20).filterNot(Set(0x09, 0x0a, 0x0d)).foldLeft(ntEscape(c)) {
+      (acc, i) => regexp_replace(acc, f"\\x$i%02x", f"\\\\u$i%04x")
+    }
 
   /** Union of field names over a frame — the csv header dictionary
     * (small: distinct predicate names, same cardinality class as the

@@ -320,9 +320,12 @@ object Sparql {
     * is one distributed join, lineage cut per round via localCheckpoint
     * (the standard Spark iterative-algorithm shape — same discipline as
     * connected-components). Depth-bounded as a runaway guard; real
-    * reference graphs (FK chains) are shallow. */
-  private def transitive(store: GraftStore, predLocal: String,
-                         maxDepth: Int = 12): DataFrame = {
+    * reference graphs (FK chains) are shallow. The bound is
+    * session-configurable (`spark.graft.sparql.pathDepth`, default 12)
+    * so legitimately deeper chains have an actionable knob. */
+  private def transitive(store: GraftStore, predLocal: String): DataFrame = {
+    val maxDepth = store.quads.sparkSession.conf
+      .get("spark.graft.sparql.pathDepth", "12").toInt
     val e = store.quads.where(col("current") &&
         col("kind") =!= InfotonModel.KindDeleted &&
         col("predicate") === predLocal && col("vType") === InfotonModel.TRef)
@@ -343,8 +346,9 @@ object Sparql {
       else { acc = grown; frontier = next; n = m; depth += 1 }
     }
     require(done || n == 0,
-      s"p+ closure still growing after $maxDepth rounds — deeper chains " +
-        "need an explicit maxDepth (silent truncation would drop results)")
+      s"p+ closure still growing after $maxDepth rounds — raise " +
+        "spark.graft.sparql.pathDepth for deeper chains (silent " +
+        "truncation would drop results)")
     acc
   }
 
@@ -438,15 +442,28 @@ object Sparql {
     if (loose.isEmpty) return joined(a, b0, "inner")
     val strict = on.filterNot(maybeUnbound)
     val dupShadows = a.columns.intersect(b0.columns).filter(_.endsWith("__n"))
-    var b = dupShadows.foldLeft(b0)(_ drop _)
-    on.foreach(c => b = b.withColumnRenamed(c, s"__u_$c"))
+    // a loose variable's binding may survive from EITHER side, so its
+    // numeric shadow must survive from the same side — dropping b's
+    // shadow here would leave a null shadow on right-surviving rows and
+    // silently break later numeric FILTERs/aggregates on that variable
+    val looseShadows = loose.map(_ + "__n").filter(dupShadows.contains).toSet
+    var b = dupShadows.filterNot(looseShadows).foldLeft(b0)(_ drop _)
+    (on ++ looseShadows).foreach(c => b = b.withColumnRenamed(c, s"__u_$c"))
     val cond = (strict.map(c => a(c) === b(s"__u_$c")) ++
       loose.map(c => a(c).isNull || b(s"__u_$c").isNull ||
         a(c) === b(s"__u_$c"))).reduce(_ && _)
     var out = a.join(b, cond, "inner")
-    loose.foreach(c =>
-      out = out.withColumn(c, coalesce(col(c), col(s"__u_$c"))))
-    on.foreach(c => out = out.drop(s"__u_$c"))
+    loose.foreach { c =>
+      // shadow first, while col(c) still distinguishes which side bound:
+      // the shadow must come from the side whose VALUE survives (a null
+      // shadow next to a bound non-numeric value is legitimate)
+      if (looseShadows(c + "__n"))
+        out = out.withColumn(c + "__n",
+          when(col(c).isNotNull, col(c + "__n"))
+            .otherwise(col(s"__u_${c}__n")))
+      out = out.withColumn(c, coalesce(col(c), col(s"__u_$c")))
+    }
+    (on ++ looseShadows).foreach(c => out = out.drop(s"__u_$c"))
     out
   }
 
@@ -581,6 +598,10 @@ object Sparql {
     val q = parse(query)
     val sol = solutionsOf(store, q.where)._1
     val hasAgg = q.select.exists(_.agg.nonEmpty) || q.groupBy.nonEmpty
+    // fail-loud policy: HAVING is only applied on the grouped branch,
+    // so a query without aggregates would silently ignore it
+    require(q.having.isEmpty || hasAgg,
+      "HAVING requires an aggregate select item or GROUP BY")
     var out =
       if (hasAgg) {
         // aggregates group over the solution multiset; SUM/AVG/MIN/MAX
@@ -631,6 +652,8 @@ object Sparql {
   def construct(store: GraftStore, query: String): DataFrame = {
     val q = parse(query)
     require(q.template.nonEmpty, "not a CONSTRUCT query")
+    require(q.having.isEmpty && q.groupBy.isEmpty,
+      "CONSTRUCT does not support GROUP BY / HAVING")
     val bound = solutionsOf(store, q.where)._1
     q.template.map { t =>
       def bind(tm: Term, pred: Boolean): Column = tm match {

@@ -468,6 +468,31 @@ class EngineSpec extends AnyFunSuite {
     assert(r.map(_.getString(1)).toSeq == Seq("v1", "v2"))
   }
 
+  test("numeric shadow survives from whichever side binds across UNION") {
+    val store = storeOf(Seq(
+      "<c://n/1> <c://o#a> \"p\" .",
+      "<c://n/1> <c://o#n> \"5\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://n/2> <c://o#n> \"7\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
+      T("2024-01-01 00:00:00"))
+    // group 1 leaves ?n unbound for n/1 (it enters via the #a branch);
+    // the plain pattern then binds ?n=5 from the RIGHT side of the
+    // compat join. The numeric FILTER must see 5, not the left side's
+    // null shadow (which would silently drop n/1).
+    val r = Sparql.select(store,
+      """SELECT DISTINCT ?x ?n WHERE {
+        |  { ?x <c://o#a> ?t } UNION { ?x <c://o#n> ?n }
+        |  ?x <c://o#n> ?n .
+        |  FILTER (?n > 4)
+        |} ORDER BY ?x""".stripMargin).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("/n/1", "/n/2"))
+    assert(r.map(_.getString(1)).toSeq == Seq("5", "7"))
+  }
+
+  test("HAVING without aggregates fails loud instead of being ignored") {
+    intercept[IllegalArgumentException](Sparql.select(tagStore,
+      "SELECT ?s WHERE { ?s <c://o#tag> ?t } HAVING (?t > 1)"))
+  }
+
   test("SPARQL p+ fails loud instead of silently truncating deep chains") {
     val edges = (0 until 14).map(i =>
       s"<c://ch/$i> <c://o#next> <c://ch/${i + 1}> .")
