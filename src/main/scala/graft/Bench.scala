@@ -46,11 +46,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // The harness keeps only a bounded tail of stdout, so the line the
-    // driver parses must stay short: 3-decimal (ms) per-query values,
-    // and `errors` only when nonempty. Full precision goes to
+    // The harness keeps only a 2000-char tail of stdout (round-3's
+    // 2174-char line was head-truncated → parse failure), so the line
+    // the driver parses must stay short: 2-decimal per-query values,
+    // short sf tag, `errors` only when nonempty. Full precision goes to
     // bench_last.json for local regression diffing.
-    def num(v: Double): String = f"$v%.3f"
+    def num(v: Double): String = f"$v%.2f"
+    val sfTag = sfDir.split('/').last
     def mkLine(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -59,7 +61,7 @@ object Bench {
         else ",\"errors\":" + errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
           .mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","etl":${fmt(etl)},"queries":$qs$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","etl":${fmt(etl)},"queries":$qs$errs,"sf":"$sfTag"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), mkLine(_.toString) + "\n")
@@ -69,8 +71,12 @@ object Bench {
     // line was valid in bench_last.json but the driver recorded a parse
     // failure).
     spark.stop()
-    println(mkLine(num))
+    val line = mkLine(num)
+    println(line)
     System.out.flush()
+    if (line.length > 1900)
+      System.err.println(s"[bench] stdout line is ${line.length} chars — " +
+        "nearing the 2000-char driver tail budget; shorten before adding queries")
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: " +
         errors.keys.mkString(", "))

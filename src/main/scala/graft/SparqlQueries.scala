@@ -93,7 +93,71 @@ object SparqlQueries {
         """PREFIX ont: <cmwell://ont#>
           |CONSTRUCT { ?c <cmwell://ont#inNation> ?n }
           |WHERE { ?c ont:refNation ?n . ?n ont:name "NATION_7" }""".stripMargin)
-        .orderBy("subject")))
+        .orderBy("subject")),
+
+    // VALUES: inline data joins like a broadcast-able literal relation
+    "q_sparql_values" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?c ?m WHERE {
+        |  ?c ont:mktsegment ?m .
+        |  VALUES ?m { "BUILDING" "MACHINERY" }
+        |} ORDER BY ?c""".stripMargin)),
+
+    // BIND: computed column flows into projection
+    "q_sparql_bind" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?name ?tag WHERE {
+        |  ?n ont:refRegion ?r .
+        |  ?n ont:name ?name .
+        |  BIND(CONCAT("nation:", ?name) AS ?tag)
+        |} ORDER BY ?name""".stripMargin)),
+
+    // MINUS: BUILDING customers without any 400k+ order
+    "q_sparql_minus" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?c WHERE {
+        |  ?c ont:mktsegment "BUILDING" .
+        |  MINUS { ?o ont:refCustomer ?c . ?o ont:totalprice ?p .
+        |          FILTER (?p > 400000) }
+        |} ORDER BY ?c""".stripMargin)),
+
+    // FILTER EXISTS: BUILDING customers with some 450k+ order
+    "q_sparql_exists" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?c WHERE {
+        |  ?c ont:mktsegment "BUILDING" .
+        |  FILTER EXISTS { ?o ont:refCustomer ?c . ?o ont:totalprice ?p .
+        |                  FILTER (?p > 450000) }
+        |} ORDER BY ?c""".stripMargin)),
+
+    // FILTER NOT EXISTS: BUILDING customers with no 450k+ order
+    "q_sparql_notexists" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?c WHERE {
+        |  ?c ont:mktsegment "BUILDING" .
+        |  FILTER NOT EXISTS { ?o ont:refCustomer ?c . ?o ont:totalprice ?p .
+        |                      FILTER (?p > 450000) }
+        |} ORDER BY ?c""".stripMargin)),
+
+    // alternative path: one scan over the union of two edge sets
+    "q_sparql_alt" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?x ?t WHERE {
+        |  ?x (ont:refNation|ont:refRegion) ?t
+        |} ORDER BY ?x ?t""".stripMargin)),
+
+    // zero-or-more path: identity plus the closure from a bound subject
+    "q_sparql_star_path" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?x WHERE { <cmwell://nation/3> ont:refRegion* ?x }
+        |ORDER BY ?x""".stripMargin)),
+
+    // ASK: existence short-circuits (limit 1 under the count)
+    "q_sparql_ask" -> ((s, dir) =>
+      Sparql.ask(GraftStore.forDir(s, dir),
+        """PREFIX ont: <cmwell://ont#>
+          |ASK { ?n ont:name "NATION_7" . ?n ont:refRegion ?r }"""
+          .stripMargin)))
 
   val oracles: Map[String, String] = Map(
     "q_sparql_union" ->
@@ -144,6 +208,51 @@ object SparqlQueries {
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY c, o NULLS FIRST""".stripMargin,
+    "q_sparql_values" ->
+      """SELECT '/customer/' || c_custkey AS c, c_mktsegment AS m
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |ORDER BY c""".stripMargin,
+    "q_sparql_bind" ->
+      """SELECT n_name AS name, 'nation:' || n_name AS tag FROM nation
+        |ORDER BY name""".stripMargin,
+    "q_sparql_minus" ->
+      """SELECT '/customer/' || c_custkey AS c FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c""".stripMargin,
+    "q_sparql_exists" ->
+      """SELECT '/customer/' || c_custkey AS c FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND EXISTS
+        |  (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c""".stripMargin,
+    "q_sparql_notexists" ->
+      """SELECT '/customer/' || c_custkey AS c FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND NOT EXISTS
+        |  (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c""".stripMargin,
+    "q_sparql_alt" ->
+      """SELECT x, t FROM (
+        |  SELECT '/customer/' || c_custkey AS x,
+        |    '/nation/' || c_nationkey AS t FROM customer
+        |  UNION ALL
+        |  SELECT '/supplier/' || s_suppkey, '/nation/' || s_nationkey
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT '/nation/' || n_nationkey, '/region/' || n_regionkey
+        |  FROM nation)
+        |ORDER BY x, t""".stripMargin,
+    "q_sparql_star_path" ->
+      """SELECT x FROM (
+        |  SELECT '/nation/3' AS x
+        |  UNION ALL
+        |  SELECT '/region/' || n_regionkey FROM nation
+        |  WHERE n_nationkey = 3)
+        |ORDER BY x""".stripMargin,
+    "q_sparql_ask" ->
+      """SELECT count(*) > 0 AS ask FROM nation
+        |WHERE n_name = 'NATION_7'""".stripMargin,
     "q_sparql_construct" ->
       """SELECT subject, 'inNation' AS predicate, obj FROM (
         |  SELECT '/customer/' || c_custkey AS subject,

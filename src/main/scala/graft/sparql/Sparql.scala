@@ -27,13 +27,17 @@ import org.apache.spark.sql.functions._
   * shuffle.
   *
   * Supported subset: PREFIX, SELECT (DISTINCT) ?v… / (AGG(?v) AS ?a),
-  * CONSTRUCT, WHERE { patterns, `a`, `p1/p2` sequence paths, `p+`
+  * CONSTRUCT, ASK, WHERE { patterns, `a`, `p1/p2` sequence paths,
+  * `(p1|p2)` alternative paths, `p+` one-or-more / `p*` zero-or-more
   * transitive paths (iterative closure), OPTIONAL { … },
-  * { … } UNION { … }, FILTER (comparisons ∧/∨/!, regex/contains/
-  * strStarts/strEnds, registered custom functions) }, GROUP BY, HAVING,
-  * ORDER BY, LIMIT; string literals with escapes. Not supported
-  * (throws): `*` zero-or-more paths, blank nodes, subqueries.
-  * Inverse path segments `^p` swap the hop's ends.
+  * { … } UNION { … }, MINUS { … }, VALUES inline data,
+  * BIND(expr AS ?v) with CONCAT/STR/UCASE/LCASE/STRLEN and arithmetic,
+  * FILTER (comparisons ∧/∨/!, regex/contains/strStarts/strEnds,
+  * registered custom functions), FILTER (NOT) EXISTS { … } },
+  * GROUP BY, HAVING, ORDER BY, LIMIT; string literals with escapes.
+  * Not supported (throws): blank nodes, subqueries, `+`/`*` on
+  * alternatives or inside sequences. Inverse path segments `^p` swap
+  * the hop's ends.
   */
 object Sparql {
 
@@ -44,8 +48,27 @@ object Sparql {
   /** `p+` one-or-more path — compiled as an iterative transitive
     * closure over the predicate's edge set. */
   final case class Plus(pred: Term) extends Term
+  /** `p*` zero-or-more path — the closure plus the identity relation
+    * over the graph's node set (SPARQL zero-length path semantics). */
+  final case class Star(pred: Term) extends Term
+  /** `(p1|p2|…)` alternative path segment — one hop over the union of
+    * the predicates' edge sets (compiles to a single isin scan). */
+  final case class Alt(preds: Seq[Term]) extends Term
 
   final case class Triple(s: Term, p: Term, o: Term)
+
+  /** BIND expression tree — a bounded scalar subset (the reference
+    * executes full ARQ expressions; these cover the documented
+    * trigger-processor templates). */
+  sealed trait BExpr
+  final case class BVar(name: String) extends BExpr
+  final case class BLit(value: L) extends BExpr
+  final case class BFn(fn: String, args: Seq[BExpr]) extends BExpr
+  final case class BArith(l: BExpr, op: String, r: BExpr) extends BExpr
+
+  /** One VALUES block: variables plus literal rows (None = UNDEF). */
+  final case class ValuesClause(vars: Seq[String],
+                                rows: Seq[Seq[Option[Term]]])
 
   /** FILTER expression tree — standard &&/||/! precedence. */
   sealed trait FExpr
@@ -56,9 +79,14 @@ object Sparql {
   final case class FNot(e: FExpr) extends FExpr
 
   /** One group graph pattern: basic patterns + nested OPTIONAL groups +
-    * UNION chains (each chain = 2+ alternative groups) + FILTERs. */
+    * UNION chains (each chain = 2+ alternative groups) + FILTERs +
+    * MINUS groups + BINDs + VALUES + FILTER (NOT) EXISTS groups. */
   final case class Group(patterns: Seq[Triple], optionals: Seq[Group],
-                         unions: Seq[Seq[Group]], filters: Seq[FExpr])
+                         unions: Seq[Seq[Group]], filters: Seq[FExpr],
+                         minuses: Seq[Group] = Nil,
+                         binds: Seq[(String, BExpr)] = Nil,
+                         values: Seq[ValuesClause] = Nil,
+                         exists: Seq[(Group, Boolean)] = Nil)
 
   /** One SELECT item: a plain variable, or (AGG(?v) AS ?alias). */
   final case class SelectItem(agg: Option[String], distinct: Boolean,
@@ -68,14 +96,15 @@ object Sparql {
                          where: Group, groupBy: Seq[String],
                          having: Seq[FExpr],
                          orderBy: Seq[(String, Boolean)], limit: Option[Int],
-                         template: Seq[Triple] = Nil) // CONSTRUCT shape
+                         template: Seq[Triple] = Nil, // CONSTRUCT shape
+                         ask: Boolean = false)
 
   // ---------------------------------------------------------------- parse
 
   private val TokenRe =
     ("""\?[A-Za-z_][A-Za-z0-9_]*|<[^>\s]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>\s]*>|@[A-Za-z-]+)?|""" +
       """[A-Za-z][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_]*|[A-Za-z_][A-Za-z0-9_]*|""" +
-      """-?\d+(?:\.\d+)?|&&|\|\||[{}().,;/+^]|[<>!=]=?|\*""").r
+      """-?\d+(?:\.\d+)?|&&|\|\||[{}().,;/+^|*-]|[<>!=]=?""").r
 
   private val NumericDtypes = Set("integer", "long", "int", "short",
     "double", "decimal", "float")
@@ -150,24 +179,67 @@ object Sparql {
       def stop = {
         val p = peek
         p == "}" || p == "{" || p.equalsIgnoreCase("OPTIONAL") ||
-          p.equalsIgnoreCase("FILTER")
+          p.equalsIgnoreCase("FILTER") || p.equalsIgnoreCase("MINUS") ||
+          p.equalsIgnoreCase("BIND") || p.equalsIgnoreCase("VALUES")
       }
-      // one path segment: `p`, `^p` (inverse — swaps the hop's ends)
-      def pathSeg(): (Term, Boolean) =
-        if (peek == "^") { next(); (term(), true) } else (term(), false)
+      // `(p1|p2|…)` — alternatives must be plain forward predicates
+      def parenAlt(): Term = {
+        expect("(")
+        def one(): Term = {
+          require(peek != "^", "inverse inside path alternatives unsupported")
+          term()
+        }
+        var alts = Vector(one())
+        while (peek == "|") { next(); alts :+= one() }
+        expect(")")
+        if (alts.length == 1) alts.head else Alt(alts)
+      }
+      // one path element: [^] (pred | (alt)) [+|*]
+      def pathElt(): (Term, Boolean, Option[String]) = {
+        val inv = peek == "^"
+        if (inv) next()
+        val t = if (peek == "(") parenAlt() else term()
+        val mod =
+          if (peek == "+" || peek == "*") Some(next()) else None
+        (t, inv, mod)
+      }
       while (!stop) {
         val s = term()
-        var preds = Vector(pathSeg())
+        var elts = Vector(pathElt())
         // sequence property path p1/p2/... — desugar below
-        while (peek == "/") { next(); preds :+= pathSeg() }
-        if (peek == "+") {
-          next()
-          require(preds.length == 1 && !preds.head._2,
-            "p+ only on a single forward predicate")
-          preds = Vector((Plus(preds.head._1), false))
+        while (peek == "/") { next(); elts :+= pathElt() }
+        // bare top-level alternation p1|p2 — each branch one element
+        if (peek == "|") {
+          def flat(e: (Term, Boolean, Option[String])): Seq[Term] = {
+            require(!e._2 && e._3.isEmpty,
+              "inverse/+/* branches in path alternatives unsupported")
+            e._1 match {
+              case Alt(ps) => ps
+              case t => Seq(t)
+            }
+          }
+          require(elts.length == 1,
+            "parenthesize sequence branches in path alternatives")
+          var alts = flat(elts.head)
+          while (peek == "|") {
+            next()
+            alts ++= flat(pathElt())
+            require(peek != "/",
+              "parenthesize sequence branches in path alternatives")
+          }
+          elts = Vector((Alt(alts), false, None))
         }
-        require(peek != "*",
-          "zero-or-more paths (*) unsupported — use p+ for one-or-more")
+        val preds = elts.map { case (p0, inv, mod) =>
+          mod match {
+            case Some(m) =>
+              require(elts.length == 1 && !inv,
+                s"$m only on a single forward predicate")
+              require(!p0.isInstanceOf[Alt],
+                s"$m not supported on alternatives")
+              (if (m == "+") Plus(p0) else Star(p0), false)
+            case None => (p0, inv)
+          }
+        }
         val o = term()
         var cur = s
         preds.zipWithIndex.foreach { case ((p, inv), idx) =>
@@ -224,12 +296,44 @@ object Sparql {
       FFn(fn, v.drop(1), arg)
     }
 
+    // BIND scalar expression grammar: operand ((+|-|*|/) operand)*,
+    // fn(arg, …) — left-associative, no precedence (parenthesize)
+    def bExpr(): BExpr = {
+      var l = bTerm()
+      while (peek == "+" || peek == "-" || peek == "*" || peek == "/") {
+        val op = next(); l = BArith(l, op, bTerm())
+      }
+      l
+    }
+    def bTerm(): BExpr = {
+      def isFnCall = peek.headOption.exists(_.isLetter) &&
+        i + 1 < toks.length && toks(i + 1) == "("
+      if (peek == "(") { next(); val e = bExpr(); expect(")"); e }
+      else if (isFnCall) {
+        val fn = next().toLowerCase
+        expect("(")
+        var fargs = Vector(bExpr())
+        while (peek == ",") { next(); fargs :+= bExpr() }
+        expect(")")
+        BFn(fn, fargs)
+      }
+      else if (peek.startsWith("?")) BVar(next().drop(1))
+      else term() match {
+        case l: L => BLit(l)
+        case o => throw new IllegalArgumentException(s"bad BIND operand $o")
+      }
+    }
+
     def group(): Group = {
       expect("{")
       val patterns = Vector.newBuilder[Triple]
       val optionals = Vector.newBuilder[Group]
       val unions = Vector.newBuilder[Seq[Group]]
       val filters = Vector.newBuilder[FExpr]
+      val minuses = Vector.newBuilder[Group]
+      val binds = Vector.newBuilder[(String, BExpr)]
+      val values = Vector.newBuilder[ValuesClause]
+      val exists = Vector.newBuilder[(Group, Boolean)]
       while (peek != "}") {
         if (peek == "{") {
           // braced group — a UNION chain (or a plain nested group)
@@ -238,23 +342,74 @@ object Sparql {
           unions += alts
         } else if (peek.equalsIgnoreCase("OPTIONAL")) {
           next(); optionals += group()
+        } else if (peek.equalsIgnoreCase("MINUS")) {
+          next(); minuses += group()
+        } else if (peek.equalsIgnoreCase("BIND")) {
+          next(); expect("(")
+          val e = bExpr()
+          expect("AS")
+          val v = next(); require(v.startsWith("?"), s"bad BIND alias $v")
+          expect(")")
+          binds += v.drop(1) -> e
+        } else if (peek.equalsIgnoreCase("VALUES")) {
+          next()
+          val vars = Vector.newBuilder[String]
+          if (peek == "(") {
+            next()
+            while (peek != ")") {
+              val v = next(); require(v.startsWith("?"), s"bad VALUES var $v")
+              vars += v.drop(1)
+            }
+            expect(")")
+          } else {
+            val v = next(); require(v.startsWith("?"), s"bad VALUES var $v")
+            vars += v.drop(1)
+          }
+          val vs = vars.result()
+          require(vs.nonEmpty, "VALUES needs at least one variable")
+          expect("{")
+          def valueTerm(): Option[Term] =
+            if (peek.equalsIgnoreCase("UNDEF")) { next(); None }
+            else Some(term())
+          val rows = Vector.newBuilder[Seq[Option[Term]]]
+          if (peek == "(")
+            while (peek == "(") {
+              next()
+              rows += vs.map(_ => valueTerm())
+              expect(")")
+            }
+          else {
+            require(vs.length == 1, "multi-var VALUES rows need parentheses")
+            while (peek != "}") rows += Seq(valueTerm())
+          }
+          expect("}")
+          values += ValuesClause(vs, rows.result())
         } else if (peek.equalsIgnoreCase("FILTER")) {
           next()
-          filters += (if (peek == "(") { next(); val e = orExpr(); expect(")"); e }
-                      else builtin())
+          if (peek.equalsIgnoreCase("EXISTS")) {
+            next(); exists += group() -> true
+          } else if (peek.equalsIgnoreCase("NOT")) {
+            next(); expect("EXISTS"); exists += group() -> false
+          } else
+            filters += (if (peek == "(") { next(); val e = orExpr(); expect(")"); e }
+                        else builtin())
         } else patterns ++= triples()
       }
       expect("}")
       Group(patterns.result(), optionals.result(), unions.result(),
-        filters.result())
+        filters.result(), minuses.result(), binds.result(),
+        values.result(), exists.result())
     }
 
     val isConstruct = peek.equalsIgnoreCase("CONSTRUCT")
+    val isAsk = peek.equalsIgnoreCase("ASK")
     val select = Vector.newBuilder[SelectItem]
     var distinct = false
     val template = Vector.newBuilder[Triple]
     if (isConstruct) {
       next(); expect("{"); template ++= triples(); expect("}")
+    } else if (isAsk) {
+      next()
     } else {
       expect("SELECT")
       if (peek.equalsIgnoreCase("DISTINCT")) { next(); distinct = true }
@@ -285,7 +440,9 @@ object Sparql {
         } else more = false
       }
     }
-    expect("WHERE")
+    // WHERE is optional for ASK (`ASK { … }` is the common form)
+    if (peek.equalsIgnoreCase("WHERE")) next()
+    else require(isAsk, s"expected WHERE got $peek")
     val where = group()
     val groupBy = Vector.newBuilder[String]
     if (peek.equalsIgnoreCase("GROUP")) {
@@ -310,7 +467,7 @@ object Sparql {
     val limit = if (peek.equalsIgnoreCase("LIMIT")) { next(); Some(next().toInt) }
     else None
     Query(select.result(), distinct, where, groupBy.result(),
-      having.result(), orderBy.result(), limit, template.result())
+      having.result(), orderBy.result(), limit, template.result(), isAsk)
   }
 
   // -------------------------------------------------------------- compile
@@ -352,14 +509,28 @@ object Sparql {
     acc
   }
 
-  /** `?s p+ ?o` → the closure frame with pattern bindings applied. */
-  private def closureScan(store: GraftStore, t: Triple,
-                          pred: Term): DataFrame = {
+  /** `?s p+ ?o` / `?s p* ?o` → the closure frame with pattern bindings
+    * applied. Zero-or-more adds the identity relation over the graph's
+    * node set (every subject and every ref target) — the SPARQL
+    * zero-length-path semantics; one distinct over two projected
+    * columns of quads, no collect. */
+  private def closureScan(store: GraftStore, t: Triple, pred: Term,
+                          includeZero: Boolean): DataFrame = {
     val local = pred match {
       case I(iri) => Rdf.localName(iri)
       case o => throw new IllegalArgumentException(s"p+ needs an IRI, got $o")
     }
     var df = transitive(store, local)
+    if (includeZero) {
+      val live = store.quads.where(col("current") &&
+        col("kind") =!= InfotonModel.KindDeleted)
+      val nodes = live.select(col("subject").as("node"))
+        .union(live.where(col("vType") === InfotonModel.TRef)
+          .select(col("s").as("node")))
+        .distinct()
+      df = df.union(nodes.select(col("node").as("from"),
+        col("node").as("to"))).distinct()
+    }
     var proj = Seq.empty[Column]
     t.s match {
       case I(iri) => df = df.where(col("from") === Rdf.iriToPath(iri))
@@ -382,13 +553,21 @@ object Sparql {
     var proj = Seq.empty[Column]
     t.p match {
       case I(iri) => df = df.where(col("predicate") === Rdf.localName(iri))
+      case Alt(ps) =>
+        // alternative path — one scan over the union of edge sets
+        val locals = ps.map {
+          case I(iri) => Rdf.localName(iri)
+          case o => throw new IllegalArgumentException(
+            s"path alternative must be an IRI, got $o")
+        }
+        df = df.where(col("predicate").isin(locals: _*))
       case V(v) => proj :+= col("predicate").as(v)
-      case l: L => throw new IllegalArgumentException(s"literal predicate $l")
+      case o => throw new IllegalArgumentException(s"bad predicate $o")
     }
     t.s match {
       case I(iri) => df = df.where(col("subject") === Rdf.iriToPath(iri))
       case V(v) => proj :+= col("subject").as(v)
-      case l: L => throw new IllegalArgumentException(s"literal subject $l")
+      case o => throw new IllegalArgumentException(s"bad subject $o")
     }
     t.o match {
       case I(iri) =>
@@ -396,15 +575,22 @@ object Sparql {
           col("s") === Rdf.iriToPath(iri))
       case L(lex, Some(n)) => df = df.where(col("n") === n)
       case L(lex, None) => df = df.where(col("s") === lex)
+      case p @ (_: Plus | _: Star | _: Alt) =>
+        throw new IllegalArgumentException(s"bad object $p")
       case V(v) =>
         // the numeric shadow is projected only when the predicate's
         // field can actually be numeric: a known string/ref/bool/date
         // field carries an all-null `n` slot, which would silently
         // null MIN/MAX and make numeric FILTERs vacuous — with no
         // shadow those now fail loud at analysis instead
+        def numericPred(iri: String): Boolean =
+          store.vTypeOf(Rdf.localName(iri)).forall(ty => "ildf".contains(ty))
         val mayBeNumeric = t.p match {
-          case I(iri) => store.vTypeOf(Rdf.localName(iri))
-            .forall(ty => "ildf".contains(ty))
+          case I(iri) => numericPred(iri)
+          case Alt(ps) => ps.exists {
+            case I(iri) => numericPred(iri)
+            case _ => true
+          }
           case _ => true // variable predicate: type unknown, keep it
         }
         proj ++= (if (mayBeNumeric)
@@ -540,7 +726,10 @@ object Sparql {
     }
     if (g.patterns.nonEmpty)
       mergeIn(g.patterns.map {
-        case t @ Triple(_, Plus(p), _) => closureScan(store, t, p)
+        case t @ Triple(_, Plus(p), _) =>
+          closureScan(store, t, p, includeZero = false)
+        case t @ Triple(_, Star(p), _) =>
+          closureScan(store, t, p, includeZero = true)
         case t => scan(store, t)
       }.reduceLeft((a, b) => joined(a, b, "inner")), Set.empty)
     g.unions.foreach { alts =>
@@ -556,6 +745,13 @@ object Sparql {
         .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       mergeIn(u, branchPartial ++ frames.flatMap(_._2))
     }
+    // VALUES — inline data is just another joinable solution frame
+    g.values.foreach { vc =>
+      val undef = vc.vars.zipWithIndex
+        .filter { case (_, j) => vc.rows.exists(r => r(j).isEmpty) }
+        .map(_._1).toSet
+      mergeIn(valuesFrame(store, vc), undef)
+    }
     require(df != null, "empty group pattern")
     g.optionals.foreach { o =>
       val (od, om) = solutionsOf(store, o)
@@ -564,8 +760,134 @@ object Sparql {
       df = joined(df, od, "left")
       maybe = maybe ++ om ++ newVars
     }
+    // BIND — scoped to the group-so-far; later FILTERs may reference it
+    g.binds.foreach { case (v, e) =>
+      require(!df.columns.contains(v), s"BIND would rebind ?$v")
+      val (lex, num) = bindCols(e, df)
+      df = df.withColumn(v, lex)
+      num.foreach(n => df = df.withColumn(s"${v}__n", n))
+      if (bindRefs(e).exists(maybe)) maybe += v
+    }
+    // MINUS — remove solutions compatible with (and domain-overlapping)
+    // some right solution; disjoint domains remove nothing (SPARQL
+    // spec). One distributed anti-join on the shared variables.
+    g.minuses.foreach { m =>
+      val (md, _) = solutionsOf(store, m)
+      val a = df
+      val shared = joinVars(a, md)
+      if (shared.nonEmpty) {
+        val b = md.select(md.columns.map(c => col(c).as(s"__m_$c")).toSeq: _*)
+        val compatible = shared.map(c => a(c).isNull ||
+          b(s"__m_$c").isNull || a(c) === b(s"__m_$c")).reduce(_ && _)
+        val overlap = shared.map(c => a(c).isNotNull &&
+          b(s"__m_$c").isNotNull).reduce(_ || _)
+        df = a.join(b, compatible && overlap, "left_anti")
+      }
+    }
     g.filters.foreach { f => df = df.where(filterCol(f)) }
+    // FILTER (NOT) EXISTS — a semi/anti join on the shared variables,
+    // with null-compatibility on possibly-unbound ones
+    g.exists.foreach { case (eg, positive) =>
+      val (ed, em) = solutionsOf(store, eg)
+      val a = df
+      val shared = joinVars(a, ed)
+      require(shared.nonEmpty,
+        "FILTER EXISTS group must share a variable with the outer group")
+      val b = ed.select(ed.columns.map(c => col(c).as(s"__e_$c")).toSeq: _*)
+      val loose = shared.filter(c => maybe(c) || em(c)).toSet
+      val cond = shared.map(c =>
+        if (loose(c)) a(c).isNull || b(s"__e_$c").isNull ||
+          a(c) === b(s"__e_$c")
+        else a(c) === b(s"__e_$c")).reduce(_ && _)
+      df = a.join(b, cond, if (positive) "left_semi" else "left_anti")
+    }
     (df, maybe)
+  }
+
+  /** Variables referenced by a BIND expression. */
+  private def bindRefs(e: BExpr): Set[String] = e match {
+    case BVar(v) => Set(v)
+    case BLit(_) => Set.empty
+    case BFn(_, args) => args.flatMap(bindRefs).toSet
+    case BArith(l, _, r) => bindRefs(l) ++ bindRefs(r)
+  }
+
+  /** BIND expression compiler → (lexical column, optional numeric
+    * shadow). Numeric results render integral values without the
+    * trailing `.0` so lexical equality/joins still behave. */
+  private def bindCols(e: BExpr, df: DataFrame): (Column, Option[Column]) = {
+    def numLex(n: Column): Column =
+      regexp_replace(n.cast("string"), "\\.0$", "")
+    e match {
+      case BVar(v) =>
+        require(df.columns.contains(v), s"BIND references unbound ?$v")
+        (col(v),
+          if (df.columns.contains(s"${v}__n")) Some(col(s"${v}__n")) else None)
+      case BLit(L(lex, num)) => (lit(lex), num.map(lit(_)))
+      case BFn("concat", args) =>
+        (concat(args.map(a => bindCols(a, df)._1): _*), None)
+      case BFn("str", Seq(a)) => (bindCols(a, df)._1, None)
+      case BFn("ucase", Seq(a)) => (upper(bindCols(a, df)._1), None)
+      case BFn("lcase", Seq(a)) => (lower(bindCols(a, df)._1), None)
+      case BFn("strlen", Seq(a)) =>
+        val n = length(bindCols(a, df)._1).cast("double")
+        (numLex(n), Some(n))
+      case BFn(f, args) => throw new IllegalArgumentException(
+        s"unsupported BIND function $f/${args.length}")
+      case BArith(l, op, r) =>
+        def numOf(x: BExpr): Column = {
+          val (lex, num) = bindCols(x, df)
+          num.getOrElse(lex.cast("double"))
+        }
+        val n = op match {
+          case "+" => numOf(l) + numOf(r)
+          case "-" => numOf(l) - numOf(r)
+          case "*" => numOf(l) * numOf(r)
+          case "/" => numOf(l) / numOf(r)
+          case o => throw new IllegalArgumentException(s"bad BIND op $o")
+        }
+        (numLex(n), Some(n))
+    }
+  }
+
+  /** One VALUES block → a literal DataFrame (lexical column per
+    * variable, numeric shadow where any row is numeric). Inline data is
+    * driver-sized by construction — Catalyst broadcasts it into the
+    * join like any small relation. */
+  private def valuesFrame(store: GraftStore,
+                          vc: ValuesClause): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val numeric = vc.vars.indices.map(j => vc.rows.exists(r =>
+      r(j).exists { case L(_, Some(_)) => true; case _ => false }))
+    val fields = vc.vars.zipWithIndex.flatMap { case (v, j) =>
+      StructField(v, StringType, nullable = true) ::
+        (if (numeric(j))
+          List(StructField(s"${v}__n", DoubleType, nullable = true))
+        else Nil)
+    }
+    def lex(t: Term): String = t match {
+      case I(iri) => Rdf.iriToPath(iri)
+      case L(l, _) => l
+      case o => throw new IllegalArgumentException(s"bad VALUES term $o")
+    }
+    val rows = vc.rows.map { r =>
+      require(r.length == vc.vars.length, "VALUES row arity mismatch")
+      org.apache.spark.sql.Row.fromSeq(
+        r.zipWithIndex.flatMap { case (t, j) =>
+          (t.map(lex).orNull: Any) ::
+            (if (numeric(j))
+              List(t.flatMap {
+                case L(_, n) => n
+                case _ => None
+              }.map(Double.box).orNull: Any)
+            else Nil)
+        })
+    }
+    val spark = store.quads.sparkSession
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(fields.toArray))
   }
 
   /** Register a custom FILTER function — the engine's analog of the
@@ -593,9 +915,21 @@ object Sparql {
     select(store.scopedTo(sub), query)
   }
 
+  /** Compile + run a SPARQL ASK: one row, one boolean `ask` column.
+    * `limit(1)` before the count so a hit short-circuits the scan —
+    * Spark stops launching tasks once the first row materializes. */
+  def ask(store: GraftStore, query: String): DataFrame = {
+    val q = parse(query)
+    require(q.ask, "not an ASK query")
+    solutionsOf(store, q.where)._1
+      .select(lit(1).as("one")).limit(1)
+      .agg((count(col("one")) > 0).as("ask"))
+  }
+
   /** Compile + run a SPARQL SELECT against a store. */
   def select(store: GraftStore, query: String): DataFrame = {
     val q = parse(query)
+    require(!q.ask, "ASK query — use Sparql.ask")
     val sol = solutionsOf(store, q.where)._1
     val hasAgg = q.select.exists(_.agg.nonEmpty) || q.groupBy.nonEmpty
     // fail-loud policy: HAVING is only applied on the grouped branch,
@@ -661,6 +995,7 @@ object Sparql {
         case I(iri) => if (pred) lit(Rdf.localName(iri))
                        else lit(Rdf.iriToPath(iri))
         case L(lex, _) => lit(lex)
+        case o => throw new IllegalArgumentException(s"bad template term $o")
       }
       bound.select(bind(t.s, pred = false).as("subject"),
         bind(t.p, pred = true).as("predicate"),

@@ -501,9 +501,107 @@ class EngineSpec extends AnyFunSuite {
       "SELECT ?o WHERE { <c://ch/0> <c://o#next>+ ?o }").collect())
   }
 
-  test("SPARQL zero-or-more path is rejected") {
-    intercept[IllegalArgumentException](Sparql.parse(
-      "SELECT ?x WHERE { ?x <c://o#p> / <c://o#q> * ?y }"))
+  test("SPARQL VALUES restricts and joins like inline data") {
+    val r = Sparql.select(tagStore,
+      """SELECT ?s ?t WHERE { ?s <c://o#tag> ?t .
+        |VALUES ?t { "red" "green" } } ORDER BY ?s""".stripMargin).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("/doc/1", "/doc/3"))
+    // multi-var rows with UNDEF: UNDEF is compatible with any binding
+    val u = Sparql.select(tagStore,
+      """SELECT ?s ?t WHERE { ?s <c://o#tag> ?t .
+        |VALUES (?s ?t) { (<c://doc/1> "red") (<c://doc/2> UNDEF) }
+        |} ORDER BY ?s""".stripMargin).collect()
+    assert(u.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("/doc/1", "red"), ("/doc/2", "blue")))
+  }
+
+  test("SPARQL BIND computes strings and numbers usable downstream") {
+    val r = Sparql.select(tagStore,
+      """SELECT ?s ?tag WHERE { ?s <c://o#tag> ?t .
+        |BIND(CONCAT(?t, "!") AS ?tag)
+        |FILTER strends(?tag, "d!") } ORDER BY ?s""".stripMargin).collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("red!"))
+    // numeric BIND: arithmetic over a bound numeric + FILTER on it
+    val n = Sparql.select(tagStore,
+      """SELECT ?s ?m WHERE { ?s <c://o#num> ?v .
+        |BIND(?v * 2 + 1 AS ?m) FILTER (?m > 10) }""".stripMargin).collect()
+    assert(n.length == 1 && n(0).getString(1) == "11")
+    // STRLEN yields a filterable number
+    val l = Sparql.select(tagStore,
+      """SELECT ?s WHERE { ?s <c://o#tag> ?t .
+        |BIND(STRLEN(?t) AS ?len) FILTER (?len = 5) } ORDER BY ?s"""
+        .stripMargin).collect()
+    assert(l.map(_.getString(0)).toSeq == Seq("/doc/3")) // "green"
+  }
+
+  test("SPARQL MINUS removes compatible solutions, keeps disjoint ones") {
+    val r = Sparql.select(tagStore,
+      """SELECT ?s WHERE { ?s <c://o#tag> ?t .
+        |MINUS { ?s <c://o#num> ?n } } ORDER BY ?s""".stripMargin).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("/doc/1", "/doc/2"))
+    // no shared variable → MINUS removes nothing (SPARQL spec)
+    val d = Sparql.select(tagStore,
+      """SELECT ?s WHERE { ?s <c://o#tag> ?t .
+        |MINUS { ?x <c://o#num> ?n } } ORDER BY ?s""".stripMargin).collect()
+    assert(d.length == 3)
+  }
+
+  test("SPARQL FILTER EXISTS and NOT EXISTS semi/anti-join the group") {
+    val r = Sparql.select(tagStore,
+      """SELECT ?s WHERE { ?s <c://o#tag> ?t .
+        |FILTER EXISTS { ?s <c://o#num> ?n } }""".stripMargin).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("/doc/3"))
+    val n = Sparql.select(tagStore,
+      """SELECT ?s WHERE { ?s <c://o#tag> ?t .
+        |FILTER NOT EXISTS { ?s <c://o#num> ?n } } ORDER BY ?s"""
+        .stripMargin).collect()
+    assert(n.map(_.getString(0)).toSeq == Seq("/doc/1", "/doc/2"))
+  }
+
+  test("SPARQL alternative paths scan the union of edge sets") {
+    val store = storeOf(Seq(
+      "<c://a/1> <c://o#p> <c://t/1> .",
+      "<c://a/2> <c://o#q> <c://t/2> .",
+      "<c://a/3> <c://o#r> <c://t/3> ."),
+      T("2024-01-01 00:00:00"))
+    val r = Sparql.select(store,
+      """SELECT ?s ?o WHERE { ?s (<c://o#p>|<c://o#q>) ?o } ORDER BY ?s""")
+      .collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("/a/1", "/a/2"))
+    // bare (unparenthesized) alternation parses the same
+    val b = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#q>|<c://o#r> ?o } ORDER BY ?s""")
+      .collect()
+    assert(b.map(_.getString(0)).toSeq == Seq("/a/2", "/a/3"))
+    // alternation composes inside a sequence path
+    val store2 = storeOf(Seq(
+      "<c://b/1> <c://o#p> <c://m/1> .",
+      "<c://m/1> <c://o#name> \"hit\" ."),
+      T("2024-01-01 00:00:00"))
+    val s = Sparql.select(store2,
+      """SELECT ?n WHERE { <c://b/1> (<c://o#p>|<c://o#q>)/<c://o#name> ?n }""")
+      .collect()
+    assert(s.map(_.getString(0)).toSeq == Seq("hit"))
+  }
+
+  test("SPARQL p* includes the zero-length path") {
+    val store = storeOf(Seq(
+      "<c://n/a> <c://o#next> <c://n/b> .",
+      "<c://n/b> <c://o#next> <c://n/c> ."),
+      T("2024-01-01 00:00:00"))
+    val r = Sparql.select(store,
+      "SELECT ?o WHERE { <c://n/a> <c://o#next>* ?o } ORDER BY ?o")
+      .collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("/n/a", "/n/b", "/n/c"))
+  }
+
+  test("SPARQL ASK answers existence without materializing solutions") {
+    val hit = Sparql.ask(tagStore,
+      """ASK { ?s <c://o#tag> "red" }""").collect()
+    assert(hit.length == 1 && hit(0).getBoolean(0))
+    val miss = Sparql.ask(tagStore,
+      """ASK WHERE { ?s <c://o#tag> "purple" }""").collect()
+    assert(miss.length == 1 && !miss(0).getBoolean(0))
   }
 
   test("SPARQL FILTER gives && precedence over ||") {
