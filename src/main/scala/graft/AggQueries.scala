@@ -34,6 +34,12 @@ object AggQueries {
       run(s, dir, "/lineitem", "type:stats,field::extendedprice",
         qp = Some("returnflag::R,quantity>25"))),
 
+    // type:stats over a DATE field — ES date-stats semantics (epoch
+    // millis); the sum accumulates in decimal(30,2) because ~1.4e12
+    // per row overflows an 18-digit sum around 10k rows
+    "q_agg_stats_date" -> ((s, dir) =>
+      run(s, dir, "/orders", "type:stats,field::orderdate")),
+
     // type:hist — fixed-interval histogram
     "q_agg_hist" -> ((s, dir) =>
       run(s, dir, "/orders", "type:hist,field::totalprice,interval:50000")),
@@ -93,6 +99,14 @@ object AggQueries {
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS "sum",
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS "avg"
         |FROM lineitem""".stripMargin,
+    "q_agg_stats_date" ->
+      """SELECT count(o_orderdate) AS "count",
+        |min(epoch_ms(o_orderdate)) AS "min",
+        |max(epoch_ms(o_orderdate)) AS "max",
+        |CAST(sum(CAST(epoch_ms(o_orderdate) AS DECIMAL(30,2))) AS DOUBLE) AS "sum",
+        |CAST(sum(CAST(epoch_ms(o_orderdate) AS DECIMAL(30,2))) AS DOUBLE)
+        |  / count(o_orderdate) AS "avg"
+        |FROM orders""".stripMargin,
     "q_agg_stats_filtered" ->
       """SELECT count(l_extendedprice) AS "count", min(l_extendedprice) AS "min",
         |max(l_extendedprice) AS "max",
