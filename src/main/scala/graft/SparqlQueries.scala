@@ -157,7 +157,12 @@ object SparqlQueries {
       Sparql.ask(GraftStore.forDir(s, dir),
         """PREFIX ont: <cmwell://ont#>
           |ASK { ?n ont:name "NATION_7" . ?n ont:refRegion ?r }"""
-          .stripMargin)))
+          .stripMargin)),
+
+    // DESCRIBE: all current triples of one resource
+    "q_sparql_describe" -> ((s, dir) =>
+      Sparql.describe(GraftStore.forDir(s, dir),
+        "DESCRIBE <cmwell://customer/42>").orderBy("predicate")))
 
   val oracles: Map[String, String] = Map(
     "q_sparql_union" ->
@@ -253,6 +258,22 @@ object SparqlQueries {
     "q_sparql_ask" ->
       """SELECT count(*) > 0 AS ask FROM nation
         |WHERE n_name = 'NATION_7'""".stripMargin,
+    "q_sparql_describe" ->
+      """SELECT subject, predicate, obj FROM (
+        |  SELECT '/customer/' || c_custkey AS subject,
+        |    'acctbal' AS predicate, CAST(c_acctbal AS VARCHAR) AS obj
+        |  FROM customer WHERE c_custkey = 42
+        |  UNION ALL SELECT '/customer/' || c_custkey, 'custkey',
+        |    CAST(c_custkey AS VARCHAR) FROM customer WHERE c_custkey = 42
+        |  UNION ALL SELECT '/customer/' || c_custkey, 'mktsegment',
+        |    c_mktsegment FROM customer WHERE c_custkey = 42
+        |  UNION ALL SELECT '/customer/' || c_custkey, 'name', c_name
+        |  FROM customer WHERE c_custkey = 42
+        |  UNION ALL SELECT '/customer/' || c_custkey, 'nationkey',
+        |    CAST(c_nationkey AS VARCHAR) FROM customer WHERE c_custkey = 42
+        |  UNION ALL SELECT '/customer/' || c_custkey, 'refNation',
+        |    '/nation/' || c_nationkey FROM customer WHERE c_custkey = 42)
+        |ORDER BY predicate""".stripMargin,
     "q_sparql_construct" ->
       """SELECT subject, 'inNation' AS predicate, obj FROM (
         |  SELECT '/customer/' || c_custkey AS subject,

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * shuffle.
   *
   * Supported subset: PREFIX, SELECT (DISTINCT) ?v… / (AGG(?v) AS ?a),
-  * CONSTRUCT, ASK, WHERE { patterns, `a`, `p1/p2` sequence paths,
+  * CONSTRUCT, ASK, DESCRIBE, WHERE { patterns, `a`, `p1/p2` sequence paths,
   * `(p1|p2)` alternative paths, `p+` one-or-more / `p*` zero-or-more
   * transitive paths (iterative closure), OPTIONAL { … },
   * { … } UNION { … }, MINUS { … }, VALUES inline data,
@@ -97,7 +97,8 @@ object Sparql {
                          having: Seq[FExpr],
                          orderBy: Seq[(String, Boolean)], limit: Option[Int],
                          template: Seq[Triple] = Nil, // CONSTRUCT shape
-                         ask: Boolean = false)
+                         ask: Boolean = false,
+                         describe: Seq[Term] = Nil)
 
   // ---------------------------------------------------------------- parse
 
@@ -403,13 +404,20 @@ object Sparql {
 
     val isConstruct = peek.equalsIgnoreCase("CONSTRUCT")
     val isAsk = peek.equalsIgnoreCase("ASK")
+    val isDescribe = peek.equalsIgnoreCase("DESCRIBE")
     val select = Vector.newBuilder[SelectItem]
     var distinct = false
     val template = Vector.newBuilder[Triple]
+    val describe = Vector.newBuilder[Term]
     if (isConstruct) {
       next(); expect("{"); template ++= triples(); expect("}")
     } else if (isAsk) {
       next()
+    } else if (isDescribe) {
+      next()
+      while (peek.nonEmpty && !peek.equalsIgnoreCase("WHERE") &&
+             peek != "{") describe += term()
+      require(describe.result().nonEmpty, "DESCRIBE needs a resource or var")
     } else {
       expect("SELECT")
       if (peek.equalsIgnoreCase("DISTINCT")) { next(); distinct = true }
@@ -440,10 +448,15 @@ object Sparql {
         } else more = false
       }
     }
-    // WHERE is optional for ASK (`ASK { … }` is the common form)
-    if (peek.equalsIgnoreCase("WHERE")) next()
-    else require(isAsk, s"expected WHERE got $peek")
-    val where = group()
+    // WHERE is optional for ASK (`ASK { … }` is the common form) and
+    // absent entirely for the DESCRIBE-by-IRI form
+    val where =
+      if (isDescribe && peek.isEmpty) Group(Nil, Nil, Nil, Nil)
+      else {
+        if (peek.equalsIgnoreCase("WHERE")) next()
+        else require(isAsk || isDescribe, s"expected WHERE got $peek")
+        group()
+      }
     val groupBy = Vector.newBuilder[String]
     if (peek.equalsIgnoreCase("GROUP")) {
       next(); expect("BY")
@@ -467,7 +480,8 @@ object Sparql {
     val limit = if (peek.equalsIgnoreCase("LIMIT")) { next(); Some(next().toInt) }
     else None
     Query(select.result(), distinct, where, groupBy.result(),
-      having.result(), orderBy.result(), limit, template.result(), isAsk)
+      having.result(), orderBy.result(), limit, template.result(), isAsk,
+      describe.result())
   }
 
   // -------------------------------------------------------------- compile
@@ -926,10 +940,41 @@ object Sparql {
       .agg((count(col("one")) > 0).as("ask"))
   }
 
+  /** Compile + run a SPARQL DESCRIBE: every current triple whose
+    * subject is a described resource — explicit IRIs and/or every
+    * binding of the described variables over WHERE. Output is
+    * quads-shaped (subject, predicate, obj) like CONSTRUCT. One
+    * semi-join against the quads view; nothing collects. */
+  def describe(store: GraftStore, query: String): DataFrame = {
+    val q = parse(query)
+    require(q.describe.nonEmpty, "not a DESCRIBE query")
+    val iris = q.describe.collect { case I(iri) => Rdf.iriToPath(iri) }
+    val vars = q.describe.collect { case V(v) => v }
+    require(iris.size + vars.size == q.describe.size,
+      "DESCRIBE takes IRIs and variables only")
+    val spark = store.quads.sparkSession
+    import spark.implicits._
+    val fromVars =
+      if (vars.isEmpty) Nil
+      else {
+        val sol = solutionsOf(store, q.where)._1
+        vars.map(v => sol.select(col(v).as("subject")))
+      }
+    val fromIris =
+      if (iris.isEmpty) Nil
+      else Seq(iris.toDF("subject"))
+    val subjects = (fromVars ++ fromIris).reduce(_ union _).distinct()
+    store.quads.where(col("current") &&
+        col("kind") =!= InfotonModel.KindDeleted)
+      .join(subjects, Seq("subject"), "left_semi")
+      .select(col("subject"), col("predicate"), col("s").as("obj"))
+  }
+
   /** Compile + run a SPARQL SELECT against a store. */
   def select(store: GraftStore, query: String): DataFrame = {
     val q = parse(query)
     require(!q.ask, "ASK query — use Sparql.ask")
+    require(q.describe.isEmpty, "DESCRIBE query — use Sparql.describe")
     val sol = solutionsOf(store, q.where)._1
     val hasAgg = q.select.exists(_.agg.nonEmpty) || q.groupBy.nonEmpty
     // fail-loud policy: HAVING is only applied on the grouped branch,

@@ -595,6 +595,16 @@ class EngineSpec extends AnyFunSuite {
     assert(r.map(_.getString(0)).toSeq == Seq("/n/a", "/n/b", "/n/c"))
   }
 
+  test("SPARQL DESCRIBE returns all triples of IRI and variable subjects") {
+    val byIri = Sparql.describe(tagStore, "DESCRIBE <c://doc/3>").collect()
+    assert(byIri.map(r => (r.getString(1), r.getString(2))).toSet ==
+      Set(("tag", "green"), ("num", "5")))
+    val byVar = Sparql.describe(tagStore,
+      """DESCRIBE ?s WHERE { ?s <c://o#num> ?n }""").collect()
+    assert(byVar.map(_.getString(0)).toSet == Set("/doc/3") &&
+      byVar.length == 2)
+  }
+
   test("SPARQL ASK answers existence without materializing solutions") {
     val hit = Sparql.ask(tagStore,
       """ASK { ?s <c://o#tag> "red" }""").collect()
