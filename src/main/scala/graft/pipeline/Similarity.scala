@@ -163,7 +163,11 @@ object Similarity {
       _ => new KMeans().setK(nlist).setSeed(seed)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(base))
+    // persisted: both the probe branch (query cell ranking) and the
+    // scan branch (cell-restricted exact ranking) read the assignment —
+    // without it the normalize + quantizer transform runs twice
     val assigned = model.transform(base).select("vec_id", "v", "cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = model.clusterCenters.map(_.toArray.toSeq)
     // per-query cell ranking: similarity to each centroid as literals
     val cellDots = centroids.zipWithIndex.map { case (c, i) =>
