@@ -137,6 +137,25 @@ object IngestQueries {
         .cast("long").as("custkey"))
       .orderBy("custkey")
 
+  /** documents → N-Quads → ingest → search back: the quad-tagged,
+    * lang-tagged table through the 4-term formatter and parser —
+    * graph tag and language tag must survive the roundtrip verbatim
+    * (reference FieldValue.quad / FString.lang). */
+  private def roundtripNq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Search.run(st(s, dir), Search.Request(path = "/documents"))
+    val nq = Formatters.ntriples(docs).as[String]
+    val st2 = GraftStore.fromInfotons(s,
+      Ingest.ingest(s, Ingest.emptyStore(s), nq, T0))
+    val tv = element_at(col("fields"), "text").getItem(0)
+    Search.run(st2, Search.Request(path = "/documents"))
+      .select(Search.fieldN("doc_id").cast("long").as("doc_id"),
+        tv.getField("s").as("text"),
+        tv.getField("lang").as("lang"),
+        tv.getField("quad").as("quad"))
+      .orderBy("doc_id")
+  }
+
   /** customer → RDF/XML descriptions → ingestRdfXml → search back: each
     * doc wraps in the rdf:RDF envelope so namespaces resolve. */
   private def roundtripRdfXml(s: SparkSession, dir: String): DataFrame = {
@@ -179,6 +198,7 @@ object IngestQueries {
     "q_ingest_jsonld" -> roundtripJsonLd,
     "q_ingest_ttl" -> roundtripTtl,
     "q_ingest_rdfxml" -> roundtripRdfXml,
+    "q_ingest_nq" -> roundtripNq,
     "q_merge_update" -> mergeUpdate,
     "q_merge_delete" -> mergeDelete,
     "q_with_deleted" -> withDeleted)
@@ -199,6 +219,9 @@ object IngestQueries {
     "q_ingest_rdfxml" ->
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
         |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
+    "q_ingest_nq" ->
+      """SELECT doc_id, text, lang, '/graph/' || source AS quad
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_update" ->
       """SELECT c_custkey AS custkey, CAST(c_acctbal AS DOUBLE) + 100 AS acctbal,
         |CAST(2 AS BIGINT) AS n_versions FROM customer ORDER BY custkey""".stripMargin,

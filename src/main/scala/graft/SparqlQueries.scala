@@ -162,7 +162,23 @@ object SparqlQueries {
     // DESCRIBE: all current triples of one resource
     "q_sparql_describe" -> ((s, dir) =>
       Sparql.describe(GraftStore.forDir(s, dir),
-        "DESCRIBE <cmwell://customer/42>").orderBy("predicate")))
+        "DESCRIBE <cmwell://customer/42>").orderBy("predicate")),
+
+    // `POST /_sp`: PATHS search requests populate the queried subgraph
+    // (here: BUILDING customers + all nations); the SPARQL query runs
+    // against just that slice — suppliers and other segments are
+    // invisible even though the star pattern would match them
+    "q_sp" -> ((s, dir) => {
+      import graft.ops.Search
+      Sparql.sp(GraftStore.forDir(s, dir),
+        Seq(Search.Request(path = "/customer",
+              qp = Some("mktsegment::BUILDING")),
+            Search.Request(path = "/nation")),
+        """PREFIX ont: <cmwell://ont#>
+          |SELECT ?c ?nm WHERE {
+          |  ?c ont:refNation ?n . ?n ont:name ?nm .
+          |} ORDER BY ?c""".stripMargin)
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_sparql_union" ->
@@ -258,6 +274,10 @@ object SparqlQueries {
     "q_sparql_ask" ->
       """SELECT count(*) > 0 AS ask FROM nation
         |WHERE n_name = 'NATION_7'""".stripMargin,
+    "q_sp" ->
+      """SELECT '/customer/' || c_custkey AS c, n_name AS nm
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c""".stripMargin,
     "q_sparql_describe" ->
       """SELECT subject, predicate, obj FROM (
         |  SELECT '/customer/' || c_custkey AS subject,
