@@ -164,6 +164,17 @@ object SparqlQueries {
       Sparql.describe(GraftStore.forDir(s, dir),
         "DESCRIBE <cmwell://customer/42>").orderBy("predicate")),
 
+    // subquery: customers of the most numerous market segment —
+    // the inner SELECT aggregates, orders by the count (numeric
+    // shadow) and LIMITs; the outer pattern joins on ?m
+    "q_sparql_subquery" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?c WHERE {
+        |  { SELECT ?m (COUNT(?c2) AS ?cnt) WHERE { ?c2 ont:mktsegment ?m }
+        |    GROUP BY ?m ORDER BY DESC(?cnt) ?m LIMIT 1 }
+        |  ?c ont:mktsegment ?m .
+        |} ORDER BY ?c""".stripMargin)),
+
     // `POST /_sp`: PATHS search requests populate the queried subgraph
     // (here: BUILDING customers + all nations); the SPARQL query runs
     // against just that slice — suppliers and other segments are
@@ -274,6 +285,12 @@ object SparqlQueries {
     "q_sparql_ask" ->
       """SELECT count(*) > 0 AS ask FROM nation
         |WHERE n_name = 'NATION_7'""".stripMargin,
+    "q_sparql_subquery" ->
+      """SELECT '/customer/' || c_custkey AS c FROM customer
+        |WHERE c_mktsegment = (
+        |  SELECT c_mktsegment FROM customer GROUP BY 1
+        |  ORDER BY count(*) DESC, c_mktsegment LIMIT 1)
+        |ORDER BY c""".stripMargin,
     "q_sp" ->
       """SELECT '/customer/' || c_custkey AS c, n_name AS nm
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

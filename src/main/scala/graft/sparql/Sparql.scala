@@ -34,10 +34,10 @@ import org.apache.spark.sql.functions._
   * BIND(expr AS ?v) with CONCAT/STR/UCASE/LCASE/STRLEN and arithmetic,
   * FILTER (comparisons ∧/∨/!, regex/contains/strStarts/strEnds,
   * registered custom functions), FILTER (NOT) EXISTS { … } },
+  * `{ SELECT … }` subqueries (joined bottom-up on projected vars),
   * GROUP BY, HAVING, ORDER BY, LIMIT; string literals with escapes.
-  * Not supported (throws): blank nodes, subqueries, `+`/`*` on
-  * alternatives or inside sequences. Inverse path segments `^p` swap
-  * the hop's ends.
+  * Not supported (throws): blank nodes, `+`/`*` on alternatives or
+  * inside sequences. Inverse path segments `^p` swap the hop's ends.
   */
 object Sparql {
 
@@ -86,7 +86,8 @@ object Sparql {
                          minuses: Seq[Group] = Nil,
                          binds: Seq[(String, BExpr)] = Nil,
                          values: Seq[ValuesClause] = Nil,
-                         exists: Seq[(Group, Boolean)] = Nil)
+                         exists: Seq[(Group, Boolean)] = Nil,
+                         subqueries: Seq[Query] = Nil)
 
   /** One SELECT item: a plain variable, or (AGG(?v) AS ?alias). */
   final case class SelectItem(agg: Option[String], distinct: Boolean,
@@ -335,8 +336,14 @@ object Sparql {
       val binds = Vector.newBuilder[(String, BExpr)]
       val values = Vector.newBuilder[ValuesClause]
       val exists = Vector.newBuilder[(Group, Boolean)]
+      val subqueries = Vector.newBuilder[Query]
       while (peek != "}") {
-        if (peek == "{") {
+        if (peek == "{" && i + 1 < toks.length &&
+            toks(i + 1).equalsIgnoreCase("SELECT")) {
+          // `{ SELECT … }` — a subquery, evaluated bottom-up and
+          // joined in like any solution frame
+          next(); subqueries += subSelect(); expect("}")
+        } else if (peek == "{") {
           // braced group — a UNION chain (or a plain nested group)
           var alts = Vector(group())
           while (peek.equalsIgnoreCase("UNION")) { next(); alts :+= group() }
@@ -399,35 +406,21 @@ object Sparql {
       expect("}")
       Group(patterns.result(), optionals.result(), unions.result(),
         filters.result(), minuses.result(), binds.result(),
-        values.result(), exists.result())
+        values.result(), exists.result(), subqueries.result())
     }
 
-    val isConstruct = peek.equalsIgnoreCase("CONSTRUCT")
-    val isAsk = peek.equalsIgnoreCase("ASK")
-    val isDescribe = peek.equalsIgnoreCase("DESCRIBE")
-    val select = Vector.newBuilder[SelectItem]
-    var distinct = false
-    val template = Vector.newBuilder[Triple]
-    val describe = Vector.newBuilder[Term]
-    if (isConstruct) {
-      next(); expect("{"); template ++= triples(); expect("}")
-    } else if (isAsk) {
-      next()
-    } else if (isDescribe) {
-      next()
-      while (peek.nonEmpty && !peek.equalsIgnoreCase("WHERE") &&
-             peek != "{") describe += term()
-      require(describe.result().nonEmpty, "DESCRIBE needs a resource or var")
-    } else {
+    // SELECT item list: ?v | (AGG(?v) AS ?alias) | (COUNT(*) AS ?a)
+    def selectClause(): (Seq[SelectItem], Boolean) = {
       expect("SELECT")
+      var distinct = false
       if (peek.equalsIgnoreCase("DISTINCT")) { next(); distinct = true }
+      val items = Vector.newBuilder[SelectItem]
       var more = true
       while (more) {
         if (peek.startsWith("?")) {
           val v = next().drop(1)
-          select += SelectItem(None, distinct = false, Some(v), v)
+          items += SelectItem(None, distinct = false, Some(v), v)
         } else if (peek == "(") {
-          // (AGG(?v) AS ?alias) | (COUNT(*) AS ?alias) | (COUNT(DISTINCT ?v) ...)
           next()
           val fn = next().toUpperCase
           require(Set("COUNT", "SUM", "MIN", "MAX", "AVG")(fn),
@@ -444,9 +437,69 @@ object Sparql {
           val alias = next()
           require(alias.startsWith("?"), s"bad agg alias $alias")
           expect(")")
-          select += SelectItem(Some(fn), dist, v, alias.drop(1))
+          items += SelectItem(Some(fn), dist, v, alias.drop(1))
         } else more = false
       }
+      (items.result(), distinct)
+    }
+
+    // GROUP BY / HAVING / ORDER BY / LIMIT
+    def solutionModifiers(): (Seq[String], Seq[FExpr],
+                              Seq[(String, Boolean)], Option[Int]) = {
+      val groupBy = Vector.newBuilder[String]
+      if (peek.equalsIgnoreCase("GROUP")) {
+        next(); expect("BY")
+        while (peek.startsWith("?")) groupBy += next().drop(1)
+      }
+      val having = Vector.newBuilder[FExpr]
+      if (peek.equalsIgnoreCase("HAVING")) {
+        next(); expect("("); having += orExpr(); expect(")")
+      }
+      val orderBy = Vector.newBuilder[(String, Boolean)]
+      if (peek.equalsIgnoreCase("ORDER")) {
+        next(); expect("BY")
+        while (peek.startsWith("?") || peek.equalsIgnoreCase("ASC") ||
+               peek.equalsIgnoreCase("DESC")) {
+          val t = next()
+          if (t.startsWith("?")) orderBy += t.drop(1) -> true
+          else { expect("("); val v = next(); expect(")")
+            orderBy += v.drop(1) -> t.equalsIgnoreCase("ASC") }
+        }
+      }
+      val limit =
+        if (peek.equalsIgnoreCase("LIMIT")) { next(); Some(next().toInt) }
+        else None
+      (groupBy.result(), having.result(), orderBy.result(), limit)
+    }
+
+    // a nested `SELECT … WHERE { … } modifiers` (inside `{ … }`)
+    def subSelect(): Query = {
+      val (items, distinct) = selectClause()
+      if (peek.equalsIgnoreCase("WHERE")) next()
+      val where = group()
+      val (groupBy, having, orderBy, limit) = solutionModifiers()
+      Query(items, distinct, where, groupBy, having, orderBy, limit)
+    }
+
+    val isConstruct = peek.equalsIgnoreCase("CONSTRUCT")
+    val isAsk = peek.equalsIgnoreCase("ASK")
+    val isDescribe = peek.equalsIgnoreCase("DESCRIBE")
+    var select = Seq.empty[SelectItem]
+    var distinct = false
+    val template = Vector.newBuilder[Triple]
+    val describe = Vector.newBuilder[Term]
+    if (isConstruct) {
+      next(); expect("{"); template ++= triples(); expect("}")
+    } else if (isAsk) {
+      next()
+    } else if (isDescribe) {
+      next()
+      while (peek.nonEmpty && !peek.equalsIgnoreCase("WHERE") &&
+             peek != "{") describe += term()
+      require(describe.result().nonEmpty, "DESCRIBE needs a resource or var")
+    } else {
+      val (items, d) = selectClause()
+      select = items; distinct = d
     }
     // WHERE is optional for ASK (`ASK { … }` is the common form) and
     // absent entirely for the DESCRIBE-by-IRI form
@@ -457,31 +510,9 @@ object Sparql {
         else require(isAsk || isDescribe, s"expected WHERE got $peek")
         group()
       }
-    val groupBy = Vector.newBuilder[String]
-    if (peek.equalsIgnoreCase("GROUP")) {
-      next(); expect("BY")
-      while (peek.startsWith("?")) groupBy += next().drop(1)
-    }
-    val having = Vector.newBuilder[FExpr]
-    if (peek.equalsIgnoreCase("HAVING")) {
-      next(); expect("("); having += orExpr(); expect(")")
-    }
-    val orderBy = Vector.newBuilder[(String, Boolean)]
-    if (peek.equalsIgnoreCase("ORDER")) {
-      next(); expect("BY")
-      while (peek.startsWith("?") || peek.equalsIgnoreCase("ASC") ||
-             peek.equalsIgnoreCase("DESC")) {
-        val t = next()
-        if (t.startsWith("?")) orderBy += t.drop(1) -> true
-        else { expect("("); val v = next(); expect(")")
-          orderBy += v.drop(1) -> t.equalsIgnoreCase("ASC") }
-      }
-    }
-    val limit = if (peek.equalsIgnoreCase("LIMIT")) { next(); Some(next().toInt) }
-    else None
-    Query(select.result(), distinct, where, groupBy.result(),
-      having.result(), orderBy.result(), limit, template.result(), isAsk,
-      describe.result())
+    val (groupBy, having, orderBy, limit) = solutionModifiers()
+    Query(select, distinct, where, groupBy, having, orderBy, limit,
+      template.result(), isAsk, describe.result())
   }
 
   // -------------------------------------------------------------- compile
@@ -766,6 +797,12 @@ object Sparql {
         .map(_._1).toSet
       mergeIn(valuesFrame(store, vc), undef)
     }
+    // `{ SELECT … }` subqueries — evaluated bottom-up, joined on their
+    // projected variables
+    g.subqueries.foreach { sq =>
+      val (sf, sm) = subFrame(store, sq)
+      mergeIn(sf, sm)
+    }
     require(df != null, "empty group pattern")
     g.optionals.foreach { o =>
       val (od, om) = solutionsOf(store, o)
@@ -976,51 +1013,101 @@ object Sparql {
     require(!q.ask, "ASK query — use Sparql.ask")
     require(q.describe.isEmpty, "DESCRIBE query — use Sparql.describe")
     val sol = solutionsOf(store, q.where)._1
-    val hasAgg = q.select.exists(_.agg.nonEmpty) || q.groupBy.nonEmpty
-    // fail-loud policy: HAVING is only applied on the grouped branch,
-    // so a query without aggregates would silently ignore it
-    require(q.having.isEmpty || hasAgg,
-      "HAVING requires an aggregate select item or GROUP BY")
     var out =
-      if (hasAgg) {
-        // aggregates group over the solution multiset; SUM/AVG/MIN/MAX
-        // use the numeric shadow when the variable bound an object
-        def numOf(v: String): Column =
-          if (sol.columns.contains(s"${v}__n")) col(s"${v}__n") else col(v)
-        val aggCols = q.select.filter(_.agg.nonEmpty).map { it =>
-          val c = (it.agg.get, it.v) match {
-            case ("COUNT", None) => count(lit(1))
-            case ("COUNT", Some(v)) =>
-              if (it.distinct) countDistinct(col(v)) else count(col(v))
-            case ("SUM", Some(v)) =>
-              if (it.distinct) sum_distinct(numOf(v)) else sum(numOf(v))
-            case ("AVG", Some(v)) =>
-              if (it.distinct) sum_distinct(numOf(v)) / countDistinct(numOf(v))
-              else avg(numOf(v))
-            // MIN/MAX are DISTINCT-invariant
-            case ("MIN", Some(v)) => min(numOf(v))
-            case ("MAX", Some(v)) => max(numOf(v))
-            case (a, n) => throw new IllegalArgumentException(s"bad agg $a($n)")
-          }
-          c.as(it.alias)
-        }
-        val keys =
-          if (q.groupBy.nonEmpty) q.groupBy
-          else q.select.filter(_.agg.isEmpty).flatMap(_.v)
-        var grouped =
-          if (keys.isEmpty) sol.agg(aggCols.head, aggCols.tail: _*)
-          else sol.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-        // HAVING references the aggregate aliases directly (no shadow
-        // columns on an aggregated frame)
-        q.having.foreach(h => grouped = grouped.where(havingCol(h)))
-        grouped.select(q.select.map(it => col(it.alias)): _*)
-      } else sol.select(q.select.map(it => col(it.alias)): _*)
+      if (hasAgg(q)) aggregatedFrame(sol, q)
+        .select(q.select.map(it => col(it.alias)): _*)
+      else sol.select(q.select.map(it => col(it.alias)): _*)
     if (q.distinct) out = out.distinct()
-    if (q.orderBy.nonEmpty)
-      out = out.orderBy(q.orderBy.map { case (v, asc) =>
-        if (asc) col(v).asc_nulls_first else col(v).desc_nulls_last }: _*)
+    out = ordered(out, q)
     q.limit.foreach(l => out = out.limit(l))
     out
+  }
+
+  private def hasAgg(q: Query): Boolean = {
+    val agg = q.select.exists(_.agg.nonEmpty) || q.groupBy.nonEmpty
+    // fail-loud policy: HAVING is only applied on the grouped branch,
+    // so a query without aggregates would silently ignore it
+    require(q.having.isEmpty || agg,
+      "HAVING requires an aggregate select item or GROUP BY")
+    agg
+  }
+
+  private def ordered(df: DataFrame, q: Query): DataFrame =
+    if (q.orderBy.isEmpty) df
+    else df.orderBy(q.orderBy.map { case (v, asc) =>
+      if (asc) col(v).asc_nulls_first else col(v).desc_nulls_last }: _*)
+
+  /** The grouped frame for an aggregate SELECT: group keys + aggregate
+    * alias columns, HAVING applied. Aggregates group over the solution
+    * multiset; SUM/AVG/MIN/MAX use the numeric shadow when the
+    * variable bound an object. */
+  private def aggregatedFrame(sol: DataFrame, q: Query): DataFrame = {
+    def numOf(v: String): Column =
+      if (sol.columns.contains(s"${v}__n")) col(s"${v}__n") else col(v)
+    val aggCols = q.select.filter(_.agg.nonEmpty).map { it =>
+      val c = (it.agg.get, it.v) match {
+        case ("COUNT", None) => count(lit(1))
+        case ("COUNT", Some(v)) =>
+          if (it.distinct) countDistinct(col(v)) else count(col(v))
+        case ("SUM", Some(v)) =>
+          if (it.distinct) sum_distinct(numOf(v)) else sum(numOf(v))
+        case ("AVG", Some(v)) =>
+          if (it.distinct) sum_distinct(numOf(v)) / countDistinct(numOf(v))
+          else avg(numOf(v))
+        // MIN/MAX are DISTINCT-invariant
+        case ("MIN", Some(v)) => min(numOf(v))
+        case ("MAX", Some(v)) => max(numOf(v))
+        case (a, n) => throw new IllegalArgumentException(s"bad agg $a($n)")
+      }
+      c.as(it.alias)
+    }
+    val keys =
+      if (q.groupBy.nonEmpty) q.groupBy
+      else q.select.filter(_.agg.isEmpty).flatMap(_.v)
+    var grouped =
+      if (keys.isEmpty) sol.agg(aggCols.head, aggCols.tail: _*)
+      else sol.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    // HAVING references the aggregate aliases directly (no shadow
+    // columns on an aggregated frame)
+    q.having.foreach(h => grouped = grouped.where(havingCol(h)))
+    grouped
+  }
+
+  /** A subquery `{ SELECT … }` as a joinable solution frame: projected
+    * variables keep their lexical + shadow columns; aggregate aliases
+    * become new bindings with a canonical lexical rendering (integral
+    * values without the trailing `.0`) plus a numeric shadow, so outer
+    * FILTERs and joins treat them like any other binding. */
+  private def subFrame(store: GraftStore, q: Query)
+      : (DataFrame, Set[String]) = {
+    val (sol, maybe) = solutionsOf(store, q.where)
+    def numLex(n: Column): Column =
+      regexp_replace(n.cast("string"), "\\.0$", "")
+    val out = if (hasAgg(q)) aggregatedFrame(sol, q) else sol
+    // canonical projection: every select item → lexical (+ shadow)
+    val cols = q.select.flatMap { it =>
+      if (it.agg.nonEmpty)
+        Seq(numLex(col(it.alias)).as(it.alias),
+          col(it.alias).cast("double").as(s"${it.alias}__n"))
+      else
+        col(it.alias).as(it.alias) +:
+          (if (out.columns.contains(s"${it.alias}__n"))
+            Seq(col(s"${it.alias}__n")) else Nil)
+    }
+    var proj = out.select(cols: _*)
+    if (q.distinct) proj = proj.distinct()
+    // ORDER BY is only meaningful under LIMIT inside a subquery (the
+    // outer join discards row order). The canonical alias column is a
+    // STRING, so order by the numeric shadow where one exists — a
+    // lexical sort would rank "9" above "10"
+    if (q.orderBy.nonEmpty)
+      proj = proj.orderBy(q.orderBy.map { case (v, asc) =>
+        val c = if (proj.columns.contains(s"${v}__n")) col(s"${v}__n")
+                else col(v)
+        if (asc) c.asc_nulls_first else c.desc_nulls_last }: _*)
+    q.limit.foreach(l => proj = proj.limit(l))
+    (proj, maybe.intersect(
+      q.select.filter(_.agg.isEmpty).map(_.alias).toSet))
   }
 
   /** Compile + run a SPARQL CONSTRUCT: instantiate the template once

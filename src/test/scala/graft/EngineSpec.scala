@@ -595,6 +595,43 @@ class EngineSpec extends AnyFunSuite {
     assert(r.map(_.getString(0)).toSeq == Seq("/n/a", "/n/b", "/n/c"))
   }
 
+  test("SPARQL subquery joins its projection into the outer group") {
+    val store = storeOf(Seq(
+      "<c://x/1> <c://o#g> \"a\" .",
+      "<c://x/1> <c://o#n> \"1\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://x/2> <c://o#g> \"a\" .",
+      "<c://x/2> <c://o#n> \"2\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://x/3> <c://o#g> \"b\" .",
+      "<c://x/3> <c://o#n> \"9\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
+      T("2024-01-01 00:00:00"))
+    // members of the most numerous group (count 2 ⇒ "a"); the ORDER BY
+    // under LIMIT ranks numerically via the shadow, not lexically
+    val r = Sparql.select(store,
+      """SELECT ?s WHERE {
+        |  { SELECT ?g (COUNT(?m) AS ?c) WHERE { ?m <c://o#g> ?g }
+        |    GROUP BY ?g ORDER BY DESC(?c) ?g LIMIT 1 }
+        |  ?s <c://o#g> ?g .
+        |} ORDER BY ?s""".stripMargin).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("/x/1", "/x/2"))
+    // a plain (non-aggregating) subquery keeps numeric shadows: the
+    // outer FILTER on ?n still works
+    val f = Sparql.select(store,
+      """SELECT ?s WHERE {
+        |  { SELECT ?s ?n WHERE { ?s <c://o#n> ?n } }
+        |  FILTER (?n > 1)
+        |} ORDER BY ?s""".stripMargin).collect()
+    assert(f.map(_.getString(0)).toSeq == Seq("/x/2", "/x/3"))
+    // aggregate alias from the subquery is filterable outside it
+    val g = Sparql.select(store,
+      """SELECT ?g ?c WHERE {
+        |  { SELECT ?g (COUNT(?m) AS ?c) WHERE { ?m <c://o#g> ?g }
+        |    GROUP BY ?g }
+        |  FILTER (?c >= 2)
+        |}""".stripMargin).collect()
+    assert(g.length == 1 && g(0).getString(0) == "a" &&
+      g(0).getString(1) == "2")
+  }
+
   test("SPARQL DESCRIBE returns all triples of IRI and variable subjects") {
     val byIri = Sparql.describe(tagStore, "DESCRIBE <c://doc/3>").collect()
     assert(byIri.map(r => (r.getString(1), r.getString(2))).toSet ==
