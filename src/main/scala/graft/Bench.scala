@@ -48,30 +48,32 @@ object Bench {
     } + "\""
     // The harness keeps only a 2000-char tail of stdout (round-3's
     // 2174-char line was head-truncated → parse failure), so the line
-    // the driver parses must stay short: 2-decimal per-query values,
-    // short sf tag, `errors` only when nonempty. Full precision goes to
-    // bench_last.json for local regression diffing.
+    // the driver parses must stay short: 1-decimal per-query values
+    // (the ~90-entry map dominates the length), 2-decimal totals,
+    // short sf tag, `errors` only when nonempty. Full precision goes
+    // to bench_last.json, which is committed for regression diffing.
     def num(v: Double): String = f"$v%.2f"
     val sfTag = sfDir.split('/').last
-    def mkLine(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def mkLine(hdr: Double => String, per: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + per(v) }
         .mkString("{", ",", "}")
       val errs =
         if (errors.isEmpty) ""
         else ",\"errors\":" + errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
           .mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","etl":${fmt(etl)},"queries":$qs$errs,"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${hdr(total)},"unit":"sec","etl":${hdr(etl)},"queries":$qs$errs,"sf":"$sfTag"}"""
     }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), mkLine(_.toString) + "\n")
+      java.nio.file.Paths.get("bench_last.json"),
+      mkLine(_.toString, _.toString) + "\n")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: its log threads share stdout and an
     // interleaved WARN mid-line makes the JSON unparseable (round-3 bench
     // line was valid in bench_last.json but the driver recorded a parse
     // failure).
     spark.stop()
-    val line = mkLine(num)
+    val line = mkLine(num, v => f"$v%.1f")
     println(line)
     System.out.flush()
     if (line.length > 1900)

@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions._
   * FILTER (comparisons ∧/∨/!, regex/contains/strStarts/strEnds,
   * registered custom functions), FILTER (NOT) EXISTS { … } },
   * `{ SELECT … }` subqueries (joined bottom-up on projected vars),
-  * GROUP BY, HAVING, ORDER BY, LIMIT; string literals with escapes.
-  * Not supported (throws): blank nodes, `+`/`*` on alternatives or
-  * inside sequences. Inverse path segments `^p` swap the hop's ends.
+  * GROUP BY, HAVING, ORDER BY, LIMIT, OFFSET; string literals with
+  * escapes; `_:label` blank nodes (scoped non-projectable variables);
+  * var-var FILTER comparisons. Not supported (throws): `[...]` bnode
+  * property lists, `+`/`*` on alternatives or inside sequences.
+  * Inverse path segments `^p` swap the hop's ends.
   */
 object Sparql {
 
@@ -73,6 +75,8 @@ object Sparql {
   /** FILTER expression tree — standard &&/||/! precedence. */
   sealed trait FExpr
   final case class FCmp(variable: String, op: String, value: L) extends FExpr
+  /** variable-to-variable comparison, e.g. FILTER (?a > ?b). */
+  final case class FCmpV(l: String, op: String, r: String) extends FExpr
   final case class FFn(fn: String, variable: String, arg: String) extends FExpr
   final case class FAnd(l: FExpr, r: FExpr) extends FExpr
   final case class FOr(l: FExpr, r: FExpr) extends FExpr
@@ -99,12 +103,13 @@ object Sparql {
                          orderBy: Seq[(String, Boolean)], limit: Option[Int],
                          template: Seq[Triple] = Nil, // CONSTRUCT shape
                          ask: Boolean = false,
-                         describe: Seq[Term] = Nil)
+                         describe: Seq[Term] = Nil,
+                         offset: Option[Int] = None)
 
   // ---------------------------------------------------------------- parse
 
   private val TokenRe =
-    ("""\?[A-Za-z_][A-Za-z0-9_]*|<[^>\s]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>\s]*>|@[A-Za-z-]+)?|""" +
+    ("""\?[A-Za-z_][A-Za-z0-9_]*|_:[A-Za-z0-9_]+|<[^>\s]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>\s]*>|@[A-Za-z-]+)?|""" +
       """[A-Za-z][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_]*|[A-Za-z_][A-Za-z0-9_]*|""" +
       """-?\d+(?:\.\d+)?|&&|\|\||[{}().,;/+^|*-]|[<>!=]=?""").r
 
@@ -150,6 +155,9 @@ object Sparql {
     def term(): Term = {
       val t = next()
       if (t.startsWith("?")) V(t.drop(1))
+      // blank-node label: scoped like a variable that can't be
+      // projected (standard SPARQL bnode-in-query semantics)
+      else if (t.startsWith("_:")) V("__bn_" + t.drop(2))
       else if (t == "a") I("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
       else if (t.startsWith("<")) I(t.stripPrefix("<").stripSuffix(">"))
       else if (t.startsWith("\"")) {
@@ -279,7 +287,8 @@ object Sparql {
       else {
         val v = next(); require(v.startsWith("?"), s"FILTER needs var, got $v")
         val op = next()
-        term() match {
+        if (peek.startsWith("?")) FCmpV(v.drop(1), op, next().drop(1))
+        else term() match {
           case l: L => FCmp(v.drop(1), op, l)
           case o => throw new IllegalArgumentException(s"FILTER value $o")
         }
@@ -443,9 +452,10 @@ object Sparql {
       (items.result(), distinct)
     }
 
-    // GROUP BY / HAVING / ORDER BY / LIMIT
+    // GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET
     def solutionModifiers(): (Seq[String], Seq[FExpr],
-                              Seq[(String, Boolean)], Option[Int]) = {
+                              Seq[(String, Boolean)], Option[Int],
+                              Option[Int]) = {
       val groupBy = Vector.newBuilder[String]
       if (peek.equalsIgnoreCase("GROUP")) {
         next(); expect("BY")
@@ -466,10 +476,17 @@ object Sparql {
             orderBy += v.drop(1) -> t.equalsIgnoreCase("ASC") }
         }
       }
-      val limit =
-        if (peek.equalsIgnoreCase("LIMIT")) { next(); Some(next().toInt) }
-        else None
-      (groupBy.result(), having.result(), orderBy.result(), limit)
+      var limit: Option[Int] = None
+      var offset: Option[Int] = None
+      var more = true
+      while (more) { // LIMIT/OFFSET accepted in either order
+        if (peek.equalsIgnoreCase("LIMIT")) {
+          next(); limit = Some(next().toInt)
+        } else if (peek.equalsIgnoreCase("OFFSET")) {
+          next(); offset = Some(next().toInt)
+        } else more = false
+      }
+      (groupBy.result(), having.result(), orderBy.result(), limit, offset)
     }
 
     // a nested `SELECT … WHERE { … } modifiers` (inside `{ … }`)
@@ -477,8 +494,9 @@ object Sparql {
       val (items, distinct) = selectClause()
       if (peek.equalsIgnoreCase("WHERE")) next()
       val where = group()
-      val (groupBy, having, orderBy, limit) = solutionModifiers()
-      Query(items, distinct, where, groupBy, having, orderBy, limit)
+      val (groupBy, having, orderBy, limit, offset) = solutionModifiers()
+      Query(items, distinct, where, groupBy, having, orderBy, limit,
+        offset = offset)
     }
 
     val isConstruct = peek.equalsIgnoreCase("CONSTRUCT")
@@ -510,9 +528,9 @@ object Sparql {
         else require(isAsk || isDescribe, s"expected WHERE got $peek")
         group()
       }
-    val (groupBy, having, orderBy, limit) = solutionModifiers()
+    val (groupBy, having, orderBy, limit, offset) = solutionModifiers()
     Query(select, distinct, where, groupBy, having, orderBy, limit,
-      template.result(), isAsk, describe.result())
+      template.result(), isAsk, describe.result(), offset)
   }
 
   // -------------------------------------------------------------- compile
@@ -698,20 +716,29 @@ object Sparql {
     out
   }
 
-  private def filterCol(e: FExpr): Column = e match {
+  private def cmpCol(op: String, l: Column, r: Column): Column = op match {
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+    case "=" | "==" => l === r
+    case "!=" => l =!= r
+    case o => throw new IllegalArgumentException(s"bad FILTER op $o")
+  }
+
+  /** FILTER compiler. `cols` = the solution frame's columns, so a
+    * var-var comparison can pick numeric shadows when both sides carry
+    * one (lexical comparison would rank "9" above "10"). */
+  private def filterCol(e: FExpr, cols: Set[String]): Column = e match {
     case FCmp(v, op, value) =>
       val (l, r) = value.numeric
         .map(n => (col(s"${v}__n"), lit(n)))
         .getOrElse((col(v), lit(value.lex)))
-      op match {
-        case "<" => l < r
-        case "<=" => l <= r
-        case ">" => l > r
-        case ">=" => l >= r
-        case "=" | "==" => l === r
-        case "!=" => l =!= r
-        case o => throw new IllegalArgumentException(s"bad FILTER op $o")
-      }
+      cmpCol(op, l, r)
+    case FCmpV(a, op, b) =>
+      val num = cols(s"${a}__n") && cols(s"${b}__n")
+      if (num) cmpCol(op, col(s"${a}__n"), col(s"${b}__n"))
+      else cmpCol(op, col(a), col(b))
     case FFn("regex", v, arg) => col(v).rlike(arg)
     case FFn("contains", v, arg) => col(v).contains(arg)
     case FFn("strstarts", v, arg) => col(v).startsWith(arg)
@@ -720,9 +747,9 @@ object Sparql {
     // functions): any other name dispatches to a Spark UDF registered
     // via [[registerFunction]] — unknown names fail at analysis
     case FFn(other, v, arg) => call_udf(other, col(v), lit(arg))
-    case FAnd(l, r) => filterCol(l) && filterCol(r)
-    case FOr(l, r) => filterCol(l) || filterCol(r)
-    case FNot(x) => !filterCol(x)
+    case FAnd(l, r) => filterCol(l, cols) && filterCol(r, cols)
+    case FOr(l, r) => filterCol(l, cols) || filterCol(r, cols)
+    case FNot(x) => !filterCol(x, cols)
   }
 
   /** HAVING condition compiler — like [[filterCol]] but comparisons hit
@@ -740,6 +767,7 @@ object Sparql {
         case "!=" => l =!= r
         case o => throw new IllegalArgumentException(s"bad HAVING op $o")
       }
+    case FCmpV(a, op, b) => cmpCol(op, col(a), col(b))
     case FAnd(l, r) => havingCol(l) && havingCol(r)
     case FOr(l, r) => havingCol(l) || havingCol(r)
     case FNot(x) => !havingCol(x)
@@ -835,7 +863,7 @@ object Sparql {
         df = a.join(b, compatible && overlap, "left_anti")
       }
     }
-    g.filters.foreach { f => df = df.where(filterCol(f)) }
+    g.filters.foreach { f => df = df.where(filterCol(f, df.columns.toSet)) }
     // FILTER (NOT) EXISTS — a semi/anti join on the shared variables,
     // with null-compatibility on possibly-unbound ones
     g.exists.foreach { case (eg, positive) =>
@@ -1019,6 +1047,8 @@ object Sparql {
       else sol.select(q.select.map(it => col(it.alias)): _*)
     if (q.distinct) out = out.distinct()
     out = ordered(out, q)
+    // OFFSET skips after ordering, LIMIT then takes (SPARQL slice)
+    q.offset.foreach(o => out = out.offset(o))
     q.limit.foreach(l => out = out.limit(l))
     out
   }
@@ -1105,6 +1135,7 @@ object Sparql {
         val c = if (proj.columns.contains(s"${v}__n")) col(s"${v}__n")
                 else col(v)
         if (asc) c.asc_nulls_first else c.desc_nulls_last }: _*)
+    q.offset.foreach(o => proj = proj.offset(o))
     q.limit.foreach(l => proj = proj.limit(l))
     (proj, maybe.intersect(
       q.select.filter(_.agg.isEmpty).map(_.alias).toSet))

@@ -632,6 +632,32 @@ class EngineSpec extends AnyFunSuite {
       g(0).getString(1) == "2")
   }
 
+  test("SPARQL OFFSET, blank-node labels and var-var FILTER comparisons") {
+    val store = storeOf(Seq(
+      "<c://y/1> <c://o#a> \"1\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://y/1> <c://o#b> \"5\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://y/2> <c://o#a> \"7\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://y/2> <c://o#b> \"6\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://y/3> <c://o#a> \"3\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
+      T("2024-01-01 00:00:00"))
+    // OFFSET skips after ordering; numeric 7 > 3 ranks via shadow
+    val o = Sparql.select(store,
+      "SELECT ?s WHERE { ?s <c://o#a> ?v } ORDER BY ?s LIMIT 2 OFFSET 1")
+      .collect()
+    assert(o.map(_.getString(0)).toSeq == Seq("/y/2", "/y/3"))
+    // var-var comparison uses numeric shadows (7 > 6 but "7" > "6"
+    // lexically too — 10 vs 9 would differ; shadows make it numeric)
+    val v = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#a> ?x . ?s <c://o#b> ?y .
+        |FILTER (?x > ?y) }""".stripMargin).collect()
+    assert(v.map(_.getString(0)).toSeq == Seq("/y/2"))
+    // a blank-node label behaves as a non-projectable join variable
+    val b = Sparql.select(store,
+      """SELECT ?v WHERE { _:m <c://o#a> ?v . _:m <c://o#b> ?w }
+        |ORDER BY ?v""".stripMargin).collect()
+    assert(b.map(_.getString(0)).toSeq == Seq("1", "7"))
+  }
+
   test("SPARQL DESCRIBE returns all triples of IRI and variable subjects") {
     val byIri = Sparql.describe(tagStore, "DESCRIBE <c://doc/3>").collect()
     assert(byIri.map(r => (r.getString(1), r.getString(2))).toSet ==
