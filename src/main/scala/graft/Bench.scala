@@ -52,7 +52,12 @@ object Bench {
     // (the ~90-entry map dominates the length), 2-decimal totals,
     // short sf tag, `errors` only when nonempty. Full precision goes
     // to bench_last.json, which is committed for regression diffing.
-    def num(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: f"" uses the JVM default format locale — a comma
+    // decimal separator (de_DE etc.) would make the JSON unparseable
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def num1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val sfTag = sfDir.split('/').last
     def mkLine(hdr: Double => String, per: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + per(v) }
@@ -73,7 +78,7 @@ object Bench {
     // line was valid in bench_last.json but the driver recorded a parse
     // failure).
     spark.stop()
-    val line = mkLine(num, v => f"$v%.1f")
+    val line = mkLine(num, num1)
     println(line)
     System.out.flush()
     if (line.length > 1900)

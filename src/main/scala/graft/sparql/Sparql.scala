@@ -307,11 +307,18 @@ object Sparql {
       FFn(fn, v.drop(1), arg)
     }
 
-    // BIND scalar expression grammar: operand ((+|-|*|/) operand)*,
-    // fn(arg, …) — left-associative, no precedence (parenthesize)
+    // BIND scalar expression grammar — standard precedence (*/ over
+    // +-), left-associative within a level
     def bExpr(): BExpr = {
+      var l = bMul()
+      while (peek == "+" || peek == "-") {
+        val op = next(); l = BArith(l, op, bMul())
+      }
+      l
+    }
+    def bMul(): BExpr = {
       var l = bTerm()
-      while (peek == "+" || peek == "-" || peek == "*" || peek == "/") {
+      while (peek == "*" || peek == "/") {
         val op = next(); l = BArith(l, op, bTerm())
       }
       l
@@ -716,6 +723,17 @@ object Sparql {
     out
   }
 
+  /** Canonical lexical rendering of a numeric column — used by BIND
+    * results and subquery aggregate aliases, which join/compare against
+    * pattern-bound lexical values. A plain double→string cast renders
+    * ≥1e7 in scientific notation ("4.56E9"), which would never equal a
+    * stored lexical "4560000000"; going through decimal(38,6) forces
+    * plain notation (always 6 decimals, so the dot is guaranteed),
+    * then trailing zeros and the bare dot are stripped. */
+  private def numLex(n: Column): Column =
+    regexp_replace(regexp_replace(
+      n.cast("decimal(38,6)").cast("string"), "0+$", ""), "\\.$", "")
+
   private def cmpCol(op: String, l: Column, r: Column): Column = op match {
     case "<" => l < r
     case "<=" => l <= r
@@ -736,9 +754,18 @@ object Sparql {
         .getOrElse((col(v), lit(value.lex)))
       cmpCol(op, l, r)
     case FCmpV(a, op, b) =>
-      val num = cols(s"${a}__n") && cols(s"${b}__n")
-      if (num) cmpCol(op, col(s"${a}__n"), col(s"${b}__n"))
-      else cmpCol(op, col(a), col(b))
+      // numeric when EITHER side carries a shadow — the other side is
+      // coerced (non-numeric lexicals go null → row dropped, close to
+      // the SPARQL type-error semantics). Lexical only when neither
+      // side is known-numeric; "9" > "10" lexical surprises are then
+      // the caller's explicit choice of string-typed fields.
+      def side(v: String): Option[Column] =
+        if (cols(s"${v}__n")) Some(col(s"${v}__n")) else None
+      (side(a), side(b)) match {
+        case (None, None) => cmpCol(op, col(a), col(b))
+        case (l, r) => cmpCol(op, l.getOrElse(col(a).cast("double")),
+          r.getOrElse(col(b).cast("double")))
+      }
     case FFn("regex", v, arg) => col(v).rlike(arg)
     case FFn("contains", v, arg) => col(v).contains(arg)
     case FFn("strstarts", v, arg) => col(v).startsWith(arg)
@@ -756,17 +783,7 @@ object Sparql {
     * the (already numeric) aggregate alias column, never a shadow. */
   private def havingCol(e: FExpr): Column = e match {
     case FCmp(v, op, value) =>
-      val l = col(v)
-      val r = value.numeric.map(lit(_)).getOrElse(lit(value.lex))
-      op match {
-        case "<" => l < r
-        case "<=" => l <= r
-        case ">" => l > r
-        case ">=" => l >= r
-        case "=" | "==" => l === r
-        case "!=" => l =!= r
-        case o => throw new IllegalArgumentException(s"bad HAVING op $o")
-      }
+      cmpCol(op, col(v), value.numeric.map(lit(_)).getOrElse(lit(value.lex)))
     case FCmpV(a, op, b) => cmpCol(op, col(a), col(b))
     case FAnd(l, r) => havingCol(l) && havingCol(r)
     case FOr(l, r) => havingCol(l) || havingCol(r)
@@ -839,7 +856,11 @@ object Sparql {
       df = joined(df, od, "left")
       maybe = maybe ++ om ++ newVars
     }
-    // BIND — scoped to the group-so-far; later FILTERs may reference it
+    // BIND — applied after the group's patterns are joined (a known
+    // simplification vs SPARQL's positional scoping: a BIND textually
+    // before a pattern that reuses the variable fails loud with
+    // "would rebind" instead of seeding the join); later FILTERs may
+    // reference it
     g.binds.foreach { case (v, e) =>
       require(!df.columns.contains(v), s"BIND would rebind ?$v")
       val (lex, num) = bindCols(e, df)
@@ -894,9 +915,7 @@ object Sparql {
   /** BIND expression compiler → (lexical column, optional numeric
     * shadow). Numeric results render integral values without the
     * trailing `.0` so lexical equality/joins still behave. */
-  private def bindCols(e: BExpr, df: DataFrame): (Column, Option[Column]) = {
-    def numLex(n: Column): Column =
-      regexp_replace(n.cast("string"), "\\.0$", "")
+  private def bindCols(e: BExpr, df: DataFrame): (Column, Option[Column]) =
     e match {
       case BVar(v) =>
         require(df.columns.contains(v), s"BIND references unbound ?$v")
@@ -927,7 +946,6 @@ object Sparql {
         }
         (numLex(n), Some(n))
     }
-  }
 
   /** One VALUES block → a literal DataFrame (lexical column per
     * variable, numeric shadow where any row is numeric). Inline data is
@@ -1000,6 +1018,11 @@ object Sparql {
   def ask(store: GraftStore, query: String): DataFrame = {
     val q = parse(query)
     require(q.ask, "not an ASK query")
+    // fail-loud: solution modifiers parse for every query form but
+    // would be silently ignored here
+    require(q.groupBy.isEmpty && q.having.isEmpty && q.orderBy.isEmpty &&
+      q.limit.isEmpty && q.offset.isEmpty,
+      "ASK does not take solution modifiers")
     solutionsOf(store, q.where)._1
       .select(lit(1).as("one")).limit(1)
       .agg((count(col("one")) > 0).as("ask"))
@@ -1013,6 +1036,11 @@ object Sparql {
   def describe(store: GraftStore, query: String): DataFrame = {
     val q = parse(query)
     require(q.describe.nonEmpty, "not a DESCRIBE query")
+    // fail-loud: modifiers would be silently dropped (they'd apply to
+    // the solution sequence, not the described triples)
+    require(q.groupBy.isEmpty && q.having.isEmpty && q.orderBy.isEmpty &&
+      q.limit.isEmpty && q.offset.isEmpty,
+      "DESCRIBE does not take solution modifiers")
     val iris = q.describe.collect { case I(iri) => Rdf.iriToPath(iri) }
     val vars = q.describe.collect { case V(v) => v }
     require(iris.size + vars.size == q.describe.size,
@@ -1111,8 +1139,6 @@ object Sparql {
   private def subFrame(store: GraftStore, q: Query)
       : (DataFrame, Set[String]) = {
     val (sol, maybe) = solutionsOf(store, q.where)
-    def numLex(n: Column): Column =
-      regexp_replace(n.cast("string"), "\\.0$", "")
     val out = if (hasAgg(q)) aggregatedFrame(sol, q) else sol
     // canonical projection: every select item → lexical (+ shadow)
     val cols = q.select.flatMap { it =>
@@ -1151,7 +1177,15 @@ object Sparql {
     require(q.template.nonEmpty, "not a CONSTRUCT query")
     require(q.having.isEmpty && q.groupBy.isEmpty,
       "CONSTRUCT does not support GROUP BY / HAVING")
-    val bound = solutionsOf(store, q.where)._1
+    // ORDER BY is meaningless on a constructed graph — fail loud
+    // rather than silently drop it; LIMIT/OFFSET slice the solution
+    // sequence before template instantiation (SPARQL 16.2)
+    require(q.orderBy.isEmpty || q.limit.nonEmpty || q.offset.nonEmpty,
+      "CONSTRUCT ORDER BY without LIMIT/OFFSET has no effect")
+    var bound = solutionsOf(store, q.where)._1
+    if (q.orderBy.nonEmpty) bound = ordered(bound, q)
+    q.offset.foreach(o => bound = bound.offset(o))
+    q.limit.foreach(l => bound = bound.limit(l))
     q.template.map { t =>
       def bind(tm: Term, pred: Boolean): Column = tm match {
         case V(v) => col(v)

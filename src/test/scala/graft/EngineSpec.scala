@@ -658,6 +658,60 @@ class EngineSpec extends AnyFunSuite {
     assert(b.map(_.getString(0)).toSeq == Seq("1", "7"))
   }
 
+  test("BIND renders large numerics in plain notation with precedence") {
+    val store = storeOf(Seq(
+      "<c://z/1> <c://o#n> \"456\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
+      T("2024-01-01 00:00:00"))
+    // a double→string cast would render 4.56E9; the canonical lexical
+    // must be plain so joins/equality against stored lexicals work
+    val big = Sparql.select(store,
+      """SELECT ?x WHERE { ?s <c://o#n> ?v .
+        |BIND(?v * 10000000 AS ?x) }""".stripMargin).collect()
+    assert(big(0).getString(0) == "4560000000")
+    // standard precedence: 1 + 456*2 = 913, not (1+456)*2
+    val prec = Sparql.select(store,
+      """SELECT ?m WHERE { ?s <c://o#n> ?v .
+        |BIND(1 + ?v * 2 AS ?m) }""".stripMargin).collect()
+    assert(prec(0).getString(0) == "913")
+    // fractions keep their digits
+    val half = Sparql.select(store,
+      """SELECT ?h WHERE { ?s <c://o#n> ?v . BIND(?v / 8 AS ?h) }""")
+      .collect()
+    assert(half(0).getString(0) == "57")
+  }
+
+  test("var-var FILTER coerces when only one side carries a shadow") {
+    val store = storeOf(Seq(
+      "<c://w/9> <c://o#n> \"9\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
+      T("2024-01-01 00:00:00"))
+    // VALUES binds ?t without a shadow; numeric 9 > 10 must be FALSE
+    // (lexical "9" > "10" would be true)
+    val r = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#n> ?v .
+        |VALUES ?t { "10" } FILTER (?v > ?t) }""".stripMargin).collect()
+    assert(r.isEmpty)
+  }
+
+  test("nested stats over a date field aggregates epoch millis") {
+    val store = storeOf(Seq(
+      "<c://dt/1> <c://o#g> \"a\" .",
+      "<c://dt/1> <c://o#when> \"2024-01-01T00:00:00.000Z\"^^<http://www.w3.org/2001/XMLSchema#dateTime> .",
+      "<c://dt/2> <c://o#g> \"a\" .",
+      "<c://dt/2> <c://o#when> \"2024-01-02T00:00:00.000Z\"^^<http://www.w3.org/2001/XMLSchema#dateTime> ."),
+      T("2024-01-01 00:00:00"))
+    import graft.ops.Aggregations
+    val r = Aggregations.run(store, store.current,
+      graft.qp.ApParser.parse(
+        "type:term,field::g,size:3<type:stats,field::when>").head).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val d1 = 1704067200000L // 2024-01-01T00:00:00Z
+    val d2 = d1 + 86400000L
+    assert(row.getAs[Long]("when_min") == d1 &&
+      row.getAs[Long]("when_max") == d2)
+    assert(row.getAs[Double]("when_sum") == (d1 + d2).toDouble)
+  }
+
   test("SPARQL DESCRIBE returns all triples of IRI and variable subjects") {
     val byIri = Sparql.describe(tagStore, "DESCRIBE <c://doc/3>").collect()
     assert(byIri.map(r => (r.getString(1), r.getString(2))).toSet ==
