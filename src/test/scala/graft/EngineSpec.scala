@@ -136,9 +136,30 @@ class EngineSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx intersect exact).size.toDouble / exact.size
-    info(f"ANN recall@5 = $recall%.2f (12 tables x 4 planes)")
+    info(f"ANN recall@5 = $recall%.2f (6 tables x 4 planes, 5 probes)")
     assert(approx.nonEmpty)
-    assert(recall >= 0.5, "multi-table LSH recall collapsed")
+    assert(recall >= 0.6, "multi-probe LSH recall collapsed")
+  }
+
+  test("multi-probe LSH halves the table count at comparable recall") {
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(tables: Int, probes: Int): Double = {
+      val approx = Similarity.lshTopK(emb, queries, 5, tables = tables,
+          probes = probes)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx intersect exact).size.toDouble / exact.size
+    }
+    val single = recallOf(6, 1)
+    val multi = recallOf(6, 5) // own bucket + 4 one-bit flips
+    info(f"recall@5: 6 tables single-probe $single%.2f, multi-probe $multi%.2f")
+    // probing the Hamming-1 buckets must recover neighbors lost to one
+    // wrong hyperplane side — at HALF the index of the 12-table default
+    assert(multi > single, "multi-probe added no recall")
+    assert(multi >= 0.6, "multi-probe recall collapsed")
   }
 
   test("IVF-ANN recall against exact top-5") {
