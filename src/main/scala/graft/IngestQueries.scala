@@ -119,9 +119,12 @@ object IngestQueries {
     new java.util.concurrent.ConcurrentHashMap[String, GraftStore]()
   private def mergedStore(s: SparkSession, dir: String): GraftStore =
     mergedCache.computeIfAbsent(dir, { d =>
-      val inf = merged(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      GraftStore.fromInfotons(s, inf, Some(TableLoader.fieldTypes))
+      // no whole-store persist here: Merger.merge already persists the
+      // delta (newV) internally, and the flip join re-derives cheaply
+      // from the base store's persisted infotons — caching the full
+      // merged frame would duplicate ~1M rows of cache to save one
+      // small join per read
+      GraftStore.fromInfotons(s, merged(s, d), Some(TableLoader.fieldTypes))
     })
 
   private def mergeDelete(s: SparkSession, dir: String): DataFrame =
