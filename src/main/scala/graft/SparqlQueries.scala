@@ -164,6 +164,15 @@ object SparqlQueries {
       Sparql.describe(GraftStore.forDir(s, dir),
         "DESCRIBE <cmwell://customer/42>").orderBy("predicate")),
 
+    // langMatches over the lang-tagged documents text — the lang tag
+    // rides the value as a shadow column through the BGP joins
+    "q_sparql_lang" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?d ?t WHERE {
+        |  ?d ont:text ?t .
+        |  FILTER langmatches(?t, "fr")
+        |} ORDER BY ?d""".stripMargin)),
+
     // subquery: customers of the most numerous market segment —
     // the inner SELECT aggregates, orders by the count (numeric
     // shadow) and LIMITs; the outer pattern joins on ?m
@@ -285,6 +294,9 @@ object SparqlQueries {
     "q_sparql_ask" ->
       """SELECT count(*) > 0 AS ask FROM nation
         |WHERE n_name = 'NATION_7'""".stripMargin,
+    "q_sparql_lang" ->
+      """SELECT '/documents/' || doc_id AS d, text AS t FROM documents
+        |WHERE lang = 'fr' ORDER BY d""".stripMargin,
     "q_sparql_subquery" ->
       """SELECT '/customer/' || c_custkey AS c FROM customer
         |WHERE c_mktsegment = (

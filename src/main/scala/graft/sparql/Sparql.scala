@@ -298,6 +298,9 @@ object Sparql {
       val fn = next().toLowerCase
       expect("(")
       val v = next(); require(v.startsWith("?"), s"$fn needs a var first arg")
+      // one-arg builtins: bound(?v) — the OPTIONAL + !bound(?v)
+      // negation idiom
+      if (peek == ")") { next(); return FFn(fn, v.drop(1), "") }
       expect(",")
       val arg = term() match {
         case L(lex, _) => lex
@@ -655,31 +658,43 @@ object Sparql {
         // shadow those now fail loud at analysis instead
         def numericPred(iri: String): Boolean =
           store.vTypeOf(Rdf.localName(iri)).forall(ty => "ildf".contains(ty))
-        val mayBeNumeric = t.p match {
-          case I(iri) => numericPred(iri)
+        // lang tags only exist on string literals — project the lang
+        // shadow only for string-typed (or unknown-typed) predicates
+        def stringPred(iri: String): Boolean =
+          store.vTypeOf(Rdf.localName(iri)).forall(_ == "s")
+        def overPreds(f: String => Boolean): Boolean = t.p match {
+          case I(iri) => f(iri)
           case Alt(ps) => ps.exists {
-            case I(iri) => numericPred(iri)
+            case I(iri) => f(iri)
             case _ => true
           }
           case _ => true // variable predicate: type unknown, keep it
         }
-        proj ++= (if (mayBeNumeric)
-          Seq(col("s").as(v), col("n").as(s"${v}__n"))
-        else Seq(col("s").as(v)))
+        proj :+= col("s").as(v)
+        if (overPreds(numericPred)) proj :+= col("n").as(s"${v}__n")
+        if (overPreds(stringPred)) proj :+= col("lang").as(s"${v}__lang")
     }
     df.select(proj: _*)
   }
 
+  /** A bound variable's column may be accompanied by SHADOW columns:
+    * `v__n` (numeric slot, for typed comparisons/aggregation) and
+    * `v__lang` (language tag, for lang()/langMatches FILTERs). Shadows
+    * are never join keys; they follow their variable's binding through
+    * joins. */
+  private val ShadowSuffixes = Seq("__n", "__lang")
+  private def isShadow(c: String): Boolean = ShadowSuffixes.exists(c.endsWith)
+
   private def joinVars(a: DataFrame, b: DataFrame): Seq[String] =
-    a.columns.filterNot(_.endsWith("__n"))
-      .intersect(b.columns.filterNot(_.endsWith("__n"))).toSeq
+    a.columns.filterNot(isShadow)
+      .intersect(b.columns.filterNot(isShadow)).toSeq
 
   private def joined(a: DataFrame, b: DataFrame, how: String): DataFrame = {
     val on = joinVars(a, b)
-    // a variable bound as object on BOTH sides carries a numeric
-    // shadow on each — keep the left's (the join equates the canonical
-    // strings) or a later FILTER hits an ambiguous reference
-    val dupShadows = a.columns.intersect(b.columns).filter(_.endsWith("__n"))
+    // a variable bound as object on BOTH sides carries shadows on
+    // each — keep the left's (the join equates the canonical strings)
+    // or a later FILTER hits an ambiguous reference
+    val dupShadows = a.columns.intersect(b.columns).filter(isShadow)
     val bClean = dupShadows.foldLeft(b)(_ drop _)
     if (on.isEmpty) a.crossJoin(bClean) else a.join(bClean, on, how)
   }
@@ -697,12 +712,13 @@ object Sparql {
     val loose = on.filter(maybeUnbound)
     if (loose.isEmpty) return joined(a, b0, "inner")
     val strict = on.filterNot(maybeUnbound)
-    val dupShadows = a.columns.intersect(b0.columns).filter(_.endsWith("__n"))
+    val dupShadows = a.columns.intersect(b0.columns).filter(isShadow)
     // a loose variable's binding may survive from EITHER side, so its
-    // numeric shadow must survive from the same side — dropping b's
-    // shadow here would leave a null shadow on right-surviving rows and
-    // silently break later numeric FILTERs/aggregates on that variable
-    val looseShadows = loose.map(_ + "__n").filter(dupShadows.contains).toSet
+    // shadows must survive from the same side — dropping b's shadow
+    // here would leave a null shadow on right-surviving rows and
+    // silently break later numeric/lang FILTERs on that variable
+    val looseShadows = loose.flatMap(v => ShadowSuffixes.map(v + _))
+      .filter(dupShadows.contains).toSet
     var b = dupShadows.filterNot(looseShadows).foldLeft(b0)(_ drop _)
     (on ++ looseShadows).foreach(c => b = b.withColumnRenamed(c, s"__u_$c"))
     val cond = (strict.map(c => a(c) === b(s"__u_$c")) ++
@@ -710,13 +726,15 @@ object Sparql {
         a(c) === b(s"__u_$c"))).reduce(_ && _)
     var out = a.join(b, cond, "inner")
     loose.foreach { c =>
-      // shadow first, while col(c) still distinguishes which side bound:
-      // the shadow must come from the side whose VALUE survives (a null
-      // shadow next to a bound non-numeric value is legitimate)
-      if (looseShadows(c + "__n"))
-        out = out.withColumn(c + "__n",
-          when(col(c).isNotNull, col(c + "__n"))
-            .otherwise(col(s"__u_${c}__n")))
+      // shadows first, while col(c) still distinguishes which side
+      // bound: a shadow must come from the side whose VALUE survives
+      // (a null shadow next to a bound non-numeric value is legitimate)
+      ShadowSuffixes.foreach { sfx =>
+        if (looseShadows(c + sfx))
+          out = out.withColumn(c + sfx,
+            when(col(c).isNotNull, col(c + sfx))
+              .otherwise(col(s"__u_$c$sfx")))
+      }
       out = out.withColumn(c, coalesce(col(c), col(s"__u_$c")))
     }
     (on ++ looseShadows).foreach(c => out = out.drop(s"__u_$c"))
@@ -770,6 +788,17 @@ object Sparql {
     case FFn("contains", v, arg) => col(v).contains(arg)
     case FFn("strstarts", v, arg) => col(v).startsWith(arg)
     case FFn("strends", v, arg) => col(v).endsWith(arg)
+    case FFn("bound", v, _) => col(v).isNotNull
+    // langMatches(lang(?v), "tag") contracted to one call: "*" matches
+    // any tagged literal, otherwise exact tag or tag-prefix ("en"
+    // matches "en-US"), case-insensitive per BCP 47
+    case FFn("langmatches", v, arg) =>
+      require(cols(s"${v}__lang"),
+        s"?$v has no language tags (non-string field)")
+      val lang = lower(col(s"${v}__lang"))
+      if (arg == "*") lang.isNotNull
+      else lang === arg.toLowerCase ||
+        lang.startsWith(arg.toLowerCase + "-")
     // SPARQL IMPORTS analog (SpHandler.scala:201-203 loads stored Jena
     // functions): any other name dispatches to a Spark UDF registered
     // via [[registerFunction]] — unknown names fail at analysis
@@ -828,7 +857,7 @@ object Sparql {
       // (null) in the others — exactly unionByName/allowMissingColumns
       val frames = alts.map(solutionsOf(store, _))
       val allVars = frames.flatMap(_._1.columns)
-        .filterNot(_.endsWith("__n")).distinct
+        .filterNot(isShadow).distinct
       val branchPartial = allVars
         .filterNot(v => frames.forall(_._1.columns.contains(v))).toSet
       val u = frames.map(_._1)
@@ -851,7 +880,7 @@ object Sparql {
     require(df != null, "empty group pattern")
     g.optionals.foreach { o =>
       val (od, om) = solutionsOf(store, o)
-      val newVars = od.columns.filterNot(_.endsWith("__n")).toSet --
+      val newVars = od.columns.filterNot(isShadow).toSet --
         df.columns.toSet
       df = joined(df, od, "left")
       maybe = maybe ++ om ++ newVars
@@ -1147,8 +1176,8 @@ object Sparql {
           col(it.alias).cast("double").as(s"${it.alias}__n"))
       else
         col(it.alias).as(it.alias) +:
-          (if (out.columns.contains(s"${it.alias}__n"))
-            Seq(col(s"${it.alias}__n")) else Nil)
+          ShadowSuffixes.filter(s => out.columns.contains(it.alias + s))
+            .map(s => col(it.alias + s))
     }
     var proj = out.select(cols: _*)
     if (q.distinct) proj = proj.distinct()

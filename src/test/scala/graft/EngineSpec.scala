@@ -733,6 +733,35 @@ class EngineSpec extends AnyFunSuite {
     assert(row.getAs[Double]("when_sum") == (d1 + d2).toDouble)
   }
 
+  test("SPARQL bound() and langMatches() builtins") {
+    val store = storeOf(Seq(
+      "<c://lg/1> <c://o#t> \"bonjour\"@fr .",
+      "<c://lg/2> <c://o#t> \"hello\"@en-US .",
+      "<c://lg/3> <c://o#t> \"plain\" .",
+      "<c://lg/1> <c://o#extra> \"x\" ."),
+      T("2024-01-01 00:00:00"))
+    // langMatches: exact tag and BCP-47 prefix ("en" matches "en-US")
+    val fr = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#t> ?t . FILTER langmatches(?t, "fr") }""")
+      .collect()
+    assert(fr.map(_.getString(0)).toSeq == Seq("/lg/1"))
+    val en = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#t> ?t . FILTER langmatches(?t, "en") }""")
+      .collect()
+    assert(en.map(_.getString(0)).toSeq == Seq("/lg/2"))
+    // "*" = any tagged literal; the untagged one is excluded
+    val any = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#t> ?t . FILTER langmatches(?t, "*") }
+        |ORDER BY ?s""".stripMargin).collect()
+    assert(any.map(_.getString(0)).toSeq == Seq("/lg/1", "/lg/2"))
+    // OPTIONAL + !bound — the classic negation idiom
+    val nb = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#t> ?t .
+        |OPTIONAL { ?s <c://o#extra> ?e }
+        |FILTER (!(bound(?e))) } ORDER BY ?s""".stripMargin).collect()
+    assert(nb.map(_.getString(0)).toSeq == Seq("/lg/2", "/lg/3"))
+  }
+
   test("SPARQL DESCRIBE returns all triples of IRI and variable subjects") {
     val byIri = Sparql.describe(tagStore, "DESCRIBE <c://doc/3>").collect()
     assert(byIri.map(r => (r.getString(1), r.getString(2))).toSet ==
