@@ -146,11 +146,14 @@ object Similarity {
     * and ships as literals. Euclidean k-means on unit vectors orders
     * like cosine, so the cells are angular regions.
     *
-    * Recall depends on how clustered the corpus actually is: on the
-    * near-uniform synthetic fixtures (neighbors at cosine ≈ 0.35) the
-    * measured recall@5 is 0.40 at nprobe/nlist = 1/2 — the adversarial
-    * case for every single-assignment cell method. [[lshTopK]]'s
-    * multi-table multi-probe union (recall 0.96 there) stays the default scale
+    * `assign` > 1 is SPILL ASSIGNMENT: each vector is indexed in its
+    * `assign` nearest cells (index grows `assign`×), so a neighbor
+    * sitting just across a cell boundary stays findable — the
+    * corpus-side analog of query multi-probe. On the near-uniform
+    * synthetic fixtures (neighbors at cosine ≈ 0.35 — the adversarial
+    * case for cell methods) measured recall@5 at nprobe/nlist = 1/2 is
+    * 0.40 single-assignment, 0.87 with assign=2. [[lshTopK]]'s
+    * multi-probe union (recall 0.96 there) stays the default scale
     * path; prefer IVF when the embedding space has real cluster
     * structure. */
   /** Trained coarse quantizers, memoized per (corpus plan, nlist,
@@ -163,7 +166,7 @@ object Similarity {
 
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
               nlist: Int = 16, nprobe: Int = 8,
-              seed: Long = 42L): DataFrame = {
+              assign: Int = 2, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val base = emb.select(col("vec_id"), normalized(col("embedding")).as("v"))
@@ -183,17 +186,29 @@ object Similarity {
       _ => new KMeans().setK(nlist).setSeed(seed)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(base))
-    // persisted: both the probe branch (query cell ranking) and the
-    // scan branch (cell-restricted exact ranking) read the assignment —
-    // without it the normalize + quantizer transform runs twice
-    val assigned = model.transform(base).select("vec_id", "v", "cell")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = model.clusterCenters.map(_.toArray.toSeq)
-    // per-query cell ranking: similarity to each centroid as literals
+    // similarity to each centroid as literals (the quantizer is
+    // driver-tiny and ships inside the plan)
     val cellDots = centroids.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"), dot(col("v"), array(c.map(lit): _*)).as("sim"))
     }
-    val probes = assigned.where(col("vec_id").isin(queryIds: _*))
+    val cellScored = base.select(col("vec_id"), col("v"),
+        explode(array(cellDots: _*)).as("cd"))
+      .select(col("vec_id"), col("v"),
+        col("cd.cell").as("cell"), col("cd.sim").as("sim"))
+    // SPILL ASSIGNMENT: each vector is indexed in its `assign` nearest
+    // cells, the corpus-side analog of query multi-probe — a neighbor
+    // just across a cell boundary stays findable. Index grows by
+    // `assign`×; recall on boundary-heavy (weakly clustered) corpora
+    // grows much faster. Persisted: the probe and scan branches share
+    // it.
+    val assigned = cellScored.withColumn("ar", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("cell").asc)))
+      .where(col("ar") <= assign)
+      .select("vec_id", "v", "cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = base.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(array(cellDots: _*)).as("cd"))
       .select(col("query_id"), col("qv"),
@@ -207,6 +222,7 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dot(col("v"), col("qv")).as("cosine"))
+      .distinct() // a spilled vector can meet a query in several cells
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -171,14 +171,14 @@ class EngineSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx intersect exact).size.toDouble / exact.size
-    info(f"IVF recall@5 = $recall%.2f (nlist=16, nprobe=8)")
+    info(f"IVF recall@5 = $recall%.2f (nlist=16, nprobe=8, assign=2)")
     assert(approx.size == exact.size)
     // these fixtures are near-uniform on the sphere (nearest neighbors
-    // at cosine ≈ 0.35), the adversarial case for ANY single-assignment
-    // cell method — measured 0.40 at nprobe/nlist = 1/2. On genuinely
-    // clustered corpora IVF prunes far better; the engine's primary ANN
-    // scale path stays multi-table LSH (recall 0.73 here).
-    assert(recall >= 0.3, "IVF recall collapsed")
+    // at cosine ≈ 0.35), the adversarial case for cell methods —
+    // single-assignment measured 0.40 at nprobe/nlist = 1/2; spill
+    // assignment to the 2 nearest cells (the corpus-side analog of
+    // multi-probe) lifts it to 0.87 at 2× index size.
+    assert(recall >= 0.7, "IVF recall collapsed")
   }
 
   private lazy val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
