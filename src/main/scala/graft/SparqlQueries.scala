@@ -296,7 +296,8 @@ object SparqlQueries {
         |WHERE n_name = 'NATION_7'""".stripMargin,
     "q_sparql_lang" ->
       """SELECT '/documents/' || doc_id AS d, text AS t FROM documents
-        |WHERE lang = 'fr' ORDER BY d""".stripMargin,
+        |WHERE lower(lang) = 'fr' OR lower(lang) LIKE 'fr-%'
+        |ORDER BY d""".stripMargin,
     "q_sparql_subquery" ->
       """SELECT '/customer/' || c_custkey AS c FROM customer
         |WHERE c_mktsegment = (

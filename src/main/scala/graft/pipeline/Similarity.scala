@@ -200,14 +200,14 @@ object Similarity {
     // cells, the corpus-side analog of query multi-probe — a neighbor
     // just across a cell boundary stays findable. Index grows by
     // `assign`×; recall on boundary-heavy (weakly clustered) corpora
-    // grows much faster. Persisted: the probe and scan branches share
-    // it.
+    // grows much faster. Single consumer (the scored join) — no
+    // persist; at 100 TB this frame IS the written cell-partitioned
+    // index, built once at indexing time.
     val assigned = cellScored.withColumn("ar", row_number().over(
         Window.partitionBy("vec_id")
           .orderBy(col("sim").desc, col("cell").asc)))
       .where(col("ar") <= assign)
       .select("vec_id", "v", "cell")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = base.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(array(cellDots: _*)).as("cd"))

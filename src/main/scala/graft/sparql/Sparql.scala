@@ -299,8 +299,14 @@ object Sparql {
       expect("(")
       val v = next(); require(v.startsWith("?"), s"$fn needs a var first arg")
       // one-arg builtins: bound(?v) — the OPTIONAL + !bound(?v)
-      // negation idiom
-      if (peek == ")") { next(); return FFn(fn, v.drop(1), "") }
+      // negation idiom. Restricted to the known one-arg names so a
+      // two-arg (custom UDF) call with a forgotten argument still
+      // fails at parse time instead of running with arg = ""
+      if (peek == ")") {
+        next()
+        require(fn == "bound", s"$fn needs two arguments")
+        return FFn(fn, v.drop(1), "")
+      }
       expect(",")
       val arg = term() match {
         case L(lex, _) => lex
@@ -620,7 +626,8 @@ object Sparql {
 
   /** One triple pattern → a filtered scan of quads with variable
     * bindings as columns. */
-  private def scan(store: GraftStore, t: Triple): DataFrame = {
+  private def scan(store: GraftStore, t: Triple,
+                   langVars: Set[String]): DataFrame = {
     var df = store.quads.where(col("current") &&
       col("kind") =!= InfotonModel.KindDeleted)
     var proj = Seq.empty[Column]
@@ -658,8 +665,10 @@ object Sparql {
         // shadow those now fail loud at analysis instead
         def numericPred(iri: String): Boolean =
           store.vTypeOf(Rdf.localName(iri)).forall(ty => "ildf".contains(ty))
-        // lang tags only exist on string literals — project the lang
-        // shadow only for string-typed (or unknown-typed) predicates
+        // lang tags only exist on string literals — and the shadow is
+        // projected only when the QUERY references langMatches on this
+        // variable (langVars), so the ~99% of queries without a lang
+        // filter don't drag an all-null column through every join
         def stringPred(iri: String): Boolean =
           store.vTypeOf(Rdf.localName(iri)).forall(_ == "s")
         def overPreds(f: String => Boolean): Boolean = t.p match {
@@ -672,7 +681,8 @@ object Sparql {
         }
         proj :+= col("s").as(v)
         if (overPreds(numericPred)) proj :+= col("n").as(s"${v}__n")
-        if (overPreds(stringPred)) proj :+= col("lang").as(s"${v}__lang")
+        if (langVars(v) && overPreds(stringPred))
+          proj :+= col("lang").as(s"${v}__lang")
     }
     df.select(proj: _*)
   }
@@ -827,7 +837,8 @@ object Sparql {
     * branch-partial UNIONs and OPTIONAL-only bindings — so enclosing
     * joins use SPARQL compatibility semantics (unbound matches
     * anything) instead of a null-dropping equi-join. */
-  private def solutionsOf(store: GraftStore, g: Group)
+  private def solutionsOf(store: GraftStore, g: Group,
+                          langVars: Set[String] = Set.empty)
       : (DataFrame, Set[String]) = {
     var df: DataFrame = null
     var maybe = Set.empty[String]
@@ -849,13 +860,13 @@ object Sparql {
           closureScan(store, t, p, includeZero = false)
         case t @ Triple(_, Star(p), _) =>
           closureScan(store, t, p, includeZero = true)
-        case t => scan(store, t)
+        case t => scan(store, t, langVars)
       }.reduceLeft((a, b) => joined(a, b, "inner")), Set.empty)
     g.unions.foreach { alts =>
       // SPARQL UNION: concatenation of the alternatives' solution
       // multisets; variables bound in one branch only are unbound
       // (null) in the others — exactly unionByName/allowMissingColumns
-      val frames = alts.map(solutionsOf(store, _))
+      val frames = alts.map(solutionsOf(store, _, langVars))
       val allVars = frames.flatMap(_._1.columns)
         .filterNot(isShadow).distinct
       val branchPartial = allVars
@@ -874,12 +885,12 @@ object Sparql {
     // `{ SELECT … }` subqueries — evaluated bottom-up, joined on their
     // projected variables
     g.subqueries.foreach { sq =>
-      val (sf, sm) = subFrame(store, sq)
+      val (sf, sm) = subFrame(store, sq, langVars)
       mergeIn(sf, sm)
     }
     require(df != null, "empty group pattern")
     g.optionals.foreach { o =>
-      val (od, om) = solutionsOf(store, o)
+      val (od, om) = solutionsOf(store, o, langVars)
       val newVars = od.columns.filterNot(isShadow).toSet --
         df.columns.toSet
       df = joined(df, od, "left")
@@ -901,7 +912,7 @@ object Sparql {
     // some right solution; disjoint domains remove nothing (SPARQL
     // spec). One distributed anti-join on the shared variables.
     g.minuses.foreach { m =>
-      val (md, _) = solutionsOf(store, m)
+      val (md, _) = solutionsOf(store, m, langVars)
       val a = df
       val shared = joinVars(a, md)
       if (shared.nonEmpty) {
@@ -917,7 +928,7 @@ object Sparql {
     // FILTER (NOT) EXISTS — a semi/anti join on the shared variables,
     // with null-compatibility on possibly-unbound ones
     g.exists.foreach { case (eg, positive) =>
-      val (ed, em) = solutionsOf(store, eg)
+      val (ed, em) = solutionsOf(store, eg, langVars)
       val a = df
       val shared = joinVars(a, ed)
       require(shared.nonEmpty,
@@ -931,6 +942,25 @@ object Sparql {
       df = a.join(b, cond, if (positive) "left_semi" else "left_anti")
     }
     (df, maybe)
+  }
+
+  /** Variables the query applies langMatches to, over the whole group
+    * tree (nested groups, EXISTS, MINUS, subqueries) — only these need
+    * the `__lang` shadow projected at scan time. */
+  private def langVarsOf(g: Group): Set[String] = {
+    def ofF(e: FExpr): Set[String] = e match {
+      case FFn("langmatches", v, _) => Set(v)
+      case FAnd(l, r) => ofF(l) ++ ofF(r)
+      case FOr(l, r) => ofF(l) ++ ofF(r)
+      case FNot(x) => ofF(x)
+      case _ => Set.empty
+    }
+    g.filters.flatMap(ofF).toSet ++
+      g.optionals.flatMap(langVarsOf) ++
+      g.unions.flatten.flatMap(langVarsOf) ++
+      g.minuses.flatMap(langVarsOf) ++
+      g.exists.map(_._1).flatMap(langVarsOf) ++
+      g.subqueries.map(_.where).flatMap(langVarsOf)
   }
 
   /** Variables referenced by a BIND expression. */
@@ -1052,7 +1082,7 @@ object Sparql {
     require(q.groupBy.isEmpty && q.having.isEmpty && q.orderBy.isEmpty &&
       q.limit.isEmpty && q.offset.isEmpty,
       "ASK does not take solution modifiers")
-    solutionsOf(store, q.where)._1
+    solutionsOf(store, q.where, langVarsOf(q.where))._1
       .select(lit(1).as("one")).limit(1)
       .agg((count(col("one")) > 0).as("ask"))
   }
@@ -1079,7 +1109,7 @@ object Sparql {
     val fromVars =
       if (vars.isEmpty) Nil
       else {
-        val sol = solutionsOf(store, q.where)._1
+        val sol = solutionsOf(store, q.where, langVarsOf(q.where))._1
         vars.map(v => sol.select(col(v).as("subject")))
       }
     val fromIris =
@@ -1097,7 +1127,7 @@ object Sparql {
     val q = parse(query)
     require(!q.ask, "ASK query — use Sparql.ask")
     require(q.describe.isEmpty, "DESCRIBE query — use Sparql.describe")
-    val sol = solutionsOf(store, q.where)._1
+    val sol = solutionsOf(store, q.where, langVarsOf(q.where))._1
     var out =
       if (hasAgg(q)) aggregatedFrame(sol, q)
         .select(q.select.map(it => col(it.alias)): _*)
@@ -1165,9 +1195,9 @@ object Sparql {
     * become new bindings with a canonical lexical rendering (integral
     * values without the trailing `.0`) plus a numeric shadow, so outer
     * FILTERs and joins treat them like any other binding. */
-  private def subFrame(store: GraftStore, q: Query)
-      : (DataFrame, Set[String]) = {
-    val (sol, maybe) = solutionsOf(store, q.where)
+  private def subFrame(store: GraftStore, q: Query,
+                       langVars: Set[String]): (DataFrame, Set[String]) = {
+    val (sol, maybe) = solutionsOf(store, q.where, langVars)
     val out = if (hasAgg(q)) aggregatedFrame(sol, q) else sol
     // canonical projection: every select item → lexical (+ shadow)
     val cols = q.select.flatMap { it =>
@@ -1211,7 +1241,7 @@ object Sparql {
     // sequence before template instantiation (SPARQL 16.2)
     require(q.orderBy.isEmpty || q.limit.nonEmpty || q.offset.nonEmpty,
       "CONSTRUCT ORDER BY without LIMIT/OFFSET has no effect")
-    var bound = solutionsOf(store, q.where)._1
+    var bound = solutionsOf(store, q.where, langVarsOf(q.where))._1
     if (q.orderBy.nonEmpty) bound = ordered(bound, q)
     q.offset.foreach(o => bound = bound.offset(o))
     q.limit.foreach(l => bound = bound.limit(l))
