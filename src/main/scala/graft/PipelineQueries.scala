@@ -39,6 +39,20 @@ object PipelineQueries {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
         .orderBy("d1", "d2")),
 
+    // embedding-cosine near-dup pairs — exact quadratic baseline
+    // (oracle = the same all-pairs join in SQL); the scale path is
+    // the LSH-blocked variant below
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingDupPairs(emb(s, dir), tau = 0.4)
+        .select("v1", "v2").orderBy("v1", "v2")),
+
+    // embedding-cosine near-dup pairs via multi-table LSH blocking +
+    // exact verify (precision 1.0, recall from the table union) —
+    // rows-only + ScalaTest precision/recall check
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingDupPairsLsh(emb(s, dir), tau = 0.4)
+        .select("v1", "v2").orderBy("v1", "v2")),
+
     // brute-force cosine top-5 neighbors for three query vectors
     "q_knn" -> ((s, dir) =>
       Similarity.cosineTopK(emb(s, dir), Seq(0L, 1L, 2L), 5)
@@ -112,6 +126,14 @@ object PipelineQueries {
     "q_dedup_jaccard" -> (JaccardPairsSql + " ORDER BY d1, d2"),
     "q_dedup_minhash" ->
       s"SELECT d1, d2 FROM ($JaccardPairsSql) ORDER BY d1, d2",
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY v1, v2""".stripMargin,
     "q_knn" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

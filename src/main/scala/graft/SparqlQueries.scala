@@ -184,6 +184,25 @@ object SparqlQueries {
         |  ?c ont:mktsegment ?m .
         |} ORDER BY ?c""".stripMargin)),
 
+    // predicate-object list (`;`) + blank-node property list (`[...]`)
+    // — the Turtle-style shorthand every published SPARQL example uses
+    "q_sparql_proplist" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?c WHERE {
+        |  ?c ont:mktsegment "BUILDING" ;
+        |     ont:acctbal ?b ;
+        |     ont:refNation [ ont:name "NATION_7" ] .
+        |  FILTER (?b > 1000)
+        |} ORDER BY ?c""".stripMargin)),
+
+    // closure over a parenthesized alternation: one transitive closure
+    // of the UNION edge set (refNation ∪ refRegion)
+    "q_sparql_alt_closure" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?x WHERE {
+        |  <cmwell://customer/42> (ont:refNation|ont:refRegion)+ ?x
+        |} ORDER BY ?x""".stripMargin)),
+
     // `POST /_sp`: PATHS search requests populate the queried subgraph
     // (here: BUILDING customers + all nations); the SPARQL query runs
     // against just that slice — suppliers and other segments are
@@ -304,6 +323,21 @@ object SparqlQueries {
         |  SELECT c_mktsegment FROM customer GROUP BY 1
         |  ORDER BY count(*) DESC, c_mktsegment LIMIT 1)
         |ORDER BY c""".stripMargin,
+    "q_sparql_proplist" ->
+      """SELECT '/customer/' || c_custkey AS c FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+        |  AND n_name = 'NATION_7'
+        |ORDER BY c""".stripMargin,
+    "q_sparql_alt_closure" ->
+      """SELECT x FROM (
+        |  SELECT '/nation/' || c_nationkey AS x FROM customer
+        |  WHERE c_custkey = 42
+        |  UNION ALL
+        |  SELECT '/region/' || n_regionkey FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_custkey = 42)
+        |ORDER BY x""".stripMargin,
     "q_sp" ->
       """SELECT '/customer/' || c_custkey AS c, n_name AS nm
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

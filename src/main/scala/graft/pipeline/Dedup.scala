@@ -219,9 +219,11 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs. Exact variant: inverted through
-    * nothing — a plain self-join, quadratic; use only when one side is
-    * filtered. The scale path is [[Similarity.lshBuckets]] blocking. */
+  /** Embedding-cosine near-dup pairs, EXACT: a plain self-join,
+    * quadratic in the corpus — the exact baseline, same role
+    * brute-force [[Similarity.cosineTopK]] plays for ANN. Use when the
+    * corpus (or a filtered slice of it) is small enough to square; the
+    * 100 TB path is [[embeddingDupPairsLsh]]. */
   def embeddingDupPairs(emb: DataFrame, tau: Double): DataFrame = {
     val withNorm = emb.select(col("vec_id"),
       Similarity.normalized(col("embedding")).as("v"))
@@ -229,6 +231,34 @@ object Dedup {
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+
+  /** Embedding-cosine near-dup pairs at scale: candidates are pairs
+    * that share a hyperplane-LSH bucket in ANY of `tables` independent
+    * tables (the pair analog of [[Similarity.lshTopK]] — candidate
+    * probability 1 − (1 − p^planes)^tables for per-plane agreement
+    * p = 1 − θ/π), then verified with EXACT cosine so precision is 1.0
+    * and only recall depends on the banding. The self-join runs
+    * per (table, bucket) — never all-pairs; at 100 TB the bucketed
+    * frame is the written index, partitioned by (table, bucket). */
+  def embeddingDupPairsLsh(emb: DataFrame, tau: Double,
+                           numPlanes: Int = 4, dim: Int = 64,
+                           tables: Int = 8): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      Similarity.normalized(col("embedding")).as("v"))
+    // persisted: the bucket self-join would otherwise normalize and
+    // hash the corpus twice
+    val bucketed = cachePersist(
+      Similarity.lshBuckets(base, numPlanes, dim, tables)
+        .select(col("vec_id"), col("table"), col("bucket"), col("v")))
+    val a = bucketed.alias("a"); val b = bucketed.alias("b")
+    a.join(b, col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
+      .distinct() // a pair can meet in several tables
       .where(col("cosine") >= tau)
   }
 }

@@ -67,6 +67,9 @@ object Sparql {
   final case class BLit(value: L) extends BExpr
   final case class BFn(fn: String, args: Seq[BExpr]) extends BExpr
   final case class BArith(l: BExpr, op: String, r: BExpr) extends BExpr
+  /** Relational comparison inside a scalar expression — the boolean
+    * first argument of IF(cond, then, else). */
+  final case class BCmp(l: BExpr, op: String, r: BExpr) extends BExpr
 
   /** One VALUES block: variables plus literal rows (None = UNDEF). */
   final case class ValuesClause(vars: Seq[String],
@@ -93,9 +96,11 @@ object Sparql {
                          exists: Seq[(Group, Boolean)] = Nil,
                          subqueries: Seq[Query] = Nil)
 
-  /** One SELECT item: a plain variable, or (AGG(?v) AS ?alias). */
+  /** One SELECT item: a plain variable, or (AGG(?v) AS ?alias).
+    * `sep` is GROUP_CONCAT's SEPARATOR (default " "). */
   final case class SelectItem(agg: Option[String], distinct: Boolean,
-                              v: Option[String], alias: String)
+                              v: Option[String], alias: String,
+                              sep: Option[String] = None)
 
   final case class Query(select: Seq[SelectItem], distinct: Boolean,
                          where: Group, groupBy: Seq[String],
@@ -111,7 +116,7 @@ object Sparql {
   private val TokenRe =
     ("""\?[A-Za-z_][A-Za-z0-9_]*|_:[A-Za-z0-9_]+|<[^>\s]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>\s]*>|@[A-Za-z-]+)?|""" +
       """[A-Za-z][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_]*|[A-Za-z_][A-Za-z0-9_]*|""" +
-      """-?\d+(?:\.\d+)?|&&|\|\||[{}().,;/+^|*-]|[<>!=]=?""").r
+      """-?\d+(?:\.\d+)?|&&|\|\||[{}()\[\].,;/+^|*-]|[<>!=]=?""").r
 
   private val NumericDtypes = Set("integer", "long", "int", "short",
     "double", "decimal", "float")
@@ -213,16 +218,17 @@ object Sparql {
           if (peek == "+" || peek == "*") Some(next()) else None
         (t, inv, mod)
       }
-      while (!stop) {
-        val s = term()
+      // a full path: sequence p1/p2/… or top-level alternation p1|p2,
+      // each step resolved to (predicate-or-closure, inverse)
+      def path(): Seq[(Term, Boolean)] = {
         var elts = Vector(pathElt())
-        // sequence property path p1/p2/... — desugar below
         while (peek == "/") { next(); elts :+= pathElt() }
         // bare top-level alternation p1|p2 — each branch one element
         if (peek == "|") {
           def flat(e: (Term, Boolean, Option[String])): Seq[Term] = {
             require(!e._2 && e._3.isEmpty,
-              "inverse/+/* branches in path alternatives unsupported")
+              "inverse/+/* branches in path alternatives unsupported " +
+                "(parenthesize: (p1|p2)+)")
             e._1 match {
               case Alt(ps) => ps
               case t => Seq(t)
@@ -239,27 +245,59 @@ object Sparql {
           }
           elts = Vector((Alt(alts), false, None))
         }
-        val preds = elts.map { case (p0, inv, mod) =>
+        elts.map { case (p0, inv, mod) =>
           mod match {
-            case Some(m) =>
-              require(elts.length == 1 && !inv,
-                s"$m only on a single forward predicate")
-              require(!p0.isInstanceOf[Alt],
-                s"$m not supported on alternatives")
-              (if (m == "+") Plus(p0) else Star(p0), false)
+            case Some(m) => (if (m == "+") Plus(p0) else Star(p0), inv)
             case None => (p0, inv)
           }
         }
-        val o = term()
+      }
+      // emit `s path o` as a chain with fresh vars between sequence
+      // steps (fresh per emission, so `,` object lists don't share
+      // intermediates)
+      def emitChain(s: Term, steps: Seq[(Term, Boolean)], o: Term): Unit = {
         var cur = s
-        preds.zipWithIndex.foreach { case ((p, inv), idx) =>
+        steps.zipWithIndex.foreach { case ((p, inv), idx) =>
           val nxt =
-            if (idx == preds.length - 1) o
+            if (idx == steps.length - 1) o
             else { freshN += 1; V(s"__path$freshN") }
           // inverse: the edge runs nxt → cur
           out += (if (inv) Triple(nxt, p, cur) else Triple(cur, p, nxt))
           cur = nxt
         }
+      }
+      // `[ p1 o1 ; p2 o2 ]` blank-node property list — a fresh scoped
+      // bnode variable plus its emitted triples; usable in subject and
+      // object position, nesting allowed
+      def propertyList(): Term = {
+        expect("[")
+        freshN += 1
+        val bn = V(s"__bnpl$freshN")
+        if (peek != "]") predObjList(bn)
+        expect("]")
+        bn
+      }
+      def objectTerm(): Term = if (peek == "[") propertyList() else term()
+      // path objectList (`;` path objectList)* — `,` repeats the whole
+      // path for each object (SPARQL objectList semantics)
+      def predObjList(s: Term): Unit = {
+        var more = true
+        while (more) {
+          val steps = path()
+          emitChain(s, steps, objectTerm())
+          while (peek == ",") { next(); emitChain(s, steps, objectTerm()) }
+          if (peek == ";") {
+            next()
+            // trailing `;` before `]`, `.` or a clause keyword is legal
+            more = peek != "]" && peek != "." && !stop
+          } else more = false
+        }
+      }
+      while (!stop) {
+        val s = if (peek == "[") propertyList() else term()
+        // a bare `[ p o ] .` property list is a complete pattern;
+        // otherwise the subject carries its own predicate-object list
+        if (peek != "." && !stop) predObjList(s)
         if (peek == ".") next()
       }
       out.result()
@@ -339,8 +377,15 @@ object Sparql {
       else if (isFnCall) {
         val fn = next().toLowerCase
         expect("(")
-        var fargs = Vector(bExpr())
-        while (peek == ",") { next(); fargs :+= bExpr() }
+        // args admit a relational level (IF's condition): e [op e]
+        def bRel(): BExpr = {
+          val l = bExpr()
+          if (Set("=", "!=", "<", "<=", ">", ">=")(peek)) {
+            val op = next(); BCmp(l, op, bExpr())
+          } else l
+        }
+        var fargs = Vector(bRel())
+        while (peek == ",") { next(); fargs :+= bRel() }
         expect(")")
         BFn(fn, fargs)
       }
@@ -448,8 +493,8 @@ object Sparql {
         } else if (peek == "(") {
           next()
           val fn = next().toUpperCase
-          require(Set("COUNT", "SUM", "MIN", "MAX", "AVG")(fn),
-            s"unknown aggregate $fn")
+          require(Set("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+            "GROUP_CONCAT")(fn), s"unknown aggregate $fn")
           expect("(")
           var dist = false
           if (peek.equalsIgnoreCase("DISTINCT")) { next(); dist = true }
@@ -457,12 +502,25 @@ object Sparql {
             val t = next(); require(t.startsWith("?"), s"bad agg arg $t")
             Some(t.drop(1))
           }
+          // GROUP_CONCAT(?v; SEPARATOR=", ")
+          var sep: Option[String] = None
+          if (peek == ";") {
+            next()
+            require(fn == "GROUP_CONCAT", s"$fn takes no SEPARATOR")
+            val kw = next(); require(kw.equalsIgnoreCase("SEPARATOR"),
+              s"expected SEPARATOR got $kw")
+            expect("=")
+            sep = term() match {
+              case L(lex, _) => Some(lex)
+              case o => throw new IllegalArgumentException(s"bad SEPARATOR $o")
+            }
+          }
           expect(")")
           expect("AS")
           val alias = next()
           require(alias.startsWith("?"), s"bad agg alias $alias")
           expect(")")
-          items += SelectItem(Some(fn), dist, v, alias.drop(1))
+          items += SelectItem(Some(fn), dist, v, alias.drop(1), sep)
         } else more = false
       }
       (items.result(), distinct)
@@ -551,7 +609,8 @@ object Sparql {
 
   // -------------------------------------------------------------- compile
 
-  /** Transitive closure of one predicate's edge set — the `p+` path.
+  /** Transitive closure of a predicate set's edge union — `p+` and
+    * `(p1|p2)+` paths.
     * Iterative frontier expansion with distinct-accumulate; each round
     * is one distributed join, lineage cut per round via localCheckpoint
     * (the standard Spark iterative-algorithm shape — same discipline as
@@ -559,12 +618,14 @@ object Sparql {
     * reference graphs (FK chains) are shallow. The bound is
     * session-configurable (`spark.graft.sparql.pathDepth`, default 12)
     * so legitimately deeper chains have an actionable knob. */
-  private def transitive(store: GraftStore, predLocal: String): DataFrame = {
+  private def transitive(store: GraftStore,
+                         predLocals: Seq[String]): DataFrame = {
     val maxDepth = store.quads.sparkSession.conf
       .get("spark.graft.sparql.pathDepth", "12").toInt
     val e = store.quads.where(col("current") &&
         col("kind") =!= InfotonModel.KindDeleted &&
-        col("predicate") === predLocal && col("vType") === InfotonModel.TRef)
+        col("predicate").isin(predLocals: _*) &&
+        col("vType") === InfotonModel.TRef)
       .select(col("subject").as("from"), col("s").as("to")).distinct()
       .localCheckpoint(true)
     var acc = e
@@ -595,11 +656,16 @@ object Sparql {
     * columns of quads, no collect. */
   private def closureScan(store: GraftStore, t: Triple, pred: Term,
                           includeZero: Boolean): DataFrame = {
-    val local = pred match {
-      case I(iri) => Rdf.localName(iri)
+    val locals = pred match {
+      case I(iri) => Seq(Rdf.localName(iri))
+      case Alt(ps) => ps.map {
+        case I(iri) => Rdf.localName(iri)
+        case o => throw new IllegalArgumentException(
+          s"closure alternative must be an IRI, got $o")
+      }
       case o => throw new IllegalArgumentException(s"p+ needs an IRI, got $o")
     }
-    var df = transitive(store, local)
+    var df = transitive(store, locals)
     if (includeZero) {
       val live = store.quads.where(col("current") &&
         col("kind") =!= InfotonModel.KindDeleted)
@@ -969,6 +1035,7 @@ object Sparql {
     case BLit(_) => Set.empty
     case BFn(_, args) => args.flatMap(bindRefs).toSet
     case BArith(l, _, r) => bindRefs(l) ++ bindRefs(r)
+    case BCmp(l, _, r) => bindRefs(l) ++ bindRefs(r)
   }
 
   /** BIND expression compiler → (lexical column, optional numeric
@@ -989,22 +1056,96 @@ object Sparql {
       case BFn("strlen", Seq(a)) =>
         val n = length(bindCols(a, df)._1).cast("double")
         (numLex(n), Some(n))
+      // SUBSTR(str, start[, len]) — 1-based like SPARQL/SQL
+      case BFn("substr", args) if args.length == 2 || args.length == 3 =>
+        val s = bindCols(args(0), df)._1
+        val start = bNumOf(args(1), df).cast("int")
+        val out =
+          if (args.length == 2) s.substr(start, length(s))
+          else s.substr(start, bNumOf(args(2), df).cast("int"))
+        (out, None)
+      // REPLACE(str, pattern, replacement) — regex, like SPARQL's
+      case BFn("replace", Seq(a, p, r)) =>
+        val pat = bLitOf(p, "REPLACE pattern")
+        val rep = bLitOf(r, "REPLACE replacement")
+        (regexp_replace(bindCols(a, df)._1, pat, rep), None)
+      // STRBEFORE/STRAFTER: empty string when the needle is absent
+      // (SPARQL 17.4.3.7-8); literal needle so locate() stays codegen
+      case BFn("strbefore", Seq(a, b)) =>
+        val s = bindCols(a, df)._1
+        val d = bLitOf(b, "STRBEFORE needle")
+        val at = locate(d, s)
+        (when(at > 0, s.substr(lit(1), at - 1)).otherwise(""), None)
+      case BFn("strafter", Seq(a, b)) =>
+        val s = bindCols(a, df)._1
+        val d = bLitOf(b, "STRAFTER needle")
+        val at = locate(d, s)
+        (when(at > 0, s.substr(at + lit(d.length), length(s)))
+          .otherwise(""), None)
+      case BFn("coalesce", args) if args.nonEmpty =>
+        val parts = args.map(bindCols(_, df))
+        val shadows = parts.map(_._2)
+        (coalesce(parts.map(_._1): _*),
+          if (shadows.forall(_.nonEmpty))
+            Some(coalesce(shadows.map(_.get): _*))
+          else None)
+      case BFn("if", Seq(c, t, e2)) =>
+        val cond = c match {
+          case BCmp(l, op, r) =>
+            // numeric comparison when either side carries a numeric
+            // shadow (or is a numeric literal); lexical otherwise
+            val lp = bindCols(l, df); val rp = bindCols(r, df)
+            val numeric = lp._2.nonEmpty || rp._2.nonEmpty
+            def sideOf(p: (Column, Option[Column])) =
+              if (numeric) p._2.getOrElse(p._1.cast("double")) else p._1
+            cmpCol(op, sideOf(lp), sideOf(rp))
+          case o => throw new IllegalArgumentException(
+            s"IF condition must be a comparison, got $o")
+        }
+        val (tl, tn) = bindCols(t, df)
+        val (el, en) = bindCols(e2, df)
+        (when(cond, tl).otherwise(el),
+          if (tn.nonEmpty && en.nonEmpty)
+            Some(when(cond, tn.get).otherwise(en.get))
+          else None)
+      // numeric 1-arg functions
+      case BFn(f @ ("abs" | "round" | "floor" | "ceil"), Seq(a)) =>
+        val x = bNumOf(a, df)
+        val n = (f match {
+          case "abs" => abs(x)
+          case "round" => round(x, 0)
+          case "floor" => floor(x)
+          case "ceil" => ceil(x)
+        }).cast("double")
+        (numLex(n), Some(n))
       case BFn(f, args) => throw new IllegalArgumentException(
         s"unsupported BIND function $f/${args.length}")
       case BArith(l, op, r) =>
-        def numOf(x: BExpr): Column = {
-          val (lex, num) = bindCols(x, df)
-          num.getOrElse(lex.cast("double"))
-        }
         val n = op match {
-          case "+" => numOf(l) + numOf(r)
-          case "-" => numOf(l) - numOf(r)
-          case "*" => numOf(l) * numOf(r)
-          case "/" => numOf(l) / numOf(r)
+          case "+" => bNumOf(l, df) + bNumOf(r, df)
+          case "-" => bNumOf(l, df) - bNumOf(r, df)
+          case "*" => bNumOf(l, df) * bNumOf(r, df)
+          case "/" => bNumOf(l, df) / bNumOf(r, df)
           case o => throw new IllegalArgumentException(s"bad BIND op $o")
         }
         (numLex(n), Some(n))
+      case BCmp(_, _, _) => throw new IllegalArgumentException(
+        "comparison only allowed as IF's condition")
     }
+
+  /** A BIND operand as a numeric column (shadow if present, else cast). */
+  private def bNumOf(x: BExpr, df: DataFrame): Column = {
+    val (lex, num) = bindCols(x, df)
+    num.getOrElse(lex.cast("double"))
+  }
+
+  /** A BIND operand that must be a string literal (regex patterns,
+    * needles — keeps the compiled expression codegen-able). */
+  private def bLitOf(x: BExpr, what: String): String = x match {
+    case BLit(L(lex, _)) => lex
+    case o => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $o")
+  }
 
   /** One VALUES block → a literal DataFrame (lexical column per
     * variable, numeric shadow where any row is numeric). Inline data is
@@ -1174,6 +1315,17 @@ object Sparql {
         // MIN/MAX are DISTINCT-invariant
         case ("MIN", Some(v)) => min(numOf(v))
         case ("MAX", Some(v)) => max(numOf(v))
+        // SAMPLE: any value of the group (SPARQL leaves the choice
+        // open; first-non-null is deterministic per partition order
+        // only, so downstream oracles should MIN instead when they
+        // need stability — the operator itself is spec-faithful)
+        case ("SAMPLE", Some(v)) => first(col(v), ignoreNulls = true)
+        // GROUP_CONCAT: SPARQL leaves element order undefined —
+        // sort lexically so the result is deterministic/oracle-able
+        case ("GROUP_CONCAT", Some(v)) =>
+          val elems =
+            if (it.distinct) collect_set(col(v)) else collect_list(col(v))
+          concat_ws(it.sep.getOrElse(" "), sort_array(elems))
         case (a, n) => throw new IllegalArgumentException(s"bad agg $a($n)")
       }
       c.as(it.alias)

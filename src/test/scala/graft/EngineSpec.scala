@@ -181,6 +181,25 @@ class EngineSpec extends AnyFunSuite {
     assert(recall >= 0.7, "IVF recall collapsed")
   }
 
+  test("LSH-blocked embedding dup pairs: precision 1.0, measured recall") {
+    val exact = Dedup.embeddingDupPairs(emb, 0.35)
+      .select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.embeddingDupPairsLsh(emb, 0.35)
+      .select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has near-dup embedding pairs")
+    // candidates are exact-verified, so every emitted pair is real
+    assert(blocked.subsetOf(exact), "blocked pairs must be exact-verified")
+    val recall = (blocked intersect exact).size.toDouble / exact.size
+    info(f"embedding-dup recall = $recall%.2f (8 tables x 4 planes, " +
+      f"${exact.size} exact pairs)")
+    // near-uniform fixtures (pairs at cosine ≈ 0.35, θ ≈ 69°) are the
+    // adversarial case for hyperplane blocking; on a real near-dup
+    // corpus (θ → 0) per-plane agreement → 1 and recall → 1
+    assert(recall >= 0.5, "LSH blocking recall collapsed")
+  }
+
   private lazy val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
 
   // ---- formatter/ingest roundtrip incl. lang + quad ----
@@ -603,6 +622,117 @@ class EngineSpec extends AnyFunSuite {
       """SELECT ?n WHERE { <c://b/1> (<c://o#p>|<c://o#q>)/<c://o#name> ?n }""")
       .collect()
     assert(s.map(_.getString(0)).toSeq == Seq("hit"))
+  }
+
+  test("SPARQL predicate-object lists and blank-node property lists") {
+    val store = storeOf(Seq(
+      "<c://p/1> <c://o#tag> \"red\" .",
+      "<c://p/1> <c://o#num> \"4\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://p/1> <c://o#ref> <c://q/1> .",
+      "<c://q/1> <c://o#name> \"target\" .",
+      "<c://p/2> <c://o#tag> \"red\" .",
+      "<c://p/2> <c://o#tag> \"blue\" ."),
+      T("2024-01-01 00:00:00"))
+    // `,` object list: both objects must hold for the same subject
+    val both = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#tag> "red", "blue" }""").collect()
+    assert(both.map(_.getString(0)).toSeq == Seq("/p/2"))
+    // `;` predicate-object list shares the subject (trailing ; legal)
+    val semi = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#tag> "red" ; <c://o#num> ?n ; . }""")
+      .collect()
+    assert(semi.map(_.getString(0)).toSeq == Seq("/p/1"))
+    // blank-node property list in object position joins through the ref
+    val obj = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#ref> [ <c://o#name> "target" ] }""")
+      .collect()
+    assert(obj.map(_.getString(0)).toSeq == Seq("/p/1"))
+    // property list as the whole subject: scoped bnode, not projected
+    val subj = Sparql.select(store,
+      """SELECT ?n WHERE { [ <c://o#tag> "red" ; <c://o#num> ?n ] . }""")
+      .collect()
+    assert(subj.map(_.getString(0)).toSeq == Seq("4"))
+  }
+
+  test("SPARQL +/* on alternatives, inside sequences, and inverted") {
+    val store = storeOf(Seq(
+      "<c://h/1> <c://o#p> <c://h/2> .",
+      "<c://h/2> <c://o#q> <c://h/3> .",
+      "<c://h/3> <c://o#q> <c://h/4> ."),
+      T("2024-01-01 00:00:00"))
+    // closure over the union edge set: (p|q)+
+    val alt = Sparql.select(store,
+      """SELECT ?o WHERE { <c://h/1> (<c://o#p>|<c://o#q>)+ ?o }
+        |ORDER BY ?o""".stripMargin).collect()
+    assert(alt.map(_.getString(0)).toSeq == Seq("/h/2", "/h/3", "/h/4"))
+    // modifier on one element of a sequence path: p/q+
+    val seq = Sparql.select(store,
+      """SELECT ?o WHERE { <c://h/1> <c://o#p>/<c://o#q>+ ?o }
+        |ORDER BY ?o""".stripMargin).collect()
+    assert(seq.map(_.getString(0)).toSeq == Seq("/h/3", "/h/4"))
+    // inverse closure ^q+: everything that reaches h/4 via q edges
+    val inv = Sparql.select(store,
+      """SELECT ?o WHERE { <c://h/4> ^<c://o#q>+ ?o } ORDER BY ?o""")
+      .collect()
+    assert(inv.map(_.getString(0)).toSeq == Seq("/h/2", "/h/3"))
+  }
+
+  test("SPARQL SAMPLE and GROUP_CONCAT aggregates") {
+    val store = storeOf(Seq(
+      "<c://t/1> <c://o#g> \"a\" .",
+      "<c://t/1> <c://o#tag> \"x\" .",
+      "<c://t/2> <c://o#g> \"a\" .",
+      "<c://t/2> <c://o#tag> \"y\" .",
+      "<c://t/3> <c://o#g> \"b\" .",
+      "<c://t/3> <c://o#tag> \"z\" ."),
+      T("2024-01-01 00:00:00"))
+    val gc = Sparql.select(store,
+      """SELECT ?g (GROUP_CONCAT(?t; SEPARATOR=",") AS ?tags) WHERE {
+        |  ?s <c://o#g> ?g . ?s <c://o#tag> ?t
+        |} GROUP BY ?g ORDER BY ?g""".stripMargin).collect()
+    assert(gc.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "x,y"), ("b", "z")))
+    val sm = Sparql.select(store,
+      """SELECT ?g (SAMPLE(?t) AS ?any) WHERE {
+        |  ?s <c://o#g> ?g . ?s <c://o#tag> ?t
+        |} GROUP BY ?g ORDER BY ?g""".stripMargin).collect()
+    assert(sm.length == 2 && Set("x", "y")(sm(0).getString(1)) &&
+      sm(1).getString(1) == "z")
+  }
+
+  test("SPARQL BIND string/conditional builtins") {
+    val r = Sparql.select(tagStore,
+      """SELECT ?s ?x WHERE { ?s <c://o#tag> ?t .
+        |BIND(SUBSTR(?t, 1, 2) AS ?x) } ORDER BY ?s""".stripMargin).collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("re", "bl", "gr"))
+    val rep = Sparql.select(tagStore,
+      """SELECT ?x WHERE { ?s <c://o#tag> ?t .
+        |BIND(REPLACE(?t, "[aeiou]", "_") AS ?x)
+        |FILTER (?t = "red") }""".stripMargin).collect()
+    assert(rep.map(_.getString(0)).toSeq == Seq("r_d"))
+    val ba = Sparql.select(tagStore,
+      """SELECT ?b ?a WHERE { ?s <c://o#tag> ?t . FILTER (?t = "green")
+        |BIND(STRBEFORE(?t, "ee") AS ?b)
+        |BIND(STRAFTER(?t, "ee") AS ?a) }""".stripMargin).collect()
+    assert(ba.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("gr", "n")))
+    // STRBEFORE/STRAFTER of an absent needle is ""
+    val absent = Sparql.select(tagStore,
+      """SELECT ?b WHERE { ?s <c://o#tag> ?t . FILTER (?t = "red")
+        |BIND(STRBEFORE(?t, "zz") AS ?b) }""".stripMargin).collect()
+    assert(absent.map(_.getString(0)).toSeq == Seq(""))
+    // IF with a numeric comparison + COALESCE over an OPTIONAL var
+    val iff = Sparql.select(tagStore,
+      """SELECT ?s ?k WHERE { ?s <c://o#tag> ?t .
+        |OPTIONAL { ?s <c://o#num> ?n }
+        |BIND(IF(COALESCE(?n, 0) > 4, "big", "small") AS ?k)
+        |} ORDER BY ?s""".stripMargin).collect()
+    assert(iff.map(_.getString(1)).toSeq == Seq("small", "small", "big"))
+    // ROUND/ABS numeric builtins flow through the shadow
+    val num = Sparql.select(tagStore,
+      """SELECT ?v WHERE { ?s <c://o#num> ?n .
+        |BIND(ABS(0 - ?n) + ROUND(0.4) AS ?v) }""".stripMargin).collect()
+    assert(num.map(_.getString(0)).toSeq == Seq("5"))
   }
 
   test("SPARQL p* includes the zero-length path") {
