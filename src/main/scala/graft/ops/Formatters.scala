@@ -193,6 +193,66 @@ object Formatters {
         lit(","), array_join(props, ","), lit("}")).as("doc"))
   }
 
+  /** JSON-LD quads ("jsonldq") — the named-graph-aware variant of
+    * [[jsonldDocs]]: per infoton, untagged values render as a plain
+    * node object and each distinct quad tag renders as
+    * `{"@id": <graph>, "@graph": [node-with-that-graph's-values]}`,
+    * all inside one top-level `@graph` array. Pure map/array ops per
+    * row — no shuffle; [[graft.ingest.JsonLd]] re-ingests the shape
+    * (named graph = `@id` + `@graph`, roundtrip-tested). */
+  def jsonldqDocs(infotons: DataFrame): DataFrame = {
+    def jstr(c: Column): Column = concat(lit("\""), jsonEscape(c), lit("\""))
+    def one(v: Column): Column =
+      when(v.getField("vType") === TRef,
+        concat(lit("{\"@id\":"),
+          jstr(pathToIri(col("system.protocol"), v.getField("s"))), lit("}")))
+      .when(v.getField("vType") === TString,
+        when(v.getField("lang").isNotNull,
+          concat(lit("{\"@value\":"), jstr(v.getField("s")),
+            lit(",\"@language\":"), jstr(v.getField("lang")), lit("}")))
+        .otherwise(concat(lit("{\"@value\":"), jstr(v.getField("s")), lit("}"))))
+      .otherwise(concat(lit("{\"@value\":"), jstr(v.getField("s")),
+        lit(",\"@type\":\"http://www.w3.org/2001/XMLSchema#"),
+        element_at(xsdMap, v.getField("vType")), lit("\"}")))
+    val subj = jstr(pathToIri(col("system.protocol"), col("system.path")))
+    // node object over the values passing `cond`; null when none do
+    def nodeFor(cond: Column => Column): Column = {
+      val props = filter(transform(map_entries(col("fields")), e => {
+        val vals = filter(e.getField("value"), cond)
+        when(size(vals) > 0,
+          concat(lit("\"cmwell://ont#"), e.getField("key"), lit("\":["),
+            array_join(transform(vals, one(_)), ","), lit("]")))
+      }), p => p.isNotNull)
+      when(size(props) > 0,
+        concat(lit("{\"@id\":"), subj, lit(","),
+          array_join(props, ","), lit("}")))
+    }
+    val quads = array_distinct(flatten(transform(map_values(col("fields")),
+      vs => transform(vs, v => v.getField("quad")))))
+    // graph ids render as full IRIs (quad tags are stored path-form;
+    // the parser's fail-loud iri() rejects bare paths)
+    val graphBlocks = transform(filter(quads, _.isNotNull), g =>
+      concat(lit("{\"@id\":"),
+        jstr(pathToIri(col("system.protocol"), g)), lit(",\"@graph\":["),
+        nodeFor(v => v.getField("quad") <=> g), lit("]}")))
+    val parts = filter(
+      concat(array(nodeFor(v => v.getField("quad").isNull)), graphBlocks),
+      p => p.isNotNull)
+    infotons.where(col("fields").isNotNull)
+      .select(concat(lit("{\"@graph\":["), array_join(parts, ","),
+        lit("]}")).as("doc"))
+  }
+
+  /** JSONP — the JSON response envelope wrapped in a callback
+    * (FormatExtractor's jsonp). The callback name is validated as a
+    * JS identifier path so a reflected payload can't escape the call. */
+  def jsonp(page: DataFrame, total: Long, offset: Long, length: Long,
+            callback: String, selfPath: String = "/"): String = {
+    require(callback.matches("[A-Za-z_$][A-Za-z0-9_$]*(\\.[A-Za-z_$][A-Za-z0-9_$]*)*"),
+      s"invalid JSONP callback '$callback'")
+    s"$callback(${searchEnvelope(page, total, offset, length, selfPath)});"
+  }
+
   /** The JSON response envelope every HTTP consumer parses
     * (SearchResults.scala:41-57, SearchResponse + PaginationInfo).
     * Page-bounded by the search clamps (≤ MaxLength rows), so the

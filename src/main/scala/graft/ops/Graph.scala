@@ -87,9 +87,17 @@ object Graph {
 
   /** Edge view for one reference field: (from, to) pairs. */
   private def edges(store: GraftStore, field: String): DataFrame =
+    edgesMulti(store, Seq(field))
+
+  /** Edge view over a SET of reference fields — one predicate-pruned
+    * scan + one join for the xg `_`/digit wildcard forms, instead of a
+    * union of per-field joins (the quads layout partitions by
+    * predicate, so isin prunes exactly like equality). */
+  private def edgesMulti(store: GraftStore, fields: Seq[String]): DataFrame =
     store.quads.where(col("current") &&
         col("kind") =!= InfotonModel.KindDeleted &&
-        col("predicate") === field && col("vType") === InfotonModel.TRef)
+        col("predicate").isin(fields: _*) &&
+        col("vType") === InfotonModel.TRef)
       .select(col("subject").as("from"), col("s").as("to"))
 
   /** Paths reachable from `frontierPaths` (col `p`) over one hop.
@@ -126,7 +134,17 @@ object Graph {
     var frontier = paths(base)
     var reached = frontier
     levels.foreach { hops =>
-      val next = hops.map(h => hopTargets(store, frontier, h))
+      // plain forward hops (the whole wildcard universe) collapse into
+      // ONE multi-predicate join; filtered/incoming hops stay individual
+      val (plain, special) = hops.partition(h => !h.incoming && h.filter.isEmpty)
+      val plainNext =
+        if (plain.isEmpty) Nil
+        else {
+          val e = edgesMulti(store, plain.map(_.field)).alias("e")
+          Seq(e.join(frontier.alias("fr"), col("e.from") === col("fr.p"))
+            .select(col("e.to").as("p")))
+        }
+      val next = (plainNext ++ special.map(h => hopTargets(store, frontier, h)))
         .reduce(_ union _).distinct()
       checkLimit(next, limit)
       frontier = next

@@ -224,6 +224,41 @@ class EngineSpec extends AnyFunSuite {
       ("ref", "/m/2", "r", None, None)))
   }
 
+  test("jsonldq roundtrips quad and lang tags through the JSON-LD parser") {
+    import spark.implicits._
+    val src = storeOf(Seq(
+      "<c://m/1> <c://o#name> \"gr\\u00FCn\"@de <c://graph/g1> .",
+      "<c://m/1> <c://o#size> \"7\"^^<http://www.w3.org/2001/XMLSchema#long> .",
+      "<c://m/1> <c://o#ref> <c://m/2> ."), T("2024-01-01 00:00:00"))
+    val docs = Formatters.jsonldqDocs(
+      src.current.where(col("system.path") === "/m/1")).as[String]
+    // named-graph block present, untagged values in the default node
+    val doc = docs.collect().head
+    assert(doc.contains("://graph/g1\",\"@graph\":["))
+    val back = GraftStore.fromInfotons(spark,
+      Ingest.ingestJsonLd(spark, Ingest.emptyStore(spark), docs,
+        T("2024-02-02 00:00:00")))
+    val vals = back.quads.where(col("subject") === "/m/1")
+      .select("predicate", "s", "vType", "lang", "quad")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    assert(vals == Set(
+      ("name", "gr\u00fcn", "s", Some("de"), Some("/graph/g1")),
+      ("size", "7", "l", None, None),
+      ("ref", "/m/2", "r", None, None)))
+  }
+
+  test("jsonp wraps the envelope and rejects non-identifier callbacks") {
+    val store = GraftStore.forDir(spark, Sf)
+    val page = Search.run(store, Search.Request(path = "/region"))
+    val out = Formatters.jsonp(page, total = 5, offset = 0, length = 5,
+      callback = "my.cb")
+    assert(out.startsWith("my.cb({\"type\":\"SearchResponse\"") &&
+      out.endsWith(");"))
+    intercept[IllegalArgumentException](
+      Formatters.jsonp(page, 5, 0, 5, callback = "alert(1);//"))
+  }
+
   test("yaml and atom formatters render per-infoton documents") {
     val store = GraftStore.forDir(spark, Sf)
     val regions = Search.run(store, Search.Request(path = "/region"))
