@@ -56,8 +56,13 @@ object Bench {
     // decimal separator (de_DE etc.) would make the JSON unparseable
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    def num1(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    // integral values drop the ".0" (valid JSON, ~2 chars × ~30 sub-
+    // 100ms queries — the 92-entry map is what presses the 2000-char
+    // driver tail budget)
+    def num1(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     val sfTag = sfDir.split('/').last
     def mkLine(hdr: Double => String, per: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + per(v) }

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native vector similarity expressions.
+  *
+  * Why custom Catalyst expressions (the builder brief's escalation
+  * path (b)): the two alternatives both fall off the fast path at
+  * pair-join scale —
+  *   - higher-order functions (`aggregate(zip_with(...))`) evaluate
+  *     INTERPRETED, per element, with a fresh lambda frame each row;
+  *   - a dim-unrolled `getItem` tree (64 products + adds per side)
+  *     blows past codegen's method-size limits on the join's generated
+  *     method, so Spark silently reverts the whole stage to
+  *     interpreted eval (observed: 5 MiB task binaries, 20 s for a
+  *     1 M-pair join that should take < 1 s).
+  * A BinaryExpression with a tight generated loop keeps the scoring
+  * inside whole-stage codegen at ~3 flops/element regardless of
+  * dimension, for any array length.
+  */
+abstract class VectorBinaryExpr extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs float/double arrays, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  protected def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected def elemAt(arr: ArrayData, fl: Boolean, i: Int): Double =
+    if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)
+  protected def elemCode(v: String, fl: Boolean): String =
+    if (fl) s"(double) $v.getFloat(%I%)" else s"$v.getDouble(%I%)"
+}
+
+/** dot(a, b) = Σ aᵢbᵢ — index-ordered accumulation (matches the SQL
+  * oracle's evaluation order, so comparisons stay bit-stable). */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpr {
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val lf = isFloat(left); val rf = isFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var i = 0
+    while (i < n) { d += elemAt(a, lf, i) * elemAt(b, rf, i); i += 1 }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("dot")
+      val ga = elemCode(a, isFloat(left)).replace("%I%", i)
+      val gb = elemCode(b, isFloat(right)).replace("%I%", i)
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $d = 0.0;
+        |for (int $i = 0; $i < $n; $i++) { $d += ($ga) * ($gb); }
+        |${ev.value} = $d;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a, b) = Σ aᵢbᵢ / (‖a‖‖b‖) over the RAW arrays — DuckDB's
+  * list_cosine_similarity formula; no normalized intermediate array is
+  * ever built. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpr {
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val lf = isFloat(left); val rf = isFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = elemAt(a, lf, i); val y = elemAt(b, rf, i)
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val ga = elemCode(a, isFloat(left)).replace("%I%", i)
+      val gb = elemCode(b, isFloat(right)).replace("%I%", i)
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $d = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $x = $ga; double $y = $gb;
+        |  $d += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |}
+        |${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column-level cosine similarity (any dimension). */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level dot product (any dimension). */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -224,13 +224,14 @@ object Dedup {
     * brute-force [[Similarity.cosineTopK]] plays for ANN. Use when the
     * corpus (or a filtered slice of it) is small enough to square; the
     * 100 TB path is [[embeddingDupPairsLsh]]. */
-  def embeddingDupPairs(emb: DataFrame, tau: Double): DataFrame = {
-    val withNorm = emb.select(col("vec_id"),
-      Similarity.normalized(col("embedding")).as("v"))
-    val a = withNorm.alias("a"); val b = withNorm.alias("b")
+  def embeddingDupPairs(emb: DataFrame, tau: Double,
+                        dim: Int = 64): DataFrame = {
+    val raw = emb.select(col("vec_id"), col("embedding"))
+    val a = raw.alias("a"); val b = raw.alias("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
+        Similarity.cosineFixed(col("a.embedding"), col("b.embedding"), dim)
+          .as("cosine"))
       .where(col("cosine") >= tau)
   }
 
@@ -245,19 +246,20 @@ object Dedup {
   def embeddingDupPairsLsh(emb: DataFrame, tau: Double,
                            numPlanes: Int = 4, dim: Int = 64,
                            tables: Int = 8): DataFrame = {
-    val base = emb.select(col("vec_id"), col("embedding"),
-      Similarity.normalized(col("embedding")).as("v"))
-    // persisted: the bucket self-join would otherwise normalize and
-    // hash the corpus twice
+    val base = emb.select(col("vec_id"), col("embedding"))
+    // persisted: the bucket self-join would otherwise hash the corpus
+    // through the plane projections twice
     val bucketed = cachePersist(
       Similarity.lshBuckets(base, numPlanes, dim, tables)
-        .select(col("vec_id"), col("table"), col("bucket"), col("v")))
+        .select(col("vec_id"), col("table"), col("bucket"),
+          col("embedding")))
     val a = bucketed.alias("a"); val b = bucketed.alias("b")
     a.join(b, col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        Similarity.dot(col("a.v"), col("b.v")).as("cosine"))
+        Similarity.cosineFixed(col("a.embedding"), col("b.embedding"), dim)
+          .as("cosine"))
       .distinct() // a pair can meet in several tables
       .where(col("cosine") >= tau)
   }

@@ -21,9 +21,29 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** dot product of two double arrays — index-ordered accumulation
-    * (deterministic; used for oracle-parity too). */
+    * (deterministic; used for oracle-parity too). Higher-order
+    * functions (aggregate/zip_with) evaluate INTERPRETED per element —
+    * fine for a handful of rows, ruinous on a pair join. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** dot product at pair-join scale — delegates to the native
+    * [[graft.functions.DotProduct]] codegen expression (a tight
+    * generated loop; HOF folds evaluate interpreted and dim-unrolled
+    * getItem trees overflow codegen's method limits — see
+    * [[graft.functions.VectorExprs]]). `dim` is accepted for API
+    * stability; the expression handles any length. */
+  def dotFixed(a: Column, b: Column, dim: Int = 0): Column =
+    graft.functions.VectorExprs.dot(a, b)
+
+  /** Cosine over the RAW arrays: Σ aᵢbᵢ / (‖a‖‖b‖) — DuckDB's
+    * list_cosine_similarity formula via the native
+    * [[graft.functions.CosineSimilarity]] expression. No normalized
+    * intermediate array is built (under projection collapse every
+    * getItem over a `transform(...)` array re-evaluates the whole
+    * interpreted HOF — measured 10-30× slowdowns on pair joins). */
+  def cosineFixed(a: Column, b: Column, dim: Int = 0): Column =
+    graft.functions.VectorExprs.cosine(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -37,14 +57,15 @@ object Similarity {
   /** Brute-force cosine top-k: for each query vector (small set,
     * broadcast), the k nearest among all embeddings. Returns
     * (query_id, rank, neighbor_id, cosine). */
-  def cosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val base = emb.select(col("vec_id"), normalized(col("embedding")).as("v"))
+  def cosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                 dim: Int = 64): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
     val queries = broadcast(
       base.where(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
     val scored = base.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dot(col("v"), col("qv")).as("cosine"))
+        cosineFixed(col("embedding"), col("qe"), dim).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -70,12 +91,13 @@ object Similarity {
     * ≈ 0.35); the L-table union is what makes hyperplane LSH usable. */
   def lshBuckets(emb: DataFrame, numPlanes: Int, dim: Int,
                  tables: Int = 1): DataFrame = {
-    val v = transform(col("embedding"), x => x.cast("double"))
     val tableBuckets = (0 until tables).map { t =>
       val bucket = planes(t, numPlanes, dim).zipWithIndex.map { case (p, i) =>
-        val planeDot = aggregate(
-          zip_with(v, array(p.map(lit): _*), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)
+        // direct indexed multiply-adds (codegen'd), same index-ordered
+        // accumulation as the old HOF fold — identical signs/buckets
+        val planeDot = p.zipWithIndex.map { case (w, j) =>
+          col("embedding").getItem(j).cast("double") * lit(w)
+        }.reduce(_ + _)
         when(planeDot >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_))
       struct(lit(t).as("table"), bucket.as("bucket"))
@@ -101,16 +123,13 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
               numPlanes: Int = 4, dim: Int = 64,
               tables: Int = 6, probes: Int = 5): DataFrame = {
-    // normalize BEFORE the table explode — after it, the same vector
-    // would be renormalized once per table
-    val base = emb.select(col("vec_id"), col("embedding"),
-      normalized(col("embedding")).as("v"))
+    val base = emb.select(col("vec_id"), col("embedding"))
     val bucketed = lshBuckets(base, numPlanes, dim, tables)
-      .select(col("vec_id"), col("table"), col("bucket"), col("v"))
+      .select(col("vec_id"), col("table"), col("bucket"), col("embedding"))
     val queries0 = bucketed
       .where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("table").as("qt"),
-        col("bucket").as("qb"), col("v").as("qv"))
+        col("bucket").as("qb"), col("embedding").as("qe"))
     val probed =
       if (probes <= 1) queries0
       else {
@@ -120,14 +139,14 @@ object Similarity {
           (0 until math.min(probes - 1, numPlanes)).map(j =>
             col("qb").bitwiseXOR(lit(1L << j)))
         queries0.select(col("query_id"), col("qt"),
-          explode(array(alts: _*)).as("qb"), col("qv"))
+          explode(array(alts: _*)).as("qb"), col("qe"))
       }
     val queries = broadcast(probed)
     val scored = bucketed.join(queries,
         col("table") === col("qt") && col("bucket") === col("qb") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dot(col("v"), col("qv")).as("cosine"))
+        cosineFixed(col("embedding"), col("qe"), dim).as("cosine"))
       .distinct() // a pair can meet in several tables
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -166,11 +185,17 @@ object Similarity {
 
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
               nlist: Int = 16, nprobe: Int = 8,
-              assign: Int = 2, seed: Long = 42L): DataFrame = {
+              assign: Int = 2, seed: Long = 42L,
+              dim: Int = 64): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val base = emb.select(col("vec_id"), normalized(col("embedding")).as("v"))
-      .withColumn("fv", array_to_vector(col("v")))
+    // normalized vectors feed ONLY the k-means fit (angular cells);
+    // the scan-side expressions below run on the raw arrays — cell
+    // rank per vector is scale-invariant (argmax dot(v̂,c) = argmax
+    // dot(v,c)), and cosineFixed normalizes inside one codegen'd
+    // expression instead of materializing normalized arrays
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("fv", array_to_vector(normalized(col("embedding"))))
     // 128-bit canonical-plan key (a 32-bit hash could silently hand a
     // colliding corpus another corpus's quantizer); bounded so a
     // long-lived session over many corpora can't grow without limit.
@@ -190,11 +215,12 @@ object Similarity {
     // similarity to each centroid as literals (the quantizer is
     // driver-tiny and ships inside the plan)
     val cellDots = centroids.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"), dot(col("v"), array(c.map(lit): _*)).as("sim"))
+      struct(lit(i).as("cell"),
+        dotFixed(col("embedding"), array(c.map(lit): _*), c.length).as("sim"))
     }
-    val cellScored = base.select(col("vec_id"), col("v"),
+    val cellScored = base.select(col("vec_id"), col("embedding"),
         explode(array(cellDots: _*)).as("cd"))
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"), col("embedding"),
         col("cd.cell").as("cell"), col("cd.sim").as("sim"))
     // SPILL ASSIGNMENT: each vector is indexed in its `assign` nearest
     // cells, the corpus-side analog of query multi-probe — a neighbor
@@ -207,21 +233,21 @@ object Similarity {
         Window.partitionBy("vec_id")
           .orderBy(col("sim").desc, col("cell").asc)))
       .where(col("ar") <= assign)
-      .select("vec_id", "v", "cell")
+      .select("vec_id", "embedding", "cell")
     val probes = base.where(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(array(cellDots: _*)).as("cd"))
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"), col("qe"),
         col("cd.cell").as("cell"), col("cd.sim").as("sim"))
     val topCells = probes.withColumn("cr", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("sim").desc, col("cell").asc)))
       .where(col("cr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("qe"), col("cell"))
     val scored = assigned.join(broadcast(topCells), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        dot(col("v"), col("qv")).as("cosine"))
+        cosineFixed(col("embedding"), col("qe"), dim).as("cosine"))
       .distinct() // a spilled vector can meet a query in several cells
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

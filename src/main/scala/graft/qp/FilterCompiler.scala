@@ -79,12 +79,15 @@ final class FilterCompiler(store: GraftStore) {
     }
     if (field.startsWith("system."))
       return systemPredicate(vo, field, value.getOrElse(""))
-    val arr = col("fields").getItem(field)
+    // namespace-qualified spellings (`local.prefix`, `$uri$`,
+    // `local.$hash`) resolve to the canonical key at plan time
+    val canonical = Namespaces.resolve(field)
+    val arr = col("fields").getItem(canonical)
     value match {
       case None => // existence (FTSService.scala:909-915)
         arr.isNotNull && size(arr) > 0
       case Some(v) =>
-        val pred: Column => Column = valuePredicate(vo, field, v)
+        val pred: Column => Column = valuePredicate(vo, canonical, v)
         arr.isNotNull && exists(arr, pred)
     }
   }

@@ -20,7 +20,12 @@ import scala.util.parsing.combinator.RegexParsers
 object QpParser extends RegexParsers {
   override def skipWhitespace = false
 
-  private def fieldName: Parser[String] = """[A-Za-z0-9_.$]+""".r
+  /** Field keys admit the namespace-qualified spellings resolved by
+    * [[Namespaces]]: `$full-uri$` (any chars between the `$`s, so the
+    * IRI's `:`/`#`/`/` don't collide with valueOp), `local.prefix`,
+    * `local.$hash`, plain `local`. */
+  private def fieldName: Parser[String] =
+    """\$[^$]+\$""".r | """[A-Za-z0-9_.$]+""".r
 
   private def valueOp: Parser[ValueOp] =
     ("::" ^^^ ValueOp.Equals) | (":" ^^^ ValueOp.Contains) |

@@ -484,6 +484,10 @@ object Sparql {
       expect("SELECT")
       var distinct = false
       if (peek.equalsIgnoreCase("DISTINCT")) { next(); distinct = true }
+      // SELECT * — the empty item list marks the star form; resolved
+      // to every visible variable at execution (the parser hasn't seen
+      // WHERE yet)
+      if (peek == "*") { next(); return (Nil, distinct) }
       val items = Vector.newBuilder[SelectItem]
       var more = true
       while (more) {
@@ -523,7 +527,9 @@ object Sparql {
           items += SelectItem(Some(fn), dist, v, alias.drop(1), sep)
         } else more = false
       }
-      (items.result(), distinct)
+      val out = items.result()
+      require(out.nonEmpty, "empty SELECT list")
+      (out, distinct)
     }
 
     // GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET
@@ -618,8 +624,8 @@ object Sparql {
     * reference graphs (FK chains) are shallow. The bound is
     * session-configurable (`spark.graft.sparql.pathDepth`, default 12)
     * so legitimately deeper chains have an actionable knob. */
-  private def transitive(store: GraftStore,
-                         predLocals: Seq[String]): DataFrame = {
+  private def transitive(store: GraftStore, predLocals: Seq[String],
+                         seed: Option[String] = None): DataFrame = {
     val maxDepth = store.quads.sparkSession.conf
       .get("spark.graft.sparql.pathDepth", "12").toInt
     val e = store.quads.where(col("current") &&
@@ -628,8 +634,12 @@ object Sparql {
         col("vType") === InfotonModel.TRef)
       .select(col("subject").as("from"), col("s").as("to")).distinct()
       .localCheckpoint(true)
-    var acc = e
-    var frontier = e
+    // a bound subject seeds the walk: only paths FROM it are expanded,
+    // so a single-resource closure never materializes the whole
+    // graph's closure (frontier stays the reachable set)
+    val start = seed.fold(e)(p => e.where(col("from") === p))
+    var acc = start
+    var frontier = start
     var n = acc.count()
     var depth = 1
     var done = n == 0
@@ -665,16 +675,30 @@ object Sparql {
       }
       case o => throw new IllegalArgumentException(s"p+ needs an IRI, got $o")
     }
-    var df = transitive(store, locals)
+    val seed = t.s match {
+      case I(iri) => Some(Rdf.iriToPath(iri))
+      case _ => None
+    }
+    var df = transitive(store, locals, seed)
     if (includeZero) {
-      val live = store.quads.where(col("current") &&
-        col("kind") =!= InfotonModel.KindDeleted)
-      val nodes = live.select(col("subject").as("node"))
-        .union(live.where(col("vType") === InfotonModel.TRef)
-          .select(col("s").as("node")))
-        .distinct()
-      df = df.union(nodes.select(col("node").as("from"),
-        col("node").as("to"))).distinct()
+      df = seed match {
+        case Some(p) =>
+          // bound subject: the zero-length path is just the seed itself
+          // (SPARQL identity on the term — no need for the graph's
+          // node set)
+          val spark = store.quads.sparkSession
+          import spark.implicits._
+          df.union(Seq((p, p)).toDF("from", "to")).distinct()
+        case None =>
+          val live = store.quads.where(col("current") &&
+            col("kind") =!= InfotonModel.KindDeleted)
+          val nodes = live.select(col("subject").as("node"))
+            .union(live.where(col("vType") === InfotonModel.TRef)
+              .select(col("s").as("node")))
+            .distinct()
+          df.union(nodes.select(col("node").as("from"),
+            col("node").as("to"))).distinct()
+      }
     }
     var proj = Seq.empty[Column]
     t.s match {
@@ -1263,12 +1287,25 @@ object Sparql {
       .select(col("subject"), col("predicate"), col("s").as("obj"))
   }
 
+  /** SELECT * resolves to every visible (non-shadow, non-internal)
+    * variable of the solution frame, in frame order. */
+  private def resolvedSelect(q: Query, sol: DataFrame): Seq[SelectItem] =
+    if (q.select.nonEmpty) q.select
+    else {
+      require(q.groupBy.isEmpty, "SELECT * cannot be grouped")
+      val vars = sol.columns
+        .filterNot(c => isShadow(c) || c.startsWith("__"))
+      require(vars.nonEmpty, "SELECT * over a frame with no variables")
+      vars.map(v => SelectItem(None, distinct = false, Some(v), v)).toSeq
+    }
+
   /** Compile + run a SPARQL SELECT against a store. */
   def select(store: GraftStore, query: String): DataFrame = {
-    val q = parse(query)
-    require(!q.ask, "ASK query — use Sparql.ask")
-    require(q.describe.isEmpty, "DESCRIBE query — use Sparql.describe")
-    val sol = solutionsOf(store, q.where, langVarsOf(q.where))._1
+    val q0 = parse(query)
+    require(!q0.ask, "ASK query — use Sparql.ask")
+    require(q0.describe.isEmpty, "DESCRIBE query — use Sparql.describe")
+    val sol = solutionsOf(store, q0.where, langVarsOf(q0.where))._1
+    val q = q0.copy(select = resolvedSelect(q0, sol))
     var out =
       if (hasAgg(q)) aggregatedFrame(sol, q)
         .select(q.select.map(it => col(it.alias)): _*)
@@ -1347,9 +1384,10 @@ object Sparql {
     * become new bindings with a canonical lexical rendering (integral
     * values without the trailing `.0`) plus a numeric shadow, so outer
     * FILTERs and joins treat them like any other binding. */
-  private def subFrame(store: GraftStore, q: Query,
+  private def subFrame(store: GraftStore, q0: Query,
                        langVars: Set[String]): (DataFrame, Set[String]) = {
-    val (sol, maybe) = solutionsOf(store, q.where, langVars)
+    val (sol, maybe) = solutionsOf(store, q0.where, langVars)
+    val q = q0.copy(select = resolvedSelect(q0, sol))
     val out = if (hasAgg(q)) aggregatedFrame(sol, q) else sol
     // canonical projection: every select item → lexical (+ shadow)
     val cols = q.select.flatMap { it =>

@@ -98,6 +98,27 @@ object Streaming {
     }
   }
 
+  /** Watermarked tumbling-window aggregation over a qstream — the
+    * windowed extension the reference lacks (SURVEY §2.6 marks windows
+    * "absent in reference"; a training-data pipeline wants ingest-rate
+    * / per-key counts over event time). `eventTime` must be a
+    * timestamp column; late rows beyond `lateness` are dropped by the
+    * watermark so state stays bounded — the standard Structured
+    * Streaming shape (state size ∝ windows in flight × keys, never
+    * the stream's history). */
+  def windowedCounts(stream: DataFrame, eventTime: String,
+                     windowLen: String, lateness: String,
+                     keys: Seq[String] = Nil): DataFrame = {
+    val keyCols = window(col(eventTime), windowLen) +: keys.map(col)
+    stream
+      .withWatermark(eventTime, lateness)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        keys.map(col) :+ col("n"): _*)
+  }
+
   /** Push sink: deliver each micro-batch from the EXECUTORS — the
     * webhook/queue push of the reference's push-mode subscribe. The
     * callback runs once per partition on the executor that holds it,

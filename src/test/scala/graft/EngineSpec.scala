@@ -36,6 +36,27 @@ class EngineSpec extends AnyFunSuite {
     "<c://doc/3> <c://o#num> \"5\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
     T("2024-01-01 00:00:00"))
 
+  test("namespace-qualified field keys resolve to the canonical key") {
+    import graft.qp.Namespaces
+    // prefix form
+    val p = Search.run(tagStore, Search.Request(path = "/doc",
+      qp = Some("tag.ont::red")))
+    assert(paths(p) == Set("/doc/1"))
+    // full-uri form ($...$ keeps the IRI's :/# out of the qp grammar)
+    val u = Search.run(tagStore, Search.Request(path = "/doc",
+      qp = Some("$cmwell://ont#tag$::blue")))
+    assert(paths(u) == Set("/doc/2"))
+    // hash form
+    val h = Namespaces.hashOf("cmwell://ont#")
+    val hh = Search.run(tagStore, Search.Request(path = "/doc",
+      qp = Some(s"tag.$$$h::green")))
+    assert(paths(hh) == Set("/doc/3"))
+    // a typo'd prefix fails loud, never a silent empty match
+    intercept[IllegalArgumentException](
+      Search.run(tagStore, Search.Request(path = "/doc",
+        qp = Some("tag.oops::red"))).collect())
+  }
+
   test("Should-only bool requires at least one Should to match") {
     val r = Search.run(tagStore, Search.Request(path = "/doc",
       qp = Some("*tag::red,*tag::blue")))
@@ -710,6 +731,22 @@ class EngineSpec extends AnyFunSuite {
       """SELECT ?o WHERE { <c://h/4> ^<c://o#q>+ ?o } ORDER BY ?o""")
       .collect()
     assert(inv.map(_.getString(0)).toSeq == Seq("/h/2", "/h/3"))
+  }
+
+  test("SPARQL SELECT * projects every visible variable") {
+    val r = Sparql.select(tagStore,
+      "SELECT * WHERE { ?s <c://o#tag> ?t } ORDER BY ?s")
+    assert(r.columns.toSeq == Seq("s", "t"))
+    assert(r.count() == 3)
+    // internal vars (bnode property lists, path intermediates) and
+    // shadow columns stay hidden
+    val hid = Sparql.select(tagStore,
+      """SELECT * WHERE { [ <c://o#tag> ?t ; <c://o#num> ?n ] . }""")
+    assert(hid.columns.toSeq.sorted == Seq("n", "t"))
+    // star + DISTINCT composes
+    val d = Sparql.select(tagStore,
+      "SELECT DISTINCT * WHERE { ?s <c://o#tag> ?t }")
+    assert(d.count() == 3)
   }
 
   test("SPARQL SAMPLE and GROUP_CONCAT aggregates") {

@@ -105,6 +105,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedCounts aggregates event-time windows and drops late rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val windowed = Streaming.windowedCounts(
+      ms.toDF().toDF("ts", "k"), "ts", "10 minutes", "5 minutes",
+      keys = Seq("k"))
+    val q = windowed.writeStream.format("memory").queryName("win")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      ms.addData(
+        (t("2024-01-01 00:01:00"), "a"),
+        (t("2024-01-01 00:02:00"), "a"),
+        (t("2024-01-01 00:03:00"), "b"))
+      q.processAllAvailable()
+      // advance the watermark far past the first window so it closes
+      ms.addData((t("2024-01-01 01:00:00"), "a"))
+      q.processAllAvailable()
+      // a row 55+ min late lands behind the watermark — dropped, the
+      // closed window's count must not change
+      ms.addData((t("2024-01-01 00:04:00"), "a"))
+      q.processAllAvailable()
+      ms.addData((t("2024-01-01 02:00:00"), "a")) // close everything
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, k, n FROM win ORDER BY window_start, k")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains((t("2024-01-01 00:00:00"), "a", 2L)))
+      assert(rows.contains((t("2024-01-01 00:00:00"), "b", 1L)))
+    } finally q.stop()
+  }
+
   test("deliver pushes each partition from the executors, not the driver") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
