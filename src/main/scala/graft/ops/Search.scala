@@ -66,7 +66,11 @@ object Search {
   def sortColumns(store: GraftStore, sortBy: Option[String]): Seq[Column] = {
     val keys = sortBy.map(QpParser.parseSortBy)
       .getOrElse(Seq(("system.lastModified", false)))
-    keys.map { case (name, asc) =>
+    keys.map { case (name0, asc) =>
+      // sort keys accept the same namespace-qualified spellings as qp
+      val name =
+        if (name0.startsWith("system.")) name0
+        else graft.qp.Namespaces.resolve(name0)
       val c =
         if (name.startsWith("system.")) col(name)
         else store.vTypeOf(name) match {
@@ -133,9 +137,10 @@ object Search {
   def fieldT(name: String): Column =
     element_at(col("fields").getItem(name), 1).getField("t")
 
-  /** `fields=` mask (Infoton.masked, Infoton.scala:215-218). */
+  /** `fields=` mask (Infoton.masked, Infoton.scala:215-218); mask
+    * entries accept the namespace-qualified spellings. */
   def maskFields(df: DataFrame, mask: Seq[String]): DataFrame = {
-    val keep = array(mask.map(lit): _*)
+    val keep = array(mask.map(m => lit(graft.qp.Namespaces.resolve(m))): _*)
     df.withColumn("fields",
       map_filter(col("fields"), (k, _) => array_contains(keep, k)))
   }

@@ -93,11 +93,12 @@ object Similarity {
                  tables: Int = 1): DataFrame = {
     val tableBuckets = (0 until tables).map { t =>
       val bucket = planes(t, numPlanes, dim).zipWithIndex.map { case (p, i) =>
-        // direct indexed multiply-adds (codegen'd), same index-ordered
-        // accumulation as the old HOF fold — identical signs/buckets
-        val planeDot = p.zipWithIndex.map { case (w, j) =>
-          col("embedding").getItem(j).cast("double") * lit(w)
-        }.reduce(_ + _)
+        // native vec_dot against the plane literal: ONE expression
+        // node per plane — an unrolled getItem tree across
+        // tables × planes × dim overflows codegen method limits and
+        // reverts the projection to interpreted eval
+        val planeDot = graft.functions.VectorExprs.dot(
+          col("embedding"), array(p.map(lit): _*))
         when(planeDot >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_))
       struct(lit(t).as("table"), bucket.as("bucket"))
