@@ -49,6 +49,8 @@ object Sparql {
   final case class L(lex: String, numeric: Option[Double]) extends Term
   /** `p+` one-or-more path — compiled as an iterative transitive
     * closure over the predicate's edge set. */
+  /** `p?` — zero-or-one path (identity ∪ one hop). */
+  final case class Opt(pred: Term) extends Term
   final case class Plus(pred: Term) extends Term
   /** `p*` zero-or-more path — the closure plus the identity relation
     * over the graph's node set (SPARQL zero-length path semantics). */
@@ -116,7 +118,7 @@ object Sparql {
   private val TokenRe =
     ("""\?[A-Za-z_][A-Za-z0-9_]*|_:[A-Za-z0-9_]+|<[^>\s]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>\s]*>|@[A-Za-z-]+)?|""" +
       """[A-Za-z][A-Za-z0-9_-]*:[A-Za-z_][A-Za-z0-9_]*|[A-Za-z_][A-Za-z0-9_]*|""" +
-      """-?\d+(?:\.\d+)?|&&|\|\||[{}()\[\].,;/+^|*-]|[<>!=]=?""").r
+      """-?\d+(?:\.\d+)?|&&|\|\||[{}()\[\].,;/+^|*?-]|[<>!=]=?""").r
 
   private val NumericDtypes = Set("integer", "long", "int", "short",
     "double", "decimal", "float")
@@ -209,13 +211,14 @@ object Sparql {
         expect(")")
         if (alts.length == 1) alts.head else Alt(alts)
       }
-      // one path element: [^] (pred | (alt)) [+|*]
+      // one path element: [^] (pred | (alt)) [+|*|?]
       def pathElt(): (Term, Boolean, Option[String]) = {
         val inv = peek == "^"
         if (inv) next()
         val t = if (peek == "(") parenAlt() else term()
         val mod =
-          if (peek == "+" || peek == "*") Some(next()) else None
+          if (peek == "+" || peek == "*" || peek == "?") Some(next())
+          else None
         (t, inv, mod)
       }
       // a full path: sequence p1/p2/… or top-level alternation p1|p2,
@@ -247,7 +250,9 @@ object Sparql {
         }
         elts.map { case (p0, inv, mod) =>
           mod match {
-            case Some(m) => (if (m == "+") Plus(p0) else Star(p0), inv)
+            case Some("+") => (Plus(p0), inv)
+            case Some("*") => (Star(p0), inv)
+            case Some(_) => (Opt(p0), inv)
             case None => (p0, inv)
           }
         }
@@ -324,11 +329,35 @@ object Sparql {
       else if (isFnCall) builtin()
       else {
         val v = next(); require(v.startsWith("?"), s"FILTER needs var, got $v")
-        val op = next()
-        if (peek.startsWith("?")) FCmpV(v.drop(1), op, next().drop(1))
-        else term() match {
-          case l: L => FCmp(v.drop(1), op, l)
-          case o => throw new IllegalArgumentException(s"FILTER value $o")
+        // `?x IN (…)` / `?x NOT IN (…)` — desugars to an equality
+        // disjunction (SPARQL 17.4.1.9-10); IRIs compare in path form
+        // like any bound reference
+        def inList(): FExpr = {
+          expect("(")
+          val vals = Vector.newBuilder[L]
+          while (peek != ")") {
+            term() match {
+              case l: L => vals += l
+              case I(iri) => vals += L(Rdf.iriToPath(iri), None)
+              case o => throw new IllegalArgumentException(s"IN value $o")
+            }
+            if (peek == ",") next()
+          }
+          expect(")")
+          val ls = vals.result()
+          require(ls.nonEmpty, "empty IN list")
+          ls.map(l => FCmp(v.drop(1), "=", l): FExpr).reduce(FOr.apply)
+        }
+        if (peek.equalsIgnoreCase("IN")) { next(); inList() }
+        else if (peek.equalsIgnoreCase("NOT")) {
+          next(); expect("IN"); FNot(inList())
+        } else {
+          val op = next()
+          if (peek.startsWith("?")) FCmpV(v.drop(1), op, next().drop(1))
+          else term() match {
+            case l: L => FCmp(v.drop(1), op, l)
+            case o => throw new IllegalArgumentException(s"FILTER value $o")
+          }
         }
       }
     }
@@ -624,16 +653,21 @@ object Sparql {
     * reference graphs (FK chains) are shallow. The bound is
     * session-configurable (`spark.graft.sparql.pathDepth`, default 12)
     * so legitimately deeper chains have an actionable knob. */
-  private def transitive(store: GraftStore, predLocals: Seq[String],
-                         seed: Option[String] = None): DataFrame = {
-    val maxDepth = store.quads.sparkSession.conf
-      .get("spark.graft.sparql.pathDepth", "12").toInt
-    val e = store.quads.where(col("current") &&
+  /** The (from, to) edge union for a predicate set — the raw material
+    * of every path-modifier scan. */
+  private def edgeSet(store: GraftStore,
+                      predLocals: Seq[String]): DataFrame =
+    store.quads.where(col("current") &&
         col("kind") =!= InfotonModel.KindDeleted &&
         col("predicate").isin(predLocals: _*) &&
         col("vType") === InfotonModel.TRef)
       .select(col("subject").as("from"), col("s").as("to")).distinct()
-      .localCheckpoint(true)
+
+  private def transitive(store: GraftStore, predLocals: Seq[String],
+                         seed: Option[String] = None): DataFrame = {
+    val maxDepth = store.quads.sparkSession.conf
+      .get("spark.graft.sparql.pathDepth", "12").toInt
+    val e = edgeSet(store, predLocals).localCheckpoint(true)
     // a bound subject seeds the walk: only paths FROM it are expanded,
     // so a single-resource closure never materializes the whole
     // graph's closure (frontier stays the reachable set)
@@ -665,7 +699,8 @@ object Sparql {
     * zero-length-path semantics; one distinct over two projected
     * columns of quads, no collect. */
   private def closureScan(store: GraftStore, t: Triple, pred: Term,
-                          includeZero: Boolean): DataFrame = {
+                          includeZero: Boolean,
+                          transitiveHop: Boolean = true): DataFrame = {
     val locals = pred match {
       case I(iri) => Seq(Rdf.localName(iri))
       case Alt(ps) => ps.map {
@@ -679,7 +714,12 @@ object Sparql {
       case I(iri) => Some(Rdf.iriToPath(iri))
       case _ => None
     }
-    var df = transitive(store, locals, seed)
+    var df =
+      if (transitiveHop) transitive(store, locals, seed)
+      else { // p? — exactly one hop before the identity union below
+        val e = edgeSet(store, locals)
+        seed.fold(e)(p => e.where(col("from") === p))
+      }
     if (includeZero) {
       df = seed match {
         case Some(p) =>
@@ -745,7 +785,7 @@ object Sparql {
           col("s") === Rdf.iriToPath(iri))
       case L(lex, Some(n)) => df = df.where(col("n") === n)
       case L(lex, None) => df = df.where(col("s") === lex)
-      case p @ (_: Plus | _: Star | _: Alt) =>
+      case p @ (_: Plus | _: Star | _: Alt | _: Opt) =>
         throw new IllegalArgumentException(s"bad object $p")
       case V(v) =>
         // the numeric shadow is projected only when the predicate's
@@ -950,6 +990,9 @@ object Sparql {
           closureScan(store, t, p, includeZero = false)
         case t @ Triple(_, Star(p), _) =>
           closureScan(store, t, p, includeZero = true)
+        case t @ Triple(_, Opt(p), _) =>
+          closureScan(store, t, p, includeZero = true,
+            transitiveHop = false)
         case t => scan(store, t, langVars)
       }.reduceLeft((a, b) => joined(a, b, "inner")), Set.empty)
     g.unions.foreach { alts =>

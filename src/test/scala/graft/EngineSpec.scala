@@ -816,6 +816,31 @@ class EngineSpec extends AnyFunSuite {
       "SELECT ?o WHERE { <c://n/a> <c://o#next>* ?o } ORDER BY ?o")
       .collect()
     assert(r.map(_.getString(0)).toSeq == Seq("/n/a", "/n/b", "/n/c"))
+    // p? — zero or ONE hop: identity + direct successor, never /n/c
+    val opt = Sparql.select(store,
+      "SELECT ?o WHERE { <c://n/a> <c://o#next>? ?o } ORDER BY ?o")
+      .collect()
+    assert(opt.map(_.getString(0)).toSeq == Seq("/n/a", "/n/b"))
+  }
+
+  test("SPARQL IN and NOT IN desugar to equality disjunctions") {
+    val in = Sparql.select(tagStore,
+      """SELECT ?s WHERE { ?s <c://o#tag> ?t .
+        |FILTER (?t IN ("red", "green")) } ORDER BY ?s""".stripMargin)
+      .collect()
+    assert(in.map(_.getString(0)).toSeq == Seq("/doc/1", "/doc/3"))
+    val notIn = Sparql.select(tagStore,
+      """SELECT ?s WHERE { ?s <c://o#tag> ?t .
+        |FILTER (?t NOT IN ("red", "green")) }""".stripMargin).collect()
+    assert(notIn.map(_.getString(0)).toSeq == Seq("/doc/2"))
+    // IRIs in the list compare in path form against bound refs
+    val store = storeOf(Seq(
+      "<c://r/1> <c://o#ref> <c://t/1> .",
+      "<c://r/2> <c://o#ref> <c://t/2> ."), T("2024-01-01 00:00:00"))
+    val iri = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#ref> ?x .
+        |FILTER (?x IN (<c://t/1>)) }""".stripMargin).collect()
+    assert(iri.map(_.getString(0)).toSeq == Seq("/r/1"))
   }
 
   test("SPARQL subquery joins its projection into the outer group") {
