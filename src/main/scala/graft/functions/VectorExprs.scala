@@ -47,6 +47,37 @@ abstract class VectorBinaryExpr extends BinaryExpression {
     if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)
   protected def elemCode(v: String, fl: Boolean): String =
     if (fl) s"(double) $v.getFloat(%I%)" else s"$v.getDouble(%I%)"
+
+  /** Fail-loud input guards: a dimension mismatch or a null element is
+    * data corruption — the replaced HOF forms nulled the whole score
+    * (silently excluding the row); truncating to min(length) or
+    * reading null slots as 0.0 would produce a plausible-but-wrong
+    * score. Throwing keeps the repo's fail-loud policy. */
+  protected def checkedLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimensions differ (${a.numElements()} vs " +
+          s"${b.numElements()})")
+    n
+  }
+  protected def checkNull(arr: ArrayData, i: Int): Unit =
+    if (arr.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"$prettyName: null element at index $i")
+  /** Generated-code guards (same semantics as above). */
+  protected def lenGuardCode(a: String, b: String, n: String): String =
+    s"""int $n = $a.numElements();
+       |if ($n != $b.numElements()) {
+       |  throw new IllegalArgumentException("$prettyName: vector " +
+       |    "dimensions differ (" + $a.numElements() + " vs " +
+       |    $b.numElements() + ")");
+       |}""".stripMargin
+  protected def nullGuardCode(v: String, i: String): String =
+    s"""if ($v.isNullAt($i)) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: null element at index " + $i);
+       |}""".stripMargin
 }
 
 /** dot(a, b) = Σ aᵢbᵢ — index-ordered accumulation (matches the SQL
@@ -58,9 +89,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val lf = isFloat(left); val rf = isFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var d = 0.0; var i = 0
-    while (i < n) { d += elemAt(a, lf, i) * elemAt(b, rf, i); i += 1 }
+    while (i < n) {
+      checkNull(a, i); checkNull(b, i)
+      d += elemAt(a, lf, i) * elemAt(b, rf, i); i += 1
+    }
     d
   }
 
@@ -72,9 +106,13 @@ case class DotProduct(left: Expression, right: Expression)
       val ga = elemCode(a, isFloat(left)).replace("%I%", i)
       val gb = elemCode(b, isFloat(right)).replace("%I%", i)
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |${lenGuardCode(a, b, n)}
         |double $d = 0.0;
-        |for (int $i = 0; $i < $n; $i++) { $d += ($ga) * ($gb); }
+        |for (int $i = 0; $i < $n; $i++) {
+        |  ${nullGuardCode(a, i)}
+        |  ${nullGuardCode(b, i)}
+        |  $d += ($ga) * ($gb);
+        |}
         |${ev.value} = $d;
       """.stripMargin
     })
@@ -94,9 +132,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val lf = isFloat(left); val rf = isFloat(right)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedLen(a, b)
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      checkNull(a, i); checkNull(b, i)
       val x = elemAt(a, lf, i); val y = elemAt(b, rf, i)
       d += x * y; na += x * x; nb += y * y; i += 1
     }
@@ -113,9 +152,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ga = elemCode(a, isFloat(left)).replace("%I%", i)
       val gb = elemCode(b, isFloat(right)).replace("%I%", i)
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |${lenGuardCode(a, b, n)}
         |double $d = 0.0, $na = 0.0, $nb = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
+        |  ${nullGuardCode(a, i)}
+        |  ${nullGuardCode(b, i)}
         |  double $x = $ga; double $y = $gb;
         |  $d += $x * $y; $na += $x * $x; $nb += $y * $y;
         |}

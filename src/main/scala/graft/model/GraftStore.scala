@@ -48,6 +48,18 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
     infotons.where(col("system.current") && col("system.kind") =!= InfotonModel.KindDeleted)
 
   def vTypeOf(field: String): Option[String] = fieldTypes.get(field)
+
+  /** (from, to) reference-edge pairs for a predicate set — the shared
+    * raw material of graph traversal (xg/yg/gqp hops) and SPARQL path
+    * scans. The quads layout partitions by predicate, so the isin
+    * prunes like an equality. NOT distinct (Graph joins tolerate
+    * multi-edges; closure callers add their own distinct). */
+  def refEdges(predLocals: Seq[String]): DataFrame =
+    quads.where(col("current") &&
+        col("kind") =!= InfotonModel.KindDeleted &&
+        col("predicate").isin(predLocals: _*) &&
+        col("vType") === InfotonModel.TRef)
+      .select(col("subject").as("from"), col("s").as("to"))
 }
 
 object GraftStore {

@@ -91,14 +91,9 @@ object Graph {
 
   /** Edge view over a SET of reference fields — one predicate-pruned
     * scan + one join for the xg `_`/digit wildcard forms, instead of a
-    * union of per-field joins (the quads layout partitions by
-    * predicate, so isin prunes exactly like equality). */
+    * union of per-field joins (shared scan: [[GraftStore.refEdges]]). */
   private def edgesMulti(store: GraftStore, fields: Seq[String]): DataFrame =
-    store.quads.where(col("current") &&
-        col("kind") =!= InfotonModel.KindDeleted &&
-        col("predicate").isin(fields: _*) &&
-        col("vType") === InfotonModel.TRef)
-      .select(col("subject").as("from"), col("s").as("to"))
+    store.refEdges(fields)
 
   /** Paths reachable from `frontierPaths` (col `p`) over one hop.
     * Aliased to survive self-joins in chained traversals. */

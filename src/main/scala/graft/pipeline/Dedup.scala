@@ -224,13 +224,12 @@ object Dedup {
     * brute-force [[Similarity.cosineTopK]] plays for ANN. Use when the
     * corpus (or a filtered slice of it) is small enough to square; the
     * 100 TB path is [[embeddingDupPairsLsh]]. */
-  def embeddingDupPairs(emb: DataFrame, tau: Double,
-                        dim: Int = 64): DataFrame = {
+  def embeddingDupPairs(emb: DataFrame, tau: Double): DataFrame = {
     val raw = emb.select(col("vec_id"), col("embedding"))
     val a = raw.alias("a"); val b = raw.alias("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        Similarity.cosineFixed(col("a.embedding"), col("b.embedding"), dim)
+        Similarity.cosineFixed(col("a.embedding"), col("b.embedding"))
           .as("cosine"))
       .where(col("cosine") >= tau)
   }
@@ -258,7 +257,7 @@ object Dedup {
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        Similarity.cosineFixed(col("a.embedding"), col("b.embedding"), dim)
+        Similarity.cosineFixed(col("a.embedding"), col("b.embedding"))
           .as("cosine"))
       .distinct() // a pair can meet in several tables
       .where(col("cosine") >= tau)

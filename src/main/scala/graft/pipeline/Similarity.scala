@@ -31,9 +31,8 @@ object Similarity {
     * [[graft.functions.DotProduct]] codegen expression (a tight
     * generated loop; HOF folds evaluate interpreted and dim-unrolled
     * getItem trees overflow codegen's method limits — see
-    * [[graft.functions.VectorExprs]]). `dim` is accepted for API
-    * stability; the expression handles any length. */
-  def dotFixed(a: Column, b: Column, dim: Int = 0): Column =
+    * [[graft.functions.VectorExprs]]); handles any length. */
+  def dotFixed(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dot(a, b)
 
   /** Cosine over the RAW arrays: Σ aᵢbᵢ / (‖a‖‖b‖) — DuckDB's
@@ -42,7 +41,7 @@ object Similarity {
     * intermediate array is built (under projection collapse every
     * getItem over a `transform(...)` array re-evaluates the whole
     * interpreted HOF — measured 10-30× slowdowns on pair joins). */
-  def cosineFixed(a: Column, b: Column, dim: Int = 0): Column =
+  def cosineFixed(a: Column, b: Column): Column =
     graft.functions.VectorExprs.cosine(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -57,15 +56,15 @@ object Similarity {
   /** Brute-force cosine top-k: for each query vector (small set,
     * broadcast), the k nearest among all embeddings. Returns
     * (query_id, rank, neighbor_id, cosine). */
-  def cosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-                 dim: Int = 64): DataFrame = {
+  def cosineTopK(emb: DataFrame, queryIds: Seq[Long],
+                 k: Int): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
     val queries = broadcast(
       base.where(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
     val scored = base.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineFixed(col("embedding"), col("qe"), dim).as("cosine"))
+        cosineFixed(col("embedding"), col("qe")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -147,7 +146,7 @@ object Similarity {
         col("table") === col("qt") && col("bucket") === col("qb") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineFixed(col("embedding"), col("qe"), dim).as("cosine"))
+        cosineFixed(col("embedding"), col("qe")).as("cosine"))
       .distinct() // a pair can meet in several tables
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -186,8 +185,7 @@ object Similarity {
 
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
               nlist: Int = 16, nprobe: Int = 8,
-              assign: Int = 2, seed: Long = 42L,
-              dim: Int = 64): DataFrame = {
+              assign: Int = 2, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // normalized vectors feed ONLY the k-means fit (angular cells);
@@ -217,7 +215,7 @@ object Similarity {
     // driver-tiny and ships inside the plan)
     val cellDots = centroids.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"),
-        dotFixed(col("embedding"), array(c.map(lit): _*), c.length).as("sim"))
+        dotFixed(col("embedding"), array(c.map(lit): _*)).as("sim"))
     }
     val cellScored = base.select(col("vec_id"), col("embedding"),
         explode(array(cellDots: _*)).as("cd"))
@@ -248,7 +246,7 @@ object Similarity {
     val scored = assigned.join(broadcast(topCells), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineFixed(col("embedding"), col("qe"), dim).as("cosine"))
+        cosineFixed(col("embedding"), col("qe")).as("cosine"))
       .distinct() // a spilled vector can meet a query in several cells
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -47,27 +47,35 @@ object Namespaces {
 
   register("ont", "cmwell://ont#")
 
-  /** Resolve any accepted key spelling to the canonical local key. */
+  /** Resolve any accepted key spelling to the canonical local key.
+    *
+    * The `$...$` forms are syntactically unambiguous, so an unknown
+    * namespace IRI or hash fails loud. A dotted key whose qualifier is
+    * NOT a registered prefix stays VERBATIM: RDF local names may
+    * legitimately contain dots (`version.2` from `…#version.2`), and
+    * rejecting them would make those fields unreachable — an unknown
+    * plain field name already matches nothing, the standard search
+    * behavior. */
   def resolve(key: String): String =
     if (key.startsWith("$") && key.endsWith("$") && key.length > 2) {
       val uri = key.substring(1, key.length - 1)
       val cut = math.max(uri.lastIndexOf('#'), uri.lastIndexOf('/')) + 1
       val (ns, local) = (uri.take(cut), uri.drop(cut))
       require(uris.contains(ns), s"unknown namespace IRI '$ns' in $key")
+      require(local.nonEmpty, s"empty local name in $key")
       local
     } else {
       val dot = key.lastIndexOf('.')
-      if (dot < 0) key
+      if (dot <= 0) key
       else {
         val (local, qual) = (key.take(dot), key.drop(dot + 1))
         if (qual.startsWith("$")) {
+          // hash form is unambiguous syntax — fail loud on a bad hash
           require(byHash.containsKey(qual.drop(1)),
             s"unknown namespace hash '${qual.drop(1)}' in $key")
-        } else {
-          require(byPrefix.containsKey(qual),
-            s"unknown namespace prefix '$qual' in $key")
-        }
-        local
+          local
+        } else if (byPrefix.containsKey(qual)) local
+        else key // a literal dotted field name, not a qualifier
       }
     }
 }

@@ -653,15 +653,12 @@ object Sparql {
     * reference graphs (FK chains) are shallow. The bound is
     * session-configurable (`spark.graft.sparql.pathDepth`, default 12)
     * so legitimately deeper chains have an actionable knob. */
-  /** The (from, to) edge union for a predicate set — the raw material
-    * of every path-modifier scan. */
+  /** The distinct (from, to) edge union for a predicate set — the raw
+    * material of every path-modifier scan (shared scan:
+    * [[GraftStore.refEdges]]). */
   private def edgeSet(store: GraftStore,
                       predLocals: Seq[String]): DataFrame =
-    store.quads.where(col("current") &&
-        col("kind") =!= InfotonModel.KindDeleted &&
-        col("predicate").isin(predLocals: _*) &&
-        col("vType") === InfotonModel.TRef)
-      .select(col("subject").as("from"), col("s").as("to")).distinct()
+    store.refEdges(predLocals).distinct()
 
   private def transitive(store: GraftStore, predLocals: Seq[String],
                          seed: Option[String] = None): DataFrame = {
@@ -1171,9 +1168,13 @@ object Sparql {
         }
         val (tl, tn) = bindCols(t, df)
         val (el, en) = bindCols(e2, df)
-        (when(cond, tl).otherwise(el),
+        // a NULL condition (e.g. a non-numeric value coerced for a
+        // numeric compare) must yield NULL — SPARQL's type-error ⇒
+        // unbound — not silently pick the else branch; the two-sided
+        // `when` leaves the null case unmatched
+        (when(cond, tl).when(!cond, el),
           if (tn.nonEmpty && en.nonEmpty)
-            Some(when(cond, tn.get).otherwise(en.get))
+            Some(when(cond, tn.get).when(!cond, en.get))
           else None)
       // numeric 1-arg functions
       case BFn(f @ ("abs" | "round" | "floor" | "ceil"), Seq(a)) =>
@@ -1432,11 +1433,22 @@ object Sparql {
     val (sol, maybe) = solutionsOf(store, q0.where, langVars)
     val q = q0.copy(select = resolvedSelect(q0, sol))
     val out = if (hasAgg(q)) aggregatedFrame(sol, q) else sol
-    // canonical projection: every select item → lexical (+ shadow)
+    // canonical projection: every select item → lexical (+ shadow).
+    // Only NUMERIC aggregates get the numLex rendering + __n shadow —
+    // numLex goes through decimal(38,6), which nulls any string, so
+    // GROUP_CONCAT/SAMPLE (and MIN/MAX over string variables) must
+    // project verbatim
     val cols = q.select.flatMap { it =>
-      if (it.agg.nonEmpty)
+      val numericAgg = it.agg.exists {
+        case "COUNT" | "SUM" | "AVG" => true
+        case "MIN" | "MAX" =>
+          it.v.exists(v => sol.columns.contains(s"${v}__n"))
+        case _ => false // SAMPLE, GROUP_CONCAT yield strings
+      }
+      if (numericAgg)
         Seq(numLex(col(it.alias)).as(it.alias),
           col(it.alias).cast("double").as(s"${it.alias}__n"))
+      else if (it.agg.nonEmpty) Seq(col(it.alias))
       else
         col(it.alias).as(it.alias) +:
           ShadowSuffixes.filter(s => out.columns.contains(it.alias + s))

@@ -51,10 +51,18 @@ class EngineSpec extends AnyFunSuite {
     val hh = Search.run(tagStore, Search.Request(path = "/doc",
       qp = Some(s"tag.$$$h::green")))
     assert(paths(hh) == Set("/doc/3"))
-    // a typo'd prefix fails loud, never a silent empty match
+    // an unregistered qualifier is treated as a literal dotted field
+    // name (RDF local names may contain dots) — matches nothing here
+    val dotted = Search.run(tagStore, Search.Request(path = "/doc",
+      qp = Some("tag.oops::red")))
+    assert(paths(dotted).isEmpty)
+    // the unambiguous forms fail loud on unknown hash / namespace IRI
     intercept[IllegalArgumentException](
       Search.run(tagStore, Search.Request(path = "/doc",
-        qp = Some("tag.oops::red"))).collect())
+        qp = Some("tag.$deadbeef::red"))).collect())
+    intercept[IllegalArgumentException](
+      Search.run(tagStore, Search.Request(path = "/doc",
+        qp = Some("$cmwell://nope#tag$::red"))).collect())
   }
 
   test("Should-only bool requires at least one Should to match") {
@@ -770,6 +778,15 @@ class EngineSpec extends AnyFunSuite {
         |} GROUP BY ?g ORDER BY ?g""".stripMargin).collect()
     assert(sm.length == 2 && Set("x", "y")(sm(0).getString(1)) &&
       sm(1).getString(1) == "z")
+    // string aggregates survive the subquery canonical projection
+    // (numLex goes through decimal and would null them)
+    val sub = Sparql.select(store,
+      """SELECT ?g ?tags WHERE {
+        |  { SELECT ?g (GROUP_CONCAT(?t; SEPARATOR=",") AS ?tags) WHERE {
+        |      ?s <c://o#g> ?g . ?s <c://o#tag> ?t } GROUP BY ?g }
+        |} ORDER BY ?g""".stripMargin).collect()
+    assert(sub.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "x,y"), ("b", "z")))
   }
 
   test("SPARQL BIND string/conditional builtins") {
