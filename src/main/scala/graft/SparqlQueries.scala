@@ -203,6 +203,22 @@ object SparqlQueries {
         |  <cmwell://customer/42> (ont:refNation|ont:refRegion)+ ?x
         |} ORDER BY ?x""".stripMargin)),
 
+    // GROUP_CONCAT with SEPARATOR (elements sorted lexically for
+    // determinism — SPARQL leaves the order open)
+    "q_sparql_gconcat" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?r (GROUP_CONCAT(?nm; SEPARATOR=",") AS ?names) WHERE {
+        |  ?n ont:refRegion ?r . ?n ont:name ?nm .
+        |} GROUP BY ?r ORDER BY ?r""".stripMargin)),
+
+    // BIND IF() — conditional derived column over a numeric binding
+    "q_sparql_bind_if" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?c ?tier WHERE {
+        |  ?c ont:acctbal ?b .
+        |  BIND(IF(?b > 5000, "high", "low") AS ?tier)
+        |} ORDER BY ?c""".stripMargin)),
+
     // `POST /_sp`: PATHS search requests populate the queried subgraph
     // (here: BUILDING customers + all nations); the SPARQL query runs
     // against just that slice — suppliers and other segments are
@@ -322,6 +338,20 @@ object SparqlQueries {
         |WHERE c_mktsegment = (
         |  SELECT c_mktsegment FROM customer GROUP BY 1
         |  ORDER BY count(*) DESC, c_mktsegment LIMIT 1)
+        |ORDER BY c""".stripMargin,
+    "q_sparql_gconcat" ->
+      """SELECT '/region/' || n_regionkey AS r,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY 1 ORDER BY r""".stripMargin,
+    "q_sparql_bind_if" ->
+      """SELECT c, tier FROM (
+        |  SELECT '/customer/' || c_custkey AS c,
+        |    CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT '/supplier/' || s_suppkey,
+        |    CASE WHEN s_acctbal > 5000 THEN 'high' ELSE 'low' END
+        |  FROM supplier)
         |ORDER BY c""".stripMargin,
     "q_sparql_proplist" ->
       """SELECT '/customer/' || c_custkey AS c FROM customer

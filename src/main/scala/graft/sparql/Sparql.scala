@@ -1272,10 +1272,27 @@ object Sparql {
     * scans are simply pre-filtered, and Catalyst pushes the
     * subgraph restriction into each pattern's scan. */
   def sp(store: GraftStore, paths: Seq[graft.ops.Search.Request],
-         query: String): DataFrame = {
-    import graft.ops.Search
-    val members = paths.map(r => Search.run(store, r)
-      .select(col("system.path").as("subject"))).reduce(_ union _).distinct()
+         query: String): DataFrame =
+    spExpanded(store, paths.map(SpPath(_)), query)
+
+  /** One PATHS line: a search request plus optional xg / yg expansion
+    * of its results before they populate the subgraph — the reference
+    * SPParser accepts `?op=search&qp=…&xg=…`/`yg=…` per path
+    * (SpHandler.scala:165-253). */
+  final case class SpPath(req: graft.ops.Search.Request,
+                          xg: Option[String] = None,
+                          yg: Option[String] = None)
+
+  def spExpanded(store: GraftStore, paths: Seq[SpPath],
+                 query: String): DataFrame = {
+    import graft.ops.{Graph, Search}
+    val members = paths.map { p =>
+      var df = Search.run(store, p.req)
+      p.xg.foreach(x => df = Graph.xg(store, df,
+        Graph.parseXg(x, Graph.refFields(store))))
+      p.yg.foreach(y => df = Graph.yg(store, df, y))
+      df.select(col("system.path").as("subject"))
+    }.reduce(_ union _).distinct()
     val sub = store.quads.join(members, Seq("subject"), "left_semi")
     select(store.scopedTo(sub), query)
   }

@@ -1131,6 +1131,18 @@ class EngineSpec extends AnyFunSuite {
     val nationOnly = Sparql.sp(store,
       Seq(Search.Request(path = "/nation")), q)
     assert(nationOnly.count() == 0)
+    // PATHS with xg: nations expanded along refRegion pull the regions
+    // into the subgraph without a second PATHS line (SPParser's
+    // per-path xg)
+    val expanded = Sparql.spExpanded(store, Seq(
+      Sparql.SpPath(Search.Request(path = "/nation"),
+        xg = Some("refRegion"))), q)
+    assert(expanded.count() == 5)
+    // and yg-expanded upstream traversal: regions + incoming refRegion
+    val ygExpanded = Sparql.spExpanded(store, Seq(
+      Sparql.SpPath(Search.Request(path = "/region"),
+        yg = Some("<refRegion"))), q)
+    assert(ygExpanded.count() == 5)
   }
 
   test("stp refreshes a materialized view only when the sensor fires") {
