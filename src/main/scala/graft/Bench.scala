@@ -64,8 +64,9 @@ object Bench {
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
     val sfTag = sfDir.split('/').last
-    def mkLine(hdr: Double => String, per: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + per(v) }
+    def mkLine(hdr: Double => String, per: Double => String,
+               keyOf: String => String = identity): String = {
+      val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + per(v) }
         .mkString("{", ",", "}")
       val errs =
         if (errors.isEmpty) ""
@@ -83,12 +84,22 @@ object Bench {
     // line was valid in bench_last.json but the driver recorded a parse
     // failure).
     spark.stop()
-    val line = mkLine(num, num1)
+    // Graceful degradation inside the driver's 2000-char stdout tail:
+    // a head-truncated line is a LOST bench (round-3 failure mode), so
+    // when the full line presses the budget, drop the uniform "q_" key
+    // prefix (full-fidelity names + precision stay in bench_last.json).
+    var line = mkLine(num, num1)
+    if (line.length > 1950) {
+      line = mkLine(num, num1, k => k.stripPrefix("q_"))
+      System.err.println("[bench] stdout line pressed the 2000-char " +
+        "driver tail budget; emitted with the q_ key prefix stripped " +
+        "(bench_last.json keeps full names)")
+    }
     println(line)
     System.out.flush()
-    if (line.length > 1900)
-      System.err.println(s"[bench] stdout line is ${line.length} chars — " +
-        "nearing the 2000-char driver tail budget; shorten before adding queries")
+    if (line.length > 1950)
+      System.err.println(s"[bench] stdout line is ${line.length} chars " +
+        "even without the q_ prefix — shorten before adding queries")
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: " +
         errors.keys.mkString(", "))
