@@ -89,15 +89,15 @@ object Bench {
     // when the full line presses the budget, drop the uniform "q_" key
     // prefix (full-fidelity names + precision stay in bench_last.json).
     var line = mkLine(num, num1)
-    if (line.length > 1950) {
+    if (line.length > 1990) {
       line = mkLine(num, num1, k => k.stripPrefix("q_"))
-      System.err.println("[bench] stdout line pressed the 2000-char " +
+      System.err.println("[bench] stdout line exceeded the 2000-char " +
         "driver tail budget; emitted with the q_ key prefix stripped " +
         "(bench_last.json keeps full names)")
     }
     println(line)
     System.out.flush()
-    if (line.length > 1950)
+    if (line.length > 1990)
       System.err.println(s"[bench] stdout line is ${line.length} chars " +
         "even without the q_ prefix — shorten before adding queries")
     if (errors.nonEmpty) {
