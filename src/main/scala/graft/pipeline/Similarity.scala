@@ -46,11 +46,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** l2-normalize (as double), so cosine == dot. */
+  /** l2-normalize (as double), so cosine == dot. The norm runs through
+    * the native dot expression — an `aggregate` HOF inside the per-
+    * element lambda would re-evaluate the whole fold per element
+    * (O(dim²) interpreted; measured seconds per 1k rows at dim 64). */
   def normalized(a: Column): Column = {
-    val d = transform(a, x => x.cast("double"))
-    transform(d, x => x / sqrt(aggregate(
-      transform(d, y => y * y), lit(0.0), (acc, y) => acc + y)))
+    val nrm = sqrt(graft.functions.VectorExprs.dot(a, a))
+    transform(a, x => x.cast("double") / nrm)
   }
 
   /** Brute-force cosine top-k: for each query vector (small set,
@@ -188,13 +190,7 @@ object Similarity {
               assign: Int = 2, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // normalized vectors feed ONLY the k-means fit (angular cells);
-    // the scan-side expressions below run on the raw arrays — cell
-    // rank per vector is scale-invariant (argmax dot(v̂,c) = argmax
-    // dot(v,c)), and cosineFixed normalizes inside one codegen'd
-    // expression instead of materializing normalized arrays
     val base = emb.select(col("vec_id"), col("embedding"))
-      .withColumn("fv", array_to_vector(normalized(col("embedding"))))
     // 128-bit canonical-plan key (a 32-bit hash could silently hand a
     // colliding corpus another corpus's quantizer); bounded so a
     // long-lived session over many corpora can't grow without limit.
@@ -206,43 +202,47 @@ object Similarity {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     if (quantizers.size > 16) quantizers.clear()
-    val model = quantizers.computeIfAbsent((planKey, nlist, seed),
-      _ => new KMeans().setK(nlist).setSeed(seed)
+    val model = quantizers.computeIfAbsent((planKey, nlist, seed), { _ =>
+      // the quantizer trains on a BOUNDED SAMPLE of normalized vectors
+      // (angular cells; cell rank per vector is scale-invariant, so
+      // the scan side keeps raw arrays). Coarse quantizers need a few
+      // thousand points per cell, not the corpus — at 100 TB the fit
+      // reads 64k rows, the standard IVF build recipe (faiss trains
+      // the same way), and k-means cost stays independent of corpus
+      // size. maxIter 10: centroid drift past that is far below cell-
+      // boundary noise that spill assignment already absorbs.
+      val fit = base.limit(64 * 1024)
+        .select(array_to_vector(normalized(col("embedding"))).as("fv"))
+      new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
         .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(base))
+        .fit(fit)
+    })
     val centroids = model.clusterCenters.map(_.toArray.toSeq)
-    // similarity to each centroid as literals (the quantizer is
-    // driver-tiny and ships inside the plan)
-    val cellDots = centroids.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"),
-        dotFixed(col("embedding"), array(c.map(lit): _*)).as("sim"))
+    /** Top-`n` cells for a vector, computed IN-ROW: similarity to each
+      * centroid as native-dot literals (the quantizer is driver-tiny
+      * and ships inside the plan), negated so the struct's natural
+      * ascending sort ranks best-first, then slice. No explode×nlist
+      * of the embedding column, no row_number window — the old
+      * window formulation shuffled every embedding nlist times. */
+    def topCellsArr(vec: Column, n: Int): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct((-dotFixed(vec, array(c.map(lit): _*))).as("nsim"),
+          lit(i).as("cell"))
+      }
+      transform(slice(sort_array(array(scored: _*)), 1, n),
+        _.getField("cell"))
     }
-    val cellScored = base.select(col("vec_id"), col("embedding"),
-        explode(array(cellDots: _*)).as("cd"))
-      .select(col("vec_id"), col("embedding"),
-        col("cd.cell").as("cell"), col("cd.sim").as("sim"))
     // SPILL ASSIGNMENT: each vector is indexed in its `assign` nearest
     // cells, the corpus-side analog of query multi-probe — a neighbor
     // just across a cell boundary stays findable. Index grows by
     // `assign`×; recall on boundary-heavy (weakly clustered) corpora
-    // grows much faster. Single consumer (the scored join) — no
-    // persist; at 100 TB this frame IS the written cell-partitioned
-    // index, built once at indexing time.
-    val assigned = cellScored.withColumn("ar", row_number().over(
-        Window.partitionBy("vec_id")
-          .orderBy(col("sim").desc, col("cell").asc)))
-      .where(col("ar") <= assign)
-      .select("vec_id", "embedding", "cell")
-    val probes = base.where(col("vec_id").isin(queryIds: _*))
+    // grows much faster. At 100 TB this frame IS the written cell-
+    // partitioned index, built once at indexing time.
+    val assigned = base.select(col("vec_id"), col("embedding"),
+      explode(topCellsArr(col("embedding"), assign)).as("cell"))
+    val topCells = base.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(array(cellDots: _*)).as("cd"))
-      .select(col("query_id"), col("qe"),
-        col("cd.cell").as("cell"), col("cd.sim").as("sim"))
-    val topCells = probes.withColumn("cr", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("cell").asc)))
-      .where(col("cr") <= nprobe)
-      .select(col("query_id"), col("qe"), col("cell"))
+        explode(topCellsArr(col("embedding"), nprobe)).as("cell"))
     val scored = assigned.join(broadcast(topCells), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
