@@ -159,6 +159,25 @@ object IngestQueries {
       .orderBy("doc_id")
   }
 
+  /** documents → TriG graph blocks → ingestTrig → search back: the
+    * named-graph syntax path — graph tag and language tag must survive
+    * the block parser (each formatter line is a standalone TriG doc;
+    * parallelism stays per-document). */
+  private def roundtripTrig(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Search.run(st(s, dir), Search.Request(path = "/documents"))
+    val trig = Formatters.trig(docs).as[String]
+    val st2 = GraftStore.fromInfotons(s,
+      Ingest.ingestTrig(s, Ingest.emptyStore(s), trig, T0))
+    val tv = element_at(col("fields"), "text").getItem(0)
+    Search.run(st2, Search.Request(path = "/documents"))
+      .select(Search.fieldN("doc_id").cast("long").as("doc_id"),
+        tv.getField("s").as("text"),
+        tv.getField("lang").as("lang"),
+        tv.getField("quad").as("quad"))
+      .orderBy("doc_id")
+  }
+
   /** customer → RDF/XML descriptions → ingestRdfXml → search back: each
     * doc wraps in the rdf:RDF envelope so namespaces resolve. */
   private def roundtripRdfXml(s: SparkSession, dir: String): DataFrame = {
@@ -202,6 +221,7 @@ object IngestQueries {
     "q_ingest_ttl" -> roundtripTtl,
     "q_ingest_rdfxml" -> roundtripRdfXml,
     "q_ingest_nq" -> roundtripNq,
+    "q_ingest_trig" -> roundtripTrig,
     "q_merge_update" -> mergeUpdate,
     "q_merge_delete" -> mergeDelete,
     "q_with_deleted" -> withDeleted)
@@ -223,6 +243,9 @@ object IngestQueries {
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
         |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
     "q_ingest_nq" ->
+      """SELECT doc_id, text, lang, '/graph/' || source AS quad
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_ingest_trig" ->
       """SELECT doc_id, text, lang, '/graph/' || source AS quad
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_merge_update" ->

@@ -39,6 +39,15 @@ object Ingest {
                    lastModified: Timestamp): DataFrame =
     ingestDocs(spark, infotons, docs, lastModified, Turtle.parse)
 
+  /** TriG ingest — [[Turtle.parse]] accepts graph blocks (Turtle is
+    * its no-blocks subset), so named-graph documents ride the same
+    * document-parallel path; values keep their graph tag through the
+    * merge (quad-aware FieldValue). */
+  def ingestTrig(spark: SparkSession, infotons: DataFrame,
+                 docs: Dataset[String],
+                 lastModified: Timestamp): DataFrame =
+    ingestDocs(spark, infotons, docs, lastModified, Turtle.parse)
+
   /** JSON-LD ingest — same document-level parallelism as Turtle. */
   def ingestJsonLd(spark: SparkSession, infotons: DataFrame,
                    docs: Dataset[String],

@@ -1,17 +1,21 @@
 package graft.ingest
 
-/** Turtle parser → [[Rdf.Statement]]s (the `POST /_in` `text/turtle`
-  * path; reference parses via Jena, InputHandler.scala:259 — no Jena in
-  * this build).
+/** Turtle/TriG parser → [[Rdf.Statement]]s (the `POST /_in`
+  * `text/turtle` / `application/trig` paths; reference parses via
+  * Jena, InputHandler.scala:259 — no Jena in this build).
   *
   * Supported: `@prefix`/`PREFIX`, IRIs, prefixed names, `a` (rdf:type),
   * `;` predicate lists, `,` object lists, string literals with
   * `^^datatype` / `@lang`, multi-line `"""` literals, numeric and
   * boolean shorthand literals, blank-node labels `_:x`, blank-node
   * property lists `[...]`, collections `(...)` (expanded to
-  * rdf:first/rdf:rest chains), comments. Not supported (throws):
-  * `@base`-relative IRIs — the reference's bulk tools always emit
-  * absolute IRIs.
+  * rdf:first/rdf:rest chains), comments, and TriG graph blocks —
+  * `GRAPH <g> { … }`, `<g> { … }`, and the default-graph `{ … }`
+  * (statements inside carry the graph normalized to path form, same
+  * rule as the N-Quads parser). Turtle is the no-blocks subset, so one
+  * parser serves both. Not supported (throws): `@base`-relative IRIs —
+  * the reference's bulk tools always emit absolute IRIs; bnode graph
+  * labels `[] { … }`.
   *
   * Unresolved single-colon prefixed names THROW (fail-loud policy): a
   * typo'd prefix must not silently become a field name. Only genuinely
@@ -36,6 +40,9 @@ object Turtle {
     private var i = 0
     private var prefixes = Map.empty[String, String]
     private var bn = 0
+    // TriG graph context: statements inside a graph block carry the
+    // label, normalized to path form (the N-Quads parser's rule)
+    private var curGraph: Option[String] = None
     private val out = Vector.newBuilder[Rdf.Statement]
 
     // labels are salted with a content digest: documents parse
@@ -78,7 +85,7 @@ object Turtle {
           // a '.' continues a numeric literal (0.5) but ends a statement
           else if (ch == '.') numeric && i + 1 < src.length &&
             src.charAt(i + 1).isDigit
-          else !";,<\"[]()".contains(ch)
+          else !";,<\"[](){}".contains(ch)
         }
         while (i < src.length && continues) i += 1
         require(i > st, s"empty token at offset $st")
@@ -135,7 +142,7 @@ object Turtle {
             src.charAt(i) == '-')) i += 1
           (None, Some(src.substring(s0, i)))
         } else (None, None)
-      Rdf.Statement(subj, pred, None, Some(unquote(body)), dt, lang, None)
+      Rdf.Statement(subj, pred, None, Some(unquote(body)), dt, lang, curGraph)
     }
 
     /** One object for (subj, pred) — emits the statement(s), including
@@ -146,10 +153,10 @@ object Turtle {
         val b = freshBnode()
         if (peek != ']') predicateObjectList(b)
         expect(']')
-        out += Rdf.Statement(subj, pred, Some(b), None, None, None, None)
+        out += Rdf.Statement(subj, pred, Some(b), None, None, None, curGraph)
       case '(' =>
         val head = collection()
-        out += Rdf.Statement(subj, pred, Some(head), None, None, None, None)
+        out += Rdf.Statement(subj, pred, Some(head), None, None, None, curGraph)
       case '"' =>
         out += literal(subj, pred)
       case _ =>
@@ -157,17 +164,17 @@ object Turtle {
         out += (
           if (tok == "true" || tok == "false")
             Rdf.Statement(subj, pred, None, Some(tok),
-              Some(Xsd + "boolean"), None, None)
+              Some(Xsd + "boolean"), None, curGraph)
           else if (tok.matches("[+-]?\\d+"))
             Rdf.Statement(subj, pred, None, Some(tok),
-              Some(Xsd + "integer"), None, None)
+              Some(Xsd + "integer"), None, curGraph)
           else if (tok.matches("[+-]?(\\d*\\.\\d+|\\d+)([eE][+-]?\\d+)?") &&
                    (tok.contains(".") || tok.exists(c => c == 'e' || c == 'E')))
             // DECIMAL (dot) or DOUBLE (exponent form, incl. 1e5)
             Rdf.Statement(subj, pred, None, Some(tok),
-              Some(Xsd + "decimal"), None, None)
+              Some(Xsd + "decimal"), None, curGraph)
           else Rdf.Statement(subj, pred, Some(resolve(tok)),
-            None, None, None, None))
+            None, None, None, curGraph))
     }
 
     /** `( e1 e2 ... )` → rdf:first/rdf:rest cells; returns the head
@@ -181,12 +188,12 @@ object Turtle {
         val cell = freshBnode()
         if (prev == null) head = cell
         else out += Rdf.Statement(prev, Rdf_rest, Some(cell),
-          None, None, None, None)
+          None, None, None, curGraph)
         objectTerm(cell, Rdf_first)
         prev = cell
       }
       i += 1 // ')'
-      out += Rdf.Statement(prev, Rdf_rest, Some(Rdf_nil), None, None, None, None)
+      out += Rdf.Statement(prev, Rdf_rest, Some(Rdf_nil), None, None, None, curGraph)
       head
     }
 
@@ -211,7 +218,7 @@ object Turtle {
       }
     }
 
-    private def triples(): Unit = {
+    private def triples(inBlock: Boolean = false): Unit = {
       val subj = peek match {
         case '[' =>
           i += 1
@@ -223,14 +230,27 @@ object Turtle {
         case _ => resolve(nextToken())
       }
       // a blank-node property list may stand alone as the whole triple
-      if (peek != '.') predicateObjectList(subj)
-      expect('.')
+      if (peek != '.' && !(inBlock && peek == '}')) predicateObjectList(subj)
+      // TriG: the final triple of a graph block may omit its '.'
+      if (inBlock && peek == '}') () else expect('.')
+    }
+
+    /** TriG graph block: statements inside carry `label` (path-
+      * normalized), restoring the enclosing graph on '}'. */
+    private def graphBlock(label: Option[String]): Unit = {
+      expect('{')
+      val saved = curGraph
+      curGraph = label.map(Rdf.iriToPath)
+      while (peek != '}') triples(inBlock = true)
+      i += 1 // '}'
+      curGraph = saved
     }
 
     def document(): Seq[Rdf.Statement] = {
       while (!eof) {
         // peek a word without consuming punctuation-introduced subjects
-        if (peek != '[' && peek != '(' && peek != '<') {
+        if (peek == '{') graphBlock(None) // TriG default-graph block
+        else if (peek != '[' && peek != '(') {
           val save = i
           val t = nextToken()
           if (t.equalsIgnoreCase("@prefix") || t.equalsIgnoreCase("PREFIX")) {
@@ -241,6 +261,10 @@ object Turtle {
           } else if (t.equalsIgnoreCase("@base") || t.equalsIgnoreCase("BASE")) {
             throw new IllegalArgumentException(
               "@base-relative IRIs unsupported — emit absolute IRIs")
+          } else if (t.equalsIgnoreCase("GRAPH")) {
+            graphBlock(Some(resolve(nextToken()))) // GRAPH <g> { … }
+          } else if (!eof && peek == '{') {
+            graphBlock(Some(resolve(t))) // labeled block: <g> { … }
           } else { i = save; triples() }
         } else triples()
       }

@@ -107,6 +107,26 @@ class TurtleSpec extends AnyFunSuite {
     assert(ok.head.pred == "cmwell://meta/sys#markReplace")
   }
 
+  test("trig graph blocks tag statements with the path-normalized graph") {
+    val doc =
+      """@prefix ont: <cmwell://ont#> .
+        |<c://s/1> ont:plain "outside" .
+        |GRAPH <c://graph/g1> {
+        |  <c://s/1> ont:tagged "in-g1" .
+        |  <c://s/2> ont:tagged "also-g1"
+        |}
+        |<c://graph/g2> { <c://s/1> ont:tagged "in-g2" . }
+        |{ <c://s/1> ont:dflt "default-block" . }
+        |""".stripMargin
+    val sts = Turtle.parse(doc)
+    def quadOf(lit: String) = sts.find(_.lit.contains(lit)).get.quad
+    assert(quadOf("outside").isEmpty)
+    assert(quadOf("in-g1").contains("/graph/g1"))
+    assert(quadOf("also-g1").contains("/graph/g1")) // final '.' omitted
+    assert(quadOf("in-g2").contains("/graph/g2"))
+    assert(quadOf("default-block").isEmpty)
+  }
+
   test("turtle ingest lands searchable infotons") {
     val spark = graft.SparkSuite.session
     import spark.implicits._
