@@ -219,6 +219,27 @@ object SparqlQueries {
         |  BIND(IF(?b > 5000, "high", "low") AS ?tier)
         |} ORDER BY ?c""".stripMargin)),
 
+    // negated property set: every nation property EXCEPT the listed
+    // ones — one complemented scan, no enumeration of the schema
+    "q_sparql_negset" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?n ?v WHERE {
+        |  ?n ont:refRegion ?r .
+        |  ?n !(ont:refRegion|ont:nationkey|ont:regionkey) ?v .
+        |} ORDER BY ?n ?v""".stripMargin)),
+
+    // term-type functions: isLiteral + datatype() over a variable
+    // predicate — the vType shadow discriminates refs from typed
+    // literals at scan time
+    "q_sparql_typefn" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?n ?o WHERE {
+        |  ?n ont:refRegion ?r .
+        |  ?n ?p ?o .
+        |  FILTER (isLiteral(?o) && datatype(?o) = xsd:long && ?o > 10)
+        |} ORDER BY ?n ?o""".stripMargin)),
+
     // `POST /_sp`: PATHS search requests populate the queried subgraph
     // (here: BUILDING customers + all nations); the SPARQL query runs
     // against just that slice — suppliers and other segments are
@@ -236,6 +257,13 @@ object SparqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sparql_negset" ->
+      """SELECT '/nation/' || n_nationkey AS n, n_name AS v
+        |FROM nation ORDER BY n, v""".stripMargin,
+    "q_sparql_typefn" ->
+      """SELECT '/nation/' || n_nationkey AS n,
+        |  CAST(n_nationkey AS VARCHAR) AS o
+        |FROM nation WHERE n_nationkey > 10 ORDER BY n, o""".stripMargin,
     "q_sparql_union" ->
       """SELECT x FROM (
         |  SELECT '/customer/' || c_custkey AS x FROM customer

@@ -58,6 +58,9 @@ object Sparql {
   /** `(p1|p2|…)` alternative path segment — one hop over the union of
     * the predicates' edge sets (compiles to a single isin scan). */
   final case class Alt(preds: Seq[Term]) extends Term
+  /** `!p` / `!(p1|p2|…)` negated property set — matches any predicate
+    * NOT in the set (SPARQL 1.1 §9.1; forward members only). */
+  final case class Neg(preds: Seq[Term]) extends Term
 
   final case class Triple(s: Term, p: Term, o: Term)
 
@@ -83,6 +86,9 @@ object Sparql {
   /** variable-to-variable comparison, e.g. FILTER (?a > ?b). */
   final case class FCmpV(l: String, op: String, r: String) extends FExpr
   final case class FFn(fn: String, variable: String, arg: String) extends FExpr
+  /** `strlen(?v) op n` — the one FILTER accessor whose comparison is
+    * numeric, not lexical. */
+  final case class FLenCmp(variable: String, op: String, n: Double) extends FExpr
   final case class FAnd(l: FExpr, r: FExpr) extends FExpr
   final case class FOr(l: FExpr, r: FExpr) extends FExpr
   final case class FNot(e: FExpr) extends FExpr
@@ -211,11 +217,28 @@ object Sparql {
         expect(")")
         if (alts.length == 1) alts.head else Alt(alts)
       }
-      // one path element: [^] (pred | (alt)) [+|*|?]
+      // one path element: [^] (pred | (alt) | !set) [+|*|?]
       def pathElt(): (Term, Boolean, Option[String]) = {
         val inv = peek == "^"
         if (inv) next()
-        val t = if (peek == "(") parenAlt() else term()
+        val t =
+          if (peek == "!") { // negated property set
+            next()
+            require(!inv, "inverse of a negated set unsupported")
+            val members = (if (peek == "(") parenAlt() else term()) match {
+              case Alt(ps) => ps
+              case one => Seq(one)
+            }
+            members.foreach {
+              case I(_) => ()
+              case o => throw new IllegalArgumentException(
+                s"negated set member must be a forward IRI, got $o")
+            }
+            require(peek != "+" && peek != "*" && peek != "?",
+              "modifiers on a negated property set unsupported")
+            Neg(members)
+          }
+          else if (peek == "(") parenAlt() else term()
         val mod =
           if (peek == "+" || peek == "*" || peek == "?") Some(next())
           else None
@@ -365,14 +388,55 @@ object Sparql {
       val fn = next().toLowerCase
       expect("(")
       val v = next(); require(v.startsWith("?"), s"$fn needs a var first arg")
-      // one-arg builtins: bound(?v) — the OPTIONAL + !bound(?v)
-      // negation idiom. Restricted to the known one-arg names so a
-      // two-arg (custom UDF) call with a forgotten argument still
+      val name = v.drop(1)
+      // one-arg builtins: bound(?v) (the OPTIONAL + !bound idiom) and
+      // the term type checks. Restricted to the known one-arg names so
+      // a two-arg (custom UDF) call with a forgotten argument still
       // fails at parse time instead of running with arg = ""
+      val oneArg = Set("bound", "isiri", "isuri", "isliteral", "isblank",
+        "isnumeric")
+      // ACCESSOR-comparisons — `lang(?v) = "en"`, `datatype(?v) =
+      // xsd:int`, `str(?v) != "x"`, `strlen(?v) > 3` — contracted to
+      // one FILTER node each (same treatment as langMatches)
+      val accessor = Set("lang", "datatype", "str", "strlen")
       if (peek == ")") {
         next()
-        require(fn == "bound", s"$fn needs two arguments")
-        return FFn(fn, v.drop(1), "")
+        if (accessor(fn)) {
+          val op = next()
+          require(Set("=", "!=", "<", "<=", ">", ">=")(op),
+            s"$fn(?$name) must be compared (got '$op')")
+          return fn match {
+            case "lang" =>
+              require(Set("=", "!=")(op), "lang() supports = / != only")
+              val rhs = term() match {
+                case L(lex, _) => lex
+                case o => throw new IllegalArgumentException(s"lang() vs $o")
+              }
+              val eq = FFn("langeq", name, rhs)
+              if (op == "=") eq else FNot(eq)
+            case "datatype" =>
+              require(Set("=", "!=")(op), "datatype() supports = / != only")
+              val rhs = term() match {
+                case I(iri) => iri
+                case o => throw new IllegalArgumentException(s"datatype() vs $o")
+              }
+              val eq = FFn("datatypeeq", name, rhs)
+              if (op == "=") eq else FNot(eq)
+            case "str" => // str() is identity on stored lexicals
+              term() match {
+                case L(lex, _) => FCmp(name, op, L(lex, None))
+                case I(iri) => FCmp(name, op, L(Rdf.iriToPath(iri), None))
+                case o => throw new IllegalArgumentException(s"str() vs $o")
+              }
+            case _ => // strlen
+              term() match {
+                case L(_, Some(n)) => FLenCmp(name, op, n)
+                case o => throw new IllegalArgumentException(s"strlen() vs $o")
+              }
+          }
+        }
+        require(oneArg(fn), s"$fn needs two arguments")
+        return FFn(fn, name, "")
       }
       expect(",")
       val arg = term() match {
@@ -380,7 +444,7 @@ object Sparql {
         case o => throw new IllegalArgumentException(s"$fn arg $o")
       }
       expect(")")
-      FFn(fn, v.drop(1), arg)
+      FFn(fn, name, arg)
     }
 
     // BIND scalar expression grammar — standard precedence (*/ over
@@ -754,7 +818,8 @@ object Sparql {
   /** One triple pattern → a filtered scan of quads with variable
     * bindings as columns. */
   private def scan(store: GraftStore, t: Triple,
-                   langVars: Set[String]): DataFrame = {
+                   langVars: Set[String],
+                   typeVars: Set[String]): DataFrame = {
     var df = store.quads.where(col("current") &&
       col("kind") =!= InfotonModel.KindDeleted)
     var proj = Seq.empty[Column]
@@ -768,6 +833,13 @@ object Sparql {
             s"path alternative must be an IRI, got $o")
         }
         df = df.where(col("predicate").isin(locals: _*))
+      case Neg(ps) =>
+        // negated set — same one-scan shape as Alt, complemented; the
+        // predicate-partitioned layout prunes nothing here by design
+        // (the match set is "everything else")
+        val locals = ps.map { case I(iri) => Rdf.localName(iri)
+          case o => throw new IllegalArgumentException(s"negated member $o") }
+        df = df.where(!col("predicate").isin(locals: _*))
       case V(v) => proj :+= col("predicate").as(v)
       case o => throw new IllegalArgumentException(s"bad predicate $o")
     }
@@ -782,7 +854,7 @@ object Sparql {
           col("s") === Rdf.iriToPath(iri))
       case L(lex, Some(n)) => df = df.where(col("n") === n)
       case L(lex, None) => df = df.where(col("s") === lex)
-      case p @ (_: Plus | _: Star | _: Alt | _: Opt) =>
+      case p @ (_: Plus | _: Star | _: Alt | _: Opt | _: Neg) =>
         throw new IllegalArgumentException(s"bad object $p")
       case V(v) =>
         // the numeric shadow is projected only when the predicate's
@@ -810,6 +882,7 @@ object Sparql {
         if (overPreds(numericPred)) proj :+= col("n").as(s"${v}__n")
         if (langVars(v) && overPreds(stringPred))
           proj :+= col("lang").as(s"${v}__lang")
+        if (typeVars(v)) proj :+= col("vType").as(s"${v}__t")
     }
     df.select(proj: _*)
   }
@@ -819,7 +892,7 @@ object Sparql {
     * `v__lang` (language tag, for lang()/langMatches FILTERs). Shadows
     * are never join keys; they follow their variable's binding through
     * joins. */
-  private val ShadowSuffixes = Seq("__n", "__lang")
+  private val ShadowSuffixes = Seq("__n", "__lang", "__t")
   private def isShadow(c: String): Boolean = ShadowSuffixes.exists(c.endsWith)
 
   private def joinVars(a: DataFrame, b: DataFrame): Seq[String] =
@@ -926,6 +999,42 @@ object Sparql {
     case FFn("strstarts", v, arg) => col(v).startsWith(arg)
     case FFn("strends", v, arg) => col(v).endsWith(arg)
     case FFn("bound", v, _) => col(v).isNotNull
+    // term type checks — object bindings carry a `__t` vType shadow
+    // (projected only when the query asks, like `__lang`); a binding
+    // without one came from subject/predicate position, which is an
+    // IRI by construction
+    case FFn("isiri" | "isuri", v, _) =>
+      if (cols(s"${v}__t")) col(s"${v}__t") === InfotonModel.TRef
+      else col(v).isNotNull
+    case FFn("isliteral", v, _) =>
+      if (cols(s"${v}__t"))
+        col(s"${v}__t").isNotNull && col(s"${v}__t") =!= InfotonModel.TRef
+      else lit(false)
+    case FFn("isblank", v, _) =>
+      // generated bnode labels keep their `_:` marker through path
+      // normalization (`/_:…`)
+      col(v).startsWith("_:") || col(v).startsWith("/_:")
+    case FFn("isnumeric", v, _) =>
+      if (cols(s"${v}__n")) col(s"${v}__n").isNotNull else lit(false)
+    // lang(?v) = "tag" — exact tag equality, case-insensitive; the
+    // plain-literal lang is the empty string (SPARQL 17.4.2.2)
+    case FFn("langeq", v, arg) =>
+      coalesce(lower(col(s"${v}__lang")), lit("")) === lit(arg.toLowerCase)
+    // datatype(?v) = xsd:T — vType-code set per XSD type; plain
+    // literals read as xsd:string
+    case FFn("datatypeeq", v, arg) =>
+      val codes = Rdf.localName(arg).toLowerCase match {
+        case "integer" | "int" | "long" | "short" | "byte" =>
+          Seq(InfotonModel.TInt, InfotonModel.TLong)
+        case "double" | "decimal" => Seq(InfotonModel.TDouble)
+        case "float" => Seq(InfotonModel.TFloat)
+        case "boolean" => Seq(InfotonModel.TBool)
+        case "datetime" | "date" => Seq(InfotonModel.TDate)
+        case "string" => Seq(InfotonModel.TString)
+        case o => throw new IllegalArgumentException(s"datatype() vs xsd:$o")
+      }
+      col(s"${v}__t").isin(codes: _*)
+    case FLenCmp(v, op, n) => cmpCol(op, length(col(v)).cast("double"), lit(n))
     // langMatches(lang(?v), "tag") contracted to one call: "*" matches
     // any tagged literal, otherwise exact tag or tag-prefix ("en"
     // matches "en-US"), case-insensitive per BCP 47
@@ -965,7 +1074,8 @@ object Sparql {
     * joins use SPARQL compatibility semantics (unbound matches
     * anything) instead of a null-dropping equi-join. */
   private def solutionsOf(store: GraftStore, g: Group,
-                          langVars: Set[String] = Set.empty)
+                          langVars: Set[String] = Set.empty,
+                          typeVars: Set[String] = Set.empty)
       : (DataFrame, Set[String]) = {
     var df: DataFrame = null
     var maybe = Set.empty[String]
@@ -990,13 +1100,13 @@ object Sparql {
         case t @ Triple(_, Opt(p), _) =>
           closureScan(store, t, p, includeZero = true,
             transitiveHop = false)
-        case t => scan(store, t, langVars)
+        case t => scan(store, t, langVars, typeVars)
       }.reduceLeft((a, b) => joined(a, b, "inner")), Set.empty)
     g.unions.foreach { alts =>
       // SPARQL UNION: concatenation of the alternatives' solution
       // multisets; variables bound in one branch only are unbound
       // (null) in the others — exactly unionByName/allowMissingColumns
-      val frames = alts.map(solutionsOf(store, _, langVars))
+      val frames = alts.map(solutionsOf(store, _, langVars, typeVars))
       val allVars = frames.flatMap(_._1.columns)
         .filterNot(isShadow).distinct
       val branchPartial = allVars
@@ -1015,12 +1125,12 @@ object Sparql {
     // `{ SELECT … }` subqueries — evaluated bottom-up, joined on their
     // projected variables
     g.subqueries.foreach { sq =>
-      val (sf, sm) = subFrame(store, sq, langVars)
+      val (sf, sm) = subFrame(store, sq, langVars, typeVars)
       mergeIn(sf, sm)
     }
     require(df != null, "empty group pattern")
     g.optionals.foreach { o =>
-      val (od, om) = solutionsOf(store, o, langVars)
+      val (od, om) = solutionsOf(store, o, langVars, typeVars)
       val newVars = od.columns.filterNot(isShadow).toSet --
         df.columns.toSet
       df = joined(df, od, "left")
@@ -1042,7 +1152,7 @@ object Sparql {
     // some right solution; disjoint domains remove nothing (SPARQL
     // spec). One distributed anti-join on the shared variables.
     g.minuses.foreach { m =>
-      val (md, _) = solutionsOf(store, m, langVars)
+      val (md, _) = solutionsOf(store, m, langVars, typeVars)
       val a = df
       val shared = joinVars(a, md)
       if (shared.nonEmpty) {
@@ -1058,7 +1168,7 @@ object Sparql {
     // FILTER (NOT) EXISTS — a semi/anti join on the shared variables,
     // with null-compatibility on possibly-unbound ones
     g.exists.foreach { case (eg, positive) =>
-      val (ed, em) = solutionsOf(store, eg, langVars)
+      val (ed, em) = solutionsOf(store, eg, langVars, typeVars)
       val a = df
       val shared = joinVars(a, ed)
       require(shared.nonEmpty,
@@ -1077,20 +1187,37 @@ object Sparql {
   /** Variables the query applies langMatches to, over the whole group
     * tree (nested groups, EXISTS, MINUS, subqueries) — only these need
     * the `__lang` shadow projected at scan time. */
-  private def langVarsOf(g: Group): Set[String] = {
+  private def langVarsOf(g: Group): Set[String] =
+    filterVarsOf(g) {
+      case FFn("langmatches" | "langeq", v, _) => Set(v)
+      case _ => Set.empty
+    }
+
+  /** Variables the query applies a term-type test to (isIRI /
+    * isLiteral / datatype) — only these need the `__t` vType shadow
+    * projected at scan time. */
+  private def typeVarsOf(g: Group): Set[String] =
+    filterVarsOf(g) {
+      case FFn("isiri" | "isuri" | "isliteral" | "datatypeeq", v, _) => Set(v)
+      case _ => Set.empty
+    }
+
+  private def filterVarsOf(g: Group)(
+      pick: FExpr => Set[String]): Set[String] = {
     def ofF(e: FExpr): Set[String] = e match {
-      case FFn("langmatches", v, _) => Set(v)
       case FAnd(l, r) => ofF(l) ++ ofF(r)
       case FOr(l, r) => ofF(l) ++ ofF(r)
       case FNot(x) => ofF(x)
-      case _ => Set.empty
+      case other => pick(other)
     }
-    g.filters.flatMap(ofF).toSet ++
-      g.optionals.flatMap(langVarsOf) ++
-      g.unions.flatten.flatMap(langVarsOf) ++
-      g.minuses.flatMap(langVarsOf) ++
-      g.exists.map(_._1).flatMap(langVarsOf) ++
-      g.subqueries.map(_.where).flatMap(langVarsOf)
+    def ofG(g: Group): Set[String] =
+      g.filters.flatMap(ofF).toSet ++
+        g.optionals.flatMap(ofG) ++
+        g.unions.flatten.flatMap(ofG) ++
+        g.minuses.flatMap(ofG) ++
+        g.exists.map(_._1).flatMap(ofG) ++
+        g.subqueries.map(_.where).flatMap(ofG)
+    ofG(g)
   }
 
   /** Variables referenced by a BIND expression. */
@@ -1308,7 +1435,7 @@ object Sparql {
     require(q.groupBy.isEmpty && q.having.isEmpty && q.orderBy.isEmpty &&
       q.limit.isEmpty && q.offset.isEmpty,
       "ASK does not take solution modifiers")
-    solutionsOf(store, q.where, langVarsOf(q.where))._1
+    solutionsOf(store, q.where, langVarsOf(q.where), typeVarsOf(q.where))._1
       .select(lit(1).as("one")).limit(1)
       .agg((count(col("one")) > 0).as("ask"))
   }
@@ -1335,7 +1462,7 @@ object Sparql {
     val fromVars =
       if (vars.isEmpty) Nil
       else {
-        val sol = solutionsOf(store, q.where, langVarsOf(q.where))._1
+        val sol = solutionsOf(store, q.where, langVarsOf(q.where), typeVarsOf(q.where))._1
         vars.map(v => sol.select(col(v).as("subject")))
       }
     val fromIris =
@@ -1365,7 +1492,7 @@ object Sparql {
     val q0 = parse(query)
     require(!q0.ask, "ASK query — use Sparql.ask")
     require(q0.describe.isEmpty, "DESCRIBE query — use Sparql.describe")
-    val sol = solutionsOf(store, q0.where, langVarsOf(q0.where))._1
+    val sol = solutionsOf(store, q0.where, langVarsOf(q0.where), typeVarsOf(q0.where))._1
     val q = q0.copy(select = resolvedSelect(q0, sol))
     var out =
       if (hasAgg(q)) aggregatedFrame(sol, q)
@@ -1446,8 +1573,9 @@ object Sparql {
     * values without the trailing `.0`) plus a numeric shadow, so outer
     * FILTERs and joins treat them like any other binding. */
   private def subFrame(store: GraftStore, q0: Query,
-                       langVars: Set[String]): (DataFrame, Set[String]) = {
-    val (sol, maybe) = solutionsOf(store, q0.where, langVars)
+                       langVars: Set[String],
+                       typeVars: Set[String]): (DataFrame, Set[String]) = {
+    val (sol, maybe) = solutionsOf(store, q0.where, langVars, typeVars)
     val q = q0.copy(select = resolvedSelect(q0, sol))
     val out = if (hasAgg(q)) aggregatedFrame(sol, q) else sol
     // canonical projection: every select item → lexical (+ shadow).
@@ -1503,7 +1631,7 @@ object Sparql {
     // sequence before template instantiation (SPARQL 16.2)
     require(q.orderBy.isEmpty || q.limit.nonEmpty || q.offset.nonEmpty,
       "CONSTRUCT ORDER BY without LIMIT/OFFSET has no effect")
-    var bound = solutionsOf(store, q.where, langVarsOf(q.where))._1
+    var bound = solutionsOf(store, q.where, langVarsOf(q.where), typeVarsOf(q.where))._1
     if (q.orderBy.nonEmpty) bound = ordered(bound, q)
     q.offset.foreach(o => bound = bound.offset(o))
     q.limit.foreach(l => bound = bound.limit(l))

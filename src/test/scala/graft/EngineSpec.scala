@@ -1235,4 +1235,60 @@ class EngineSpec extends AnyFunSuite {
     assert(frames.count() >= 5)
     assert(frames.columns.toSeq == Seq("path", "frame_no", "frame"))
   }
+
+  test("SPARQL negated property sets match the complement") {
+    val r = Sparql.select(tagStore,
+      "SELECT ?s ?o WHERE { ?s !<c://o#num> ?o } ORDER BY ?s").collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("red", "blue", "green"))
+    val none = Sparql.select(tagStore,
+      "SELECT ?s WHERE { ?s !(<c://o#num>|<c://o#tag>) ?o }").count()
+    assert(none == 0)
+  }
+
+  private lazy val typedStore = storeOf(Seq(
+    "<c://d/1> <c://o#link> <c://d/2> .",
+    "<c://d/1> <c://o#label> \"hello\"@en .",
+    "<c://d/2> <c://o#label> \"welt\"@de .",
+    "<c://d/2> <c://o#size> \"7\"^^<http://www.w3.org/2001/XMLSchema#long> ."),
+    T("2024-01-01 00:00:00"))
+
+  test("SPARQL isIRI/isLiteral discriminate term kinds") {
+    val iri = Sparql.select(typedStore,
+      "SELECT ?s WHERE { ?s ?p ?o . FILTER isIRI(?o) }").collect()
+    assert(iri.map(_.getString(0)).toSeq == Seq("/d/1"))
+    val lits = Sparql.select(typedStore,
+      "SELECT ?s ?o WHERE { ?s ?p ?o . FILTER isLiteral(?o) }").count()
+    assert(lits == 3)
+    // subject bindings are IRIs by construction (no shadow needed)
+    val subj = Sparql.select(typedStore,
+      "SELECT ?s WHERE { ?s <c://o#link> ?o . FILTER isIRI(?s) }").count()
+    assert(subj == 1)
+  }
+
+  test("SPARQL lang()/datatype() accessor comparisons") {
+    val en = Sparql.select(typedStore,
+      """SELECT ?s WHERE { ?s <c://o#label> ?l .
+        |FILTER (lang(?l) = "EN") }""".stripMargin).collect()
+    assert(en.map(_.getString(0)).toSeq == Seq("/d/1")) // case-insensitive
+    val notEn = Sparql.select(typedStore,
+      """SELECT ?s WHERE { ?s <c://o#label> ?l .
+        |FILTER (lang(?l) != "en") }""".stripMargin).count()
+    assert(notEn == 1)
+    val longs = Sparql.select(typedStore,
+      """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?s WHERE { ?s ?p ?o . FILTER (datatype(?o) = xsd:long) }"""
+        .stripMargin).collect()
+    assert(longs.map(_.getString(0)).toSeq == Seq("/d/2"))
+  }
+
+  test("SPARQL str()/strlen() accessor comparisons") {
+    val r = Sparql.select(tagStore,
+      """SELECT ?s WHERE { ?s <c://o#tag> ?t .
+        |FILTER (str(?t) = "red") }""".stripMargin).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("/doc/1"))
+    val long5 = Sparql.select(tagStore,
+      """SELECT ?s WHERE { ?s <c://o#tag> ?t .
+        |FILTER (strlen(?t) > 4) }""".stripMargin).collect()
+    assert(long5.map(_.getString(0)).toSeq == Seq("/doc/3")) // "green"
+  }
 }
