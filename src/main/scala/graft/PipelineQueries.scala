@@ -33,6 +33,15 @@ object PipelineQueries {
       Dedup.minhashLsh(docs(s, dir), n = 2, numHashes = 128, bands = 32,
         tau = 0.8).select("d1", "d2").orderBy("d1", "d2")),
 
+    // near-dup CLUSTERS: connected components over the exact jaccard
+    // pair set — (member, root=min id); keep-one-per-cluster is
+    // `member == root`. Oracle: recursive-CTE min-reachability.
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs(s, dir), n = 2, tau = 0.8)
+          .select(col("d1").as("v1"), col("d2").as("v2")))
+        .orderBy("member")),
+
     // SimHash near-dup pairs (16-bit chunk blocking, hamming <= 3);
     // engine-specific hash -> rows-only check + ScalaTest oracle
     "q_dedup_simhash" -> ((s, dir) =>
@@ -124,6 +133,16 @@ object PipelineQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_dedup_jaccard" -> (JaccardPairsSql + " ORDER BY d1, d2"),
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pr
+         |  UNION SELECT d2, d1 FROM pr),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+         |SELECT node AS member, min(r) AS root FROM reach
+         |GROUP BY node ORDER BY member""".stripMargin,
     "q_dedup_minhash" ->
       s"SELECT d1, d2 FROM ($JaccardPairsSql) ORDER BY d1, d2",
     "q_dedup_embedding" ->

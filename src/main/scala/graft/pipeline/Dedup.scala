@@ -262,4 +262,50 @@ object Dedup {
       .distinct() // a pair can meet in several tables
       .where(col("cosine") >= tau)
   }
+
+  /** Connected components over a near-dup pair frame — turns pairwise
+    * matches into DEDUP CLUSTERS: (member, root) with root = the
+    * component's minimum id, so "keep one per cluster" is
+    * `where(member === root)` and the drop set is everything else.
+    *
+    * Algorithm: iterated min-label propagation — each round every node
+    * takes the minimum label over itself and its neighbors (one join +
+    * one min-aggregate = two shuffles per round), converging in
+    * graph-diameter rounds. Near-dup components are dense (pair
+    * generators emit most of each clique), so the diameter is tiny —
+    * 2-3 rounds in practice; the log-round large-star/small-star
+    * rewrite (Kiveris et al., SoCC'14) only pays off on long-chain
+    * graphs that near-dup sets don't produce. Lineage is truncated per
+    * round (localCheckpoint), the standard guard for iterative frames.
+    * Nodes outside any pair are not emitted (singletons are their own
+    * root by definition). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("v1").as("src"), col("v2").as("dst"))
+      .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(msgs, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connected components still changing after " +
+      s"$maxIter rounds — raise maxIter (diameter-bound exceeded)")
+    edges.unpersist()
+    labels.select(col("node").as("member"), col("label").as("root"))
+  }
 }

@@ -1236,6 +1236,22 @@ class EngineSpec extends AnyFunSuite {
     assert(frames.columns.toSeq == Seq("path", "frame_no", "frame"))
   }
 
+  test("connected components fold pair lists into dedup clusters") {
+    import spark.implicits._
+    // triangle {1,2,3}, chain 10-11-12-13 (tests multi-hop label
+    // flow), isolated pair {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (1L, 3L),
+      (11L, 10L), (12L, 11L), (13L, 12L), (21L, 20L))
+      .toDF("v1", "v2")
+    val cc = graft.pipeline.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // keep-one-per-cluster = member == root
+    assert(cc.count { case (m, r) => m == r } == 3)
+  }
+
   test("SPARQL negated property sets match the complement") {
     val r = Sparql.select(tagStore,
       "SELECT ?s ?o WHERE { ?s !<c://o#num> ?o } ORDER BY ?s").collect()
