@@ -42,6 +42,23 @@ object PipelineQueries {
           .select(col("d1").as("v1"), col("d2").as("v2")))
         .orderBy("member")),
 
+    // the composed cleaning pipeline — quality gate + near-dup
+    // cluster keep-one in a single job: the end-to-end shape a
+    // training-data run takes (filter → pair → cluster → anti-join;
+    // the anti-join is drop-set-sized, never corpus×corpus)
+    "q_pipeline_clean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepQ = TextAnalysis.quality(d)
+        .where(col("n_tokens") >= 5 && col("repetition") <= 0.5)
+        .select("doc_id")
+      val dropDup = Dedup.connectedComponents(
+          Dedup.jaccardPairs(d, n = 2, tau = 0.8)
+            .select(col("d1").as("v1"), col("d2").as("v2")))
+        .where(col("member") =!= col("root"))
+        .select(col("member").as("doc_id"))
+      keepQ.join(dropDup, Seq("doc_id"), "left_anti").orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs (16-bit chunk blocking, hamming <= 3);
     // engine-specific hash -> rows-only check + ScalaTest oracle
     "q_dedup_simhash" -> ((s, dir) =>
@@ -133,6 +150,22 @@ object PipelineQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_dedup_jaccard" -> (JaccardPairsSql + " ORDER BY d1, d2"),
+    "q_pipeline_clean" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |q AS (SELECT doc_id FROM t WHERE len(ts) >= 5
+         |  AND 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts) <= 0.5),
+         |pr AS ($JaccardPairsSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pr
+         |  UNION SELECT d2, d1 FROM pr),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+         |dropd AS (SELECT node FROM reach GROUP BY node
+         |  HAVING node != min(r))
+         |SELECT doc_id FROM q
+         |WHERE doc_id NOT IN (SELECT node FROM dropd)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
          |edges AS (SELECT d1 AS a, d2 AS b FROM pr
