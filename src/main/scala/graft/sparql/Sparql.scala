@@ -61,6 +61,10 @@ object Sparql {
   /** `!p` / `!(p1|p2|…)` negated property set — matches any predicate
     * NOT in the set (SPARQL 1.1 §9.1; forward members only). */
   final case class Neg(preds: Seq[Term]) extends Term
+  /** Alternation with closure-modified branches (`p1|p2+`) — compiled
+    * as the union of the member path relations (plain members stay
+    * single scans, `+`/`*`/`?` members become closures). */
+  final case class AltMixed(members: Seq[Term]) extends Term
 
   final case class Triple(s: Term, p: Term, o: Term)
 
@@ -249,27 +253,37 @@ object Sparql {
       def path(): Seq[(Term, Boolean)] = {
         var elts = Vector(pathElt())
         while (peek == "/") { next(); elts :+= pathElt() }
-        // bare top-level alternation p1|p2 — each branch one element
+        // bare top-level alternation p1|p2 — each branch one element,
+        // optionally closure-modified (p1|p2+ → AltMixed union)
         if (peek == "|") {
-          def flat(e: (Term, Boolean, Option[String])): Seq[Term] = {
-            require(!e._2 && e._3.isEmpty,
-              "inverse/+/* branches in path alternatives unsupported " +
-                "(parenthesize: (p1|p2)+)")
+          def members(e: (Term, Boolean, Option[String])): Seq[Term] = {
+            require(!e._2, "inverse branches in path alternatives " +
+              "unsupported (parenthesize)")
             e._1 match {
-              case Alt(ps) => ps
-              case t => Seq(t)
+              case Alt(ps) if e._3.isEmpty => ps // flatten plain (a|b)
+              case t => Seq(e._3 match {
+                case Some("+") => Plus(t)
+                case Some("*") => Star(t)
+                case Some(_) => Opt(t)
+                case None => t
+              })
             }
           }
           require(elts.length == 1,
             "parenthesize sequence branches in path alternatives")
-          var alts = flat(elts.head)
+          var alts = members(elts.head)
           while (peek == "|") {
             next()
-            alts ++= flat(pathElt())
+            alts ++= members(pathElt())
             require(peek != "/",
               "parenthesize sequence branches in path alternatives")
           }
-          elts = Vector((Alt(alts), false, None))
+          val plain = alts.forall {
+            case _: Plus | _: Star | _: Opt => false
+            case _ => true
+          }
+          elts = Vector(
+            (if (plain) Alt(alts) else AltMixed(alts), false, None))
         }
         elts.map { case (p0, inv, mod) =>
           mod match {
@@ -854,7 +868,8 @@ object Sparql {
           col("s") === Rdf.iriToPath(iri))
       case L(lex, Some(n)) => df = df.where(col("n") === n)
       case L(lex, None) => df = df.where(col("s") === lex)
-      case p @ (_: Plus | _: Star | _: Alt | _: Opt | _: Neg) =>
+      case p @ (_: Plus | _: Star | _: Alt | _: Opt | _: Neg |
+                _: AltMixed) =>
         throw new IllegalArgumentException(s"bad object $p")
       case V(v) =>
         // the numeric shadow is projected only when the predicate's
@@ -1100,6 +1115,21 @@ object Sparql {
         case t @ Triple(_, Opt(p), _) =>
           closureScan(store, t, p, includeZero = true,
             transitiveHop = false)
+        case t @ Triple(s, AltMixed(ms), o) =>
+          // union of the member path relations; shadows are dropped so
+          // plain-scan rows and closure rows (which never carry any)
+          // agree on schema — a numeric FILTER over an AltMixed
+          // binding fails loud instead of silently dropping closure
+          // rows
+          ms.map {
+            case Plus(p) => closureScan(store, t, p, includeZero = false)
+            case Star(p) => closureScan(store, t, p, includeZero = true)
+            case Opt(p) => closureScan(store, t, p, includeZero = true,
+              transitiveHop = false)
+            case p =>
+              val f = scan(store, Triple(s, p, o), langVars, typeVars)
+              f.select(f.columns.filterNot(isShadow).map(col).toSeq: _*)
+          }.reduce(_ unionByName _).distinct()
         case t => scan(store, t, langVars, typeVars)
       }.reduceLeft((a, b) => joined(a, b, "inner")), Set.empty)
     g.unions.foreach { alts =>

@@ -1252,6 +1252,19 @@ class EngineSpec extends AnyFunSuite {
     assert(cc.count { case (m, r) => m == r } == 3)
   }
 
+  test("SPARQL mixed alternation p1|p2+ unions scan and closure") {
+    val store = storeOf(Seq(
+      "<c://m/1> <c://o#next> <c://m/2> .",
+      "<c://m/2> <c://o#next> <c://m/3> .",
+      "<c://m/1> <c://o#alias> <c://m/9> ."),
+      T("2024-01-01 00:00:00"))
+    val r = Sparql.select(store,
+      """SELECT ?o WHERE { <c://m/1> <c://o#alias>|<c://o#next>+ ?o }
+        |ORDER BY ?o""".stripMargin).collect().map(_.getString(0))
+    // alias edge (plain) ∪ next-closure {m/2, m/3}
+    assert(r.toSeq == Seq("/m/2", "/m/3", "/m/9"))
+  }
+
   test("SPARQL negated property sets match the complement") {
     val r = Sparql.select(tagStore,
       "SELECT ?s ?o WHERE { ?s !<c://o#num> ?o } ORDER BY ?s").collect()
