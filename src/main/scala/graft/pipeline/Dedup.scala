@@ -268,17 +268,17 @@ object Dedup {
     * component's minimum id, so "keep one per cluster" is
     * `where(member === root)` and the drop set is everything else.
     *
-    * Algorithm: iterated min-label propagation — each round every node
-    * takes the minimum label over itself and its neighbors (one join +
-    * one min-aggregate = two shuffles per round), converging in
-    * graph-diameter rounds. Near-dup components are dense (pair
-    * generators emit most of each clique), so the diameter is tiny —
-    * 2-3 rounds in practice; the log-round large-star/small-star
-    * rewrite (Kiveris et al., SoCC'14) only pays off on long-chain
-    * graphs that near-dup sets don't produce. Lineage is truncated per
-    * round (localCheckpoint), the standard guard for iterative frames.
-    * Nodes outside any pair are not emitted (singletons are their own
-    * root by definition). */
+    * Algorithm: min-label propagation with PATH HALVING — each round
+    * every node takes the minimum label over itself and its neighbors
+    * (join + min-aggregate), then jumps to its label's label (pointer
+    * doubling). The halving step turns diameter-bound convergence into
+    * log(diameter): near-dup graphs are mostly cliques (1-2 rounds
+    * either way) but jaccard-threshold CHAINS (A~B~C without A~C) are
+    * common in adversarial corpora and would otherwise pay a round per
+    * hop. Same primitive Kiveris et al. (SoCC'14) build large-star
+    * from. Lineage is truncated per round (localCheckpoint), the
+    * standard guard for iterative frames. Nodes outside any pair are
+    * not emitted (singletons are their own root by definition). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("v1").as("src"), col("v2").as("dst"))
       .unionByName(pairs.select(col("v2").as("src"), col("v1").as("dst")))
@@ -292,15 +292,24 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val msgs = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val next = labels.join(msgs, col("node") === col("src"), "left")
-        .select(col("node"),
+      val prop = labels.join(msgs, col("node") === col("src"), "left")
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
+      // path halving: jump to the label's label — labels only
+      // decrease, so this can't overshoot the component minimum
+      val lut = prop.select(col("node").as("ln"), col("label").as("ll"))
+      // labels only decrease, so "changed" is final < old — carried as
+      // a flag through the one checkpoint, no second pass
+      val next = prop.join(lut, col("label") === col("ln"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label")))
+            .as("label"),
+          (least(col("label"), coalesce(col("ll"), col("label"))) <
+            col("old")).as("chg"))
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .where(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.where(col("chg")).isEmpty
+      labels = next.drop("chg")
       iter += 1
     }
     require(converged, s"connected components still changing after " +
