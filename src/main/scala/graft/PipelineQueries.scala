@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -78,6 +78,13 @@ object PipelineQueries {
         .select(col("member").as("doc_id"))
       keepQ.join(dropDup, Seq("doc_id"), "left_anti").orderBy("doc_id")
     }),
+
+    // gap-based sessionization of the event stream (native
+    // session_window merge — no per-user sort pass); oracle = the
+    // relational lag/gap-sum island formulation
+    "q_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(graft.model.TableLoader.events(s, dir), 30)
+        .orderBy("user_id", "start_us")),
 
     // SimHash near-dup pairs (16-bit chunk blocking, hamming <= 3);
     // engine-specific hash -> rows-only check + ScalaTest oracle
@@ -186,6 +193,19 @@ object PipelineQueries {
          |SELECT doc_id FROM q
          |WHERE doc_id NOT IN (SELECT node FROM dropd)
          |ORDER BY doc_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH m AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+        |  THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |  AS sid FROM m)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) AS last_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
          |edges AS (SELECT d1 AS a, d2 AS b FROM pr
