@@ -48,6 +48,12 @@ object Ingest {
                  lastModified: Timestamp): DataFrame =
     ingestDocs(spark, infotons, docs, lastModified, Turtle.parse)
 
+  /** TriX ingest — same document-level parallelism as Turtle. */
+  def ingestTrix(spark: SparkSession, infotons: DataFrame,
+                 docs: Dataset[String],
+                 lastModified: Timestamp): DataFrame =
+    ingestDocs(spark, infotons, docs, lastModified, Trix.parse)
+
   /** JSON-LD ingest — same document-level parallelism as Turtle. */
   def ingestJsonLd(spark: SparkSession, infotons: DataFrame,
                    docs: Dataset[String],

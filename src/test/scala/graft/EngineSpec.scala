@@ -1252,6 +1252,34 @@ class EngineSpec extends AnyFunSuite {
     assert(cc.count { case (m, r) => m == r } == 3)
   }
 
+  test("trix ingest roundtrips the trix formatter and reads graph names") {
+    import spark.implicits._
+    val store = GraftStore.forDir(spark, Sf)
+    val cust = Search.run(store, Search.Request(path = "/customer"))
+    val (head, tail) = graft.ops.Formatters.trixWrap
+    val docs = graft.ops.Formatters.trix(cust).as[String]
+      .map(t => head + t + tail)
+    val inf = Ingest.ingestTrix(spark, Ingest.emptyStore(spark), docs,
+      T("2024-01-01 00:00:00"))
+    val st2 = GraftStore.fromInfotons(spark, inf)
+    val back = Search.run(st2, Search.Request(path = "/customer"))
+    assert(back.count() == cust.count())
+    val bal = back.where(col("system.path") === "/customer/1")
+      .select(Search.fieldN("acctbal")).head().getDouble(0)
+    val expected = cust.where(col("system.path") === "/customer/1")
+      .select(Search.fieldN("acctbal")).head().getDouble(0)
+    assert(bal == expected)
+    // named graph: a leading <uri> in <graph> quad-tags the statements
+    val sts = graft.ingest.Trix.parse(
+      """<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">
+        |<graph><uri>c://graph/g7</uri>
+        |<triple><uri>c://d/1</uri><uri>c://o#tag</uri>
+        |<plainLiteral xml:lang="en">hi</plainLiteral></triple>
+        |</graph></TriX>""".stripMargin)
+    assert(sts.length == 1 && sts.head.quad.contains("/graph/g7") &&
+      sts.head.lang.contains("en"))
+  }
+
   test("SPARQL mixed alternation p1|p2+ unions scan and closure") {
     val store = storeOf(Seq(
       "<c://m/1> <c://o#next> <c://m/2> .",
