@@ -87,6 +87,19 @@ object AggQueries {
         withHistory = true))
       Aggregations.sigTerms(store, fg, bg,
         Aggregations.SigTermsAgg("sig", "event_type", size = 5))
+    }),
+
+    // sig-terms with backgroundTerm (`backgroundTerm:event_type*click`,
+    // Parsers.scala:207): props significant among high-value events vs
+    // a background of ONLY click events (spanning versions — ES
+    // background_filter indexes every version as a doc)
+    "q_agg_sig_bg" -> ((s, dir) => {
+      val store = st(s, dir)
+      val fg = Search.run(store, Search.Request(path = "/user",
+        withHistory = true, qp = Some("value>150")))
+      Aggregations.run(store, fg,
+        Aggregations.SigTermsAgg("sig", "props", size = 5,
+          backgroundTerm = Some(("event_type", "click"))))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +174,22 @@ object AggQueries {
         |SELECT t.key, t.doc_count, r.sig_key, r.sig_fg, r.sig_bg, r.sig_score
         |FROM r JOIN top t USING(key) WHERE rn <= 3
         |ORDER BY key ASC, sig_key ASC""".stripMargin,
+    "q_agg_sig_bg" ->
+      """WITH fg AS (SELECT props AS key, count(*) AS fg_count FROM events
+        |  WHERE "value" > 150 GROUP BY 1),
+        |bg AS (SELECT props AS key, count(*) AS bg_count FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |j AS (SELECT fg.key, fg_count, bg_count,
+        |  (SELECT sum(fg_count) FROM fg) AS fg_total,
+        |  (SELECT sum(bg_count) FROM bg) AS bg_total
+        |  FROM fg JOIN bg ON fg.key = bg.key)
+        |SELECT key, fg_count, bg_count,
+        |  (((CAST(fg_count AS DOUBLE) / fg_total) - (CAST(bg_count AS DOUBLE) / bg_total))
+        |   * (CAST(fg_count AS DOUBLE) / fg_total)) / (CAST(bg_count AS DOUBLE) / bg_total) AS score
+        |FROM j WHERE fg_count >= 1
+        |AND (((CAST(fg_count AS DOUBLE) / fg_total) - (CAST(bg_count AS DOUBLE) / bg_total))
+        |   * (CAST(fg_count AS DOUBLE) / fg_total)) / (CAST(bg_count AS DOUBLE) / bg_total) > 0
+        |ORDER BY score DESC, key ASC LIMIT 5""".stripMargin,
     "q_agg_sig" ->
       """WITH fg AS (SELECT event_type AS key, count(*) AS fg_count FROM events
         |  WHERE "value" > 150 GROUP BY 1),

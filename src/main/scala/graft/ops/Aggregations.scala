@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.model.GraftStore
+import graft.model.{GraftStore, InfotonModel}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,9 +45,23 @@ object Aggregations {
   /** significant terms vs background set, JLH-style score
     * (AggregationFilter.scala:63-74; FTSService.scala:991-997). */
   final case class SigTermsAgg(name: String, field: String, size: Int = 10,
-      minDocCount: Int = 1) extends AggSpec {
+      minDocCount: Int = 1,
+      backgroundTerm: Option[(String, String)] = None) extends AggSpec {
     def subs: Seq[AggSpec] = Nil
   }
+
+  /** Background doc set for sig-terms: every current doc (default), or
+    * — with `backgroundTerm:f*v` (Parsers.scala:207) — the docs whose
+    * field f carries lexical value v. The term-restricted background
+    * spans ALL versions (the ES index indexes versions as documents,
+    * FTSService background_filter semantics), while the no-term
+    * default stays the current snapshot. */
+  private def sigBackground(store: GraftStore, g: SigTermsAgg): DataFrame =
+    g.backgroundTerm.fold(store.current) { case (f, v) =>
+      store.infotons.where(
+        col("system.kind") =!= InfotonModel.KindDeleted &&
+        exists(col("fields").getItem(f), x => x.getField("s") === v))
+    }
 
   /** Numeric view of a typed value struct: dates aggregate as epoch
     * millis (ES date-stats semantics), everything else uses the `n`
@@ -178,7 +192,7 @@ object Aggregations {
           .agg(count(lit(1)).as(s"${g.name}_fg"))
         val fgTot = fgc.groupBy(keys.map(col): _*)
           .agg(sum(s"${g.name}_fg").as("__fg_total"))
-        val bgc = keyed(store, store.current, g.field, childKey)
+        val bgc = keyed(store, sigBackground(store, g), g.field, childKey)
           .groupBy(col(childKey)).agg(count(lit(1)).as(s"${g.name}_bg"))
         val fgF = col(s"${g.name}_fg").cast("double") / col("__fg_total")
         val bgF = col(s"${g.name}_bg").cast("double") / col("__bg_total")
@@ -277,6 +291,6 @@ object Aggregations {
       case s: StatsAgg => stats(store, base, s)
       case h: HistAgg => hist(store, base, h)
       case c: CardAgg => card(store, base, c)
-      case g: SigTermsAgg => sigTerms(store, base, store.current, g)
+      case g: SigTermsAgg => sigTerms(store, base, sigBackground(store, g), g)
     }
 }

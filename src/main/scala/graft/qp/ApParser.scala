@@ -46,7 +46,14 @@ object ApParser extends RegexParsers {
         p.get("precisionThreshold").map(_.toLong))
       case "sig" => SigTermsAgg(name, field,
         p.get("size").map(_.toInt).getOrElse(10),
-        p.get("minDocCount").map(_.toInt).getOrElse(1))
+        p.get("minDocCount").map(_.toInt).getOrElse(1),
+        // reference grammar: `backgroundTerm:field*value`
+        // (Parsers.scala:207)
+        p.get("backgroundTerm").map { s =>
+          val i = s.indexOf('*')
+          require(i > 0, s"backgroundTerm needs field*value, got '$s'")
+          (s.take(i), s.drop(i + 1))
+        })
       case t => throw new IllegalArgumentException(s"ap: unknown type $t")
     }
   }

@@ -45,4 +45,13 @@ class ApParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       ApParser.parse("type:bogus,field::x"))
   }
+
+  test("sig carries backgroundTerm as field*value") {
+    assert(ApParser.parse(
+      "type:sig,field::props,backgroundTerm:event_type*click,size:5") ==
+      Seq(SigTermsAgg("props", "props", 5, 1,
+        Some(("event_type", "click")))))
+    intercept[IllegalArgumentException](
+      ApParser.parse("type:sig,field::p,backgroundTerm:noStar"))
+  }
 }
