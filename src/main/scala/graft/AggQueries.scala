@@ -44,6 +44,14 @@ object AggQueries {
     "q_agg_hist" -> ((s, dir) =>
       run(s, dir, "/orders", "type:hist,field::totalprice,interval:50000")),
 
+    // type:hist with extended bounds: the bucket spine is forced to
+    // [extMin, extMax] and empty buckets surface (minDocCount:0 — the
+    // ES extended_bounds pairing)
+    "q_agg_hist_ext" -> ((s, dir) =>
+      run(s, dir, "/customer",
+        "type:hist,field::acctbal,interval:2000,minDocCount:0," +
+          "extMin:-4000,extMax:12000")),
+
     // type:card — exact distinct count
     "q_agg_card" -> ((s, dir) =>
       run(s, dir, "/orders", "type:card,field::custkey")),
@@ -129,6 +137,15 @@ object AggQueries {
     "q_agg_hist" ->
       """SELECT floor(o_totalprice / 50000) * 50000 AS bucket,
         |count(*) AS doc_count FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_agg_hist_ext" ->
+      """WITH counts AS (SELECT floor(c_acctbal / 2000) * 2000 AS bucket,
+        |  count(*) AS doc_count FROM customer GROUP BY 1),
+        |spine AS (SELECT CAST(-4000 + 2000 * i AS DOUBLE) AS b
+        |  FROM UNNEST(generate_series(0, 8)) AS t(i))
+        |SELECT COALESCE(s.b, c.bucket) AS bucket,
+        |  COALESCE(c.doc_count, 0) AS doc_count
+        |FROM spine s FULL OUTER JOIN counts c ON s.b = c.bucket
+        |ORDER BY bucket""".stripMargin,
     "q_agg_card" ->
       "SELECT count(DISTINCT o_custkey) AS card FROM orders",
     "q_agg_nested" ->

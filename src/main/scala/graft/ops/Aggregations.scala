@@ -33,9 +33,13 @@ object Aggregations {
   final case class StatsAgg(name: String, field: String) extends AggSpec {
     def subs: Seq[AggSpec] = Nil
   }
-  /** numeric histogram (AggregationFilter.scala:54-61). */
+  /** numeric histogram (AggregationFilter.scala:54-61); extMin/extMax
+    * are ES extended_bounds — the bucket spine is forced to cover
+    * [extMin, extMax] so empty buckets surface (pair with
+    * minDocCount:0, as in ES). */
   final case class HistAgg(name: String, field: String, interval: Double,
-      minDocCount: Int = 1, subs: Seq[AggSpec] = Nil) extends AggSpec
+      minDocCount: Int = 1, extMin: Option[Double] = None,
+      extMax: Option[Double] = None, subs: Seq[AggSpec] = Nil) extends AggSpec
   /** distinct count; `precisionThreshold` maps to approx rsd — exact
     * below threshold (AggregationFilter.scala:76-79). */
   final case class CardAgg(name: String, field: String,
@@ -236,11 +240,28 @@ object Aggregations {
   def hist(store: GraftStore, base: DataFrame, spec: HistAgg): DataFrame = {
     val v = if (store.vTypeOf(spec.field).contains("w"))
       unix_millis(col("v")) else col("v")
-    keyed(store, base, spec.field, "v")
+    val counts = keyed(store, base, spec.field, "v")
       .groupBy((floor(v / spec.interval) * spec.interval).as("bucket"))
       .agg(count(lit(1)).as("doc_count"))
-      .where(col("doc_count") >= spec.minDocCount)
-      .orderBy("bucket")
+    // extended bounds EXTEND the bucket range (out-of-range data
+    // buckets are kept, as in ES): full-outer against the driver-tiny
+    // bucket spine, zero-filled
+    val filled = (spec.extMin, spec.extMax) match {
+      case (Some(lo), Some(hi)) =>
+        require(hi >= lo, "extMax < extMin")
+        val lo0 = math.floor(lo / spec.interval) * spec.interval
+        val n = (math.floor(hi / spec.interval) * spec.interval - lo0) /
+          spec.interval
+        val spine = base.sparkSession.range(0, n.toLong + 1)
+          .select((lit(lo0) + col("id") * spec.interval).as("bucket"))
+        spine.join(counts, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+      case (None, None) => counts
+      case _ => throw new IllegalArgumentException(
+        "extMin and extMax must be given together")
+    }
+    filled.where(col("doc_count") >= spec.minDocCount).orderBy("bucket")
   }
 
   /** type:card — exact below precisionThreshold, HLL above (the same

@@ -41,7 +41,9 @@ object ApParser extends RegexParsers {
       case "stats" => StatsAgg(name, field)
       case "hist" => HistAgg(name, field,
         p.get("interval").map(_.toDouble).getOrElse(1d),
-        p.get("minDocCount").map(_.toInt).getOrElse(1), subs)
+        p.get("minDocCount").map(_.toInt).getOrElse(1),
+        p.get("extMin").map(_.toDouble), p.get("extMax").map(_.toDouble),
+        subs)
       case "card" => CardAgg(name, field,
         p.get("precisionThreshold").map(_.toLong))
       case "sig" => SigTermsAgg(name, field,
