@@ -1333,6 +1333,19 @@ object Sparql {
           if (tn.nonEmpty && en.nonEmpty)
             Some(when(cond, tn.get).when(!cond, en.get))
           else None)
+      // hash functions (SPARQL 17.4.4.12-16) — hex digests of the
+      // lexical form; Spark's md5/sha2 are codegen'd
+      case BFn("md5", Seq(a)) => (md5(bindCols(a, df)._1), None)
+      case BFn("sha1", Seq(a)) => (sha1(bindCols(a, df)._1), None)
+      case BFn("sha256", Seq(a)) =>
+        (sha2(bindCols(a, df)._1, 256), None)
+      case BFn("sha512", Seq(a)) =>
+        (sha2(bindCols(a, df)._1, 512), None)
+      // ENCODE_FOR_URI (17.4.3.11): RFC 3986 percent-encoding of
+      // everything outside the unreserved set. url_encode is
+      // form-encoding (space → '+'), so patch the one divergence.
+      case BFn("encode_for_uri", Seq(a)) =>
+        (regexp_replace(url_encode(bindCols(a, df)._1), "\\+", "%20"), None)
       // numeric 1-arg functions
       case BFn(f @ ("abs" | "round" | "floor" | "ceil"), Seq(a)) =>
         val x = bNumOf(a, df)

@@ -1338,6 +1338,17 @@ class EngineSpec extends AnyFunSuite {
     assert(longs.map(_.getString(0)).toSeq == Seq("/d/2"))
   }
 
+  test("SPARQL BIND hash and encode_for_uri builtins") {
+    val r = Sparql.select(tagStore,
+      """SELECT ?h ?u WHERE { <c://doc/1> <c://o#tag> ?t .
+        |BIND(MD5(?t) AS ?h) BIND(ENCODE_FOR_URI(CONCAT(?t, " x/y")) AS ?u)
+        |}""".stripMargin).head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("red".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(0) == md)
+    assert(r.getString(1) == "red%20x%2Fy")
+  }
+
   test("SPARQL str()/strlen() accessor comparisons") {
     val r = Sparql.select(tagStore,
       """SELECT ?s WHERE { ?s <c://o#tag> ?t .
