@@ -141,6 +141,11 @@ object PipelineQueries {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
 
+    // corpus vocabulary: top-100 terms by total frequency with doc
+    // frequency (tokenizer-training staple)
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), k = 100)),
+
     // multimodal content store: binary payloads + typed metadata
     // (FileInfoton/zstore analog; payload = text bytes stand-in)
     "q_file_meta" -> ((s, dir) =>
@@ -247,6 +252,14 @@ object PipelineQueries {
          |CAST(floor(length(regexp_replace(text, '\\s+', '', 'g')) / 4
          |  + len($TokensSql)) AS BIGINT) AS bpe_token_estimate
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |occ AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+         |tf AS (SELECT term, count(*) AS freq FROM occ GROUP BY 1),
+         |dfq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq
+         |  FROM occ GROUP BY 1)
+         |SELECT tf.term, freq, doc_freq FROM tf JOIN dfq USING(term)
+         |ORDER BY freq DESC, term ASC LIMIT 100""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $TokensSql AS ts FROM documents)
          |SELECT doc_id, len(ts) AS n_tokens,

@@ -102,4 +102,24 @@ object TextAnalysis {
         (acc, h) => (acc * lit(1000003L) + h) % lit(2147483647L))
         .as("fingerprint"))
   }
+
+  /** Corpus vocabulary: per-term total frequency and document
+    * frequency, top `k` by frequency (term tie-break). The tokenizer-
+    * training / frequency-analysis staple — one explode + one groupBy
+    * (map-side partial counts; doc_freq via per-doc distinct BEFORE
+    * the shuffle, so the exchanged rows are (term, doc) distinct, not
+    * every occurrence). */
+  def vocabulary(docs: DataFrame, k: Int = 100,
+                 textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val df0 = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col(textCol))))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    tf.join(df0, Seq("term"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(k)
+  }
 }
