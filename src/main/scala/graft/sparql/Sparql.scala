@@ -393,6 +393,9 @@ object Sparql {
           if (peek.startsWith("?")) FCmpV(v.drop(1), op, next().drop(1))
           else term() match {
             case l: L => FCmp(v.drop(1), op, l)
+            // IRIs compare in path form, like bound references (same
+            // rule as the IN-list)
+            case I(iri) => FCmp(v.drop(1), op, L(Rdf.iriToPath(iri), None))
             case o => throw new IllegalArgumentException(s"FILTER value $o")
           }
         }

@@ -1338,6 +1338,17 @@ class EngineSpec extends AnyFunSuite {
     assert(longs.map(_.getString(0)).toSeq == Seq("/d/2"))
   }
 
+  test("SPARQL FILTER compares a variable against an IRI in path form") {
+    val r = Sparql.select(typedStore,
+      """SELECT ?s WHERE { ?s <c://o#link> ?o .
+        |FILTER (?o = <c://d/2>) }""".stripMargin).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("/d/1"))
+    val n = Sparql.select(typedStore,
+      """SELECT ?s ?o WHERE { ?s <c://o#link> ?o .
+        |FILTER (?o != <c://d/9>) }""".stripMargin).count()
+    assert(n == 1)
+  }
+
   test("SPARQL BIND hash and encode_for_uri builtins") {
     val r = Sparql.select(tagStore,
       """SELECT ?h ?u WHERE { <c://doc/1> <c://o#tag> ?t .
