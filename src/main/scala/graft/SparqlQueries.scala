@@ -240,6 +240,41 @@ object SparqlQueries {
         |  FILTER (isLiteral(?o) && datatype(?o) = xsd:long && ?o > 10)
         |} ORDER BY ?n ?o""".stripMargin)),
 
+    // GRAPH ?g — named-graph pattern binding the graph variable: every
+    // document value is quad-tagged /graph/<source> by the loader, so
+    // both patterns carry the same tag and join on (?d, ?g)
+    "q_sparql_graph" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?d ?g WHERE {
+        |  GRAPH ?g { ?d ont:lang "de" . ?d ont:n_chars ?n . FILTER (?n > 200) }
+        |} ORDER BY ?d ?g""".stripMargin)),
+
+    // GRAPH <g> — bound graph: the store is scoped to one tag, nested
+    // FILTER and patterns inherit the restriction
+    "q_sparql_graph_bound" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?d WHERE {
+        |  GRAPH <cmwell://graph/src7> { ?d ont:n_chars ?n . FILTER (?n > 300) }
+        |} ORDER BY ?d""".stripMargin)),
+
+    // FROM NAMED — restricts which graphs GRAPH ?g can match
+    "q_sparql_from_named" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?d ?g
+        |FROM NAMED <cmwell://graph/src1>
+        |FROM NAMED <cmwell://graph/src2>
+        |WHERE { GRAPH ?g { ?d ont:n_chars ?n . FILTER (?n > 300) } }
+        |ORDER BY ?d ?g""".stripMargin)),
+
+    // FROM — restricts the default graph to the listed graphs' merge:
+    // patterns outside GRAPH see only src3-tagged values
+    "q_sparql_from" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?d
+        |FROM <cmwell://graph/src3>
+        |WHERE { ?d ont:n_chars ?n . FILTER (?n > 400) }
+        |ORDER BY ?d""".stripMargin)),
+
     // `POST /_sp`: PATHS search requests populate the queried subgraph
     // (here: BUILDING customers + all nations); the SPARQL query runs
     // against just that slice — suppliers and other segments are
@@ -257,6 +292,20 @@ object SparqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sparql_graph" ->
+      """SELECT '/documents/' || doc_id AS d, '/graph/' || source AS g
+        |FROM documents WHERE lang = 'de' AND n_chars > 200
+        |ORDER BY d, g""".stripMargin,
+    "q_sparql_graph_bound" ->
+      """SELECT '/documents/' || doc_id AS d FROM documents
+        |WHERE source = 'src7' AND n_chars > 300 ORDER BY d""".stripMargin,
+    "q_sparql_from_named" ->
+      """SELECT '/documents/' || doc_id AS d, '/graph/' || source AS g
+        |FROM documents WHERE source IN ('src1','src2') AND n_chars > 300
+        |ORDER BY d, g""".stripMargin,
+    "q_sparql_from" ->
+      """SELECT '/documents/' || doc_id AS d FROM documents
+        |WHERE source = 'src3' AND n_chars > 400 ORDER BY d""".stripMargin,
     "q_sparql_negset" ->
       """SELECT '/nation/' || n_nationkey AS n, n_name AS v
         |FROM nation ORDER BY n, v""".stripMargin,

@@ -37,9 +37,13 @@ import org.apache.spark.sql.functions._
   * `{ SELECT … }` subqueries (joined bottom-up on projected vars),
   * GROUP BY, HAVING, ORDER BY, LIMIT, OFFSET; string literals with
   * escapes; `_:label` blank nodes (scoped non-projectable variables);
-  * var-var FILTER comparisons. Not supported (throws): `[...]` bnode
-  * property lists, `+`/`*` on alternatives or inside sequences.
-  * Inverse path segments `^p` swap the hop's ends.
+  * `[…]` bnode property lists (subject and object position, nested);
+  * var-var FILTER comparisons; closure-modified alternation branches
+  * (`p1|p2+`); `GRAPH ?g { … }` / `GRAPH <g> { … }` named-graph
+  * patterns over the quad-tagged store, with `FROM` / `FROM NAMED`
+  * dataset clauses. Inverse path segments `^p` swap the hop's ends.
+  * Not supported (throws): property-path closures inside `GRAPH ?g`,
+  * N3 formulas.
   */
 object Sparql {
 
@@ -106,7 +110,8 @@ object Sparql {
                          binds: Seq[(String, BExpr)] = Nil,
                          values: Seq[ValuesClause] = Nil,
                          exists: Seq[(Group, Boolean)] = Nil,
-                         subqueries: Seq[Query] = Nil)
+                         subqueries: Seq[Query] = Nil,
+                         graphs: Seq[(Term, Group)] = Nil)
 
   /** One SELECT item: a plain variable, or (AGG(?v) AS ?alias).
     * `sep` is GROUP_CONCAT's SEPARATOR (default " "). */
@@ -121,7 +126,9 @@ object Sparql {
                          template: Seq[Triple] = Nil, // CONSTRUCT shape
                          ask: Boolean = false,
                          describe: Seq[Term] = Nil,
-                         offset: Option[Int] = None)
+                         offset: Option[Int] = None,
+                         fromDefault: Seq[String] = Nil, // FROM <g>
+                         fromNamed: Seq[String] = Nil)   // FROM NAMED <g>
 
   // ---------------------------------------------------------------- parse
 
@@ -207,7 +214,8 @@ object Sparql {
         val p = peek
         p == "}" || p == "{" || p.equalsIgnoreCase("OPTIONAL") ||
           p.equalsIgnoreCase("FILTER") || p.equalsIgnoreCase("MINUS") ||
-          p.equalsIgnoreCase("BIND") || p.equalsIgnoreCase("VALUES")
+          p.equalsIgnoreCase("BIND") || p.equalsIgnoreCase("VALUES") ||
+          p.equalsIgnoreCase("GRAPH")
       }
       // `(p1|p2|…)` — alternatives must be plain forward predicates
       def parenAlt(): Term = {
@@ -517,6 +525,7 @@ object Sparql {
       val values = Vector.newBuilder[ValuesClause]
       val exists = Vector.newBuilder[(Group, Boolean)]
       val subqueries = Vector.newBuilder[Query]
+      val graphs = Vector.newBuilder[(Term, Group)]
       while (peek != "}") {
         if (peek == "{" && i + 1 < toks.length &&
             toks(i + 1).equalsIgnoreCase("SELECT")) {
@@ -530,6 +539,16 @@ object Sparql {
           unions += alts
         } else if (peek.equalsIgnoreCase("OPTIONAL")) {
           next(); optionals += group()
+        } else if (peek.equalsIgnoreCase("GRAPH")) {
+          // GRAPH ?g { … } / GRAPH <g> { … } — named-graph pattern
+          next()
+          val gt = term()
+          gt match {
+            case V(_) | I(_) => ()
+            case o => throw new IllegalArgumentException(
+              s"GRAPH needs a variable or IRI, got $o")
+          }
+          graphs += gt -> group()
         } else if (peek.equalsIgnoreCase("MINUS")) {
           next(); minuses += group()
         } else if (peek.equalsIgnoreCase("BIND")) {
@@ -586,7 +605,8 @@ object Sparql {
       expect("}")
       Group(patterns.result(), optionals.result(), unions.result(),
         filters.result(), minuses.result(), binds.result(),
-        values.result(), exists.result(), subqueries.result())
+        values.result(), exists.result(), subqueries.result(),
+        graphs.result())
     }
 
     // SELECT item list: ?v | (AGG(?v) AS ?alias) | (COUNT(*) AS ?a)
@@ -703,11 +723,26 @@ object Sparql {
     } else if (isDescribe) {
       next()
       while (peek.nonEmpty && !peek.equalsIgnoreCase("WHERE") &&
-             peek != "{") describe += term()
+             !peek.equalsIgnoreCase("FROM") && peek != "{")
+        describe += term()
       require(describe.result().nonEmpty, "DESCRIBE needs a resource or var")
     } else {
       val (items, d) = selectClause()
       select = items; distinct = d
+    }
+    // dataset clauses: FROM <g> restricts the default graph to the
+    // listed graphs' merge; FROM NAMED <g> restricts which graphs
+    // GRAPH clauses can match
+    val fromDefault = Vector.newBuilder[String]
+    val fromNamed = Vector.newBuilder[String]
+    while (peek.equalsIgnoreCase("FROM")) {
+      next()
+      val named = peek.equalsIgnoreCase("NAMED")
+      if (named) next()
+      term() match {
+        case I(iri) => if (named) fromNamed += iri else fromDefault += iri
+        case o => throw new IllegalArgumentException(s"FROM needs an IRI, got $o")
+      }
     }
     // WHERE is optional for ASK (`ASK { … }` is the common form) and
     // absent entirely for the DESCRIBE-by-IRI form
@@ -720,7 +755,8 @@ object Sparql {
       }
     val (groupBy, having, orderBy, limit, offset) = solutionModifiers()
     Query(select, distinct, where, groupBy, having, orderBy, limit,
-      template.result(), isAsk, describe.result(), offset)
+      template.result(), isAsk, describe.result(), offset,
+      fromDefault.result(), fromNamed.result())
   }
 
   // -------------------------------------------------------------- compile
@@ -833,10 +869,14 @@ object Sparql {
   }
 
   /** One triple pattern → a filtered scan of quads with variable
-    * bindings as columns. */
+    * bindings as columns. Inside `GRAPH ?g` the scan additionally
+    * projects the row's graph tag as the `?g` binding (`graphVar`) —
+    * the store is already scoped to named-graph rows, so patterns
+    * sharing ?g equi-join on the tag like any other variable. */
   private def scan(store: GraftStore, t: Triple,
                    langVars: Set[String],
-                   typeVars: Set[String]): DataFrame = {
+                   typeVars: Set[String],
+                   graphVar: Option[String] = None): DataFrame = {
     var df = store.quads.where(col("current") &&
       col("kind") =!= InfotonModel.KindDeleted)
     var proj = Seq.empty[Column]
@@ -901,6 +941,11 @@ object Sparql {
         if (langVars(v) && overPreds(stringPred))
           proj :+= col("lang").as(s"${v}__lang")
         if (typeVars(v)) proj :+= col("vType").as(s"${v}__t")
+    }
+    graphVar.foreach { gv =>
+      require(!Seq(t.s, t.p, t.o).contains(V(gv)),
+        s"GRAPH variable ?$gv reused as a term inside its own group")
+      proj :+= col("quad").as(gv)
     }
     df.select(proj: _*)
   }
@@ -1091,9 +1136,16 @@ object Sparql {
     * branch-partial UNIONs and OPTIONAL-only bindings — so enclosing
     * joins use SPARQL compatibility semantics (unbound matches
     * anything) instead of a null-dropping equi-join. */
+  /** `graphVar` = the enclosing `GRAPH ?g` variable (scans bind it);
+    * `named` = the dataset context for GRAPH clauses: the root store
+    * named-graph scans draw from (independent of any FROM default-graph
+    * restriction on `store`) plus the FROM NAMED allow-list (path form,
+    * empty = every named graph). */
   private def solutionsOf(store: GraftStore, g: Group,
                           langVars: Set[String] = Set.empty,
-                          typeVars: Set[String] = Set.empty)
+                          typeVars: Set[String] = Set.empty,
+                          graphVar: Option[String] = None,
+                          named: Option[(GraftStore, Seq[String])] = None)
       : (DataFrame, Set[String]) = {
     var df: DataFrame = null
     var maybe = Set.empty[String]
@@ -1109,13 +1161,22 @@ object Sparql {
         maybe = (maybe ++ bMaybe) -- bound
       }
     }
+    // property-path closures are graph-scoped via the (already scoped)
+    // store under GRAPH <g>; under GRAPH ?g the per-graph closure would
+    // need the tag threaded through the iterative join — fail loud
+    def noClosureUnderGraphVar(): Unit = require(graphVar.isEmpty,
+      "property-path closures inside GRAPH ?g are unsupported — bind " +
+        "the graph (GRAPH <g>) or lift the closure out of the GRAPH group")
     if (g.patterns.nonEmpty)
       mergeIn(g.patterns.map {
         case t @ Triple(_, Plus(p), _) =>
+          noClosureUnderGraphVar()
           closureScan(store, t, p, includeZero = false)
         case t @ Triple(_, Star(p), _) =>
+          noClosureUnderGraphVar()
           closureScan(store, t, p, includeZero = true)
         case t @ Triple(_, Opt(p), _) =>
+          noClosureUnderGraphVar()
           closureScan(store, t, p, includeZero = true,
             transitiveHop = false)
         case t @ Triple(s, AltMixed(ms), o) =>
@@ -1125,21 +1186,30 @@ object Sparql {
           // binding fails loud instead of silently dropping closure
           // rows
           ms.map {
-            case Plus(p) => closureScan(store, t, p, includeZero = false)
-            case Star(p) => closureScan(store, t, p, includeZero = true)
-            case Opt(p) => closureScan(store, t, p, includeZero = true,
-              transitiveHop = false)
+            case Plus(p) =>
+              noClosureUnderGraphVar()
+              closureScan(store, t, p, includeZero = false)
+            case Star(p) =>
+              noClosureUnderGraphVar()
+              closureScan(store, t, p, includeZero = true)
+            case Opt(p) =>
+              noClosureUnderGraphVar()
+              closureScan(store, t, p, includeZero = true,
+                transitiveHop = false)
             case p =>
-              val f = scan(store, Triple(s, p, o), langVars, typeVars)
-              f.select(f.columns.filterNot(isShadow).map(col).toSeq: _*)
+              val f = scan(store, Triple(s, p, o), langVars, typeVars,
+                graphVar)
+              f.select(f.columns.filterNot(c => isShadow(c) &&
+                !graphVar.contains(c)).map(col).toSeq: _*)
           }.reduce(_ unionByName _).distinct()
-        case t => scan(store, t, langVars, typeVars)
+        case t => scan(store, t, langVars, typeVars, graphVar)
       }.reduceLeft((a, b) => joined(a, b, "inner")), Set.empty)
     g.unions.foreach { alts =>
       // SPARQL UNION: concatenation of the alternatives' solution
       // multisets; variables bound in one branch only are unbound
       // (null) in the others — exactly unionByName/allowMissingColumns
-      val frames = alts.map(solutionsOf(store, _, langVars, typeVars))
+      val frames = alts.map(solutionsOf(store, _, langVars, typeVars,
+        graphVar, named))
       val allVars = frames.flatMap(_._1.columns)
         .filterNot(isShadow).distinct
       val branchPartial = allVars
@@ -1158,12 +1228,40 @@ object Sparql {
     // `{ SELECT … }` subqueries — evaluated bottom-up, joined on their
     // projected variables
     g.subqueries.foreach { sq =>
-      val (sf, sm) = subFrame(store, sq, langVars, typeVars)
+      val (sf, sm) = subFrame(store, sq, langVars, typeVars, graphVar, named)
       mergeIn(sf, sm)
+    }
+    // GRAPH clauses — each compiles against the dataset's named-graph
+    // slice: a bound graph scopes the store to that one tag (closures
+    // and all nested patterns inherit the restriction for free); a
+    // graph variable scopes to all (FROM-NAMED-allowed) tagged rows and
+    // threads the tag projection into each scan as the ?g binding.
+    // Nested GRAPH re-scopes from the dataset root, not the enclosing
+    // graph (SPARQL 13.3).
+    g.graphs.foreach { case (gt, gg) =>
+      val (root, fromN) = named.getOrElse((store, Nil))
+      var nq = root.quads.where(col("quad").isNotNull)
+      if (fromN.nonEmpty) nq = nq.where(col("quad").isin(fromN: _*))
+      gt match {
+        case I(iri) =>
+          val scoped = root.scopedTo(
+            nq.where(col("quad") === Rdf.iriToPath(iri)))
+          val (gd, gm) = solutionsOf(scoped, gg, langVars, typeVars,
+            None, named)
+          mergeIn(gd, gm)
+        case V(v) =>
+          val scoped = root.scopedTo(nq)
+          val (gd, gm) = solutionsOf(scoped, gg, langVars, typeVars,
+            Some(v), named)
+          mergeIn(gd, gm)
+        case o => throw new IllegalArgumentException(
+          s"GRAPH needs a variable or IRI, got $o")
+      }
     }
     require(df != null, "empty group pattern")
     g.optionals.foreach { o =>
-      val (od, om) = solutionsOf(store, o, langVars, typeVars)
+      val (od, om) = solutionsOf(store, o, langVars, typeVars,
+        graphVar, named)
       val newVars = od.columns.filterNot(isShadow).toSet --
         df.columns.toSet
       df = joined(df, od, "left")
@@ -1185,7 +1283,8 @@ object Sparql {
     // some right solution; disjoint domains remove nothing (SPARQL
     // spec). One distributed anti-join on the shared variables.
     g.minuses.foreach { m =>
-      val (md, _) = solutionsOf(store, m, langVars, typeVars)
+      val (md, _) = solutionsOf(store, m, langVars, typeVars,
+        graphVar, named)
       val a = df
       val shared = joinVars(a, md)
       if (shared.nonEmpty) {
@@ -1201,7 +1300,8 @@ object Sparql {
     // FILTER (NOT) EXISTS — a semi/anti join on the shared variables,
     // with null-compatibility on possibly-unbound ones
     g.exists.foreach { case (eg, positive) =>
-      val (ed, em) = solutionsOf(store, eg, langVars, typeVars)
+      val (ed, em) = solutionsOf(store, eg, langVars, typeVars,
+        graphVar, named)
       val a = df
       val shared = joinVars(a, ed)
       require(shared.nonEmpty,
@@ -1249,7 +1349,8 @@ object Sparql {
         g.unions.flatten.flatMap(ofG) ++
         g.minuses.flatMap(ofG) ++
         g.exists.map(_._1).flatMap(ofG) ++
-        g.subqueries.map(_.where).flatMap(ofG)
+        g.subqueries.map(_.where).flatMap(ofG) ++
+        g.graphs.map(_._2).flatMap(ofG)
     ofG(g)
   }
 
@@ -1481,7 +1582,9 @@ object Sparql {
     require(q.groupBy.isEmpty && q.having.isEmpty && q.orderBy.isEmpty &&
       q.limit.isEmpty && q.offset.isEmpty,
       "ASK does not take solution modifiers")
-    solutionsOf(store, q.where, langVarsOf(q.where), typeVarsOf(q.where))._1
+    val (ds, named) = datasetOf(store, q)
+    solutionsOf(ds, q.where, langVarsOf(q.where), typeVarsOf(q.where),
+        None, named)._1
       .select(lit(1).as("one")).limit(1)
       .agg((count(col("one")) > 0).as("ask"))
   }
@@ -1508,7 +1611,9 @@ object Sparql {
     val fromVars =
       if (vars.isEmpty) Nil
       else {
-        val sol = solutionsOf(store, q.where, langVarsOf(q.where), typeVarsOf(q.where))._1
+        val (ds, named) = datasetOf(store, q)
+        val sol = solutionsOf(ds, q.where, langVarsOf(q.where),
+          typeVarsOf(q.where), None, named)._1
         vars.map(v => sol.select(col(v).as("subject")))
       }
     val fromIris =
@@ -1519,6 +1624,25 @@ object Sparql {
         col("kind") =!= InfotonModel.KindDeleted)
       .join(subjects, Seq("subject"), "left_semi")
       .select(col("subject"), col("predicate"), col("s").as("obj"))
+  }
+
+  /** Dataset clauses → (scan store for default-graph patterns, named
+    * context for GRAPH clauses). FROM <g> scopes default-graph scans to
+    * the listed graphs' merge; with no FROM the default graph is the
+    * union of everything (the reference's Jena dataset behaves the
+    * same: every ingested quad is searchable without naming its
+    * graph). FROM NAMED restricts GRAPH matching; with no FROM NAMED
+    * every named graph is available — a deliberate deviation from the
+    * strict spec (which would empty GRAPH when only FROM appears),
+    * matching the merge-with-store behavior users expect. */
+  private def datasetOf(store: GraftStore, q: Query)
+      : (GraftStore, Option[(GraftStore, Seq[String])]) = {
+    val named = Some((store, q.fromNamed.map(Rdf.iriToPath)))
+    val defStore =
+      if (q.fromDefault.isEmpty) store
+      else store.scopedTo(store.quads.where(
+        col("quad").isin(q.fromDefault.map(Rdf.iriToPath): _*)))
+    (defStore, named)
   }
 
   /** SELECT * resolves to every visible (non-shadow, non-internal)
@@ -1538,7 +1662,9 @@ object Sparql {
     val q0 = parse(query)
     require(!q0.ask, "ASK query — use Sparql.ask")
     require(q0.describe.isEmpty, "DESCRIBE query — use Sparql.describe")
-    val sol = solutionsOf(store, q0.where, langVarsOf(q0.where), typeVarsOf(q0.where))._1
+    val (ds, named) = datasetOf(store, q0)
+    val sol = solutionsOf(ds, q0.where, langVarsOf(q0.where),
+      typeVarsOf(q0.where), None, named)._1
     val q = q0.copy(select = resolvedSelect(q0, sol))
     var out =
       if (hasAgg(q)) aggregatedFrame(sol, q)
@@ -1620,8 +1746,12 @@ object Sparql {
     * FILTERs and joins treat them like any other binding. */
   private def subFrame(store: GraftStore, q0: Query,
                        langVars: Set[String],
-                       typeVars: Set[String]): (DataFrame, Set[String]) = {
-    val (sol, maybe) = solutionsOf(store, q0.where, langVars, typeVars)
+                       typeVars: Set[String],
+                       graphVar: Option[String] = None,
+                       named: Option[(GraftStore, Seq[String])] = None)
+      : (DataFrame, Set[String]) = {
+    val (sol, maybe) = solutionsOf(store, q0.where, langVars, typeVars,
+      graphVar, named)
     val q = q0.copy(select = resolvedSelect(q0, sol))
     val out = if (hasAgg(q)) aggregatedFrame(sol, q) else sol
     // canonical projection: every select item → lexical (+ shadow).
@@ -1677,7 +1807,9 @@ object Sparql {
     // sequence before template instantiation (SPARQL 16.2)
     require(q.orderBy.isEmpty || q.limit.nonEmpty || q.offset.nonEmpty,
       "CONSTRUCT ORDER BY without LIMIT/OFFSET has no effect")
-    var bound = solutionsOf(store, q.where, langVarsOf(q.where), typeVarsOf(q.where))._1
+    val (ds, named) = datasetOf(store, q)
+    var bound = solutionsOf(ds, q.where, langVarsOf(q.where),
+      typeVarsOf(q.where), None, named)._1
     if (q.orderBy.nonEmpty) bound = ordered(bound, q)
     q.offset.foreach(o => bound = bound.offset(o))
     q.limit.foreach(l => bound = bound.limit(l))

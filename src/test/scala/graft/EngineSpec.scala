@@ -476,6 +476,41 @@ class EngineSpec extends AnyFunSuite {
     assert(neg.collect().map(_.getString(0)).toSeq == Seq("/w/2"))
   }
 
+  test("SPARQL GRAPH clause: variable + bound + dataset clauses") {
+    val store = storeOf(Seq(
+      "<c://f/1> <c://o#tag> \"a\" <c://g/1> .",
+      "<c://f/2> <c://o#tag> \"b\" <c://g/2> .",
+      "<c://f/3> <c://o#tag> \"c\" ."),
+      T("2024-01-01 00:00:00"))
+    // GRAPH ?g matches only tagged rows, binding ?g to the graph path
+    val byVar = Sparql.select(store,
+      "SELECT ?d ?g WHERE { GRAPH ?g { ?d <c://o#tag> ?v } } ORDER BY ?d")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(byVar == Seq("/f/1" -> "/g/1", "/f/2" -> "/g/2"))
+    // GRAPH <g> scopes the whole group to one graph
+    assert(Sparql.select(store,
+      "SELECT ?d WHERE { GRAPH <c://g/2> { ?d <c://o#tag> ?v } }")
+      .collect().map(_.getString(0)).toSeq == Seq("/f/2"))
+    // FROM NAMED restricts the graphs GRAPH ?g can match
+    assert(Sparql.select(store,
+      """SELECT ?d FROM NAMED <c://g/1>
+        |WHERE { GRAPH ?g { ?d <c://o#tag> ?v } }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq == Seq("/f/1"))
+    // FROM restricts the default graph to the listed graphs' merge
+    assert(Sparql.select(store,
+      "SELECT ?d FROM <c://g/2> WHERE { ?d <c://o#tag> ?v }")
+      .collect().map(_.getString(0)).toSeq == Seq("/f/2"))
+    // no dataset clause: default graph is the union (all 3 visible)
+    assert(Sparql.select(store,
+      "SELECT ?d WHERE { ?d <c://o#tag> ?v }").count() == 3)
+    // closures inside GRAPH ?g fail loud
+    val e = intercept[IllegalArgumentException] {
+      Sparql.select(store,
+        "SELECT ?d WHERE { GRAPH ?g { ?d <c://o#tag>+ ?v } }")
+    }
+    assert(e.getMessage.contains("GRAPH ?g"))
+  }
+
   test("SPARQL custom FILTER functions dispatch to registered UDFs") {
     Sparql.registerFunction(spark, "lenis") { (s, n) =>
       s != null && s.length == n.toInt
