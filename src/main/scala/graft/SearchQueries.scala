@@ -119,6 +119,14 @@ object SearchQueries {
         .select(Search.fieldN("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id")),
 
+    // quad filter through a registered ALIAS — resolved to the graph
+    // IRI at plan time (RawFieldFilter.scala getQuadUrlForAlias)
+    "q_quad_alias" -> ((s, dir) =>
+      Search.run(st(s, dir), Search.Request(path = "/documents",
+          qp = Some("system.quad::src4")))
+        .select(Search.fieldN("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")),
+
     // lang-tag filter: documents with a German-tagged text value
     "q_lang_filter" -> ((s, dir) =>
       Search.run(st(s, dir), Search.Request(path = "/documents",
@@ -205,6 +213,8 @@ object SearchQueries {
         |count(*) AS versions FROM events GROUP BY 1 ORDER BY path""".stripMargin,
     "q_quad_filter" ->
       "SELECT doc_id FROM documents WHERE source = 'src7' ORDER BY doc_id",
+    "q_quad_alias" ->
+      "SELECT doc_id FROM documents WHERE source = 'src4' ORDER BY doc_id",
     "q_lang_filter" ->
       "SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id",
     "q_search_all" ->

@@ -59,8 +59,11 @@ final class FilterCompiler(store: GraftStore) {
     // a null predicate under MustNot would wrongly drop rows.
     if (field == "system.quad" || field == "system.lang") {
       val slot = if (field == "system.quad") "quad" else "lang"
-      val v = value.getOrElse(
+      val v0 = value.getOrElse(
         throw new IllegalArgumentException(s"$field needs a value"))
+      // quad comparands resolve alias → graph IRI → stored path form
+      // at plan time (RawFieldFilter.scala:104-112)
+      val v = if (field == "system.quad") QuadAliases.resolve(v0) else v0
       return coalesce(exists(map_values(col("fields")),
         vs => exists(vs, x => x.getField(slot) === lit(v))), lit(false))
     }

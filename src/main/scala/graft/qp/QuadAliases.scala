@@ -1,0 +1,43 @@
+package graft.qp
+
+import graft.ingest.Rdf
+
+/** Named-graph alias resolution for `system.quad::` filters.
+  *
+  * The reference accepts either a full quad URL or a registered alias
+  * and resolves the alias through its cached alias table before the
+  * filter compiles (wsutil/RawFieldFilter.scala:104-112,
+  * `getQuadUrlForAlias`); an unknown alias is an error, not an
+  * everything-misses filter. Same plan-time dictionary pattern as
+  * [[Namespaces]] — a driver-side lookup, never a join:
+  *
+  *   - `/path/form`   — the stored tag form, passes through
+  *   - `proto://iri`  — full graph IRI, normalized to path form
+  *   - `bare-alias`   — resolved through the registry, fail-loud
+  *
+  * The default table registers the synthetic corpus's graphs
+  * (`srcN → cmwell://graph/srcN`, the loader's `/graph/<source>`
+  * tags); ingest paths carrying other graphs add theirs via
+  * [[register]].
+  */
+object QuadAliases {
+
+  private val byAlias =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def register(alias: String, graphIri: String): Unit =
+    byAlias.put(alias, Rdf.iriToPath(graphIri))
+
+  (0 to 9).foreach(i => register(s"src$i", s"cmwell://graph/src$i"))
+
+  /** Resolve a `system.quad::` comparand to the stored path-form tag. */
+  def resolve(value: String): String =
+    if (value.startsWith("/")) value
+    else if (value.contains("://")) Rdf.iriToPath(value)
+    else {
+      val hit = byAlias.get(value)
+      require(hit != null,
+        s"unknown quad alias '$value' — register it or pass the graph IRI")
+      hit
+    }
+}

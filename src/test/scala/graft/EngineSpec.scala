@@ -476,6 +476,21 @@ class EngineSpec extends AnyFunSuite {
     assert(neg.collect().map(_.getString(0)).toSeq == Seq("/w/2"))
   }
 
+  test("quad filter resolves aliases and full IRIs to the stored tag") {
+    val store = GraftStore.forDir(spark, Sf)
+    def run(v: String) = Search.run(store,
+      Search.Request(path = "/documents",
+        qp = Some(s"system.quad::$v"))).count()
+    val byPath = run("/graph/src7")
+    assert(byPath > 0)
+    assert(run("src7") == byPath)                 // registered alias
+    assert(run("cmwell://graph/src7") == byPath)  // full graph IRI
+    val e = intercept[IllegalArgumentException] { run("nosuchalias") }
+    assert(e.getMessage.contains("unknown quad alias"))
+    graft.qp.QuadAliases.register("mysrc", "cmwell://graph/src7")
+    assert(run("mysrc") == byPath)
+  }
+
   test("SPARQL GRAPH clause: variable + bound + dataset clauses") {
     val store = storeOf(Seq(
       "<c://f/1> <c://o#tag> \"a\" <c://g/1> .",
