@@ -115,16 +115,18 @@ object IngestQueries {
     * merged snapshot is computed and persisted once per sf dir; the
     * second query reads the persisted views instead of re-running the
     * whole merge pipeline. */
-  private val mergedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, GraftStore]()
+  // keyed by (session, dir): see GraftStore.cache — a session restart
+  // in the same JVM must rebuild, not serve stale frames
+  private val mergedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), GraftStore]()
   private def mergedStore(s: SparkSession, dir: String): GraftStore =
-    mergedCache.computeIfAbsent(dir, { d =>
+    mergedCache.computeIfAbsent((s, dir), { _ =>
       // no whole-store persist here: Merger.merge already persists the
       // delta (newV) internally, and the flip join re-derives cheaply
       // from the base store's persisted infotons — caching the full
       // merged frame would duplicate ~1M rows of cache to save one
       // small join per read
-      GraftStore.fromInfotons(s, merged(s, d), Some(TableLoader.fieldTypes))
+      GraftStore.fromInfotons(s, merged(s, dir), Some(TableLoader.fieldTypes))
     })
 
   private def mergeDelete(s: SparkSession, dir: String): DataFrame =

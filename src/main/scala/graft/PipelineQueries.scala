@@ -20,20 +20,23 @@ object PipelineQueries {
     * assignment are materialized once per corpus snapshot and queried
     * many times — so they're computed and persisted once per sf dir,
     * like the merge family's mergedStore. */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // keyed by (session, dir), not dir alone: a cached frame is bound to
+  // the session that built it, and a same-JVM session restart must
+  // rebuild rather than serve a stale handle
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
   private def jaccard(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent(dir, { d =>
-      val p = Dedup.jaccardPairs(docs(s, d), n = 2, tau = 0.8)
+    pairsCache.computeIfAbsent((s, dir), { _ =>
+      val p = Dedup.jaccardPairs(docs(s, dir), n = 2, tau = 0.8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count()
       p
     })
-  private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val ccCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
   private def clusters(s: SparkSession, dir: String): DataFrame =
-    ccCache.computeIfAbsent(dir, { d =>
-      val cc = Dedup.connectedComponents(jaccard(s, d)
+    ccCache.computeIfAbsent((s, dir), { _ =>
+      val cc = Dedup.connectedComponents(jaccard(s, dir)
           .select(col("d1").as("v1"), col("d2").as("v2")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cc.count()

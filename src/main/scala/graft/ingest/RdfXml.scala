@@ -20,7 +20,9 @@ import java.io.StringReader
 object RdfXml {
 
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
-  private val factory = {
+  // XMLInputFactory is not specified thread-safe and parses run on
+  // concurrent task threads — one factory per thread
+  private val factory = ThreadLocal.withInitial[XMLInputFactory] { () =>
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -29,7 +31,8 @@ object RdfXml {
 
   /** Parse one RDF/XML document into statements. */
   def parse(doc: String): Seq[Rdf.Statement] = {
-    val r = factory.createXMLStreamReader(new StringReader(doc))
+    val r = factory.get().createXMLStreamReader(new StringReader(doc))
+    try {
     val out = Vector.newBuilder[Rdf.Statement]
     var bn = 0
     // content-digest salt: batch-mates must not share bnode labels
@@ -144,7 +147,7 @@ object RdfXml {
         case _ =>
       }
     }
-    r.close()
     out.result()
+    } finally r.close()
   }
 }

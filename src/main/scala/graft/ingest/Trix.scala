@@ -18,7 +18,9 @@ import java.io.StringReader
   * Like the other document formats, one document = one parse unit. */
 object Trix {
 
-  private val factory = {
+  // XMLInputFactory is not specified thread-safe and parses run on
+  // concurrent task threads — one factory per thread
+  private val factory = ThreadLocal.withInitial[XMLInputFactory] { () =>
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -30,7 +32,8 @@ object Trix {
 
   /** Parse one TriX document into statements. */
   def parse(doc: String): Seq[Rdf.Statement] = {
-    val r = factory.createXMLStreamReader(new StringReader(doc))
+    val r = factory.get().createXMLStreamReader(new StringReader(doc))
+    try {
     val out = Vector.newBuilder[Rdf.Statement]
     // content-digest salt: batch-mates must not share bnode labels
     val docTag = Rdf.bnodeTag(doc)
@@ -119,7 +122,7 @@ object Trix {
         case _ => ()
       }
     }
-    r.close()
     out.result()
+    } finally r.close()
   }
 }

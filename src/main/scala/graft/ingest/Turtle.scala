@@ -219,6 +219,11 @@ object Turtle {
     }
 
     private def triples(inBlock: Boolean = false): Unit = {
+      // only a blank-node property list may stand alone as the whole
+      // statement (Turtle grammar [6]); a bare IRI/collection subject
+      // with no predicate-object list is a syntax error and must not
+      // silently emit nothing
+      val standalone = peek == '['
       val subj = peek match {
         case '[' =>
           i += 1
@@ -229,8 +234,10 @@ object Turtle {
         case '(' => collection()
         case _ => resolve(nextToken())
       }
-      // a blank-node property list may stand alone as the whole triple
-      if (peek != '.' && !(inBlock && peek == '}')) predicateObjectList(subj)
+      if (peek != '.' && !(inBlock && peek == '}'))
+        predicateObjectList(subj)
+      else require(standalone,
+        s"subject $subj has no predicate-object list")
       // TriG: the final triple of a graph block may omit its '.'
       if (inBlock && peek == '}') () else expect('.')
     }

@@ -63,7 +63,9 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
 }
 
 object GraftStore {
-  private val cache = new ConcurrentHashMap[String, GraftStore]()
+  // keyed by (session, dir): a same-JVM session restart must rebuild
+  // the store instead of serving frames bound to the dead session
+  private val cache = new ConcurrentHashMap[(SparkSession, String), GraftStore]()
 
   /** Write the store in its production parquet layout — the concrete
     * 100 TB design the in-memory persist stands in for:
@@ -105,10 +107,10 @@ object GraftStore {
     * store. The persist is the local stand-in for the one-time ETL that
     * would materialize the store as Parquet at cluster scale. */
   def forDir(spark: SparkSession, dir: String): GraftStore =
-    cache.computeIfAbsent(dir, { d =>
-      val inf = TableLoader.load(spark, d)
+    cache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val inf = TableLoader.load(s, d)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      new GraftStore(spark, inf, TableLoader.fieldTypes)
+      new GraftStore(s, inf, TableLoader.fieldTypes)
     })
 
   /** Store over an arbitrary infoton DataFrame (e.g. RDF ingest).

@@ -240,24 +240,30 @@ object Aggregations {
   def hist(store: GraftStore, base: DataFrame, spec: HistAgg): DataFrame = {
     val v = if (store.vTypeOf(spec.field).contains("w"))
       unix_millis(col("v")) else col("v")
+    // group on the INTEGRAL bucket index (floor yields LongType) — a
+    // spine join on the recomputed double bucket value could ulp-split
+    // one bucket into two for non-integral intervals; the index is
+    // exact and the double bucket is derived once in the projection
     val counts = keyed(store, base, spec.field, "v")
-      .groupBy((floor(v / spec.interval) * spec.interval).as("bucket"))
+      .groupBy(floor(v / spec.interval).as("idx"))
       .agg(count(lit(1)).as("doc_count"))
+    def asBucket(df: DataFrame): DataFrame =
+      df.select((col("idx") * spec.interval).as("bucket"),
+        col("doc_count"))
     // extended bounds EXTEND the bucket range (out-of-range data
     // buckets are kept, as in ES): full-outer against the driver-tiny
     // bucket spine, zero-filled
     val filled = (spec.extMin, spec.extMax) match {
       case (Some(lo), Some(hi)) =>
         require(hi >= lo, "extMax < extMin")
-        val lo0 = math.floor(lo / spec.interval) * spec.interval
-        val n = (math.floor(hi / spec.interval) * spec.interval - lo0) /
-          spec.interval
-        val spine = base.sparkSession.range(0, n.toLong + 1)
-          .select((lit(lo0) + col("id") * spec.interval).as("bucket"))
-        spine.join(counts, Seq("bucket"), "full_outer")
-          .select(col("bucket"),
-            coalesce(col("doc_count"), lit(0L)).as("doc_count"))
-      case (None, None) => counts
+        val spine = base.sparkSession
+          .range(math.floor(lo / spec.interval).toLong,
+            math.floor(hi / spec.interval).toLong + 1)
+          .select(col("id").as("idx"))
+        asBucket(spine.join(counts, Seq("idx"), "full_outer")
+          .select(col("idx"),
+            coalesce(col("doc_count"), lit(0L)).as("doc_count")))
+      case (None, None) => asBucket(counts)
       case _ => throw new IllegalArgumentException(
         "extMin and extMax must be given together")
     }

@@ -1201,7 +1201,12 @@ object Sparql {
                 graphVar)
               f.select(f.columns.filterNot(c => isShadow(c) &&
                 !graphVar.contains(c)).map(col).toSeq: _*)
-          }.reduce(_ unionByName _).distinct()
+          // multiset union (SPARQL 18.4 alt = union of the member path
+          // relations): a pair reachable through BOTH branches yields
+          // two solutions, matching Jena — closure members are
+          // internally distinct (closure set semantics), but no
+          // cross-branch dedup
+          }.reduce(_ unionByName _)
         case t => scan(store, t, langVars, typeVars, graphVar)
       }.reduceLeft((a, b) => joined(a, b, "inner")), Set.empty)
     g.unions.foreach { alts =>

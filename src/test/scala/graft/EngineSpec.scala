@@ -406,6 +406,32 @@ class EngineSpec extends AnyFunSuite {
     assert(h.length == 2 && h.forall(_.getAs[Long]("doc_count") == 1))
   }
 
+  test("hist extended bounds join on the integral bucket index") {
+    import graft.ops.Aggregations
+    // non-integral interval with non-zero bounds: a spine joined on the
+    // recomputed double bucket (lo0 + k*interval vs floor(v/i)*i) would
+    // ulp-split buckets into spine-only + data-only rows; the integral
+    // index join keeps exactly one row per bucket
+    val store = storeOf(Seq(
+      "<c://h/1> <c://o#x> \"1.05\"^^<http://www.w3.org/2001/XMLSchema#double> .",
+      "<c://h/2> <c://o#x> \"1.25\"^^<http://www.w3.org/2001/XMLSchema#double> ."),
+      T("2024-01-01 00:00:00"))
+    val h = Aggregations.hist(store, store.current,
+      Aggregations.HistAgg("h", "x", interval = 0.1, minDocCount = 0,
+        extMin = Some(1.0), extMax = Some(1.5))).collect()
+    assert(h.length == 6) // one row per spine bucket, no ulp-splits
+    assert(h.map(_.getAs[Long]("doc_count")).sum == 2)
+  }
+
+  test("dir-keyed caches are scoped to the building session") {
+    val a = GraftStore.forDir(spark, Sf)
+    assert(GraftStore.forDir(spark, Sf) eq a) // same session: cache hit
+    val s2 = spark.newSession()
+    val b = GraftStore.forDir(s2, Sf)
+    assert(b ne a) // a restarted/new session must rebuild, not reuse
+    assert(b.spark eq s2)
+  }
+
   test("xg wildcard forms expand over the store's ref-field dictionary") {
     // /a/1 -ref-> /b/1 -ref-> /c/1: xg=2 walks both hops, xg=_ one hop.
     val store = storeOf(Seq(
@@ -1334,13 +1360,16 @@ class EngineSpec extends AnyFunSuite {
     val store = storeOf(Seq(
       "<c://m/1> <c://o#next> <c://m/2> .",
       "<c://m/2> <c://o#next> <c://m/3> .",
-      "<c://m/1> <c://o#alias> <c://m/9> ."),
+      "<c://m/1> <c://o#alias> <c://m/9> .",
+      "<c://m/1> <c://o#alias> <c://m/2> ."),
       T("2024-01-01 00:00:00"))
     val r = Sparql.select(store,
       """SELECT ?o WHERE { <c://m/1> <c://o#alias>|<c://o#next>+ ?o }
         |ORDER BY ?o""".stripMargin).collect().map(_.getString(0))
-    // alias edge (plain) ∪ next-closure {m/2, m/3}
-    assert(r.toSeq == Seq("/m/2", "/m/3", "/m/9"))
+    // alias edges (plain) ∪ next-closure {m/2, m/3}; m/2 is reachable
+    // through BOTH branches → two solutions (multiset union, SPARQL
+    // 18.4 / Jena behavior — no cross-branch dedup)
+    assert(r.toSeq == Seq("/m/2", "/m/2", "/m/3", "/m/9"))
   }
 
   test("SPARQL negated property sets match the complement") {

@@ -37,6 +37,29 @@ class RdfXmlSpec extends AnyFunSuite {
       v.b.contains(true)))
   }
 
+  test("concurrent parses are safe (per-thread StAX factory)") {
+    // XMLInputFactory is not specified thread-safe; parses run on Spark
+    // task threads, so hammer the parser from a parallel stream and
+    // check every result is complete and uncorrupted
+    val results = java.util.stream.IntStream.range(0, 256).parallel()
+      .mapToObj[Seq[Rdf.Statement]](i =>
+        RdfXml.parse(Doc.replace("customer/1", s"customer/$i")))
+      .toArray
+    assert(results.length == 256)
+    results.zipWithIndex.foreach { case (sts, _) =>
+      assert(sts.asInstanceOf[Seq[Rdf.Statement]].size == 5)
+    }
+    val trix = """<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">
+      |<graph><uri>c://g/1</uri>
+      |<triple><uri>c://s/1</uri><uri>c://o#p</uri>
+      |<plainLiteral xml:lang="en">hi</plainLiteral></triple>
+      |</graph></TriX>""".stripMargin
+    val tr = java.util.stream.IntStream.range(0, 256).parallel()
+      .mapToObj[Seq[Rdf.Statement]](i =>
+        Trix.parse(trix.replace("s/1", s"s/$i"))).toArray
+    assert(tr.forall(_.asInstanceOf[Seq[Rdf.Statement]].size == 1))
+  }
+
   test("nested node elements become blank-node objects") {
     val sts = RdfXml.parse(
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"

@@ -127,6 +127,20 @@ class TurtleSpec extends AnyFunSuite {
     assert(quadOf("default-block").isEmpty)
   }
 
+  test("bare subject with no predicate-object list fails loud") {
+    // inside a TriG block: a dangling IRI before '}' must not be
+    // silently swallowed
+    val e = intercept[IllegalArgumentException](
+      Turtle.parse("<c://g/1> { <c://s/1> }"))
+    assert(e.getMessage.contains("no predicate-object list"))
+    // top level: a dangling IRI before '.' is equally a syntax error
+    val e2 = intercept[IllegalArgumentException](
+      Turtle.parse("<c://s/1> ."))
+    assert(e2.getMessage.contains("no predicate-object list"))
+    // a standalone blank-node property list remains legal (grammar [6])
+    assert(Turtle.parse("[ <c://o#p> \"x\" ] .").nonEmpty)
+  }
+
   test("turtle ingest lands searchable infotons") {
     val spark = graft.SparkSuite.session
     import spark.implicits._
