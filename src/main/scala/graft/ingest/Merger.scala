@@ -217,6 +217,71 @@ object Merger {
     all.unionByName(parents)
   }
 
+  /** Parent directory of a path (the `__parent` partition key). */
+  private def parentOf(p: String): String =
+    if (p == "/") "$root"
+    else { val q = p.replaceAll("/[^/]+$", ""); if (q.isEmpty) "/" else q }
+
+  /** Apply a command batch IN PLACE to a materialized parquet store
+    * ([[graft.model.GraftStore.materialize]] layout — `infotons/`
+    * partitioned by `__parent`): read ONLY the partitions that can
+    * change, merge, and rewrite exactly those partitions via dynamic
+    * partition overwrite. This is the 100 TB write path: a delta batch
+    * touches a handful of directories, so the other ~all partitions
+    * are neither read nor written — vs. the full-snapshot
+    * rescan/rewrite that [[merge]] + re-materialize implies.
+    *
+    * The affected set is the commanded paths' parent chain (their own
+    * directories plus every ancestor directory, where synthesized
+    * parents land) — complete by construction: every row [[merge]] can
+    * emit (flipped flag, new version, synthesized parent) has its
+    * `__parent` in that set, and every existence probe (base version,
+    * ancestor presence) reads a partition in that set.
+    *
+    * Incremental batches only (≤10k distinct paths, the same driver
+    * threshold as parent synthesis): a larger batch is a bulk load,
+    * where scanning the full store and re-materializing is the right
+    * plan anyway — fail loud rather than collect an unbounded set.
+    *
+    * Returns the affected parent set (tests/telemetry). */
+  def mergePruned(spark: SparkSession, dir: String,
+                  commands: Dataset[Command]): Seq[String] = {
+    import spark.implicits._
+    val cmdPaths = commands.select(col("path")).distinct()
+      .limit(10001).as[String].collect()
+    require(cmdPaths.length <= 10000,
+      "mergePruned is the incremental path (≤10k distinct paths per " +
+        "batch); bulk loads should merge against the full store and " +
+        "re-materialize")
+    val affected = cmdPaths.iterator.flatMap { p =>
+      Iterator.iterate(p)(parentOf).drop(1)
+        .takeWhile(_ != "$root") ++ Iterator.single("$root")
+    }.distinct.toSeq
+    val inf = spark.read.parquet(s"$dir/infotons")
+    // partition pruning: only the affected directories are scanned
+    val slice = inf.where(col("__parent").isin(affected: _*))
+    val merged = merge(spark, slice.drop("__parent"), commands)
+    val out = merged
+      .withColumn("__parent", col("system.parent"))
+      .repartition(col("__parent"))
+      .sortWithinPartitions(col("system.path"), col("system.indexTime"))
+      // sever lineage from the files about to be overwritten (Spark
+      // rejects writes whose plan still reads the destination); the
+      // checkpoint is delta-sized — affected partitions only
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try out.write.mode("overwrite").partitionBy("__parent")
+      .parquet(s"$dir/infotons")
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    affected
+  }
+
   /** `POST /_ow` overwrite (InputHandler.scala:131) — the DC-sync
     * replay path: append fully-formed version rows AS-IS (uuid,
     * lastModified, indexTime preserved — no merge, no bump, no new

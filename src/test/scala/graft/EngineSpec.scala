@@ -1258,6 +1258,60 @@ class EngineSpec extends AnyFunSuite {
       plan.contains("refCustomer"))
   }
 
+  test("mergePruned rewrites only the affected __parent partitions") {
+    import graft.ingest.Merger
+    import graft.ingest.Merger.{Command, FieldValue}
+    import spark.implicits._
+    val store = GraftStore.forDir(spark, Sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_merge_pruned").toString
+    GraftStore.materialize(store, dir)
+    val infRoot = new java.io.File(s"$dir/infotons")
+    def partState(): Map[String, Set[(String, Long, Long)]] =
+      infRoot.listFiles().filter(_.isDirectory).map { d =>
+        java.net.URLDecoder.decode(
+          d.getName.stripPrefix("__parent="), "UTF-8") ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    val before = partState()
+    val cmds = Seq(Command("update", "/customer/1",
+      T("2024-07-01 00:00:00"),
+      fields = Map("acctbal" ->
+        Seq(FieldValue("999.0", Some(999.0), None, None, "d", None, None))),
+      deleteFields = Map("acctbal" -> Seq.empty))).toDS()
+    val affected = Merger.mergePruned(spark, dir, cmds)
+    assert(affected.toSet == Set("/customer", "/", "$root"))
+    val after = partState()
+    // every UNTOUCHED partition keeps its exact files — proof the
+    // rewrite never opened them for writing
+    val untouched = before.keySet -- affected.toSet
+    assert(untouched.nonEmpty)
+    untouched.foreach(p => assert(after(p) == before(p),
+      s"partition $p was rewritten"))
+    // the read side is partition-pruned: the merge's slice scan reads
+    // only the affected directories
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val pruned = spark.read.parquet(s"$dir/infotons")
+      .where(col("__parent").isin(affected: _*))
+    val scan = pruned.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }.head
+    val nParts = scan.selectedPartitions.partitionCount
+    assert(nParts == affected.length - 1 || nParts == affected.length,
+      s"read $nParts partitions for ${affected.length} affected dirs")
+    assert(nParts < before.size) // $root may not exist yet
+    // merged content is correct on re-open: history appended, flag
+    // flipped, new value in place
+    val disk = GraftStore.forParquet(spark, dir)
+    val versions = disk.infotons
+      .where(col("system.path") === "/customer/1")
+    assert(versions.count() == 2)
+    val cur = versions.where(col("system.current"))
+    assert(cur.count() == 1)
+    assert(cur.select(element_at(col("fields")("acctbal"), 1)
+      .getField("n")).head().getDouble(0) == 999.0)
+  }
+
   // ---- admin surface ----
 
   test("purge removes versions physically; purge-history keeps current") {
