@@ -240,6 +240,24 @@ object SparqlQueries {
         |  FILTER (isLiteral(?o) && datatype(?o) = xsd:long && ?o > 10)
         |} ORDER BY ?n ?o""".stripMargin)),
 
+    // inverse member inside an alternation: customers/suppliers OF the
+    // nation (swapped-ends scan) ∪ the nation's region (forward scan)
+    "q_sparql_alt_inv" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?x WHERE {
+        |  <cmwell://nation/3> (^ont:refNation|ont:refRegion) ?x
+        |} ORDER BY ?x""".stripMargin)),
+
+    // closure over a mixed-direction alternation: orders OF the
+    // customer (inverse edges) plus the forward nation/region chain,
+    // walked in one frontier
+    "q_sparql_alt_inv_closure" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?x WHERE {
+        |  <cmwell://customer/42>
+        |    (^ont:refCustomer|ont:refNation|ont:refRegion)+ ?x
+        |} ORDER BY ?x""".stripMargin)),
+
     // GRAPH ?g — named-graph pattern binding the graph variable: every
     // document value is quad-tagged /graph/<source> by the loader, so
     // both patterns carry the same tag and join on (?d, ?g)
@@ -292,6 +310,28 @@ object SparqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sparql_alt_inv" ->
+      """SELECT x FROM (
+        |  SELECT '/customer/' || c_custkey AS x FROM customer
+        |  WHERE c_nationkey = 3
+        |  UNION ALL
+        |  SELECT '/supplier/' || s_suppkey FROM supplier
+        |  WHERE s_nationkey = 3
+        |  UNION ALL
+        |  SELECT '/region/' || n_regionkey FROM nation
+        |  WHERE n_nationkey = 3)
+        |ORDER BY x""".stripMargin,
+    "q_sparql_alt_inv_closure" ->
+      """SELECT x FROM (
+        |  SELECT '/orders/' || o_orderkey AS x FROM orders
+        |  WHERE o_custkey = 42
+        |  UNION ALL
+        |  SELECT '/nation/' || c_nationkey FROM customer WHERE c_custkey = 42
+        |  UNION ALL
+        |  SELECT '/region/' || n_regionkey FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_custkey = 42)
+        |ORDER BY x""".stripMargin,
     "q_sparql_graph" ->
       """SELECT '/documents/' || doc_id AS d, '/graph/' || source AS g
         |FROM documents WHERE lang = 'de' AND n_chars > 200

@@ -41,7 +41,8 @@ import org.apache.spark.sql.functions._
   * var-var FILTER comparisons; closure-modified alternation branches
   * (`p1|p2+`); `GRAPH ?g { … }` / `GRAPH <g> { … }` named-graph
   * patterns over the quad-tagged store, with `FROM` / `FROM NAMED`
-  * dataset clauses. Inverse path segments `^p` swap the hop's ends.
+  * dataset clauses. Inverse path segments `^p` swap the hop's ends,
+  * including inside alternations (`(^p1|p2)`, `(^p1|p2)+`).
   * Not supported (throws): property-path closures inside `GRAPH ?g`,
   * N3 formulas.
   */
@@ -60,8 +61,14 @@ object Sparql {
     * over the graph's node set (SPARQL zero-length path semantics). */
   final case class Star(pred: Term) extends Term
   /** `(p1|p2|…)` alternative path segment — one hop over the union of
-    * the predicates' edge sets (compiles to a single isin scan). */
+    * the predicates' edge sets (compiles to a single isin scan when
+    * all members are forward; inverse members split into a swapped
+    * second scan unioned in). */
   final case class Alt(preds: Seq[Term]) extends Term
+  /** `^p` INSIDE an alternation — the member's edge runs object →
+    * subject. (A top-level `^p` path segment is instead carried by the
+    * path element's inverse flag and compiled as a swapped Triple.) */
+  final case class Inv(pred: Term) extends Term
   /** `!p` / `!(p1|p2|…)` negated property set — matches any predicate
     * NOT in the set (SPARQL 1.1 §9.1; forward members only). */
   final case class Neg(preds: Seq[Term]) extends Term
@@ -217,12 +224,15 @@ object Sparql {
           p.equalsIgnoreCase("BIND") || p.equalsIgnoreCase("VALUES") ||
           p.equalsIgnoreCase("GRAPH")
       }
-      // `(p1|p2|…)` — alternatives must be plain forward predicates
+      // `(p1|p2|…)` — members are plain predicates, optionally
+      // `^`-inverted (compiled as swapped-ends scans)
       def parenAlt(): Term = {
         expect("(")
         def one(): Term = {
-          require(peek != "^", "inverse inside path alternatives unsupported")
-          term()
+          val inv = peek == "^"
+          if (inv) next()
+          val t = term()
+          if (inv) Inv(t) else t
         }
         var alts = Vector(one())
         while (peek == "|") { next(); alts :+= one() }
@@ -265,15 +275,15 @@ object Sparql {
         // optionally closure-modified (p1|p2+ → AltMixed union)
         if (peek == "|") {
           def members(e: (Term, Boolean, Option[String])): Seq[Term] = {
-            require(!e._2, "inverse branches in path alternatives " +
-              "unsupported (parenthesize)")
+            def wrap(t: Term): Term = if (e._2) Inv(t) else t
             e._1 match {
-              case Alt(ps) if e._3.isEmpty => ps // flatten plain (a|b)
+              case Alt(ps) if e._3.isEmpty => // flatten plain (a|b)
+                if (e._2) ps.map(Inv.apply) else ps // ^(a|b) ≡ (^a|^b)
               case t => Seq(e._3 match {
-                case Some("+") => Plus(t)
-                case Some("*") => Star(t)
-                case Some(_) => Opt(t)
-                case None => t
+                case Some("+") => Plus(wrap(t))
+                case Some("*") => Star(wrap(t))
+                case Some(_) => Opt(wrap(t))
+                case None => wrap(t)
               })
             }
           }
@@ -772,16 +782,22 @@ object Sparql {
     * so legitimately deeper chains have an actionable knob. */
   /** The distinct (from, to) edge union for a predicate set — the raw
     * material of every path-modifier scan (shared scan:
-    * [[GraftStore.refEdges]]). */
-  private def edgeSet(store: GraftStore,
-                      predLocals: Seq[String]): DataFrame =
-    store.refEdges(predLocals).distinct()
+    * [[GraftStore.refEdges]]). Inverse members (`^p` inside an
+    * alternation) contribute their edges with the ends swapped. */
+  private def edgeSet(store: GraftStore, fwd: Seq[String],
+                      inv: Seq[String]): DataFrame = {
+    val f = if (fwd.isEmpty) None else Some(store.refEdges(fwd))
+    val i = if (inv.isEmpty) None
+      else Some(store.refEdges(inv)
+        .select(col("to").as("from"), col("from").as("to")))
+    (f.toSeq ++ i.toSeq).reduce(_ unionByName _).distinct()
+  }
 
-  private def transitive(store: GraftStore, predLocals: Seq[String],
+  private def transitive(store: GraftStore, edges: DataFrame,
                          seed: Option[String] = None): DataFrame = {
     val maxDepth = store.quads.sparkSession.conf
       .get("spark.graft.sparql.pathDepth", "12").toInt
-    val e = edgeSet(store, predLocals).localCheckpoint(true)
+    val e = edges.localCheckpoint(true)
     // a bound subject seeds the walk: only paths FROM it are expanded,
     // so a single-resource closure never materializes the whole
     // graph's closure (frontier stays the reachable set)
@@ -815,23 +831,26 @@ object Sparql {
   private def closureScan(store: GraftStore, t: Triple, pred: Term,
                           includeZero: Boolean,
                           transitiveHop: Boolean = true): DataFrame = {
-    val locals = pred match {
-      case I(iri) => Seq(Rdf.localName(iri))
-      case Alt(ps) => ps.map {
-        case I(iri) => Rdf.localName(iri)
-        case o => throw new IllegalArgumentException(
-          s"closure alternative must be an IRI, got $o")
-      }
+    // split the closure's predicate set by direction: `(^p1|p2)+`
+    // walks p2 edges forward and p1 edges swapped in the SAME frontier
+    def split(p: Term): (Seq[String], Seq[String]) = p match {
+      case I(iri) => (Seq(Rdf.localName(iri)), Nil)
+      case Inv(I(iri)) => (Nil, Seq(Rdf.localName(iri)))
+      case Alt(ps) =>
+        val parts = ps.map(split)
+        (parts.flatMap(_._1), parts.flatMap(_._2))
       case o => throw new IllegalArgumentException(s"p+ needs an IRI, got $o")
     }
+    val (fwdLocals, invLocals) = split(pred)
     val seed = t.s match {
       case I(iri) => Some(Rdf.iriToPath(iri))
       case _ => None
     }
     var df =
-      if (transitiveHop) transitive(store, locals, seed)
+      if (transitiveHop)
+        transitive(store, edgeSet(store, fwdLocals, invLocals), seed)
       else { // p? — exactly one hop before the identity union below
-        val e = edgeSet(store, locals)
+        val e = edgeSet(store, fwdLocals, invLocals)
         seed.fold(e)(p => e.where(col("from") === p))
       }
     if (includeZero) {
@@ -1185,6 +1204,8 @@ object Sparql {
           // agree on schema — a numeric FILTER over an AltMixed
           // binding fails loud instead of silently dropping closure
           // rows
+          def noShadow(f: DataFrame): DataFrame =
+            f.select(f.columns.filterNot(isShadow).map(col).toSeq: _*)
           ms.map {
             case Plus(p) =>
               noClosureUnderGraphVar()
@@ -1196,17 +1217,37 @@ object Sparql {
               noClosureUnderGraphVar()
               closureScan(store, t, p, includeZero = true,
                 transitiveHop = false)
+            case Inv(p) => // ^p member — swapped-ends scan
+              noShadow(scan(store, Triple(o, p, s), langVars, typeVars,
+                graphVar))
             case p =>
-              val f = scan(store, Triple(s, p, o), langVars, typeVars,
-                graphVar)
-              f.select(f.columns.filterNot(c => isShadow(c) &&
-                !graphVar.contains(c)).map(col).toSeq: _*)
+              noShadow(scan(store, Triple(s, p, o), langVars, typeVars,
+                graphVar))
           // multiset union (SPARQL 18.4 alt = union of the member path
           // relations): a pair reachable through BOTH branches yields
           // two solutions, matching Jena — closure members are
           // internally distinct (closure set semantics), but no
           // cross-branch dedup
           }.reduce(_ unionByName _)
+        case t @ Triple(s, Alt(ps), o) if ps.exists(_.isInstanceOf[Inv]) =>
+          // mixed-direction alternation `(^p1|p2)`: forward members in
+          // one isin scan, inverse members in one swapped-ends scan,
+          // multiset union (shadow-dropped so branch schemas agree —
+          // same rule as AltMixed)
+          def dropSh(f: DataFrame): DataFrame =
+            f.select(f.columns.filterNot(isShadow).map(col).toSeq: _*)
+          def altOf(ms: Seq[Term]): Term =
+            if (ms.length == 1) ms.head else Alt(ms)
+          val fwds = ps.filterNot(_.isInstanceOf[Inv])
+          val invs = ps.collect { case Inv(p) => p }
+          val frames =
+            (if (fwds.isEmpty) Nil
+             else Seq(dropSh(scan(store, Triple(s, altOf(fwds), o),
+               langVars, typeVars, graphVar)))) ++
+            (if (invs.isEmpty) Nil
+             else Seq(dropSh(scan(store, Triple(o, altOf(invs), s),
+               langVars, typeVars, graphVar))))
+          frames.reduce(_ unionByName _)
         case t => scan(store, t, langVars, typeVars, graphVar)
       }.reduceLeft((a, b) => joined(a, b, "inner")), Set.empty)
     g.unions.foreach { alts =>

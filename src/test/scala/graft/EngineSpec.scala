@@ -1426,6 +1426,30 @@ class EngineSpec extends AnyFunSuite {
     assert(r.toSeq == Seq("/m/2", "/m/2", "/m/3", "/m/9"))
   }
 
+  test("SPARQL inverse members inside path alternations") {
+    val store = storeOf(Seq(
+      "<c://n/1> <c://o#fwd> <c://hub> .",
+      "<c://n/2> <c://o#back> <c://hub> .",
+      "<c://hub> <c://o#fwd> <c://n/3> ."),
+      T("2024-01-01 00:00:00"))
+    // parenthesized single hop: inverse member scans swapped ends
+    assert(Sparql.select(store,
+      """SELECT ?x WHERE { <c://hub> (^<c://o#back>|<c://o#fwd>) ?x }
+        |ORDER BY ?x""".stripMargin)
+      .collect().map(_.getString(0)).toSeq == Seq("/n/2", "/n/3"))
+    // bare (unparenthesized) form parses the same
+    assert(Sparql.select(store,
+      """SELECT ?x WHERE { <c://hub> ^<c://o#back>|<c://o#fwd> ?x }
+        |ORDER BY ?x""".stripMargin)
+      .collect().map(_.getString(0)).toSeq == Seq("/n/2", "/n/3"))
+    // closure over a mixed-direction set walks both edge kinds in one
+    // frontier: n/1 -fwd-> hub, hub -(^back)-> n/2, hub -fwd-> n/3
+    assert(Sparql.select(store,
+      """SELECT ?x WHERE { <c://n/1> (<c://o#fwd>|^<c://o#back>)+ ?x }
+        |ORDER BY ?x""".stripMargin)
+      .collect().map(_.getString(0)).toSeq == Seq("/hub", "/n/2", "/n/3"))
+  }
+
   test("SPARQL negated property sets match the complement") {
     val r = Sparql.select(tagStore,
       "SELECT ?s ?o WHERE { ?s !<c://o#num> ?o } ORDER BY ?s").collect()
