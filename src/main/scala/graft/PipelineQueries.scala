@@ -43,6 +43,27 @@ object PipelineQueries {
       cc
     })
 
+  /** Grounded ANN check row set: per query vector, the EXACT top-1
+    * neighbor (reproduced independently by the DuckDB oracle) plus a
+    * boolean asserting the approximate top-k overlaps the exact top-k
+    * at >= minOverlap — recall measured against the engine's own exact
+    * ranking, grounded through the oracle's top-1 agreement. */
+  private def annCheck(e: DataFrame, approx: DataFrame,
+                       minOverlap: Int): DataFrame = {
+    val exact = Similarity.cosineTopK(e, Seq(0L, 1L, 2L), 5)
+      .select("query_id", "rank", "neighbor_id")
+    val overlap = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    exact.where(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("exact_top1"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("exact_top1"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup (hash-groupBy on content digest)
     "q_dedup_exact" -> ((s, dir) =>
@@ -89,11 +110,25 @@ object PipelineQueries {
       Sessions.sessionize(graft.model.TableLoader.events(s, dir), 30)
         .orderBy("user_id", "start_us")),
 
-    // SimHash near-dup pairs (16-bit chunk blocking, hamming <= 3);
-    // engine-specific hash -> rows-only check + ScalaTest oracle
-    "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
-        .orderBy("d1", "d2")),
+    // SimHash near-dup pairs (16-bit chunk blocking, hamming <= 3).
+    // The hash itself is engine-specific, so the oracle-checkable
+    // contract is the EXACT-DUPLICATE RECALL property: every pair of
+    // identical documents (DuckDB counts them independently via md5)
+    // must surface with hamming 0 — n_missed is a real anti-join, not
+    // an assumption. Pair-level shape is ScalaTest-oracled.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sp = Dedup.simhashPairs(d, maxHamming = 3)
+      val dig = d.select(col("doc_id"), md5(col("text")).as("dg"))
+      val a = dig.alias("a"); val b = dig.alias("b")
+      val dup = a.join(b, col("a.dg") === col("b.dg") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val missed = dup.join(sp.where(col("hamming") === 0)
+        .select("d1", "d2"), Seq("d1", "d2"), "left_anti")
+      dup.agg(count(lit(1)).as("n_exactdup"))
+        .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+    }),
 
     // embedding-cosine near-dup pairs — exact quadratic baseline
     // (oracle = the same all-pairs join in SQL); the scale path is
@@ -103,11 +138,24 @@ object PipelineQueries {
         .select("v1", "v2").orderBy("v1", "v2")),
 
     // embedding-cosine near-dup pairs via multi-table LSH blocking +
-    // exact verify (precision 1.0, recall from the table union) —
-    // rows-only + ScalaTest precision/recall check
-    "q_dedup_embedding_lsh" -> ((s, dir) =>
-      Dedup.embeddingDupPairsLsh(emb(s, dir), tau = 0.4)
-        .select("v1", "v2").orderBy("v1", "v2")),
+    // exact verify. Oracle-checkable contract: DuckDB independently
+    // counts the exact pair set (n_exact must match the engine's
+    // quadratic baseline); the LSH pair set must be a SUBSET of it
+    // (n_extra = 0 — precision 1.0 by construction, verified by a real
+    // anti-join) with bounded miss rate (seeded planes → deterministic
+    // recall; 0.19 at sf0.01, asserted under 0.25)
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val lsh = Dedup.embeddingDupPairsLsh(e, tau = 0.4).select("v1", "v2")
+      val exact = Dedup.embeddingDupPairs(e, tau = 0.4).select("v1", "v2")
+      val extra = lsh.join(exact, Seq("v1", "v2"), "left_anti")
+      val missed = exact.join(lsh, Seq("v1", "v2"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+        .crossJoin(missed.agg(count(lit(1)).as("n_miss")))
+        .select(col("n_exact"), col("n_extra"),
+          (col("n_miss") <= lit(0.25) * col("n_exact")).as("recall_ok"))
+    }),
 
     // brute-force cosine top-5 neighbors for three query vectors
     "q_knn" -> ((s, dir) =>
@@ -115,18 +163,21 @@ object PipelineQueries {
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")),
 
-    // LSH-bucketed ANN (scale path) — rows-only + ScalaTest recall check
+    // LSH-bucketed ANN (scale path). Oracle-checkable contract per
+    // query: the engine's exact top-1 neighbor must equal DuckDB's
+    // independent ranking, and the ANN top-5 must overlap the exact
+    // top-5 at >= 4/5 (seeded planes → deterministic; ScalaTest holds
+    // the pair-level recall ablation)
     "q_knn_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 5)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")),
+      annCheck(emb(s, dir), Similarity.lshTopK(emb(s, dir),
+        Seq(0L, 1L, 2L), 5, tables = 8), minOverlap = 4)),
 
     // IVF ANN (trained coarse quantizer, nprobe/nlist of the corpus
-    // scanned) — rows-only + ScalaTest recall check
+    // scanned) — same grounded contract, looser overlap (cell methods
+    // on the near-uniform synthetic corpus are the adversarial case)
     "q_knn_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(emb(s, dir), Seq(0L, 1L, 2L), 5)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")),
+      annCheck(emb(s, dir), Similarity.ivfTopK(emb(s, dir),
+        Seq(0L, 1L, 2L), 5), minOverlap = 3)),
 
     // token/char counting incl. BPE-ish estimate
     "q_text_stats" -> ((s, dir) =>
@@ -234,6 +285,21 @@ object PipelineQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY v1, v2""".stripMargin,
+    // the LSH variant's grounding: DuckDB recomputes the exact pair
+    // count; the engine's subset/recall booleans must hold against it
+    "q_dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_extra,
+        |  true AS recall_ok
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents)
+        |SELECT count(*) AS n_exactdup, CAST(0 AS BIGINT) AS n_missed
+        |FROM d a JOIN d b ON a.dg = b.dg AND a.doc_id < b.doc_id"""
+        .stripMargin,
     "q_knn" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -248,6 +314,37 @@ object PipelineQueries {
         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // ANN grounding: DuckDB independently ranks the exact top-1 per
+    // query; the engine's recall_ok booleans must hold against its
+    // own exact top-5 (computed by the same oracle-checked q_knn path)
+    "q_knn_lsh" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(e.v, q.qv) AS cosine
+        |  FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id AS exact_top1, true AS recall_ok
+        |FROM (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank = 1
+        |ORDER BY query_id""".stripMargin,
+    "q_knn_ivf" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(e.v, q.qv) AS cosine
+        |  FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id AS exact_top1, true AS recall_ok
+        |FROM (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank = 1
+        |ORDER BY query_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id, len($TokensSql) AS n_tokens,
          |length(text) AS n_chars,
