@@ -61,6 +61,18 @@ object IngestQueries {
     customersBack(s, Ingest.ingestTurtle(s, Ingest.emptyStore(s), docs, T0))
   }
 
+  /** customer → n3 formatter → ingestN3 → search back: the text/n3
+    * media-type path — Turtle semantics with the N3-proper-syntax
+    * fail-loud guard in front (the reference's Jena routing reads N3
+    * as Turtle too). */
+  private def roundtripN3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
+    val docs = Formatters.n3(cust).as[String]
+      .map(Formatters.ttlHeader + _)
+    customersBack(s, Ingest.ingestN3(s, Ingest.emptyStore(s), docs, T0))
+  }
+
   /** One update command per customer (replace acctbal with +100),
     * merged onto the loaded snapshot: exercises replace-merge, version
     * append, current-flag flip, and with-history reads. */
@@ -221,6 +233,7 @@ object IngestQueries {
     "q_ow_replay" -> owReplay,
     "q_ingest_jsonld" -> roundtripJsonLd,
     "q_ingest_ttl" -> roundtripTtl,
+    "q_ingest_n3" -> roundtripN3,
     "q_ingest_rdfxml" -> roundtripRdfXml,
     "q_ingest_nq" -> roundtripNq,
     "q_ingest_trig" -> roundtripTrig,
@@ -239,6 +252,9 @@ object IngestQueries {
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
         |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
     "q_ingest_ttl" ->
+      """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+        |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
+    "q_ingest_n3" ->
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
         |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,
     "q_ingest_rdfxml" ->

@@ -48,6 +48,13 @@ object Ingest {
                  lastModified: Timestamp): DataFrame =
     ingestDocs(spark, infotons, docs, lastModified, Turtle.parse)
 
+  /** N3 ingest — [[Turtle.parseN3]]: Turtle semantics (the reference's
+    * own Jena routing for text/n3), N3-proper syntax fails loud. */
+  def ingestN3(spark: SparkSession, infotons: DataFrame,
+               docs: Dataset[String],
+               lastModified: Timestamp): DataFrame =
+    ingestDocs(spark, infotons, docs, lastModified, Turtle.parseN3)
+
   /** TriX ingest — same document-level parallelism as Turtle. */
   def ingestTrix(spark: SparkSession, infotons: DataFrame,
                  docs: Dataset[String],

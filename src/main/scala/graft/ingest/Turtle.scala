@@ -36,6 +36,25 @@ object Turtle {
   /** Parse one Turtle document into statements. */
   def parse(doc: String): Seq[Rdf.Statement] = new Parser(doc).document()
 
+  /** N3 entry (`text/n3`): the reference hands N3 to Jena, whose
+    * reader treats it as Turtle — same routing here, but N3-PROPER
+    * constructs (quantifiers, formulas, implication) are detected up
+    * front and fail loud instead of being mis-read (an N3 formula
+    * `{ … } => { … }` would otherwise lex as a TriG default-graph
+    * block and silently assert its antecedent). Literal and IRI spans
+    * are stripped before the scan so payload text can't false-match. */
+  def parseN3(doc: String): Seq[Rdf.Statement] = {
+    val scrubbed = doc
+      .replaceAll("(?s)\"\"\".*?\"\"\"|'''.*?'''", " ")
+      .replaceAll("\"(?:\\\\.|[^\"\\\\])*\"|'(?:\\\\.|[^'\\\\])*'", " ")
+      .replaceAll("<[^>]*>", " ")
+    for (marker <- Seq("@forAll", "@forSome", "=>", "<=", "@keywords"))
+      require(!scrubbed.contains(marker),
+        s"N3-proper syntax '$marker' is not supported: this engine " +
+          "(like the reference's Jena routing) reads N3 as Turtle")
+    parse(doc)
+  }
+
   private final class Parser(src: String) {
     private var i = 0
     private var prefixes = Map.empty[String, String]

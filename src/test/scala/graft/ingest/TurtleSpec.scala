@@ -141,6 +141,26 @@ class TurtleSpec extends AnyFunSuite {
     assert(Turtle.parse("[ <c://o#p> \"x\" ] .").nonEmpty)
   }
 
+  test("N3 entry reads Turtle, rejects N3-proper syntax fail-loud") {
+    // the Turtle subset parses identically through the N3 entry
+    val doc = """@prefix ont: <cmwell://ont#> .
+      |<c://n/1> ont:tag "v" ; ont:note "uses => inside a literal" .
+      |<c://n/1> ont:ref <c://x/a=b> .
+      |""".stripMargin
+    assert(Turtle.parseN3(doc) == Turtle.parse(doc))
+    // quantifiers, implication, @keywords: detected before parse
+    for (bad <- Seq(
+      "@forAll <c://x/v> .",
+      "@forSome <c://x/v> .",
+      "@keywords a .",
+      "{ <c://s/1> <c://o#p> \"x\" . } => { <c://s/1> <c://o#q> \"y\" . } ."))
+      assert(intercept[IllegalArgumentException](Turtle.parseN3(bad))
+        .getMessage.contains("N3-proper"))
+    // markers inside literals or IRIs do NOT false-positive
+    assert(Turtle.parseN3(
+      """<c://s/1> <c://o#p> "a => b", "x @forAll y" .""").length == 2)
+  }
+
   test("turtle ingest lands searchable infotons") {
     val spark = graft.SparkSuite.session
     import spark.implicits._
