@@ -12,6 +12,14 @@ import org.scalatest.funsuite.AnyFunSuite
 case class Ev(path: String, parent: String, indexTime: Long,
               kind: String, tag: String)
 
+/** The exact column set Spark's Kafka source produces (key/value are
+  * BINARY there; timestampType tags log-append vs create time). The
+  * command-source e2e drives ingest through this schema so the test
+  * proves the Kafka-format contract, not just a string stream. */
+case class KafkaRec(key: Array[Byte], value: Array[Byte], topic: String,
+                    partition: Int, offset: Long,
+                    timestamp: java.sql.Timestamp, timestampType: Int)
+
 /** qstream/subscribe over Structured Streaming micro-batches. */
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = graft.SparkSuite.session
@@ -102,6 +110,45 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(stores.get(0L) == 1L) // one version of doc/1
       assert(stores.get(1L) == 3L) // two versions of doc/1 + doc/2
+    } finally q.stop()
+  }
+
+  test("ingestCommands consumes the Kafka source schema end-to-end") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // reference shape: the bg ImpStream consumes persist_topic records
+    // whose key is the infoton path and whose value is the serialized
+    // command payload; here the stream carries the full Kafka column
+    // set and ingestCommands must read `value` (binary → string cast)
+    // and ignore the rest
+    val ms = MemoryStream[KafkaRec]
+    def rec(path: String, line: String, off: Long) = KafkaRec(
+      path.getBytes("UTF-8"), line.getBytes("UTF-8"), "persist_topic",
+      0, off, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0)
+    val counts = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val tags = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val q = Streaming.ingestCommands(ms.toDF(),
+      graft.ingest.Ingest.emptyStore(spark),
+      e => java.sql.Timestamp.valueOf(s"2024-01-0${e + 1} 00:00:00")) {
+        (store, epoch) =>
+          counts.put(epoch,
+            store.where(col("system.path").startsWith("/k/")).count())
+          tags.put(epoch, store
+            .where(col("system.path") === "/k/1" && col("system.current"))
+            .select(element_at(col("fields")("tag"), 1).getField("s"))
+            .head().getString(0))
+      }.start()
+    try {
+      ms.addData(rec("/k/1", "<c://k/1> <c://o#tag> \"red\" .", 0L))
+      q.processAllAvailable()
+      ms.addData(
+        rec("/k/1", "<c://k/1> <c://o#tag> \"blue\" .", 1L),
+        rec("/k/2", "<c://k/2> <c://o#tag> \"green\" .", 2L))
+      q.processAllAvailable()
+      assert(counts.get(0L) == 1L)
+      assert(counts.get(1L) == 3L) // two versions of /k/1 + /k/2
+      assert(tags.get(0L) == "red")
+      assert(tags.get(1L) == "blue") // batch 2 superseded the value
     } finally q.stop()
   }
 
