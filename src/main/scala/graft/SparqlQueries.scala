@@ -293,6 +293,29 @@ object SparqlQueries {
         |WHERE { ?d ont:n_chars ?n . FILTER (?n > 400) }
         |ORDER BY ?d""".stripMargin)),
 
+    // residual ARQ builtins in one conformance query: NOW() compared in
+    // FILTER position, IF(...) as a FILTER (effective boolean value)
+    // and in BIND, sameTerm var-var identity, UUID()/STRUUID()/BNODE()
+    // shape checks (value is fresh per solution — only length / blank
+    // marker are deterministic)
+    "q_sparql_builtins" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?n ?name ?tag WHERE {
+        |  ?n ont:refRegion ?r .
+        |  ?n ont:name ?name .
+        |  ?n2 ont:name ?name .
+        |  FILTER (sameTerm(?n, ?n2))
+        |  FILTER (NOW() > "2020-01-01T00:00:00")
+        |  FILTER (IF(?name != "", "t", "f") = "t")
+        |  BIND(BNODE() AS ?b)
+        |  FILTER (isBlank(?b))
+        |  BIND(UUID() AS ?u)
+        |  FILTER (strlen(?u) = 45)
+        |  BIND(STRUUID() AS ?su)
+        |  FILTER (strlen(?su) = 36)
+        |  BIND(IF(strlen(?name) >= 9, "long", "short") AS ?tag)
+        |} ORDER BY ?n""".stripMargin)),
+
     // `POST /_sp`: PATHS search requests populate the queried subgraph
     // (here: BUILDING customers + all nations); the SPARQL query runs
     // against just that slice — suppliers and other segments are
@@ -310,6 +333,10 @@ object SparqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sparql_builtins" ->
+      """SELECT '/nation/' || n_nationkey AS n, n_name AS name,
+        |  CASE WHEN length(n_name) >= 9 THEN 'long' ELSE 'short' END AS tag
+        |FROM nation ORDER BY n""".stripMargin,
     "q_sparql_alt_inv" ->
       """SELECT x FROM (
         |  SELECT '/customer/' || c_custkey AS x FROM customer

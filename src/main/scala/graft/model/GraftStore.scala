@@ -18,7 +18,13 @@ import java.util.concurrent.ConcurrentHashMap
   */
 final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
                        val fieldTypes: Map[String, String],
-                       quadsOverride: Option[DataFrame] = None) {
+                       quadsOverride: Option[DataFrame] = None,
+                       /** Fields indexed ANALYZED-ONLY (no keyword /
+                         * doc-values slot): searchable, but aggregation
+                         * and sort reject them fail-loud, mirroring the
+                         * ES mapping split the reference rides on
+                         * (analyzed vs non-analyzed field slots). */
+                       val analyzedOnly: Set[String] = Set.empty) {
 
   lazy val quads: DataFrame = quadsOverride.getOrElse {
     // materialized from CURRENT rows only: every quad consumer (graph
@@ -40,7 +46,7 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
   /** The same store with its quad view restricted to a subgraph (the
     * `_sp` PATHS populate step — a filter, not a copy). */
   def scopedTo(sub: DataFrame): GraftStore =
-    new GraftStore(spark, infotons, fieldTypes, Some(sub))
+    new GraftStore(spark, infotons, fieldTypes, Some(sub), analyzedOnly)
 
   /** Current, non-deleted snapshot — the default query surface
     * (implicit filters, FTSService.scala:850-854). */
@@ -60,6 +66,16 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
         col("predicate").isin(predLocals: _*) &&
         col("vType") === InfotonModel.TRef)
       .select(col("subject").as("from"), col("s").as("to"))
+
+  /** [[refEdges]] keeping the graph tag — per-named-graph closures
+    * (`GRAPH ?g` + property paths) walk edges within one graph, so the
+    * tag rides the frontier as a join key. */
+  def refEdgesTagged(predLocals: Seq[String]): DataFrame =
+    quads.where(col("current") &&
+        col("kind") =!= InfotonModel.KindDeleted &&
+        col("predicate").isin(predLocals: _*) &&
+        col("vType") === InfotonModel.TRef)
+      .select(col("subject").as("from"), col("s").as("to"), col("quad"))
 }
 
 object GraftStore {
@@ -110,7 +126,8 @@ object GraftStore {
     cache.computeIfAbsent((spark, dir), { case (s, d) =>
       val inf = TableLoader.load(s, d)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      new GraftStore(s, inf, TableLoader.fieldTypes)
+      new GraftStore(s, inf, TableLoader.fieldTypes, None,
+        TableLoader.analyzedOnly)
     })
 
   /** Store over an arbitrary infoton DataFrame (e.g. RDF ingest).

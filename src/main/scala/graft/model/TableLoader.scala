@@ -76,6 +76,12 @@ object TableLoader {
     "refRegion" -> TRef, "refNation" -> TRef, "refCustomer" -> TRef,
     "refOrders" -> TRef, "refPart" -> TRef, "refSupplier" -> TRef)
 
+  /** Fields mapped ANALYZED-ONLY — free text with no keyword slot
+    * (document bodies): full-text searchable, but bucketing/sorting
+    * them is an error in the reference's ES mapping and stays one
+    * here (Aggregations.requireAggregatable). */
+  val analyzedOnly: Set[String] = Set("text")
+
   private def system(path: Column, lm: Column, indexTime: Column,
                      current: Column, fields: Column): Column = {
     val parent = when(path === "/", "$root")

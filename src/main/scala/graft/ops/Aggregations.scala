@@ -311,8 +311,25 @@ object Aggregations {
       .select("key", "fg_count", "bg_count", "score")
   }
 
+  /** ES fail-loud parity: an ANALYZED-ONLY field (text with no keyword
+    * / doc-values slot) cannot be bucketed or sorted — the reference's
+    * ES backend rejects the aggregation ("fielddata disabled on text
+    * fields"), it does not silently aggregate tokens. Checked for the
+    * whole spec tree up front so a nested leaf fails as loudly as a
+    * top-level field. */
+  private def requireAggregatable(store: GraftStore, spec: AggSpec): Unit = {
+    def walk(s: AggSpec): Unit = {
+      require(!store.analyzedOnly(s.field),
+        s"field '${s.field}' is analyzed-only (no non-analyzed keyword " +
+          "slot) — aggregation requires a non-analyzed field")
+      s.subs.foreach(walk)
+    }
+    walk(spec)
+  }
+
   /** Dispatch for a parsed ap spec against a search result. */
-  def run(store: GraftStore, base: DataFrame, spec: AggSpec): DataFrame =
+  def run(store: GraftStore, base: DataFrame, spec: AggSpec): DataFrame = {
+    requireAggregatable(store, spec)
     spec match {
       case t: TermAgg => term(store, base, t)
       case s: StatsAgg => stats(store, base, s)
@@ -320,4 +337,5 @@ object Aggregations {
       case c: CardAgg => card(store, base, c)
       case g: SigTermsAgg => sigTerms(store, base, sigBackground(store, g), g)
     }
+  }
 }

@@ -71,6 +71,12 @@ object Search {
       val name =
         if (name0.startsWith("system.")) name0
         else graft.qp.Namespaces.resolve(name0)
+      // analyzed-only fields have no doc-values slot to sort on —
+      // fail-loud like the reference's ES backend (same rule as
+      // Aggregations.requireAggregatable)
+      require(name.startsWith("system.") || !store.analyzedOnly(name),
+        s"field '$name' is analyzed-only (no non-analyzed keyword " +
+          "slot) — sorting requires a non-analyzed field")
       val c =
         if (name.startsWith("system.")) col(name)
         else store.vTypeOf(name) match {

@@ -300,15 +300,19 @@ object Dedup {
       // decrease, so this can't overshoot the component minimum
       val lut = prop.select(col("node").as("ln"), col("label").as("ll"))
       // labels only decrease, so "changed" is final < old — carried as
-      // a flag through the one checkpoint, no second pass
+      // a flag through the checkpoint, no second pass
       val next = prop.join(lut, col("label") === col("ln"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label")))
             .as("label"),
           (least(col("label"), coalesce(col("ll"), col("label"))) <
             col("old")).as("chg"))
-        .localCheckpoint(true)
-      converged = next.where(col("chg")).isEmpty
+        .localCheckpoint(false) // lazy: materialized by the count below
+      // ONE action per round: counting the changed rows computes every
+      // partition of the lazily-checkpointed frame, so the same job
+      // that truncates lineage also answers convergence (the eager-
+      // checkpoint + isEmpty-probe formulation paid two jobs per round)
+      converged = next.where(col("chg")).count() == 0L
       labels = next.drop("chg")
       iter += 1
     }

@@ -42,9 +42,12 @@ import org.apache.spark.sql.functions._
   * (`p1|p2+`); `GRAPH ?g { … }` / `GRAPH <g> { … }` named-graph
   * patterns over the quad-tagged store, with `FROM` / `FROM NAMED`
   * dataset clauses. Inverse path segments `^p` swap the hop's ends,
-  * including inside alternations (`(^p1|p2)`, `(^p1|p2)+`).
-  * Not supported (throws): property-path closures inside `GRAPH ?g`,
-  * N3 formulas.
+  * including inside alternations (`(^p1|p2)`, `(^p1|p2)+`). Property-
+  * path closures run per-graph inside `GRAPH ?g` (the tag rides the
+  * edge frontier as a join key). Scalar builtins NOW()/UUID()/
+  * STRUUID()/BNODE()/sameTerm/IF evaluate in FILTER position by
+  * effective boolean value.
+  * Not supported (throws): N3 formulas.
   */
 object Sparql {
 
@@ -107,6 +110,12 @@ object Sparql {
   final case class FAnd(l: FExpr, r: FExpr) extends FExpr
   final case class FOr(l: FExpr, r: FExpr) extends FExpr
   final case class FNot(e: FExpr) extends FExpr
+  /** sameTerm(?a, ?b) — strict term identity (lexical + lang tag +
+    * term-type shadows where projected), never numeric coercion. */
+  final case class FSameV(l: String, r: String) extends FExpr
+  /** A scalar (BIND-grammar) expression in FILTER position — IF(...),
+    * NOW()-comparisons — reduced by effective boolean value. */
+  final case class FB(e: BExpr) extends FExpr
 
   /** One group graph pattern: basic patterns + nested OPTIONAL groups +
     * UNION chains (each chain = 2+ alternative groups) + FILTERs +
@@ -381,6 +390,17 @@ object Sparql {
         i + 1 < toks.length && toks(i + 1) == "("
       if (peek == "(") { next(); val e = orExpr(); expect(")"); e }
       else if (peek == "!") { next(); FNot(unary()) }
+      // scalar builtins usable directly in FILTER position: IF's
+      // effective boolean value, or a NOW()/UUID()-style call compared
+      // against an operand — parsed with the BIND grammar, reduced by
+      // EBV (SPARQL 17.2.2)
+      else if (isFnCall &&
+          Set("if", "now", "uuid", "struuid", "bnode")(peek.toLowerCase)) {
+        val l = bTerm()
+        if (Set("=", "!=", "<", "<=", ">", ">=")(peek)) {
+          val op = next(); FB(BCmp(l, op, bExpr()))
+        } else FB(l)
+      }
       else if (isFnCall) builtin()
       else {
         val v = next(); require(v.startsWith("?"), s"FILTER needs var, got $v")
@@ -424,6 +444,20 @@ object Sparql {
       expect("(")
       val v = next(); require(v.startsWith("?"), s"$fn needs a var first arg")
       val name = v.drop(1)
+      // sameTerm(?a, ?b) / sameTerm(?a, term) — strict identity, the
+      // one two-arg builtin whose second argument may be a variable
+      if (fn == "sameterm") {
+        expect(",")
+        val e =
+          if (peek.startsWith("?")) FSameV(name, next().drop(1))
+          else term() match {
+            case L(lex, _) => FFn("sameterm", name, lex)
+            case I(iri) => FFn("sameterm", name, Rdf.iriToPath(iri))
+            case o => throw new IllegalArgumentException(s"sameTerm vs $o")
+          }
+        expect(")")
+        return e
+      }
       // one-arg builtins: bound(?v) (the OPTIONAL + !bound idiom) and
       // the term type checks. Restricted to the known one-arg names so
       // a two-arg (custom UDF) call with a forgotten argument still
@@ -512,8 +546,12 @@ object Sparql {
             val op = next(); BCmp(l, op, bExpr())
           } else l
         }
-        var fargs = Vector(bRel())
-        while (peek == ",") { next(); fargs :+= bRel() }
+        // zero-arg builtins (NOW/UUID/STRUUID/BNODE) take no operand
+        var fargs = Vector.empty[BExpr]
+        if (peek != ")") {
+          fargs :+= bRel()
+          while (peek == ",") { next(); fargs :+= bRel() }
+        }
         expect(")")
         BFn(fn, fargs)
       }
@@ -785,11 +823,17 @@ object Sparql {
     * [[GraftStore.refEdges]]). Inverse members (`^p` inside an
     * alternation) contribute their edges with the ends swapped. */
   private def edgeSet(store: GraftStore, fwd: Seq[String],
-                      inv: Seq[String]): DataFrame = {
-    val f = if (fwd.isEmpty) None else Some(store.refEdges(fwd))
+                      inv: Seq[String],
+                      tagged: Boolean = false): DataFrame = {
+    def fwdEdges(ls: Seq[String]) =
+      if (tagged) store.refEdgesTagged(ls) else store.refEdges(ls)
+    val f = if (fwd.isEmpty) None else Some(fwdEdges(fwd))
     val i = if (inv.isEmpty) None
-      else Some(store.refEdges(inv)
-        .select(col("to").as("from"), col("from").as("to")))
+      else Some(
+        if (tagged) store.refEdgesTagged(inv)
+          .select(col("to").as("from"), col("from").as("to"), col("quad"))
+        else store.refEdges(inv)
+          .select(col("to").as("from"), col("from").as("to")))
     (f.toSeq ++ i.toSeq).reduce(_ unionByName _).distinct()
   }
 
@@ -797,6 +841,11 @@ object Sparql {
                          seed: Option[String] = None): DataFrame = {
     val maxDepth = store.quads.sparkSession.conf
       .get("spark.graft.sparql.pathDepth", "12").toInt
+    // edges carrying a `quad` column walk PER GRAPH: the tag is an
+    // extra frontier join key, so a path never hops across graphs
+    val tagged = edges.columns.contains("quad")
+    val outCols = Seq(col("f.from").as("from"), col("e2.to").as("to")) ++
+      (if (tagged) Seq(col("f.quad").as("quad")) else Nil)
     val e = edges.localCheckpoint(true)
     // a bound subject seeds the walk: only paths FROM it are expanded,
     // so a single-resource closure never materializes the whole
@@ -808,9 +857,11 @@ object Sparql {
     var depth = 1
     var done = n == 0
     while (!done && depth < maxDepth) {
+      var cond = col("f.to") === col("e2.from")
+      if (tagged) cond = cond && col("f.quad") === col("e2.quad")
       val next = frontier.alias("f")
-        .join(e.alias("e2"), col("f.to") === col("e2.from"))
-        .select(col("f.from").as("from"), col("e2.to").as("to")).distinct()
+        .join(e.alias("e2"), cond)
+        .select(outCols: _*).distinct()
       val grown = acc.union(next).distinct().localCheckpoint(true)
       val m = grown.count()
       if (m == n) done = true
@@ -830,7 +881,8 @@ object Sparql {
     * columns of quads, no collect. */
   private def closureScan(store: GraftStore, t: Triple, pred: Term,
                           includeZero: Boolean,
-                          transitiveHop: Boolean = true): DataFrame = {
+                          transitiveHop: Boolean = true,
+                          graphVar: Option[String] = None): DataFrame = {
     // split the closure's predicate set by direction: `(^p1|p2)+`
     // walks p2 edges forward and p1 edges swapped in the SAME frontier
     def split(p: Term): (Seq[String], Seq[String]) = p match {
@@ -846,31 +898,49 @@ object Sparql {
       case I(iri) => Some(Rdf.iriToPath(iri))
       case _ => None
     }
+    val tagged = graphVar.nonEmpty
     var df =
       if (transitiveHop)
-        transitive(store, edgeSet(store, fwdLocals, invLocals), seed)
+        transitive(store, edgeSet(store, fwdLocals, invLocals, tagged), seed)
       else { // p? — exactly one hop before the identity union below
-        val e = edgeSet(store, fwdLocals, invLocals)
+        val e = edgeSet(store, fwdLocals, invLocals, tagged)
         seed.fold(e)(p => e.where(col("from") === p))
       }
     if (includeZero) {
-      df = seed match {
-        case Some(p) =>
+      def live = store.quads.where(col("current") &&
+        col("kind") =!= InfotonModel.KindDeleted)
+      df = (seed, tagged) match {
+        case (Some(p), false) =>
           // bound subject: the zero-length path is just the seed itself
           // (SPARQL identity on the term — no need for the graph's
           // node set)
           val spark = store.quads.sparkSession
           import spark.implicits._
           df.union(Seq((p, p)).toDF("from", "to")).distinct()
-        case None =>
-          val live = store.quads.where(col("current") &&
-            col("kind") =!= InfotonModel.KindDeleted)
+        case (Some(p), true) =>
+          // per-graph identity: the seed in every named graph it
+          // appears in (as subject or ref target)
+          val gs = live.where(col("subject") === p ||
+              (col("vType") === InfotonModel.TRef && col("s") === p))
+            .select(col("quad")).distinct()
+          df.unionByName(gs.select(lit(p).as("from"), lit(p).as("to"),
+            col("quad"))).distinct()
+        case (None, false) =>
           val nodes = live.select(col("subject").as("node"))
             .union(live.where(col("vType") === InfotonModel.TRef)
               .select(col("s").as("node")))
             .distinct()
           df.union(nodes.select(col("node").as("from"),
             col("node").as("to"))).distinct()
+        case (None, true) =>
+          // per-graph node set: identity is graph-scoped, so a node
+          // only self-matches inside graphs that contain it
+          val nodes = live.select(col("quad"), col("subject").as("node"))
+            .union(live.where(col("vType") === InfotonModel.TRef)
+              .select(col("quad"), col("s").as("node")))
+            .distinct()
+          df.unionByName(nodes.select(col("node").as("from"),
+            col("node").as("to"), col("quad"))).distinct()
       }
     }
     var proj = Seq.empty[Column]
@@ -883,6 +953,11 @@ object Sparql {
       case I(iri) => df = df.where(col("to") === Rdf.iriToPath(iri))
       case V(v) => proj :+= col("to").as(v)
       case o => throw new IllegalArgumentException(s"bad closure object $o")
+    }
+    graphVar.foreach { gv =>
+      require(!Seq(t.s, t.o).contains(V(gv)),
+        s"GRAPH variable ?$gv reused as a term inside its own group")
+      proj :+= col("quad").as(gv)
     }
     df.select(proj: _*)
   }
@@ -1054,6 +1129,30 @@ object Sparql {
     case o => throw new IllegalArgumentException(s"bad FILTER op $o")
   }
 
+  /** Scalar-expression comparison: numeric when either side carries a
+    * numeric shadow (or is a numeric literal), lexical otherwise —
+    * shared by IF's condition and FILTER-position comparisons. */
+  private def bCmpCol(l: BExpr, op: String, r: BExpr,
+                      cols: Set[String]): Column = {
+    val lp = bindColsC(l, cols); val rp = bindColsC(r, cols)
+    val numeric = lp._2.nonEmpty || rp._2.nonEmpty
+    def sideOf(p: (Column, Option[Column])) =
+      if (numeric) p._2.getOrElse(p._1.cast("double")) else p._1
+    cmpCol(op, sideOf(lp), sideOf(rp))
+  }
+
+  /** Effective boolean value (SPARQL 17.2.2) of a scalar expression in
+    * FILTER position: comparisons are already boolean; numerics are
+    * true unless 0/NaN; strings follow the boolean lexicals, else
+    * non-empty. */
+  private def ebvCol(b: BExpr, cols: Set[String]): Column = b match {
+    case BCmp(l, op, r) => bCmpCol(l, op, r, cols)
+    case other =>
+      val (lex, num) = bindColsC(other, cols)
+      num.map(n => n =!= 0.0 && !isnan(n)).getOrElse(
+        when(lex === "false", lit(false)).otherwise(length(lex) > 0))
+  }
+
   /** FILTER compiler. `cols` = the solution frame's columns, so a
     * var-var comparison can pick numeric shadows when both sides carry
     * one (lexical comparison would rank "9" above "10"). */
@@ -1127,6 +1226,20 @@ object Sparql {
       if (arg == "*") lang.isNotNull
       else lang === arg.toLowerCase ||
         lang.startsWith(arg.toLowerCase + "-")
+    // sameTerm (17.4.1.8): strict identity — lexical plus whatever
+    // shadows the solution carries (lang tags; vType when both sides
+    // are tested elsewhere), never numeric coercion ("1" and "1.0"
+    // differ as terms even though = would coerce them equal)
+    case FFn("sameterm", v, arg) => col(v) === lit(arg)
+    case FSameV(a, b) =>
+      def langOf(v: String) =
+        if (cols(s"${v}__lang")) coalesce(col(s"${v}__lang"), lit(""))
+        else lit("")
+      var c = col(a) === col(b) && langOf(a) === langOf(b)
+      if (cols(s"${a}__t") && cols(s"${b}__t"))
+        c = c && col(s"${a}__t") <=> col(s"${b}__t")
+      c
+    case FB(b) => ebvCol(b, cols)
     // SPARQL IMPORTS analog (SpHandler.scala:201-203 loads stored Jena
     // functions): any other name dispatches to a Spark UDF registered
     // via [[registerFunction]] — unknown names fail at analysis
@@ -1180,24 +1293,21 @@ object Sparql {
         maybe = (maybe ++ bMaybe) -- bound
       }
     }
-    // property-path closures are graph-scoped via the (already scoped)
-    // store under GRAPH <g>; under GRAPH ?g the per-graph closure would
-    // need the tag threaded through the iterative join — fail loud
-    def noClosureUnderGraphVar(): Unit = require(graphVar.isEmpty,
-      "property-path closures inside GRAPH ?g are unsupported — bind " +
-        "the graph (GRAPH <g>) or lift the closure out of the GRAPH group")
+    // property-path closures are graph-scoped: under GRAPH <g> via the
+    // (already scoped) store; under GRAPH ?g the tag rides the edge
+    // frontier as a join key (closureScan's graphVar) so a path never
+    // hops across graphs
     if (g.patterns.nonEmpty)
       mergeIn(g.patterns.map {
         case t @ Triple(_, Plus(p), _) =>
-          noClosureUnderGraphVar()
-          closureScan(store, t, p, includeZero = false)
+          closureScan(store, t, p, includeZero = false,
+            graphVar = graphVar)
         case t @ Triple(_, Star(p), _) =>
-          noClosureUnderGraphVar()
-          closureScan(store, t, p, includeZero = true)
-        case t @ Triple(_, Opt(p), _) =>
-          noClosureUnderGraphVar()
           closureScan(store, t, p, includeZero = true,
-            transitiveHop = false)
+            graphVar = graphVar)
+        case t @ Triple(_, Opt(p), _) =>
+          closureScan(store, t, p, includeZero = true,
+            transitiveHop = false, graphVar = graphVar)
         case t @ Triple(s, AltMixed(ms), o) =>
           // union of the member path relations; shadows are dropped so
           // plain-scan rows and closure rows (which never carry any)
@@ -1208,15 +1318,14 @@ object Sparql {
             f.select(f.columns.filterNot(isShadow).map(col).toSeq: _*)
           ms.map {
             case Plus(p) =>
-              noClosureUnderGraphVar()
-              closureScan(store, t, p, includeZero = false)
+              closureScan(store, t, p, includeZero = false,
+                graphVar = graphVar)
             case Star(p) =>
-              noClosureUnderGraphVar()
-              closureScan(store, t, p, includeZero = true)
-            case Opt(p) =>
-              noClosureUnderGraphVar()
               closureScan(store, t, p, includeZero = true,
-                transitiveHop = false)
+                graphVar = graphVar)
+            case Opt(p) =>
+              closureScan(store, t, p, includeZero = true,
+                transitiveHop = false, graphVar = graphVar)
             case Inv(p) => // ^p member — swapped-ends scan
               noShadow(scan(store, Triple(o, p, s), langVars, typeVars,
                 graphVar))
@@ -1369,6 +1478,7 @@ object Sparql {
   private def langVarsOf(g: Group): Set[String] =
     filterVarsOf(g) {
       case FFn("langmatches" | "langeq", v, _) => Set(v)
+      case FSameV(a, b) => Set(a, b) // strict identity wants the tags
       case _ => Set.empty
     }
 
@@ -1378,6 +1488,7 @@ object Sparql {
   private def typeVarsOf(g: Group): Set[String] =
     filterVarsOf(g) {
       case FFn("isiri" | "isuri" | "isliteral" | "datatypeeq", v, _) => Set(v)
+      case FSameV(a, b) => Set(a, b) // strict identity wants the types
       case _ => Set.empty
     }
 
@@ -1413,48 +1524,51 @@ object Sparql {
     * shadow). Numeric results render integral values without the
     * trailing `.0` so lexical equality/joins still behave. */
   private def bindCols(e: BExpr, df: DataFrame): (Column, Option[Column]) =
+    bindColsC(e, df.columns.toSet)
+
+  private def bindColsC(e: BExpr, cols: Set[String]): (Column, Option[Column]) =
     e match {
       case BVar(v) =>
-        require(df.columns.contains(v), s"BIND references unbound ?$v")
+        require(cols.contains(v), s"BIND references unbound ?$v")
         (col(v),
-          if (df.columns.contains(s"${v}__n")) Some(col(s"${v}__n")) else None)
+          if (cols.contains(s"${v}__n")) Some(col(s"${v}__n")) else None)
       case BLit(L(lex, num)) => (lit(lex), num.map(lit(_)))
       case BFn("concat", args) =>
-        (concat(args.map(a => bindCols(a, df)._1): _*), None)
-      case BFn("str", Seq(a)) => (bindCols(a, df)._1, None)
-      case BFn("ucase", Seq(a)) => (upper(bindCols(a, df)._1), None)
-      case BFn("lcase", Seq(a)) => (lower(bindCols(a, df)._1), None)
+        (concat(args.map(a => bindColsC(a, cols)._1): _*), None)
+      case BFn("str", Seq(a)) => (bindColsC(a, cols)._1, None)
+      case BFn("ucase", Seq(a)) => (upper(bindColsC(a, cols)._1), None)
+      case BFn("lcase", Seq(a)) => (lower(bindColsC(a, cols)._1), None)
       case BFn("strlen", Seq(a)) =>
-        val n = length(bindCols(a, df)._1).cast("double")
+        val n = length(bindColsC(a, cols)._1).cast("double")
         (numLex(n), Some(n))
       // SUBSTR(str, start[, len]) — 1-based like SPARQL/SQL
       case BFn("substr", args) if args.length == 2 || args.length == 3 =>
-        val s = bindCols(args(0), df)._1
-        val start = bNumOf(args(1), df).cast("int")
+        val s = bindColsC(args(0), cols)._1
+        val start = bNumOfC(args(1), cols).cast("int")
         val out =
           if (args.length == 2) s.substr(start, length(s))
-          else s.substr(start, bNumOf(args(2), df).cast("int"))
+          else s.substr(start, bNumOfC(args(2), cols).cast("int"))
         (out, None)
       // REPLACE(str, pattern, replacement) — regex, like SPARQL's
       case BFn("replace", Seq(a, p, r)) =>
         val pat = bLitOf(p, "REPLACE pattern")
         val rep = bLitOf(r, "REPLACE replacement")
-        (regexp_replace(bindCols(a, df)._1, pat, rep), None)
+        (regexp_replace(bindColsC(a, cols)._1, pat, rep), None)
       // STRBEFORE/STRAFTER: empty string when the needle is absent
       // (SPARQL 17.4.3.7-8); literal needle so locate() stays codegen
       case BFn("strbefore", Seq(a, b)) =>
-        val s = bindCols(a, df)._1
+        val s = bindColsC(a, cols)._1
         val d = bLitOf(b, "STRBEFORE needle")
         val at = locate(d, s)
         (when(at > 0, s.substr(lit(1), at - 1)).otherwise(""), None)
       case BFn("strafter", Seq(a, b)) =>
-        val s = bindCols(a, df)._1
+        val s = bindColsC(a, cols)._1
         val d = bLitOf(b, "STRAFTER needle")
         val at = locate(d, s)
         (when(at > 0, s.substr(at + lit(d.length), length(s)))
           .otherwise(""), None)
       case BFn("coalesce", args) if args.nonEmpty =>
-        val parts = args.map(bindCols(_, df))
+        val parts = args.map(bindColsC(_, cols))
         val shadows = parts.map(_._2)
         (coalesce(parts.map(_._1): _*),
           if (shadows.forall(_.nonEmpty))
@@ -1462,19 +1576,12 @@ object Sparql {
           else None)
       case BFn("if", Seq(c, t, e2)) =>
         val cond = c match {
-          case BCmp(l, op, r) =>
-            // numeric comparison when either side carries a numeric
-            // shadow (or is a numeric literal); lexical otherwise
-            val lp = bindCols(l, df); val rp = bindCols(r, df)
-            val numeric = lp._2.nonEmpty || rp._2.nonEmpty
-            def sideOf(p: (Column, Option[Column])) =
-              if (numeric) p._2.getOrElse(p._1.cast("double")) else p._1
-            cmpCol(op, sideOf(lp), sideOf(rp))
+          case BCmp(l, op, r) => bCmpCol(l, op, r, cols)
           case o => throw new IllegalArgumentException(
             s"IF condition must be a comparison, got $o")
         }
-        val (tl, tn) = bindCols(t, df)
-        val (el, en) = bindCols(e2, df)
+        val (tl, tn) = bindColsC(t, cols)
+        val (el, en) = bindColsC(e2, cols)
         // a NULL condition (e.g. a non-numeric value coerced for a
         // numeric compare) must yield NULL — SPARQL's type-error ⇒
         // unbound — not silently pick the else branch; the two-sided
@@ -1485,20 +1592,37 @@ object Sparql {
           else None)
       // hash functions (SPARQL 17.4.4.12-16) — hex digests of the
       // lexical form; Spark's md5/sha2 are codegen'd
-      case BFn("md5", Seq(a)) => (md5(bindCols(a, df)._1), None)
-      case BFn("sha1", Seq(a)) => (sha1(bindCols(a, df)._1), None)
+      case BFn("md5", Seq(a)) => (md5(bindColsC(a, cols)._1), None)
+      case BFn("sha1", Seq(a)) => (sha1(bindColsC(a, cols)._1), None)
       case BFn("sha256", Seq(a)) =>
-        (sha2(bindCols(a, df)._1, 256), None)
+        (sha2(bindColsC(a, cols)._1, 256), None)
       case BFn("sha512", Seq(a)) =>
-        (sha2(bindCols(a, df)._1, 512), None)
+        (sha2(bindColsC(a, cols)._1, 512), None)
       // ENCODE_FOR_URI (17.4.3.11): RFC 3986 percent-encoding of
       // everything outside the unreserved set. url_encode is
       // form-encoding (space → '+'), so patch the one divergence.
       case BFn("encode_for_uri", Seq(a)) =>
-        (regexp_replace(url_encode(bindCols(a, df)._1), "\\+", "%20"), None)
+        (regexp_replace(url_encode(bindColsC(a, cols)._1), "\\+", "%20"), None)
+      // zero-arg builtins (ARQ surface): NOW() is one value per query —
+      // current_timestamp is fixed at query start, matching SPARQL
+      // 17.4.4.1; UUID()/STRUUID()/BNODE() are fresh per solution
+      // (nondeterministic expressions, evaluated executor-side)
+      case BFn("now", Seq()) =>
+        (date_format(current_timestamp(),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"), None)
+      case BFn("uuid", Seq()) =>
+        (concat(lit("urn:uuid:"), expr("uuid()")), None)
+      case BFn("struuid", Seq()) => (expr("uuid()"), None)
+      case BFn("bnode", Seq()) =>
+        // keeps the `_:` marker isBlank() tests for
+        (concat(lit("_:b"), expr("uuid()")), None)
+      case BFn("bnode", Seq(a)) =>
+        // one-arg form: stable label per lexical argument (SPARQL
+        // 17.4.1.9 maps equal args to the same bnode within a query)
+        (concat(lit("_:b"), md5(bindColsC(a, cols)._1)), None)
       // numeric 1-arg functions
       case BFn(f @ ("abs" | "round" | "floor" | "ceil"), Seq(a)) =>
-        val x = bNumOf(a, df)
+        val x = bNumOfC(a, cols)
         val n = (f match {
           case "abs" => abs(x)
           case "round" => round(x, 0)
@@ -1510,10 +1634,10 @@ object Sparql {
         s"unsupported BIND function $f/${args.length}")
       case BArith(l, op, r) =>
         val n = op match {
-          case "+" => bNumOf(l, df) + bNumOf(r, df)
-          case "-" => bNumOf(l, df) - bNumOf(r, df)
-          case "*" => bNumOf(l, df) * bNumOf(r, df)
-          case "/" => bNumOf(l, df) / bNumOf(r, df)
+          case "+" => bNumOfC(l, cols) + bNumOfC(r, cols)
+          case "-" => bNumOfC(l, cols) - bNumOfC(r, cols)
+          case "*" => bNumOfC(l, cols) * bNumOfC(r, cols)
+          case "/" => bNumOfC(l, cols) / bNumOfC(r, cols)
           case o => throw new IllegalArgumentException(s"bad BIND op $o")
         }
         (numLex(n), Some(n))
@@ -1522,8 +1646,8 @@ object Sparql {
     }
 
   /** A BIND operand as a numeric column (shadow if present, else cast). */
-  private def bNumOf(x: BExpr, df: DataFrame): Column = {
-    val (lex, num) = bindCols(x, df)
+  private def bNumOfC(x: BExpr, cols: Set[String]): Column = {
+    val (lex, num) = bindColsC(x, cols)
     num.getOrElse(lex.cast("double"))
   }
 

@@ -367,6 +367,39 @@ class EngineSpec extends AnyFunSuite {
       inf.get(0).get("system").get("path").asText().startsWith("/doc/"))
   }
 
+  test("analyzed-only fields reject aggregation and sort fail-loud") {
+    import graft.ops.Aggregations
+    import graft.qp.ApParser
+    val store = GraftStore.forDir(spark, Sf)
+    val base = Search.run(store, Search.Request(path = "/documents"))
+    // the document body is mapped analyzed-only (no keyword slot):
+    // bucketing it is an ES mapping error in the reference, not a
+    // token aggregation
+    val e = intercept[IllegalArgumentException] {
+      Aggregations.run(store, base,
+        ApParser.parse("type:term,field::text").head)
+    }
+    assert(e.getMessage.contains("analyzed-only"))
+    // a nested leaf fails as loudly as a top-level field
+    val e2 = intercept[IllegalArgumentException] {
+      Aggregations.run(store, base, ApParser.parse(
+        "type:term,field::lang<type:card,field::text>").head)
+    }
+    assert(e2.getMessage.contains("analyzed-only"))
+    // sorting rides the same doc-values constraint
+    val e3 = intercept[IllegalArgumentException] {
+      Search.search(store,
+        Search.Request(path = "/documents", sortBy = Some("text")))
+    }
+    assert(e3.getMessage.contains("analyzed-only"))
+    // keyword-mapped fields on the same docs keep aggregating
+    assert(Aggregations.run(store, base,
+      ApParser.parse("type:term,field::lang").head).count() > 0)
+    // and the analyzed body stays SEARCHABLE — only bucketing is out
+    assert(Search.run(store, Search.Request(path = "/documents",
+      qp = Some("text:the"))).count() > 0)
+  }
+
   test("nested term sub-aggregation truncates to top-size per parent") {
     import graft.ops.Aggregations
     import graft.qp.ApParser
@@ -1373,8 +1406,33 @@ class EngineSpec extends AnyFunSuite {
     val pairs = Seq((2L, 1L), (2L, 3L), (1L, 3L),
       (11L, 10L), (12L, 11L), (13L, 12L), (21L, 20L))
       .toDF("v1", "v2")
-    val cc = graft.pipeline.Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // job-count audit: with AQE + broadcast off (each of which splits
+    // one action into several scheduler jobs), the loop must cost ONE
+    // job per round — the changed-row count that materializes the lazy
+    // checkpoint — plus one for the eager seed-label checkpoint. The
+    // chain needs 2 improving rounds + 1 confirming round = 4 jobs;
+    // the old eager-checkpoint + isEmpty-probe shape paid 7.
+    val sc = spark.sparkContext
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup("cc-jobs", "cc job-count audit")
+    val labels = try graft.pipeline.Dedup.connectedComponents(pairs)
+    finally {
+      sc.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    // status tracker fills from the async listener bus — poll to stable
+    var last = -1; var stable = 0
+    while (stable < 3) {
+      val n = sc.statusTracker.getJobIdsForGroup("cc-jobs").length
+      if (n == last) stable += 1 else { stable = 0; last = n }
+      Thread.sleep(100)
+    }
+    assert(last == 4, s"expected 1 seed + 3 round jobs, saw $last")
+    val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
       20L -> 20L, 21L -> 20L))
@@ -1408,6 +1466,91 @@ class EngineSpec extends AnyFunSuite {
         |</graph></TriX>""".stripMargin)
     assert(sts.length == 1 && sts.head.quad.contains("/graph/g7") &&
       sts.head.lang.contains("en"))
+  }
+
+  test("SPARQL property-path closures inside GRAPH ?g stay per-graph") {
+    // g1 chains a→b→c; g2 only a→b. A closure under GRAPH ?g must not
+    // hop across graphs: c is reachable in g1 only.
+    val store = storeOf(Seq(
+      "<c://pg/a> <c://o#next> <c://pg/b> <c://graph/g1> .",
+      "<c://pg/b> <c://o#next> <c://pg/c> <c://graph/g1> .",
+      "<c://pg/a> <c://o#next> <c://pg/b> <c://graph/g2> ."),
+      T("2024-01-01 00:00:00"))
+    val plus = Sparql.select(store,
+      """SELECT ?g ?x WHERE { GRAPH ?g { <c://pg/a> <c://o#next>+ ?x } }
+        |ORDER BY ?g ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(plus.toSeq == Seq(
+      ("/graph/g1", "/pg/b"), ("/graph/g1", "/pg/c"),
+      ("/graph/g2", "/pg/b")))
+    // zero-or-more adds the per-graph identity: the seed self-matches
+    // in each graph that contains it
+    val star = Sparql.select(store,
+      """SELECT ?g ?x WHERE { GRAPH ?g { <c://pg/a> <c://o#next>* ?x } }
+        |ORDER BY ?g ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(star.toSeq == Seq(
+      ("/graph/g1", "/pg/a"), ("/graph/g1", "/pg/b"), ("/graph/g1", "/pg/c"),
+      ("/graph/g2", "/pg/a"), ("/graph/g2", "/pg/b")))
+    // the graph tag joins across patterns in the group: pairing the
+    // closure with a same-graph pattern keeps (?g, ?x) consistent
+    val joined = Sparql.select(store,
+      """SELECT ?g ?x WHERE { GRAPH ?g {
+        |  <c://pg/a> <c://o#next>+ ?x . ?x <c://o#next> ?y } }
+        |ORDER BY ?g ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(joined.toSeq == Seq(("/graph/g1", "/pg/b")))
+  }
+
+  test("SPARQL residual builtins: sameTerm strictness, NOW, BNODE, IF") {
+    val store = storeOf(Seq(
+      "<c://b/1> <c://o#a> \"1\"^^<http://www.w3.org/2001/XMLSchema#int> .",
+      "<c://b/1> <c://o#b> \"1.0\"^^<http://www.w3.org/2001/XMLSchema#double> .",
+      "<c://b/2> <c://o#a> \"7\"^^<http://www.w3.org/2001/XMLSchema#int> .",
+      "<c://b/2> <c://o#b> \"7\"^^<http://www.w3.org/2001/XMLSchema#int> ."),
+      T("2024-01-01 00:00:00"))
+    // `=` coerces numerically ("1" == "1.0"); sameTerm does not — only
+    // /b/2 (identical lexicals) survives the strict form
+    val eq = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#a> ?x . ?s <c://o#b> ?y .
+        |FILTER (?x = ?y) } ORDER BY ?s""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(eq.toSeq == Seq("/b/1", "/b/2"))
+    val same = Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#a> ?x . ?s <c://o#b> ?y .
+        |FILTER (sameTerm(?x, ?y)) } ORDER BY ?s""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(same.toSeq == Seq("/b/2"))
+    // sameTerm against a constant term
+    assert(Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#a> ?x . FILTER (sameTerm(?x, "7")) }"""
+    ).collect().map(_.getString(0)).toSeq == Seq("/b/2"))
+    // NOW() is one value per query, ISO-lexical comparable both ways
+    assert(Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#a> ?x .
+        |FILTER (NOW() > "2020-01-01T00:00:00") }""".stripMargin)
+      .count() == 2)
+    assert(Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#a> ?x .
+        |FILTER (NOW() < "2020-01-01T00:00:00") }""".stripMargin)
+      .count() == 0)
+    // one-arg BNODE: same argument → same label within the query;
+    // different arguments → different labels
+    val bn = Sparql.select(store,
+      """SELECT ?s ?b1 ?b2 ?b3 WHERE { ?s <c://o#a> ?x .
+        |BIND(BNODE("k") AS ?b1) BIND(BNODE("k") AS ?b2)
+        |BIND(BNODE("j") AS ?b3) FILTER (isBlank(?b1)) }""".stripMargin)
+      .collect()
+    assert(bn.length == 2)
+    bn.foreach { r =>
+      assert(r.getString(1) == r.getString(2))
+      assert(r.getString(1) != r.getString(3))
+    }
+    // IF's EBV in FILTER position: numeric 0 is false, non-zero true
+    assert(Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#a> ?x .
+        |FILTER (IF(?x > 5, 1, 0)) }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq == Seq("/b/2"))
   }
 
   test("SPARQL mixed alternation p1|p2+ unions scan and closure") {
