@@ -66,7 +66,12 @@ object Search {
   def sortColumns(store: GraftStore, sortBy: Option[String]): Seq[Column] = {
     val keys = sortBy.map(QpParser.parseSortBy)
       .getOrElse(Seq(("system.lastModified", false)))
-    keys.map { case (name0, asc) =>
+    keys.flatMap { case (name0, asc) =>
+      // `system.score` is ES relevance — in the reference it
+      // contributes no field sort (FTSService treats score sort as
+      // the engine's own ranking, a no-op for filter-only queries);
+      // rows fall through to the deterministic path tie-break
+      if (name0 == "system.score") None else Some {
       // sort keys accept the same namespace-qualified spellings as qp
       val name =
         if (name0.startsWith("system.")) name0
@@ -88,7 +93,7 @@ object Search {
             element_at(col("fields").getItem(name), 1).getField("s")
         }
       if (asc) c.asc_nulls_last else c.desc_nulls_last
-    } :+ col("system.path").asc
+    } } :+ col("system.path").asc
   }
 
   /** search = run + sort + clamped pagination (Application.scala:

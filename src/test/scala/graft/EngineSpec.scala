@@ -367,6 +367,17 @@ class EngineSpec extends AnyFunSuite {
       inf.get(0).get("system").get("path").asText().startsWith("/doc/"))
   }
 
+  test("sort-by system.score is the relevance no-op, path tie-break rules") {
+    val store = GraftStore.forDir(spark, Sf)
+    val scored = Search.search(store, Search.Request(path = "/nation",
+      sortBy = Some("-system.score")), length = 30)
+      .select("system.path").collect().map(_.getString(0))
+    // no score column exists — the reference treats score sort as the
+    // engine's own ranking; filter-only queries fall through to the
+    // deterministic path tie-break
+    assert(scored.toSeq == scored.sorted.toSeq && scored.length == 25)
+  }
+
   test("analyzed-only fields reject aggregation and sort fail-loud") {
     import graft.ops.Aggregations
     import graft.qp.ApParser
