@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -179,6 +179,42 @@ object PipelineQueries {
       annCheck(emb(s, dir), Similarity.ivfTopK(emb(s, dir),
         Seq(0L, 1L, 2L), 5), minOverlap = 3)),
 
+    // per-source quota sampling: keep at most 5 docs per source under
+    // a deterministic pseudo-random order (md5 of the id) — the
+    // domain-cap / training-mix lever, reproducible and order-unbiased
+    "q_quota_sample" -> ((s, dir) =>
+      Curation.quotaSample(docs(s, dir), "source", quota = 5)
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    // PII redaction: the corpus carries no natural PII (verified), so
+    // the query injects synthetic email/phone/IP per doc IDENTICALLY
+    // on both sides — the oracle check is then a non-vacuous
+    // cross-engine regex-semantics parity test (Java regex vs RE2)
+    "q_redact_pii" -> ((s, dir) => {
+      val injected = docs(s, dir).withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-1234 from 10.0.0."),
+          (col("doc_id") % 256).cast("string")))
+      Curation.redact(injected)
+        .select(col("doc_id"), col("redacted"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_phone").cast("long").as("n_phone"),
+          col("n_ipv4").cast("long").as("n_ipv4"))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: docs sharing any word 8-gram with the
+    // benchmark slice (doc_id % 50 == 0 stands in for an eval suite)
+    // are flagged — the leakage guard before training
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.contaminated(d, d.where(col("doc_id") % 50 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
     // token/char counting incl. BPE-ish estimate
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")),
@@ -345,6 +381,37 @@ object PipelineQueries {
         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank = 1
         |ORDER BY query_id""".stripMargin,
+    "q_quota_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    "q_redact_pii" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or 555-' ||
+        |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+        |  '-1234 from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g')
+        |    AS redacted,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |g AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+         |  FROM tok, UNNEST(generate_series(1, len(ts)-7)) AS t(i)),
+         |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+         |SELECT DISTINCT g.doc_id FROM g JOIN bg USING (g)
+         |ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id, len($TokensSql) AS n_tokens,
          |length(text) AS n_chars,

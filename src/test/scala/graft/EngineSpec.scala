@@ -588,12 +588,12 @@ class EngineSpec extends AnyFunSuite {
     // no dataset clause: default graph is the union (all 3 visible)
     assert(Sparql.select(store,
       "SELECT ?d WHERE { ?d <c://o#tag> ?v }").count() == 3)
-    // closures inside GRAPH ?g fail loud
-    val e = intercept[IllegalArgumentException] {
-      Sparql.select(store,
-        "SELECT ?d WHERE { GRAPH ?g { ?d <c://o#tag>+ ?v } }")
-    }
-    assert(e.getMessage.contains("GRAPH ?g"))
+    // closures inside GRAPH ?g run per-graph (tag rides the frontier);
+    // tag is not a ref field here, so the closure is empty — but it
+    // compiles and binds (?d, ?g) without error
+    assert(Sparql.select(store,
+      "SELECT ?d ?g WHERE { GRAPH ?g { ?d <c://o#ref>+ ?v } }")
+      .count() == 0)
   }
 
   test("SPARQL custom FILTER functions dispatch to registered UDFs") {
@@ -1408,6 +1408,36 @@ class EngineSpec extends AnyFunSuite {
     val frames = Multimodal.frameSample(content, stride = 2)
     assert(frames.count() >= 5)
     assert(frames.columns.toSeq == Seq("path", "frame_no", "frame"))
+  }
+
+  test("curation: quota sampling, PII redaction, decontamination") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    // quota: uneven sources capped at 2; selection is deterministic
+    val d = (1L to 10L)
+      .map(i => (i, if (i <= 6) "a" else if (i <= 9) "b" else "c", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    val q = Curation.quotaSample(d, "source", 2)
+    val bySrc = q.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    assert(q.select("doc_id").collect().toSeq ==
+      Curation.quotaSample(d, "source", 2).select("doc_id").collect().toSeq)
+    // redaction replaces each pattern and counts on the original text
+    val pii = Seq((1L, "mail a.b@x.org call 123-456-7890 ip 10.1.2.3 ok"))
+      .toDF("doc_id", "text")
+    val r = Curation.redact(pii).head()
+    assert(r.getString(1) == "mail [EMAIL] call [PHONE] ip [IPV4] ok")
+    assert(r.getInt(2) == 1 && r.getInt(3) == 1 && r.getInt(4) == 1)
+    // decontamination: sharing one 8-gram with the benchmark flags the
+    // doc (and the benchmark doc itself); disjoint docs stay clean
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val corpus = Seq((1L, s"$eight tail one"), (2L, s"head $eight"),
+      (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    val flagged = Curation
+      .contaminated(corpus, corpus.where($"doc_id" === 1), 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 2L))
   }
 
   test("connected components fold pair lists into dedup clusters") {
