@@ -215,6 +215,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // greedy sequence packing into 256-token context windows per
+    // source — the pretraining batch-packing shape; oracle = the same
+    // greedy scan as a recursive CTE
+    "q_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(docs(s, dir), "source", budget = 256)
+        .select(col("key"), col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"), col("bin"))
+        .orderBy("key", "doc_id")),
+
     // token/char counting incl. BPE-ish estimate
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")),
@@ -412,6 +421,23 @@ object PipelineQueries {
          |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
          |SELECT DISTINCT g.doc_id FROM g JOIN bg USING (g)
          |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH RECURSIVE d AS (SELECT source AS key, doc_id,
+         |  len($TokensSql) AS n_tokens,
+         |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |p(key, rn, doc_id, n_tokens, bin, fill) AS (
+         |  SELECT key, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.key, d.rn, d.doc_id, d.n_tokens,
+         |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin + 1
+         |         ELSE p.bin END,
+         |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+         |         ELSE p.fill + d.n_tokens END
+         |  FROM d JOIN p ON d.key = p.key AND d.rn = p.rn + 1)
+         |SELECT key, doc_id, n_tokens, bin FROM p
+         |ORDER BY key, doc_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id, len($TokensSql) AS n_tokens,
          |length(text) AS n_chars,

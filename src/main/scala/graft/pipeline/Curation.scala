@@ -56,6 +56,44 @@ object Curation {
     docs.select(col("doc_id") +: redacted.as("redacted") +: counts: _*)
   }
 
+  /** SEQUENCE PACKING: assign documents to context-window bins of at
+    * most `budget` tokens using the greedy first-fit-in-order rule —
+    * scan docs in id order per key, close the bin when the next doc
+    * would overflow it (a doc larger than the budget gets a bin of its
+    * own). The shape every LLM pretraining loader needs to batch
+    * efficiently.
+    *
+    * Greedy packing is ORDER-DEPENDENT with a reset, so it has no
+    * relational/window formulation (a running sum can't reset on
+    * overflow) — this is the one genuinely sequential-per-group
+    * operator in the pipeline, hence `flatMapGroups` (the brief's
+    * last-resort tier, used for the reason the tier exists). The
+    * group is the parallel unit: packing runs per key (source/shard)
+    * concurrently, sequentially within. At 100 TB the key is
+    * (source, shard-of-source), which bounds group size and preserves
+    * determinism — a whole-corpus global pack would serialize. */
+  def packSequences(docs: DataFrame, keyCol: String, budget: Int,
+                    textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(keyCol).cast("string").as("key"), col("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+      .as[(String, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val inOrder = it.toSeq.sortBy(_._2)
+        var bin = 0L
+        var fill = -1L // sentinel: first doc opens bin 0 whatever its size
+        inOrder.map { case (_, id, n) =>
+          if (fill < 0) fill = n.toLong
+          else if (fill + n > budget) { bin += 1; fill = n.toLong }
+          else fill += n
+          (k, id, n, bin)
+        }
+      }
+      .toDF("key", "doc_id", "n_tokens", "bin")
+  }
+
   /** Benchmark DECONTAMINATION: flag every document sharing at least
     * one word `n`-gram with a benchmark/eval text set — the standard
     * leakage guard before training. The benchmark gram set is tiny

@@ -1440,6 +1440,24 @@ class EngineSpec extends AnyFunSuite {
     assert(flagged == Set(1L, 2L))
   }
 
+  test("sequence packing: greedy per-key bins, oversize doc isolation") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    // key a: 3+4 fit a 7-budget bin, 5 overflows → bin 1, 2 joins it;
+    // an oversize doc (9 > 7) closes the bin and sits alone; key b
+    // packs independently
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, "a", doc(3)), (2L, "a", doc(4)), (3L, "a", doc(5)),
+      (4L, "a", doc(2)), (5L, "a", doc(9)), (6L, "a", doc(1)),
+      (10L, "b", doc(7)), (11L, "b", doc(1)))
+      .toDF("doc_id", "source", "text")
+    val bins = Curation.packSequences(d, "source", budget = 7)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 3L, 10L -> 0L, 11L -> 1L))
+  }
+
   test("connected components fold pair lists into dedup clusters") {
     import spark.implicits._
     // triangle {1,2,3}, chain 10-11-12-13 (tests multi-hop label
