@@ -179,6 +179,17 @@ object PipelineQueries {
       annCheck(emb(s, dir), Similarity.ivfTopK(emb(s, dir),
         Seq(0L, 1L, 2L), 5), minOverlap = 3)),
 
+    // incremental exact dedup: the batch (doc_id >= 250) joins the
+    // corpus digest INDEX (doc_id < 250) plus itself — the growing-
+    // corpus shape where corpus×corpus never reruns
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalExact(
+          Dedup.digestIndex(d.where(col("doc_id") < 250)),
+          d.where(col("doc_id") >= 250))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // per-source quota sampling: keep at most 5 docs per source under
     // a deterministic pseudo-random order (md5 of the id) — the
     // domain-cap / training-mix lever, reproducible and order-unbiased
@@ -390,6 +401,16 @@ object PipelineQueries {
         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank = 1
         |ORDER BY query_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH c AS (SELECT DISTINCT md5(text) AS dg FROM documents
+        |  WHERE doc_id < 250),
+        |i AS (SELECT doc_id, md5(text) AS dg FROM documents
+        |  WHERE doc_id >= 250)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY dg
+        |    ORDER BY doc_id) AS rn
+        |  FROM i WHERE dg NOT IN (SELECT dg FROM c))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_quota_sample" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source

@@ -42,6 +42,27 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** INCREMENTAL exact dedup — the production shape for a growing
+    * corpus: the already-ingested corpus exposes only its DIGEST INDEX
+    * (one md5 per distinct content; at 100 TB a bucketed parquet
+    * table, tiny next to the corpus), and each incoming batch joins
+    * against that index plus itself — corpus×corpus never runs again.
+    * Returns the incoming docs that survive: content unseen in the
+    * corpus, first id within the batch per digest. */
+  def incrementalExact(corpusDigests: DataFrame, incoming: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    val inc = incoming.withColumn("digest", md5(col(textCol)))
+    val w = Window.partitionBy("digest").orderBy("doc_id")
+    inc.join(corpusDigests, Seq("digest"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The digest index [[incrementalExact]] consumes — maintained by
+    * unioning each accepted batch's digests. */
+  def digestIndex(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(md5(col(textCol)).as("digest")).distinct()
+
   /** Inverted index: (doc_id, shingle), distinct. */
   def shingleIndex(docs: DataFrame, n: Int,
                    textCol: String = "text"): DataFrame =

@@ -1440,6 +1440,19 @@ class EngineSpec extends AnyFunSuite {
     assert(flagged == Set(1L, 2L))
   }
 
+  test("incremental exact dedup joins only the corpus digest index") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha"),  // already in corpus → dropped
+      (11L, "gamma"), (12L, "gamma"), // batch-internal dup → keep 11
+      (13L, "delta")).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(Dedup.digestIndex(corpus), incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+  }
+
   test("sequence packing: greedy per-key bins, oversize doc isolation") {
     import spark.implicits._
     import graft.pipeline.Curation
