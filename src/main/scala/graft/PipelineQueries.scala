@@ -103,6 +103,30 @@ object PipelineQueries {
       keepQ.join(dropDup, Seq("doc_id"), "left_anti").orderBy("doc_id")
     }),
 
+    // the FULL curation pipeline composed end-to-end in one job:
+    // quality gate → near-dup cluster keep-one → benchmark
+    // decontamination → per-source quota → context-window packing.
+    // Every stage is an already-oracle-checked operator; this query
+    // checks their COMPOSITION against the same chain in SQL.
+    "q_pipeline_full" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepQ = TextAnalysis.quality(d)
+        .where(col("n_tokens") >= 5 && col("repetition") <= 0.5)
+        .select("doc_id")
+      val dropDup = clusters(s, dir)
+        .where(col("member") =!= col("root"))
+        .select(col("member").as("doc_id"))
+      val cont = Curation.contaminated(d, d.where(col("doc_id") % 50 === 0),
+        n = 8)
+      val kept = d.join(keepQ, Seq("doc_id"))
+        .join(dropDup, Seq("doc_id"), "left_anti")
+        .join(cont, Seq("doc_id"), "left_anti")
+      Curation.packSequences(
+          Curation.quotaSample(kept, "source", quota = 10),
+          "source", budget = 256)
+        .select("key", "doc_id", "bin").orderBy("key", "doc_id")
+    }),
+
     // gap-based sessionization of the event stream (native
     // session_window merge — no per-user sort pass); oracle = the
     // relational lag/gap-sum island formulation
@@ -401,6 +425,45 @@ object PipelineQueries {
         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank = 1
         |ORDER BY query_id""".stripMargin,
+    "q_pipeline_full" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |q AS (SELECT doc_id FROM t WHERE len(ts) >= 5
+         |  AND 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts) <= 0.5),
+         |pr AS ($JaccardPairsSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pr
+         |  UNION SELECT d2, d1 FROM pr),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+         |dropd AS (SELECT node FROM reach GROUP BY node
+         |  HAVING node != min(r)),
+         |gr AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+         |  FROM t, UNNEST(generate_series(1, len(ts)-7)) AS t2(i)),
+         |bg AS (SELECT DISTINCT g FROM gr WHERE doc_id % 50 = 0),
+         |cont AS (SELECT DISTINCT gr.doc_id FROM gr JOIN bg USING (g)),
+         |kept AS (SELECT d.doc_id, d.source FROM documents d
+         |  JOIN q USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT node FROM dropd)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+         |quota AS (SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM kept) WHERE rn <= 10),
+         |pd AS (SELECT k.source AS key, k.doc_id, len(t.ts) AS n_tokens,
+         |  row_number() OVER (PARTITION BY k.source ORDER BY k.doc_id) AS rn
+         |  FROM quota k JOIN t USING (doc_id)),
+         |p(key, rn, doc_id, n_tokens, bin, fill) AS (
+         |  SELECT key, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+         |  FROM pd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT pd.key, pd.rn, pd.doc_id, pd.n_tokens,
+         |    CASE WHEN p.fill + pd.n_tokens > 256 THEN p.bin + 1
+         |         ELSE p.bin END,
+         |    CASE WHEN p.fill + pd.n_tokens > 256 THEN pd.n_tokens
+         |         ELSE p.fill + pd.n_tokens END
+         |  FROM pd JOIN p ON pd.key = p.key AND pd.rn = p.rn + 1)
+         |SELECT key, doc_id, bin FROM p ORDER BY key, doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH c AS (SELECT DISTINCT md5(text) AS dg FROM documents
         |  WHERE doc_id < 250),
