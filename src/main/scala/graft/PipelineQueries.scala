@@ -203,6 +203,14 @@ object PipelineQueries {
       annCheck(emb(s, dir), Similarity.ivfTopK(emb(s, dir),
         Seq(0L, 1L, 2L), 5), minOverlap = 3)),
 
+    // SQ8-compressed kNN: int8 scalar-quantized index (4× smaller
+    // scan), exact cosine on the reconstruction — quantization error
+    // is the only accuracy loss, so the top-5 must stay >= 4/5 of the
+    // float exact set; exact top-1 grounded by the oracle as usual
+    "q_knn_sq8" -> ((s, dir) =>
+      annCheck(emb(s, dir), Similarity.sq8TopK(emb(s, dir),
+        Seq(0L, 1L, 2L), 5), minOverlap = 4)),
+
     // incremental exact dedup: the batch (doc_id >= 250) joins the
     // corpus digest INDEX (doc_id < 250) plus itself — the growing-
     // corpus shape where corpus×corpus never reruns
@@ -398,6 +406,20 @@ object PipelineQueries {
     // query; the engine's recall_ok booleans must hold against its
     // own exact top-5 (computed by the same oracle-checked q_knn path)
     "q_knn_lsh" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(e.v, q.qv) AS cosine
+        |  FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id AS exact_top1, true AS recall_ok
+        |FROM (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank = 1
+        |ORDER BY query_id""".stripMargin,
+    "q_knn_sq8" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

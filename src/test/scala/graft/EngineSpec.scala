@@ -1440,6 +1440,26 @@ class EngineSpec extends AnyFunSuite {
     assert(flagged == Set(1L, 2L))
   }
 
+  test("SQ8 quantization stores bytes and bounds reconstruction error") {
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val (coded, ranges) = Similarity.sq8Quantize(e)
+    assert(coded.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    // per-dimension reconstruction error is at most half a
+    // quantization step (affine rounding)
+    val recon = coded.select(col("vec_id"),
+        Similarity.sq8Dequantize(col("codes"), ranges).as("r"))
+      .join(e.select(col("vec_id"), col("embedding").as("o")), "vec_id")
+    val maxErr = recon.select(max(aggregate(
+        zip_with(col("r"), col("o"), (a, b) => abs(a - b.cast("double"))),
+        lit(0.0), (acc, x) => greatest(acc, x)))).head().getDouble(0)
+    val maxHalfStep = ranges.map { case (l, h) => (h - l) / 255.0 / 2 }.max
+    assert(maxErr <= maxHalfStep + 1e-9,
+      s"max reconstruction error $maxErr exceeds half-step $maxHalfStep")
+  }
+
   test("incremental exact dedup joins only the corpus digest index") {
     import spark.implicits._
     import graft.pipeline.Dedup
