@@ -131,7 +131,8 @@ object IngestQueries {
   // in the same JVM must rebuild, not serve stale frames
   private val mergedCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), GraftStore]()
-  private def mergedStore(s: SparkSession, dir: String): GraftStore =
+  private def mergedStore(s: SparkSession, dir: String): GraftStore = {
+    GraftStore.evictStopped(mergedCache)
     mergedCache.computeIfAbsent((s, dir), { _ =>
       // no whole-store persist here: Merger.merge already persists the
       // delta (newV) internally, and the flip join re-derives cheaply
@@ -140,6 +141,7 @@ object IngestQueries {
       // small join per read
       GraftStore.fromInfotons(s, merged(s, dir), Some(TableLoader.fieldTypes))
     })
+  }
 
   private def mergeDelete(s: SparkSession, dir: String): DataFrame =
     Search.run(mergedStore(s, dir), Search.Request(path = "/customer"))

@@ -25,16 +25,19 @@ object PipelineQueries {
   // rebuild rather than serve a stale handle
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
-  private def jaccard(s: SparkSession, dir: String): DataFrame =
+  private def jaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.model.GraftStore.evictStopped(pairsCache)
     pairsCache.computeIfAbsent((s, dir), { _ =>
       val p = Dedup.jaccardPairs(docs(s, dir), n = 2, tau = 0.8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count()
       p
     })
+  }
   private val ccCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
-  private def clusters(s: SparkSession, dir: String): DataFrame =
+  private def clusters(s: SparkSession, dir: String): DataFrame = {
+    graft.model.GraftStore.evictStopped(ccCache)
     ccCache.computeIfAbsent((s, dir), { _ =>
       val cc = Dedup.connectedComponents(jaccard(s, dir)
           .select(col("d1").as("v1"), col("d2").as("v2")))
@@ -42,6 +45,7 @@ object PipelineQueries {
       cc.count()
       cc
     })
+  }
 
   /** Grounded ANN check row set: per query vector, the EXACT top-1
     * neighbor (reproduced independently by the DuckDB oracle) plus a

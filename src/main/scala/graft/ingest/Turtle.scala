@@ -44,10 +44,13 @@ object Turtle {
     * block and silently assert its antecedent). Literal and IRI spans
     * are stripped before the scan so payload text can't false-match. */
   def parseN3(doc: String): Seq[Rdf.Statement] = {
+    // IRI scrub must not cross whitespace or a second '<': a greedy
+    // <[^>]*> would let the '<' of an N3 '<=' marker swallow up to the
+    // next real IRI's '>' and smuggle the implication past the guard
     val scrubbed = doc
       .replaceAll("(?s)\"\"\".*?\"\"\"|'''.*?'''", " ")
       .replaceAll("\"(?:\\\\.|[^\"\\\\])*\"|'(?:\\\\.|[^'\\\\])*'", " ")
-      .replaceAll("<[^>]*>", " ")
+      .replaceAll("<[^<>\\s]*>", " ")
     for (marker <- Seq("@forAll", "@forSome", "=>", "<=", "@keywords"))
       require(!scrubbed.contains(marker),
         s"N3-proper syntax '$marker' is not supported: this engine " +

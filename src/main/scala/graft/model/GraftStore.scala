@@ -83,6 +83,18 @@ object GraftStore {
   // the store instead of serving frames bound to the dead session
   private val cache = new ConcurrentHashMap[(SparkSession, String), GraftStore]()
 
+  /** Drop entries bound to STOPPED sessions — without this, every
+    * same-JVM session restart (the exact case the session key exists
+    * for) pins the dead session and its persisted frames in the
+    * static map forever. Called by each session-keyed cache before
+    * insert; the scan is over a handful of entries. */
+  private[graft] def evictStopped[V](
+      m: ConcurrentHashMap[(SparkSession, String), V]): Unit = {
+    val it = m.keySet.iterator()
+    while (it.hasNext)
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
   /** Write the store in its production parquet layout — the concrete
     * 100 TB design the in-memory persist stands in for:
     *   - `infotons/` partitioned by parent (path-prefix pruning for
@@ -122,13 +134,15 @@ object GraftStore {
   /** Load (once per sf dir per JVM) the driver tables as an infoton
     * store. The persist is the local stand-in for the one-time ETL that
     * would materialize the store as Parquet at cluster scale. */
-  def forDir(spark: SparkSession, dir: String): GraftStore =
+  def forDir(spark: SparkSession, dir: String): GraftStore = {
+    evictStopped(cache)
     cache.computeIfAbsent((spark, dir), { case (s, d) =>
       val inf = TableLoader.load(s, d)
         .persist(StorageLevel.MEMORY_AND_DISK)
       new GraftStore(s, inf, TableLoader.fieldTypes, None,
         TableLoader.analyzedOnly)
     })
+  }
 
   /** Store over an arbitrary infoton DataFrame (e.g. RDF ingest).
     * Field types are sampled from the data unless a known dictionary

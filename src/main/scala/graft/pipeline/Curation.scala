@@ -24,10 +24,10 @@ object Curation {
     * at 100 TB, pre-prune hot keys with an approximate count and a
     * per-partition local top-`quota` pass first (two-phase top-K); the
     * quota output itself is bounded at keys × quota rows. */
-  def quotaSample(docs: DataFrame, keyCol: String,
-                  quota: Int): DataFrame = {
+  def quotaSample(docs: DataFrame, keyCol: String, quota: Int,
+                  idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
     docs.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= quota).drop("__rn")
   }
@@ -45,7 +45,8 @@ object Curation {
     * count per-type hits (counted on the ORIGINAL text, so one
     * pattern's replacement can't hide another's count). One codegen'd
     * projection — at 100 TB this is scan-speed. */
-  def redact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def redact(docs: DataFrame, textCol: String = "text",
+             idCol: String = "doc_id"): DataFrame = {
     val redacted = PiiPatterns.foldLeft(col(textCol)) {
       case (c, (name, p)) =>
         regexp_replace(c, p, s"[${name.toUpperCase}]")
@@ -53,7 +54,7 @@ object Curation {
     val counts = PiiPatterns.map { case (name, p) =>
       regexp_count(col(textCol), lit(p)).as(s"n_$name")
     }
-    docs.select(col("doc_id") +: redacted.as("redacted") +: counts: _*)
+    docs.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
   }
 
   /** SEQUENCE PACKING: assign documents to context-window bins of at
@@ -73,10 +74,12 @@ object Curation {
     * (source, shard-of-source), which bounds group size and preserves
     * determinism — a whole-corpus global pack would serialize. */
   def packSequences(docs: DataFrame, keyCol: String, budget: Int,
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(keyCol).cast("string").as("key"), col("doc_id"),
+    docs.select(col(keyCol).cast("string").as("key"),
+        col(idCol).as("doc_id"),
         size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
       .as[(String, Long, Int)]
       .groupByKey(_._1)
@@ -104,8 +107,9 @@ object Curation {
     * Returns the distinct flagged doc ids; the clean set is
     * `docs.join(contaminated, "doc_id", "left_anti")`. */
   def contaminated(docs: DataFrame, bench: DataFrame, n: Int,
-                   textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col("doc_id"),
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
     val bg = bench
       .select(explode(TextAnalysis.shingles(col(textCol), n)).as("g"))

@@ -50,9 +50,10 @@ object Dedup {
     * Returns the incoming docs that survive: content unseen in the
     * corpus, first id within the batch per digest. */
   def incrementalExact(corpusDigests: DataFrame, incoming: DataFrame,
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
     val inc = incoming.withColumn("digest", md5(col(textCol)))
-    val w = Window.partitionBy("digest").orderBy("doc_id")
+    val w = Window.partitionBy("digest").orderBy(idCol)
     inc.join(corpusDigests, Seq("digest"), "left_anti")
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")

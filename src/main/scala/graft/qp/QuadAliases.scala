@@ -15,10 +15,10 @@ import graft.ingest.Rdf
   *   - `proto://iri`  — full graph IRI, normalized to path form
   *   - `bare-alias`   — resolved through the registry, fail-loud
   *
-  * The default table registers the synthetic corpus's graphs
-  * (`srcN → cmwell://graph/srcN`, the loader's `/graph/<source>`
-  * tags); ingest paths carrying other graphs add theirs via
-  * [[register]].
+  * The table starts EMPTY: whatever loads a dataset registers its
+  * graphs (the synthetic-corpus loader registers `srcN`,
+  * `model/TableLoader.scala`); a production deployment never
+  * inherits demo aliases that would mask the unknown-alias error.
   */
 object QuadAliases {
 
@@ -27,8 +27,6 @@ object QuadAliases {
 
   def register(alias: String, graphIri: String): Unit =
     byAlias.put(alias, Rdf.iriToPath(graphIri))
-
-  (0 to 9).foreach(i => register(s"src$i", s"cmwell://graph/src$i"))
 
   /** Resolve a `system.quad::` comparand to the stored path-form tag. */
   def resolve(value: String): String =

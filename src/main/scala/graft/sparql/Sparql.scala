@@ -546,12 +546,15 @@ object Sparql {
             val op = next(); BCmp(l, op, bExpr())
           } else l
         }
-        // zero-arg builtins (NOW/UUID/STRUUID/BNODE) take no operand
+        // only the named zero-arg builtins may take no operand —
+        // CONCAT()/STR()/… with an empty list stay a parse error
+        // rather than silently evaluating
         var fargs = Vector.empty[BExpr]
         if (peek != ")") {
           fargs :+= bRel()
           while (peek == ",") { next(); fargs :+= bRel() }
-        }
+        } else require(Set("now", "uuid", "struuid", "bnode")(fn),
+          s"$fn() needs arguments")
         expect(")")
         BFn(fn, fargs)
       }
@@ -996,6 +999,13 @@ object Sparql {
     }
     t.s match {
       case I(iri) => df = df.where(col("subject") === Rdf.iriToPath(iri))
+      case L(_, _) =>
+        // a literal subject is legal SPARQL but unsatisfiable in RDF
+        // (literals are never subjects) — the EMPTY relation, not an
+        // error; arises from inverse paths over literal objects
+        // (`?s ^p "lit"` ≡ `"lit" p ?s`, must yield no rows while the
+        // other alternation branches still match)
+        df = df.where(lit(false))
       case V(v) => proj :+= col("subject").as(v)
       case o => throw new IllegalArgumentException(s"bad subject $o")
     }
@@ -1230,7 +1240,15 @@ object Sparql {
     // shadows the solution carries (lang tags; vType when both sides
     // are tested elsewhere), never numeric coercion ("1" and "1.0"
     // differ as terms even though = would coerce them equal)
-    case FFn("sameterm", v, arg) => col(v) === lit(arg)
+    case FFn("sameterm", v, arg) =>
+      // the constant form is strict too: a lang-tagged literal is a
+      // DIFFERENT term from the plain/IRI constant even when the
+      // lexicals agree (same rule the var-var arm enforces)
+      val plainLang =
+        if (cols(s"${v}__lang"))
+          coalesce(col(s"${v}__lang"), lit("")) === ""
+        else lit(true)
+      col(v) === lit(arg) && plainLang
     case FSameV(a, b) =>
       def langOf(v: String) =
         if (cols(s"${v}__lang")) coalesce(col(s"${v}__lang"), lit(""))
@@ -1326,7 +1344,10 @@ object Sparql {
             case Opt(p) =>
               closureScan(store, t, p, includeZero = true,
                 transitiveHop = false, graphVar = graphVar)
-            case Inv(p) => // ^p member — swapped-ends scan
+            case Inv(p) => // ^p member — swapped-ends scan (a literal
+              // object lands in subject position, which scan compiles
+              // to the empty relation: `?s (^p|q) "lit"` keeps q's
+              // matches)
               noShadow(scan(store, Triple(o, p, s), langVars, typeVars,
                 graphVar))
             case p =>
@@ -1349,6 +1370,9 @@ object Sparql {
             if (ms.length == 1) ms.head else Alt(ms)
           val fwds = ps.filterNot(_.isInstanceOf[Inv])
           val invs = ps.collect { case Inv(p) => p }
+          // a literal object lands in the swapped scan's subject
+          // position, which scan compiles to the empty relation — the
+          // inverse branch contributes nothing, forward matches stay
           val frames =
             (if (fwds.isEmpty) Nil
              else Seq(dropSh(scan(store, Triple(s, altOf(fwds), o),
@@ -1408,6 +1432,14 @@ object Sparql {
           val scoped = root.scopedTo(nq)
           val (gd, gm) = solutionsOf(scoped, gg, langVars, typeVars,
             Some(v), named)
+          // a GRAPH ?g group whose only content is a subquery projects
+          // the subquery's select list, which drops the tag binding —
+          // fail loud instead of surfacing a confusing missing-column
+          // error downstream
+          require(gd.columns.contains(v),
+            s"GRAPH ?$v group binds no ?$v — it needs at least one " +
+              "triple pattern at its own level (subquery-only GRAPH " +
+              "groups are unsupported)")
           mergeIn(gd, gm)
         case o => throw new IllegalArgumentException(
           s"GRAPH needs a variable or IRI, got $o")
@@ -1478,6 +1510,7 @@ object Sparql {
   private def langVarsOf(g: Group): Set[String] =
     filterVarsOf(g) {
       case FFn("langmatches" | "langeq", v, _) => Set(v)
+      case FFn("sameterm", v, _) => Set(v) // strict identity wants tags
       case FSameV(a, b) => Set(a, b) // strict identity wants the tags
       case _ => Set.empty
     }

@@ -594,6 +594,12 @@ class EngineSpec extends AnyFunSuite {
     assert(Sparql.select(store,
       "SELECT ?d ?g WHERE { GRAPH ?g { ?d <c://o#ref>+ ?v } }")
       .count() == 0)
+    // a subquery-only GRAPH ?g group cannot bind ?g (the subquery's
+    // projection drops the tag) — fail loud, not a missing column
+    val e2 = intercept[IllegalArgumentException](Sparql.select(store,
+      """SELECT ?g WHERE { GRAPH ?g {
+        |{ SELECT ?d WHERE { ?d <c://o#tag> ?v } } } }""".stripMargin))
+    assert(e2.getMessage.contains("binds no"))
   }
 
   test("SPARQL custom FILTER functions dispatch to registered UDFs") {
@@ -1617,6 +1623,20 @@ class EngineSpec extends AnyFunSuite {
     assert(Sparql.select(store,
       """SELECT ?s WHERE { ?s <c://o#a> ?x . FILTER (sameTerm(?x, "7")) }"""
     ).collect().map(_.getString(0)).toSeq == Seq("/b/2"))
+    // the constant form is lang-strict too: "hello"@en is a different
+    // term from the plain constant "hello"
+    val storeL = storeOf(Seq(
+      "<c://L/1> <c://o#t> \"hello\"@en .",
+      "<c://L/2> <c://o#t> \"hello\" ."),
+      T("2024-01-01 00:00:00"))
+    assert(Sparql.select(storeL,
+      """SELECT ?s WHERE { ?s <c://o#t> ?v .
+        |FILTER (sameTerm(?v, "hello")) }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq == Seq("/L/2"))
+    // empty arg lists stay a parse error for non-zero-arg builtins
+    assert(intercept[IllegalArgumentException](Sparql.select(store,
+      """SELECT ?s WHERE { ?s <c://o#a> ?x . BIND(CONCAT() AS ?c) }"""))
+      .getMessage.contains("needs arguments"))
     // NOW() is one value per query, ISO-lexical comparable both ways
     assert(Sparql.select(store,
       """SELECT ?s WHERE { ?s <c://o#a> ?x .
@@ -1665,8 +1685,16 @@ class EngineSpec extends AnyFunSuite {
     val store = storeOf(Seq(
       "<c://n/1> <c://o#fwd> <c://hub> .",
       "<c://n/2> <c://o#back> <c://hub> .",
-      "<c://hub> <c://o#fwd> <c://n/3> ."),
+      "<c://hub> <c://o#fwd> <c://n/3> .",
+      "<c://n/9> <c://o#tag> \"red\" ."),
       T("2024-01-01 00:00:00"))
+    // a LITERAL object empties the inverse branch (literals are never
+    // subjects) while the forward branch still matches — not an error
+    assert(Sparql.select(store,
+      """SELECT ?x WHERE { ?x (^<c://o#back>|<c://o#tag>) "red" }""")
+      .collect().map(_.getString(0)).toSeq == Seq("/n/9"))
+    assert(Sparql.select(store,
+      """SELECT ?x WHERE { ?x ^<c://o#back> "red" }""").count() == 0)
     // parenthesized single hop: inverse member scans swapped ends
     assert(Sparql.select(store,
       """SELECT ?x WHERE { <c://hub> (^<c://o#back>|<c://o#fwd>) ?x }

@@ -153,7 +153,11 @@ class TurtleSpec extends AnyFunSuite {
       "@forAll <c://x/v> .",
       "@forSome <c://x/v> .",
       "@keywords a .",
-      "{ <c://s/1> <c://o#p> \"x\" . } => { <c://s/1> <c://o#q> \"y\" . } ."))
+      "{ <c://s/1> <c://o#p> \"x\" . } => { <c://s/1> <c://o#q> \"y\" . } .",
+      // '<=' followed by IRIs: a greedy IRI scrub would swallow the
+      // marker ('<' of '<=' through the next IRI's '>') and let the
+      // formula through — the scrub must not cross whitespace
+      "{ <c://s/1> <c://o#p> <c://o2> . } <= { <c://s/2> <c://o#q> <c://o3> . } ."))
       assert(intercept[IllegalArgumentException](Turtle.parseN3(bad))
         .getMessage.contains("N3-proper"))
     // markers inside literals or IRIs do NOT false-positive
