@@ -121,15 +121,22 @@ object Formatters {
         lit("<typedLiteral datatype=\"http://www.w3.org/2001/XMLSchema#"),
         element_at(xsdMap, v.getField("vType")), lit("\">"),
         xmlEscape(v.getField("s")), lit("</typedLiteral>")))
-    exploded(infotons).select(concat(
+    val triple = concat(
       lit("<triple><uri>"), pathToIri(col("protocol"), col("path")),
       lit("</uri><uri>cmwell://ont#"), col("field"), lit("</uri>"),
-      obj, lit("</triple>")).as("line"))
+      obj, lit("</triple>"))
+    // TriX names graphs per <graph> block (leading <uri>), so each
+    // statement gets its own block — quad-tagged values keep their graph.
+    exploded(infotons).select(concat(
+      lit("<graph>"),
+      when(v.getField("quad").isNotNull,
+        concat(lit("<uri>"), xmlEscape(v.getField("quad")), lit("</uri>")))
+        .otherwise(lit("")),
+      triple, lit("</graph>")).as("line"))
   }
 
   def trixWrap: (String, String) =
-    ("""<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"><graph>""",
-      "</graph></TriX>")
+    ("""<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">""", "</TriX>")
 
   /** RDF/XML — one `<rdf:Description>` per infoton; wrap with
     * [[rdfxmlWrap]]. */
