@@ -230,8 +230,40 @@ object IngestQueries {
       .orderBy("custkey")
   }
 
+  /** Two vocabularies sharing the local name `seg` on every customer:
+    * the namespace claim registry must mint DISTINCT canonical keys
+    * (first namespace bare, second `seg.$nsHash` — the reference's
+    * internal ns-mangling, AbstractJsonSerializer.scala:37-49) and the
+    * `$full-uri$` qp spelling must address each vocabulary separately.
+    * Aliasing would merge both values into one field and break the
+    * per-column compare. */
+  private def nsCollision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
+    val nt = cust.select(col("system.path").as("p"),
+        Search.fieldS("mktsegment").as("seg"), Search.fieldS("name").as("nm"))
+      .as[(String, String, String)]
+      .flatMap { case (p, seg, nm) => Seq(
+        s"""<cmwell:/$p> <x://vocab1#seg> "$seg" .""",
+        s"""<cmwell:/$p> <y://vocab2#seg> "$nm" .""") }
+    val ingested = Ingest.ingest(s, Ingest.emptyStore(s), nt, T0)
+    val st2 = GraftStore.fromInfotons(s, ingested)
+    // resolve AFTER ingest claimed the keys (plan-time dictionary)
+    val k1 = graft.qp.Namespaces.resolve("$x://vocab1#seg$")
+    val k2 = graft.qp.Namespaces.resolve("$y://vocab2#seg$")
+    require(k1 != k2, s"vocabularies aliased: $k1")
+    Search.run(st2, Search.Request(path = "/customer"))
+      .select(
+        regexp_extract(col("system.path"), "^/customer/(\\d+)$", 1)
+          .cast("long").as("custkey"),
+        element_at(col("fields")(k1), 1).getField("s").as("seg_v1"),
+        element_at(col("fields")(k2), 1).getField("s").as("seg_v2"))
+      .orderBy("custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_roundtrip" -> roundtrip,
+    "q_ns_collision" -> nsCollision,
     "q_ow_replay" -> owReplay,
     "q_ingest_jsonld" -> roundtripJsonLd,
     "q_ingest_ttl" -> roundtripTtl,
@@ -244,6 +276,9 @@ object IngestQueries {
     "q_with_deleted" -> withDeleted)
 
   val oracles: Map[String, String] = Map(
+    "q_ns_collision" ->
+      """SELECT c_custkey AS custkey, c_mktsegment AS seg_v1,
+        |c_name AS seg_v2 FROM customer ORDER BY custkey""".stripMargin,
     "q_ingest_roundtrip" ->
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
         |c_mktsegment AS mktsegment FROM customer ORDER BY custkey""".stripMargin,

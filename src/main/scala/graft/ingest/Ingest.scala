@@ -21,9 +21,33 @@ object Ingest {
   def commands(spark: SparkSession, lines: Dataset[String],
                lastModified: Timestamp): Dataset[Merger.Command] = {
     import spark.implicits._
-    lines.flatMap(Rdf.parseLine(_))
-      .groupByKey(st => Rdf.iriToPath(st.subj))
-      .mapGroups { (path, sts) => Rdf.toCommand(path, sts.toSeq, lastModified) }
+    commandsOf(spark, lines.flatMap(Rdf.parseLine(_)), lastModified)
+  }
+
+  /** Statements → per-subject commands, with canonical field keys
+    * claimed first: a dictionary-scale distinct-predicates pass (plus
+    * markReplace targets, which NAME predicates) claims keys on the
+    * DRIVER ([[graft.qp.Namespaces.claimAll]]) and ships the iri→key
+    * map as a broadcast — executors never touch claim state, so the
+    * mapping is identical on a 1000-executor cluster. Costs one extra
+    * linear parse pass projecting only predicates (map-side-combined
+    * distinct, no added wide shuffle); a caller at scale can persist
+    * the input to pay the parse once. */
+  private def commandsOf(spark: SparkSession, sts: Dataset[Rdf.Statement],
+                         lastModified: Timestamp): Dataset[Merger.Command] = {
+    import spark.implicits._
+    val preds = sts.flatMap { st =>
+      if (st.pred.startsWith(Rdf.SysNs))
+        (if (Rdf.localName(st.pred) == "markReplace") st.objIri.toSeq else Nil)
+      else Seq(st.pred)
+    }.distinct().collect()
+    val keyMap = graft.qp.Namespaces.claimAll(preds.toSeq)
+    val bk = spark.sparkContext.broadcast(keyMap)
+    sts.groupByKey(st => Rdf.iriToPath(st.subj))
+      .mapGroups { (path, ss) =>
+        Rdf.toCommand(path, ss.toSeq, lastModified,
+          iri => bk.value.getOrElse(iri, Rdf.localName(iri)))
+      }
   }
 
   /** Full ingest: parse, fold to commands, merge onto `infotons`. */
@@ -77,9 +101,7 @@ object Ingest {
                          docs: Dataset[String], lastModified: Timestamp,
                          parse: String => Seq[Rdf.Statement]): DataFrame = {
     import spark.implicits._
-    val cmds = docs.flatMap(parse(_))
-      .groupByKey(st => Rdf.iriToPath(st.subj))
-      .mapGroups { (path, sts) => Rdf.toCommand(path, sts.toSeq, lastModified) }
-    Merger.merge(spark, infotons, cmds)
+    Merger.merge(spark, infotons,
+      commandsOf(spark, docs.flatMap(parse(_)), lastModified))
   }
 }

@@ -21,7 +21,10 @@ import java.sql.Timestamp
   * Identity mapping (SURVEY.md §7.5 "one canonical field key"):
   *   subject IRI `proto://host/p/a/t/h` → infoton path `/host/p/a/t/h`
   *   (the reference's FReference.getCmwellPath, Infoton.scala:675-689);
-  *   predicate IRI → local name after the last `#` or `/`.
+  *   predicate IRI → canonical field key via the namespace claim
+  *   registry ([[graft.qp.Namespaces]]) — bare local name for the
+  *   first namespace using it, `local.$nsHash` for later colliding
+  *   vocabularies.
   */
 object Rdf {
 
@@ -169,20 +172,24 @@ object Rdf {
 
   /** Fold one subject's statements into a write/update/delete command
     * (LDFormatParser.rdfToInfotonsMap semantics: markReplace fields are
-    * dropped before the new values apply; fullDelete tombstones). */
-  def toCommand(path: String, sts: Seq[Statement],
-                lastModified: Timestamp): Merger.Command = {
+    * dropped before the new values apply; fullDelete tombstones).
+    *
+    * `keyOf` maps a predicate IRI to its canonical field key — pass
+    * the batch's claimed-key broadcast ([[Ingest]]); runs executor-side
+    * so it must be a pure serialized map, never driver registry state. */
+  def toCommand(path: String, sts: Seq[Statement], lastModified: Timestamp,
+                keyOf: String => String = localName): Merger.Command = {
     val (sys, data) = sts.partition(_.pred.startsWith(SysNs))
     if (sys.exists(s => localName(s.pred) == "fullDelete"))
       Merger.Command("delete_path", path, lastModified, Map.empty, Map.empty)
     else {
       val replaced = sys.filter(s => localName(s.pred) == "markReplace")
-        .flatMap(_.objIri).map(localName)
+        .flatMap(_.objIri).map(keyOf)
       // `#linkTo <target>` makes the subject a LinkInfoton
       // (Infoton.scala:269-304); the target lands in a linkTo field
       val linkTo = sys.filter(s => localName(s.pred) == "linkTo")
         .flatMap(_.objIri).map(iriToPath)
-      val fields = data.groupBy(s => localName(s.pred))
+      val fields = data.groupBy(s => keyOf(s.pred))
         .map { case (f, ss) => f -> ss.map(toValue).distinct } ++
         (if (linkTo.nonEmpty) Map("linkTo" -> linkTo.map(p =>
           Merger.FieldValue(p, None, None, None, TRef, None, None)))

@@ -82,6 +82,11 @@ object TableLoader {
     * here (Aggregations.requireAggregatable). */
   val analyzedOnly: Set[String] = Set("text")
 
+  // Reserve the loader's bare keys for the default namespace up front:
+  // a foreign vocabulary ingested later in the session gets qualified
+  // keys for these locals instead of aliasing an engine field.
+  graft.qp.Namespaces.claimDefaults(fieldTypes.keys ++ Seq("linkTo"))
+
   private def system(path: Column, lm: Column, indexTime: Column,
                      current: Column, fields: Column): Column = {
     val parent = when(path === "/", "$root")

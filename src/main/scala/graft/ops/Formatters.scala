@@ -31,6 +31,37 @@ object Formatters {
   def pathToIri(protocol: Column, path: Column): Column =
     concat(protocol, lit(":/"), path)
 
+  /** Field key → predicate IRI: a qualified key (`local.$nsHash`)
+    * renders under its CLAIMED namespace, a bare key under the default
+    * ont namespace. The claim table is resolved at plan time into a
+    * literal map — a dictionary-scale lookup per row, the projection
+    * stays one codegen'd select. */
+  private def fieldIri(field: Column): Column = {
+    val m = graft.qp.Namespaces.claimedIris
+    if (m.isEmpty) concat(lit(graft.qp.Namespaces.DefaultNs), field)
+    else coalesce(element_at(typedLit(m), field),
+      concat(lit(graft.qp.Namespaces.DefaultNs), field))
+  }
+
+  /** Turtle predicate position: `ont:key` pname for bare keys, a full
+    * `<iri>` for qualified keys (`$` and `.` aren't pname-safe). */
+  private def ttlPred(key: Column): Column = {
+    val m = graft.qp.Namespaces.claimedIris
+    if (m.isEmpty) concat(lit("ont:"), key)
+    else coalesce(
+      concat(lit("<"), element_at(typedLit(m), key), lit(">")),
+      concat(lit("ont:"), key))
+  }
+
+  /** RDF/XML element QName: `ont:key`, or the generated
+    * `n<nsHash>:local` for qualified keys ([[rdfxmlWrap]] declares the
+    * matching xmlns). */
+  private def xmlName(key: Column): Column = {
+    val m = graft.qp.Namespaces.claimedXmlNames
+    if (m.isEmpty) concat(lit("ont:"), key)
+    else coalesce(element_at(typedLit(m), key), concat(lit("ont:"), key))
+  }
+
   private val xsdMap = map(XsdByType.flatMap { case (k, x) =>
     Seq(lit(k), lit(x)) }.toSeq: _*)
 
@@ -62,7 +93,7 @@ object Formatters {
   def ntriples(infotons: DataFrame): DataFrame =
     exploded(infotons).select(concat(
       lit("<"), pathToIri(col("protocol"), col("path")), lit("> "),
-      lit("<cmwell://ont#"), col("field"), lit("> "),
+      lit("<"), fieldIri(col("field")), lit("> "),
       objCol(col("protocol"), col("v")),
       when(col("v.quad").isNotNull,
         concat(lit(" <"), col("v.quad"), lit(">"))).otherwise(lit("")),
@@ -73,7 +104,7 @@ object Formatters {
     * One "doc" row per infoton; valid N3 too ([[n3]]). */
   def ttl(infotons: DataFrame): DataFrame = {
     val fieldBlocks = transform(map_entries(col("fields")), e =>
-      concat(lit("  ont:"), e.getField("key"), lit(" "),
+      concat(lit("  "), ttlPred(e.getField("key")), lit(" "),
         array_join(transform(e.getField("value"),
           v => objCol(col("system.protocol"), v)), ", ")))
     infotons.where(col("fields").isNotNull)
@@ -95,7 +126,7 @@ object Formatters {
   def trig(infotons: DataFrame): DataFrame = {
     val triple = concat(
       lit("<"), pathToIri(col("protocol"), col("path")), lit("> "),
-      lit("<cmwell://ont#"), col("field"), lit("> "),
+      lit("<"), fieldIri(col("field")), lit("> "),
       objCol(col("protocol"), col("v")), lit(" ."))
     exploded(infotons).select(
       when(col("v.quad").isNotNull,
@@ -123,7 +154,7 @@ object Formatters {
         xmlEscape(v.getField("s")), lit("</typedLiteral>")))
     val triple = concat(
       lit("<triple><uri>"), pathToIri(col("protocol"), col("path")),
-      lit("</uri><uri>cmwell://ont#"), col("field"), lit("</uri>"),
+      lit("</uri><uri>"), xmlEscape(fieldIri(col("field"))), lit("</uri>"),
       obj, lit("</triple>"))
     // TriX names graphs per <graph> block (leading <uri>), so each
     // statement gets its own block — quad-tagged values keep their graph.
@@ -141,22 +172,24 @@ object Formatters {
   /** RDF/XML — one `<rdf:Description>` per infoton; wrap with
     * [[rdfxmlWrap]]. */
   def rdfxml(infotons: DataFrame): DataFrame = {
-    def elem(key: Column, v: Column): Column =
+    def elem(key: Column, v: Column): Column = {
+      val name = xmlName(key)
       when(v.getField("vType") === TRef,
-        concat(lit("  <ont:"), key, lit(" rdf:resource=\""),
+        concat(lit("  <"), name, lit(" rdf:resource=\""),
           xmlAttrEscape(pathToIri(col("system.protocol"), v.getField("s"))),
           lit("\"/>")))
       .when(v.getField("vType") === TString,
-        concat(lit("  <ont:"), key,
+        concat(lit("  <"), name,
           when(v.getField("lang").isNotNull,
             concat(lit(" xml:lang=\""), v.getField("lang"), lit("\"")))
             .otherwise(lit("")),
           lit(">"), xmlEscape(v.getField("s")),
-          lit("</ont:"), key, lit(">")))
-      .otherwise(concat(lit("  <ont:"), key,
+          lit("</"), name, lit(">")))
+      .otherwise(concat(lit("  <"), name,
         lit(" rdf:datatype=\"http://www.w3.org/2001/XMLSchema#"),
         element_at(xsdMap, v.getField("vType")), lit("\">"),
-        xmlEscape(v.getField("s")), lit("</ont:"), key, lit(">")))
+        xmlEscape(v.getField("s")), lit("</"), name, lit(">")))
+    }
     val lines = flatten(transform(map_entries(col("fields")), e =>
       transform(e.getField("value"), v => elem(e.getField("key"), v))))
     infotons.where(col("fields").isNotNull)
@@ -167,10 +200,20 @@ object Formatters {
         array_join(lines, "\n"), lit("\n</rdf:Description>")).as("doc"))
   }
 
-  def rdfxmlWrap: (String, String) =
+  def rdfxmlWrap: (String, String) = {
+    val extra = graft.qp.Namespaces.claimedNamespaces.toSeq.sorted
+      .map { case (h, ns) => s""" xmlns:n$h="${xmlEscapeStr(ns)}"""" }
+      .mkString
     ("""<?xml version="1.0" encoding="UTF-8"?>""" + "\n" +
-      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ont="cmwell://ont#">""",
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ont="cmwell://ont#"""" +
+      extra + ">",
       "</rdf:RDF>")
+  }
+
+  /** String-side attribute escaping for namespace IRIs in [[rdfxmlWrap]]. */
+  private def xmlEscapeStr(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
 
   /** JSON-LD — one expanded-form node object per infoton ("doc" rows);
     * [[graft.ingest.JsonLd]] re-ingests this shape (roundtrip-tested).
@@ -191,7 +234,7 @@ object Formatters {
         lit(",\"@type\":\"http://www.w3.org/2001/XMLSchema#"),
         element_at(xsdMap, v.getField("vType")), lit("\"}")))
     val props = transform(map_entries(col("fields")), e =>
-      concat(lit("\"cmwell://ont#"), e.getField("key"), lit("\":["),
+      concat(lit("\""), jsonEscape(fieldIri(e.getField("key"))), lit("\":["),
         array_join(transform(e.getField("value"), one(_)), ","), lit("]")))
     infotons.where(col("fields").isNotNull)
       .select(concat(
@@ -227,7 +270,7 @@ object Formatters {
       val props = filter(transform(map_entries(col("fields")), e => {
         val vals = filter(e.getField("value"), cond)
         when(size(vals) > 0,
-          concat(lit("\"cmwell://ont#"), e.getField("key"), lit("\":["),
+          concat(lit("\""), jsonEscape(fieldIri(e.getField("key"))), lit("\":["),
             array_join(transform(vals, one(_)), ","), lit("]")))
       }), p => p.isNotNull)
       when(size(props) > 0,

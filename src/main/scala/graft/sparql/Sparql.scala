@@ -1,6 +1,7 @@
 package graft.sparql
 
 import graft.ingest.Rdf
+import graft.qp.Namespaces
 import graft.model.{GraftStore, InfotonModel}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -889,8 +890,8 @@ object Sparql {
     // split the closure's predicate set by direction: `(^p1|p2)+`
     // walks p2 edges forward and p1 edges swapped in the SAME frontier
     def split(p: Term): (Seq[String], Seq[String]) = p match {
-      case I(iri) => (Seq(Rdf.localName(iri)), Nil)
-      case Inv(I(iri)) => (Nil, Seq(Rdf.localName(iri)))
+      case I(iri) => (Seq(Namespaces.keyOf(iri)), Nil)
+      case Inv(I(iri)) => (Nil, Seq(Namespaces.keyOf(iri)))
       case Alt(ps) =>
         val parts = ps.map(split)
         (parts.flatMap(_._1), parts.flatMap(_._2))
@@ -978,11 +979,11 @@ object Sparql {
       col("kind") =!= InfotonModel.KindDeleted)
     var proj = Seq.empty[Column]
     t.p match {
-      case I(iri) => df = df.where(col("predicate") === Rdf.localName(iri))
+      case I(iri) => df = df.where(col("predicate") === Namespaces.keyOf(iri))
       case Alt(ps) =>
         // alternative path — one scan over the union of edge sets
         val locals = ps.map {
-          case I(iri) => Rdf.localName(iri)
+          case I(iri) => Namespaces.keyOf(iri)
           case o => throw new IllegalArgumentException(
             s"path alternative must be an IRI, got $o")
         }
@@ -991,7 +992,7 @@ object Sparql {
         // negated set — same one-scan shape as Alt, complemented; the
         // predicate-partitioned layout prunes nothing here by design
         // (the match set is "everything else")
-        val locals = ps.map { case I(iri) => Rdf.localName(iri)
+        val locals = ps.map { case I(iri) => Namespaces.keyOf(iri)
           case o => throw new IllegalArgumentException(s"negated member $o") }
         df = df.where(!col("predicate").isin(locals: _*))
       case V(v) => proj :+= col("predicate").as(v)
@@ -1025,13 +1026,13 @@ object Sparql {
         // null MIN/MAX and make numeric FILTERs vacuous — with no
         // shadow those now fail loud at analysis instead
         def numericPred(iri: String): Boolean =
-          store.vTypeOf(Rdf.localName(iri)).forall(ty => "ildf".contains(ty))
+          store.vTypeOf(Namespaces.keyOf(iri)).forall(ty => "ildf".contains(ty))
         // lang tags only exist on string literals — and the shadow is
         // projected only when the QUERY references langMatches on this
         // variable (langVars), so the ~99% of queries without a lang
         // filter don't drag an all-null column through every join
         def stringPred(iri: String): Boolean =
-          store.vTypeOf(Rdf.localName(iri)).forall(_ == "s")
+          store.vTypeOf(Namespaces.keyOf(iri)).forall(_ == "s")
         def overPreds(f: String => Boolean): Boolean = t.p match {
           case I(iri) => f(iri)
           case Alt(ps) => ps.exists {
@@ -2019,7 +2020,7 @@ object Sparql {
     q.template.map { t =>
       def bind(tm: Term, pred: Boolean): Column = tm match {
         case V(v) => col(v)
-        case I(iri) => if (pred) lit(Rdf.localName(iri))
+        case I(iri) => if (pred) lit(Namespaces.keyOf(iri))
                        else lit(Rdf.iriToPath(iri))
         case L(lex, _) => lit(lex)
         case o => throw new IllegalArgumentException(s"bad template term $o")

@@ -38,19 +38,26 @@ class EngineSpec extends AnyFunSuite {
 
   test("namespace-qualified field keys resolve to the canonical key") {
     import graft.qp.Namespaces
-    // prefix form
+    Namespaces.register("o", "c://o#")
+    // prefix form — through the vocabulary the data was ingested under
     val p = Search.run(tagStore, Search.Request(path = "/doc",
-      qp = Some("tag.ont::red")))
+      qp = Some("tag.o::red")))
     assert(paths(p) == Set("/doc/1"))
     // full-uri form ($...$ keeps the IRI's :/# out of the qp grammar)
     val u = Search.run(tagStore, Search.Request(path = "/doc",
-      qp = Some("$cmwell://ont#tag$::blue")))
+      qp = Some("$c://o#tag$::blue")))
     assert(paths(u) == Set("/doc/2"))
     // hash form
-    val h = Namespaces.hashOf("cmwell://ont#")
+    val h = Namespaces.hashOf("c://o#")
     val hh = Search.run(tagStore, Search.Request(path = "/doc",
       qp = Some(s"tag.$$$h::green")))
     assert(paths(hh) == Set("/doc/3"))
+    // the same local under a DIFFERENT vocabulary resolves to THAT
+    // vocabulary's key — no cross-vocabulary aliasing, so it matches
+    // nothing here (the data lives in c://o#, not the ont namespace)
+    val wrongVocab = Search.run(tagStore, Search.Request(path = "/doc",
+      qp = Some("tag.ont::red")))
+    assert(paths(wrongVocab).isEmpty)
     // an unregistered qualifier is treated as a literal dotted field
     // name (RDF local names may contain dots) — matches nothing here
     val dotted = Search.run(tagStore, Search.Request(path = "/doc",
@@ -247,10 +254,13 @@ class EngineSpec extends AnyFunSuite {
       .select("predicate", "s", "vType", "lang", "quad")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
         Option(r.getString(3)), Option(r.getString(4)))).toSet
+    // the canonical claimed key roundtrips (name/size are loader-owned
+    // locals, so the c://o# vocabulary carries qualified keys)
+    def k(l: String) = graft.qp.Namespaces.keyOf("c://o#" + l)
     assert(vals == Set(
-      ("name", "gr\u00fcn", "s", Some("de"), Some("/graph/g1")),
-      ("size", "7", "l", None, None),
-      ("ref", "/m/2", "r", None, None)))
+      (k("name"), "gr\u00fcn", "s", Some("de"), Some("/graph/g1")),
+      (k("size"), "7", "l", None, None),
+      (k("ref"), "/m/2", "r", None, None)))
   }
 
   test("jsonldq roundtrips quad and lang tags through the JSON-LD parser") {
@@ -271,10 +281,13 @@ class EngineSpec extends AnyFunSuite {
       .select("predicate", "s", "vType", "lang", "quad")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
         Option(r.getString(3)), Option(r.getString(4)))).toSet
+    // the canonical claimed key roundtrips (name/size are loader-owned
+    // locals, so the c://o# vocabulary carries qualified keys)
+    def k(l: String) = graft.qp.Namespaces.keyOf("c://o#" + l)
     assert(vals == Set(
-      ("name", "gr\u00fcn", "s", Some("de"), Some("/graph/g1")),
-      ("size", "7", "l", None, None),
-      ("ref", "/m/2", "r", None, None)))
+      (k("name"), "gr\u00fcn", "s", Some("de"), Some("/graph/g1")),
+      (k("size"), "7", "l", None, None),
+      (k("ref"), "/m/2", "r", None, None)))
   }
 
   test("jsonp wraps the envelope and rejects non-identifier callbacks") {
@@ -341,9 +354,14 @@ class EngineSpec extends AnyFunSuite {
       "<typedLiteral datatype=\"http://www.w3.org/2001/XMLSchema#long\">5</typedLiteral>")))
     val xml = Formatters.rdfxml(cur).collect().map(_.getString(0)).head
     assert(xml.startsWith("<rdf:Description rdf:about=\"cmwell://f/1\">"))
-    assert(xml.contains("<ont:tag xml:lang=\"en\">red</ont:tag>"))
+    // fields render under their CLAIMED vocabulary (c://o#), via the
+    // generated n<nsHash> prefix that rdfxmlWrap declares
+    val nh = graft.qp.Namespaces.hashOf("c://o#")
+    assert(xml.contains(s"<n$nh:tag xml:lang=" + "\"en\">red</n" + nh + ":tag>"))
     assert(xml.contains(
-      "rdf:datatype=\"http://www.w3.org/2001/XMLSchema#long\">5</ont:num>"))
+      s"rdf:datatype=" + "\"http://www.w3.org/2001/XMLSchema#long\">5</n" +
+        nh + ":num>"))
+    assert(Formatters.rdfxmlWrap._1.contains(s"""xmlns:n$nh="c://o#""""))
   }
 
   test("search envelope carries pagination and the infoton page") {
