@@ -271,6 +271,28 @@ object PipelineQueries {
           col("n_tokens").cast("long").as("n_tokens"), col("bin"))
         .orderBy("key", "doc_id")),
 
+    // Gopher-style repetition signals; the corpus is single-line, so
+    // the query deterministically re-lines it (newline after every 3rd
+    // word, same regex on both sides) to make the line metrics
+    // non-vacuous — the word-n-gram metrics use the raw token stream
+    // either way (newlines are tokenizer whitespace)
+    "q_quality_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(docs(s, dir).withColumn("text",
+          regexp_replace(col("text"), "((\\S+ ){2}\\S+) ", "$1\n")))
+        .orderBy("doc_id")),
+
+    // deterministic hash split: bucket 0..255 from md5(salt:id) hex,
+    // ≈96/2/2% train/val/test — stable under corpus growth, portable
+    "q_corpus_split" -> ((s, dir) =>
+      Curation.hashSplit(docs(s, dir))
+        .select("doc_id", "bucket", "split").orderBy("doc_id")),
+
+    // BM25 relevance ranking: top-20 docs for a 3-term query — the
+    // relevance surface the reference delegates to its search backend,
+    // as a two-pass scan + scalar-stats broadcast + TakeOrdered
+    "q_bm25_rank" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), Bm25Terms, k = 20)),
+
     // token/char counting incl. BPE-ish estimate
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")),
@@ -298,6 +320,31 @@ object PipelineQueries {
       Multimodal.contentStore(docs(s, dir))
         .select("path", "mimeType", "dataLength", "sha256")
         .orderBy("path")))
+
+  private val Bm25Terms = Seq("table", "scan", "merge")
+
+  /** BM25 oracle SQL — generated from the SAME term list with every
+    * arithmetic step in the same operator order as
+    * [[TextAnalysis.bm25]], so the doubles agree before rounding. */
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) " +
+        s"AS DOUBLE) AS df_$i"
+    }.mkString(",\n|  ")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      s"ln(1 + (n - df_$i + 0.5) / (df_$i + 0.5)) * " +
+        s"(CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) * (1.2 + 1)) / " +
+        s"(CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) + " +
+        "1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+    }.mkString("\n|  + ")
+    s"""WITH d AS (SELECT doc_id, $TokensSql AS ts,
+       |  CAST(len($TokensSql) AS DOUBLE) AS dl FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+       |  $dfAggs FROM d)
+       |SELECT doc_id, round($score, 6) AS bm25
+       |FROM d CROSS JOIN st
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
 
   private val TokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -548,6 +595,76 @@ object PipelineQueries {
          |  FROM d JOIN p ON d.key = p.key AND d.rn = p.rn + 1)
          |SELECT key, doc_id, n_tokens, bin FROM p
          |ORDER BY key, doc_id""".stripMargin,
+    "q_bm25_rank" -> bm25Sql(Bm25Terms, 20),
+    "q_quality_repetition" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  regexp_replace(text, '((\\S+ ){2}\\S+) ', '\\1'||chr(10), 'g')
+         |    AS rt FROM documents),
+         |tok AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(rt), '[^a-z0-9]+'),
+         |    x -> x <> '') AS ts FROM t),
+         |l AS (SELECT doc_id, line FROM t,
+         |  UNNEST(list_filter(string_split(rt, chr(10)), x -> x <> ''))
+         |    AS u(line)),
+         |lc AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+         |  FROM l GROUP BY 1, 2),
+         |lm AS (SELECT doc_id, CAST(sum(cnt) AS INTEGER) AS n_lines,
+         |  1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dup_line_frac,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN cnt*len ELSE 0 END) AS DOUBLE)
+         |    / sum(cnt*len) AS dup_line_char_frac
+         |  FROM lc GROUP BY 1),
+         |tw AS (SELECT doc_id, length(array_to_string(ts, '')) AS wchars
+         |  FROM tok),
+         |g2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+         |  FROM tok, UNNEST(generate_series(1, len(ts)-1)) AS a(i)),
+         |g3 AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS gram
+         |  FROM tok, UNNEST(generate_series(1, len(ts)-2)) AS a(i)),
+         |g4 AS (SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS gram
+         |  FROM tok, UNNEST(generate_series(1, len(ts)-3)) AS a(i)),
+         |gc2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1,2),
+         |gc3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1,2),
+         |gc4 AS (SELECT doc_id, gram, count(*) AS cnt FROM g4 GROUP BY 1,2),
+         |t2 AS (SELECT doc_id, cnt*(length(gram)-1) AS mass FROM (
+         |  SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, gram ASC) AS rn FROM gc2) WHERE rn = 1),
+         |t3 AS (SELECT doc_id, cnt*(length(gram)-2) AS mass FROM (
+         |  SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, gram ASC) AS rn FROM gc3) WHERE rn = 1),
+         |t4 AS (SELECT doc_id, cnt*(length(gram)-3) AS mass FROM (
+         |  SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, gram ASC) AS rn FROM gc4) WHERE rn = 1),
+         |d2 AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN cnt*(length(gram)-1) ELSE 0 END)
+         |    AS DOUBLE) / sum(cnt*(length(gram)-1)) AS dup_2gram_frac
+         |  FROM gc2 GROUP BY 1)
+         |SELECT lm.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+         |  COALESCE(CAST(t2.mass AS DOUBLE) / tw.wchars, 0.0)
+         |    AS top_2gram_frac,
+         |  COALESCE(CAST(t3.mass AS DOUBLE) / tw.wchars, 0.0)
+         |    AS top_3gram_frac,
+         |  COALESCE(CAST(t4.mass AS DOUBLE) / tw.wchars, 0.0)
+         |    AS top_4gram_frac,
+         |  COALESCE(d2.dup_2gram_frac, 0.0) AS dup_2gram_frac
+         |FROM lm JOIN tw USING (doc_id)
+         |LEFT JOIN t2 ON lm.doc_id = t2.doc_id
+         |LEFT JOIN t3 ON lm.doc_id = t3.doc_id
+         |LEFT JOIN t4 ON lm.doc_id = t4.doc_id
+         |LEFT JOIN d2 ON lm.doc_id = d2.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_corpus_split" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |b AS (SELECT doc_id,
+        |  (ascii(substr(h, 1, 1)) -
+        |    CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
+        |  ascii(substr(h, 2, 1)) -
+        |    CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END AS bucket
+        |  FROM h)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 246 THEN 'train'
+        |       WHEN bucket < 251 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id, len($TokensSql) AS n_tokens,
          |length(text) AS n_chars,

@@ -32,6 +32,36 @@ object Curation {
       .where(col("__rn") <= quota).drop("__rn")
   }
 
+  /** Hex digit → value without engine-specific hex parsing: plain
+    * ascii arithmetic reproduces everywhere (md5 output is lowercase). */
+  private def hexVal(c: Column): Column =
+    ascii(c) - when(c <= "9", lit(48)).otherwise(lit(87))
+
+  /** Deterministic TRAIN/VAL/TEST SPLIT by content-free hashing: each
+    * doc gets a stable bucket in 0..255 from the first two hex chars
+    * of md5(salt:id), and bucket ranges map to named splits (`cuts` =
+    * ascending exclusive upper bounds; the default is ≈96/2/2%).
+    *
+    * Properties that matter at 100 TB: a doc's split depends only on
+    * its own id (stable under corpus growth, shards, and re-runs — no
+    * global sort or count), the salt gives independent re-splits, and
+    * the arithmetic is portable (any engine with md5 reproduces the
+    * assignment exactly). Pure projection — no shuffle, no state. */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+                salt: String = "split",
+                cuts: Seq[(String, Int)] = Seq(
+                  "train" -> 246, "val" -> 251, "test" -> 256)): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 256 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must ascend to 256: $cuts")
+    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val bucket = hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))
+    val split = cuts.foldRight(lit(cuts.last._1)) { case ((name, cut), acc) =>
+      when(bucket < cut, lit(name)).otherwise(acc)
+    }
+    docs.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
   /** PII patterns, applied in declaration order. Kept to syntax that
     * means the same thing in Java regex and RE2-family engines (no
     * lookaround, no backrefs) so an external validator reproduces the

@@ -103,6 +103,128 @@ object TextAnalysis {
         .as("fingerprint"))
   }
 
+  /** Word n-grams as strings, duplicates KEPT (repetition accounting
+    * needs occurrence counts; [[shingles]] is the distinct variant). */
+  private def gramsAll(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => array_join(slice(ts, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character mass (occurrences × word-chars) of the most frequent
+    * n-gram: run-length scan over the SORTED occurrence list, so ties
+    * resolve to the lexicographically smallest gram (first run to
+    * reach the max; later equal runs don't displace it — mirror the
+    * oracle's ORDER BY count DESC, gram ASC). */
+  private def topGramMass(gs: Column, n: Int): Column = {
+    val z = struct(lit("").as("prev"), lit(0).as("run"),
+      lit(0).as("best"), lit("").as("bestg"))
+    val sc = aggregate(array_sort(gs), z, (acc, g) => {
+      val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
+        .otherwise(lit(1))
+      struct(g.as("prev"), run.as("run"),
+        when(run > acc.getField("best"), run).otherwise(acc.getField("best"))
+          .as("best"),
+        when(run > acc.getField("best"), g).otherwise(acc.getField("bestg"))
+          .as("bestg"))
+    })
+    (sc.getField("best") *
+      (length(sc.getField("bestg")) - lit(n - 1))).cast("long")
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1 quality
+    * heuristics): duplicate-line fraction and duplicate-line character
+    * fraction over `\n`-separated lines, top word-n-gram character
+    * fraction (n = 2, 3, 4), and the duplicated-2-gram mass fraction.
+    *
+    * Definitions, chosen to be bit-portable across engines:
+    *  - lines: `\n`-split, empties dropped; a line OCCURRENCE counts as
+    *    duplicated when its line text appears more than once in the doc.
+    *  - top_Ngram_frac = occurrences × word-chars of the most frequent
+    *    n-gram (tie: lexicographically smallest) / total word chars.
+    *  - dup_2gram_frac = char mass of 2-grams occurring > once / total
+    *    2-gram char mass (word chars only — joiner spaces excluded).
+    *
+    * All per-doc array expressions (whole-stage codegen, no UDFs, no
+    * shuffle): at 100 TB this is a scan-bound projection. The per-doc
+    * duplicate checks are O(L²)/O(G²) in lines/grams PER DOCUMENT —
+    * bounded by doc length, independent of corpus size. */
+  def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    val nLines = size(lines)
+    val totLineChars = aggregate(lines, lit(0L),
+      (acc, l) => acc + length(l).cast("long"))
+    val dupLineChars = aggregate(lines, lit(0L), (acc, l) =>
+      acc + when(size(filter(lines, x => x === l)) > 1,
+        length(l).cast("long")).otherwise(lit(0L)))
+    val ts = tokens(col(textCol))
+    val wchars = length(array_join(ts, "")).cast("double")
+    def topFrac(n: Int): Column =
+      when(wchars > 0, topGramMass(gramsAll(ts, n), n) / wchars)
+        .otherwise(lit(0.0))
+    val g2 = gramsAll(ts, 2)
+    val tot2 = aggregate(g2, lit(0L),
+      (acc, g) => acc + (length(g) - 1).cast("long"))
+    val dup2 = aggregate(g2, lit(0L), (acc, g) =>
+      acc + when(size(filter(g2, x => x === g)) > 1,
+        (length(g) - 1).cast("long")).otherwise(lit(0L)))
+    docs.select(col("doc_id"),
+      nLines.as("n_lines"),
+      when(nLines > 0,
+        lit(1.0) - size(array_distinct(lines)).cast("double") / nLines)
+        .otherwise(lit(0.0)).as("dup_line_frac"),
+      when(totLineChars > 0, dupLineChars.cast("double") / totLineChars)
+        .otherwise(lit(0.0)).as("dup_line_char_frac"),
+      topFrac(2).as("top_2gram_frac"),
+      topFrac(3).as("top_3gram_frac"),
+      topFrac(4).as("top_4gram_frac"),
+      when(tot2 > 0, dup2.cast("double") / tot2)
+        .otherwise(lit(0.0)).as("dup_2gram_frac"))
+  }
+
+  /** BM25 relevance ranking (Robertson-Zaragoza, Lucene-style
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf smoothing) — the engine's
+    * stand-in for the reference's backend relevance scoring, and the
+    * quality-targeted data-selection ranker in a curation pipeline.
+    *
+    * Scale shape: corpus statistics (N, avgdl, per-term df) are ONE
+    * tiny aggregate broadcast back over the scan (1-row cross join —
+    * the scalar-broadcast pattern, not data×data), scoring is a
+    * projection, and the result is a TakeOrdered top-k: two linear
+    * passes, no wide shuffle. Scores are rounded to 6 decimals so the
+    * ranking is reproducible across engines/libms (sub-ulp `ln`
+    * differences would otherwise leak into the comparison); ties break
+    * by doc id. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int,
+           textCol: String = "text",
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val ts = tokens(col(textCol))
+    val withTok = docs.select(col("doc_id"), ts.as("ts"),
+      size(ts).cast("double").as("dl"))
+    val statAggs =
+      count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("ts"), t), 1).otherwise(0))
+          .cast("double").as(s"df_$i")
+      }
+    val stats = withTok.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTok.crossJoin(broadcast(stats))
+    // every arithmetic step mirrors the oracle SQL's operator order so
+    // the doubles agree bit-for-bit before the final rounding
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("ts"), x => x === t)).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      idf * (tf * (lit(k1) + 1)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Corpus vocabulary: per-term total frequency and document
     * frequency, top `k` by frequency (term tie-break). The tokenizer-
     * training / frequency-analysis staple — one explode + one groupBy

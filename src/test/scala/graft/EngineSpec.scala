@@ -1464,6 +1464,77 @@ class EngineSpec extends AnyFunSuite {
     assert(flagged == Set(1L, 2L))
   }
 
+  test("repetition signals: dup-line and top/dup n-gram fractions") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val d = Seq(
+      (1L, "aa bb\naa bb\ncc"), // duplicated line
+      (2L, "x y x y z"),        // repeated 2-gram, single line
+      (3L, "solo"))             // degenerate: no 2-grams at all
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).orderBy("doc_id").collect()
+    val eps = 1e-12
+    // doc 1: lines [aa bb, aa bb, cc] → n=3, distinct 2; dup chars 10/12
+    assert(r(0).getInt(1) == 3)
+    assert(math.abs(r(0).getDouble(2) - (1.0 - 2.0 / 3)) < eps)
+    assert(math.abs(r(0).getDouble(3) - 10.0 / 12) < eps)
+    // doc 1 top-2-gram: "aa bb" ×2, word-char mass 2*4 of 10 chars
+    assert(math.abs(r(0).getDouble(4) - 8.0 / 10) < eps)
+    // doc 2: grams [x y, y x, x y, y z] → top "x y" mass 4 of 5 chars;
+    // duplicated mass 4 of total gram mass 8
+    assert(math.abs(r(1).getDouble(4) - 4.0 / 5) < eps)
+    assert(math.abs(r(1).getDouble(7) - 0.5) < eps)
+    // doc 3: single line, no grams — all fractions 0, nothing NaN
+    assert(r(2).getInt(1) == 1 && r(2).getDouble(4) == 0.0 &&
+      r(2).getDouble(7) == 0.0)
+  }
+
+  test("hash split reproduces JDK md5 buckets and is corpus-stable") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val got = Curation.hashSplit((0L until 64L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0L until 64L).foreach { id =>
+      val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val b = Integer.parseInt(hex.take(2), 16)
+      val split = if (b < 246) "train" else if (b < 251) "val" else "test"
+      assert(got(id) == (b, split), s"id $id")
+    }
+    // a doc's assignment is independent of what else is in the corpus
+    val sub = Curation.hashSplit(Seq(7L, 63L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(sub == got.view.filterKeys(Set(7L, 63L)).toMap)
+  }
+
+  test("bm25 matches the hand-computed formula and ranks by score") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val d = Seq(
+      (1L, "cat cat cat dog"), // tf(cat)=3, short doc
+      (2L, "cat mouse mouse mouse mouse mouse mouse mouse"),
+      (3L, "dog mouse bird fish"),
+      (4L, "bird fish worm"))  // no query terms → score 0
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(d, Seq("cat", "dog"), k = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (k1, b) = (1.2, 0.75)
+    val (n, avgdl) = (4.0, (4.0 + 8.0 + 4.0 + 3.0) / 4)
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r6(term(3, 2, 4) + term(1, 2, 4)))
+    assert(got(2L) == r6(term(1, 2, 8)))
+    assert(got(3L) == r6(term(1, 2, 4)))
+    assert(got(4L) == 0.0)
+    // the high-tf short doc outranks everything
+    assert(got(1L) > got(2L) && got(1L) > got(3L) && got(3L) > got(2L))
+  }
+
   test("SQ8 quantization stores bytes and bounds reconstruction error") {
     import graft.pipeline.Similarity
     val e = spark.read.parquet(s"$Sf/embeddings.parquet")
