@@ -287,6 +287,19 @@ object PipelineQueries {
       Curation.hashSplit(docs(s, dir))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
+    // deterministic mixture resampling: md5-uniform per doc vs its
+    // source's target rate — the domain-reweighting lever; three
+    // sources down-sampled, the rest kept
+    "q_mixture_sample" -> ((s, dir) =>
+      Curation.mixtureSample(docs(s, dir), "source", MixRates)
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    // fixed-window chunking with overlapping stride (window 64,
+    // stride 32) — the long-document context-window shaper
+    "q_chunk_docs" -> ((s, dir) =>
+      Curation.chunkDocs(docs(s, dir), window = 64, stride = 32)
+        .orderBy("doc_id", "chunk_idx")),
+
     // BM25 relevance ranking: top-20 docs for a 3-term query — the
     // relevance surface the reference delegates to its search backend,
     // as a two-pass scan + scalar-stats broadcast + TakeOrdered
@@ -322,6 +335,21 @@ object PipelineQueries {
         .orderBy("path")))
 
   private val Bm25Terms = Seq("table", "scan", "merge")
+
+  /** Mixture-resampling rates for q_mixture_sample (ordered for
+    * deterministic oracle generation). */
+  private val MixRates: Map[String, Double] =
+    Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.75)
+
+  /** The oracle's u(id): same per-hex-char ascii arithmetic as
+    * `Curation.hexVal` over the first four md5 hex chars. */
+  private def mixUSql: String = {
+    def hv(i: Int) =
+      s"(ascii(substr(h, $i, 1)) - CASE WHEN substr(h, $i, 1) <= '9' " +
+        "THEN 48 ELSE 87 END)"
+    s"CAST((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) " +
+      "AS DOUBLE) / 65536.0"
+  }
 
   /** BM25 oracle SQL — generated from the SAME term list with every
     * arithmetic step in the same operator order as
@@ -595,6 +623,25 @@ object PipelineQueries {
          |  FROM d JOIN p ON d.key = p.key AND d.rn = p.rn + 1)
          |SELECT key, doc_id, n_tokens, bin FROM p
          |ORDER BY key, doc_id""".stripMargin,
+    "q_mixture_sample" -> {
+      val rateCase = MixRates.toSeq.sortBy(_._1).map { case (k, r) =>
+        s"WHEN source = '$k' THEN $r" }.mkString(" ")
+      s"""WITH h AS (SELECT doc_id, source,
+         |  md5('mix:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+         |SELECT doc_id, source FROM h
+         |WHERE $mixUSql <
+         |  CASE $rateCase ELSE 1.0 END
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_chunk_docs" ->
+      s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |c AS (SELECT doc_id, CAST((i - 1) // 32 AS INTEGER) AS chunk_idx,
+         |  ts[i:least(i + 63, len(ts))] AS chunk
+         |  FROM tok, UNNEST(generate_series(1, len(ts), 32)) AS a(i))
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(chunk) AS INTEGER) AS chunk_tokens,
+         |  array_to_string(chunk, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_bm25_rank" -> bm25Sql(Bm25Terms, 20),
     "q_quality_repetition" ->
       s"""WITH t AS (SELECT doc_id,

@@ -62,6 +62,25 @@ object Curation {
     docs.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** Deterministic MIXTURE RESAMPLING: keep a doc iff its md5-derived
+    * uniform `u(id) ∈ [0,1)` (first four hex chars / 65536) is below
+    * its key's target rate — the domain-reweighting lever for a
+    * training mixture (rates < 1 down-sample a source; absent keys
+    * keep everything). Same portability/stability story as
+    * [[hashSplit]]: per-doc decision, no global state, any engine
+    * with md5 reproduces the kept set exactly. Pure filter — composes
+    * with quota caps and dedup in one scan. */
+  def mixtureSample(docs: DataFrame, keyCol: String,
+                    rates: Map[String, Double], idCol: String = "doc_id",
+                    salt: String = "mix"): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), s"rates in [0,1]: $rates")
+    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val v = Seq(1, 2, 3, 4).map(i => hexVal(substring(h, i, 1)))
+      .reduce((a, c) => a * 16 + c)
+    val rate = coalesce(element_at(typedLit(rates), col(keyCol)), lit(1.0))
+    docs.where(v.cast("double") / 65536.0 < rate)
+  }
+
   /** PII patterns, applied in declaration order. Kept to syntax that
     * means the same thing in Java regex and RE2-family engines (no
     * lookaround, no backrefs) so an external validator reproduces the
@@ -103,6 +122,32 @@ object Curation {
     * concurrently, sequentially within. At 100 TB the key is
     * (source, shard-of-source), which bounds group size and preserves
     * determinism — a whole-corpus global pack would serialize. */
+  /** Fixed-window token CHUNKING with stride — the long-document →
+    * context-window shaper (packSequences' complement: packing bins
+    * small docs up, chunking cuts long docs down). Start positions
+    * 0, stride, 2·stride … < n_tokens; each chunk takes up to `window`
+    * tokens (`stride` < `window` ⇒ overlapping chunks). Pure per-doc
+    * expression + one explode: no shuffle, and the explode's fan-out
+    * is bounded by ceil(doc_tokens/stride) — corpus-size-independent.
+    * Empty docs yield no chunks. */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride > 0")
+    val ts = TextAnalysis.tokens(col(textCol))
+    val chunks = when(size(ts) > 0,
+      transform(sequence(lit(0), size(ts) - 1, lit(stride)),
+        st => struct(
+          array_join(slice(ts, st + 1, lit(window)), " ").as("chunk_text"),
+          size(slice(ts, st + 1, lit(window))).as("chunk_tokens"))))
+      .otherwise(array().cast(
+        "array<struct<chunk_text:string,chunk_tokens:int>>"))
+    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("c.chunk_tokens").as("chunk_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+  }
+
   def packSequences(docs: DataFrame, keyCol: String, budget: Int,
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {

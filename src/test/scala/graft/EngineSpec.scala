@@ -1509,6 +1509,49 @@ class EngineSpec extends AnyFunSuite {
     assert(sub == got.view.filterKeys(Set(7L, 63L)).toMap)
   }
 
+  test("mixture resampling keeps md5-uniform docs below the key rate") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val d = (0L until 200L).map(i => (i, if (i < 100) "keep" else "half"))
+      .toDF("doc_id", "source")
+    val kept = Curation.mixtureSample(d, "source", Map("half" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    // ground truth from JDK md5: u(id) = first 4 hex chars / 65536
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(s"mix:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(4), 16) / 65536.0
+    }
+    val expect = (0L until 200L).filter(i =>
+      if (i < 100) true else u(i) < 0.5).toSet
+    assert(kept == expect)
+    // unkeyed source keeps everything; rate ~0.5 keeps roughly half
+    assert((100L until 200L).count(kept) > 25 &&
+      (100L until 200L).count(kept) < 75)
+    // stable under corpus growth: the kept set is per-doc
+    val sub = Curation.mixtureSample(d.where($"doc_id" >= 150),
+      "source", Map("half" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(sub == expect.filter(_ >= 150))
+  }
+
+  test("chunking cuts token streams into strided windows") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val c = Curation.chunkDocs(d, window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc1: starts 0,3,6,9 → windows of 4 tokens (last truncated)
+    assert(c.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, 4, "t1 t2 t3 t4"), (1L, 1, 4, "t4 t5 t6 t7"),
+      (1L, 2, 4, "t7 t8 t9 t10"), (1L, 3, 1, "t10")))
+    // doc2 fits one window; empty doc3 yields no chunks
+    assert(c.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")))
+    assert(!c.exists(_._1 == 3L))
+  }
+
   test("bm25 matches the hand-computed formula and ranks by score") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
