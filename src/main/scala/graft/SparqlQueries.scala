@@ -316,6 +316,26 @@ object SparqlQueries {
         |  BIND(IF(strlen(?name) >= 9, "long", "short") AS ?tag)
         |} ORDER BY ?n""".stripMargin)),
 
+    // date/time accessor builtins (SPARQL 17.4.5) over the store's
+    // xsd:dateTime lexical forms: YEAR/MONTH/DAY slice the date,
+    // HOURS/MINUTES/SECONDS the time, TZ/TIMEZONE the designator —
+    // all pure projections over one predicate scan
+    "q_sparql_datefn" -> ((s, dir) => run(s, dir,
+      """PREFIX ont: <cmwell://ont#>
+        |SELECT ?o ?y ?mo ?d ?tz WHERE {
+        |  ?o ont:orderdate ?w .
+        |  BIND(YEAR(?w) AS ?y)
+        |  BIND(MONTH(?w) AS ?mo)
+        |  BIND(DAY(?w) AS ?d)
+        |  BIND(HOURS(?w) AS ?h)
+        |  BIND(TZ(?w) AS ?tz)
+        |  BIND(TIMEZONE(?w) AS ?dur)
+        |  FILTER (?dur = "PT0S")
+        |  FILTER (?h = 0)
+        |  FILTER (?y = 1995)
+        |  FILTER (?mo <= 2)
+        |} ORDER BY ?o""".stripMargin)),
+
     // `POST /_sp`: PATHS search requests populate the queried subgraph
     // (here: BUILDING customers + all nations); the SPARQL query runs
     // against just that slice — suppliers and other segments are
@@ -337,6 +357,15 @@ object SparqlQueries {
       """SELECT '/nation/' || n_nationkey AS n, n_name AS name,
         |  CASE WHEN length(n_name) >= 9 THEN 'long' ELSE 'short' END AS tag
         |FROM nation ORDER BY n""".stripMargin,
+    "q_sparql_datefn" ->
+      """SELECT '/orders/' || o_orderkey AS o,
+        |  CAST(year(o_orderdate) AS VARCHAR) AS y,
+        |  CAST(month(o_orderdate) AS VARCHAR) AS mo,
+        |  CAST(day(o_orderdate) AS VARCHAR) AS d,
+        |  'Z' AS tz
+        |FROM orders
+        |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 2
+        |ORDER BY o""".stripMargin,
     "q_sparql_alt_inv" ->
       """SELECT x FROM (
         |  SELECT '/customer/' || c_custkey AS x FROM customer

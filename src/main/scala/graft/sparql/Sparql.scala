@@ -1654,6 +1654,47 @@ object Sparql {
         // one-arg form: stable label per lexical argument (SPARQL
         // 17.4.1.9 maps equal args to the same bnode within a query)
         (concat(lit("_:b"), md5(bindColsC(a, cols)._1)), None)
+      // date/time accessors (SPARQL 17.4.5) over xsd:dateTime lexical
+      // forms — regexp extraction keeps the row codegen'd, and a
+      // non-dateTime argument extracts nothing → null → unbound,
+      // matching SPARQL's type-error-is-unbound semantics
+      case BFn(f @ ("year" | "month" | "day" | "hours" | "minutes" |
+                    "seconds"), Seq(a)) =>
+        val pat = f match {
+          case "year"    => "^(-?\\d{4,})-\\d{2}-\\d{2}T"
+          case "month"   => "^-?\\d{4,}-(\\d{2})-\\d{2}T"
+          case "day"     => "^-?\\d{4,}-\\d{2}-(\\d{2})T"
+          case "hours"   => "T(\\d{2}):\\d{2}:"
+          case "minutes" => "T\\d{2}:(\\d{2}):"
+          // SECONDS returns xsd:decimal — keep any fraction
+          case "seconds" => "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)"
+        }
+        val part = regexp_extract(bindColsC(a, cols)._1, pat, 1)
+        // the when-guard keeps the cast off the "" no-match value
+        // (ANSI-safe); null flows through as unbound
+        val n = when(part =!= "", part.cast("double"))
+        (numLex(n), Some(n))
+      // TZ (17.4.5.8): the timezone designator as a simple literal,
+      // "" when the dateTime carries none
+      case BFn("tz", Seq(a)) =>
+        (regexp_extract(bindColsC(a, cols)._1,
+          "(Z|[+-]\\d{2}:\\d{2})$", 1), None)
+      // TIMEZONE (17.4.5.7): the offset as a canonical
+      // xsd:dayTimeDuration lexical; unbound when absent
+      case BFn("timezone", Seq(a)) =>
+        val t = regexp_extract(bindColsC(a, cols)._1,
+          "(Z|[+-]\\d{2}:\\d{2})$", 1)
+        val h = substring(t, 2, 2).cast("int")
+        val m = substring(t, 5, 2).cast("int")
+        val sign = when(substring(t, 1, 1) === "-", lit("-"))
+          .otherwise(lit(""))
+        val hm = concat(sign, lit("PT"),
+          when(h =!= 0, concat(h.cast("string"), lit("H")))
+            .otherwise(lit("")),
+          when(m =!= 0, concat(m.cast("string"), lit("M")))
+            .otherwise(lit("")))
+        (when(t === "Z" || (t =!= "" && h === 0 && m === 0), lit("PT0S"))
+          .when(t =!= "", hm), None)
       // numeric 1-arg functions
       case BFn(f @ ("abs" | "round" | "floor" | "ceil"), Seq(a)) =>
         val x = bNumOfC(a, cols)

@@ -1509,6 +1509,36 @@ class EngineSpec extends AnyFunSuite {
     assert(sub == got.view.filterKeys(Set(7L, 63L)).toMap)
   }
 
+  test("SPARQL date/time accessors slice dateTime lexicals") {
+    val store = storeOf(Seq(
+      "<c://e/1> <c://o#at> \"2024-03-01T10:30:05.250+05:30\" .",
+      "<c://e/2> <c://o#at> \"1999-12-31T23:59:59Z\" .",
+      "<c://e/3> <c://o#at> \"2020-06-15T08:00:00-08:00\" .",
+      "<c://e/4> <c://o#at> \"not a date\" ."),
+      T("2024-01-01 00:00:00"))
+    val r = Sparql.select(store,
+      """SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?tz ?dur WHERE {
+        |  ?s <c://o#at> ?w .
+        |  BIND(YEAR(?w) AS ?y) BIND(MONTH(?w) AS ?mo)
+        |  BIND(DAY(?w) AS ?d) BIND(HOURS(?w) AS ?h)
+        |  BIND(MINUTES(?w) AS ?mi) BIND(SECONDS(?w) AS ?sec)
+        |  BIND(TZ(?w) AS ?tz) BIND(TIMEZONE(?w) AS ?dur)
+        |} ORDER BY ?s""".stripMargin).collect()
+      .map(row => row.getString(0) ->
+        (1 to 8).map(i => Option(row.getString(i)).orNull)).toMap
+    // full positive-offset form; SECONDS keeps the decimal fraction
+    assert(r("/e/1") == Seq(
+      "2024", "3", "1", "10", "30", "5.25", "+05:30", "PT5H30M"))
+    // Z designator → PT0S duration
+    assert(r("/e/2") == Seq(
+      "1999", "12", "31", "23", "59", "59", "Z", "PT0S"))
+    // negative offset → negative canonical duration, zero minutes omitted
+    assert(r("/e/3")(7) == "-PT8H" && r("/e/3")(6) == "-08:00")
+    // a non-dateTime lexical is a type error → every accessor unbound
+    // (TZ's "" is its defined no-designator value, not an error)
+    assert(r("/e/4") == Seq(null, null, null, null, null, null, "", null))
+  }
+
   test("mixture resampling keeps md5-uniform docs below the key rate") {
     import spark.implicits._
     import graft.pipeline.Curation
