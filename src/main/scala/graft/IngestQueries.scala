@@ -156,6 +156,60 @@ object IngestQueries {
         .cast("long").as("custkey"))
       .orderBy("custkey")
 
+  /** The 100 TB write path, declared (ImpStream.scala:203-356
+    * semantics): materialize the store in its production parquet
+    * layout, apply an update batch (every 20th customer gets
+    * acctbal+100) via [[Merger.mergePruned]] — dynamic partition
+    * overwrite over the affected `__parent` partitions ONLY — then
+    * read the WHOLE store back from disk. Updated customers must carry
+    * the new balance and a second version; untouched customers remain
+    * single-version originals (their partitions were never read or
+    * rewritten — EngineSpec asserts the file-level invariant). The
+    * result is identical to routing the same batch through the
+    * full-snapshot [[Merger.merge]]. */
+  // keyed by (session, dir): materialize + pruned-merge run once per
+  // sf dir, every later read hits the merged parquet
+  private val prunedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  private def mergePruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftStore.evictStopped(prunedCache)
+    val mdir = prunedCache.computeIfAbsent((s, dir), { _ =>
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_merge_pruned_q").toString
+      val store = st(s, dir)
+      GraftStore.materializeInfotons(store, d)
+      val cmds = store.current
+        .where(col("system.path").startsWith("/customer/") &&
+          Search.fieldN("custkey") % 20 === 0)
+        .select(col("system.path"), Search.fieldN("acctbal"))
+        .as[(String, Double)]
+        .map { case (p, bal) =>
+          val nv = bal + 100
+          Merger.Command("update", p, T0,
+            Map("acctbal" -> Seq(Merger.FieldValue(nv.toString, Some(nv),
+              None, None, InfotonModel.TDouble, None, None))),
+            Map("acctbal" -> Seq.empty))
+        }
+      Merger.mergePruned(s, d, cmds)
+      d
+    })
+    // open just the infotons half (the pruned write path never touches
+    // the quads layout); scans hit real parquet with partition pruning
+    val disk = GraftStore.fromInfotons(s,
+      s.read.parquet(s"$mdir/infotons").drop("__parent"),
+      Some(st(s, dir).fieldTypes))
+    Search.run(disk, Search.Request(path = "/customer", withHistory = true))
+      .groupBy(col("system.path").as("path"))
+      .agg(count(lit(1)).as("n_versions"),
+        max(when(col("system.current"),
+          Search.fieldN("custkey"))).cast("long").as("custkey"),
+        max(when(col("system.current"),
+          Search.fieldN("acctbal"))).as("acctbal"))
+      .select("custkey", "acctbal", "n_versions")
+      .orderBy("custkey")
+  }
+
   /** documents → N-Quads → ingest → search back: the quad-tagged,
     * lang-tagged table through the 4-term formatter and parser —
     * graph tag and language tag must survive the roundtrip verbatim
@@ -272,6 +326,7 @@ object IngestQueries {
     "q_ingest_nq" -> roundtripNq,
     "q_ingest_trig" -> roundtripTrig,
     "q_merge_update" -> mergeUpdate,
+    "q_merge_pruned" -> mergePruned,
     "q_merge_delete" -> mergeDelete,
     "q_with_deleted" -> withDeleted)
 
@@ -306,6 +361,13 @@ object IngestQueries {
     "q_merge_update" ->
       """SELECT c_custkey AS custkey, CAST(c_acctbal AS DOUBLE) + 100 AS acctbal,
         |CAST(2 AS BIGINT) AS n_versions FROM customer ORDER BY custkey""".stripMargin,
+    "q_merge_pruned" ->
+      """SELECT c_custkey AS custkey,
+        |CAST(c_acctbal AS DOUBLE)
+        |  + (CASE WHEN c_custkey % 20 = 0 THEN 100 ELSE 0 END) AS acctbal,
+        |CAST(CASE WHEN c_custkey % 20 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |  AS n_versions
+        |FROM customer ORDER BY custkey""".stripMargin,
     "q_merge_delete" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
         |ORDER BY custkey""".stripMargin,

@@ -69,6 +69,26 @@ object SearchQueries {
           Search.Request(path = "/part", qp = Some("name:widget")))
         .select(col("system.path").as("path")).orderBy("path")),
 
+    // Contains phrase semantics (ES match_phrase parity,
+    // FTSService.scala:895-896): the query tokens must appear
+    // CONSECUTIVELY in the analyzed token stream. The probe "a part"
+    // is chosen so the two Contains modes disagree (substring also
+    // hits "dat[a part]") — this query pins the phrase semantics...
+    "q_search_phrase" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/documents", qp = Some("text:a part")))
+        .select(Search.fieldN("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")),
+
+    // ...and this one pins the documented raw-substring fallback on
+    // the SAME probe — different oracle, different row set
+    "q_search_contains_raw" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/documents", qp = Some("text:a part"),
+            substringContains = true))
+        .select(Search.fieldN("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")),
+
     // Like (`~`) — fuzzy, ES AUTO fuzziness
     "q_search_fuzzy" -> ((s, dir) =>
       Search.run(st(s, dir),
@@ -137,7 +157,7 @@ object SearchQueries {
     // `_all` search across every field (§2.2 allFields)
     "q_search_all" -> ((s, dir) =>
       Search.run(st(s, dir),
-          Search.Request(path = "/part", qp = Some("_all:green")))
+          Search.Request(path = "/part", qp = Some("_all:red")))
         .select(col("system.path").as("path")).orderBy("path")),
 
     // op=read point/multi-get (§2.1)
@@ -189,6 +209,15 @@ object SearchQueries {
       """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
         |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
         |ORDER BY path""".stripMargin,
+    "q_search_phrase" ->
+      """SELECT doc_id FROM documents
+        |WHERE ' ' || array_to_string(
+        |  string_split_regex(lower(text), '[^a-z0-9]+'), ' ') || ' '
+        |  LIKE '% a part %'
+        |ORDER BY doc_id""".stripMargin,
+    "q_search_contains_raw" ->
+      """SELECT doc_id FROM documents WHERE lower(text) LIKE '%a part%'
+        |ORDER BY doc_id""".stripMargin,
     "q_search_fuzzy" ->
       """SELECT '/region/' || CAST(r_regionkey AS VARCHAR) AS path FROM region
         |WHERE levenshtein(lower(r_name), 'amerika') <= 2 ORDER BY path""".stripMargin,
@@ -219,9 +248,9 @@ object SearchQueries {
       "SELECT doc_id FROM documents WHERE lang = 'de' ORDER BY doc_id",
     "q_search_all" ->
       """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
-        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'green')
-        |OR list_contains(string_split_regex(lower(p_brand), '[^a-z0-9]+'), 'green')
-        |OR list_contains(string_split_regex(lower(p_type), '[^a-z0-9]+'), 'green')
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'red')
+        |OR list_contains(string_split_regex(lower(p_brand), '[^a-z0-9]+'), 'red')
+        |OR list_contains(string_split_regex(lower(p_type), '[^a-z0-9]+'), 'red')
         |ORDER BY path""".stripMargin,
     "q_read_multi" ->
       """SELECT path, name FROM (

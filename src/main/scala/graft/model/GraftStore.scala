@@ -106,18 +106,23 @@ object GraftStore {
     *     the whole EAV view. On a cluster both would additionally be
     *     bucketed (path / subject) for shuffle-free joins. */
   def materialize(store: GraftStore, dir: String): Unit = {
-    store.infotons
-      .withColumn("__parent", col("system.parent"))
-      .repartition(col("__parent"))
-      .sortWithinPartitions(col("system.path"), col("system.indexTime"))
-      .write.mode("overwrite").partitionBy("__parent")
-      .parquet(s"$dir/infotons")
+    materializeInfotons(store, dir)
     store.quads
       .repartition(col("predicate"))
       .sortWithinPartitions(col("subject"))
       .write.mode("overwrite").partitionBy("predicate")
       .parquet(s"$dir/quads")
   }
+
+  /** Just the `infotons/` half of [[materialize]] — the write path
+    * ([[graft.ingest.Merger.mergePruned]]) only touches this layout. */
+  def materializeInfotons(store: GraftStore, dir: String): Unit =
+    store.infotons
+      .withColumn("__parent", col("system.parent"))
+      .repartition(col("__parent"))
+      .sortWithinPartitions(col("system.path"), col("system.indexTime"))
+      .write.mode("overwrite").partitionBy("__parent")
+      .parquet(s"$dir/infotons")
 
   /** Open a materialized store. Scans hit real parquet: pushdown,
     * partition pruning and row-group skipping all visible in

@@ -32,7 +32,10 @@ object Search {
       to: Option[String] = None,
       sortBy: Option[String] = None, // default: -system.lastModified
       withHistory: Boolean = false,
-      withDeleted: Boolean = false)
+      withDeleted: Boolean = false,
+      // Contains (`:`) fallback: raw lowercase substring instead of the
+      // default analyzed word-boundary phrase match (FilterCompiler)
+      substringContains: Boolean = false)
 
   /** PathFilter (FTSService.scala:856-864): non-recursive = direct
     * children (`system.parent == p`); recursive = hierarchy prefix
@@ -55,7 +58,8 @@ object Search {
     req.to.foreach(t => pred = pred &&
       col("system.lastModified") <= to_timestamp(lit(t)))
     req.qp.foreach { q =>
-      pred = pred && new FilterCompiler(store).compile(QpParser.parse(q))
+      pred = pred && new FilterCompiler(store, req.substringContains)
+        .compile(QpParser.parse(q))
     }
     store.infotons.where(pred)
   }

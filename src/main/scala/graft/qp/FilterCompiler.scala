@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * (scoring only); a bool with no Must requires at least one Should to
   * match.
   */
-final class FilterCompiler(store: GraftStore) {
+final class FilterCompiler(store: GraftStore,
+                           substringContains: Boolean = false) {
   import FieldOp._
   import ValueOp._
   import InfotonModel._
@@ -74,8 +75,7 @@ final class FilterCompiler(store: GraftStore) {
         throw new IllegalArgumentException("_all needs a value"))
       val pred: Column => Column = vo match {
         case Equals => _.getField("s") === lit(v)
-        case _ => c => array_contains(
-          split(lower(c.getField("s")), "[^a-z0-9]+"), v.toLowerCase)
+        case _ => c => containsPred(c.getField("s"), v)
       }
       return coalesce(exists(map_values(col("fields")),
         vs => exists(vs, pred)), lit(false))
@@ -92,6 +92,32 @@ final class FilterCompiler(store: GraftStore) {
       case Some(v) =>
         val pred: Column => Column = valuePredicate(vo, canonical, v)
         arr.isNotNull && exists(arr, pred)
+    }
+  }
+
+  /** Contains (`:`) — ES match-phrase analog (FTSService.scala:895-896
+    * builds matchPhraseQuery over the analyzed field): both sides run
+    * through the same lowercase non-alnum tokenizer and the query's
+    * token sequence must appear CONSECUTIVELY in the value's token
+    * stream. Implemented as a sentinel-space-joined substring over the
+    * normalized tokens — word-boundary exact (no `fred widget` hit for
+    * `red widget`, but `red, widget` still matches because the
+    * analyzer eats punctuation), fully codegen'd, no UDF.
+    *
+    * `substringContains` keeps the previous raw lowercase-substring
+    * semantics as a documented fallback for analyzer-sensitive text
+    * where a byte-level probe is wanted. A zero-token query matches
+    * nothing (ES `zero_terms_query=none`). */
+  private def containsPred(s: Column, v: String): Column = {
+    if (substringContains) return lower(s).contains(lit(v.toLowerCase))
+    val toks = v.toLowerCase.split("[^a-z0-9]+").filterNot(_.isEmpty)
+    if (toks.isEmpty) lit(false)
+    else if (toks.length == 1) // common case: plain tokenized containment
+      array_contains(split(lower(s), "[^a-z0-9]+"), toks.head)
+    else {
+      val joined = concat(lit(" "), array_join(
+        filter(split(lower(s), "[^a-z0-9]+"), t => t =!= ""), " "), lit(" "))
+      joined.contains(lit(toks.mkString(" ", " ", " ")))
     }
   }
 
@@ -130,16 +156,7 @@ final class FilterCompiler(store: GraftStore) {
       case _ => // string / reference
         vo match {
           case Equals => _.getField("s") === lit(v)
-          case Contains =>
-            // match-phrase approximation: single token → tokenized
-            // containment (the `allFields`-style analyzer is a simple
-            // lowercase non-alnum splitter); phrase → substring on
-            // lowercased text
-            if (v.exists(_.isWhitespace))
-              c => lower(c.getField("s")).contains(lit(v.toLowerCase))
-            else
-              c => array_contains(
-                split(lower(c.getField("s")), "[^a-z0-9]+"), v.toLowerCase)
+          case Contains => c => containsPred(c.getField("s"), v)
           case Like =>
             c => levenshtein(lower(c.getField("s")), lit(v.toLowerCase)) <=
               lit(autoFuzz(v))

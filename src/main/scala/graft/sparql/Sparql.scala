@@ -1254,7 +1254,11 @@ object Sparql {
       def langOf(v: String) =
         if (cols(s"${v}__lang")) coalesce(col(s"${v}__lang"), lit(""))
         else lit("")
-      var c = col(a) === col(b) && langOf(a) === langOf(b)
+      var c = col(a) === col(b)
+      // skip the lang guard when neither side carries a lang shadow:
+      // lit("") === lit("") is trivially true and Spark WARNs on it
+      if (cols(s"${a}__lang") || cols(s"${b}__lang"))
+        c = c && langOf(a) === langOf(b)
       if (cols(s"${a}__t") && cols(s"${b}__t"))
         c = c && col(s"${a}__t") <=> col(s"${b}__t")
       c
