@@ -95,10 +95,32 @@ object GraphQueries {
         qp = Some("mktsegment::BUILDING")))
       pathsOf(Graph.xg(store, base,
         Graph.parseXg("refNation[name::GERMANY]", Graph.refFields(store))))
-    }))
+    }),
+
+    // Gremlin pipe chain (`_sp` Gremlin surface): reverse hop + typed
+    // has-filter + property projection, compiled to frontier joins
+    "q_gremlin" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.v("/nation/1").in("refNation").has("mktsegment", "BUILDING").values("name")""")
+        .orderBy("value")),
+
+    // Gremlin forward chain ending in ids — customer → nation → region
+    "q_gremlin_out" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.v("/customer/1").out("refNation").out("refRegion").id""")
+        .orderBy("id")))
 
   val oracles: Map[String, String] = Map(
     "q_expansion_limit" -> "SELECT TRUE AS limited",
+    "q_gremlin" ->
+      """SELECT c_name AS value FROM customer
+        |WHERE c_nationkey = 1 AND c_mktsegment = 'BUILDING'
+        |ORDER BY value""".stripMargin,
+    "q_gremlin_out" ->
+      """SELECT DISTINCT '/region/' || CAST(n_regionkey AS VARCHAR) AS id
+        |FROM nation WHERE n_nationkey =
+        |  (SELECT c_nationkey FROM customer WHERE c_custkey = 1)
+        |ORDER BY id""".stripMargin,
     "q_xg" ->
       """SELECT path FROM (
         |  SELECT '/orders/' || CAST(o_orderkey AS VARCHAR) AS path FROM orders

@@ -19,17 +19,36 @@ object Curation {
     * order — taking the FIRST n per key would bias toward whatever the
     * upstream sort was.
     *
-    * Scale: one shuffle on the key; the window sorts per key-partition.
-    * A pathologically hot key pays its full sort before the filter —
-    * at 100 TB, pre-prune hot keys with an approximate count and a
-    * per-partition local top-`quota` pass first (two-phase top-K); the
-    * quota output itself is bounded at keys × quota rows. */
+    * Scale — TWO-PHASE top-K, hot-key safe: top-`quota` under a total
+    * order is decomposable (the global winners per key are always
+    * contained in the union of per-slice winners), so phase 1 prunes
+    * to ≤ `quota` rows per (key, source-partition) — a pathological
+    * key is spread across its input partitions, and no task ever
+    * sorts more than one partition's share of it — and phase 2 picks
+    * the exact global top-`quota` over the pruned set, which is
+    * bounded at quota × n_partitions rows per key no matter how
+    * skewed the input is. Costs one extra (pruned, delta-sized)
+    * shuffle vs the naive single window; the result is identical and
+    * stays deterministic under any input partitioning because the
+    * (md5, id) order is a tie-free total order. */
   def quotaSample(docs: DataFrame, keyCol: String, quota: Int,
                   idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
+    val w2 = Window.partitionBy(col(keyCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs.withColumn("__rn", row_number().over(w))
+    quotaPrune(docs, keyCol, quota, idCol)
+      .withColumn("__rn", row_number().over(w2))
       .where(col("__rn") <= quota).drop("__rn")
+  }
+
+  /** Phase-1 of [[quotaSample]] alone (tests/telemetry): the pruned
+    * intermediate whose per-key size bounds any later task's input. */
+  private[graft] def quotaPrune(docs: DataFrame, keyCol: String,
+                                quota: Int, idCol: String): DataFrame = {
+    val w1 = Window.partitionBy(col(keyCol), col("__slice"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("__slice", spark_partition_id())
+      .withColumn("__rn", row_number().over(w1))
+      .where(col("__rn") <= quota).drop("__rn", "__slice")
   }
 
   /** Hex digit → value without engine-specific hex parsing: plain
@@ -118,10 +137,14 @@ object Curation {
     * overflow) — this is the one genuinely sequential-per-group
     * operator in the pipeline, hence `flatMapGroups` (the brief's
     * last-resort tier, used for the reason the tier exists). The
-    * group is the parallel unit: packing runs per key (source/shard)
-    * concurrently, sequentially within. At 100 TB the key is
-    * (source, shard-of-source), which bounds group size and preserves
-    * determinism — a whole-corpus global pack would serialize. */
+    * group is the parallel unit: packing runs per (key, shard)
+    * concurrently, sequentially within. `shards` bounds group size at
+    * 100 TB — each doc lands in a deterministic md5 shard of its key
+    * (same portable arithmetic as [[hashSplit]]: stable under corpus
+    * growth, engine-independent), each shard packs its own id-ordered
+    * stream, and bins are numbered per (key, shard). `shards = 1`
+    * (the default) is the single-stream semantics; a whole-corpus
+    * global pack would serialize. */
   /** Fixed-window token CHUNKING with stride — the long-document →
     * context-window shaper (packSequences' complement: packing bins
     * small docs up, chunking cuts long docs down). Start positions
@@ -150,26 +173,38 @@ object Curation {
 
   def packSequences(docs: DataFrame, keyCol: String, budget: Int,
                     textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    shards: Int = 1): DataFrame = {
+    require(shards >= 1, s"shards >= 1: $shards")
     val spark = docs.sparkSession
     import spark.implicits._
+    // deterministic md5 shard-of-key: first two hex chars → 0..255,
+    // folded into `shards` buckets (uniform when shards divides 256,
+    // near-uniform otherwise — it's a size bound, not a sampler)
+    val h = md5(concat(lit("pack:"), col(idCol).cast("string")))
+    val shard =
+      if (shards == 1) lit(0)
+      else pmod(hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1)),
+        lit(shards))
     docs.select(col(keyCol).cast("string").as("key"),
+        shard.cast("int").as("shard"),
         col(idCol).as("doc_id"),
         size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
-      .as[(String, Long, Int)]
-      .groupByKey(_._1)
-      .flatMapGroups { (k, it) =>
-        val inOrder = it.toSeq.sortBy(_._2)
+      .as[(String, Int, Long, Int)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, Int), it: Iterator[(String, Int, Long, Int)]) =>
+        val (k, sh) = key
+        val inOrder = it.toSeq.sortBy(_._3)
         var bin = 0L
         var fill = -1L // sentinel: first doc opens bin 0 whatever its size
-        inOrder.map { case (_, id, n) =>
+        inOrder.map { case (_, _, id, n) =>
           if (fill < 0) fill = n.toLong
           else if (fill + n > budget) { bin += 1; fill = n.toLong }
           else fill += n
-          (k, id, n, bin)
+          (k, id, n, bin, sh)
         }
       }
-      .toDF("key", "doc_id", "n_tokens", "bin")
+      .toDF("key", "doc_id", "n_tokens", "bin", "shard")
   }
 
   /** Benchmark DECONTAMINATION: flag every document sharing at least

@@ -1659,6 +1659,104 @@ class EngineSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 3L, 10L -> 0L, 11L -> 1L))
   }
 
+  test("quota sampling is two-phase: skewed key never feeds one task " +
+      "more than quota rows per input slice") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    // 10k docs on ONE key across 8 input partitions — the pathological
+    // hot-key shape. Phase 1 must cut the key to ≤ quota rows per
+    // source partition BEFORE the key-shuffle, so the phase-2 task
+    // sorts ≤ quota × n_partitions rows, not the whole key.
+    val quota = 5
+    val hot = spark.range(10000).repartition(8)
+      .select(col("id").as("doc_id"), lit("hot").as("source"))
+    val nParts = hot.rdd.getNumPartitions
+    val pruned = Curation.quotaPrune(hot, "source", quota, "doc_id")
+    val prunedN = pruned.count()
+    assert(prunedN <= quota.toLong * nParts,
+      s"phase-1 kept $prunedN rows for $nParts slices")
+    // exact same result as the naive single-window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val naive = hot.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= quota).drop("__rn")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = Curation.quotaSample(hot, "source", quota)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled == naive && sampled.size == quota)
+  }
+
+  test("sequence packing shards a key deterministically and bins " +
+      "number per (key, shard)") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = (1L to 40L).map(i => (i, "a", doc(3))).toDF(
+      "doc_id", "source", "text")
+    val packed = Curation.packSequences(d, "source", budget = 7,
+      shards = 4).collect()
+      .map(r => (r.getLong(1), r.getInt(4), r.getLong(3)))
+    // every doc appears exactly once; shards are stable md5 buckets
+    assert(packed.map(_._1).toSet == (1L to 40L).toSet)
+    val byShard = packed.groupBy(_._2)
+    assert(byShard.size > 1) // skew actually split
+    // each shard packs its own id-ordered stream: bins start at 0 and
+    // are contiguous within the shard
+    byShard.foreach { case (_, rows) =>
+      val bins = rows.map(_._3).distinct.sorted.toSeq
+      assert(bins.head == 0L && bins == (0L until bins.length.toLong))
+    }
+    // deterministic: same input → same (shard, bin) assignment
+    val again = Curation.packSequences(d, "source", budget = 7,
+      shards = 4).collect()
+      .map(r => (r.getLong(1), r.getInt(4), r.getLong(3))).sortBy(_._1)
+    assert(again.toSeq == packed.sortBy(_._1).toSeq)
+  }
+
+  test("gremlin pipes compile to frontier joins over the quads view") {
+    import graft.ops.{Gremlin, Graph, Search}
+    val store = GraftStore.forDir(spark, Sf)
+    // forward chain ≡ the xg expansion minus the originals
+    val viaGremlin = Gremlin.eval(store,
+        """g.v("/customer/1").out("refNation").out("refRegion").id""")
+      .collect().map(_.getString(0)).toSet
+    val viaXg = paths(Graph.xg(store,
+      store.current.where(col("system.path") === "/customer/1"),
+      Graph.parseXg("refNation.refRegion", Graph.refFields(store))))
+      .filter(_.startsWith("/region/"))
+    assert(viaGremlin == viaXg && viaGremlin.size == 1)
+    // count terminal over all vertices
+    val n = Gremlin.eval(store, "g.V.count()").head().getLong(0)
+    assert(n == store.current.count())
+    // wildcard out uses the whole reference-field universe
+    val out1 = Gremlin.eval(store, """g.v("/nation/1").out""")
+      .collect().map(_.getString(0)).toSet
+    assert(out1.nonEmpty && out1.forall(_.startsWith("/region/")))
+    // both = out ∪ in (region side + every customer/supplier pointing in)
+    val both = Gremlin.eval(store, """g.v("/nation/1").both""")
+      .collect().map(_.getString(0)).toSet
+    assert(both.exists(_.startsWith("/region/")) &&
+      both.exists(_.startsWith("/customer/")))
+    // has() routes through the typed filter compiler (numeric field)
+    val hasN = Gremlin.eval(store,
+        """g.v("/nation/11").in("refNation").has("mktsegment", "BUILDING").id""")
+      .collect().map(_.getString(0)).toSet
+    val building = paths(Search.run(store, Search.Request(path = "/customer",
+      qp = Some("mktsegment::BUILDING"))))
+    val inNation = paths(Graph.yg(store,
+      store.current.where(col("system.path") === "/nation/11"),
+      "<refNation"))
+    assert(hasN == building.intersect(inNation) && hasN.nonEmpty)
+    // missing vertex = empty pipe, not an error (Blueprints getVertex)
+    assert(Gremlin.eval(store, """g.v("/no/such").out.id""").count() == 0)
+    // fail-loud syntax: unknown pipe, pipe after terminal
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/nation/1").frobnicate""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/nation/1").id.out""") }
+  }
+
   test("connected components fold pair lists into dedup clusters") {
     import spark.implicits._
     // triangle {1,2,3}, chain 10-11-12-13 (tests multi-hop label
