@@ -195,9 +195,14 @@ object IngestQueries {
       d
     })
     // open just the infotons half (the pruned write path never touches
-    // the quads layout); scans hit real parquet with partition pruning
+    // the quads layout). The read-back keeps the __parent partition
+    // predicate BEFORE dropping the column, so the scan prunes to the
+    // /customer directory instead of walking the whole store — the
+    // query only reads /customer/* rows (descendants search), whose
+    // __parent is exactly "/customer"
     val disk = GraftStore.fromInfotons(s,
-      s.read.parquet(s"$mdir/infotons").drop("__parent"),
+      s.read.parquet(s"$mdir/infotons")
+        .where(col("__parent") === "/customer").drop("__parent"),
       Some(st(s, dir).fieldTypes))
     Search.run(disk, Search.Request(path = "/customer", withHistory = true))
       .groupBy(col("system.path").as("path"))

@@ -263,7 +263,9 @@ object Merger {
     val merged = merge(spark, slice.drop("__parent"), commands)
     val out = merged
       .withColumn("__parent", col("system.parent"))
-      .repartition(col("__parent"))
+      // range, not hash: a hot directory fans out over many writers
+      // (see GraftStore.materializeInfotons)
+      .repartitionByRange(col("__parent"), col("system.path"))
       .sortWithinPartitions(col("system.path"), col("system.indexTime"))
       // sever lineage from the files about to be overwritten (Spark
       // rejects writes whose plan still reads the destination); the

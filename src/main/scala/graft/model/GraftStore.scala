@@ -107,19 +107,29 @@ object GraftStore {
     *     bucketed (path / subject) for shuffle-free joins. */
   def materialize(store: GraftStore, dir: String): Unit = {
     materializeInfotons(store, dir)
-    store.quads
-      .repartition(col("predicate"))
+    store.quads // same range rationale as materializeInfotons
+      .repartitionByRange(col("predicate"), col("subject"))
       .sortWithinPartitions(col("subject"))
       .write.mode("overwrite").partitionBy("predicate")
       .parquet(s"$dir/quads")
   }
 
   /** Just the `infotons/` half of [[materialize]] — the write path
-    * ([[graft.ingest.Merger.mergePruned]]) only touches this layout. */
+    * ([[graft.ingest.Merger.mergePruned]]) only touches this layout.
+    *
+    * Range-repartition on (__parent, path), not hash on __parent
+    * alone: a hash repartition funnels each directory through ONE
+    * writer task, so the biggest directory (lineitem-sized at 10×
+    * scale) serializes the whole write. Ranging over (parent, path)
+    * keeps every output file inside one directory (partitionBy still
+    * groups by __parent) while a hot directory fans out over many
+    * writers, each producing a path-disjoint, internally-sorted file —
+    * which also makes point-read row-group pruning sharper than one
+    * giant file. */
   def materializeInfotons(store: GraftStore, dir: String): Unit =
     store.infotons
       .withColumn("__parent", col("system.parent"))
-      .repartition(col("__parent"))
+      .repartitionByRange(col("__parent"), col("system.path"))
       .sortWithinPartitions(col("system.path"), col("system.indexTime"))
       .write.mode("overwrite").partitionBy("__parent")
       .parquet(s"$dir/infotons")
