@@ -92,6 +92,20 @@ object PipelineQueries {
     "q_dedup_clusters" -> ((s, dir) =>
       clusters(s, dir).orderBy("member")),
 
+    // cluster-REPRESENTATIVE selection: keep the best-scoring member
+    // per near-dup cluster (score = n_chars here; quality in a real
+    // run) — the "keep best, not first" dedup finish. Window over the
+    // cluster-member table only (drop-set-sized).
+    "q_dedup_canonical" -> ((s, dir) =>
+      Dedup.canonical(clusters(s, dir),
+          docs(s, dir).select(col("doc_id"), col("n_chars")), "n_chars")
+        .orderBy("root")),
+
+    // per-source corpus dashboard: doc/token/char mass + exact-dup
+    // rate in one scan + one groupBy
+    "q_corpus_report" -> ((s, dir) =>
+      Curation.corpusReport(docs(s, dir)).orderBy("source")),
+
     // the composed cleaning pipeline — quality gate + near-dup
     // cluster keep-one in a single job: the end-to-end shape a
     // training-data run takes (filter → pair → cluster → anti-join;
@@ -442,6 +456,30 @@ object PipelineQueries {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
          |SELECT node AS member, min(r) AS root FROM reach
          |GROUP BY node ORDER BY member""".stripMargin,
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pr
+         |  UNION SELECT d2, d1 FROM pr),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+         |cl AS (SELECT node AS member, min(r) AS root FROM reach
+         |  GROUP BY node)
+         |SELECT root, canonical, n_chars FROM (
+         |  SELECT cl.root, cl.member AS canonical, d.n_chars,
+         |    row_number() OVER (PARTITION BY cl.root
+         |      ORDER BY d.n_chars DESC, cl.member) AS rn
+         |  FROM cl JOIN documents d ON d.doc_id = cl.member)
+         |WHERE rn = 1 ORDER BY root""".stripMargin,
+    "q_corpus_report" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |CAST(SUM(len($TokensSql)) AS BIGINT) AS n_tokens,
+         |CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         |CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+         |CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+         |  AS dup_rate
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_minhash" ->
       s"SELECT d1, d2 FROM ($JaccardPairsSql) ORDER BY d1, d2",
     "q_dedup_embedding" ->

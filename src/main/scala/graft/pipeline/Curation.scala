@@ -207,6 +207,25 @@ object Curation {
       .toDF("key", "doc_id", "n_tokens", "bin", "shard")
   }
 
+  /** Per-source CORPUS REPORT — the curation-dashboard numbers every
+    * training-data run starts and ends with: doc count, token mass,
+    * char mass, exact-duplicate rate (1 − distinct digests / docs).
+    * One scan + one groupBy on the key; count/sum partial-aggregate
+    * map-side. The distinct-digest count is exact (it's the oracle-
+    * checkable semantics); at 100 TB swap in
+    * `approx_count_distinct` if a ±2% dup-rate is acceptable —
+    * everything else in the plan is unchanged. */
+  def corpusReport(docs: DataFrame, keyCol: String = "source",
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col(textCol)))).as("n_tokens"),
+        sum(length(col(textCol))).as("n_chars"),
+        countDistinct(md5(col(textCol))).as("n_unique"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+
   /** Benchmark DECONTAMINATION: flag every document sharing at least
     * one word `n`-gram with a benchmark/eval text set — the standard
     * leakage guard before training. The benchmark gram set is tiny

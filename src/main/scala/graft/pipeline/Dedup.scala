@@ -343,4 +343,23 @@ object Dedup {
     edges.unpersist()
     labels.select(col("node").as("member"), col("label").as("root"))
   }
+
+  /** Cluster-REPRESENTATIVE selection — finish dedup by keeping the
+    * BEST member of each near-dup cluster instead of the arbitrary
+    * min-id root: join the (member, root) assignment to a per-doc
+    * score and take the top scorer (ties → min member id) per root.
+    * The window runs over the cluster-member table — pair-connected
+    * docs only, drop-set-sized, never corpus-sized — so this is cheap
+    * even at 100 TB (the corpus-sized work already happened in pair
+    * generation). Docs outside any cluster are their own
+    * representative by definition and are not emitted. */
+  def canonical(clusters: DataFrame, scores: DataFrame, scoreCol: String,
+                idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("root"))
+      .orderBy(col(scoreCol).desc, col("member"))
+    clusters.join(scores, clusters("member") === scores(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("root"), col("member").as("canonical"), col(scoreCol))
+  }
 }
