@@ -116,16 +116,23 @@ object TableLoader {
   private def pq(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to micros with
-    * integer division (double division would lose precision above
-    * 2^53 ns). The data is µs-precision, so this is lossless. */
+  /** events.parquet's `ts` physical type has varied across driver
+    * generations: TIMESTAMP(NANOS) (rejected by Spark's vectorized
+    * reader — read nanos as long and truncate to micros with integer
+    * division; double division would lose precision above 2^53 ns),
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false) which Spark maps to
+    * TIMESTAMP_NTZ (rejected by unix_micros and friends — reinterpret
+    * the wall-clock in the session zone, UTC, which is exactly how the
+    * adjusted-to-UTC generations were read). Both normalizations are
+    * lossless; downstream always sees TIMESTAMP. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = pq(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
