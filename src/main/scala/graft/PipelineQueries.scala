@@ -86,6 +86,21 @@ object PipelineQueries {
       Dedup.minhashLsh(docs(s, dir), n = 2, numHashes = 128, bands = 32,
         tau = 0.8).select("d1", "d2").orderBy("d1", "d2")),
 
+    // INCREMENTAL MinHash: docs with id%10==7 arrive as a new batch
+    // against the rest's band-bucket index — every near-dup pair
+    // involving a batch doc, batch×corpus and batch×batch, with the
+    // corpus text touched only for candidate members. Oracle: the
+    // exact pair set restricted to batch-involving pairs (banding at
+    // these parameters has full recall on this corpus, same as
+    // q_dedup_minhash).
+    "q_dedup_minhash_inc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.where(col("doc_id") % 10 =!= 7)
+      Dedup.incrementalMinhash(corpus, Dedup.minhashBandIndex(corpus),
+          d.where(col("doc_id") % 10 === 7))
+        .select("d1", "d2").orderBy("d1", "d2")
+    }),
+
     // near-dup CLUSTERS: connected components over the exact jaccard
     // pair set — (member, root=min id); keep-one-per-cluster is
     // `member == root`. Oracle: recursive-CTE min-reachability.
@@ -198,6 +213,23 @@ object PipelineQueries {
         .select(col("n_exact"), col("n_extra"),
           (col("n_miss") <= lit(0.25) * col("n_exact")).as("recall_ok"))
     }),
+
+    // deterministic distributed Lloyd k-means over the embeddings —
+    // the declared clustering operator (init = 10 lowest-id vectors,
+    // 2 update rounds, 6-decimal centroid grid); the oracle re-runs
+    // the identical iterations as a CTE chain
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(emb(s, dir), k = 10, iters = 2)
+        .orderBy("vec_id")),
+
+    // SEMANTIC dedup (SemDeDup): cosine pairs compared only within a
+    // k-means cluster — the trained-partition scale path; the oracle
+    // recomputes clusters AND pairs independently. 25 of the 59 exact
+    // pairs at sf0.01 are within-cluster (recall is the measured
+    // cross-cluster tradeoff, precision 1.0 by exact verify)
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticPairs(emb(s, dir), tau = 0.4, k = 10, iters = 2)
+        .orderBy("cluster", "v1", "v2")),
 
     // brute-force cosine top-5 neighbors for three query vectors
     "q_knn" -> ((s, dir) =>
@@ -341,6 +373,24 @@ object PipelineQueries {
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(docs(s, dir), k = 100)),
 
+    // smoothed unigram LM scoring — the perplexity-filter shape: every
+    // doc's mean token log-prob under the corpus's own add-one unigram
+    // model
+    "q_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(docs(s, dir)).orderBy("doc_id")),
+
+    // C4-style line cleaning over the re-lined corpus (4-word lines):
+    // drop lines under 4 words or containing the blacklisted token —
+    // both rules are load-bearing here (short tail lines and "slow"
+    // lines exist); terminal-punctuation mode stays spec-covered (the
+    // synthetic corpus carries no punctuation, so it would be vacuous)
+    "q_clean_c4" -> ((s, dir) =>
+      Curation.cleanLines(docs(s, dir).withColumn("text",
+          regexp_replace(col("text"), "((\\S+ ){3}\\S+) ", "$1\n")),
+        minWords = 4, blacklist = Seq("slow"), requirePunct = false,
+        minLines = 3)
+        .orderBy("doc_id")),
+
     // multimodal content store: binary payloads + typed metadata
     // (FileInfoton/zstore analog; payload = text bytes stand-in)
     "q_file_meta" -> ((s, dir) =>
@@ -390,6 +440,49 @@ object PipelineQueries {
 
   private val TokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Lloyd k-means as a DuckDB CTE chain — the SAME iterations as
+    * [[graft.pipeline.Similarity.kmeans]], term for term: init = the
+    * `k` lowest-vec_id vectors on the 6-decimal grid; assignment ranks
+    * `c·c − 2·(v·c)` (list_inner_product accumulates index-ordered in
+    * double, exactly like the engine's native dot against rounded
+    * centroid literals), ties to the lowest cluster; update =
+    * `round(avg(v[i]), 6)` with empty clusters keeping their previous
+    * centroid. Ends with `af` = the assignment under the final
+    * centroids; callers append their SELECT. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    def assign(name: String, cent: String) =
+      s"""$name AS (SELECT vec_id, cluster FROM (
+         |  SELECT e.vec_id, $cent.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_inner_product($cent.c, $cent.c)
+         |        - 2 * list_inner_product(e.v, $cent.c) ASC,
+         |      $cent.cluster ASC) AS rn
+         |  FROM e CROSS JOIN $cent) WHERE rn = 1)""".stripMargin
+    val parts = scala.collection.mutable.Buffer(
+      s"""e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         |  list_transform(v, x -> round(x, 6)) AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))"""
+        .stripMargin)
+    for (i <- 1 to iters) {
+      parts += assign(s"a$i", s"c${i - 1}")
+      parts +=
+        s"""u$i AS (SELECT a$i.cluster, t.i, round(avg(e.v[t.i]), 6) AS cv
+           |  FROM a$i JOIN e USING (vec_id),
+           |    UNNEST(generate_series(1, len(e.v))) AS t(i)
+           |  GROUP BY 1, 2)""".stripMargin
+      parts +=
+        s"""c$i AS (SELECT c${i - 1}.cluster, COALESCE(n.c, c${i - 1}.c) AS c
+           |  FROM c${i - 1} LEFT JOIN (SELECT cluster,
+           |    list(cv ORDER BY i) AS c FROM u$i GROUP BY 1) n
+           |  USING (cluster))""".stripMargin
+    }
+    parts += assign("af", s"c$iters")
+    "WITH " + parts.mkString(",\n")
+  }
 
   /** Bigram-Jaccard pair SQL — the plain inverted-index formulation
     * (the engine's prefix-filtered join is exact, so this IS its
@@ -482,6 +575,47 @@ object PipelineQueries {
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_minhash" ->
       s"SELECT d1, d2 FROM ($JaccardPairsSql) ORDER BY d1, d2",
+    // incremental = the exact pair set restricted to pairs involving a
+    // batch (id%10==7) doc — banding recall is full on this corpus
+    "q_dedup_minhash_inc" ->
+      (s"SELECT d1, d2 FROM ($JaccardPairsSql) " +
+        "WHERE d1 % 10 = 7 OR d2 % 10 = 7 ORDER BY d1, d2"),
+    "q_kmeans" ->
+      (kmeansSql(10, 2) + "\nSELECT vec_id, cluster FROM af ORDER BY vec_id"),
+    "q_dedup_semantic" ->
+      (kmeansSql(10, 2) + """,
+        |m AS (SELECT af.cluster, af.vec_id, e.v FROM af JOIN e USING (vec_id))
+        |SELECT a.cluster AS cluster, a.vec_id AS v1, b.vec_id AS v2,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM m a JOIN m b
+        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |ORDER BY a.cluster, v1, v2""".stripMargin),
+    "q_lm_score" ->
+      s"""WITH occ AS (SELECT doc_id, UNNEST($TokensSql) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM occ GROUP BY 1),
+         |s AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+         |  CAST(count(*) AS DOUBLE) AS v FROM c)
+         |SELECT doc_id, round(avg(ln(c + 1.0) - ln(n + v)), 6) AS lm_logp
+         |FROM occ JOIN c USING (tok) CROSS JOIN s
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_clean_c4" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_replace(text, '((\S+ ){3}\S+) ', '\1'||chr(10), 'g')
+        |    AS rt FROM documents),
+        |l AS (SELECT doc_id,
+        |  list_filter(string_split(rt, chr(10)), x -> x <> '') AS lines
+        |  FROM t),
+        |k AS (SELECT doc_id, lines, list_filter(lines, x ->
+        |  len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 4
+        |  AND NOT contains(lower(x), 'slow')
+        |  AND NOT contains(x, '{')) AS kept FROM l)
+        |SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  len(kept) >= 3 AS page_keep,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -246,4 +246,36 @@ object Curation {
     grams.join(broadcast(bg), Seq("g"), "left_semi")
       .select("doc_id").distinct()
   }
+
+  /** C4-style LINE-LEVEL cleaning (Raffel et al. 2020 §2.2): per
+    * line, keep it only if it has at least `minWords` words, carries
+    * none of the `blacklist` phrases, has no curly brace, and (when
+    * `requirePunct`) ends in a terminal punctuation mark; the page
+    * survives when at least `minLines` lines remain. The web-corpus
+    * boilerplate scrubber — nav bars, cookie banners, code fragments
+    * and enumeration stubs go; prose stays.
+    *
+    * 100 TB shape: one pure array-expression projection over the scan
+    * (split → filter lambdas → array_join), whole-stage codegen'd, no
+    * shuffle, no UDF. Returns (doc_id, n_lines, n_kept, page_keep,
+    * clean_text). */
+  def cleanLines(docs: DataFrame, minWords: Int = 3,
+                 blacklist: Seq[String] =
+                   Seq("javascript", "lorem ipsum", "cookie"),
+                 requirePunct: Boolean = true, minLines: Int = 1,
+                 textCol: String = "text"): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    def keepLine(l: Column): Column = {
+      val words = size(filter(split(l, "\\s+"), w => w =!= ""))
+      val base = words >= minWords &&
+        blacklist.map(b => !lower(l).contains(b)).reduce(_ && _) &&
+        !l.contains("{")
+      if (requirePunct) base && l.rlike("[.!?\"']\\s*$") else base
+    }
+    val kept = filter(lines, keepLine(_))
+    docs.select(col("doc_id"), size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      (size(kept) >= minLines).as("page_keep"),
+      array_join(kept, "\n").as("clean_text"))
+  }
 }

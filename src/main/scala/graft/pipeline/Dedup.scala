@@ -169,12 +169,16 @@ object Dedup {
     * then verify candidates with EXACT Jaccard (so precision is 1.0 and
     * only recall depends on the banding). bands*rowsPerBand must equal
     * numHashes. */
-  def minhashLsh(docs: DataFrame, n: Int = 2, numHashes: Int = 128,
-                 bands: Int = 32, tau: Double = 0.8,
-                 textCol: String = "text"): DataFrame = {
+  /** MinHash BAND-BUCKET INDEX: (doc_id, band, bh) — the written
+    * index artifact of MinHash LSH. Built once per accepted batch and
+    * unioned into the corpus index (at rest: bucketed by (band, bh)),
+    * it is all [[incrementalMinhash]] ever reads of the corpus. */
+  def minhashBandIndex(docs: DataFrame, n: Int = 2, numHashes: Int = 128,
+                       bands: Int = 32,
+                       textCol: String = "text"): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    // persisted: the banding self-join would otherwise recompute (and
+    // persisted: a banding self-join would otherwise recompute (and
     // re-codegen) the whole 128-agg signature plan on both sides
     val sig = cachePersist(minhashSignatures(docs, n, numHashes, textCol))
     val bandCols = (0 until bands).map { bnd =>
@@ -182,9 +186,14 @@ object Dedup {
         xxhash64((bnd * rows until (bnd + 1) * rows)
           .map(i => col(s"mh_$i")): _*).as("bh"))
     }
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
+  }
+
+  def minhashLsh(docs: DataFrame, n: Int = 2, numHashes: Int = 128,
+                 bands: Int = 32, tau: Double = 0.8,
+                 textCol: String = "text"): DataFrame = {
+    val buckets = minhashBandIndex(docs, n, numHashes, bands, textCol)
     val l = buckets.alias("l"); val r = buckets.alias("r")
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -197,6 +206,39 @@ object Dedup {
     // cached materialization is shared
     jaccardForPairs(docs, candidates, n, textCol,
       Some(hashedShingleIndex(docs, n, textCol)))
+      .where(col("jaccard") >= tau)
+  }
+
+  /** INCREMENTAL MinHash near-dup detection — the growing-corpus
+    * shape, the near-dup analog of [[incrementalExact]]: the corpus
+    * exposes only its band-bucket index ([[minhashBandIndex]], built
+    * when each batch was accepted); an incoming batch computes its own
+    * bands, joins them against corpus-index ∪ self (the batch side
+    * broadcast — batches are small next to the corpus), and only the
+    * candidates are verified with exact Jaccard over a semi-join-
+    * pruned doc slice. Corpus×corpus never reruns; the corpus text is
+    * touched only for candidate members. Emits every near-dup pair
+    * involving a batch doc (batch×corpus and batch×batch). */
+  def incrementalMinhash(corpusDocs: DataFrame, corpusIndex: DataFrame,
+                         batch: DataFrame, n: Int = 2,
+                         numHashes: Int = 128, bands: Int = 32,
+                         tau: Double = 0.8,
+                         textCol: String = "text"): DataFrame = {
+    val batchIdx = cachePersist(
+      minhashBandIndex(batch, n, numHashes, bands, textCol))
+    val l = batchIdx.alias("l")
+    val r = corpusIndex.unionByName(batchIdx).alias("r")
+    val candidates = cachePersist(r.join(broadcast(l),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") =!= col("r.doc_id"))
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("d1"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("d2"))
+      .distinct())
+    val ids = candidates.select(col("d1").as("doc_id"))
+      .unionByName(candidates.select(col("d2").as("doc_id"))).distinct()
+    val needed = corpusDocs.unionByName(batch)
+      .join(ids, Seq("doc_id"), "left_semi")
+    jaccardForPairs(needed, candidates, n, textCol)
       .where(col("jaccard") >= tau)
   }
 
@@ -361,5 +403,34 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select(col("root"), col("member").as("canonical"), col(scoreCol))
+  }
+
+  /** SEMANTIC near-dup pairs (the SemDeDup recipe, Abbas et al. 2023):
+    * k-means the embedding space, then compare cosine ONLY within a
+    * cluster — the trained-partition alternative to the stateless
+    * LSH bucketing of [[embeddingDupPairsLsh]]. Recall misses are
+    * exactly the cross-cluster pairs (measured by the declared query's
+    * oracle against the exact pair set); precision is 1.0 because
+    * every emitted pair carries an exact cosine >= tau.
+    *
+    * 100 TB shape: [[Similarity.kmeans]] is scan+k×dim-shuffle per
+    * iteration; the pair join runs per cluster (corpus/k-sized
+    * blocks, and at scale the assignment is the written partition
+    * key, so each cluster self-joins co-located). Cosine is rounded
+    * to 6 decimals BEFORE thresholding — the cross-engine grid the
+    * oracle compares on. Returns (cluster, v1, v2, cosine). */
+  def semanticPairs(emb: DataFrame, tau: Double, k: Int = 10,
+                    iters: Int = 2): DataFrame = {
+    val assigned = Similarity.kmeans(emb, k, iters)
+    val m = cachePersist(emb.select(col("vec_id"), col("embedding"))
+      .join(assigned, Seq("vec_id")))
+    val a = m.alias("a"); val b = m.alias("b")
+    a.join(b, col("a.cluster") === col("b.cluster") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cluster").as("cluster"),
+        col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(Similarity.cosineFixed(col("a.embedding"),
+          col("b.embedding")), 6).as("cosine"))
+      .where(col("cosine") >= tau)
   }
 }

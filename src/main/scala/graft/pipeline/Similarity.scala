@@ -302,4 +302,65 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Deterministic distributed Lloyd k-means over `array<float>`
+    * embeddings — the DECLARED clustering operator (the seeded ML
+    * KMeans inside [[ivfTopK]] is an index artifact; this one has a
+    * fully specified, oracle-mirrorable contract).
+    *
+    * Contract (mirrored term-for-term by the DuckDB oracle):
+    *   - initial centroids = the `k` lowest-`vec_id` vectors, each
+    *     coordinate rounded to 6 decimals;
+    *   - each iteration assigns every vector to the centroid
+    *     minimizing `c·c − 2·(v·c)` (squared L2 minus the per-row
+    *     constant `v·v`), ties to the lowest cluster id, then
+    *     recomputes each coordinate as `round(avg(v[i]), 6)` over the
+    *     members (an empty cluster keeps its previous centroid);
+    *   - returns the assignment under the final centroids.
+    * The 6-decimal grid is what makes the float arithmetic portable
+    * across engines (same discipline as bm25): both sides compute
+    * index-ordered double dot products over IDENTICAL rounded
+    * centroid values, so the argmin decisions agree exactly.
+    *
+    * 100 TB shape: assignment is a scan-side projection (k native-dot
+    * expression nodes against centroid literals — no shuffle, no
+    * explode); the update is ONE map-side-combined aggregation of
+    * k×dim cells; centroids (k×dim doubles) live on the driver like
+    * any trained quantizer and ship inside the plan. Cost per
+    * iteration = one corpus scan + a k×dim-row shuffle, independent
+    * of corpus width. Returns (vec_id, cluster). */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cents: IndexedSeq[IndexedSeq[Double]] =
+      e.orderBy("vec_id").limit(k).collect()
+        .map(_.getSeq[Double](1).map(round6).toIndexedSeq).toIndexedSeq
+    def assign(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+      val scored = cs.zipWithIndex.map { case (c, i) =>
+        // c·c on the driver, index-ordered — the same sequential
+        // double accumulation the native dot and the oracle's
+        // list_inner_product perform
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct((lit(cc) - lit(2.0) * dotFixed(col("v"),
+          array(c.map(lit): _*))).as("dist"), lit(i).as("cluster"))
+      }
+      // array_min on struct<dist,cluster>: min dist, ties to the
+      // lowest cluster id — the oracle's (dist ASC, cluster ASC) rank
+      e.select(col("vec_id"), col("v"),
+        array_min(array(scored: _*)).getField("cluster").as("cluster"))
+    }
+    for (_ <- 1 to iters) {
+      val upd = assign(cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(round(avg("x"), 6).as("cv"))
+        .collect()
+      val byCluster = upd.groupBy(_.getInt(0)).map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
+      }
+      cents = (0 until k).map(i => byCluster.getOrElse(i, cents(i)))
+    }
+    assign(cents).select("vec_id", "cluster")
+  }
 }

@@ -244,4 +244,32 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("term").asc)
       .limit(k)
   }
+
+  /** Smoothed unigram language-model scoring — the PERPLEXITY-FILTER
+    * shape (CCNet/Gopher-style quality gating scores every document
+    * under a corpus LM and drops the tail). The model is add-one-
+    * smoothed unigram over the corpus's own tokens: P(w) =
+    * (c(w)+1)/(N+V); each document scores its mean token log-prob
+    * `avg(ln(c+1) − ln(N+V))` (higher = more typical of the corpus).
+    *
+    * 100 TB shape: the count table is one map-side-combined groupBy;
+    * scoring re-joins occurrences on the token key (sort-merge on a
+    * vocabulary-sized side — or broadcast when the vocab fits), then
+    * one per-doc aggregation. Nothing quadratic, no driver state: the
+    * "trained model" IS the counts frame. Rounded to 6 decimals (the
+    * cross-engine float grid). Returns (doc_id, lm_logp); documents
+    * with no tokens have no probability mass and are absent, like the
+    * reference analyzers skip empty fields. */
+  def lmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = occ.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    occ.join(counts, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log(col("c") + lit(1.0)) - log(col("n") + col("v"))).as("lp"))
+      .groupBy("doc_id").agg(round(avg(col("lp")), 6).as("lm_logp"))
+  }
 }

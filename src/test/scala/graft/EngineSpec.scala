@@ -1641,6 +1641,101 @@ class EngineSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L))
   }
 
+  test("lloyd kmeans: tie-break to lowest cluster, empty cluster keeps " +
+      "its centroid, obvious groups separate") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // seeds: vec 0 (group A), vec 1 (group B), vec 2 — IDENTICAL to
+    // vec 0, so iteration 1 ties every A point between clusters 0 and
+    // 2 (→ 0, the lower id) and empties cluster 2, which must keep its
+    // initial centroid; iteration 2 then pulls the two points sitting
+    // exactly at that kept centroid back into cluster 2
+    val e = Seq(
+      (0L, Array(0.0f, 0.1f)), (1L, Array(10.0f, 10.1f)),
+      (2L, Array(0.0f, 0.1f)), (3L, Array(9.8f, 10.0f)),
+      (4L, Array(0.1f, 0.0f)), (5L, Array(10.2f, 9.9f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kmeans(e, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == Map(0L -> 2, 2L -> 2, 4L -> 0,
+      1L -> 1, 3L -> 1, 5L -> 1))
+  }
+
+  test("semantic pairs are a subset of the exact pair set, all within " +
+      "one cluster") {
+    import graft.pipeline.{Dedup, Similarity}
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val pairs = Dedup.semanticPairs(e, tau = 0.4, k = 8, iters = 2)
+    assert(pairs.where(col("cosine") < 0.4).isEmpty)
+    // precision 1.0: every semantic pair is in the exact pair set
+    val exact = Dedup.embeddingDupPairs(e, tau = 0.4).select("v1", "v2")
+    assert(pairs.select("v1", "v2")
+      .join(exact, Seq("v1", "v2"), "left_anti").isEmpty)
+    // pair members really share the emitted cluster
+    val assign = Similarity.kmeans(e, 8, 2)
+    val mism = pairs
+      .join(assign.toDF("v1", "c1"), "v1")
+      .join(assign.toDF("v2", "c2"), "v2")
+      .where(col("c1") =!= col("cluster") || col("c2") =!= col("cluster"))
+    assert(mism.isEmpty)
+  }
+
+  test("incremental minhash emits batch pairs only, via the corpus " +
+      "band index") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (11L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhash(corpus,
+        Dedup.minhashBandIndex(corpus), batch, tau = 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,10) exact dup and (2,10) near-dup cross pairs; the
+    // corpus-internal near-dup (1,2) must NOT be recomputed
+    assert(got.contains((1L, 10L)) && !got.contains((1L, 2L)))
+    assert(got.forall { case (d1, d2) => d1 >= 10L || d2 >= 10L })
+  }
+
+  test("C4 line cleaning: word count, punctuation, blacklist and " +
+      "brace rules, page keep threshold") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val text = Seq(
+      "This is a proper sentence.",   // kept
+      "no terminal punctuation here", // dropped: requirePunct
+      "Enable Javascript to continue please.", // dropped: blacklist
+      "if (x) { return y; }",         // dropped: curly brace
+      "Too short.").mkString("\n")    // dropped: < 3 words
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Curation.cleanLines(d, minWords = 3, requirePunct = true,
+      minLines = 2).head()
+    assert(r.getInt(1) == 5 && r.getInt(2) == 1)      // n_lines, n_kept
+    assert(!r.getBoolean(3))                          // page_keep
+    assert(r.getString(4) == "This is a proper sentence.")
+  }
+
+  test("unigram lm score matches hand-computed add-one log-probs") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // counts: a=2 b=2 c=1, N=5, V=3 → denom ln(8)
+    val lpA = math.log(3.0) - math.log(8.0)
+    val lpC = math.log(2.0) - math.log(8.0)
+    assert(got(1L) == r6((lpA + lpA + lpA) / 3)) // a a b: lp(b)=lp(a)
+    assert(got(2L) == r6((lpA + lpC) / 2))
+  }
+
   test("sequence packing: greedy per-key bins, oversize doc isolation") {
     import spark.implicits._
     import graft.pipeline.Curation
