@@ -121,6 +121,13 @@ object PipelineQueries {
     "q_corpus_report" -> ((s, dir) =>
       Curation.corpusReport(docs(s, dir)).orderBy("source")),
 
+    // per-source token-length quantiles (exact interpolated
+    // percentiles — the length-distribution report batch-shape
+    // planning reads; approx_percentile is the documented 100 TB
+    // variant of the same plan)
+    "q_length_quantiles" -> ((s, dir) =>
+      Curation.lengthQuantiles(docs(s, dir))),
+
     // the composed cleaning pipeline — quality gate + near-dup
     // cluster keep-one in a single job: the end-to-end shape a
     // training-data run takes (filter → pair → cluster → anti-join;
@@ -573,6 +580,14 @@ object PipelineQueries {
          |CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*)
          |  AS dup_rate
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_length_quantiles" ->
+      s"""WITH t AS (SELECT source, len($TokensSql) AS n_tokens
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+         |  round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+         |  round(quantile_cont(n_tokens, 0.99), 6) AS p99
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_minhash" ->
       s"SELECT d1, d2 FROM ($JaccardPairsSql) ORDER BY d1, d2",
     // incremental = the exact pair set restricted to pairs involving a

@@ -247,6 +247,28 @@ object Curation {
       .select("doc_id").distinct()
   }
 
+  /** Per-key token-length QUANTILES — the length-distribution report
+    * batch-shape planning reads (context-window fill, padding waste,
+    * truncation rates all key off it). Exact interpolated percentiles
+    * by default (each group sorts its values — report-cardinality
+    * groups; the oracle needs the exact definition); at 100 TB pass
+    * `exact = false` for t-digest `approx_percentile`, same plan
+    * shape otherwise. Returns (key, n_docs, p50, p90, p99, ...). */
+  def lengthQuantiles(docs: DataFrame, keyCol: String = "source",
+                      qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                      exact: Boolean = true,
+                      textCol: String = "text"): DataFrame = {
+    val n = size(TextAnalysis.tokens(col(textCol)))
+    val base = docs.select(col(keyCol), n.as("n_tokens"))
+    val aggs = count(lit(1)).as("n_docs") +: qs.map { q =>
+      val p =
+        if (exact) percentile(col("n_tokens"), lit(q))
+        else percentile_approx(col("n_tokens"), lit(q), lit(10000))
+      round(p, 6).as(s"p${math.round(q * 100)}")
+    }
+    base.groupBy(keyCol).agg(aggs.head, aggs.tail: _*).orderBy(keyCol)
+  }
+
   /** C4-style LINE-LEVEL cleaning (Raffel et al. 2020 §2.2): per
     * line, keep it only if it has at least `minWords` words, carries
     * none of the `blacklist` phrases, has no curly brace, and (when

@@ -337,6 +337,8 @@ object Similarity {
     var cents: IndexedSeq[IndexedSeq[Double]] =
       e.orderBy("vec_id").limit(k).collect()
         .map(_.getSeq[Double](1).map(round6).toIndexedSeq).toIndexedSeq
+    require(cents.size == k,
+      s"kmeans: k=$k but corpus has only ${cents.size} vectors")
     def assign(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
       val scored = cs.zipWithIndex.map { case (c, i) =>
         // c·c on the driver, index-ordered — the same sequential

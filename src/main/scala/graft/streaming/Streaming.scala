@@ -119,6 +119,22 @@ object Streaming {
         keys.map(col) :+ col("n"): _*)
   }
 
+  /** Streaming EXACT dedup — the ingest-time duplicate guard of the
+    * batch [[graft.pipeline.Dedup.exact]]/incrementalExact family:
+    * content is digested (md5) and the first arrival inside the
+    * watermark horizon passes; later copies are dropped by keyed
+    * state. `dropDuplicatesWithinWatermark` bounds state to digests
+    * seen within `lateness` of the max event time (the batch digest
+    * INDEX plays this role across ingest sessions; this operator is
+    * the in-flight guard between index refreshes), so state never
+    * grows with stream history — the only safe shape at 100 TB/day
+    * ingest rates. */
+  def dedupStream(docs: DataFrame, eventTime: String, lateness: String,
+                  textCol: String = "text"): DataFrame =
+    docs.withColumn("digest", md5(col(textCol)))
+      .withWatermark(eventTime, lateness)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Push sink: deliver each micro-batch from the EXECUTORS — the
     * webhook/queue push of the reference's push-mode subscribe. The
     * callback runs once per partition on the executor that holds it,

@@ -1736,6 +1736,21 @@ class EngineSpec extends AnyFunSuite {
     assert(got(2L) == r6((lpA + lpC) / 2))
   }
 
+  test("length quantiles interpolate exactly per key") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, "s", words(1)), (2L, "s", words(2)),
+      (3L, "s", words(3)), (4L, "s", words(4)))
+      .toDF("doc_id", "source", "text")
+    val r = Curation.lengthQuantiles(d).head()
+    // sorted lengths 1,2,3,4: rank (n-1)q → 1.5, 2.7, 2.97
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.5)
+    assert(r.getDouble(3) == 3.7)
+    assert(r.getDouble(4) == 3.97)
+  }
+
   test("sequence packing: greedy per-key bins, oversize doc isolation") {
     import spark.implicits._
     import graft.pipeline.Curation

@@ -185,6 +185,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream passes first arrival, drops in-horizon duplicates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = Streaming.dedupStream(
+      ms.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      ms.addData(
+        (t("2024-01-01 00:01:00"), 1L, "alpha"),
+        (t("2024-01-01 00:02:00"), 2L, "alpha"), // same-batch dup
+        (t("2024-01-01 00:03:00"), 3L, "beta"))
+      q.processAllAvailable()
+      // next batch inside the horizon: alpha still a known digest
+      ms.addData((t("2024-01-01 00:05:00"), 4L, "alpha"),
+        (t("2024-01-01 00:06:00"), 5L, "gamma"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM sdedup")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("deliver pushes each partition from the executors, not the driver") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
