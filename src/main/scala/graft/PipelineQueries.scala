@@ -95,8 +95,14 @@ object PipelineQueries {
     // q_dedup_minhash).
     "q_dedup_minhash_inc" -> ((s, dir) => {
       val d = docs(s, dir)
-      val corpus = d.where(col("doc_id") % 10 =!= 7)
-      Dedup.incrementalMinhash(corpus, Dedup.minhashBandIndex(corpus),
+      // a doc's signature depends only on its own shingles, so the
+      // corpus index is a FILTER over the full band index — the same
+      // written artifact q_dedup_minhash materializes (shared cached
+      // signature frame), partition-filtered exactly like a stored
+      // index would be
+      val full = Dedup.minhashBandIndex(d)
+      Dedup.incrementalMinhash(d.where(col("doc_id") % 10 =!= 7),
+          full.where(col("doc_id") % 10 =!= 7),
           d.where(col("doc_id") % 10 === 7))
         .select("d1", "d2").orderBy("d1", "d2")
     }),
@@ -386,6 +392,18 @@ object PipelineQueries {
     "q_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(docs(s, dir)).orderBy("doc_id")),
 
+    // the composed CCNet-style quality gate: per-source LM-score
+    // threshold at the 0.1 quantile, keep at-or-above — one source's
+    // scale never crowds out another
+    "q_quality_prune" -> ((s, dir) =>
+      Curation.qualityPrune(docs(s, dir)).orderBy("doc_id")),
+
+    // exact-substring dup pairs: docs sharing any 16-token window
+    // (inverted hashed-gram index self-join, never corpus×corpus)
+    "q_dedup_substring" -> ((s, dir) =>
+      Dedup.substringDupPairs(docs(s, dir), n = 16)
+        .orderBy("d1", "d2")),
+
     // C4-style line cleaning over the re-lined corpus (4-word lines):
     // drop lines under 4 words or containing the blacklisted token —
     // both rules are load-bearing here (short tail lines and "slow"
@@ -490,6 +508,21 @@ object PipelineQueries {
     parts += assign("af", s"c$iters")
     "WITH " + parts.mkString(",\n")
   }
+
+  /** Add-one unigram LM scoring as CTEs ending in
+    * `sc(doc_id, lm_logp)` — shared by q_lm_score and the composed
+    * q_quality_prune gate (same arithmetic as
+    * [[graft.pipeline.TextAnalysis.lmScore]]). */
+  private val LmScoreSql =
+    s"""WITH occ AS (SELECT doc_id, UNNEST($TokensSql) AS tok
+       |  FROM documents),
+       |c AS (SELECT tok, count(*) AS c FROM occ GROUP BY 1),
+       |s AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+       |  CAST(count(*) AS DOUBLE) AS v FROM c),
+       |sc AS (SELECT doc_id,
+       |  round(avg(ln(c + 1.0) - ln(n + v)), 6) AS lm_logp
+       |  FROM occ JOIN c USING (tok) CROSS JOIN s
+       |  GROUP BY doc_id)""".stripMargin
 
   /** Bigram-Jaccard pair SQL — the plain inverted-index formulation
     * (the engine's prefix-filtered join is exact, so this IS its
@@ -606,15 +639,23 @@ object PipelineQueries {
         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY a.cluster, v1, v2""".stripMargin),
-    "q_lm_score" ->
-      s"""WITH occ AS (SELECT doc_id, UNNEST($TokensSql) AS tok
-         |  FROM documents),
-         |c AS (SELECT tok, count(*) AS c FROM occ GROUP BY 1),
-         |s AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
-         |  CAST(count(*) AS DOUBLE) AS v FROM c)
-         |SELECT doc_id, round(avg(ln(c + 1.0) - ln(n + v)), 6) AS lm_logp
-         |FROM occ JOIN c USING (tok) CROSS JOIN s
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_lm_score" -> (LmScoreSql + "\nSELECT doc_id, lm_logp FROM sc " +
+      "ORDER BY doc_id"),
+    "q_quality_prune" -> (LmScoreSql + """,
+      |j AS (SELECT sc.doc_id, d.source, sc.lm_logp
+      |  FROM sc JOIN documents d USING (doc_id)),
+      |th AS (SELECT source, round(quantile_cont(lm_logp, 0.1), 6) AS th
+      |  FROM j GROUP BY 1)
+      |SELECT doc_id, source, lm_logp FROM j JOIN th USING (source)
+      |WHERE lm_logp >= th ORDER BY doc_id""".stripMargin),
+    "q_dedup_substring" ->
+      s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+15], ' ')
+         |    AS g
+         |  FROM tok, UNNEST(generate_series(1, len(ts)-15)) AS t(i))
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_grams
+         |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
     "q_clean_c4" ->
       """WITH t AS (SELECT doc_id,
         |  regexp_replace(text, '((\S+ ){3}\S+) ', '\1'||chr(10), 'g')

@@ -269,6 +269,29 @@ object Curation {
     base.groupBy(keyCol).agg(aggs.head, aggs.tail: _*).orderBy(keyCol)
   }
 
+  /** LM-score QUALITY PRUNING — the CCNet-style perplexity gate
+    * composed end-to-end: score every document under the corpus
+    * unigram LM ([[TextAnalysis.lmScore]]), compute each key's
+    * `dropFrac` score quantile, and keep documents at or above their
+    * key's threshold (per-source thresholds, so one clean source
+    * can't crowd out another — the same reason CCNet buckets per
+    * language). Thresholds are exact interpolated percentiles rounded
+    * to the 6-decimal grid (the oracle recomputes them); at 100 TB
+    * swap `percentile` for `approx_percentile`, same plan. Returns
+    * the surviving (doc_id, key, lm_logp). */
+  def qualityPrune(docs: DataFrame, keyCol: String = "source",
+                   dropFrac: Double = 0.1,
+                   textCol: String = "text"): DataFrame = {
+    val scored = TextAnalysis.lmScore(docs, textCol)
+      .join(docs.select(col("doc_id"), col(keyCol)), "doc_id")
+    val thresholds = scored.groupBy(keyCol)
+      .agg(round(percentile(col("lm_logp"), lit(dropFrac)), 6)
+        .as("__thresh"))
+    scored.join(thresholds, Seq(keyCol))
+      .where(col("lm_logp") >= col("__thresh"))
+      .select(col("doc_id"), col(keyCol), col("lm_logp"))
+  }
+
   /** C4-style LINE-LEVEL cleaning (Raffel et al. 2020 §2.2): per
     * line, keep it only if it has at least `minWords` words, carries
     * none of the `blacklist` phrases, has no curly brace, and (when

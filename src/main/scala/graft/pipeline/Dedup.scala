@@ -405,6 +405,31 @@ object Dedup {
       .select(col("root"), col("member").as("canonical"), col(scoreCol))
   }
 
+  /** EXACT-SUBSTRING dup pairs (the criterion of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed relationally): two documents pair iff they share at
+    * least one `n`-token window, with the count of shared distinct
+    * windows as evidence. Windows are 64-bit-hashed into an inverted
+    * gram index and pairs come from the index self-join — sum(df²)
+    * over gram frequencies, never corpus×corpus.
+    *
+    * 100 TB note: a gram hot across m docs contributes m² pairs —
+    * that blowup is intrinsic to ENUMERATING pairs under this metric,
+    * not to the plan; production span-removal consumes the gram index
+    * directly (per-gram doc lists) and never materializes pairs. This
+    * operator is the audit/report surface. */
+  def substringDupPairs(docs: DataFrame, n: Int = 16,
+                        textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+    val a = grams.alias("a"); val b = grams.alias("b")
+    a.join(b, col("a.g") === col("b.g") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** SEMANTIC near-dup pairs (the SemDeDup recipe, Abbas et al. 2023):
     * k-means the embedding space, then compare cosine ONLY within a
     * cluster — the trained-partition alternative to the stateless

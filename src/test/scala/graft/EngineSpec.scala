@@ -1736,6 +1736,36 @@ class EngineSpec extends AnyFunSuite {
     assert(got(2L) == r6((lpA + lpC) / 2))
   }
 
+  test("substring dup pairs count shared n-token windows") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),  // shares exactly the window "a b c d"
+      (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDupPairs(d, n = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((1L, 2L) -> 1L))
+  }
+
+  test("quality prune drops each key's below-threshold scores only") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    // s1: four typical docs + one all-rare doc (strictly lowest LM
+    // score, below the 0.1 quantile) → only it goes; s2: two equal
+    // docs tie at their own threshold → both stay
+    val d = Seq(
+      (1L, "s1", "common words here"), (2L, "s1", "common words here"),
+      (3L, "s1", "common words here"), (4L, "s1", "common words here"),
+      (5L, "s1", "zzyx qqwv jjkk"),
+      (10L, "s2", "common words here"), (11L, "s2", "common words here"))
+      .toDF("doc_id", "source", "text")
+    val kept = Curation.qualityPrune(d).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 10L, 11L))
+  }
+
   test("length quantiles interpolate exactly per key") {
     import spark.implicits._
     import graft.pipeline.Curation
