@@ -392,6 +392,11 @@ object PipelineQueries {
     "q_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(docs(s, dir)).orderBy("doc_id")),
 
+    // adjacent-bigram PMI collocations: top-50 associations with
+    // count >= 5 — phrase detection / tokenizer merge candidates
+    "q_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(docs(s, dir), minCount = 5, k = 50)),
+
     // the composed CCNet-style quality gate: per-source LM-score
     // threshold at the 0.1 quantile, keep at-or-above — one source's
     // scale never crowds out another
@@ -641,6 +646,25 @@ object PipelineQueries {
         |ORDER BY a.cluster, v1, v2""".stripMargin),
     "q_lm_score" -> (LmScoreSql + "\nSELECT doc_id, lm_logp FROM sc " +
       "ORDER BY doc_id"),
+    "q_pmi" ->
+      s"""WITH tokd AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |u AS (SELECT UNNEST(ts) AS t FROM tokd),
+         |uc AS (SELECT t, count(*) AS cu FROM u GROUP BY 1),
+         |b AS (SELECT ts[i] || ' ' || ts[i+1] AS g FROM tokd,
+         |  UNNEST(generate_series(1, len(ts)-1)) AS x(i)),
+         |bc AS (SELECT g, count(*) AS cab FROM b GROUP BY 1
+         |  HAVING count(*) >= 5),
+         |tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM u) AS nu,
+         |  (SELECT CAST(count(*) AS DOUBLE) FROM b) AS nb)
+         |SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2]
+         |    AS w2, cab,
+         |  round(ln(CAST(cab AS DOUBLE) * nu * nu /
+         |    (nb * CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE))), 6)
+         |    AS pmi
+         |FROM bc CROSS JOIN tot
+         |JOIN uc u1 ON u1.t = string_split(g, ' ')[1]
+         |JOIN uc u2 ON u2.t = string_split(g, ' ')[2]
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "q_quality_prune" -> (LmScoreSql + """,
       |j AS (SELECT sc.doc_id, d.source, sc.lm_logp
       |  FROM sc JOIN documents d USING (doc_id)),

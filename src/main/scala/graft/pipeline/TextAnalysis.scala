@@ -245,6 +245,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Adjacent-bigram PMI collocations — the corpus-association miner
+    * (phrase detection, tokenizer merge candidates, quality probes all
+    * read it): for each bigram with at least `minCount` occurrences,
+    * `pmi = ln(p(w1 w2) / (p(w1) p(w2)))` with probabilities from the
+    * corpus's own occurrence counts; top `k` by PMI.
+    *
+    * 100 TB shape: two map-side-combined occurrence counts (unigram,
+    * bigram), totals as a 1-row broadcast, the bigram table joined to
+    * the unigram counts on the token key, TakeOrdered top-k. The
+    * arithmetic keeps one operator order (`cab·nu·nu / (nb·c1·c2)`
+    * inside a single ln, rounded to 6 decimals) so the oracle's
+    * doubles agree exactly. */
+  def pmiPairs(docs: DataFrame, minCount: Int = 5, k: Int = 50,
+               textCol: String = "text"): DataFrame = {
+    val ts = tokens(col(textCol))
+    val uniOcc = docs.select(explode(ts).as("t"))
+    val uni = uniOcc.groupBy("t").agg(count(lit(1)).as("cu"))
+    val biOcc = docs.select(explode(gramsAll(ts, 2)).as("g"))
+    val bi = biOcc.groupBy("g").agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minCount)
+    val totals = broadcast(
+      uniOcc.agg(count(lit(1)).cast("double").as("nu"))
+        .crossJoin(biOcc.agg(count(lit(1)).cast("double").as("nb"))))
+    bi.select(col("cab"),
+        split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .join(uni.select(col("t").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("cab"),
+        round(log(col("cab").cast("double") * col("nu") * col("nu") /
+          (col("nb") * col("c1").cast("double") *
+            col("c2").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Smoothed unigram language-model scoring — the PERPLEXITY-FILTER
     * shape (CCNet/Gopher-style quality gating scores every document
     * under a corpus LM and drops the tail). The model is add-one-

@@ -1736,6 +1736,21 @@ class EngineSpec extends AnyFunSuite {
     assert(got(2L) == r6((lpA + lpC) / 2))
   }
 
+  test("pmi collocations match hand-computed log ratios") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val d = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(d, minCount = 2, k = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // tokens a,b,a,b,a,b: nu=6; bigrams ab×3, ba×2: nb=5; cu(a)=cu(b)=3
+    assert(got == Map(
+      ("a", "b") -> (3L, r6(math.log(3.0 * 6 * 6 / (5.0 * 3 * 3)))),
+      ("b", "a") -> (2L, r6(math.log(2.0 * 6 * 6 / (5.0 * 3 * 3))))))
+  }
+
   test("substring dup pairs count shared n-token windows") {
     import spark.implicits._
     import graft.pipeline.Dedup
