@@ -285,6 +285,35 @@ object PipelineQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // the SAME incremental-dedup contract through the Bloom sketch
+    // path: a distributed-built Bloom filter over the corpus index
+    // splits the batch at scan time (definitely-new rows skip the
+    // verify join entirely); result must be EXACTLY the join-based
+    // answer — same oracle SQL as q_dedup_incremental
+    "q_dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomIncremental(
+          Dedup.digestIndex(d.where(col("doc_id") < 250)),
+          d.where(col("doc_id") >= 250))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // corpus-level paragraph dedup (RefinedWeb line-dedup): every
+    // duplicated line occurrence across the corpus removed except the
+    // first by (doc_id, idx); docs reassembled from surviving lines.
+    // The single-line corpus is re-lined deterministically (4-word
+    // lines, same regex both sides) so cross-doc duplicate lines exist
+    "q_dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDedup(docs(s, dir).withColumn("text",
+          regexp_replace(col("text"), "((\\S+ ){3}\\S+) ", "$1\n")))
+        .orderBy("doc_id")),
+
+    // TF-IDF keyword extraction: top-3 terms per doc by smoothed
+    // tf-idf — the topic-labeling / index-term surface
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)
+        .orderBy("doc_id", "rank")),
+
     // per-source quota sampling: keep at most 5 docs per source under
     // a deterministic pseudo-random order (md5 of the id) — the
     // domain-cap / training-mix lever, reproducible and order-unbiased
@@ -827,6 +856,52 @@ object PipelineQueries {
         |    ORDER BY doc_id) AS rn
         |  FROM i WHERE dg NOT IN (SELECT dg FROM c))
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // the Bloom path must give EXACTLY the join-based answer (no false
+    // negatives by the sketch property; false positives removed by the
+    // verify join) — so its oracle IS the incremental-dedup SQL
+    "q_dedup_bloom" ->
+      """WITH c AS (SELECT DISTINCT md5(text) AS dg FROM documents
+        |  WHERE doc_id < 250),
+        |i AS (SELECT doc_id, md5(text) AS dg FROM documents
+        |  WHERE doc_id >= 250)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY dg
+        |    ORDER BY doc_id) AS rn
+        |  FROM i WHERE dg NOT IN (SELECT dg FROM c))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_paragraph" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_replace(text, '((\S+ ){3}\S+) ', '\1'||chr(10), 'g')
+        |    AS rt FROM documents),
+        |l0 AS (SELECT doc_id, string_split(rt, chr(10)) AS ls FROM t),
+        |l AS (SELECT doc_id, i AS idx, ls[i] AS line
+        |  FROM l0, UNNEST(generate_series(1, len(ls))) AS g(i)
+        |  WHERE ls[i] <> ''),
+        |kept AS (SELECT doc_id, idx, line FROM (
+        |  SELECT doc_id, idx, line, row_number() OVER (PARTITION BY line
+        |    ORDER BY doc_id, idx) AS rn FROM l) WHERE rn = 1),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY idx) AS dedup_text
+        |  FROM kept GROUP BY doc_id),
+        |nl AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines
+        |  FROM l GROUP BY doc_id)
+        |SELECT nl.doc_id, n_lines, COALESCE(n_kept, 0) AS n_kept,
+        |  COALESCE(dedup_text, '') AS dedup_text
+        |FROM nl LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH occ AS (SELECT doc_id, unnest($TokensSql) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |sc AS (SELECT doc_id, term,
+         |  round(tf * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) AS tfidf
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nn)
+         |SELECT doc_id, term, tfidf, rank FROM (
+         |  SELECT doc_id, term, tfidf, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+         |  FROM sc) WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
     "q_quota_sample" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source

@@ -430,6 +430,92 @@ object Dedup {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** BLOOM-PRE-FILTERED incremental exact dedup — the sketch path for
+    * the growing-corpus shape of [[incrementalExact]]: instead of
+    * joining EVERY batch row against the corpus digest index, a Bloom
+    * filter built over the index (Spark's native `BloomFilterAggregate`
+    * — distributed build, mergeable buffers, sketch-sized result)
+    * splits the batch at scan time with a codegen'd
+    * `BloomFilterMightContain` literal:
+    *   - bloom says NO  → the digest is CERTAINLY absent from the
+    *     corpus (no false negatives) — the row skips the join entirely;
+    *   - bloom says MAYBE → exact anti-join against the index removes
+    *     the false positives.
+    * At 100 TB the verify join's probe side shrinks from |batch| to
+    * |actual dups| + fpp·|batch| — for a mostly-novel batch the corpus
+    * index is barely touched — while the result stays EXACTLY equal to
+    * [[incrementalExact]] (the declared query's oracle is the same SQL).
+    *
+    * The built sketch is collected to the driver (bounded:
+    * `optimalNumOfBits(expectedItems, fpp)` bits, ~1.2 MB at 1M items /
+    * 1% fpp) and re-enters the plan as a BINARY LITERAL, the same shape
+    * Spark's own runtime-filter injection produces — membership checks
+    * stay inside whole-stage codegen, nothing shuffles. */
+  def bloomIncremental(corpusDigests: DataFrame, incoming: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       expectedItems: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("digest"))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bloom = corpusDigests.agg(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val inc = incoming.withColumn("digest", md5(col(textCol)))
+    val mightContain =
+      if (bloom == null) lit(false) // empty corpus: everything is new
+      else ColumnBridge.column(BloomFilterMightContain(
+        Literal(bloom, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(col("digest")))))
+    val definitelyNew = inc.where(!mightContain)
+    val verified = inc.where(mightContain)
+      .join(corpusDigests, Seq("digest"), "left_anti")
+    val w = Window.partitionBy("digest").orderBy(idCol)
+    definitelyNew.unionByName(verified)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** CORPUS-LEVEL PARAGRAPH DEDUP (the RefinedWeb/C4 line-dedup
+    * recipe): every duplicated line occurrence across the WHOLE corpus
+    * is removed except the first (ordered by (doc_id, line index));
+    * documents are reassembled from their surviving lines.
+    *
+    * Scale shape: line ownership is a map-side-combinable
+    * `groupBy(line).agg(min(struct(doc_id, idx)))` — NOT a window, so
+    * a boilerplate line duplicated across millions of pages costs one
+    * combine tree, never a single-task sort; the ownership table is
+    * distinct-line-sized. Reassembly is one groupBy over doc_id with
+    * an in-row sort of the surviving line structs. Two shuffles total
+    * (line key, doc key), both on hashable keys. */
+  def paragraphDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .where(col("line") =!= "")
+    val owner = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    val kept = lines.join(owner, Seq("line"))
+      .where(col("first.doc_id") === col("doc_id") &&
+        col("first.idx") === col("idx"))
+    val nLines = docs.select(col("doc_id"),
+      size(filter(split(col(textCol), "\n"), l => l =!= ""))
+        .as("n_lines"))
+    nLines.join(
+        kept.groupBy("doc_id").agg(
+          count(lit(1)).cast("int").as("n_kept"),
+          array_join(transform(array_sort(
+              collect_list(struct(col("idx"), col("line")))),
+            s => s.getField("line")), "\n").as("dedup_text")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** SEMANTIC near-dup pairs (the SemDeDup recipe, Abbas et al. 2023):
     * k-means the embedding space, then compare cosine ONLY within a
     * cluster — the trained-partition alternative to the stateless

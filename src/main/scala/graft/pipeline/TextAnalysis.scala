@@ -309,4 +309,37 @@ object TextAnalysis {
         (log(col("c") + lit(1.0)) - log(col("n") + col("v"))).as("lp"))
       .groupBy("doc_id").agg(round(avg(col("lp")), 6).as("lm_logp"))
   }
+
+  /** TF-IDF keyword extraction: the top `k` terms per document by
+    * `tf · (ln((1+N)/(1+df)) + 1)` (scikit-style smoothed idf — never
+    * zero, never log-of-zero), ties to the lexicographically smaller
+    * term. The topic-labeling / index-term staple of a curation
+    * pipeline.
+    *
+    * 100 TB shape: per-(doc, term) tf is one map-side-combined
+    * groupBy; df derives from THAT table (already distinct per doc, no
+    * second pass over the text); N is a 1-row broadcast; the idf join
+    * keys on the term (vocabulary-sized — broadcast when it fits,
+    * sort-merge co-partitioned with tf's shuffle otherwise); top-k is
+    * a per-doc window whose partitions are doc-sized. Scores round to
+    * 6 decimals (the cross-engine float grid). */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3,
+                    textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df0, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") *
+          (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0)),
+          6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

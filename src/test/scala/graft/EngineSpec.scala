@@ -1641,6 +1641,60 @@ class EngineSpec extends AnyFunSuite {
     assert(kept == Set(11L, 13L))
   }
 
+  test("bloom incremental dedup equals the join-based answer, incl. " +
+      "empty corpus") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val d = spark.read.parquet(s"$Sf/documents.parquet")
+    val idx = Dedup.digestIndex(d.where(col("doc_id") < 250))
+    val batch = d.where(col("doc_id") >= 250)
+    val viaBloom = Dedup.bloomIncremental(idx, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaJoin = Dedup.incrementalExact(idx, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == viaJoin)
+    // empty corpus index → every batch doc is definitely-new (the
+    // aggregate yields a null sketch; nothing may be dropped)
+    val none = Dedup.digestIndex(d.where(lit(false)))
+    val all = Dedup.bloomIncremental(none, Seq((1L, "a"), (2L, "b"), (3L, "a"))
+        .toDF("doc_id", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L)) // 3 is a batch-internal dup of 1
+  }
+
+  test("paragraph dedup keeps the first occurrence corpus-wide and " +
+      "reassembles in line order") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val docs = Seq(
+      (1L, "shared line\nunique one\nshared line"), // self-dup too
+      (2L, "unique two\nshared line\nunique three"),
+      (3L, "shared line")) // fully deduplicated away
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((3, 2, "shared line\nunique one")))
+    assert(got(2L) == ((3, 2, "unique two\nunique three")))
+    assert(got(3L) == ((1, 0, "")))
+  }
+
+  test("tfidf keywords rank rare terms above common ones") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "apple apple banana common common"),
+      (2L, "cherry common"),
+      (3L, "banana common common")).toDF("doc_id", "text")
+    val top1 = TextAnalysis.tfidfKeywords(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: apple (tf 2 · idf 1.69) beats common (tf 2 · idf 1.0);
+    // doc 2: cherry (df 1) beats common; doc 3: common's tf 2 · idf 1.0
+    // = 2.0 still beats banana's 1 · 1.288 — frequency can outweigh
+    // rarity, which is exactly tf-idf's contract
+    assert(top1 == Map(1L -> "apple", 2L -> "cherry", 3L -> "common"))
+  }
+
   test("lloyd kmeans: tie-break to lowest cluster, empty cluster keeps " +
       "its centroid, obvious groups separate") {
     import spark.implicits._
