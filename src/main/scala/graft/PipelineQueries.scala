@@ -314,6 +314,14 @@ object PipelineQueries {
       TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)
         .orderBy("doc_id", "rank")),
 
+    // exact-substring SPAN REMOVAL (Lee et al. 2022): later
+    // occurrences of any duplicated 16-token window are cut and docs
+    // rebuilt — the production consumer of the gram index, no pair
+    // enumeration (q_dedup_substring is the audit/report surface)
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.substringSpanRemoval(docs(s, dir), n = 16)
+        .orderBy("doc_id")),
+
     // per-source quota sampling: keep at most 5 docs per source under
     // a deterministic pseudo-random order (md5 of the id) — the
     // domain-cap / training-mix lever, reproducible and order-unbiased
@@ -902,6 +910,28 @@ object PipelineQueries {
          |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
          |  FROM sc) WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+    "q_dedup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |  array_to_string(ts[i:i+15], ' ') AS g
+         |  FROM tok, UNNEST(generate_series(1, len(ts)-15)) AS t(i)),
+         |r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY g
+         |  ORDER BY doc_id, pos) AS rn FROM g),
+         |cov AS (SELECT DISTINCT doc_id, tp FROM r,
+         |  UNNEST(generate_series(pos, pos+15)) AS c(tp) WHERE rn > 1),
+         |tp AS (SELECT doc_id, i - 1 AS tp, ts[i] AS tok
+         |  FROM tok, UNNEST(generate_series(1, len(ts))) AS t(i)),
+         |kept AS (SELECT tp.doc_id, tp.tp, tp.tok FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov
+         |    WHERE cov.doc_id = tp.doc_id AND cov.tp = tp.tp)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+         |  string_agg(tok, ' ' ORDER BY tp) AS clean_text
+         |  FROM kept GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.ts) AS INTEGER) AS n_tokens,
+         |  COALESCE(n_kept, 0) AS n_kept,
+         |  COALESCE(clean_text, '') AS clean_text
+         |FROM tok t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+        .stripMargin,
     "q_quota_sample" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source

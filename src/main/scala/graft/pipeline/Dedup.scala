@@ -430,6 +430,55 @@ object Dedup {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** EXACT-SUBSTRING SPAN REMOVAL — the production consumer of the
+    * gram index that [[substringDupPairs]]'s Scaladoc points to (Lee
+    * et al. 2022 §3: remove later occurrences of any duplicated
+    * `n`-token window, keep the first in corpus order): every token
+    * position covered by a window whose first occurrence (by
+    * (doc_id, pos)) is elsewhere gets dropped, and documents are
+    * rebuilt from the surviving tokens.
+    *
+    * Scale shape, and why this avoids [[substringDupPairs]]'s
+    * intrinsic m² blowup: ownership is a map-side-combinable
+    * `groupBy(gram).agg(min(struct(doc_id, pos)))` — a gram hot
+    * across m documents costs m rows through one combine tree, and
+    * pairs are never enumerated. Covered positions explode to at most
+    * n rows per duplicated window occurrence (bounded by corpus token
+    * count), and the rebuild is one per-doc groupBy with an in-row
+    * sort. Three shuffles total (gram key, (doc, pos) distinct, doc
+    * key), all combinable. */
+  def substringSpanRemoval(docs: DataFrame, n: Int = 16,
+                           textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("ts"))
+    val grams = toks.where(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ts")) - n),
+          i => xxhash64(array_join(slice(col("ts"), i + 1, lit(n)), " "))))
+          .as(Seq("pos", "g")))
+    val owner = grams.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val covered = grams.join(owner, Seq("g"))
+      .where(col("first.doc_id") =!= col("doc_id") ||
+        col("first.pos") =!= col("pos"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tp"))
+      .distinct()
+    val tokpos = toks.select(col("doc_id"),
+      posexplode(col("ts")).as(Seq("tp", "tok")))
+    val kept = tokpos.join(covered, Seq("doc_id", "tp"), "left_anti")
+    toks.select(col("doc_id"), size(col("ts")).as("n_tokens"))
+      .join(kept.groupBy("doc_id").agg(
+          count(lit(1)).cast("int").as("n_kept"),
+          array_join(transform(array_sort(
+              collect_list(struct(col("tp"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** BLOOM-PRE-FILTERED incremental exact dedup — the sketch path for
     * the growing-corpus shape of [[incrementalExact]]: instead of
     * joining EVERY batch row against the corpus digest index, a Bloom

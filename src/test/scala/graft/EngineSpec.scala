@@ -1679,6 +1679,25 @@ class EngineSpec extends AnyFunSuite {
     assert(got(3L) == ((1, 0, "")))
   }
 
+  test("substring span removal cuts later duplicate windows, keeps " +
+      "the first in corpus order") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    // n=3 windows; doc 2 repeats doc 1's "a b c d" (two 3-gram
+    // windows: "a b c", "b c d" → positions 0..3 covered); doc 3 is
+    // shorter than n and must pass through untouched
+    val docs = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p q a b c d r"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.substringSpanRemoval(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((7, 7, "a b c d x y z"))) // first occurrence kept
+    assert(got(2L) == ((7, 3, "p q r")))         // span 2..5 removed
+    assert(got(3L) == ((2, 2, "a b")))           // shorter than n
+  }
+
   test("tfidf keywords rank rare terms above common ones") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
