@@ -180,6 +180,33 @@ object PipelineQueries {
       Sessions.sessionize(graft.model.TableLoader.events(s, dir), 30)
         .orderBy("user_id", "start_us")),
 
+    // AS-OF join: each purchase attributed to the user's latest view
+    // at-or-before it (union + per-key carry-forward — one sort, no
+    // O(n·m) intermediate); oracle = DuckDB's native ASOF LEFT JOIN
+    "q_asof_join" -> ((s, dir) => {
+      val ev = graft.model.TableLoader.events(s, dir)
+      Sessions.asofJoin(
+          ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.where(col("event_type") === "view"),
+          payloadCols = Seq("event_id", "value"), outPrefix = "view_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("view_event_id"), col("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // bucketed RANGE join: errors within 15 minutes after each
+    // purchase, per user — the inequality join re-expressed as a
+    // 2-bucket equi-join so it shuffles/AQEs like any hash join
+    "q_range_join" -> ((s, dir) => {
+      val ev = graft.model.TableLoader.events(s, dir)
+      Sessions.rangeCount(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "error"), horizonMinutes = 15)
+        .orderBy("event_id")
+    }),
+
     // SimHash near-dup pairs (16-bit chunk blocking, hamming <= 3).
     // The hash itself is engine-specific, so the oracle-checkable
     // contract is the EXACT-DUPLICATE RECALL property: every pair of
@@ -621,6 +648,21 @@ object PipelineQueries {
         |  epoch_us(max(ts)) AS last_us, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, start_us""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  v.event_id AS view_event_id, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  (SELECT count(*) FROM events e
+        |   WHERE e.event_type = 'error' AND e.user_id = p.user_id
+        |     AND e.ts >= p.ts
+        |     AND e.ts < p.ts + INTERVAL 15 MINUTES) AS n_follow
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
          |edges AS (SELECT d1 AS a, d2 AS b FROM pr

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gap-based sessionization over the event stream — the standard
@@ -31,4 +32,85 @@ object Sessions {
         unix_micros(col("first_ts")).as("start_us"),
         unix_micros(col("last_ts")).as("last_us"),
         col("n_events"))
+
+  /** AS-OF (backward temporal) join: each left row picks the LATEST
+    * right row with `right.ts <= left.ts` for the same key — the
+    * point-in-time attribution join (DuckDB/kdb `ASOF JOIN`,
+    * pandas `merge_asof`) that Spark has no native operator for.
+    *
+    * Spark-first shape — this is why it scales: instead of the naive
+    * `l JOIN r ON key AND r.ts <= l.ts` + rank (whose join output is
+    * |matches| = O(n·m) per key before the rank prunes it), both
+    * sides are UNIONED and sorted once per key, and the match is a
+    * running `last(payload, ignoreNulls)` carry-forward — one
+    * shuffle+sort of |L|+|R|, zero intermediate blowup, AQE-splittable
+    * like any sort. Right rows sort BEFORE left rows at equal ts
+    * (inclusive match), and equal-ts right rows resolve to the
+    * greatest `payloadCols.head` (pass a unique id first for a
+    * deterministic pick).
+    *
+    * Returns every left row (left-outer: no prior right row → nulls)
+    * with the matched payload columns appended as `<outPrefix><col>`. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keyCol: String = "user_id", tsCol: String = "ts",
+               payloadCols: Seq[String] = Seq("event_id", "value"),
+               outPrefix: String = "r_"): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val pType = right.select(payload.as("p")).schema.head.dataType
+    val lStruct = struct(left.columns.map(col): _*)
+    val lType = left.select(lStruct.as("l")).schema.head.dataType
+    val r = right.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      lit(1).as("__side"), payload.as("__p"),
+      lit(null).cast(lType).as("__l"))
+    val l = left.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      lit(0).as("__side"), lit(null).cast(pType).as("__p"),
+      lStruct.as("__l"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").desc,
+        col("__p").getField(payloadCols.head).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .select(col("__l.*") +:
+        payloadCols.map(c =>
+          col("__m").getField(c).as(outPrefix + c)): _*)
+  }
+
+  /** Bucketed RANGE JOIN: for each left row, aggregate the right rows
+    * of the same key with `ts` in `[left.ts, left.ts + horizon)` —
+    * the follow-up-window attribution count.
+    *
+    * Spark-first shape: a raw `ON key AND r.ts BETWEEN …` inequality
+    * join degenerates to a per-key nested loop; instead right rows
+    * are assigned to fixed `horizon`-wide time buckets and each left
+    * row probes its TWO covering buckets (an interval of length
+    * `horizon` spans at most 2 such buckets) through a plain
+    * equi-join on (key, bucket), with the exact range applied as a
+    * post-filter. The join is hash/sort-merge like any other — at
+    * 100 TB the bucket key rides the shuffle and skew tooling (AQE)
+    * that inequality joins can't use. */
+  def rangeCount(left: DataFrame, right: DataFrame,
+                 horizonMinutes: Int,
+                 keyCol: String = "user_id", tsCol: String = "ts",
+                 idCol: String = "event_id"): DataFrame = {
+    val hUs = horizonMinutes * 60000000L
+    val rb = right.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__rt"),
+      (unix_micros(col(tsCol)) divide lit(hUs)).cast("long").as("__b"))
+    val lb = left.select(col(idCol), col(keyCol), col(tsCol),
+        unix_micros(col(tsCol)).as("__lt"))
+      .withColumn("__b", explode(array(
+        (col("__lt") divide lit(hUs)).cast("long"),
+        ((col("__lt") + lit(hUs)) divide lit(hUs)).cast("long"))))
+    val matched = lb.join(rb,
+        lb(keyCol) === rb("__k") && lb("__b") === rb("__b") &&
+          rb("__rt") >= col("__lt") && rb("__rt") < col("__lt") + lit(hUs))
+      .groupBy(idCol).agg(count(lit(1)).as("__n"))
+    left.select(col(idCol), col(keyCol),
+        unix_micros(col(tsCol)).as("ts_us"))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol), col(keyCol), col("ts_us"),
+        coalesce(col("__n"), lit(0L)).as("n_follow"))
+  }
 }

@@ -1698,6 +1698,46 @@ class EngineSpec extends AnyFunSuite {
     assert(got(3L) == ((2, 2, "a b")))           // shorter than n
   }
 
+  test("asof join: latest at-or-before match per key, nulls when no " +
+      "prior right row") {
+    import spark.implicits._
+    import graft.pipeline.Sessions
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision fine
+    val left = Seq((100L, 1L, ts(5000000L)), // u1 @5s
+      (101L, 1L, ts(1000000L)),              // u1 @1s — before any view
+      (102L, 2L, ts(3000000L)))              // u2 @3s — equal-ts view
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 1L, ts(2000000L), 1.0),
+      (11L, 1L, ts(4000000L), 2.0),          // latest before @5s
+      (12L, 2L, ts(3000000L), 3.0))          // equal ts → inclusive
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Sessions.asofJoin(left, right, payloadCols = Seq("event_id", "value"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got(100L) == ((Some(11L), Some(2.0))))
+    assert(got(101L) == ((None, None)))
+    assert(got(102L) == ((Some(12L), Some(3.0))))
+  }
+
+  test("range count honors the half-open window across bucket seams") {
+    import spark.implicits._
+    import graft.pipeline.Sessions
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val h = 1 // minute → 60_000_000 us buckets
+    val left = Seq((100L, 1L, ts(50000000L))) // u1 @50s: window [50s, 110s)
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts(50000000L)),   // at left ts → counts (inclusive start)
+      (11L, 1L, ts(100000000L)),  // 100s, NEXT bucket but inside window
+      (12L, 1L, ts(110000000L)),  // exactly ts+h → excluded (half-open)
+      (13L, 1L, ts(40000000L)),   // before → excluded
+      (14L, 2L, ts(60000000L)))   // other user → excluded
+      .toDF("event_id", "user_id", "ts")
+    val got = Sessions.rangeCount(left, right, horizonMinutes = h)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(100L -> 2L))
+  }
+
   test("tfidf keywords rank rare terms above common ones") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
