@@ -461,6 +461,24 @@ object PipelineQueries {
     "q_pmi" -> ((s, dir) =>
       TextAnalysis.pmiPairs(docs(s, dir), minCount = 5, k = 50)),
 
+    // add-one BIGRAM LM scoring: mean conditional token log-prob under
+    // the corpus's own bigram counts — catches local incoherence the
+    // unigram gate (q_lm_score) is blind to
+    "q_lm_bigram" -> ((s, dir) =>
+      TextAnalysis.lmScoreBigram(docs(s, dir)).orderBy("doc_id")),
+
+    // multinomial Naive Bayes seed-set classifier: train on the
+    // src0/src1 provenance labels, score EVERY doc — the fasttext-
+    // style quality-filter shape with fully oracle-checkable training
+    // arithmetic (the model IS the count tables)
+    "q_quality_classifier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.nbClassify(d,
+          d.where(col("source").isin("src0", "src1"))
+            .withColumn("label", col("source")))
+        .orderBy("doc_id")
+    }),
+
     // the composed CCNet-style quality gate: per-source LM-score
     // threshold at the 0.1 quantile, keep at-or-above — one source's
     // scale never crowds out another
@@ -744,6 +762,50 @@ object PipelineQueries {
          |JOIN uc u1 ON u1.t = string_split(g, ' ')[1]
          |JOIN uc u2 ON u2.t = string_split(g, ' ')[2]
          |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q_lm_bigram" ->
+      s"""WITH tokd AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |occ AS (SELECT doc_id, ts[i] AS t, ts[i] || ' ' || ts[i+1] AS g
+         |  FROM tokd, UNNEST(generate_series(1, len(ts)-1)) AS x(i)),
+         |bi AS (SELECT g, count(*) AS cab FROM occ GROUP BY 1),
+         |uni AS (SELECT t, count(*) AS ca FROM occ GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM occ)
+         |SELECT doc_id, round(avg(ln(cab + 1.0) - ln(ca + v)), 6)
+         |  AS lm2_logp
+         |FROM occ JOIN bi USING (g) JOIN uni USING (t) CROSS JOIN vv
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" ->
+      s"""WITH seed AS (SELECT doc_id, source AS cls, text
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |socc AS (SELECT cls, unnest($TokensSql) AS tok FROM seed),
+         |ccnt AS (SELECT cls, tok, count(*) AS c FROM socc GROUP BY 1, 2),
+         |clsn AS (SELECT cls, CAST(sum(c) AS DOUBLE) AS nc FROM ccnt
+         |  GROUP BY 1),
+         |pri AS (SELECT cls, CAST(count(*) AS DOUBLE) AS ndocs,
+         |  (SELECT CAST(count(*) AS DOUBLE) FROM seed) AS ntot
+         |  FROM seed GROUP BY cls),
+         |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM socc),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM
+         |  (SELECT doc_id, unnest($TokensSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+         |m AS (SELECT tf.doc_id, ccnt.cls, sum(tf * ln(c + 1.0)) AS lnum
+         |  FROM tf JOIN ccnt USING (tok) GROUP BY 1, 2),
+         |sc AS (SELECT dl.doc_id, c2.cls,
+         |  ln(pri.ndocs / pri.ntot) + COALESCE(m.lnum, 0.0)
+         |    - dl.len * ln(clsn.nc + vv.v) AS score
+         |  FROM dl CROSS JOIN (SELECT DISTINCT cls FROM clsn) c2
+         |  LEFT JOIN m ON m.doc_id = dl.doc_id AND m.cls = c2.cls
+         |  JOIN clsn ON clsn.cls = c2.cls
+         |  JOIN pri ON pri.cls = c2.cls
+         |  CROSS JOIN vv)
+         |SELECT doc_id,
+         |  max(CASE WHEN rn = 1 THEN cls END) AS pred,
+         |  round(max(CASE WHEN rn = 1 THEN score END)
+         |    - max(CASE WHEN rn = 2 THEN score END), 6) AS margin
+         |FROM (SELECT doc_id, cls, score, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+         |  FROM sc)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_quality_prune" -> (LmScoreSql + """,
       |j AS (SELECT sc.doc_id, d.source, sc.lm_logp
       |  FROM sc JOIN documents d USING (doc_id)),

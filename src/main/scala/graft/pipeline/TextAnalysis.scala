@@ -310,6 +310,95 @@ object TextAnalysis {
       .groupBy("doc_id").agg(round(avg(col("lp")), 6).as("lm_logp"))
   }
 
+  /** Add-one-smoothed BIGRAM language-model scoring — the next step up
+    * from [[lmScore]]'s unigram perplexity gate: each document scores
+    * its mean conditional token log-prob
+    * `avg(ln((c(prev cur)+1) / (c(prev)+V)))` over positions 2..n,
+    * with counts from the corpus's own token stream. Catches local
+    * incoherence (shuffled words) that unigram scoring is blind to.
+    *
+    * 100 TB shape: two map-side-combined count tables (bigram,
+    * unigram-as-context), scoring re-joins the doc's bigram
+    * occurrences on the bigram key then one per-doc aggregation —
+    * vocabulary-sized join sides, nothing quadratic. Documents with
+    * fewer than 2 tokens have no bigram mass and are absent (same
+    * contract as [[lmScore]]). */
+  def lmScoreBigram(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ts = tokens(col(textCol))
+    val occ = docs.select(col("doc_id"), explode(gramsAll(ts, 2)).as("g"))
+    val bi = occ.groupBy("g").agg(count(lit(1)).as("cab"))
+    val uniFromBi = occ
+      .select(split(col("g"), " ").getItem(0).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("ca"))
+    val v = broadcast(occ.select(split(col("g"), " ").getItem(0).as("t"))
+      .agg(count_distinct(col("t")).cast("double").as("v")))
+    occ.join(bi, Seq("g"))
+      .withColumn("t", split(col("g"), " ").getItem(0))
+      .join(uniFromBi, Seq("t"))
+      .crossJoin(v)
+      .select(col("doc_id"),
+        (log(col("cab") + lit(1.0)) - log(col("ca") + col("v"))).as("lp"))
+      .groupBy("doc_id").agg(round(avg(col("lp")), 6).as("lm2_logp"))
+  }
+
+  /** Multinomial NAIVE BAYES document classifier — the seed-set
+    * quality-filter recipe (Brown/GPT-3-style: label a small seed by
+    * provenance, score the whole corpus, keep what classifies as the
+    * high-quality class), re-expressed as joins + groupBys so the
+    * TRAINING arithmetic itself is oracle-checkable (no iterative
+    * optimizer; the "trained model" IS the per-class count tables).
+    *
+    * `score_c(d) = ln(n_c/n) + Σ_t tf_dt · ln((c_ct+1)/(N_c+V))`
+    * with V = distinct tokens across the seed. Returns per doc the
+    * argmax class (ties to the alphabetically first) and the rounded
+    * score margin (first-class score − second-class score, 6 decimals).
+    *
+    * 100 TB shape: per-class counts are one combinable groupBy over
+    * the SEED (tiny); scoring joins each doc's (token, tf) against the
+    * class-count table on the token key (vocab-sized — broadcast when
+    * it fits) and aggregates per (doc, class); unseen-token mass is
+    * handled closed-form as `(len_d − Σ matched tf) · ln(1/(N_c+V))`,
+    * so no outer join materializes the vocab×doc cross. */
+  def nbClassify(docs: DataFrame, seed: DataFrame,
+                 labelCol: String = "label",
+                 textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
+    val seedOcc = seed.select(col(labelCol).as("cls"),
+      explode(tokens(col(textCol))).as("tok"))
+    val ccnt = seedOcc.groupBy("cls", "tok").agg(count(lit(1)).as("c"))
+    val classes = broadcast(ccnt.groupBy("cls")
+      .agg(sum(col("c")).cast("double").as("nc")))
+    val priors = broadcast(seed.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).cast("double").as("ndocs"))
+      .crossJoin(seed.agg(count(lit(1)).cast("double").as("ntot"))))
+    val v = broadcast(seedOcc.select("tok").agg(
+      count_distinct(col("tok")).cast("double").as("v")))
+    // matched-token mass per (doc, class); unseen mass added closed-form
+    // an unseen token's numerator is ln(0+1) = 0, so only matched
+    // tokens contribute to lnum; the shared −len·ln(Nc+V) denominator
+    // covers every position
+    val matched = tf.join(ccnt, Seq("tok"))
+      .groupBy("doc_id", "cls").agg(
+        sum(col("tf") * log(col("c") + lit(1.0))).as("lnum"))
+    val scored = docLen.crossJoin(classes.select("cls"))
+      .join(matched, Seq("doc_id", "cls"), "left")
+      .join(classes, Seq("cls")).crossJoin(v).join(priors, Seq("cls"))
+      .select(col("doc_id"), col("cls"),
+        (log(col("ndocs") / col("ntot")) +
+          coalesce(col("lnum"), lit(0.0)) -
+          col("len") * log(col("nc") + col("v"))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cls").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .groupBy("doc_id").agg(
+        max(when(col("__rn") === 1, col("cls"))).as("pred"),
+        round(max(when(col("__rn") === 1, col("score"))) -
+          max(when(col("__rn") === 2, col("score"))), 6).as("margin"))
+  }
+
   /** TF-IDF keyword extraction: the top `k` terms per document by
     * `tf · (ln((1+N)/(1+df)) + 1)` (scikit-style smoothed idf — never
     * zero, never log-of-zero), ties to the lexicographically smaller

@@ -1698,6 +1698,41 @@ class EngineSpec extends AnyFunSuite {
     assert(got(3L) == ((2, 2, "a b")))           // shorter than n
   }
 
+  test("bigram lm scores repetitive bigrams above novel ones; " +
+      "sub-2-token docs absent") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "x y x y x y"),      // "x y" has corpus count 3 → high prob
+      (2L, "p q r s t u"),      // all bigrams unique
+      (3L, "solo")).toDF("doc_id", "text") // no bigram → absent
+    val got = TextAnalysis.lmScoreBigram(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) > got(2L))
+  }
+
+  test("naive bayes classifies by seed-class vocabulary with a " +
+      "positive margin") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val seed = Seq(
+      ("good", "apple banana cherry apple"),
+      ("good", "banana cherry fruit"),
+      ("bad", "stone metal rust"),
+      ("bad", "rust metal dust")).toDF("label", "text")
+    val docs = Seq(
+      (1L, "apple banana snack"),
+      (2L, "dust rust bucket"),
+      (3L, "apple metal")).toDF("doc_id", "text") // mixed → tie-ish
+    val got = TextAnalysis.nbClassify(docs, seed).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    assert(got.map(g => g._1 -> g._2) ==
+      List(1L -> "good", 2L -> "bad", 3L -> "bad"))
+    assert(got.forall(_._3 >= 0.0)) // margin = top minus runner-up
+  }
+
   test("asof join: latest at-or-before match per key, nulls when no " +
       "prior right row") {
     import spark.implicits._
