@@ -135,6 +135,26 @@ object Streaming {
       .withWatermark(eventTime, lateness)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming gap-sessionization — the continuous form of
+    * [[graft.pipeline.Sessions.sessionize]] (same session_window
+    * expression, same output shape): a session is emitted once the
+    * watermark passes its close, so state holds OPEN sessions only —
+    * bounded by active users × lateness horizon, never by stream
+    * history. Catalyst's native session merge handles out-of-order
+    * arrivals inside the horizon (they extend/merge the open session);
+    * rows behind the watermark are dropped. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+                       lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        unix_micros(col("first_ts")).as("start_us"),
+        unix_micros(col("last_ts")).as("last_us"),
+        col("n_events"))
+
   /** Push sink: deliver each micro-batch from the EXECUTORS — the
     * webhook/queue push of the reference's push-mode subscribe. The
     * callback runs once per partition on the executor that holds it,

@@ -210,6 +210,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeStream merges in-horizon arrivals and emits sessions " +
+      "once the watermark closes them") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val sessions = Streaming.sessionizeStream(
+      ms.toDF().toDF("ts", "user_id"), gapMinutes = 30, lateness = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      ms.addData((t("2024-01-01 00:00:00"), 1L),
+        (t("2024-01-01 00:10:00"), 1L))
+      q.processAllAvailable()
+      // out-of-order but inside the horizon: merges into the open session
+      ms.addData((t("2024-01-01 00:05:00"), 1L))
+      q.processAllAvailable()
+      // user 1 returns after a > 30-min gap → second session; the big
+      // jump also advances the watermark past session 1's close
+      ms.addData((t("2024-01-01 02:00:00"), 1L))
+      q.processAllAvailable()
+      ms.addData((t("2024-01-01 05:00:00"), 2L)) // close everything open
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, start_us, last_us, n_events FROM ssess " +
+          "ORDER BY user_id, start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      def us(s: String) = t(s).getTime * 1000L
+      assert(rows.contains((1L, us("2024-01-01 00:00:00"),
+        us("2024-01-01 00:10:00"), 3L))) // merged 3-event session
+      assert(rows.contains((1L, us("2024-01-01 02:00:00"),
+        us("2024-01-01 02:00:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("deliver pushes each partition from the executors, not the driver") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
