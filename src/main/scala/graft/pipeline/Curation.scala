@@ -157,7 +157,9 @@ object Curation {
                 textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     require(window > 0 && stride > 0, s"window/stride > 0")
-    val ts = TextAnalysis.tokens(col(textCol))
+    // tokens materialize before the chunk lambda (shinglesOf caller
+    // contract — inline would re-tokenize once per chunk start)
+    val ts = col("__ts")
     val chunks = when(size(ts) > 0,
       transform(sequence(lit(0), size(ts) - 1, lit(stride)),
         st => struct(
@@ -165,7 +167,8 @@ object Curation {
           size(slice(ts, st + 1, lit(window))).as("chunk_tokens"))))
       .otherwise(array().cast(
         "array<struct<chunk_text:string,chunk_tokens:int>>"))
-    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
       .select(col(idCol), col("chunk_idx"),
         col("c.chunk_tokens").as("chunk_tokens"),
         col("c.chunk_text").as("chunk_text"))
@@ -238,10 +241,17 @@ object Curation {
   def contaminated(docs: DataFrame, bench: DataFrame, n: Int,
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+    // two-step projections: tokens materialize before the gram lambda
+    // (TextAnalysis.shinglesOf caller contract — inline would
+    // re-tokenize the doc once per gram)
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("g"))
     val bg = bench
-      .select(explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
+      .select(TextAnalysis.tokens(col(textCol)).as("__ts"))
+      .select(explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("g"))
       .distinct()
     grams.join(broadcast(bg), Seq("g"), "left_semi")
       .select("doc_id").distinct()
@@ -309,7 +319,6 @@ object Curation {
                    Seq("javascript", "lorem ipsum", "cookie"),
                  requirePunct: Boolean = true, minLines: Int = 1,
                  textCol: String = "text"): DataFrame = {
-    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
     def keepLine(l: Column): Column = {
       val words = size(filter(split(l, "\\s+"), w => w =!= ""))
       val base = words >= minWords &&
@@ -317,10 +326,17 @@ object Curation {
         !l.contains("{")
       if (requirePunct) base && l.rlike("[.!?\"']\\s*$") else base
     }
-    val kept = filter(lines, keepLine(_))
-    docs.select(col("doc_id"), size(lines).as("n_lines"),
-      size(kept).as("n_kept"),
-      (size(kept) >= minLines).as("page_keep"),
-      array_join(kept, "\n").as("clean_text"))
+    // lines/kept materialize once per row; the final select references
+    // them several times, which inline would re-split per reference
+    val lines = col("__lines"); val kept = col("__kept")
+    docs
+      .select(col("doc_id"),
+        filter(split(col(textCol), "\n"), l => l =!= "").as("__lines"))
+      .select(col("doc_id"), col("__lines"),
+        filter(col("__lines"), keepLine(_)).as("__kept"))
+      .select(col("doc_id"), size(lines).as("n_lines"),
+        size(kept).as("n_kept"),
+        (size(kept) >= minLines).as("page_keep"),
+        array_join(kept, "\n").as("clean_text"))
   }
 }

