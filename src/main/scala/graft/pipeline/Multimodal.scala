@@ -81,6 +81,41 @@ object Multimodal {
       array((0 until 4).map(quadrant): _*).as("embedding"))
   }
 
+  /** Resize decoded images by integer-factor average pooling (each
+    * output pixel = mean of its `f`×`f` source block) — pure Column
+    * expressions over the pixel array, so at scale it is a projection
+    * on the decoded frame, no shuffle, no UDF. Width/height must be
+    * divisible by `f` (fail-loud per row otherwise: a silent crop
+    * would corrupt training data). */
+  def resize(decoded: DataFrame, f: Int): DataFrame = {
+    require(f >= 1, s"pool factor >= 1: $f")
+    val w = col("width"); val h = col("height")
+    val guard = when(w % f === 0 && h % f === 0, lit(true))
+      .otherwise(raise_error(concat(lit(s"resize: dims not divisible by $f: "),
+        w.cast("string"), lit("x"), h.cast("string"))))
+    val ow = (w / f).cast("int"); val oh = (h / f).cast("int")
+    // output pixel (oy, ox) averages source block rows oy*f..oy*f+f-1
+    // × cols ox*f..ox*f+f-1 of the row-major pixels array; the f×f
+    // inner sum unrolls at plan-build time (f is a Scala constant —
+    // no nested lambda, stays one flat codegen'd expression)
+    val pooled = transform(sequence(lit(0), oh * ow - 1), o => {
+      val oy = (o / ow).cast("int"); val ox = (o % ow).cast("int")
+      val sums = (0 until f * f).map { k =>
+        val sy = oy * f + lit(k / f)
+        val sx = ox * f + lit(k % f)
+        element_at(col("pixels"), (sy * w + sx + 1).cast("int"))
+      }.reduce(_ + _)
+      (sums / lit(f * f)).cast("float")
+    })
+    // two selects: aliasing the OUTPUT as width/pixels in the same
+    // select list would lateral-alias-shadow the input columns the
+    // pooling lambda reads (observed: pooled read the resized width)
+    decoded.where(guard)
+      .select(col("path"), ow.as("__w"), oh.as("__h"), pooled.as("__px"))
+      .select(col("path"), col("__w").as("width"),
+        col("__h").as("height"), col("__px").as("pixels"))
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th 64-byte
     * block becomes a frame payload (the batch/explode plumbing of a
     * real frame extractor). */

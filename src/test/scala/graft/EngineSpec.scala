@@ -1210,6 +1210,28 @@ class EngineSpec extends AnyFunSuite {
     assert(feats.forall(_.getSeq[Float](1).length == 4))
   }
 
+  test("resize average-pools blocks exactly and fails loud on " +
+      "non-divisible dims") {
+    import spark.implicits._
+    // 4x4 row-major image with known 2x2 block means
+    val px = Array(
+      0f, 1f, 2f, 3f,
+      4f, 5f, 6f, 7f,
+      8f, 9f, 10f, 11f,
+      12f, 13f, 14f, 15f)
+    val decoded = Seq(("/img/a", 4, 4, px))
+      .toDF("path", "width", "height", "pixels")
+    val out = Multimodal.resize(decoded, 2).collect().head
+    assert(out.getInt(1) == 2 && out.getInt(2) == 2)
+    assert(out.getSeq[Float](3) == Seq(2.5f, 4.5f, 10.5f, 12.5f))
+    val bad = Seq(("/img/b", 3, 4, px.take(12)))
+      .toDF("path", "width", "height", "pixels")
+    val e = intercept[Exception] {
+      Multimodal.resize(bad, 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("qp date ranges compare on the timestamp slot") {
     val store = GraftStore.forDir(spark, Sf)
     val got = Search.run(store, Search.Request(path = "/lineitem",
