@@ -508,7 +508,52 @@ object PipelineQueries {
     "q_file_meta" -> ((s, dir) =>
       Multimodal.contentStore(docs(s, dir))
         .select("path", "mimeType", "dataLength", "sha256")
-        .orderBy("path")))
+        .orderBy("path")),
+
+    // URL/domain blocklist filtering (C4 source gate). The corpus has
+    // no URL column, so both sides inject the same deterministic URLs
+    // (mixed-case scheme/host + www + port/path noise so extraction is
+    // load-bearing); blocklist semantics = exact host OR parent-domain
+    // suffix. Runs the DATAFRAME blocklist path (suffix-chain explode
+    // + broadcast semi-join — the million-entry-feed shape); the
+    // literal-list expression path is pinned equal in EngineSpec.
+    "q_url_filter" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      val injected = docs(s, dir).withColumn("url",
+        concat(lit("HTTPS://"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("spam"), (col("doc_id") % 3).cast("string"),
+              lit(".Example.com")))
+            .when(col("doc_id") % 7 === 1, lit("www.ads.tracker.net"))
+            .otherwise(concat(lit("Site"), (col("doc_id") % 50).cast("string"),
+              lit(".org"))),
+          lit(":443/page/"), col("doc_id").cast("string"),
+          lit("?ref=x#top")))
+      Curation.urlFilterJoin(injected,
+          Seq("example.com", "ads.tracker.net").toDF("domain"))
+        .groupBy("domain", "blocked")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    }),
+
+    // per-doc token-distribution Shannon entropy — the information-
+    // density quality proxy, computed WITHOUT a shuffle (in-row sorted
+    // runs); the oracle recomputes it relationally (explode/groupBy),
+    // pinning the two formulations against each other
+    "q_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(docs(s, dir)).orderBy("doc_id")),
+
+    // random-projection (JL) ANN: 32-dim Gaussian sketch candidates,
+    // exact re-rank — the third index family next to LSH buckets and
+    // IVF cells. Same grounded contract as q_knn_lsh/q_knn_ivf;
+    // overlap bound matches q_knn_ivf's looser 3/5 (the near-uniform
+    // fixtures put query 2's tail neighbors at reduced-space noise —
+    // the adversarial case for distance-preserving sketches, exactly
+    // as for IVF cells)
+    "q_knn_rp" -> ((s, dir) =>
+      annCheck(emb(s, dir), Similarity.rpTopK(emb(s, dir),
+        Seq(0L, 1L, 2L), 5), minOverlap = 3)))
 
   private val Bm25Terms = Seq("table", "scan", "merge")
 
@@ -1223,5 +1268,56 @@ object PipelineQueries {
          |    list_transform($TokensSql,
          |      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
          |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same injection arithmetic; blocklist semantics as an OR/LIKE
+    // chain (exact host or '.'-suffix) — the independent relational
+    // statement of the engine's suffix-chain semi-join
+    "q_url_filter" ->
+      """WITH t AS (SELECT doc_id, 'HTTPS://' ||
+        |  CASE WHEN doc_id % 7 = 0
+        |         THEN 'spam' || (doc_id % 3) || '.Example.com'
+        |       WHEN doc_id % 7 = 1 THEN 'www.ads.tracker.net'
+        |       ELSE 'Site' || (doc_id % 50) || '.org' END ||
+        |  ':443/page/' || doc_id || '?ref=x#top' AS url FROM documents),
+        |d AS (SELECT doc_id, lower(regexp_replace(regexp_extract(url,
+        |  '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/:?#]+)', 1),
+        |  '^www\.', '')) AS domain FROM t),
+        |f AS (SELECT doc_id, domain,
+        |  (domain = 'example.com' OR domain LIKE '%.example.com' OR
+        |   domain = 'ads.tracker.net' OR domain LIKE '%.ads.tracker.net')
+        |  AS blocked FROM d)
+        |SELECT domain, blocked, count(*) AS n_docs FROM f
+        |GROUP BY 1, 2 ORDER BY domain""".stripMargin,
+    // relational entropy (explode → groupBy) vs the engine's in-row
+    // sorted-runs fold; ordered sum matches the fold's term order and
+    // ln/ln(2) matches the engine's log(2.0, x) arithmetic
+    "q_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |occ AS (SELECT doc_id, unnest(ts) AS tok FROM tok),
+         |c AS (SELECT doc_id, tok, count(*) AS c FROM occ GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+         |  count(*) AS nd FROM c GROUP BY 1),
+         |e AS (SELECT c.doc_id,
+         |  round(-sum((c / n.n) * (ln(c / n.n) / ln(2)) ORDER BY tok), 6)
+         |    AS entropy
+         |  FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY 1)
+         |SELECT t.doc_id, len(t.ts) AS n_tokens,
+         |  COALESCE(n.nd, 0) AS n_distinct,
+         |  COALESCE(e.entropy, 0.0) AS entropy
+         |FROM tok t LEFT JOIN n ON t.doc_id = n.doc_id
+         |LEFT JOIN e ON t.doc_id = e.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    "q_knn_rp" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(e.v, q.qv) AS cosine
+        |  FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id AS exact_top1, true AS recall_ok
+        |FROM (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank = 1""".stripMargin)
 }

@@ -339,4 +339,57 @@ object Curation {
         (size(kept) >= minLines).as("page_keep"),
         array_join(kept, "\n").as("clean_text"))
   }
+
+  /** Registrable host from a URL — scheme and `www.` stripped,
+    * lowercased, port/path/query dropped. Pure regexp projection. */
+  def domainOf(url: Column): Column =
+    lower(regexp_replace(
+      regexp_extract(url, "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/:?#]+)", 1),
+      "^www\\.", ""))
+
+  /** A host is blocked iff it equals a blocklist entry or sits under
+    * one ("ads.tracker.net" is blocked by "tracker.net"). For the
+    * literal-list case (curated blocklists are small) this compiles to
+    * a codegen'd OR-chain over the scan — no join, no shuffle. */
+  def domainBlocked(domain: Column, blocklist: Seq[String]): Column =
+    blocklist.map(b => lower(lit(b)))
+      .map(b => domain === b || domain.endsWith(concat(lit("."), b)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** URL/domain BLOCKLIST FILTERING (the C4-style source gate): tag
+    * every document with its registrable domain and whether that
+    * domain falls under any blocklist entry.
+    *
+    * Scale path for a blocklist too big to inline (host-reputation
+    * feeds run to millions of rows): explode each host into its
+    * parent-suffix chain (bounded by its label count, ~4) and
+    * LEFT SEMI broadcast-join the suffixes against the blocklist —
+    * the corpus streams once, nothing shuffles; see
+    * [[urlFilterJoin]]. Returns docs + (domain, blocked). */
+  def urlFilter(docs: DataFrame, blocklist: Seq[String],
+                urlCol: String = "url"): DataFrame = {
+    val d = domainOf(col(urlCol))
+    docs.withColumn("domain", d)
+      .withColumn("blocked", domainBlocked(col("domain"), blocklist))
+  }
+
+  /** [[urlFilter]] against a blocklist DATAFRAME (column `domain`) —
+    * the million-entry-feed shape: suffix-chain explode (bounded
+    * fan-out) + broadcast semi-join, corpus streams once. */
+  def urlFilterJoin(docs: DataFrame, blocklist: DataFrame,
+                    urlCol: String = "url"): DataFrame = {
+    val labels = col("__labels")
+    val suffixes = transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels)), "."))
+    val tagged = docs.withColumn("domain", domainOf(col(urlCol)))
+    val hit = tagged
+      .select(col("domain"), split(col("domain"), "\\.").as("__labels"))
+      .select(col("domain"), explode(suffixes).as("__sfx"))
+      .join(broadcast(blocklist.select(lower(col("domain")).as("__sfx"))
+        .distinct()), Seq("__sfx"), "left_semi")
+      .select(col("domain")).distinct()
+      .withColumn("blocked", lit(true))
+    tagged.join(broadcast(hit), Seq("domain"), "left")
+      .withColumn("blocked", coalesce(col("blocked"), lit(false)))
+  }
 }

@@ -365,4 +365,61 @@ object Similarity {
     }
     assign(cents).select("vec_id", "cluster")
   }
+
+  /** Seeded Gaussian projection matrix (rdim × dim) — like the LSH
+    * [[planes]], an index artifact with no trained state: any
+    * executor (or re-run) regenerates it from the seed. */
+  private def rpMatrix(rdim: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(rdim)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** RANDOM-PROJECTION ANN (Johnson–Lindenstrauss candidate
+    * generation): project corpus and queries to `rdim` dims through a
+    * seeded Gaussian matrix, take each query's `cand` nearest in the
+    * REDUCED space (rdim/dim of the scan bandwidth — the reduced
+    * index is the small written artifact), then re-rank the
+    * candidates by exact full-dimension cosine and keep top-k. JL
+    * preserves angles to within the projection distortion, so the
+    * exact top-k survives into a modest candidate pool with high
+    * probability — the third index family next to hyperplane LSH
+    * (bucketed) and IVF (trained cells): dense-but-narrower, no
+    * buckets to mis-route, recall tuned by `cand` alone.
+    *
+    * 100 TB shape: the projection is a per-row expression over the
+    * scan (rdim native-dot nodes); the candidate stage scans only the
+    * rdim-wide index; the re-rank joins the cand×queries id set
+    * (broadcast) back to the full vectors — the corpus full-width
+    * table is touched only for candidate rows. */
+  def rpTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+             rdim: Int = 32, dim: Int = 64, cand: Int = 200,
+             seed: Long = 20260814L): DataFrame = {
+    val mat = rpMatrix(rdim, dim, seed)
+    def reduced(v: Column): Column =
+      array(mat.map(r => graft.functions.VectorExprs.dot(
+        v, array(r.map(lit): _*))): _*)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val idx = base.select(col("vec_id"), reduced(col("embedding")).as("rv"))
+    val queries = broadcast(idx.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("rv").as("qrv")))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("rcos").desc, col("neighbor_id").asc)
+    val candidates = idx.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineFixed(col("rv"), col("qrv")).as("rcos"))
+      .withColumn("crank", row_number().over(wCand))
+      .where(col("crank") <= cand)
+      .select("query_id", "neighbor_id")
+    val qFull = broadcast(base.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    base.join(broadcast(candidates), col("vec_id") === col("neighbor_id"))
+      .join(qFull, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFixed(col("embedding"), col("qe")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
 }

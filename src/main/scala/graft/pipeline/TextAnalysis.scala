@@ -465,4 +465,44 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Per-document Shannon ENTROPY of the unigram distribution — the
+    * information-density quality proxy (near-zero for boilerplate and
+    * keyword-stuffed spam, high for natural prose; a cheap stand-in
+    * for a compression-ratio signal, which it upper-bounds).
+    *
+    * 100 TB shape: NO shuffle. The relational formulation (explode →
+    * groupBy(doc, term)) shuffles every token in the corpus; here the
+    * distribution is recovered inside the row — sort the token array,
+    * find the run starts, run lengths are consecutive-start deltas,
+    * entropy folds over the runs — one codegen'd projection over the
+    * scan. The oracle recomputes it relationally, pinning the two
+    * formulations against each other. Returns (doc_id, n_tokens,
+    * n_distinct, entropy) with entropy on the 6-decimal grid and the
+    * empty doc yielding 0.0. */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ts = col("__ts"); val starts = col("__starts")
+    val n = size(ts).cast("double")
+    // run starts: positions whose token differs from its predecessor
+    // (empty-doc guard: sequence(0,-1) would count DOWN and index 0)
+    val startsExpr = when(size(ts) === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(0), size(ts) - 1),
+        i => i === 0 || element_at(ts, i + 1) =!= element_at(ts, i)))
+    // run lengths = next start − this start (last run ends at size)
+    val runs = zip_with(starts,
+      concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+        array(size(ts))),
+      (a, b) => b - a)
+    val entropy = -aggregate(runs, lit(0.0),
+      (acc, l) => acc + l.cast("double") / n *
+        log(2.0, l.cast("double") / n))
+    docs
+      .select(col("doc_id"),
+        array_sort(tokens(col(textCol))).as("__ts"))
+      .select(col("doc_id"), col("__ts"), startsExpr.as("__starts"))
+      .select(col("doc_id"),
+        size(ts).as("n_tokens"), size(starts).as("n_distinct"),
+        when(size(ts) === 0, lit(0.0))
+          .otherwise(round(entropy, 6)).as("entropy"))
+  }
 }

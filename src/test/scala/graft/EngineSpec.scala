@@ -2375,4 +2375,68 @@ class EngineSpec extends AnyFunSuite {
         |FILTER (strlen(?t) > 4) }""".stripMargin).collect()
     assert(long5.map(_.getString(0)).toSeq == Seq("/doc/3")) // "green"
   }
+
+  test("RP-ANN recall against exact top-5") {
+    val queries = Seq(0L, 1L, 2L)
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.rpTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    info(f"RP recall@5 = $recall%.2f (rdim=16, cand=25)")
+    assert(approx.size == exact.size)
+    assert(recall >= 0.6, "random-projection recall collapsed")
+  }
+
+  test("token entropy matches hand-computed distributions") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val d = Seq(
+      (1L, "a a b b"),      // uniform over 2 → 1 bit
+      (2L, "a b c d"),      // uniform over 4 → 2 bits
+      (3L, "a a a a"),      // degenerate → 0
+      (4L, "--- !!!"),      // no tokens → 0, counts 0
+      (5L, "a a b")         // 2/3,1/3 → 0.918296
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((4, 2, 1.0)))
+    assert(got(2L) == ((4, 4, 2.0)))
+    assert(got(3L) == ((4, 1, 0.0)))
+    assert(got(4L) == ((0, 0, 0.0)))
+    val h = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) /
+      math.log(2)
+    assert(got(5L) == ((3, 2,
+      BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("url filter: expression path equals the blocklist-join path") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val block = Seq("example.com", "ads.tracker.net")
+    val d = Seq(
+      (1L, "https://www.Example.com/a?b=c"),   // exact (www+case stripped)
+      (2L, "http://spam.example.com:8080/x"),  // subdomain suffix
+      (3L, "notexample.com/path"),             // similar name, NOT blocked
+      (4L, "ftp://ads.tracker.net"),           // exact, other scheme
+      (5L, "https://sub.site.org#frag"),       // clean
+      (6L, "tracker.net/q")                    // parent of an entry, NOT blocked
+    ).toDF("doc_id", "url")
+    val lit0 = Curation.urlFilter(d, block)
+      .select("doc_id", "domain", "blocked").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(lit0(1L) == (("example.com", true)))
+    assert(lit0(2L) == (("spam.example.com", true)))
+    assert(lit0(3L) == (("notexample.com", false)))
+    assert(lit0(4L) == (("ads.tracker.net", true)))
+    assert(lit0(5L) == (("sub.site.org", false)))
+    assert(lit0(6L) == (("tracker.net", false)))
+    val joined = Curation.urlFilterJoin(d, block.toDF("domain"))
+      .select("doc_id", "domain", "blocked").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(joined == lit0, "literal and join blocklist paths disagree")
+  }
 }
