@@ -553,7 +553,22 @@ object PipelineQueries {
     // as for IVF cells)
     "q_knn_rp" -> ((s, dir) =>
       annCheck(emb(s, dir), Similarity.rpTopK(emb(s, dir),
-        Seq(0L, 1L, 2L), 5), minOverlap = 3)))
+        Seq(0L, 1L, 2L), 5), minOverlap = 3)),
+
+    // Misra-Gries heavy hitters: phi-frequent terms with fixed per-task
+    // state + candidate-sized shuffle (result exact: sketch proposes,
+    // second pass recounts); phi=0.005 excludes exactly one vocab term
+    // at sf0.01, so the threshold is load-bearing
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(docs(s, dir), phi = 0.005)),
+
+    // PCA over the embedding corpus — trained dimensionality-reduction
+    // artifact; grounded row: axis_max_var is oracle-recomputed, the
+    // booleans are engine measurements against that pinned number
+    // (pc1 variance must reach the best axis, spectrum must descend,
+    // basis must be orthonormal)
+    "q_pca" -> ((s, dir) =>
+      Similarity.pcaCheck(emb(s, dir), c = 4)))
 
   private val Bm25Terms = Seq("table", "scan", "merge")
 
@@ -1307,6 +1322,22 @@ object PipelineQueries {
          |FROM tok t LEFT JOIN n ON t.doc_id = n.doc_id
          |LEFT JOIN e ON t.doc_id = e.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH occ AS (SELECT unnest($TokensSql) AS term FROM documents),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM occ),
+         |c AS (SELECT term, count(*) AS freq FROM occ GROUP BY 1)
+         |SELECT term, freq FROM c, n WHERE freq >= ceil(0.005 * n.n)
+         |ORDER BY freq DESC, term ASC""".stripMargin,
+    // axis_max_var arithmetic mirrors the engine: population variance
+    // ss/n - (s/n)^2 per coordinate, max, round 6
+    "q_pca" ->
+      """WITH x AS (SELECT t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+        |a AS (SELECT i, sum(v*v)/count(*) - (sum(v)/count(*))^2 AS var
+        |  FROM x GROUP BY 1)
+        |SELECT round(max(var), 6) AS axis_max_var,
+        |  true AS pc1_ge_axis, true AS vars_monotone, true AS orthonormal
+        |FROM a""".stripMargin,
     "q_knn_rp" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

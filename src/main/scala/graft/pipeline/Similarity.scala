@@ -422,4 +422,76 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Top-`c` PRINCIPAL COMPONENTS of the embedding corpus — the
+    * trained complement to [[rpTopK]]'s random sketch (whitening,
+    * learned dimensionality reduction before clustering/dedup). One
+    * distributed covariance pass (RowMatrix grammian — map-side
+    * combined, dim² driver state) + a driver-side eigendecomposition
+    * of the dim×dim covariance; like the IVF quantizer and SQ8 ranges,
+    * the components are a small INDEX artifact shipped as literals.
+    * Returns `c` rows of `dim` doubles (orthonormal, variance-ranked). */
+  def pcaComponents(emb: DataFrame, c: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = emb.select(col("embedding")).rdd
+      .map(r => MlVectors.dense(
+        r.getSeq[Float](0).map(_.toDouble).toArray))
+    val pc = new RowMatrix(rows).computePrincipalComponents(c)
+    (0 until c).map(j => (0 until pc.numRows).map(i => pc(i, j)))
+  }
+
+  /** Project onto components (c native-dot expression nodes — a pure
+    * scan-speed projection). */
+  def pcaProject(v: Column, comps: Seq[Seq[Double]]): Column =
+    array(comps.map(w => graft.functions.VectorExprs.dot(
+      v, array(w.map(lit): _*))): _*)
+
+  /** Grounded PCA check row (the declared-query contract for a
+    * trained artifact the oracle can't re-derive — same pattern as
+    * the ANN recall rows): `axis_max_var` (max per-coordinate
+    * population variance) is INDEPENDENTLY recomputable in SQL and
+    * pins the row; the booleans are real engine-side measurements
+    * against that oracle-pinned number — PC1's variance must reach
+    * the best axis-aligned direction (the defining property of PCA),
+    * component variances must descend, and the basis must be
+    * orthonormal. Variance arithmetic keeps one operator order
+    * (`ss/n − (s/n)²`, round 6) so the doubles agree. */
+  def pcaCheck(emb: DataFrame, c: Int = 4): DataFrame = {
+    val comps = pcaComponents(emb, c)
+    def dotS(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    val orthonormal = comps.indices.forall { i =>
+      (i until comps.size).forall { j =>
+        val d = dotS(comps(i), comps(j))
+        if (i == j) math.abs(d - 1) < 1e-9 else math.abs(d) < 1e-9
+      }
+    }
+    val x = col("x").cast("double")
+    val axisMax = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg((sum(x * x) / count(lit(1)) -
+        pow(sum(x) / count(lit(1)), 2)).as("v"))
+      .agg(max(col("v")).as("m")).head().getDouble(0)
+    val projected = emb.select(
+      comps.indices.map(j =>
+        pcaProject(col("embedding"), Seq(comps(j))).getItem(0)
+          .as(s"p$j")): _*)
+    val aggCols = comps.indices.flatMap(j => Seq(
+      sum(col(s"p$j") * col(s"p$j")).as(s"ss$j"),
+      sum(col(s"p$j")).as(s"s$j"))) :+ count(lit(1)).as("n")
+    val r = projected.agg(aggCols.head, aggCols.tail: _*).head()
+    val n = r.getAs[Long]("n").toDouble
+    val vars = comps.indices.map { j =>
+      r.getAs[Double](s"ss$j") / n - math.pow(r.getAs[Double](s"s$j") / n, 2)
+    }
+    val spark = emb.sparkSession
+    spark.range(1).select(
+      round(lit(axisMax), 6).as("axis_max_var"),
+      lit(vars.head >= axisMax * (1 - 1e-9)).as("pc1_ge_axis"),
+      lit(vars.lazyZip(vars.tail).forall(_ >= _ * (1 - 1e-9)))
+        .as("vars_monotone"),
+      lit(orthonormal).as("orthonormal"))
+  }
 }

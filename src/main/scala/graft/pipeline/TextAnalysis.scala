@@ -466,6 +466,64 @@ object TextAnalysis {
       .where(col("rank") <= k)
   }
 
+  /** HEAVY HITTERS — every token whose corpus frequency is at least
+    * `phi · N` (N = total token occurrences), found with BOUNDED state:
+    * phase 1 runs a Misra–Gries summary of capacity `ceil(2/phi)` per
+    * partition (each partition's sketch keeps every token exceeding
+    * its local phi-fraction; by averaging, a global phi-heavy token
+    * must exceed it somewhere, so the candidate union has NO false
+    * negatives); phase 2 recounts ONLY the candidates exactly
+    * (broadcast isin filter over a second scan) and keeps those at or
+    * above the threshold. Output is exact and deterministic — the
+    * partitioning only affects the discarded false-positive set.
+    *
+    * vs [[vocabulary]]: the full groupBy holds one counter per
+    * DISTINCT TERM per task (web-scale vocabularies run to billions);
+    * here per-task state is a fixed 2/phi counters regardless of
+    * corpus, and the only shuffle is candidate-sized. The classic
+    * sketch-then-verify shape for 100 TB frequency mining. */
+  def heavyHitters(docs: DataFrame, phi: Double = 0.001,
+                   textCol: String = "text"): DataFrame = {
+    require(phi > 0 && phi <= 1, s"phi in (0,1]: $phi")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cap = math.ceil(2 / phi).toInt
+    val texts = docs.select(col(textCol).cast("string")).as[String]
+    // the Scala-side tokenizer MUST mirror tokens(): lowercase alnum
+    // runs, empties dropped
+    def toks(t: String): Iterator[String] =
+      t.toLowerCase.split("[^a-z0-9]+").iterator.filter(_.nonEmpty)
+    val candidates = texts.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for (t <- it; w <- toks(t)) {
+        counts.get(w) match {
+          case Some(c) => counts.update(w, c + 1)
+          case None =>
+            if (counts.size < cap) counts.update(w, 1L)
+            else {
+              // decrement-all step; drop zeros (classic MG)
+              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+              counts.mapValuesInPlace((_, c) => c - 1)
+              counts.foreach { case (k, c) => if (c == 0) dead += k }
+              dead.foreach(counts.remove)
+            }
+        }
+      }
+      counts.keysIterator
+    }.distinct().toDF("term")
+    val total = docs.select(
+      sum(size(tokens(col(textCol)))).cast("double").as("n"))
+      .head().getDouble(0)
+    val threshold = math.ceil(phi * total)
+    // candidate set is (partitions × cap)-bounded → broadcast semi-join,
+    // never an executor-side giant IN list
+    docs.select(explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= threshold)
+      .orderBy(col("freq").desc, col("term").asc)
+  }
+
   /** Per-document Shannon ENTROPY of the unigram distribution — the
     * information-density quality proxy (near-zero for boilerplate and
     * keyword-stuffed spam, high for natural prose; a cheap stand-in

@@ -2439,4 +2439,44 @@ class EngineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
     assert(joined == lit0, "literal and join blocklist paths disagree")
   }
+
+  test("Misra-Gries heavy hitters are exact under forced decrements") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    // 40 'a', 25 'b', 10 'c', singles d..m: N = 85, phi=0.2 → cap=10,
+    // threshold ceil(17) — answer {a, b}; cap < distinct terms per
+    // partition forces the decrement path, and 2 partitions force the
+    // cross-partition candidate union
+    val words = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(10)("c") ++ "defghijklm".map(_.toString)
+    val shuffled = new scala.util.Random(7).shuffle(words)
+    val d = shuffled.grouped(43).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(2)
+    val got = TextAnalysis.heavyHitters(d, phi = 0.2).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq == Seq("a" -> 40L, "b" -> 25L))
+  }
+
+  test("PCA recovers a planted dominant direction") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // points along (1,1,0,0)/√2 with small noise on axis 3: PC1 must
+    // align with the planted direction (up to sign) and the check row
+    // must ground true
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      val t = rnd.nextGaussian() * 10
+      val n = rnd.nextGaussian() * 0.1
+      (i.toLong, Array(t.toFloat, t.toFloat, n.toFloat, 0.0f).toSeq)
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val comps = Similarity.pcaComponents(d, 2)
+    val pc1 = comps.head
+    val planted = Seq(1, 1, 0, 0).map(_ / math.sqrt(2))
+    val align = math.abs(pc1.lazyZip(planted).map(_ * _).sum)
+    assert(align > 0.999, s"PC1 misaligned: $pc1")
+    val chk = Similarity.pcaCheck(d, c = 2).head()
+    assert(chk.getBoolean(1) && chk.getBoolean(2) && chk.getBoolean(3))
+  }
 }
