@@ -568,7 +568,22 @@ object PipelineQueries {
     // (pc1 variance must reach the best axis, spectrum must descend,
     // basis must be orthonormal)
     "q_pca" -> ((s, dir) =>
-      Similarity.pcaCheck(emb(s, dir), c = 4)))
+      Similarity.pcaCheck(emb(s, dir), c = 4)),
+
+    // salted equi-join (the hot-key scatter lever): purchases enriched
+    // with a per-user dim under a 16-way salt, merge-hinted so the
+    // join actually distributes (broadcast would trivialize it);
+    // result must be row-identical to the plain relational join
+    "q_salted_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val fact = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+      val dim = ev.groupBy("user_id")
+        .agg(count(when(col("event_type") === "view", 1)).as("n_views"))
+      graft.ops.Joins.saltedJoin(fact, dim.hint("merge"), "user_id", 16)
+        .select("event_id", "user_id", "value", "n_views")
+        .orderBy("event_id")
+    }))
 
   private val Bm25Terms = Seq("table", "scan", "merge")
 
@@ -1338,6 +1353,13 @@ object PipelineQueries {
         |SELECT round(max(var), 6) AS axis_max_var,
         |  true AS pc1_ge_axis, true AS vars_monotone, true AS orthonormal
         |FROM a""".stripMargin,
+    "q_salted_join" ->
+      """WITH d AS (SELECT user_id,
+        |  count(*) FILTER (event_type = 'view') AS n_views
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.value, d.n_views
+        |FROM events e JOIN d USING (user_id)
+        |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin,
     "q_knn_rp" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1350,5 +1372,5 @@ object PipelineQueries {
         |FROM (SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
-        |  FROM scored) WHERE rank = 1""".stripMargin)
+        |  FROM scored) WHERE rank = 1 ORDER BY query_id""".stripMargin)
 }

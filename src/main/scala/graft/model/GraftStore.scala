@@ -114,6 +114,24 @@ object GraftStore {
       .parquet(s"$dir/quads")
   }
 
+  /** The "both would additionally be bucketed" clause of
+    * [[materialize]], made concrete: write the quad view as a
+    * BUCKETED-BY-SUBJECT sorted table. Every BGP/graph self-join keys
+    * on the subject, so with both sides reading this layout the
+    * sort-merge join needs NO exchange and NO per-task sort — the
+    * shuffle that dominates a whole-graph SPARQL query at 100 TB is
+    * paid once at write time and amortized over every later query
+    * (EngineSpec asserts the zero-exchange plan and result equality
+    * vs the unbucketed join). Registered through the session catalog
+    * because bucket metadata lives there; `dir` keeps the bytes in a
+    * caller-owned external location. */
+  def materializeQuadsBucketed(store: GraftStore, dir: String,
+                               table: String, buckets: Int): Unit =
+    store.quads.write.mode("overwrite")
+      .format("parquet").option("path", s"$dir/quads_bucketed")
+      .bucketBy(buckets, "subject").sortBy("subject")
+      .saveAsTable(table)
+
   /** Just the `infotons/` half of [[materialize]] — the write path
     * ([[graft.ingest.Merger.mergePruned]]) only touches this layout.
     *

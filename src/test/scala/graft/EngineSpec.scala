@@ -2458,6 +2458,85 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a" -> 40L, "b" -> 25L))
   }
 
+  test("salted join equals the plain join on a hot-key fixture") {
+    import spark.implicits._
+    import graft.ops.Joins
+    // key 1 owns 90% of the fact — the skew shape salting exists for
+    val fact = ((1 to 900).map(i => (i.toLong, 1L)) ++
+      (1 to 100).map(i => (900L + i, (i % 5 + 2).toLong)))
+      .toDF("row_id", "k")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"),
+      (5L, "d"), (6L, "e"), (9L, "unmatched")).toDF("k", "tag")
+    val salted = Joins.saltedJoin(fact, dim, "k", 8)
+    val plain = fact.join(dim, Seq("k"))
+    def rows(df: DataFrame) = df.select("row_id", "k", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(rows(salted) == rows(plain))
+    // the join really distributes on (k, salt): the physical join keys
+    // carry the salt column
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+    // left form preserves unmatched fact rows
+    val factExtra = fact.union(Seq((9999L, 77L)).toDF("row_id", "k"))
+    val left = Joins.saltedJoin(factExtra, dim, "k", 8, how = "left")
+    assert(left.count() == plain.count() + 1)
+  }
+
+  test("bucketed quads: subject self-join needs no exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val store = GraftStore.forDir(spark, Sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bucketed").toString
+    spark.sql("DROP TABLE IF EXISTS qb_test")
+    GraftStore.materializeQuadsBucketed(store, dir, "qb_test", 8)
+    def hop(q: DataFrame): DataFrame = {
+      // the BGP STAR shape — ?c :refNation ?n . ?c :mktsegment ?seg —
+      // both triples join on their SUBJECT, the bucketing key (a chain
+      // step ?n :p ?r joins object-to-subject and legitimately keeps
+      // one exchange for the unbucketed side)
+      val a = q.where(col("predicate") === "refNation")
+        .select(col("subject"), col("s").as("n"))
+      val b = q.where(col("predicate") === "mktsegment")
+        .select(col("subject"), col("s").as("seg"))
+      a.join(b, "subject").select(col("n").as("c"), col("seg").as("r"))
+    }
+    def shuffles(df: DataFrame): Int = {
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      // AQE hides materialized exchanges inside leaf QueryStageExec
+      // wrappers — a plain collect never sees them
+      def walk(p: SparkPlan): Int = {
+        val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+        val kids: Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case o => o.children
+        }
+        self + kids.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val bucketed = hop(spark.table("qb_test"))
+      val plain = hop(store.quads)
+      assert(shuffles(bucketed) == 0,
+        "bucketed subject join must not shuffle")
+      assert(shuffles(plain) > 0, "control: unbucketed join shuffles")
+      assert(bucketed.collect().map(r => (r.getString(0), r.getString(1)))
+        .sorted.toSeq ==
+        plain.collect().map(r => (r.getString(0), r.getString(1)))
+          .sorted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS qb_test")
+    }
+  }
+
   test("PCA recovers a planted dominant direction") {
     import spark.implicits._
     import graft.pipeline.Similarity
