@@ -40,7 +40,15 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val t = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // noop sink, NOT count(): under count() Catalyst prunes every
+      // column and eliminates final sorts, so a pure-projection query
+      // (the whole per-doc text family) timed as a bare scan count —
+      // 0.1 s "operators" that never ran. The noop write materializes
+      // every output row with all columns, which is what a real
+      // consumer pays. (Rounds ≤ 7-start used count(); per-query
+      // history for projection queries is not comparable across that
+      // line — see STATUS.md.)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}".take(300)
       }

@@ -125,27 +125,6 @@ object TextAnalysis {
         i => array_join(slice(ts, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
-  /** Character mass (occurrences × word-chars) of the most frequent
-    * n-gram: run-length scan over the SORTED occurrence list, so ties
-    * resolve to the lexicographically smallest gram (first run to
-    * reach the max; later equal runs don't displace it — mirror the
-    * oracle's ORDER BY count DESC, gram ASC). */
-  private def topGramMass(gs: Column, n: Int): Column = {
-    val z = struct(lit("").as("prev"), lit(0).as("run"),
-      lit(0).as("best"), lit("").as("bestg"))
-    val sc = aggregate(array_sort(gs), z, (acc, g) => {
-      val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
-        .otherwise(lit(1))
-      struct(g.as("prev"), run.as("run"),
-        when(run > acc.getField("best"), run).otherwise(acc.getField("best"))
-          .as("best"),
-        when(run > acc.getField("best"), g).otherwise(acc.getField("bestg"))
-          .as("bestg"))
-    })
-    (sc.getField("best") *
-      (length(sc.getField("bestg")) - lit(n - 1))).cast("long")
-  }
-
   /** Gopher-style repetition signals (Rae et al. 2021 §A1 quality
     * heuristics): duplicate-line fraction and duplicate-line character
     * fraction over `\n`-separated lines, top word-n-gram character
@@ -159,48 +138,51 @@ object TextAnalysis {
     *  - dup_2gram_frac = char mass of 2-grams occurring > once / total
     *    2-gram char mass (word chars only — joiner spaces excluded).
     *
-    * All per-doc array expressions (whole-stage codegen, no UDFs, no
-    * shuffle): at 100 TB this is a scan-bound projection. The per-doc
-    * duplicate checks are O(L²)/O(G²) in lines/grams PER DOCUMENT —
-    * bounded by doc length, independent of corpus size. */
+    * One projection over the scan (no UDFs, no shuffle): at 100 TB
+    * this is scan-bound. Per document the cost is O(G log G) — five
+    * native [[graft.functions.GramRunStats]] passes (build grams →
+    * sort → one run scan each), bounded by doc length, independent of
+    * corpus size. */
   def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    // lines / tokens / gram arrays materialize in a projection BEFORE
-    // any per-element lambda references them (shinglesOf caller
-    // contract): the duplicate checks below are intrinsically O(L²)
-    // array scans, but each element access must hit a materialized
-    // attribute, not re-run split/lower per element
+    import graft.functions.GramRunStats
+    // every signal is arithmetic over FIVE native run-stat structs
+    // (lines, tokens, 2/3/4-grams), each one generated-loop pass per
+    // document ([[GramRunStats]]) — no interpreted lambdas, no
+    // intermediate gram arrays; was 6.6 s at sf0.1 as Column folds,
+    // 1.3 s native
     val pre = docs
       .select(col("doc_id"),
         filter(split(col(textCol), "\n"), l => l =!= "").as("__lines"),
         tokens(col(textCol)).as("__ts"))
-      .select(col("doc_id"), col("__lines"),
-        gramsAll(col("__ts"), 2).as("__g2"),
-        gramsAll(col("__ts"), 3).as("__g3"),
-        gramsAll(col("__ts"), 4).as("__g4"),
-        length(array_join(col("__ts"), "")).cast("double").as("__wchars"))
-    val lines = col("__lines")
-    val nLines = size(lines)
-    val totLineChars = aggregate(lines, lit(0L),
-      (acc, l) => acc + length(l).cast("long"))
-    val dupLineChars = aggregate(lines, lit(0L), (acc, l) =>
-      acc + when(size(filter(lines, x => x === l)) > 1,
-        length(l).cast("long")).otherwise(lit(0L)))
-    val wchars = col("__wchars")
-    def topFrac(n: Int): Column =
-      when(wchars > 0, topGramMass(col(s"__g$n"), n) / wchars)
-        .otherwise(lit(0.0))
+      .select(col("doc_id"),
+        GramRunStats.of(col("__lines"), 1).as("__l"),
+        GramRunStats.of(col("__ts"), 1).as("__t1"),
+        GramRunStats.of(col("__ts"), 2).as("__g2"),
+        GramRunStats.of(col("__ts"), 3).as("__g3"),
+        GramRunStats.of(col("__ts"), 4).as("__g4"))
+    val l = col("__l")
+    val nLines = l.getField("n")
+    val wchars = col("__t1").getField("mass").cast("double")
+    // top n-gram char mass: occurrences × word-chars (the joiner
+    // spaces — n−1 per gram — come off the stored gram length)
+    def topFrac(n: Int): Column = {
+      val g = col(s"__g$n")
+      val m = g.getField("max_run") *
+        (length(g.getField("max_elem")) - lit(n - 1))
+      when(wchars > 0, m.cast("double") / wchars).otherwise(lit(0.0))
+    }
+    // 2-gram char mass excludes joiners: Σ run·(len−1) = dup_mass −
+    // dup_count (resp. mass − n over all grams)
     val g2 = col("__g2")
-    val tot2 = aggregate(g2, lit(0L),
-      (acc, g) => acc + (length(g) - 1).cast("long"))
-    val dup2 = aggregate(g2, lit(0L), (acc, g) =>
-      acc + when(size(filter(g2, x => x === g)) > 1,
-        (length(g) - 1).cast("long")).otherwise(lit(0L)))
+    val tot2 = g2.getField("mass") - g2.getField("n")
+    val dup2 = g2.getField("dup_mass") - g2.getField("dup_count")
     pre.select(col("doc_id"),
       nLines.as("n_lines"),
-      when(nLines > 0,
-        lit(1.0) - size(array_distinct(lines)).cast("double") / nLines)
+      when(nLines > 0, lit(1.0) -
+        l.getField("n_runs").cast("double") / nLines)
         .otherwise(lit(0.0)).as("dup_line_frac"),
-      when(totLineChars > 0, dupLineChars.cast("double") / totLineChars)
+      when(l.getField("mass") > 0,
+        l.getField("dup_mass").cast("double") / l.getField("mass"))
         .otherwise(lit(0.0)).as("dup_line_char_frac"),
       topFrac(2).as("top_2gram_frac"),
       topFrac(3).as("top_3gram_frac"),
@@ -539,28 +521,13 @@ object TextAnalysis {
     * n_distinct, entropy) with entropy on the 6-decimal grid and the
     * empty doc yielding 0.0. */
   def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val ts = col("__ts"); val starts = col("__starts")
-    val n = size(ts).cast("double")
-    // run starts: positions whose token differs from its predecessor
-    // (empty-doc guard: sequence(0,-1) would count DOWN and index 0)
-    val startsExpr = when(size(ts) === 0, array().cast("array<int>"))
-      .otherwise(filter(sequence(lit(0), size(ts) - 1),
-        i => i === 0 || element_at(ts, i + 1) =!= element_at(ts, i)))
-    // run lengths = next start − this start (last run ends at size)
-    val runs = zip_with(starts,
-      concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
-        array(size(ts))),
-      (a, b) => b - a)
-    val entropy = -aggregate(runs, lit(0.0),
-      (acc, l) => acc + l.cast("double") / n *
-        log(2.0, l.cast("double") / n))
+    val s = col("__s")
     docs
       .select(col("doc_id"),
-        array_sort(tokens(col(textCol))).as("__ts"))
-      .select(col("doc_id"), col("__ts"), startsExpr.as("__starts"))
+        graft.functions.GramRunStats.of(tokens(col(textCol)), 1).as("__s"))
       .select(col("doc_id"),
-        size(ts).as("n_tokens"), size(starts).as("n_distinct"),
-        when(size(ts) === 0, lit(0.0))
-          .otherwise(round(entropy, 6)).as("entropy"))
+        s.getField("n").as("n_tokens"),
+        s.getField("n_runs").as("n_distinct"),
+        round(s.getField("entropy"), 6).as("entropy"))
   }
 }
