@@ -1677,7 +1677,15 @@ object Sparql {
         // the when-guard keeps the cast off the "" no-match value
         // (ANSI-safe); null flows through as unbound
         val n = when(part =!= "", part.cast("double"))
-        (numLex(n), Some(n))
+        // integer parts render via a long cast — same lexical as
+        // numLex's decimal chain ("02" → 2 → "2") at a fraction of
+        // the cost (these accessors sit N-deep in substituted filter
+        // trees; the decimal(38,6) render was the hot path of the
+        // datefn query). SECONDS may carry a fraction → full render.
+        val lex =
+          if (f == "seconds") numLex(n)
+          else when(part =!= "", part.cast("long").cast("string"))
+        (lex, Some(n))
       // TZ (17.4.5.8): the timezone designator as a simple literal,
       // "" when the dateTime carries none
       case BFn("tz", Seq(a)) =>
