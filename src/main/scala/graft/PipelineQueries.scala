@@ -570,6 +570,14 @@ object PipelineQueries {
     "q_pca" -> ((s, dir) =>
       Similarity.pcaCheck(emb(s, dir), c = 4)),
 
+    // ordered funnel signup→view→click→purchase: earliest chain per
+    // user + reached level — one shuffle, per-step in-row min walk;
+    // oracle = the chained min-aggregation CTEs
+    "q_funnel" -> ((s, dir) =>
+      Sessions.funnel(graft.model.TableLoader.events(s, dir),
+        Seq("signup", "view", "click", "purchase"))
+        .orderBy("user_id")),
+
     // salted equi-join (the hot-key scatter lever): purchases enriched
     // with a per-user dim under a 16-way salt, merge-hinted so the
     // join actually distributes (broadcast would trivialize it);
@@ -1353,6 +1361,29 @@ object PipelineQueries {
         |SELECT round(max(var), 6) AS axis_max_var,
         |  true AS pc1_ge_axis, true AS vars_monotone, true AS orthonormal
         |FROM a""".stripMargin,
+    "q_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT u.user_id,
+        |  epoch_us(s1.t) AS step1_us, epoch_us(s2.t) AS step2_us,
+        |  epoch_us(s3.t) AS step3_us, epoch_us(s4.t) AS step4_us,
+        |  (CASE WHEN s1.t IS NULL THEN 0 ELSE 1 END +
+        |   CASE WHEN s2.t IS NULL THEN 0 ELSE 1 END +
+        |   CASE WHEN s3.t IS NULL THEN 0 ELSE 1 END +
+        |   CASE WHEN s4.t IS NULL THEN 0 ELSE 1 END) AS level
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_salted_join" ->
       """WITH d AS (SELECT user_id,
         |  count(*) FILTER (event_type = 'view') AS n_views

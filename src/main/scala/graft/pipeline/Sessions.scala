@@ -113,4 +113,49 @@ object Sessions {
       .select(col(idCol), col(keyCol), col("ts_us"),
         coalesce(col("__n"), lit(0L)).as("n_follow"))
   }
+
+  /** ORDERED FUNNEL: per user, the earliest chain of events matching
+    * `steps` in order — `t₁ = min ts(type = s₁)`, `tᵢ = min ts(type =
+    * sᵢ, ts > tᵢ₋₁)` — plus the reached level. Greedy-earliest is
+    * EXACT for unconstrained gaps (an earlier prefix timestamp only
+    * ever widens the remaining search space), which is why this
+    * definition is used; per-step deadline variants lose that
+    * property and need a per-start scan.
+    *
+    * Spark shape: ONE shuffle (groupBy user, collect the user's
+    * (ts, type) pairs), then each step is an O(events) in-row
+    * `filter`+`array_min` over the collected array. Step i's
+    * threshold is materialized as a COLUMN before step i+1 references
+    * it — inlining would re-derive the whole prefix chain per element
+    * (exponential). Per-user state is the user's event history —
+    * bounded like [[sessionize]]'s groups; a whale user caps at its
+    * own history length, never the corpus. Returns (user_id,
+    * step1_us…stepK_us, level) with epoch-micro timestamps. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             keyCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val evs = col("__evs")
+    var df = events
+      .groupBy(col(keyCol))
+      .agg(collect_list(struct(unix_micros(col(tsCol)).as("ts"),
+        col(typeCol).as("et"))).as("__evs"))
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val matching =
+        if (i == 0) filter(evs, e => e.getField("et") === s)
+        else filter(evs, e => e.getField("et") === s &&
+          e.getField("ts") > col(s"__t${i - 1}"))
+      // array_min ignores nulls and yields null on empty — exactly
+      // the unbound-step semantics; a null prior step nulls the
+      // comparison, so later steps stay null without special-casing
+      df = df.withColumn(s"__t$i",
+        array_min(transform(matching, _.getField("ts"))))
+    }
+    val level = steps.indices.map(i =>
+      when(col(s"__t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(col(keyCol) +:
+      steps.indices.map(i => col(s"__t$i").as(s"step${i + 1}_us")) :+
+      level.as("level"): _*)
+  }
 }

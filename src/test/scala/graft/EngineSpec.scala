@@ -2458,6 +2458,31 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a" -> 40L, "b" -> 25L))
   }
 
+  test("funnel walks the earliest ordered chain per user") {
+    import spark.implicits._
+    import graft.pipeline.Sessions
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    val ev = Seq(
+      // user 1 completes A->B->C, but the first B is BEFORE A: the
+      // walk must pick the later B, then the C after it
+      (1L, "B", ts(1)), (1L, "A", ts(2)), (1L, "B", ts(5)),
+      (1L, "C", ts(4)), (1L, "C", ts(9)),
+      // user 2 stalls at level 1 (its only B precedes A)
+      (2L, "B", ts(1)), (2L, "A", ts(3)),
+      // user 3 never starts
+      (3L, "C", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Sessions.funnel(ev, Seq("A", "B", "C")).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getInt(4)))).toMap
+    def us(m: Int) = Some(m * 60000000L)
+    assert(got(1L) == ((us(2), us(5), us(9), 3)))
+    assert(got(2L) == ((us(3), None, None, 1)))
+    assert(got(3L) == ((None, None, None, 0)))
+  }
+
   test("salted join equals the plain join on a hot-key fixture") {
     import spark.implicits._
     import graft.ops.Joins
