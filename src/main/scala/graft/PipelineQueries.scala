@@ -578,6 +578,11 @@ object PipelineQueries {
         Seq("signup", "view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // weekly retention matrix: cohort = first-activity week, count of
+    // distinct users active per (cohort, week offset)
+    "q_retention" -> ((s, dir) =>
+      Sessions.retention(graft.model.TableLoader.events(s, dir), 7)),
+
     // salted equi-join (the hot-key scatter lever): purchases enriched
     // with a per-user dim under a 16-way salt, merge-hinted so the
     // join actually distributes (broadcast would trivialize it);
@@ -1361,6 +1366,17 @@ object PipelineQueries {
         |SELECT round(max(var), 6) AS axis_max_var,
         |  true AS pc1_ge_axis, true AS vars_monotone, true AS orthonormal
         |FROM a""".stripMargin,
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+        |  GROUP BY 1),
+        |a AS (SELECT DISTINCT
+        |  epoch_us(f.first_ts) // 604800000000 AS cohort,
+        |  epoch_us(e.ts) // 604800000000 -
+        |    epoch_us(f.first_ts) // 604800000000 AS "offset",
+        |  e.user_id
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort, "offset", count(*) AS n_users FROM a
+        |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
     "q_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |s1 AS (SELECT user_id, min(ts) AS t FROM events

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -157,5 +157,31 @@ object Sessions {
     df.select(col(keyCol) +:
       steps.indices.map(i => col(s"__t$i").as(s"step${i + 1}_us")) :+
       level.as("level"): _*)
+  }
+
+  /** RETENTION COHORTS: users grouped by their first-activity period
+    * (`bucketDays`-wide epoch buckets), counted as active per
+    * (cohort, periods-since-cohort) — the standard retention matrix.
+    *
+    * Scale shape: the first-activity table is user-dimension-sized
+    * (one min-agg), the join back keys on the user like every event
+    * enrichment, and the distinct + count pair is one map-side-
+    * combined shuffle on (user, cohort, offset). No windows, no
+    * per-user sort. */
+  def retention(events: DataFrame, bucketDays: Int = 7,
+                keyCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val periodUs = bucketDays * 86400000000L
+    def bucket(c: Column): Column =
+      (unix_micros(c) / lit(periodUs)).cast("long") // positive → floor
+    val firsts = events.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("__first"))
+    events.join(firsts, keyCol)
+      .select(bucket(col("__first")).as("cohort"),
+        (bucket(col(tsCol)) - bucket(col("__first"))).as("offset"),
+        col(keyCol))
+      .distinct()
+      .groupBy("cohort", "offset").agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "offset")
   }
 }
