@@ -588,7 +588,10 @@ object PipelineQueries {
     // join actually distributes (broadcast would trivialize it);
     // result must be row-identical to the plain relational join
     "q_salted_join" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      // TableLoader.events, NOT a raw parquet read: ts physical type
+      // varies across driver generations (INT64-nanos needs the
+      // loader's conf even when ts is never selected)
+      val ev = graft.model.TableLoader.events(s, dir)
       val fact = ev.where(col("event_type") === "purchase")
         .select("event_id", "user_id", "value")
       val dim = ev.groupBy("user_id")

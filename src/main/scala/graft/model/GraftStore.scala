@@ -156,12 +156,12 @@ object GraftStore {
     * partition pruning and row-group skipping all visible in
     * `.explain` (vs the in-memory cache used for local iteration). */
   def forParquet(spark: SparkSession, dir: String,
-                 fieldTypes: Map[String, String] = TableLoader.fieldTypes)
-      : GraftStore = {
+                 fieldTypes: Map[String, String] = TableLoader.fieldTypes,
+                 analyzedOnly: Set[String] = Set.empty): GraftStore = {
     val inf = spark.read.parquet(s"$dir/infotons").drop("__parent")
     val quads = spark.read.parquet(s"$dir/quads")
       .select(InfotonModel.QuadType.fieldNames.map(col): _*) // canonical order
-    new GraftStore(spark, inf, fieldTypes, Some(quads))
+    new GraftStore(spark, inf, fieldTypes, Some(quads), analyzedOnly)
   }
 
   /** Load (once per sf dir per JVM) the driver tables as an infoton
@@ -181,6 +181,14 @@ object GraftStore {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val mdir = java.nio.file.Files
         .createTempDirectory("graft_store_etl").toString
+      // a JVM can ETL several sf dirs (tests, bench) — clean each
+      // store copy up on exit so repeated runs don't fill /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(mdir))
+      }))
       val built = new GraftStore(s, inf, TableLoader.fieldTypes, None,
         TableLoader.analyzedOnly)
       materialize(built, mdir)
@@ -188,11 +196,7 @@ object GraftStore {
       // parquet scan, not a pass over the cached build frames
       built.quads.unpersist()
       inf.unpersist()
-      val inf2 = s.read.parquet(s"$mdir/infotons").drop("__parent")
-      val quads = s.read.parquet(s"$mdir/quads")
-        .select(InfotonModel.QuadType.fieldNames.map(col): _*)
-      new GraftStore(s, inf2, TableLoader.fieldTypes, Some(quads),
-        TableLoader.analyzedOnly)
+      forParquet(s, mdir, TableLoader.fieldTypes, TableLoader.analyzedOnly)
     })
   }
 

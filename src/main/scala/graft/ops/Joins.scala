@@ -34,8 +34,30 @@ object Joins {
       s"salting replicates the dim side — join must preserve fact rows ($how)")
     val saltedDim = dim.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
-    val factSalt = pmod(hash(struct(fact.columns.map(col): _*)), lit(salt))
-    val saltedFact = fact.withColumn("__salt", factSalt)
+    // salt from the hashable columns only: hash() rejects MapType,
+    // and hashing wide payload columns (document text) per row buys
+    // no extra spread worth its CPU — strings are capped via a cheap
+    // length+prefix surrogate
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(f => hashable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hashable(a.elementType)
+        case _ => true
+      }
+    val parts = fact.schema.fields.filter(f => hashable(f.dataType))
+      .map { f =>
+        f.dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            substring(col(f.name), 1, 32)
+          case _ => col(f.name)
+        }
+      }
+    require(parts.nonEmpty, "saltedJoin: no hashable fact columns")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(parts.toIndexedSeq: _*), lit(salt)))
     saltedFact.join(saltedDim, Seq(key, "__salt"), how).drop("__salt")
   }
 }

@@ -374,22 +374,29 @@ object Curation {
   }
 
   /** [[urlFilter]] against a blocklist DATAFRAME (column `domain`) —
-    * the million-entry-feed shape: suffix-chain explode (bounded
-    * fan-out) + broadcast semi-join, corpus streams once. */
+    * the million-entry-feed shape. The BLOCKLIST is the broadcast
+    * (feed-sized, bounded); each doc's suffix chain (bounded by its
+    * label count, ~4) probes it through a LEFT SEMI, and the hit set
+    * rides back on the doc key as a plain equi-join AQE can broadcast
+    * or sort-merge on its own — nothing corpus-derived is ever
+    * assumed broadcastable. Costs two scans of `docs` (hit
+    * derivation + enrichment), the standard semi-join-enrichment
+    * shape. */
   def urlFilterJoin(docs: DataFrame, blocklist: DataFrame,
-                    urlCol: String = "url"): DataFrame = {
+                    urlCol: String = "url",
+                    idCol: String = "doc_id"): DataFrame = {
     val labels = col("__labels")
     val suffixes = transform(sequence(lit(0), size(labels) - 1),
       i => array_join(slice(labels, i + 1, size(labels)), "."))
     val tagged = docs.withColumn("domain", domainOf(col(urlCol)))
-    val hit = tagged
-      .select(col("domain"), split(col("domain"), "\\.").as("__labels"))
-      .select(col("domain"), explode(suffixes).as("__sfx"))
+    val hitIds = tagged
+      .select(col(idCol), split(col("domain"), "\\.").as("__labels"))
+      .select(col(idCol), explode(suffixes).as("__sfx"))
       .join(broadcast(blocklist.select(lower(col("domain")).as("__sfx"))
         .distinct()), Seq("__sfx"), "left_semi")
-      .select(col("domain")).distinct()
+      .select(col(idCol)).distinct()
       .withColumn("blocked", lit(true))
-    tagged.join(broadcast(hit), Seq("domain"), "left")
+    tagged.join(hitIds, Seq(idCol), "left")
       .withColumn("blocked", coalesce(col("blocked"), lit(false)))
   }
 }

@@ -172,8 +172,8 @@ object Sessions {
                 keyCol: String = "user_id",
                 tsCol: String = "ts"): DataFrame = {
     val periodUs = bucketDays * 86400000000L
-    def bucket(c: Column): Column =
-      (unix_micros(c) / lit(periodUs)).cast("long") // positive → floor
+    def bucket(c: Column): Column = // floor, not truncate-toward-zero:
+      floor(unix_micros(c) / lit(periodUs)).cast("long") // pre-1970 safe
     val firsts = events.groupBy(col(keyCol))
       .agg(min(col(tsCol)).as("__first"))
     events.join(firsts, keyCol)

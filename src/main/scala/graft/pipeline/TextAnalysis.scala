@@ -472,9 +472,13 @@ object TextAnalysis {
     val cap = math.ceil(2 / phi).toInt
     val texts = docs.select(col(textCol).cast("string")).as[String]
     // the Scala-side tokenizer MUST mirror tokens(): lowercase alnum
-    // runs, empties dropped
+    // runs, empties dropped. Locale.ROOT — a tr-TR default locale
+    // would dot-strip 'I' differently from Spark's ASCII lower() and
+    // silently drop a true heavy hitter from the candidate set.
     def toks(t: String): Iterator[String] =
-      t.toLowerCase.split("[^a-z0-9]+").iterator.filter(_.nonEmpty)
+      if (t == null) Iterator.empty
+      else t.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").iterator.filter(_.nonEmpty)
     val candidates = texts.mapPartitions { it =>
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       for (t <- it; w <- toks(t)) {
@@ -493,8 +497,11 @@ object TextAnalysis {
       }
       counts.keysIterator
     }.distinct().toDF("term")
+    // coalesce: an empty corpus sums to null (threshold 0 → empty
+    // result, not a driver NPE)
     val total = docs.select(
-      sum(size(tokens(col(textCol)))).cast("double").as("n"))
+      coalesce(sum(size(tokens(col(textCol)))), lit(0L))
+        .cast("double").as("n"))
       .head().getDouble(0)
     val threshold = math.ceil(phi * total)
     // candidate set is (partitions × cap)-bounded → broadcast semi-join,

@@ -2385,7 +2385,7 @@ class EngineSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx intersect exact).size.toDouble / exact.size
-    info(f"RP recall@5 = $recall%.2f (rdim=16, cand=25)")
+    info(f"RP recall@5 = $recall%.2f (defaults: rdim=32, cand=200)")
     assert(approx.size == exact.size)
     assert(recall >= 0.6, "random-projection recall collapsed")
   }
@@ -2558,7 +2558,12 @@ class EngineSpec extends AnyFunSuite {
           .sorted.toSeq)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS qb_test")
+      spark.sql("DROP TABLE IF EXISTS qb_test") // metadata only —
+      // the table is external, so delete the bytes too
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
     }
   }
 
