@@ -178,7 +178,13 @@ object IngestQueries {
       val d = java.nio.file.Files
         .createTempDirectory("graft_merge_pruned_q").toString
       val store = st(s, dir)
-      GraftStore.materializeInfotons(store, d)
+      // writable store copy: clone the forDir-materialized layout by
+      // file copy (snapshot restore) instead of re-running the ETL
+      // write — the query measures the PRUNED MERGE, not store build
+      store.materializedDir match {
+        case Some(src) => GraftStore.cloneInfotons(src, d)
+        case None => GraftStore.materializeInfotons(store, d)
+      }
       val cmds = store.current
         .where(col("system.path").startsWith("/customer/") &&
           Search.fieldN("custkey") % 20 === 0)

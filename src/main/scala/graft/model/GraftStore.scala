@@ -24,7 +24,12 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
                          * and sort reject them fail-loud, mirroring the
                          * ES mapping split the reference rides on
                          * (analyzed vs non-analyzed field slots). */
-                       val analyzedOnly: Set[String] = Set.empty) {
+                       val analyzedOnly: Set[String] = Set.empty,
+                       /** When the store is SERVED from a materialized
+                         * parquet layout, its root — lets a caller
+                         * clone the on-disk layout (file copy) instead
+                         * of re-running the ETL write. */
+                       val materializedDir: Option[String] = None) {
 
   lazy val quads: DataFrame = quadsOverride.getOrElse {
     // materialized from CURRENT rows only: every quad consumer (graph
@@ -161,7 +166,26 @@ object GraftStore {
     val inf = spark.read.parquet(s"$dir/infotons").drop("__parent")
     val quads = spark.read.parquet(s"$dir/quads")
       .select(InfotonModel.QuadType.fieldNames.map(col): _*) // canonical order
-    new GraftStore(spark, inf, fieldTypes, Some(quads), analyzedOnly)
+    new GraftStore(spark, inf, fieldTypes, Some(quads), analyzedOnly,
+      Some(dir))
+  }
+
+  /** Clone a materialized `infotons/` layout by file copy — the
+    * "restore a store snapshot" operation (byte-identical layout, no
+    * Spark job). Used by write-path scenarios that need a WRITABLE
+    * copy without re-running the ETL write. */
+  def cloneInfotons(srcRoot: String, dstRoot: String): Unit = {
+    val src = java.nio.file.Paths.get(srcRoot, "infotons")
+    val dst = java.nio.file.Paths.get(dstRoot, "infotons")
+    val it = java.nio.file.Files.walk(src).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val q = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(q)
+      else java.nio.file.Files.copy(p, q,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Load (once per sf dir per JVM) the driver tables as an infoton
