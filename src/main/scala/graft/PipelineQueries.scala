@@ -583,6 +583,23 @@ object PipelineQueries {
     "q_retention" -> ((s, dir) =>
       Sessions.retention(graft.model.TableLoader.events(s, dir), 7)),
 
+    // the corpusReport doc promises approx_count_distinct as the
+    // 100 TB swap for the exact dup-rate — this PINS that promise:
+    // per source, the oracle-recomputed exact distinct count plus a
+    // boolean that the engine's HLL++ estimate lands within 10%
+    // (observed max 4% at sf0.01; HLL merge is order-independent, so
+    // the row is deterministic)
+    "q_report_approx" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.groupBy("source")
+        .agg(countDistinct(md5(col("text"))).as("n_unique"),
+          approx_count_distinct(md5(col("text"))).as("__ap"))
+        .select(col("source"), col("n_unique"),
+          (abs(col("__ap") - col("n_unique")).cast("double") /
+            col("n_unique") <= 0.10).as("approx_ok"))
+        .orderBy("source")
+    }),
+
     // salted equi-join (the hot-key scatter lever): purchases enriched
     // with a per-user dim under a 16-way salt, merge-hinted so the
     // join actually distributes (broadcast would trivialize it);
@@ -1369,6 +1386,10 @@ object PipelineQueries {
         |SELECT round(max(var), 6) AS axis_max_var,
         |  true AS pc1_ge_axis, true AS vars_monotone, true AS orthonormal
         |FROM a""".stripMargin,
+    "q_report_approx" ->
+      """SELECT source, count(DISTINCT md5(text)) AS n_unique,
+        |true AS approx_ok
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "q_retention" ->
       """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
         |  GROUP BY 1),
