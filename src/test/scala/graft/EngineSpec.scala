@@ -2483,6 +2483,25 @@ class EngineSpec extends AnyFunSuite {
     assert(got(3L) == ((None, None, None, 0)))
   }
 
+  test("retention buckets users by first-activity week") {
+    import spark.implicits._
+    import graft.pipeline.Sessions
+    import java.sql.Timestamp
+    val week = 7L * 86400000L
+    def ts(w: Int, off: Long = 0L) = new Timestamp(w * week + off)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(0, 5000)), (1L, ts(2)),  // cohort 0: wk 0,2
+      (2L, ts(0, week - 1)), (2L, ts(1)),           // cohort 0: wk 0,1
+      (3L, ts(1)), (3L, ts(3))                      // cohort 1: wk 1,3
+    ).toDF("user_id", "ts")
+    val got = Sessions.retention(ev, 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (cohort, offset) -> users: two cohort-0 users at offset 0, one
+    // each at offsets 1 and 2; cohort-1 user at offsets 0 and 2
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
   test("salted join equals the plain join on a hot-key fixture") {
     import spark.implicits._
     import graft.ops.Joins
