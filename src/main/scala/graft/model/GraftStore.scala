@@ -53,6 +53,15 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
   def scopedTo(sub: DataFrame): GraftStore =
     new GraftStore(spark, infotons, fieldTypes, Some(sub), analyzedOnly)
 
+  /** The same store reading its quad view from another source — e.g.
+    * the bucketed-by-subject table ([[GraftStore.materializeQuadsBucketed]]),
+    * whose distribution makes SPARQL star BGPs exchange-free. The
+    * frame must carry the [[InfotonModel.QuadType]] columns. */
+  def withQuads(q: DataFrame): GraftStore =
+    new GraftStore(spark, infotons, fieldTypes,
+      Some(q.select(InfotonModel.QuadType.fieldNames.map(col): _*)),
+      analyzedOnly, materializedDir)
+
   /** Current, non-deleted snapshot — the default query surface
     * (implicit filters, FTSService.scala:850-854). */
   lazy val current: DataFrame =

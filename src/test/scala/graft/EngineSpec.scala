@@ -2575,6 +2575,23 @@ class EngineSpec extends AnyFunSuite {
         .sorted.toSeq ==
         plain.collect().map(r => (r.getString(0), r.getString(1)))
           .sorted.toSeq)
+      // end-to-end: the SPARQL COMPILER over a bucketed-quads store
+      // also plans the star BGP exchange-free (the bucketing survives
+      // the compiler's scan projections and variable aliasing)
+      val bstore = GraftStore.fromInfotons(spark, store.infotons,
+          Some(store.fieldTypes))
+        .withQuads(spark.table("qb_test"))
+      val q = """PREFIX ont: <cmwell://ont#>
+        |SELECT ?n ?seg WHERE {
+        |  ?c ont:refNation ?n . ?c ont:mktsegment ?seg }""".stripMargin
+      val viaSparql = Sparql.select(bstore, q)
+      assert(shuffles(viaSparql) == 0,
+        "SPARQL star BGP over bucketed quads must not shuffle")
+      val viaPlain = Sparql.select(store, q)
+      assert(viaSparql.collect().map(r => (r.getString(0), r.getString(1)))
+        .sorted.toSeq ==
+        viaPlain.collect().map(r => (r.getString(0), r.getString(1)))
+          .sorted.toSeq)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS qb_test") // metadata only —
