@@ -583,6 +583,30 @@ object PipelineQueries {
     "q_retention" -> ((s, dir) =>
       Sessions.retention(graft.model.TableLoader.events(s, dir), 7)),
 
+    // lengthQuantiles' documented 100 TB swap (exact percentile →
+    // t-digest approx_percentile) pinned the same way: oracle-exact
+    // p50/p90 per source + booleans that the t-digest estimates land
+    // within 10% (deterministic: the digest merge is order-stable for
+    // a fixed accuracy parameter and this data)
+    "q_quantiles_approx" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = size(TextAnalysis.tokens(col("text")))
+      d.select(col("source"), n.as("n_tokens"))
+        .groupBy("source")
+        .agg(round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("n_tokens"), lit(0.9)), 6).as("p90"),
+          percentile_approx(col("n_tokens"), lit(0.5), lit(10000))
+            .as("__a50"),
+          percentile_approx(col("n_tokens"), lit(0.9), lit(10000))
+            .as("__a90"))
+        .select(col("source"), col("p50"), col("p90"),
+          (abs(col("__a50") - col("p50")) <= col("p50") * 0.10)
+            .as("p50_ok"),
+          (abs(col("__a90") - col("p90")) <= col("p90") * 0.10)
+            .as("p90_ok"))
+        .orderBy("source")
+    }),
+
     // the corpusReport doc promises approx_count_distinct as the
     // 100 TB swap for the exact dup-rate — this PINS that promise:
     // per source, the oracle-recomputed exact distinct count plus a
@@ -1386,6 +1410,14 @@ object PipelineQueries {
         |SELECT round(max(var), 6) AS axis_max_var,
         |  true AS pc1_ge_axis, true AS vars_monotone, true AS orthonormal
         |FROM a""".stripMargin,
+    "q_quantiles_approx" ->
+      s"""WITH t AS (SELECT source, len($TokensSql) AS n_tokens
+         |  FROM documents)
+         |SELECT source,
+         |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+         |  round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+         |  true AS p50_ok, true AS p90_ok
+         |FROM t GROUP BY 1 ORDER BY source""".stripMargin,
     "q_report_approx" ->
       """SELECT source, count(DISTINCT md5(text)) AS n_unique,
         |true AS approx_ok
