@@ -381,19 +381,32 @@ object Curation {
     * or sort-merge on its own — nothing corpus-derived is ever
     * assumed broadcastable. Costs two scans of `docs` (hit
     * derivation + enrichment), the standard semi-join-enrichment
-    * shape. */
+    * shape.
+    *
+    * The broadcast hint is GUARDED: feeds are open-ended, and a
+    * 100M-entry list would OOM the driver if hinted unconditionally.
+    * A Merger-style cap probe (`limit(cap+1).count()` — never counts
+    * more than cap+1 rows) decides; over the cap the blocklist
+    * becomes the build side of a plain shuffle semi-join instead,
+    * same result. Default cap 2M entries ≈ tens of MB broadcast. */
   def urlFilterJoin(docs: DataFrame, blocklist: DataFrame,
                     urlCol: String = "url",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    maxBroadcastEntries: Long = 2000000L): DataFrame = {
     val labels = col("__labels")
     val suffixes = transform(sequence(lit(0), size(labels) - 1),
       i => array_join(slice(labels, i + 1, size(labels)), "."))
     val tagged = docs.withColumn("domain", domainOf(col(urlCol)))
+    val bl = blocklist.select(lower(col("domain")).as("__sfx")).distinct()
+    // probe the RAW feed (pre-distinct: conservative — may shuffle a
+    // list whose distinct set would have fit, never the reverse)
+    val fits = blocklist
+      .limit(math.min(maxBroadcastEntries + 1, Int.MaxValue.toLong).toInt)
+      .count() <= maxBroadcastEntries
     val hitIds = tagged
       .select(col(idCol), split(col("domain"), "\\.").as("__labels"))
       .select(col(idCol), explode(suffixes).as("__sfx"))
-      .join(broadcast(blocklist.select(lower(col("domain")).as("__sfx"))
-        .distinct()), Seq("__sfx"), "left_semi")
+      .join(if (fits) broadcast(bl) else bl, Seq("__sfx"), "left_semi")
       .select(col(idCol)).distinct()
       .withColumn("blocked", lit(true))
     tagged.join(hitIds, Seq(idCol), "left")

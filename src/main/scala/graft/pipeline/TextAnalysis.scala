@@ -455,8 +455,9 @@ object TextAnalysis {
     * its local phi-fraction; by averaging, a global phi-heavy token
     * must exceed it somewhere, so the candidate union has NO false
     * negatives); phase 2 recounts ONLY the candidates exactly
-    * (broadcast isin filter over a second scan) and keeps those at or
-    * above the threshold. Output is exact and deterministic — the
+    * (broadcast semi-join over a second scan) and keeps those at or
+    * above the threshold — two corpus scans total, with the exact
+    * token total riding along in the sketch pass. Output is exact and deterministic — the
     * partitioning only affects the discarded false-positive set.
     *
     * vs [[vocabulary]]: the full groupBy holds one counter per
@@ -470,18 +471,22 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val cap = math.ceil(2 / phi).toInt
-    val texts = docs.select(col(textCol).cast("string")).as[String]
-    // the Scala-side tokenizer MUST mirror tokens(): lowercase alnum
-    // runs, empties dropped. Locale.ROOT — a tr-TR default locale
-    // would dot-strip 'I' differently from Spark's ASCII lower() and
-    // silently drop a true heavy hitter from the candidate set.
-    def toks(t: String): Iterator[String] =
-      if (t == null) Iterator.empty
-      else t.toLowerCase(java.util.Locale.ROOT)
-        .split("[^a-z0-9]+").iterator.filter(_.nonEmpty)
-    val candidates = texts.mapPartitions { it =>
+    // Phase 1 consumes the SAME Spark tokens() expression phase 2
+    // recounts with. (An earlier version mirrored the tokenizer in
+    // Scala with Locale.ROOT — but Spark's UTF8String lowercasing
+    // slow path uses the JVM default locale, so on a non-ROOT locale
+    // with non-ASCII text the two could disagree and silently drop a
+    // true heavy hitter; tokenizing once in Spark removes the mirror.)
+    val tokenArrays = docs.select(tokens(col(textCol)).as("toks"))
+      .as[Seq[String]]
+    // Per-partition Misra–Gries sketch; each partition also emits its
+    // exact token count as a (null, n) sentinel row, so the global
+    // total rides along instead of costing a third corpus scan.
+    val sketch = tokenArrays.mapPartitions { it =>
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
-      for (t <- it; w <- toks(t)) {
+      var n = 0L
+      for (ts <- it if ts != null; w <- ts) {
+        n += 1
         counts.get(w) match {
           case Some(c) => counts.update(w, c + 1)
           case None =>
@@ -495,15 +500,14 @@ object TextAnalysis {
             }
         }
       }
-      counts.keysIterator
-    }.distinct().toDF("term")
-    // coalesce: an empty corpus sums to null (threshold 0 → empty
-    // result, not a driver NPE)
-    val total = docs.select(
-      coalesce(sum(size(tokens(col(textCol)))), lit(0L))
-        .cast("double").as("n"))
-      .head().getDouble(0)
+      counts.keysIterator.map(t => (t, 0L)) ++ Iterator((null: String, n))
+    }.collect() // bounded: partitions × (cap+1) rows — the same driver
+                // footprint the broadcast(candidates) below pays anyway
+    val total = sketch.iterator.collect { case (null, n) => n }.sum.toDouble
     val threshold = math.ceil(phi * total)
+    val candTerms: Seq[String] =
+      sketch.iterator.collect { case (t, _) if t != null => t }.toSet.toSeq
+    val candidates = candTerms.toDF("term")
     // candidate set is (partitions × cap)-bounded → broadcast semi-join,
     // never an executor-side giant IN list
     docs.select(explode(tokens(col(textCol))).as("term"))

@@ -2440,6 +2440,37 @@ class EngineSpec extends AnyFunSuite {
     assert(joined == lit0, "literal and join blocklist paths disagree")
   }
 
+  test("url filter join: over-cap blocklist falls back to shuffle semi-join") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val block = Seq("example.com", "ads.tracker.net", "a.org", "b.org")
+    val d = Seq(
+      (1L, "https://www.Example.com/a?b=c"),
+      (2L, "http://spam.example.com:8080/x"),
+      (3L, "notexample.com/path"),
+      (4L, "https://sub.site.org#frag")
+    ).toDF("doc_id", "url")
+    // auto-broadcast off → the only BroadcastExchange a plan can carry
+    // is the explicit hint, making the strategy assertable
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = Curation.urlFilterJoin(d, block.toDF("domain"))
+      val capped = Curation.urlFilterJoin(d, block.toDF("domain"),
+        maxBroadcastEntries = 2L)
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"), "in-cap blocklist should broadcast")
+      assert(!capped.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"),
+        "over-cap blocklist must not be broadcast")
+      def res(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "domain", "blocked").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      assert(res(capped) == res(hinted),
+        "fallback semi-join changed the result")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("Misra-Gries heavy hitters are exact under forced decrements") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
