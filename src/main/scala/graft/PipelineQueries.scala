@@ -581,7 +581,8 @@ object PipelineQueries {
     // weekly retention matrix: cohort = first-activity week, count of
     // distinct users active per (cohort, week offset)
     "q_retention" -> ((s, dir) =>
-      Sessions.retention(graft.model.TableLoader.events(s, dir), 7)),
+      Sessions.retention(graft.model.TableLoader.events(s, dir), 7)
+        .orderBy("cohort", "offset")),
 
     // lengthQuantiles' documented 100 TB swap (exact percentile →
     // t-digest approx_percentile) pinned the same way: oracle-exact

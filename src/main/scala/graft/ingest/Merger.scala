@@ -199,9 +199,16 @@ object Merger {
             .distinct().collect().map(_.getString(0)).toSet
         spark.createDataset(cand.filterNot(existing))(
           org.apache.spark.sql.Encoders.STRING).toDF("p")
-      } else
+      } else {
+        // the bulk path's only prior action is the 10001-row limit
+        // probe, and CollectLimit can stop after a partition subset —
+        // force the delta fully into cache here so callers
+        // (Ingest.mergeParsed) may release the upstream parsed
+        // statements knowing nothing downstream re-derives them
+        newV.count()
         candDf.join(existingAll.distinct(), col("p") === col("p0"),
           "left_anti").select("p")
+      }
     val parents = missingDf
       .select(struct(
         col("p").as("path"),

@@ -51,7 +51,8 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
   /** The same store with its quad view restricted to a subgraph (the
     * `_sp` PATHS populate step — a filter, not a copy). */
   def scopedTo(sub: DataFrame): GraftStore =
-    new GraftStore(spark, infotons, fieldTypes, Some(sub), analyzedOnly)
+    new GraftStore(spark, infotons, fieldTypes, Some(sub), analyzedOnly,
+      materializedDir) // keep the snapshot-clone fast path (same layout)
 
   /** The same store reading its quad view from another source — e.g.
     * the bucketed-by-subject table ([[GraftStore.materializeQuadsBucketed]]),

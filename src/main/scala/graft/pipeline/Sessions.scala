@@ -182,6 +182,8 @@ object Sessions {
         col(keyCol))
       .distinct()
       .groupBy("cohort", "offset").agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort", "offset")
+    // no orderBy here: ordering is presentation, and a baked-in global
+    // sort taxes consumers that re-aggregate or join the matrix — the
+    // call site sorts if it wants to (funnel/sessionize convention)
   }
 }
