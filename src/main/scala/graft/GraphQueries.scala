@@ -108,6 +108,14 @@ object GraphQueries {
     "q_gremlin_out" -> ((s, dir) =>
       graft.ops.Gremlin.eval(st(s, dir),
           """g.v("/customer/1").out("refNation").out("refRegion").id""")
+        .orderBy("id")),
+
+    // Gremlin existence + typed range comparator (the qp-compiler
+    // forms beyond equality): vertices carrying mktsegment (customers)
+    // with acctbal > 9000 — numeric compare, not lexicographic
+    "q_gremlin_range" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.V.has("mktsegment").has("acctbal", "gt", "9000").id""")
         .orderBy("id")))
 
   val oracles: Map[String, String] = Map(
@@ -120,6 +128,10 @@ object GraphQueries {
       """SELECT DISTINCT '/region/' || CAST(n_regionkey AS VARCHAR) AS id
         |FROM nation WHERE n_nationkey =
         |  (SELECT c_nationkey FROM customer WHERE c_custkey = 1)
+        |ORDER BY id""".stripMargin,
+    "q_gremlin_range" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS id
+        |FROM customer WHERE c_acctbal > 9000
         |ORDER BY id""".stripMargin,
     "q_xg" ->
       """SELECT path FROM (

@@ -37,16 +37,30 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
     // version history would triple the view (10.2M vs 3.4M rows at
     // sf0.1) for rows nothing reads. History stays queryable on the
     // entity view; the current/kind columns remain so consumer
-    // predicates are unchanged.
-    val q = current
-      .select(col("system.*"), explode(col("fields")).as(Seq("predicate", "values")))
+    // predicates are unchanged. NOTE a history consumer must NOT
+    // filter this view on `current = false` — it would silently see
+    // nothing (that contract is pinned by test); use [[quadsHistory]].
+    explodeQuads(current).persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** FULL-HISTORY quad view, OPT-IN — every stored version exploded to
+    * EAV rows, old versions with `current = false`. [[quads]] is
+    * deliberately current-only (nothing in the reference's
+    * SPARQL/graph surface reads history, and exploding history ~3×es
+    * the view for rows nothing scans), so a history-aware consumer
+    * must reach for THIS view explicitly. Tombstones carry no
+    * `fields`, so a delete shows up as the absence of later-version
+    * rows, not as a row. Not persisted: history audits are rare
+    * one-offs that stream the explode. */
+  lazy val quadsHistory: DataFrame = explodeQuads(infotons)
+
+  private def explodeQuads(src: DataFrame): DataFrame =
+    src.select(col("system.*"), explode(col("fields")).as(Seq("predicate", "values")))
       .select(col("path").as("subject"), col("predicate"),
         explode(col("values")).as("v"),
         col("lastModified"), col("indexTime"), col("current"), col("kind"))
       .select(col("subject"), col("predicate"), col("v.*"),
         col("lastModified"), col("indexTime"), col("current"), col("kind"))
-    q.persist(StorageLevel.MEMORY_AND_DISK)
-  }
 
   /** The same store with its quad view restricted to a subgraph (the
     * `_sp` PATHS populate step — a filter, not a copy). */

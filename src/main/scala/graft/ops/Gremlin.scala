@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   *   .has("prop", "value")   typed equality filter (same dispatch as
   *                           qp `prop::value` — numeric fields compare
   *                           numbers, not strings)
+  *   .has("prop")            existence filter (qp `prop:` empty-value)
+  *   .has("prop","gt","v")   typed comparator filter — gt/gte/lt/lte/
+  *                           eq/neq (the Blueprints T.* comparators,
+  *                           quoted; routed to qp > >> < << :: and a
+  *                           negated ::)
+  *   .hasNot("prop")         absence filter
   *   .id                     terminal: vertex ids        → col `id`
   *   .values("prop")         terminal: property lexicals → col `value`
   *   .count()                terminal: row count         → col `count`
@@ -47,7 +53,9 @@ object Gremlin {
   private[ops] sealed trait Step
   private[ops] final case class Start(id: Option[String]) extends Step
   private[ops] final case class Hop(dir: Dir, field: Option[String]) extends Step
-  private[ops] final case class Has(prop: String, value: String) extends Step
+  private[ops] final case class Has(prop: String, cmp: String,
+                                    value: Option[String]) extends Step
+  private[ops] final case class HasNot(prop: String) extends Step
   private[ops] final case class Values(prop: String) extends Step
   private[ops] case object Id extends Step
   private[ops] case object Count extends Step
@@ -79,7 +87,12 @@ object Gremlin {
         case ("in", Seq(f)) => Hop(In, Some(f))
         case ("both", Seq()) => Hop(Both, None)
         case ("both", Seq(f)) => Hop(Both, Some(f))
-        case ("has", Seq(p, v)) => Has(p, v)
+        case ("has", Seq(p)) => Has(p, "exists", None)
+        case ("has", Seq(p, v)) => Has(p, "eq", Some(v))
+        case ("has", Seq(p, op, v))
+          if Set("gt", "gte", "lt", "lte", "eq", "neq")(op) =>
+          Has(p, op, Some(v))
+        case ("hasNot", Seq(p)) => HasNot(p)
         case ("values", Seq(p)) => Values(p)
         case ("property", Seq(p)) => Values(p) // Blueprints alias
         case ("id", Seq()) => Id
@@ -124,12 +137,32 @@ object Gremlin {
             case In => rev
             case Both => fwd.unionByName(rev)
           }).distinct()
-        case Has(prop, value) =>
-          // same typed dispatch as qp `prop::value` — reuse the filter
-          // compiler instead of re-deriving slot routing
-          val pred = new FilterCompiler(store)
-            .compile(QpParser.parse(s"$prop::$value"))
+        case Has(prop, cmp, vOpt) =>
+          // same typed dispatch as the qp operators — reuse the filter
+          // compiler instead of re-deriving slot routing; neq is the
+          // row-level negation of ::, matching MustNot semantics
+          val qpExpr = (cmp, vOpt) match {
+            case ("exists", None)  => s"$prop:" // empty value = exists
+            case ("eq", Some(v))   => s"$prop::$v"
+            case ("neq", Some(v))  => s"$prop::$v"
+            case ("gt", Some(v))   => s"$prop>$v"
+            case ("gte", Some(v))  => s"$prop>>$v"
+            case ("lt", Some(v))   => s"$prop<$v"
+            case ("lte", Some(v))  => s"$prop<<$v"
+            case other => throw new IllegalArgumentException(
+              s"gremlin syntax error: has comparator $other")
+          }
+          val pred0 = new FilterCompiler(store)
+            .compile(QpParser.parse(qpExpr))
+          val pred = if (cmp == "neq") !pred0 else pred0
           frontier = store.current.where(pred)
+            .select(col("system.path").as("fp"))
+            .join(frontier, col("fp") === col("p"), "left_semi")
+            .select(col("fp").as("p"))
+        case HasNot(prop) =>
+          val exists = new FilterCompiler(store)
+            .compile(QpParser.parse(s"$prop:"))
+          frontier = store.current.where(!exists)
             .select(col("system.path").as("fp"))
             .join(frontier, col("fp") === col("p"), "left_semi")
             .select(col("fp").as("p"))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Ingest
-import graft.model.GraftStore
+import graft.model.{GraftStore, InfotonModel}
 import graft.ops.{Consume, Formatters, Search}
 import graft.pipeline.{Dedup, Multimodal, Similarity}
 import graft.sparql.Sparql
@@ -1400,6 +1400,27 @@ class EngineSpec extends AnyFunSuite {
     assert(cur.count() == 1)
     assert(cur.select(element_at(col("fields")("acctbal"), 1)
       .getField("n")).head().getDouble(0) == 999.0)
+  }
+
+  test("quads is current-only by contract; history consumers opt into quadsHistory") {
+    val store = GraftStore.forDir(spark, Sf)
+    // the pinned contract: filtering the default quad view on
+    // current=false silently sees NOTHING — that is exactly why the
+    // history view is a separate, explicit opt-in
+    assert(store.quads.where(!col("current")).count() == 0)
+    val histOnly = store.quadsHistory.where(!col("current"))
+    assert(histOnly.count() > 0, "store has history; old versions must surface")
+    assert(store.quadsHistory.count() > store.quads.count())
+    // a multi-versioned subject carries BOTH versions' values in the
+    // history view, only the current one in the default view
+    val p = histOnly.select("subject").head().getString(0)
+    val hCnt = store.quadsHistory.where(col("subject") === p).count()
+    val cCnt = store.quads.where(col("subject") === p).count()
+    assert(hCnt > cCnt)
+    // tombstones carry no fields: a delete is the absence of later
+    // rows, never a row of kind deleted
+    assert(store.quadsHistory
+      .where(col("kind") === InfotonModel.KindDeleted).count() == 0)
   }
 
   // ---- admin surface ----
