@@ -89,6 +89,19 @@ object SearchQueries {
         .select(Search.fieldN("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id")),
 
+    // English-analyzer opt-in (the ES english-chain analog; the
+    // shipped template default stays Standard): the probe
+    // "the widgets" raw-phrase-matches NOTHING (names are singular,
+    // article-free), but analyzes to the single term "widget" — stop
+    // word dropped, plural stemmed — so this query is non-vacuous
+    // ONLY through the analyzer chain; EngineSpec pins the
+    // Standard-vs-English disagreement on the same probe
+    "q_search_stemmed" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("name:the widgets"),
+            analyzer = graft.qp.TextAnalyzer.English))
+        .select(col("system.path").as("path")).orderBy("path")),
+
     // Like (`~`) — fuzzy, ES AUTO fuzziness
     "q_search_fuzzy" -> ((s, dir) =>
       Search.run(st(s, dir),
@@ -218,6 +231,10 @@ object SearchQueries {
     "q_search_contains_raw" ->
       """SELECT doc_id FROM documents WHERE lower(text) LIKE '%a part%'
         |ORDER BY doc_id""".stripMargin,
+    "q_search_stemmed" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
+        |ORDER BY path""".stripMargin,
     "q_search_fuzzy" ->
       """SELECT '/region/' || CAST(r_regionkey AS VARCHAR) AS path FROM region
         |WHERE levenshtein(lower(r_name), 'amerika') <= 2 ORDER BY path""".stripMargin,

@@ -35,7 +35,10 @@ object Search {
       withDeleted: Boolean = false,
       // Contains (`:`) fallback: raw lowercase substring instead of the
       // default analyzed word-boundary phrase match (FilterCompiler)
-      substringContains: Boolean = false)
+      substringContains: Boolean = false,
+      // Contains/_all analyzer chain: Standard (tokenize only, the
+      // reference template's default) or English (stop words + stem)
+      analyzer: graft.qp.TextAnalyzer = graft.qp.TextAnalyzer.Standard)
 
   /** PathFilter (FTSService.scala:856-864): non-recursive = direct
     * children (`system.parent == p`); recursive = hierarchy prefix
@@ -58,8 +61,8 @@ object Search {
     req.to.foreach(t => pred = pred &&
       col("system.lastModified") <= to_timestamp(lit(t)))
     req.qp.foreach { q =>
-      pred = pred && new FilterCompiler(store, req.substringContains)
-        .compile(QpParser.parse(q))
+      pred = pred && new FilterCompiler(store, req.substringContains,
+        req.analyzer).compile(QpParser.parse(q))
     }
     store.infotons.where(pred)
   }

@@ -1,0 +1,95 @@
+package graft.qp
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pluggable token analysis for the Contains (`:`) / `_all` filters —
+  * the analog of the reference's per-field ES analyzer chain
+  * (FTSService.scala:895-896 builds matchPhraseQuery over the analyzed
+  * field; the chain is configured per index template,
+  * indices_template_new.json:33-115). The default template uses the
+  * standard analyzer (tokenize only), which [[TextAnalyzer.Standard]]
+  * mirrors; deployments that configure the `english` chain get
+  * stop-word removal + stemming, which [[TextAnalyzer.English]]
+  * mirrors with a Porter-lite stemmer built from pure Spark
+  * expressions (regexp_replace folds — codegen'd, no UDF).
+  *
+  * Both sides of a match run the SAME chain: the probe through
+  * [[TextAnalyzer.queryTokens]] on the driver, the document tokens
+  * through [[TextAnalyzer.docTokens]] in the scan. The stem rules are
+  * ONE shared table folded by both, so driver and executor cannot
+  * drift (the rules are ASCII-anchored: tokens are already lowercase
+  * alnum runs, so locale is irrelevant here).
+  */
+sealed trait TextAnalyzer {
+  /** Tokenize + normalize the query-side probe (driver side). */
+  def queryTokens(v: String): Seq[String]
+  /** Normalize a document-side token-array Column (executor side,
+    * input = lowercase alnum tokens, empties already dropped). */
+  def docTokens(raw: Column): Column
+}
+
+object TextAnalyzer {
+  /** The shared lowercase alnum-run tokenizer (same contract as the
+    * indexing side / TextAnalysis.tokens). */
+  private[qp] def rawTokens(v: String): Seq[String] =
+    v.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+
+  /** ES standard-analyzer analog — tokenize only. The DEFAULT: this is
+    * what the reference's shipped index template configures. */
+  case object Standard extends TextAnalyzer {
+    def queryTokens(v: String): Seq[String] = rawTokens(v)
+    def docTokens(raw: Column): Column = raw
+  }
+
+  /** ES english-analyzer analog, OPT-IN: Lucene's English stop set,
+    * then a Porter-lite stem per token. A stop-word-only probe
+    * analyzes to zero terms and matches nothing (zero_terms_query =
+    * none), same as the un-analyzed empty probe. */
+  case object English extends TextAnalyzer {
+    def queryTokens(v: String): Seq[String] =
+      rawTokens(v).filterNot(StopWords).map(stem)
+    def docTokens(raw: Column): Column =
+      transform(filter(raw, t => !t.isin(StopWords.toSeq: _*)),
+        stemCol(_))
+  }
+
+  /** Lucene EnglishAnalyzer's default stop set (33 words, public and
+    * stable across Lucene versions). */
+  val StopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  /** Porter-lite stem rules: ordered (pattern → replacement) pairs,
+    * each applied once, top to bottom. Covers Porter steps 1a (plural),
+    * 1b (-eed/-ed/-ing with the doubled-consonant, at/bl/iz and
+    * short-CVC restorations), 1c (y→i) and 5a (final-e drop) — the
+    * inflectional morphology that moves retrieval; the derivational
+    * steps 2-4 (-ization, -fulness, …) are deliberately out of scope.
+    * Anchored patterns over lowercase alnum tokens; at most one rule
+    * family fires per suffix, so the fold is branch-cheap. */
+  val StemRules: Seq[(String, String)] = Seq(
+    "sses$" -> "ss",                                   // caresses → caress
+    "ies$" -> "i",                                     // ponies → poni
+    "^([a-z0-9]+[^s])s$" -> "$1",                      // widgets → widget (keeps -ss)
+    "^([a-z0-9]{2,})eed$" -> "$1ee",                   // agreed → agree (feed stays)
+    "^([a-z0-9]*[aeiou][a-z0-9]*?(?:at|bl|iz))(?:ed|ing)$" -> "$1e", // conflated → conflate
+    "^([a-z0-9]*[aeiou][a-z0-9]*?([bcdfghjkmnpqrtvwx]))\\2(?:ed|ing)$" -> "$1", // hopped → hop
+    "^([^aeiou]*[aeiou][^aeiouwxy])(?:ed|ing)$" -> "$1e", // wired/wiring → wire (short CVC)
+    "^([a-z0-9]*[aeiou][a-z0-9]*[^e])ed$" -> "$1",     // wanted → want (eed excluded above)
+    "^([a-z0-9]*[aeiou][a-z0-9]*)ing$" -> "$1",        // singing → sing (sing stays)
+    "^([a-z0-9]*[aeiou][a-z0-9]*)y$" -> "$1i",         // pony → poni (sky stays)
+    "^([a-z0-9]*[aeiou][a-z0-9]{2,})e$" -> "$1")       // package → packag (late stays)
+
+  /** Driver-side stem — folds [[StemRules]]. */
+  def stem(t: String): String =
+    StemRules.foldLeft(t) { case (w, (p, r)) => w.replaceAll(p, r) }
+
+  /** Executor-side stem — folds the SAME [[StemRules]] through
+    * regexp_replace (Java regex on both sides, codegen'd). */
+  def stemCol(c: Column): Column =
+    StemRules.foldLeft(c) { case (w, (p, r)) => regexp_replace(w, p, r) }
+}

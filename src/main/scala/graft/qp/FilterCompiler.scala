@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   * match.
   */
 final class FilterCompiler(store: GraftStore,
-                           substringContains: Boolean = false) {
+                           substringContains: Boolean = false,
+                           analyzer: TextAnalyzer = TextAnalyzer.Standard) {
   import FieldOp._
   import ValueOp._
   import InfotonModel._
@@ -107,17 +108,25 @@ final class FilterCompiler(store: GraftStore,
     * `substringContains` keeps the previous raw lowercase-substring
     * semantics as a documented fallback for analyzer-sensitive text
     * where a byte-level probe is wanted. A zero-token query matches
-    * nothing (ES `zero_terms_query=none`). */
+    * nothing (ES `zero_terms_query=none`) — under the English
+    * analyzer that includes a stop-word-only probe.
+    *
+    * `analyzer` plugs the normalization chain ([[TextAnalyzer]]):
+    * Standard reproduces the tokenize-only default; English adds
+    * stop-word removal + Porter-lite stemming to BOTH sides. */
   private def containsPred(s: Column, v: String): Column = {
     if (substringContains) return lower(s).contains(lit(v.toLowerCase))
-    val toks = v.toLowerCase.split("[^a-z0-9]+").filterNot(_.isEmpty)
+    val toks = analyzer.queryTokens(v)
     if (toks.isEmpty) lit(false)
-    else if (toks.length == 1) // common case: plain tokenized containment
-      array_contains(split(lower(s), "[^a-z0-9]+"), toks.head)
     else {
-      val joined = concat(lit(" "), array_join(
-        filter(split(lower(s), "[^a-z0-9]+"), t => t =!= ""), " "), lit(" "))
-      joined.contains(lit(toks.mkString(" ", " ", " ")))
+      val docToks = analyzer.docTokens(
+        filter(split(lower(s), "[^a-z0-9]+"), t => t =!= ""))
+      if (toks.length == 1) // common case: plain tokenized containment
+        array_contains(docToks, toks.head)
+      else {
+        val joined = concat(lit(" "), array_join(docToks, " "), lit(" "))
+        joined.contains(lit(toks.mkString(" ", " ", " ")))
+      }
     }
   }
 

@@ -1402,6 +1402,56 @@ class EngineSpec extends AnyFunSuite {
       .getField("n")).head().getDouble(0) == 999.0)
   }
 
+  test("porter-lite stem: driver fold equals the Spark regexp fold") {
+    import spark.implicits._
+    import graft.qp.TextAnalyzer
+    // inflection families incl. every rule's edge: plural/-ss keep,
+    // eed short-stem keep, at/bl/iz and doubled-consonant and CVC
+    // restorations, vowel-less keeps, y→i, final-e drop threshold
+    val words = Seq("widgets", "widget", "caresses", "ponies", "pony",
+      "miss", "gas", "agreed", "feed", "conflated", "troubling",
+      "hopped", "hopping", "hoped", "hoping", "wired", "wiring", "wire",
+      "wanted", "singing", "sing", "ring", "going", "carry", "carried",
+      "carries", "sky", "package", "packages", "packaged", "packaging",
+      "late", "used", "stating", "red", "q1", "a")
+    val got = words.toDF("w")
+      .select(TextAnalyzer.stemCol(col("w"))).as[String].collect()
+    assert(words.map(TextAnalyzer.stem) == got.toSeq,
+      "driver and executor stem folds diverged")
+    // the families that must conflate (the point of the stemmer)
+    def s(w: String) = TextAnalyzer.stem(w)
+    assert(Seq("widgets", "widget").map(s).distinct.size == 1)
+    assert(Seq("pony", "ponies").map(s).distinct.size == 1)
+    assert(Seq("carry", "carried", "carries").map(s).distinct.size == 1)
+    assert(Seq("hope", "hoped", "hoping").map(s).distinct.size == 1)
+    assert(Seq("wire", "wired", "wiring").map(s).distinct.size == 1)
+    assert(Seq("package", "packages", "packaged", "packaging")
+      .map(s).distinct.size == 1)
+    // and the keeps that must NOT be mangled into each other
+    assert(s("sing") == "sing" && s("ring") == "ring" && s("sky") == "sky")
+    assert(s("feed") == "feed" && s("miss") == "miss")
+  }
+
+  test("english analyzer: stemmed and raw phrase match disagree on the pinned probe") {
+    import graft.qp.TextAnalyzer
+    val store = GraftStore.forDir(spark, Sf)
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/part", qp = Some(qp), analyzer = an)))
+    // "the widgets": zero rows raw (singular, article-free corpus)...
+    assert(run("name:the widgets", TextAnalyzer.Standard).isEmpty)
+    // ...but under English it is exactly the "widget" Contains set
+    val stemmed = run("name:the widgets", TextAnalyzer.English)
+    assert(stemmed.nonEmpty &&
+      stemmed == run("name:widget", TextAnalyzer.Standard))
+    // a stop-word-only probe analyzes to zero terms → matches nothing
+    assert(run("name:the", TextAnalyzer.English).isEmpty)
+    // _all routes through the same chain
+    val all = paths(Search.run(store, Search.Request(path = "/",
+      qp = Some("_all:widgets"), analyzer = TextAnalyzer.English)))
+    assert(all.nonEmpty && all == paths(Search.run(store,
+      Search.Request(path = "/", qp = Some("_all:widget")))))
+  }
+
   test("quads is current-only by contract; history consumers opt into quadsHistory") {
     val store = GraftStore.forDir(spark, Sf)
     // the pinned contract: filtering the default quad view on
