@@ -154,14 +154,21 @@ object Bench {
     // bench_last.json keeps full fidelity plus the burst audit trail
     // (first-pass time for every re-timed query) so "was this run
     // contended?" is answerable from the committed file alone.
+    // FULL runs only: a SPARK_GRAFT_ONLY subset (local iteration, sf1
+    // rehearsals) must not clobber the committed reference profile the
+    // retime pass keys off — that exact clobber once silenced the
+    // burst defense for a whole driver run.
     val retimedField =
       if (retimed.isEmpty) ""
       else ",\"retimed\":" + retimed.map { case (n, (a, _)) => s"${jq(n)}:$a" }
         .mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"),
-      mkLine(_.toString, _.toString).dropRight(1) + retimedField + "}\n")
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_last.json"),
+        mkLine(_.toString, _.toString).dropRight(1) + retimedField + "}\n")
+      catch { case _: Throwable => () }
+    else System.err.println(
+      "[bench] filtered run — bench_last.json left untouched")
     // Stop Spark BEFORE printing: its log threads share stdout and an
     // interleaved WARN mid-line makes the JSON unparseable (round-3 bench
     // line was valid in bench_last.json but the driver recorded a parse

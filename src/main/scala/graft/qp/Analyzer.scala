@@ -27,6 +27,12 @@ sealed trait TextAnalyzer {
   /** Normalize a document-side token-array Column (executor side,
     * input = lowercase alnum tokens, empties already dropped). */
   def docTokens(raw: Column): Column
+  /** Full doc-side chain: string value → normalized token array.
+    * Default = the shared alnum-run split piped through
+    * [[docTokens]]; chains with their own segmentation (CJK)
+    * override the whole thing. */
+  def tokensOf(s: Column): Column =
+    docTokens(filter(split(lower(s), "[^a-z0-9]+"), t => t =!= ""))
 }
 
 object TextAnalyzer {
@@ -53,6 +59,47 @@ object TextAnalyzer {
     def docTokens(raw: Column): Column =
       transform(filter(raw, t => !t.isin(StopWords.toSeq: _*)),
         stemCol(_))
+  }
+
+  /** ES cjk-analyzer analog, OPT-IN: ASCII alnum runs tokenize as
+    * words (lowercased), CJK runs (Han ideographs + Hiragana/Katakana
+    * + Hangul) emit OVERLAPPING BIGRAMS — "中文分" → 中文, 文分 — the
+    * Lucene CJKBigramFilter recipe, which makes consecutive-bigram
+    * phrase match ≈ substring match within a CJK run. A lone CJK char
+    * (run of 1) is its own token. The Standard/English chains treat
+    * CJK as delimiters (zero tokens — the pre-round-8 behavior,
+    * pinned by test), so this chain is the one that can see CJK text
+    * at all. */
+  case object Cjk extends TextAnalyzer {
+    private val CjkClass =
+      "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]"
+    private val RunPattern = s"[a-z0-9]+|$CjkClass+"
+    def queryTokens(v: String): Seq[String] =
+      RunPattern.r.findAllIn(v.toLowerCase(java.util.Locale.ROOT)).toSeq
+        .flatMap(bigrams)
+    private def bigrams(run: String): Seq[String] =
+      if (!run.headOption.exists(_ > 'z')) Seq(run) // ASCII word token
+      else if (run.codePointCount(0, run.length) <= 1) Seq(run)
+      else { // overlapping code-point bigrams
+        val cps = run.codePoints().toArray
+        (0 until cps.length - 1).map(i =>
+          new String(cps, i, 2))
+      }
+    /** Unused under the overridden [[tokensOf]] — identity. */
+    def docTokens(raw: Column): Column = raw
+    /** Doc side mirrors [[queryTokens]] with pure Spark expressions:
+      * extract runs, explode CJK runs to bigrams via sequence+substr
+      * (both code-point based on UTF8String), flatten. */
+    override def tokensOf(s: Column): Column = {
+      val runs = regexp_extract_all(lower(s), lit(RunPattern), lit(0))
+      flatten(transform(runs, r => {
+        val n = length(r)
+        when(r.rlike("^[a-z0-9]"), array(r))        // ASCII word
+          .when(n <= 1, array(r))                   // lone CJK char
+          .otherwise(transform(sequence(lit(1), n - 1),
+            i => r.substr(i, lit(2))))              // overlapping bigrams
+      }))
+    }
   }
 
   /** Lucene EnglishAnalyzer's default stop set (33 words, public and

@@ -119,8 +119,7 @@ final class FilterCompiler(store: GraftStore,
     val toks = analyzer.queryTokens(v)
     if (toks.isEmpty) lit(false)
     else {
-      val docToks = analyzer.docTokens(
-        filter(split(lower(s), "[^a-z0-9]+"), t => t =!= ""))
+      val docToks = analyzer.tokensOf(s)
       if (toks.length == 1) // common case: plain tokenized containment
         array_contains(docToks, toks.head)
       else {

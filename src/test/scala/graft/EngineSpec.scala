@@ -1452,6 +1452,41 @@ class EngineSpec extends AnyFunSuite {
       Search.Request(path = "/", qp = Some("_all:widget")))))
   }
 
+  test("cjk analyzer: bigram phrase match sees CJK text; standard cannot") {
+    import graft.qp.TextAnalyzer
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://doc/1> <c://o#title> \"机器学习系统\" .",
+      "<c://doc/2> <c://o#title> \"学习机器\" .",
+      "<c://doc/3> <c://o#title> \"hello 机器 world\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/doc", qp = Some(qp), analyzer = an)))
+    // the pinned pre-existing behavior: the ASCII chains treat CJK as
+    // delimiters — zero tokens, zero matches
+    assert(run("title.o:机器", TextAnalyzer.Standard).isEmpty)
+    // one bigram: containment — hits every doc with 机 followed by 器
+    assert(run("title.o:机器", TextAnalyzer.Cjk) ==
+      Set("/doc/1", "/doc/2", "/doc/3"))
+    // consecutive-bigram phrase: only the doc with the full run
+    assert(run("title.o:机器学习", TextAnalyzer.Cjk) == Set("/doc/1"))
+    // reordered chars form different bigrams — no match
+    assert(run("title.o:习学", TextAnalyzer.Cjk).isEmpty)
+    // a lone CJK char is its own token... but phrase-joins with the
+    // surrounding bigram stream, so it only matches a RUN of one
+    assert(run("title.o:hello world", TextAnalyzer.Cjk).isEmpty &&
+      run("title.o:hello", TextAnalyzer.Cjk) == Set("/doc/3"))
+    // driver and executor tokenization agree (the mirror contract)
+    import spark.implicits._
+    val docs = Seq("机器学习", "a学 b器", "hello 机 world", "abc", "",
+      "学x学y学").toDF("s")
+    val sparkToks = docs.select(TextAnalyzer.Cjk.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    val driverToks = Seq("机器学习", "a学 b器", "hello 机 world", "abc", "",
+      "学x学y学").map(TextAnalyzer.Cjk.queryTokens)
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+  }
+
   test("quads is current-only by contract; history consumers opt into quadsHistory") {
     val store = GraftStore.forDir(spark, Sf)
     // the pinned contract: filtering the default quad view on
