@@ -561,6 +561,15 @@ object PipelineQueries {
       annCheck(emb(s, dir), Similarity.rpTopK(emb(s, dir),
         Seq(0L, 1L, 2L), 5), minOverlap = 3)),
 
+    // product-quantized ANN (Jégou et al. 2011 — faiss PQ8×16): m=8
+    // subspace codebooks, m-byte codes, ADC lookup-table candidate
+    // ranking + exact re-rank — the FOURTH index family next to LSH /
+    // IVF / JL-sketch. Same grounded contract; overlap bound matches
+    // the other quantized rankings on the near-uniform fixtures
+    "q_knn_pq" -> ((s, dir) =>
+      annCheck(emb(s, dir), Similarity.pqTopK(emb(s, dir),
+        Seq(0L, 1L, 2L), 5), minOverlap = 3)),
+
     // Misra-Gries heavy hitters: phi-frequent terms with fixed per-task
     // state + candidate-sized shuffle (result exact: sketch proposes,
     // second pass recounts); phi=0.005 excludes exactly one vocab term
@@ -1489,6 +1498,19 @@ object PipelineQueries {
         |FROM events e JOIN d USING (user_id)
         |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin,
     "q_knn_rp" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_cosine_similarity(e.v, q.qv) AS cosine
+        |  FROM e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id AS exact_top1, true AS recall_ok
+        |FROM (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank = 1 ORDER BY query_id""".stripMargin,
+    "q_knn_pq" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),

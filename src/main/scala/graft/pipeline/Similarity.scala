@@ -423,6 +423,113 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** PQ codebook cache — an index artifact keyed by corpus plan +
+    * params, same lifecycle discipline as [[quantizers]]. */
+  private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Long), Array[Array[Array[Double]]]]()
+
+  /** PRODUCT-QUANTIZED ANN (Jégou et al. 2011 — the faiss `PQ<m>`
+    * recipe; the FOURTH index family next to LSH buckets, IVF cells
+    * and the JL sketch): the normalized D-dim vector splits into `m`
+    * subvectors and each subspace trains its own `ksub`-centroid
+    * codebook (bounded 64k-sample k-means per subspace — an index
+    * artifact, corpus-size-independent build like the IVF quantizer).
+    * A vector is stored as m sub-codes — at ksub≤256 that is m bytes,
+    * 32× smaller than D=64 floats, and the scan never decodes.
+    *
+    * Search is ADC (asymmetric distance computation): the query stays
+    * full-precision; its dot product with every centroid of every
+    * subspace forms an m×ksub lookup table (driver-built for the
+    * bounded probe set, shipped on the broadcast query rows), and a
+    * candidate's approximate cosine is the SUM OF m TABLE LOOKUPS
+    * over its codes. The top `cand` ADC candidates per query are then
+    * re-ranked by exact cosine over the raw vectors (the [[rpTopK]]
+    * discipline), so the emitted cosine is exact and recall loss is
+    * only candidates the quantized ranking missed.
+    *
+    * 100 TB shape: the coded index is the scan (m bytes/vector); the
+    * ADC score is m in-row lookups, no join before the candidate cut;
+    * codebooks are m×ksub×dsub doubles on the driver. Encoding is
+    * in-row argmin via the negated-struct sort — no explode×ksub. */
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+             m: Int = 8, ksub: Int = 16, dim: Int = 64,
+             cand: Int = 100, seed: Long = 42L): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val nrm = base.select(col("vec_id"), normalized(col("embedding")).as("nv"))
+    val planKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(base.queryExecution.analyzed.canonicalized.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    if (pqCodebooks.size > 16) pqCodebooks.clear()
+    val books = pqCodebooks.computeIfAbsent((planKey, m, ksub, seed), { _ =>
+      val sample = nrm.limit(64 * 1024)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try (0 until m).map { j =>
+        val fit = sample.select(array_to_vector(
+          slice(col("nv"), j * dsub + 1, dsub)).as("fv"))
+        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
+          .setFeaturesCol("fv").setPredictionCol("code").fit(fit)
+          .clusterCenters.map(_.toArray)
+      }.toArray
+      finally { sample.unpersist(false); () }
+    })
+    // encode in-row: per subspace the nearest centroid by L2 =
+    // argmin(c·c/2 − sub·c); negated-struct sort, lowest code on ties
+    def codeOf(j: Int): Column = {
+      val sub = slice(col("nv"), j * dsub + 1, dsub)
+      val scored = books(j).zipWithIndex.map { case (c, i) =>
+        struct((lit(c.map(x => x * x).sum / 2.0) -
+          dotFixed(sub, array(c.map(lit): _*))).as("nd"),
+          lit(i).as("code"))
+      }
+      element_at(sort_array(array(scored.toIndexedSeq: _*)), 1)
+        .getField("code")
+    }
+    val coded = nrm.select(col("vec_id"),
+      array((0 until m).map(codeOf): _*).as("codes"))
+    // ADC lookup tables for the bounded probe set (driver-side dots
+    // over the normalized queries — cosine ≈ Σ_j lut[j][code_j])
+    val qVecs = nrm.where(col("vec_id").isin(queryIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val luts = qVecs.toSeq.map { case (qid, qv) =>
+      (qid, (0 until m).map { j =>
+        val sub = qv.slice(j * dsub, (j + 1) * dsub)
+        books(j).map(c => c.iterator.zip(sub.iterator)
+          .map { case (a, b) => a * b }.sum).toSeq
+      })
+    }
+    val queries = broadcast(luts.toDF("query_id", "lut"))
+    val approx = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(element_at(col("lut"), j + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val candidates = coded.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        approx.as("adc"))
+      .withColumn("crank", row_number().over(wCand))
+      .where(col("crank") <= cand)
+      .select("query_id", "neighbor_id")
+    val qFull = broadcast(base.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    base.join(broadcast(candidates), col("vec_id") === col("neighbor_id"))
+      .join(qFull, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFixed(col("embedding"), col("qe")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Top-`c` PRINCIPAL COMPONENTS of the embedding corpus — the
     * trained complement to [[rpTopK]]'s random sketch (whitening,
     * learned dimensionality reduction before clustering/dedup). One

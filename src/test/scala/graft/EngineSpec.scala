@@ -2482,6 +2482,30 @@ class EngineSpec extends AnyFunSuite {
     assert(long5.map(_.getString(0)).toSeq == Seq("/doc/3")) // "green"
   }
 
+  test("PQ-ANN recall against exact top-5") {
+    val queries = Seq(0L, 1L, 2L)
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    info(f"PQ recall@5 = $recall%.2f (defaults: m=8, ksub=16, cand=100)")
+    assert(approx.size == exact.size)
+    assert(recall >= 0.6, "product-quantization recall collapsed")
+    // the ADC candidate cut is load-bearing: a tiny candidate pool
+    // must cost recall on the near-uniform fixtures (guards against
+    // the re-rank silently scanning everything)
+    val tiny = Similarity.pqTopK(emb, queries, 5, cand = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tinyRecall = (tiny intersect exact).size.toDouble / exact.size
+    info(f"PQ recall@5 with cand=5: $tinyRecall%.2f")
+    assert(tinyRecall < recall,
+      "candidate pool size had no effect - re-rank is not candidate-bounded")
+  }
+
   test("RP-ANN recall against exact top-5") {
     val queries = Seq(0L, 1L, 2L)
     val exact = Similarity.cosineTopK(emb, queries, 5)
