@@ -485,6 +485,14 @@ object PipelineQueries {
     "q_quality_prune" -> ((s, dir) =>
       Curation.qualityPrune(docs(s, dir)).orderBy("doc_id")),
 
+    // DSIR importance weights (Xie et al. 2023): target = the src0
+    // provenance slice; per-doc mean log p_target/p_raw under add-one
+    // unigram bags over the shared vocabulary — the importance-
+    // resampling data-selection shape (keep = more target-like)
+    "q_dsir" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(docs(s, dir), col("source") === "src0")
+        .orderBy("doc_id")),
+
     // Gopher heuristic rules (Rae et al. 2021 A1.1): per-rule booleans
     // + composed keep — the length, stop-word and repetition rules all
     // discriminate on this corpus (~20%/37%/8% fail respectively)
@@ -1349,6 +1357,23 @@ object PipelineQueries {
          |1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
          |  AS repetition
          |FROM t ORDER BY doc_id""".stripMargin,
+    "q_dsir" ->
+      s"""WITH occ AS (SELECT doc_id, source = 'src0' AS tgt,
+         |  UNNEST($TokensSql) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c_raw,
+         |  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+         |  FROM occ GROUP BY 1),
+         |s AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS n_raw,
+         |  CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+         |  CAST(count(*) AS DOUBLE) AS v FROM c),
+         |sc AS (SELECT doc_id,
+         |  round(avg((ln(c_tgt + 1.0) - ln(n_tgt + v)) -
+         |            (ln(c_raw + 1.0) - ln(n_raw + v))), 6)
+         |    AS dsir_logratio
+         |  FROM occ JOIN c USING (tok) CROSS JOIN s
+         |  GROUP BY doc_id)
+         |SELECT doc_id, dsir_logratio, dsir_logratio > 0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q_quality_gopher" ->
       s"""WITH t AS (SELECT doc_id, text, $TokensSql AS ts FROM documents),
          |r AS (SELECT doc_id,

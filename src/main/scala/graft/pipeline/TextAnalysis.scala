@@ -371,6 +371,44 @@ object TextAnalysis {
       .groupBy("doc_id").agg(round(avg(col("lp")), 6).as("lm_logp"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw documents
+    * by how much more likely a TARGET domain's language model finds
+    * them than the raw corpus's own model — per doc the mean over
+    * tokens of `ln p_target(t) − ln p_raw(t)`, both add-one-smoothed
+    * unigram bag models over the SHARED raw vocabulary (so the ratio
+    * is defined for every token; the paper's hashed-n-gram bags are
+    * this estimator family with hashing the corpus here doesn't
+    * need). `targetPred` marks the target/domain rows — a provenance
+    * label in practice. Returns (doc_id, dsir_logratio on the
+    * 6-decimal grid, keep = more target-like than raw-like).
+    *
+    * 100 TB shape: the [[lmScore]] plan with a second count column —
+    * ONE token explode feeds one map-side-combined count table
+    * carrying (raw, target) counts, a 1-row total broadcasts, and
+    * scoring is a vocabulary-keyed join + per-doc aggregation.
+    * Nothing quadratic, no second corpus scan for the target model. */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+                  textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col("doc_id"), targetPred.as("__tgt"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = occ.groupBy("tok").agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val totals = counts.agg(
+      sum(col("c_raw")).cast("double").as("n_raw"),
+      sum(col("c_tgt")).cast("double").as("n_tgt"),
+      count(lit(1)).cast("double").as("v"))
+    occ.join(counts, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        ((log(col("c_tgt") + lit(1.0)) - log(col("n_tgt") + col("v"))) -
+          (log(col("c_raw") + lit(1.0)) - log(col("n_raw") + col("v"))))
+          .as("lr"))
+      .groupBy("doc_id").agg(round(avg(col("lr")), 6).as("dsir_logratio"))
+      .withColumn("keep", col("dsir_logratio") > 0)
+  }
+
   /** Add-one-smoothed BIGRAM language-model scoring — the next step up
     * from [[lmScore]]'s unigram perplexity gate: each document scores
     * its mean conditional token log-prob
