@@ -485,6 +485,27 @@ object PipelineQueries {
     "q_quality_prune" -> ((s, dir) =>
       Curation.qualityPrune(docs(s, dir)).orderBy("doc_id")),
 
+    // BPE merge training (Sennrich et al. 2016): first 8 merges from
+    // the frequency-weighted word table. Grounded q_pca-style row: the
+    // first merge (argmax adjacent char pair) is oracle-recomputed
+    // exactly; the structural invariants — non-increasing pair counts,
+    // every merge built from chars or earlier merges — are engine-
+    // asserted booleans; EngineSpec holds a full hand-checked sequence
+    "q_bpe" -> ((s, dir) => {
+      val ms = TextAnalysis.bpeTrain(docs(s, dir), 8)
+      import s.implicits._
+      val nonInc = ms.iterator.sliding(2).withPartial(false)
+        .forall(p => p.head._3 >= p(1)._3)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val closed = ms.forall { case (a, b, _) =>
+        val ok = (a.length == 1 || seen(a)) && (b.length == 1 || seen(b))
+        seen += a + b; ok
+      }
+      Seq((ms.size, ms.head._1, ms.head._2, ms.head._3, nonInc, closed))
+        .toDF("n_merges", "top1_left", "top1_right", "top1_count",
+          "counts_nonincreasing", "merge_closure_ok")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): target = the src0
     // provenance slice; per-doc mean log p_target/p_raw under add-one
     // unigram bags over the shared vocabulary — the importance-
@@ -1357,6 +1378,18 @@ object PipelineQueries {
          |1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
          |  AS repetition
          |FROM t ORDER BY doc_id""".stripMargin,
+    "q_bpe" ->
+      s"""WITH w AS (SELECT tok AS w, count(*) AS freq
+         |  FROM (SELECT UNNEST($TokensSql) AS tok FROM documents)
+         |  GROUP BY 1),
+         |p AS (SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM w, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+         |  GROUP BY 1, 2)
+         |SELECT CAST(8 AS INT) AS n_merges, a AS top1_left,
+         |  b AS top1_right, cnt AS top1_count,
+         |  TRUE AS counts_nonincreasing, TRUE AS merge_closure_ok
+         |FROM p ORDER BY cnt DESC, a ASC, b ASC LIMIT 1""".stripMargin,
     "q_dsir" ->
       s"""WITH occ AS (SELECT doc_id, source = 'src0' AS tgt,
          |  UNNEST($TokensSql) AS tok FROM documents),

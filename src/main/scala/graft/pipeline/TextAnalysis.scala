@@ -371,6 +371,73 @@ object TextAnalysis {
       .groupBy("doc_id").agg(round(avg(col("lp")), 6).as("lm_logp"))
   }
 
+  /** BPE MERGE TRAINING (Sennrich et al. 2016 — the tokenizer-training
+    * operator): learn the first `merges` byte-pair merges from the
+    * corpus. Classic recipe: train on the FREQUENCY-WEIGHTED WORD
+    * TABLE (one groupBy over the token explode — the corpus text is
+    * never rescanned), each word a char-symbol sequence; per
+    * iteration, count adjacent symbol pairs weighted by word
+    * frequency, take the argmax (ties broken lexicographically so the
+    * sequence is deterministic), and merge it GREEDILY LEFT-TO-RIGHT,
+    * NON-OVERLAPPING in every word — the standard BPE application
+    * order, implemented as an in-row `aggregate` fold over the symbol
+    * array (state = emitted symbols + one pending symbol; no UDF).
+    *
+    * 100 TB shape: the iteration state is the word table (distinct
+    * words × freq — vocabulary-sized, not corpus-sized), each round =
+    * one pair-count shuffle over it plus a 1-row argmax collect; cost
+    * per merge is independent of corpus size after the initial
+    * explode. Returns the merge sequence (left, right, pair_count).
+    * Invariant (asserted by the declared query): pair counts are
+    * non-increasing — any pair created by a merge contains the new
+    * symbol, whose occurrence count is bounded by the merged pair's. */
+  def bpeTrain(docs: DataFrame, merges: Int,
+               textCol: String = "text"): Seq[(String, String, Long)] = {
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), chars.as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    try {
+      for (_ <- 1 to merges) {
+        val top = words
+          .select(col("freq"), explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+          .select(col("freq"), col("p").getField("0").as("a"),
+            col("p").getField("1").as("b"))
+          .groupBy("a", "b").agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (top.isEmpty) return out.toSeq
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += ((a, b, c))
+        // greedy left-to-right merge: fold with one pending symbol
+        val empty = array().cast("array<string>")
+        def flush(s: Column): Column =
+          when(s.getField("prev") === "", s.getField("out"))
+            .otherwise(concat(s.getField("out"),
+              array(s.getField("prev"))))
+        val mergedSyms = aggregate(col("syms"),
+          struct(empty.as("out"), lit("").as("prev")),
+          (s, x) => when(s.getField("prev") === lit(a) && x === lit(b),
+            struct(concat(s.getField("out"), array(lit(a + b))).as("out"),
+              lit("").as("prev")))
+            .otherwise(struct(flush(s).as("out"), x.as("prev"))),
+          s => flush(s))
+        val next = words.select(col("freq"), mergedSyms.as("syms"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the previous round
+        words.unpersist(false)
+        words = next
+      }
+      out.toSeq
+    } finally { words.unpersist(false); () }
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rank raw documents
     * by how much more likely a TARGET domain's language model finds

@@ -2482,6 +2482,27 @@ class EngineSpec extends AnyFunSuite {
     assert(long5.map(_.getString(0)).toSeq == Seq("/doc/3")) // "green"
   }
 
+  test("BPE training learns the hand-checked merge sequence") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    // the classic BPE illustration: low×3, lower, lowest
+    //   pairs: lo=5, ow=5, we=2, er=1, es=1, st=1
+    //   tie lo/ow → lexicographic → (l,o,5); then (lo,w,5); then the
+    //   we pair survives as (low,e,2); then ties er/est chars:
+    //   after low-e: pairs (lowe,r)=1,(lowe,s)=1,(s,t)=1 → lex (lowe,r)
+    val d = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val ms = TextAnalysis.bpeTrain(d, 4)
+    assert(ms == Seq(("l", "o", 5L), ("lo", "w", 5L),
+      ("low", "e", 2L), ("lowe", "r", 1L)), s"got $ms")
+    // greedy non-overlap on runs: pair counting sees every adjacency
+    // (aaaa→3 + aaa→2 = 5), the merge application is non-overlapping
+    // (aaaa→aa,aa; aaa→aa,a), and the next round tie-breaks
+    // (aa,a) < (aa,aa) lexicographically
+    val runs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val ms2 = TextAnalysis.bpeTrain(runs, 2)
+    assert(ms2 == Seq(("a", "a", 5L), ("aa", "a", 1L)), s"got $ms2")
+  }
+
   test("PQ-ANN recall against exact top-5") {
     val queries = Seq(0L, 1L, 2L)
     val exact = Similarity.cosineTopK(emb, queries, 5)
