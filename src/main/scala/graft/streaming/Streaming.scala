@@ -155,6 +155,66 @@ object Streaming {
         unix_micros(col("last_ts")).as("last_us"),
         col("n_events"))
 
+  /** One version arriving on the stream (current-flag maintenance). */
+  final case class VersionIn(path: String, uuid: String, indexTime: Long)
+  /** Change-log row: the version's resolved current flag at emit time. */
+  final case class CurrentOut(path: String, uuid: String,
+                              indexTime: Long, current: Boolean)
+  /** Internal keyed state of [[currentFlags]] — public only because
+    * Spark's state-encoder codegen needs the accessors. */
+  final case class CurrentState(uuid: String, indexTime: Long)
+
+  /** Streaming CURRENT-FLAG maintenance — the continuous form of the
+    * write path's version flip ([[graft.ingest.Merger]]'s
+    * latest-wins window, same (indexTime, uuid) winner order): keyed
+    * CUSTOM STATE via `flatMapGroupsWithState`, the one streaming
+    * shape the built-in operators can't express — each arrival must
+    * both read the winner-so-far AND emit a derived row for the
+    * version it dethrones.
+    *
+    * Per path the state is the winning (uuid, indexTime). A new
+    * winner emits a `current=false` FLIP for the dethroned version
+    * plus its own `current=true` row; a stale arrival (out-of-order
+    * replica delivery — the inter-DC case) emits itself already
+    * flagged false and leaves state untouched. The output is the
+    * change-log a downstream index applies blindly.
+    *
+    * State shape at 100 TB: one (uuid, long) per LIVE PATH — the
+    * entity dimension, the same cardinality the store's current flag
+    * occupies, never the stream's history. NoTimeout is therefore the
+    * correct retention (a path's winner must outlive any gap between
+    * its versions); use the batch merge for full-store rebuilds. */
+  def currentFlags(versions: org.apache.spark.sql.Dataset[VersionIn])
+      : org.apache.spark.sql.Dataset[CurrentOut] = {
+    import versions.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    versions.groupByKey(_.path)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (path: String, it: Iterator[VersionIn],
+         state: GroupState[CurrentState]) => {
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[CurrentOut]
+          // deterministic within-batch order (a batch may carry
+          // several versions of one path, in any partition order)
+          it.toSeq.sortBy(v => (v.indexTime, v.uuid)).foreach { v =>
+            cur match {
+              case Some(c) if Ordering[(Long, String)]
+                .gt((v.indexTime, v.uuid), (c.indexTime, c.uuid)) =>
+                out += CurrentOut(path, c.uuid, c.indexTime, current = false)
+                out += CurrentOut(path, v.uuid, v.indexTime, current = true)
+                cur = Some(CurrentState(v.uuid, v.indexTime))
+              case Some(_) => // stale arrival: enters already dethroned
+                out += CurrentOut(path, v.uuid, v.indexTime, current = false)
+              case None =>
+                out += CurrentOut(path, v.uuid, v.indexTime, current = true)
+                cur = Some(CurrentState(v.uuid, v.indexTime))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Push sink: deliver each micro-batch from the EXECUTORS — the
     * webhook/queue push of the reference's push-mode subscribe. The
     * callback runs once per partition on the executor that holds it,

@@ -246,6 +246,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("currentFlags maintains latest-wins state and emits dethrone flips") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Streaming.VersionIn]
+    val flags = Streaming.currentFlags(ms.toDS())
+    val q = flags.writeStream.format("memory").queryName("scur")
+      .outputMode("append").start()
+    try {
+      // batch 1: two versions of /a in one batch (any arrival order)
+      // + first version of /b
+      ms.addData(Streaming.VersionIn("/a", "u2", 20L),
+        Streaming.VersionIn("/a", "u1", 10L),
+        Streaming.VersionIn("/b", "u3", 5L))
+      q.processAllAvailable()
+      // batch 2: /a gets a newer version (flip u2), /b a STALE one
+      // (emitted already false, state untouched)
+      ms.addData(Streaming.VersionIn("/a", "u4", 30L),
+        Streaming.VersionIn("/b", "u0", 1L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT path, uuid, current FROM scur").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      // /a in-batch resolution: u1 current then flipped by u2 —
+      // the change-log carries both transitions
+      assert(rows.count(_ == (("/a", "u1", true))) == 1)
+      assert(rows.count(_ == (("/a", "u1", false))) == 1)
+      assert(rows.count(_ == (("/a", "u2", true))) == 1)
+      assert(rows.count(_ == (("/a", "u2", false))) == 1)
+      assert(rows.count(_ == (("/a", "u4", true))) == 1)
+      assert(rows.count(_ == (("/b", "u3", true))) == 1)
+      assert(rows.count(_ == (("/b", "u0", false))) == 1)
+      // exactly one live current per path at the end of the log
+      assert(rows.count(_ == (("/a", "u4", false))) == 0)
+      assert(rows.count(_ == (("/b", "u3", false))) == 0)
+    } finally q.stop()
+  }
+
   test("deliver pushes each partition from the executors, not the driver") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
