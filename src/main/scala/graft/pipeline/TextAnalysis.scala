@@ -391,6 +391,47 @@ object TextAnalysis {
     * Invariant (asserted by the declared query): pair counts are
     * non-increasing — any pair created by a merge contains the new
     * symbol, whose occurrence count is bounded by the merged pair's. */
+  /** Greedy left-to-right non-overlapping application of ONE merge
+    * (a,b)→ab to a symbol array — the standard BPE merge order, as an
+    * in-row `aggregate` fold (state = emitted symbols + one pending
+    * symbol; "" is a safe sentinel, symbols are never empty). */
+  private def mergeFold(arr: Column, a: String, b: String): Column = {
+    def flush(s: Column): Column =
+      when(s.getField("prev") === "", s.getField("out"))
+        .otherwise(concat(s.getField("out"), array(s.getField("prev"))))
+    aggregate(arr,
+      struct(array().cast("array<string>").as("out"), lit("").as("prev")),
+      (s, x) => when(s.getField("prev") === lit(a) && x === lit(b),
+        struct(concat(s.getField("out"), array(lit(a + b))).as("out"),
+          lit("").as("prev")))
+        .otherwise(struct(flush(s).as("out"), x.as("prev"))),
+      s => flush(s))
+  }
+
+  /** SEGMENT the corpus with a learned merge table ([[bpeTrain]]
+    * output, applied in training order — the standard encode rule):
+    * per word chars → each merge's greedy fold → per-doc symbol
+    * counts. Returns (doc_id, n_tokens, n_chars, n_symbols) — the
+    * compression the learned vocabulary buys, per document, computed
+    * IN-ROW (no shuffle; the merge table is a plan literal). Not
+    * SQL-expressible (the oracle cannot apply ordered greedy merges),
+    * so the contract is pinned by the hand-checked EngineSpec case. */
+  def bpeSegment(docs: DataFrame, merges: Seq[(String, String)],
+                 textCol: String = "text"): DataFrame = {
+    def charsOf(w: Column): Column =
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    def segmented(w: Column): Column =
+      merges.foldLeft(charsOf(w)) { case (c, (a, b)) => mergeFold(c, a, b) }
+    val ts = col("__ts")
+    docs.select(col("doc_id"), tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"),
+        size(ts).as("n_tokens"),
+        coalesce(aggregate(ts, lit(0), (n, w) => n + length(w)), lit(0))
+          .as("n_chars"),
+        coalesce(aggregate(ts, lit(0), (n, w) => n + size(segmented(w))),
+          lit(0)).as("n_symbols"))
+  }
+
   def bpeTrain(docs: DataFrame, merges: Int,
                textCol: String = "text"): Seq[(String, String, Long)] = {
     val chars = transform(sequence(lit(1), length(col("w"))),
@@ -415,20 +456,8 @@ object TextAnalysis {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         out += ((a, b, c))
-        // greedy left-to-right merge: fold with one pending symbol
-        val empty = array().cast("array<string>")
-        def flush(s: Column): Column =
-          when(s.getField("prev") === "", s.getField("out"))
-            .otherwise(concat(s.getField("out"),
-              array(s.getField("prev"))))
-        val mergedSyms = aggregate(col("syms"),
-          struct(empty.as("out"), lit("").as("prev")),
-          (s, x) => when(s.getField("prev") === lit(a) && x === lit(b),
-            struct(concat(s.getField("out"), array(lit(a + b))).as("out"),
-              lit("").as("prev")))
-            .otherwise(struct(flush(s).as("out"), x.as("prev"))),
-          s => flush(s))
-        val next = words.select(col("freq"), mergedSyms.as("syms"))
+        val next = words.select(col("freq"),
+          mergeFold(col("syms"), a, b).as("syms"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the previous round
         words.unpersist(false)

@@ -2501,6 +2501,19 @@ class EngineSpec extends AnyFunSuite {
     val runs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
     val ms2 = TextAnalysis.bpeTrain(runs, 2)
     assert(ms2 == Seq(("a", "a", 5L), ("aa", "a", 1L)), s"got $ms2")
+    // encode with the learned table (training order): after 4 merges
+    // low→[low] (1 sym), lower→[lower] (merge 4 lands), and
+    // lowest→[lowe,s,t] (3); doc of all 5 words: 20 chars →
+    // 1+1+1+1+3 = 7 symbols
+    val seg = TextAnalysis.bpeSegment(d, ms.map(m => (m._1, m._2)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)))
+    assert(seg.toSeq == Seq((1L, 5, 20, 7)), s"got ${seg.toSeq}")
+    // an empty-token doc segments to zeros, not null
+    val empty = Seq((9L, "...")).toDF("doc_id", "text")
+    val segE = TextAnalysis.bpeSegment(empty, ms.map(m => (m._1, m._2)))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(segE.toSeq == Seq((0, 0, 0)), s"got ${segE.toSeq}")
   }
 
   test("PQ-ANN recall against exact top-5") {
