@@ -90,11 +90,13 @@ object Bench {
       name -> t
     }
 
-    // Burst defense: re-time (once, at the end — contention bursts are
+    // Burst defense: re-time (at the end — contention bursts are
     // time-localized) any query that came in >3× its quiet reference,
-    // or >5 s with no reference at all, and report the min of the two
-    // runs. Shared dedup caches were released per family above, so a
-    // re-timed dedup query rebuilds them exactly as the first pass did.
+    // or >5 s with no reference at all, and report the min over all
+    // runs. Each suspect runs TWICE back-to-back: a mid-family dedup
+    // query's first pass rode warm shared caches (released since), so
+    // the first retry pays the rebuild and the second approximates the
+    // first-pass conditions.
     // (no reference profile at this sf → no retimes at all: an sf1
     // rehearsal would otherwise re-time every genuinely-slow query)
     val suspects = firstPass.zipWithIndex.filter { case ((name, t), _) =>
@@ -108,9 +110,18 @@ object Bench {
     val results = if (suspects.isEmpty) firstPass else {
       val fixed = firstPass.toArray
       suspects.foreach { case ((name, t1), i) =>
-        val t2 = timeOnce(name, selected(i)._2)
+        // a retry that THROWS must not poison the result: the first-pass
+        // measurement was valid, so drop the retry's error entry and its
+        // bogus time-to-failure instead of committing either
+        def retry(): Option[Double] = {
+          val before = errors.size
+          val t = timeOnce(name, selected(i)._2)
+          if (errors.size > before) { errors.remove(name); None }
+          else Some(t)
+        }
+        val best = (Seq(t1) ++ retry() ++ retry()).min
         graft.pipeline.Dedup.releaseCaches()
-        if (t2 < t1) { fixed(i) = name -> t2; retimed += name -> (t1, t2) }
+        if (best < t1) { fixed(i) = name -> best; retimed += name -> (t1, best) }
       }
       System.err.println(s"[bench] re-timed ${suspects.size} burst suspects; " +
         retimed.map { case (n, (a, b)) => f"$n $a%.1f->$b%.1f" }.mkString(", "))

@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   *   .has("prop")            existence filter (qp `prop:` empty-value)
   *   .has("prop","gt","v")   typed comparator filter — gt/gte/lt/lte/
   *                           eq/neq (the Blueprints T.* comparators,
-  *                           quoted; routed to qp > >> < << :: and a
-  *                           negated ::)
+  *                           quoted; routed to qp > >> < << ::; neq =
+  *                           property exists AND no value equals v)
   *   .hasNot("prop")         absence filter
   *   .id                     terminal: vertex ids        → col `id`
   *   .values("prop")         terminal: property lexicals → col `value`
@@ -154,7 +154,15 @@ object Gremlin {
           }
           val pred0 = new FilterCompiler(store)
             .compile(QpParser.parse(qpExpr))
-          val pred = if (cmp == "neq") !pred0 else pred0
+          // Blueprints T.neq requires the property to EXIST with a
+          // differing value — a bare negation would match every
+          // property-less vertex (directory infotons). Multi-valued
+          // fields follow the qp MustNot convention: NO value equals v.
+          val pred =
+            if (cmp == "neq")
+              new FilterCompiler(store).compile(QpParser.parse(s"$prop:")) &&
+                !pred0
+            else pred0
           frontier = store.current.where(pred)
             .select(col("system.path").as("fp"))
             .join(frontier, col("fp") === col("p"), "left_semi")

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * [[TextAnalyzer.queryTokens]] on the driver, the document tokens
   * through [[TextAnalyzer.docTokens]] in the scan. The stem rules are
   * ONE shared table folded by both, so driver and executor cannot
-  * drift (the rules are ASCII-anchored: tokens are already lowercase
-  * alnum runs, so locale is irrelevant here).
+  * drift (the rules are ASCII-anchored — Standard/English tokens are
+  * already lowercase ASCII alnum runs; the Cjk chain case-folds ASCII
+  * ONLY, via a locale-free translate on both sides, precisely because
+  * its input is non-ASCII).
   */
 sealed trait TextAnalyzer {
   /** Tokenize + normalize the query-side probe (driver side). */
@@ -74,9 +76,18 @@ object TextAnalyzer {
     private val CjkClass =
       "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]"
     private val RunPattern = s"[a-z0-9]+|$CjkClass+"
+    // ASCII-ONLY case fold, identical on driver and executor by
+    // construction: Spark's lower() delegates non-ASCII input to the
+    // JVM-default-locale slow path (exactly the mixed-CJK case this
+    // chain exists for), so a driver-side Locale.ROOT lowercase could
+    // disagree with the scan — the same mirror divergence heavyHitters
+    // had. Non-ASCII cased letters are left unfolded on BOTH sides.
+    private val Upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    private val Lower = "abcdefghijklmnopqrstuvwxyz"
+    private def asciiFold(s: String): String =
+      s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
     def queryTokens(v: String): Seq[String] =
-      RunPattern.r.findAllIn(v.toLowerCase(java.util.Locale.ROOT)).toSeq
-        .flatMap(bigrams)
+      RunPattern.r.findAllIn(asciiFold(v)).toSeq.flatMap(bigrams)
     private def bigrams(run: String): Seq[String] =
       if (!run.headOption.exists(_ > 'z')) Seq(run) // ASCII word token
       else if (run.codePointCount(0, run.length) <= 1) Seq(run)
@@ -91,7 +102,8 @@ object TextAnalyzer {
       * extract runs, explode CJK runs to bigrams via sequence+substr
       * (both code-point based on UTF8String), flatten. */
     override def tokensOf(s: Column): Column = {
-      val runs = regexp_extract_all(lower(s), lit(RunPattern), lit(0))
+      val runs = regexp_extract_all(translate(s, Upper, Lower),
+        lit(RunPattern), lit(0))
       flatten(transform(runs, r => {
         val n = length(r)
         when(r.rlike("^[a-z0-9]"), array(r))        // ASCII word

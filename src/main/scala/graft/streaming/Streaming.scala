@@ -203,6 +203,11 @@ object Streaming {
                 out += CurrentOut(path, c.uuid, c.indexTime, current = false)
                 out += CurrentOut(path, v.uuid, v.indexTime, current = true)
                 cur = Some(CurrentState(v.uuid, v.indexTime))
+              case Some(c) if (v.indexTime, v.uuid) == (c.indexTime, c.uuid) =>
+                // duplicate redelivery of the LIVE winner (at-least-once
+                // sources): a no-op — emitting current=false here would
+                // un-current the live version in a blindly-applying index
+                ()
               case Some(_) => // stale arrival: enters already dethroned
                 out += CurrentOut(path, v.uuid, v.indexTime, current = false)
               case None =>

@@ -1487,6 +1487,34 @@ class EngineSpec extends AnyFunSuite {
     assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
   }
 
+  test("gremlin comparators lt/lte/gt/gte/neq/hasNot route through the qp compiler") {
+    import graft.ops.Gremlin
+    val store = GraftStore.forDir(spark, Sf)
+    def ids(q: String) = Gremlin.eval(store, q).collect()
+      .map(_.getString(0)).toSet
+    val all = ids("""g.V.has("acctbal").id""")
+    val lt = ids("""g.V.has("acctbal", "lt", "500").id""")
+    val gte = ids("""g.V.has("acctbal", "gte", "500").id""")
+    val lte = ids("""g.V.has("acctbal", "lte", "500").id""")
+    val gt = ids("""g.V.has("acctbal", "gt", "500").id""")
+    assert(lt.nonEmpty && gte.nonEmpty)
+    assert((lt intersect gte).isEmpty && (lt union gte) == all)
+    assert((lte intersect gt).isEmpty && (lte union gt) == all)
+    assert(lt.subsetOf(lte) && gt.subsetOf(gte))
+    // neq requires EXISTENCE: the complement of eq within the
+    // property carriers, never the store-wide complement (directories
+    // must not leak in)
+    val seg = ids("""g.V.has("mktsegment").id""")
+    val eq = ids("""g.V.has("mktsegment", "BUILDING").id""")
+    val neq = ids("""g.V.has("mktsegment", "neq", "BUILDING").id""")
+    assert(eq.nonEmpty && neq.nonEmpty)
+    assert((neq intersect eq).isEmpty && (neq union eq) == seg)
+    // hasNot is the store-wide complement of existence
+    val hasNot = ids("""g.V.hasNot("mktsegment").id""")
+    assert((hasNot intersect seg).isEmpty &&
+      (hasNot union seg) == ids("g.V.id"))
+  }
+
   test("quads is current-only by contract; history consumers opt into quadsHistory") {
     val store = GraftStore.forDir(spark, Sf)
     // the pinned contract: filtering the default quad view on

@@ -265,6 +265,11 @@ class StreamingSpec extends AnyFunSuite {
       ms.addData(Streaming.VersionIn("/a", "u4", 30L),
         Streaming.VersionIn("/b", "u0", 1L))
       q.processAllAvailable()
+      // batch 3: at-least-once REDELIVERY of the live winner — must be
+      // a no-op (emitting current=false would un-current /a's live
+      // version in a blindly-applying downstream index)
+      ms.addData(Streaming.VersionIn("/a", "u4", 30L))
+      q.processAllAvailable()
       val rows = spark.sql(
         "SELECT path, uuid, current FROM scur").collect()
         .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
