@@ -590,6 +590,13 @@ object PipelineQueries {
       annCheck(emb(s, dir), Similarity.rpTopK(emb(s, dir),
         Seq(0L, 1L, 2L), 5), minOverlap = 3)),
 
+    // contrastive triplet mining (anchor, exact-nearest positive,
+    // next-4-ranks hard negatives) — the embedding-training dataset
+    // constructor; ranker-agnostic (swap in LSH/PQ at scale)
+    "q_triplets" -> ((s, dir) =>
+      Similarity.tripletMine(emb(s, dir), Seq(0L, 1L, 2L), nNeg = 4)
+        .orderBy("anchor_id", "neg_rank")),
+
     // product-quantized ANN (Jégou et al. 2011 — faiss PQ8×16): m=8
     // subspace codebooks, m-byte codes, ADC lookup-table candidate
     // ranking + exact re-rank — the FOURTH index family next to LSH /
@@ -1568,6 +1575,24 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM scored) WHERE rank = 1 ORDER BY query_id""".stripMargin,
+    "q_triplets" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM (SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(e.v, q.qv) AS cosine
+        |    FROM e JOIN q ON e.vec_id <> q.query_id)),
+        |pos AS (SELECT query_id, neighbor_id AS pos_id FROM ranked
+        |  WHERE rank = 1)
+        |SELECT r.query_id AS anchor_id, p.pos_id,
+        |  r.neighbor_id AS neg_id, r.rank - 1 AS neg_rank
+        |FROM ranked r JOIN pos p USING (query_id)
+        |WHERE r.rank BETWEEN 2 AND 5
+        |ORDER BY anchor_id, neg_rank""".stripMargin,
     "q_knn_pq" ->
       """WITH e AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -423,6 +423,28 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** CONTRASTIVE TRIPLET MINING — the dataset-construction op for
+    * embedding-model training: per anchor, positive = the exact
+    * nearest neighbor, hard negatives = the next `nNeg` ranks (the
+    * near misses that carry the training signal — the hard-negative
+    * recipe of Schroff et al. 2015's semi-hard mining, batch shape).
+    * One row per (anchor, positive, negative) with the negative's
+    * rank. Built on [[cosineTopK]] so the contract is exact and
+    * oracle-checkable; at 100 TB swap the exact ranker for
+    * [[lshTopK]]/[[pqTopK]] unchanged — the mining logic is
+    * ranker-agnostic. The positive side is anchor-count-sized, so its
+    * re-join broadcasts. */
+  def tripletMine(emb: DataFrame, queryIds: Seq[Long],
+                  nNeg: Int): DataFrame = {
+    val ranked = cosineTopK(emb, queryIds, 1 + nNeg)
+    val pos = ranked.where(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"))
+    ranked.where(col("rank") > 1)
+      .join(broadcast(pos), Seq("query_id"))
+      .select(col("query_id").as("anchor_id"), col("pos_id"),
+        col("neighbor_id").as("neg_id"), (col("rank") - 1).as("neg_rank"))
+  }
+
   /** PQ codebook cache — an index artifact keyed by corpus plan +
     * params, same lifecycle discipline as [[quantizers]]. */
   private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[

@@ -1432,6 +1432,24 @@ class EngineSpec extends AnyFunSuite {
     assert(s("feed") == "feed" && s("miss") == "miss")
   }
 
+  test("porter-lite stem property: driver equals executor on random tokens") {
+    import spark.implicits._
+    import graft.qp.TextAnalyzer
+    import org.scalacheck.Gen
+    // random alnum tokens (the tokenizer's output domain) — the fixed
+    // vocabulary above pins the rule semantics; this guards the
+    // replaceAll-vs-regexp_replace fold equivalence across the whole
+    // input space (suffix pileups, digits, 1-char words)
+    val tokenGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        10 -> Gen.alphaLowerChar, 2 -> Gen.numChar)).map(_.mkString))
+    val words = Gen.listOfN(400, tokenGen).sample.get.distinct
+    val got = words.toDF("w")
+      .select(TextAnalyzer.stemCol(col("w"))).as[String].collect()
+    assert(words.map(TextAnalyzer.stem) == got.toSeq,
+      "driver and executor stem folds diverged on random input")
+  }
+
   test("english analyzer: stemmed and raw phrase match disagree on the pinned probe") {
     import graft.qp.TextAnalyzer
     val store = GraftStore.forDir(spark, Sf)
