@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
   *                           quoted; routed to qp > >> < << ::; neq =
   *                           property exists AND no value equals v)
   *   .hasNot("prop")         absence filter
+  *   .dedup()                distinct frontier (hops already dedup;
+  *                           kept for chain compatibility)
+  *   .limit(n)               first n vertices in id order (Gremlin's
+  *                           stream order is undefined; id order makes
+  *                           the pipe deterministic here)
   *   .id                     terminal: vertex ids        → col `id`
   *   .values("prop")         terminal: property lexicals → col `value`
   *   .count()                terminal: row count         → col `count`
@@ -57,6 +62,8 @@ object Gremlin {
                                     value: Option[String]) extends Step
   private[ops] final case class HasNot(prop: String) extends Step
   private[ops] final case class Values(prop: String) extends Step
+  private[ops] final case class Limit(n: Int) extends Step
+  private[ops] case object DedupStep extends Step
   private[ops] case object Id extends Step
   private[ops] case object Count extends Step
 
@@ -73,8 +80,10 @@ object Gremlin {
       s"gremlin syntax error at char ${1 + consumed}: '$query'")
     def args(raw: String): Seq[String] = {
       val quoted = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      quoted.findAllMatchIn(raw).map(_.group(1).replaceAll("\\\\(.)", "$1"))
-        .toSeq
+      val qs = quoted.findAllMatchIn(raw)
+        .map(_.group(1).replaceAll("\\\\(.)", "$1")).toSeq
+      // bare integer args (limit(5) — Gremlin never quotes counts)
+      if (qs.nonEmpty) qs else "[0-9]+".r.findAllIn(raw).toSeq
     }
     step.findAllMatchIn(q.drop(1)).map { m =>
       val (name, as) = (m.group(1), args(Option(m.group(2)).getOrElse("")))
@@ -93,6 +102,8 @@ object Gremlin {
           if Set("gt", "gte", "lt", "lte", "eq", "neq")(op) =>
           Has(p, op, Some(v))
         case ("hasNot", Seq(p)) => HasNot(p)
+        case ("limit", Seq(n)) if n.forall(_.isDigit) => Limit(n.toInt)
+        case ("dedup", Seq()) => DedupStep
         case ("values", Seq(p)) => Values(p)
         case ("property", Seq(p)) => Values(p) // Blueprints alias
         case ("id", Seq()) => Id
@@ -180,6 +191,10 @@ object Gremlin {
             .where(col("current") && col("predicate") === canonical)
             .join(frontier, col("subject") === col("p"), "left_semi")
             .select(col("s").as("value")))
+        case Limit(n) =>
+          frontier = frontier.orderBy(col("p")).limit(n)
+        case DedupStep =>
+          frontier = frontier.distinct()
         case Id =>
           terminal = Some(frontier.select(col("p").as("id")))
         case Count =>

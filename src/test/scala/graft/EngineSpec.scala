@@ -1531,6 +1531,11 @@ class EngineSpec extends AnyFunSuite {
     val hasNot = ids("""g.V.hasNot("mktsegment").id""")
     assert((hasNot intersect seg).isEmpty &&
       (hasNot union seg) == ids("g.V.id"))
+    // limit takes the first n in deterministic id order; dedup is
+    // idempotent on the already-distinct frontier
+    val limited = ids("""g.V.has("mktsegment").limit(5).id""")
+    assert(limited == seg.toSeq.sorted.take(5).toSet)
+    assert(ids("""g.V.has("mktsegment").dedup().limit(5).id""") == limited)
   }
 
   test("quads is current-only by contract; history consumers opt into quadsHistory") {
