@@ -2704,6 +2704,24 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a" -> 40L, "b" -> 25L))
   }
 
+  test("heavyHitters reads the corpus exactly twice (sketch + recount)") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    // spy source: an accumulator counts partition evaluations, so
+    // corpus scans are measured directly (round 7 paid a third scan
+    // for the token total; it now rides the sketch pass)
+    val acc = spark.sparkContext.longAccumulator("corpus-passes")
+    val spy = Seq.tabulate(100)(i => (i.toLong, s"a b c d t${i % 7}"))
+      .toDF("doc_id", "text").repartition(4)
+      .as[(Long, String)]
+      .mapPartitions { it => acc.add(1); it }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(spy, phi = 0.1).collect()
+    assert(got.nonEmpty)
+    assert(acc.value == 8,
+      s"expected 2 scans x 4 partitions, saw ${acc.value} partition passes")
+  }
+
   test("funnel walks the earliest ordered chain per user") {
     import spark.implicits._
     import graft.pipeline.Sessions
