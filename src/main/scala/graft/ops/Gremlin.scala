@@ -78,12 +78,32 @@ object Gremlin {
     val consumed = step.findAllMatchIn(q.drop(1)).map(_.matched.length).sum
     require(1 + consumed == q.length,
       s"gremlin syntax error at char ${1 + consumed}: '$query'")
+    // full-consumption arg tokenizer: comma-separated quoted strings
+    // or bare integers (Gremlin never quotes counts/numeric
+    // comparands: limit(5), has("acctbal","gt",500)); anything else —
+    // stray characters, trailing commas, mixed garbage — fails loud,
+    // never a silent drop. Bare ints cap at 9 digits so toInt is safe.
     def args(raw: String): Seq[String] = {
-      val quoted = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      val qs = quoted.findAllMatchIn(raw)
-        .map(_.group(1).replaceAll("\\\\(.)", "$1")).toSeq
-      // bare integer args (limit(5) — Gremlin never quotes counts)
-      if (qs.nonEmpty) qs else "[0-9]+".r.findAllIn(raw).toSeq
+      val r = raw.trim
+      if (r.isEmpty) return Seq.empty
+      val item = java.util.regex.Pattern.compile(
+        "\\s*(?:\"((?:[^\"\\\\]|\\\\.)*)\"|(\\d{1,9}))\\s*(,|$)")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      var sawComma = false
+      while (pos < r.length) {
+        val m = item.matcher(r)
+        m.region(pos, r.length)
+        if (!m.lookingAt()) throw new IllegalArgumentException(
+          s"gremlin syntax error: bad arguments ($raw)")
+        out += (if (m.group(1) != null)
+          m.group(1).replaceAll("\\\\(.)", "$1") else m.group(2))
+        sawComma = m.group(3) == ","
+        pos = m.end()
+      }
+      if (sawComma) throw new IllegalArgumentException(
+        s"gremlin syntax error: trailing comma ($raw)")
+      out.toSeq
     }
     step.findAllMatchIn(q.drop(1)).map { m =>
       val (name, as) = (m.group(1), args(Option(m.group(2)).getOrElse("")))

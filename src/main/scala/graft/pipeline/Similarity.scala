@@ -437,10 +437,13 @@ object Similarity {
   def tripletMine(emb: DataFrame, queryIds: Seq[Long],
                   nNeg: Int): DataFrame = {
     val ranked = cosineTopK(emb, queryIds, 1 + nNeg)
-    val pos = ranked.where(col("rank") === 1)
-      .select(col("query_id"), col("neighbor_id").as("pos_id"))
-    ranked.where(col("rank") > 1)
-      .join(broadcast(pos), Seq("query_id"))
+    // the positive is the rank-1 row of the same partition — one
+    // ordered window over the shuffle the ranking already produced,
+    // no self-join
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    ranked
+      .withColumn("pos_id", first(col("neighbor_id")).over(w))
+      .where(col("rank") > 1)
       .select(col("query_id").as("anchor_id"), col("pos_id"),
         col("neighbor_id").as("neg_id"), (col("rank") - 1).as("neg_rank"))
   }

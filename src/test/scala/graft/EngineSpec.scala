@@ -1536,6 +1536,16 @@ class EngineSpec extends AnyFunSuite {
     val limited = ids("""g.V.has("mktsegment").limit(5).id""")
     assert(limited == seg.toSeq.sorted.take(5).toSet)
     assert(ids("""g.V.has("mktsegment").dedup().limit(5).id""") == limited)
+    // unquoted numeric comparands (natural Gremlin) equal quoted ones
+    assert(ids("""g.V.has("acctbal", "gt", 9000).id""") ==
+      ids("""g.V.has("acctbal", "gt", "9000").id"""))
+    // malformed args fail loud, never silently drop
+    intercept[IllegalArgumentException](
+      Gremlin.eval(store, """g.V.limit(5x).id"""))
+    intercept[IllegalArgumentException](
+      Gremlin.eval(store, """g.V.has("a",).id"""))
+    intercept[IllegalArgumentException](
+      Gremlin.eval(store, """g.V.limit(99999999999).id"""))
   }
 
   test("quads is current-only by contract; history consumers opt into quadsHistory") {
