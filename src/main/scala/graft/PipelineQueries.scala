@@ -514,6 +514,12 @@ object PipelineQueries {
       TextAnalysis.dsirWeights(docs(s, dir), col("source") === "src0")
         .orderBy("doc_id")),
 
+    // CCNet perplexity stratification (Wenzek et al. 2020): per-source
+    // LM-score tertiles label docs head/middle/tail — the labeled
+    // counterpart of the q_quality_prune drop gate
+    "q_perplexity_buckets" -> ((s, dir) =>
+      Curation.perplexityBuckets(docs(s, dir)).orderBy("doc_id")),
+
     // Gopher heuristic rules (Rae et al. 2021 A1.1): per-rule booleans
     // + composed keep — the length, stop-word and repetition rules all
     // discriminate on this corpus (~20%/37%/8% fail respectively)
@@ -997,6 +1003,18 @@ object PipelineQueries {
       |  FROM j GROUP BY 1)
       |SELECT doc_id, source, lm_logp FROM j JOIN th USING (source)
       |WHERE lm_logp >= th ORDER BY doc_id""".stripMargin),
+    "q_perplexity_buckets" -> (LmScoreSql + """,
+      |j AS (SELECT sc.doc_id, d.source, sc.lm_logp
+      |  FROM sc JOIN documents d USING (doc_id)),
+      |th AS (SELECT source,
+      |    round(quantile_cont(lm_logp, 1.0/3), 6) AS t1,
+      |    round(quantile_cont(lm_logp, 2.0/3), 6) AS t2
+      |  FROM j GROUP BY 1)
+      |SELECT doc_id, source, lm_logp,
+      |  CASE WHEN lm_logp >= t2 THEN 'head'
+      |       WHEN lm_logp >= t1 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM j JOIN th USING (source) ORDER BY doc_id""".stripMargin),
     "q_dedup_substring" ->
       s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
          |g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+15], ' ')

@@ -302,6 +302,30 @@ object Curation {
       .select(col("doc_id"), col(keyCol), col("lm_logp"))
   }
 
+  /** CCNet PERPLEXITY STRATIFICATION (Wenzek et al. 2020): label every
+    * document head/middle/tail by its per-source LM-score tertiles —
+    * head = the best-scoring third under the corpus's own unigram LM
+    * (lowest perplexity), the slice CCNet keeps for LM training;
+    * thresholds are per source so one source's scale never floods
+    * another's buckets. Same machinery as [[qualityPrune]] (one score
+    * pass, one per-key percentile agg, threshold join), but the
+    * output LABELS rows instead of dropping them — the downstream
+    * mixer decides what each bucket is worth. Tertile thresholds ride
+    * the 6-decimal grid like every cross-engine float here. */
+  def perplexityBuckets(docs: DataFrame, keyCol: String = "source",
+                        textCol: String = "text"): DataFrame = {
+    val scored = TextAnalysis.lmScore(docs, textCol)
+      .join(docs.select(col("doc_id"), col(keyCol)), "doc_id")
+    val thresholds = scored.groupBy(keyCol).agg(
+      round(percentile(col("lm_logp"), lit(1.0 / 3)), 6).as("__t1"),
+      round(percentile(col("lm_logp"), lit(2.0 / 3)), 6).as("__t2"))
+    scored.join(thresholds, Seq(keyCol))
+      .select(col("doc_id"), col(keyCol), col("lm_logp"),
+        when(col("lm_logp") >= col("__t2"), "head")
+          .when(col("lm_logp") >= col("__t1"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** C4-style LINE-LEVEL cleaning (Raffel et al. 2020 §2.2): per
     * line, keep it only if it has at least `minWords` words, carries
     * none of the `blacklist` phrases, has no curly brace, and (when
