@@ -30,7 +30,7 @@ object GraphQueries {
       val base = Search.run(store, Search.Request(path = "/lineitem",
         qp = Some("quantity>49.5")))
       pathsOf(Graph.xg(store, base,
-        Graph.parseXg("refOrders.refCustomer", Graph.refFields(store))))
+        Graph.parseXg("refOrders>refCustomer", Graph.refFields(store))))
     }),
 
     // yg incoming hop with per-hop filter: top BUILDING customers plus
@@ -41,6 +41,38 @@ object GraphQueries {
       val base = Search.run(store, Search.Request(path = "/customer",
         qp = Some("mktsegment::BUILDING,acctbal>9900")))
       pathsOf(Graph.yg(store, base, "<refCustomer[totalprice>100000]"))
+    }),
+
+    // yg outgoing hop with per-hop filter (expandIn direction): rich
+    // suppliers plus their nation, kept only when it is NATION_9
+    "q_yg_out" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/supplier",
+        qp = Some("acctbal>9000")))
+      pathsOf(Graph.yg(store, base, ">refNation[name::NATION_9]"))
+    }),
+
+    // yg `|`-separated alternative paths (Parsers.scala:493): each
+    // alternative expands from the ORIGINAL base and the reached sets
+    // union (wsutil/package.scala:905-913)
+    "q_yg_multi" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/customer",
+        qp = Some("mktsegment::BUILDING,acctbal>9900")))
+      pathsOf(Graph.yg(store, base,
+        "<refCustomer[totalprice>100000]|>refNation[name::NATION_9]"))
+    }),
+
+    // yg per-hop comma field list (repsep(filteredFieldExact, ","),
+    // Parsers.scala:485-486): one level fanning out over two reference
+    // fields, each with its own filter — ONE shared predicate-pruned
+    // edge scan per (direction, filter) group
+    "q_yg_fieldlist" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/lineitem",
+        qp = Some("quantity>49.5")))
+      pathsOf(Graph.yg(store, base,
+        ">refOrders[orderpriority::1-URGENT],refPart[retailprice>2000]"))
     }),
 
     // gqp: pure existence filter — customers having any order over 200k
@@ -58,6 +90,37 @@ object GraphQueries {
       val base = Search.run(store, Search.Request(path = "/supplier"))
       pathsOf(Graph.gqp(store, base,
         "<refSupplier[quantity>49]>refOrders[orderpriority::1-URGENT]"))
+    }),
+
+    // gqp `|` alternatives: keep customers satisfying EITHER chain —
+    // a 400k order exists, or their nation is NATION_9
+    "q_gqp_multi" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/customer"))
+      pathsOf(Graph.gqp(store, base,
+        "<refCustomer[totalprice>400000]|>refNation[name::NATION_9]"))
+    }),
+
+    // xg per-level comma field list (filteredFields, Parsers.scala:381):
+    // max-quantity lineitems expanded over refOrders AND refPart in one
+    // level — a single two-predicate pruned edge scan
+    "q_xg_fieldlist" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/lineitem",
+        qp = Some("quantity>49.5")))
+      pathsOf(Graph.xg(store, base,
+        Graph.parseXg("refOrders,refPart", Graph.refFields(store))))
+    }),
+
+    // xg digit joker WITH filter (`jokers = digit ~ filter.?`,
+    // Parsers.scala:441-445): one wildcard level over every reference
+    // field, keeping only NATION_9 targets
+    "q_xg_joker_filtered" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/customer",
+        qp = Some("mktsegment::AUTOMOBILE")))
+      pathsOf(Graph.xg(store, base,
+        Graph.parseXg("1[name::NATION_9]", Graph.refFields(store))))
     }),
 
     // expansionLimit (webservice.xg.limit): a 10-infoton cap on an
@@ -88,13 +151,13 @@ object GraphQueries {
     }),
 
     // xg with a per-level value filter (Parsers.scala:384-465): expand
-    // BUILDING customers along refNation, keeping only GERMANY targets
+    // BUILDING customers along refNation, keeping only NATION_9 targets
     "q_xg_filtered" -> ((s, dir) => {
       val store = st(s, dir)
       val base = Search.run(store, Search.Request(path = "/customer",
         qp = Some("mktsegment::BUILDING")))
       pathsOf(Graph.xg(store, base,
-        Graph.parseXg("refNation[name::GERMANY]", Graph.refFields(store))))
+        Graph.parseXg("refNation[name::NATION_9]", Graph.refFields(store))))
     }),
 
     // Gremlin pipe chain (`_sp` Gremlin surface): reverse hop + typed
@@ -165,6 +228,74 @@ object GraphQueries {
         |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
         |    AND o_totalprice > 100000
         |) ORDER BY path""".stripMargin,
+    "q_yg_out" ->
+      """SELECT path FROM (
+        |  SELECT '/supplier/' || CAST(s_suppkey AS VARCHAR) AS path FROM supplier
+        |  WHERE s_acctbal > 9000
+        |  UNION
+        |  SELECT DISTINCT '/nation/' || CAST(s_nationkey AS VARCHAR)
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE s_acctbal > 9000 AND n_name = 'NATION_9'
+        |) ORDER BY path""".stripMargin,
+    "q_yg_multi" ->
+      """SELECT path FROM (
+        |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
+        |  UNION
+        |  SELECT '/orders/' || CAST(o_orderkey AS VARCHAR)
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
+        |    AND o_totalprice > 100000
+        |  UNION
+        |  SELECT DISTINCT '/nation/' || CAST(c_nationkey AS VARCHAR)
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
+        |    AND n_name = 'NATION_9'
+        |) ORDER BY path""".stripMargin,
+    "q_yg_fieldlist" ->
+      """SELECT path FROM (
+        |  SELECT '/lineitem/' || CAST(l_orderkey AS VARCHAR) || '-' ||
+        |    CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_partkey AS VARCHAR)
+        |    || '-' || CAST(l_suppkey AS VARCHAR) AS path
+        |  FROM lineitem WHERE l_quantity > 49.5
+        |  UNION
+        |  SELECT DISTINCT '/orders/' || CAST(o_orderkey AS VARCHAR)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity > 49.5 AND o_orderpriority = '1-URGENT'
+        |  UNION
+        |  SELECT DISTINCT '/part/' || CAST(p_partkey AS VARCHAR)
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_quantity > 49.5 AND p_retailprice > 2000
+        |) ORDER BY path""".stripMargin,
+    "q_gqp_multi" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |   OR EXISTS (SELECT 1 FROM nation
+        |  WHERE n_nationkey = c_nationkey AND n_name = 'NATION_9')
+        |ORDER BY path""".stripMargin,
+    "q_xg_fieldlist" ->
+      """SELECT path FROM (
+        |  SELECT '/lineitem/' || CAST(l_orderkey AS VARCHAR) || '-' ||
+        |    CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_partkey AS VARCHAR)
+        |    || '-' || CAST(l_suppkey AS VARCHAR) AS path
+        |  FROM lineitem WHERE l_quantity > 49.5
+        |  UNION
+        |  SELECT DISTINCT '/orders/' || CAST(l_orderkey AS VARCHAR)
+        |  FROM lineitem WHERE l_quantity > 49.5
+        |  UNION
+        |  SELECT DISTINCT '/part/' || CAST(l_partkey AS VARCHAR)
+        |  FROM lineitem WHERE l_quantity > 49.5
+        |) ORDER BY path""".stripMargin,
+    "q_xg_joker_filtered" ->
+      """SELECT path FROM (
+        |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path FROM customer
+        |  WHERE c_mktsegment = 'AUTOMOBILE'
+        |  UNION
+        |  SELECT DISTINCT '/nation/' || CAST(c_nationkey AS VARCHAR)
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE c_mktsegment = 'AUTOMOBILE' AND n_name = 'NATION_9'
+        |) ORDER BY path""".stripMargin,
     "q_gqp" ->
       """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -192,6 +323,6 @@ object GraphQueries {
         |  UNION
         |  SELECT DISTINCT '/nation/' || CAST(c_nationkey AS VARCHAR)
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |  WHERE c_mktsegment = 'BUILDING' AND n_name = 'GERMANY'
+        |  WHERE c_mktsegment = 'BUILDING' AND n_name = 'NATION_9'
         |) ORDER BY path""".stripMargin)
 }

@@ -1437,14 +1437,17 @@ object PipelineQueries {
          |r AS (SELECT doc_id,
          |  len(ts) AS n_tokens,
          |  len(ts) BETWEEN 30 AND 100000 AS rule_len,
-         |  length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(ts)
+         |  len(ts) > 0 AND
+         |    length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(ts)
          |    BETWEEN 3 AND 10 AS rule_word_len,
-         |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+         |  length(text) > 0 AND
+         |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
          |    / length(text) <= 0.1 AS rule_symbol,
          |  len(list_filter(list_distinct(ts), x -> list_contains(
          |    ['the','a','an','and','of','to','in','is','it','for'], x)))
          |    >= 2 AS rule_stop,
-         |  CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) >= 0.3
+         |  len(ts) > 0 AND
+         |    CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) >= 0.3
          |    AS rule_rep
          |FROM t)
          |SELECT *, rule_len AND rule_word_len AND rule_symbol AND

@@ -122,7 +122,10 @@ object Gremlin {
           if Set("gt", "gte", "lt", "lte", "eq", "neq")(op) =>
           Has(p, op, Some(v))
         case ("hasNot", Seq(p)) => HasNot(p)
-        case ("limit", Seq(n)) if n.forall(_.isDigit) => Limit(n.toInt)
+        // nonEmpty + 9-digit cap: a quoted "" or an 11-digit literal
+        // must hit the loud syntax error below, not NumberFormatException
+        case ("limit", Seq(n))
+          if n.nonEmpty && n.length <= 9 && n.forall(_.isDigit) => Limit(n.toInt)
         case ("dedup", Seq()) => DedupStep
         case ("values", Seq(p)) => Values(p)
         case ("property", Seq(p)) => Values(p) // Blueprints alias

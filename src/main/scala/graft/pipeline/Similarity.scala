@@ -451,7 +451,7 @@ object Similarity {
   /** PQ codebook cache — an index artifact keyed by corpus plan +
     * params, same lifecycle discipline as [[quantizers]]. */
   private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Long), Array[Array[Array[Double]]]]()
+    (String, Int, Int, Int, Long), Array[Array[Array[Double]]]]()
 
   /** PRODUCT-QUANTIZED ANN (Jégou et al. 2011 — the faiss `PQ<m>`
     * recipe; the FOURTH index family next to LSH buckets, IVF cells
@@ -492,7 +492,9 @@ object Similarity {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     if (pqCodebooks.size > 16) pqCodebooks.clear()
-    val books = pqCodebooks.computeIfAbsent((planKey, m, ksub, seed), { _ =>
+    // dim is part of the key: same corpus + different dim must not
+    // reuse codebooks trained for the wrong dsub split
+    val books = pqCodebooks.computeIfAbsent((planKey, m, ksub, dim, seed), { _ =>
       val sample = nrm.limit(64 * 1024)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try (0 until m).map { j =>

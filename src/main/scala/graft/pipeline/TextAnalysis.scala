@@ -114,11 +114,15 @@ object TextAnalysis {
       .select(col("doc_id"),
         nTok.as("n_tokens"),
         (nTok >= minTokens && nTok <= maxTokens).as("rule_len"),
-        (meanWordLen >= 3.0 && meanWordLen <= 10.0).as("rule_word_len"),
-        (symbolRatio <= 0.1).as("rule_symbol"),
+        // zero guards: a doc with no tokens (punctuation/CJK-only) or
+        // empty text must yield deterministic FALSE ratio rules on both
+        // engines, not Spark NaN-compare vs DuckDB NULL-propagation
+        (nTok > 0 && meanWordLen >= 3.0 && meanWordLen <= 10.0)
+          .as("rule_word_len"),
+        (length(col(textCol)) > 0 && symbolRatio <= 0.1).as("rule_symbol"),
         (size(array_distinct(filter(ts, t => array_contains(stopArr, t))))
           >= 2).as("rule_stop"),
-        (size(array_distinct(ts)).cast("double") / nTokD >= 0.3)
+        (nTok > 0 && size(array_distinct(ts)).cast("double") / nTokD >= 0.3)
           .as("rule_rep"))
       .withColumn("keep", col("rule_len") && col("rule_word_len") &&
         col("rule_symbol") && col("rule_stop") && col("rule_rep"))

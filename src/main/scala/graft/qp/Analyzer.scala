@@ -51,16 +51,32 @@ object TextAnalyzer {
     def docTokens(raw: Column): Column = raw
   }
 
+  /** Position-gap sentinel: the ES stop filter removes the term but
+    * PRESERVES position increments, so match_phrase "quick fox" must
+    * not match a doc saying "quick the fox". Removed stop words become
+    * this sentinel token instead of vanishing; phrase matching treats
+    * a query-side gap as "any one term here" (ES positional slop-0
+    * semantics — "quick the fox" matches "quick a fox"). */
+  val PositionGap = "\u0001"
+
   /** ES english-analyzer analog, OPT-IN: Lucene's English stop set,
-    * then a Porter-lite stem per token. A stop-word-only probe
-    * analyzes to zero terms and matches nothing (zero_terms_query =
-    * none), same as the un-analyzed empty probe. */
+    * then a Porter-lite stem per token. Stop words are kept as
+    * [[PositionGap]] sentinels doc-side (position fidelity); query
+    * side trims leading/trailing gaps (they only shift positions) and
+    * keeps interior ones. A stop-word-only probe analyzes to zero
+    * terms and matches nothing (zero_terms_query = none), same as the
+    * un-analyzed empty probe. */
   case object English extends TextAnalyzer {
-    def queryTokens(v: String): Seq[String] =
-      rawTokens(v).filterNot(StopWords).map(stem)
+    def queryTokens(v: String): Seq[String] = {
+      val marked = rawTokens(v)
+        .map(t => if (StopWords(t)) PositionGap else stem(t))
+      marked.dropWhile(_ == PositionGap)
+        .reverse.dropWhile(_ == PositionGap).reverse
+    }
     def docTokens(raw: Column): Column =
-      transform(filter(raw, t => !t.isin(StopWords.toSeq: _*)),
-        stemCol(_))
+      transform(raw, t =>
+        when(t.isin(StopWords.toSeq: _*), lit(PositionGap))
+          .otherwise(stemCol(t)))
   }
 
   /** ES cjk-analyzer analog, OPT-IN: ASCII alnum runs tokenize as

@@ -124,7 +124,17 @@ final class FilterCompiler(store: GraftStore,
         array_contains(docToks, toks.head)
       else {
         val joined = concat(lit(" "), array_join(docToks, " "), lit(" "))
-        joined.contains(lit(toks.mkString(" ", " ", " ")))
+        if (toks.contains(TextAnalyzer.PositionGap)) {
+          // interior stop-word gaps in the probe: ES keeps the position
+          // increment, so the gap slot matches ANY one doc term
+          // (including a doc-side gap sentinel) — a codegen'd RLIKE
+          val pattern = toks.map {
+            case TextAnalyzer.PositionGap => "[^ ]+"
+            case t => java.util.regex.Pattern.quote(t)
+          }.mkString(" ", " ", " ")
+          joined.rlike(pattern)
+        } else
+          joined.contains(lit(toks.mkString(" ", " ", " ")))
       }
     }
   }

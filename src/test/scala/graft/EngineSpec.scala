@@ -514,6 +514,65 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("yg/gqp parser: | alternatives, comma field lists, fail-loud") {
+    import graft.ops.Graph
+    import graft.ops.Graph.Hop
+    // `|` alternatives are distinct paths (Parsers.scala:493), NOT a
+    // concatenated chain — the round-8 silent misparse
+    assert(Graph.parsePaths("<f1|<f2") ==
+      Seq(Seq(Seq(Hop(incoming = true, "f1"))),
+          Seq(Seq(Hop(incoming = true, "f2")))))
+    // per-hop comma field lists (Parsers.scala:485-486), filters kept
+    assert(Graph.parsePaths("<a[x::1],b>c") ==
+      Seq(Seq(Seq(Hop(incoming = true, "a", Some("x::1")),
+                  Hop(incoming = true, "b")),
+              Seq(Hop(incoming = false, "c")))))
+    // nested brackets in filters survive (MultiFieldFilter nesting)
+    assert(Graph.parsePaths("<a[x::1,[y::2,z::3]]") ==
+      Seq(Seq(Seq(Hop(incoming = true, "a", Some("x::1,[y::2,z::3]"))))))
+    // empty alternatives contribute nothing (reference rep() admits them)
+    assert(Graph.parsePaths("<f1|") == Seq(Seq(Seq(Hop(incoming = true, "f1")))))
+    // full consumption: trailing garbage / bad starts / unbalanced
+    // brackets / empty filters all throw (the reference parseAll
+    // rejects them, Parsers.scala:499-508)
+    intercept[IllegalArgumentException] { Graph.parsePaths("<refx!!") }
+    intercept[IllegalArgumentException] { Graph.parsePaths("refx") }
+    intercept[IllegalArgumentException] { Graph.parsePaths("<a[f::1") }
+    intercept[IllegalArgumentException] { Graph.parsePaths("<a[]") }
+    intercept[IllegalArgumentException] { Graph.parsePaths("<a,") }
+    intercept[IllegalArgumentException] { Graph.parsePaths("<") }
+    intercept[IllegalArgumentException] { Graph.parsePaths("|") }
+    intercept[IllegalArgumentException] { Graph.parsePaths("") }
+  }
+
+  test("xg parser: > levels, comma lists, jokers, fail-loud") {
+    import graft.ops.Graph
+    import graft.ops.Graph.Hop
+    val rf = Seq("r1", "r2")
+    // levels split on '>' (Parsers.scala:437) — dots are FIELD chars
+    // (namespace-qualified keys), never level separators
+    assert(Graph.parseXg("a.b>c", rf) ==
+      Seq(Seq(Hop(incoming = false, "a.b")), Seq(Hop(incoming = false, "c"))))
+    // comma field list in one level (doctest "x>yyy>abc,xyz")
+    assert(Graph.parseXg("x>yyy>abc,xyz", rf).map(_.map(_.field)) ==
+      Seq(Seq("x"), Seq("yyy"), Seq("abc", "xyz")))
+    // digit joker with filter replicates a filtered wildcard level
+    assert(Graph.parseXg("2[q::1]", rf) ==
+      Seq(rf.map(Hop(incoming = false, _, Some("q::1"))),
+          rf.map(Hop(incoming = false, _, Some("q::1")))))
+    // joker then explicit levels (expanders = jokers ">" levels)
+    assert(Graph.parseXg("1>a", rf) ==
+      Seq(rf.map(Hop(incoming = false, _)), Seq(Hop(incoming = false, "a"))))
+    // `_` with filter (level = "_" ~> filter.?)
+    assert(Graph.parseXg("_[q::1]", rf) ==
+      Seq(rf.map(Hop(incoming = false, _, Some("q::1")))))
+    // empty input = one wildcard level (Parsers.scala:453)
+    assert(Graph.parseXg("", rf) == Seq(rf.map(Hop(incoming = false, _))))
+    intercept[IllegalArgumentException] { Graph.parseXg("a>>b", rf) }
+    intercept[IllegalArgumentException] { Graph.parseXg("a[x::1]!!", rf) }
+    intercept[IllegalArgumentException] { Graph.parseXg("a[", rf) }
+  }
+
   test("SPARQL UNION leaves branch-only variables unbound") {
     val store = storeOf(Seq(
       "<c://u/1> <c://o#a> \"x\" .",
@@ -1470,6 +1529,25 @@ class EngineSpec extends AnyFunSuite {
       Search.Request(path = "/", qp = Some("_all:widget")))))
   }
 
+  test("english analyzer: stop-word position gaps are preserved (ES match_phrase)") {
+    import graft.qp.TextAnalyzer
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://d/1> <c://o#t> \"quick fox\" .",
+      "<c://d/2> <c://o#t> \"quick the fox\" .",
+      "<c://d/3> <c://o#t> \"quick brown fox\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String) = paths(Search.run(store,
+      Search.Request(path = "/d", qp = Some(qp),
+        analyzer = TextAnalyzer.English)))
+    // the ES stop filter preserves position increments: an adjacent
+    // probe must NOT match across a removed stop word...
+    assert(run("t.o:quick fox") == Set("/d/1"))
+    // ...and a probe with an interior stop word leaves a position slot
+    // ANY single term may fill (slop-0 positional semantics)
+    assert(run("t.o:quick the fox") == Set("/d/2", "/d/3"))
+  }
+
   test("cjk analyzer: bigram phrase match sees CJK text; standard cannot") {
     import graft.qp.TextAnalyzer
     graft.qp.Namespaces.register("o", "c://o#")
@@ -1546,6 +1624,12 @@ class EngineSpec extends AnyFunSuite {
       Gremlin.eval(store, """g.V.has("a",).id"""))
     intercept[IllegalArgumentException](
       Gremlin.eval(store, """g.V.limit(99999999999).id"""))
+    // QUOTED numerics hit the same guards: an 11-digit or empty quoted
+    // arg is the loud syntax error, not a NumberFormatException
+    intercept[IllegalArgumentException](
+      Gremlin.eval(store, """g.V.limit("99999999999").id"""))
+    intercept[IllegalArgumentException](
+      Gremlin.eval(store, """g.V.limit("").id"""))
   }
 
   test("quads is current-only by contract; history consumers opt into quadsHistory") {
@@ -2215,7 +2299,7 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     val viaXg = paths(Graph.xg(store,
       store.current.where(col("system.path") === "/customer/1"),
-      Graph.parseXg("refNation.refRegion", Graph.refFields(store))))
+      Graph.parseXg("refNation>refRegion", Graph.refFields(store))))
       .filter(_.startsWith("/region/"))
     assert(viaGremlin == viaXg && viaGremlin.size == 1)
     // count terminal over all vertices
