@@ -225,27 +225,94 @@ object GraftStore {
   def forDir(spark: SparkSession, dir: String): GraftStore = {
     evictStopped(cache)
     cache.computeIfAbsent((spark, dir), { case (s, d) =>
+      // the loader's session-side registrations (quad aliases) must
+      // happen even when the WARM path skips TableLoader.load entirely
+      TableLoader.registerAliases()
+      forParquet(s, etlCachedDir(s, d), TableLoader.fieldTypes,
+        TableLoader.analyzedOnly)
+    })
+  }
+
+  /** Marker file that makes a published ETL directory valid — written
+    * into the build dir BEFORE the atomic publish, so its presence in
+    * the shared location implies a complete layout. */
+  private val EtlMarker = "_GRAFT_ETL_COMPLETE"
+
+  /** Cross-JVM ETL warm start: the materialized layout lives under a
+    * shared root keyed by a CONTENT FINGERPRINT of the source parquet
+    * (relative name + size + mtime manifest — a driver data refresh
+    * changes the key and forces a re-ETL). A fresh JVM whose source is
+    * unchanged reuses the finished layout and pays ~0 s instead of the
+    * full materialize (66.7 s of every sf0.1 bench run). Concurrent
+    * builders race benignly: each builds into a private temp dir and
+    * ATOMIC_MOVE-publishes; the loser discards its copy and reads the
+    * winner's. The layout is read-only by contract — the one mutating
+    * caller ([[graft.ingest.Merger.mergePruned]] via q_merge_pruned)
+    * clones `infotons/` first. */
+  private def etlCachedDir(s: SparkSession, d: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_store_etl_cache")
+    java.nio.file.Files.createDirectories(root)
+    val target = root.resolve(sourceFingerprint(d))
+    if (!java.nio.file.Files.exists(target.resolve(EtlMarker))) {
+      pruneStale(root, keep = target.getFileName.toString)
       val inf = TableLoader.load(s, d)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val mdir = java.nio.file.Files
-        .createTempDirectory("graft_store_etl").toString
-      // a JVM can ETL several sf dirs (tests, bench) — clean each
-      // store copy up on exit so repeated runs don't fill /tmp
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(mdir))
-      }))
+      val tmp = java.nio.file.Files.createTempDirectory(root, "build_")
       val built = new GraftStore(s, inf, TableLoader.fieldTypes, None,
         TableLoader.analyzedOnly)
-      materialize(built, mdir)
+      materialize(built, tmp.toString)
       // drop the build-time caches: every later read is a pruned
       // parquet scan, not a pass over the cached build frames
       built.quads.unpersist()
       inf.unpersist()
-      forParquet(s, mdir, TableLoader.fieldTypes, TableLoader.analyzedOnly)
+      java.nio.file.Files.createFile(tmp.resolve(EtlMarker))
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(target.resolve(EtlMarker)) =>
+          rmTree(tmp.toFile) // a concurrent JVM published first — use its copy
+      }
+    }
+    target.toString
+  }
+
+  /** MD5 over the source dir's file manifest (relative path, size,
+    * mtime) — cheap (no data read), refresh-sensitive. */
+  private def sourceFingerprint(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val stream = java.nio.file.Files.walk(root)
+    try stream.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => (root.relativize(p).toString, p)).toSeq.sortBy(_._1)
+      .foreach { case (rel, p) =>
+        md.update(s"$rel|${java.nio.file.Files.size(p)}|${
+          java.nio.file.Files.getLastModifiedTime(p).toMillis}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    finally stream.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Bound the shared cache: drop published entries (other than `keep`)
+    * untouched for >3 days, and any orphaned build_ temp dirs older
+    * than 6 h (a crashed builder). */
+  private def pruneStale(root: java.nio.file.Path, keep: String): Unit = {
+    val now = System.currentTimeMillis()
+    Option(root.toFile.listFiles()).foreach(_.foreach { f =>
+      val age = now - f.lastModified()
+      val stale =
+        if (f.getName.startsWith("build_")) age > 6L * 3600 * 1000
+        else f.getName != keep && age > 3L * 24 * 3600 * 1000
+      if (stale) rmTree(f)
     })
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
   /** Store over an arbitrary infoton DataFrame (e.g. RDF ingest).

@@ -137,14 +137,19 @@ object TableLoader {
     }
   }
 
-  /** All tables of one sf directory → one infoton DataFrame. */
-  def load(spark: SparkSession, dir: String): DataFrame = {
-    // this loader quad-tags document values /graph/<source>; register
-    // the matching aliases HERE — QuadAliases starts empty so a
-    // deployment never inherits demo aliases that would mask its
-    // unknown-alias errors
+  /** This loader quad-tags document values /graph/<source>; the
+    * matching aliases are registered HERE (and by every
+    * [[GraftStore.forDir]] serve, including the warm cross-JVM path
+    * that never calls [[load]]) — QuadAliases starts empty so a
+    * deployment never inherits demo aliases that would mask its
+    * unknown-alias errors. */
+  def registerAliases(): Unit =
     (0 to 9).foreach(i =>
       graft.qp.QuadAliases.register(s"src$i", s"cmwell://graph/src$i"))
+
+  /** All tables of one sf directory → one infoton DataFrame. */
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    registerAliases()
     val region = static(pq(spark, dir, "region"), "region", col("r_regionkey"),
       map(lit("regionkey"), array(lVal(col("r_regionkey"))),
           lit("name"), array(sVal(col("r_name")))))
