@@ -125,4 +125,18 @@ object Ingest {
       commandsOf(spark, cached, lastModified))
     finally cached.unpersist()
   }
+
+  /** [[ingest]], also returning the batch delta (new rows only) — the
+    * index-command stream for incremental current-flag maintenance
+    * ([[graft.ingest.Merger.mergeWithDelta]]). */
+  def ingestWithDelta(spark: SparkSession, infotons: DataFrame,
+                      lines: Dataset[String], lastModified: Timestamp)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cached = lines.flatMap(Rdf.parseLine(_)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Merger.mergeWithDelta(spark, infotons,
+      commandsOf(spark, cached, lastModified))
+    finally cached.unpersist()
+  }
 }

@@ -138,7 +138,20 @@ object Merger {
     * full new infotons DataFrame (history preserved, `current` flags
     * rewritten, new versions appended, missing parents synthesized). */
   def merge(spark: SparkSession, infotons: DataFrame,
-            commands: Dataset[Command]): DataFrame = {
+            commands: Dataset[Command]): DataFrame =
+    mergeWithDelta(spark, infotons, commands)._1
+
+  /** [[merge]], also returning the batch DELTA — the new rows this
+    * batch created (merged versions + synthesized parent stubs),
+    * batch-sized. The delta is the analog of the reference bg
+    * pipeline's index-command stream (ImpStream.scala: the persist
+    * step emits IndexCommands the indexer applies without re-reading
+    * the store): downstream index maintenance consumes it through
+    * [[graft.streaming.Streaming.versionLog]] +
+    * [[graft.streaming.Streaming.currentFlags]], with state ∝ live
+    * paths instead of a per-batch full-snapshot flag rewrite. */
+  def mergeWithDelta(spark: SparkSession, infotons: DataFrame,
+                     commands: Dataset[Command]): (DataFrame, DataFrame) = {
     import spark.implicits._
     // only base rows whose path carries a command enter the cogroup —
     // commands are the small delta, so this semi join keeps the
@@ -221,7 +234,7 @@ object Merger {
         lit(true).as("current"), lit(InfotonModel.KindObject).as("kind"),
         lit("cmwell").as("protocol")).as("system"),
         lit(null).cast(InfotonModel.InfotonType("fields").dataType).as("fields"))
-    all.unionByName(parents)
+    (all.unionByName(parents), newV.unionByName(parents))
   }
 
   /** Parent directory of a path (the `__parent` partition key). */

@@ -84,18 +84,48 @@ object Streaming {
   def ingestCommands(lines: DataFrame, initial: DataFrame,
                      lastModifiedOf: Long => java.sql.Timestamp)
                     (onBatch: (DataFrame, Long) => Unit)
+      : DataStreamWriter[Row] =
+    ingestCommandsWithDelta(lines, initial, lastModifiedOf)(
+      (store, _, epoch) => onBatch(store, epoch))
+
+  /** [[ingestCommands]], additionally handing the callback each
+    * batch's DELTA — the new rows the merge created, batch-sized
+    * ([[graft.ingest.Merger.mergeWithDelta]]). The delta is the
+    * reference bg pipeline's index-command stream (ImpStream persists
+    * to Cassandra, then emits IndexCommands the indexer applies
+    * WITHOUT re-reading the store): feed it through [[versionLog]]
+    * into [[currentFlags]] and the index side's current pointers are
+    * maintained by keyed state ∝ LIVE PATHS — each batch costs
+    * delta-sized work on the index, never a snapshot-wide flag
+    * rewrite. StreamingSpec's composition test proves the change-log
+    * fold lands on exactly the store's current flags. */
+  def ingestCommandsWithDelta(lines: DataFrame, initial: DataFrame,
+                              lastModifiedOf: Long => java.sql.Timestamp)
+                             (onBatch: (DataFrame, DataFrame, Long) => Unit)
       : DataStreamWriter[Row] = {
     var snapshot = initial
     lines.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val spark = batch.sparkSession
       import spark.implicits._
       val nt = batch.select(col("value").cast("string")).as[String]
-      val merged = graft.ingest.Ingest
-        .ingest(spark, snapshot, nt, lastModifiedOf(epoch))
+      val (merged, delta) = graft.ingest.Ingest
+        .ingestWithDelta(spark, snapshot, nt, lastModifiedOf(epoch))
+      val stored = merged
         .localCheckpoint(true) // materialize + cut lineage for the chain
-      snapshot = merged
-      onBatch(merged, epoch)
+      snapshot = stored
+      onBatch(stored, delta, epoch)
     }
+  }
+
+  /** Map one ingest batch's merge delta to the [[currentFlags]] input:
+    * real versions only — synthesized parent stubs carry no uuid and
+    * no index pointer to maintain. */
+  def versionLog(delta: DataFrame): org.apache.spark.sql.Dataset[VersionIn] = {
+    import delta.sparkSession.implicits._
+    delta.where(col("system.uuid").isNotNull)
+      .select(col("system.path").as("path"), col("system.uuid").as("uuid"),
+        col("system.indexTime").as("indexTime"))
+      .as[VersionIn]
   }
 
   /** Watermarked tumbling-window aggregation over a qstream — the

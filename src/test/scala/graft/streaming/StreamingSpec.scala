@@ -288,6 +288,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest composes with currentFlags: change-log lands on the store's flags") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val vs = MemoryStream[Streaming.VersionIn]
+    // index side: the change-log maintained by keyed state (∝ live paths)
+    val flagsQ = Streaming.currentFlags(vs.toDS()).writeStream
+      .format("memory").queryName("ingcur").outputMode("append").start()
+    // store side: per-batch merge; the delta feeds the index stream —
+    // the ImpStream persist→index split, no store re-read on the index
+    @volatile var finalStore: org.apache.spark.sql.DataFrame = null
+    val q = Streaming.ingestCommandsWithDelta(ms.toDF(),
+      graft.ingest.Ingest.emptyStore(spark),
+      e => java.sql.Timestamp.valueOf(s"2024-01-0${e + 1} 00:00:00")) {
+        (store, delta, _) =>
+          finalStore = store
+          vs.addData(Streaming.versionLog(delta).collect().toIndexedSeq: _*)
+      }.start()
+    try {
+      ms.addData("<c://doc/1> <c://o#tag> \"red\" .",
+        "<c://doc/2> <c://o#tag> \"x\" .")
+      q.processAllAvailable()
+      // batch 2 dethrones batch 1's /doc/1 version
+      ms.addData("<c://doc/1> <c://o#tag> \"blue\" .")
+      q.processAllAvailable()
+      flagsQ.processAllAvailable()
+      // fold the change-log: live winners are the current=true entries
+      // never flipped by a later current=false for the same version
+      val log = spark.sql("SELECT path, uuid, current FROM ingcur")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      val live = log.filter(_._3).filterNot { case (p, u, _) =>
+        log.exists(e => !e._3 && e._1 == p && e._2 == u)
+      }.map(e => (e._1, e._2)).toSet
+      val storeCur = finalStore
+        .where(col("system.current") && col("system.uuid").isNotNull)
+        .select(col("system.path"), col("system.uuid"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(live == storeCur && live.size == 2)
+      // the dethrone flip itself is in the log (blind-apply contract)
+      assert(log.count(e => e._1 == "/doc/1" && !e._3) == 1)
+    } finally { q.stop(); flagsQ.stop() }
+  }
+
   test("deliver pushes each partition from the executors, not the driver") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
