@@ -102,6 +102,17 @@ object SearchQueries {
             analyzer = graft.qp.TextAnalyzer.English))
         .select(col("system.path").as("path")).orderBy("path")),
 
+    // Full-Porter opt-in (Lucene PorterStemFilter analog): the probe
+    // "widgetization" reaches the "widget" term set ONLY through the
+    // derivational steps 2-4 (ization→ize→∅) — Porter-lite leaves it
+    // whole (0 rows), so this query is non-vacuous exactly through the
+    // EnglishFull chain
+    "q_search_stemmed_full" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("name:widgetization"),
+            analyzer = graft.qp.TextAnalyzer.EnglishFull))
+        .select(col("system.path").as("path")).orderBy("path")),
+
     // Like (`~`) — fuzzy, ES AUTO fuzziness
     "q_search_fuzzy" -> ((s, dir) =>
       Search.run(st(s, dir),
@@ -232,6 +243,10 @@ object SearchQueries {
       """SELECT doc_id FROM documents WHERE lower(text) LIKE '%a part%'
         |ORDER BY doc_id""".stripMargin,
     "q_search_stemmed" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
+        |ORDER BY path""".stripMargin,
+    "q_search_stemmed_full" ->
       """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
         |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
         |ORDER BY path""".stripMargin,

@@ -79,6 +79,26 @@ object TextAnalyzer {
           .otherwise(stemCol(t)))
   }
 
+  /** [[English]] with FULL Porter derivational morphology (steps 2-4)
+    * between the inflectional step-1 rules and the final-e drop —
+    * OPT-IN: the reference's english chain ships Lucene's
+    * PorterStemFilter (indices_template_new.json:33-115), which runs
+    * all steps; the [[English]] default deliberately keeps the
+    * retrieval-moving Porter-lite subset. Same gap-sentinel position
+    * semantics. */
+  case object EnglishFull extends TextAnalyzer {
+    def queryTokens(v: String): Seq[String] = {
+      val marked = rawTokens(v)
+        .map(t => if (StopWords(t)) PositionGap else stemFull(t))
+      marked.dropWhile(_ == PositionGap)
+        .reverse.dropWhile(_ == PositionGap).reverse
+    }
+    def docTokens(raw: Column): Column =
+      transform(raw, t =>
+        when(t.isin(StopWords.toSeq: _*), lit(PositionGap))
+          .otherwise(stemFullCol(t)))
+  }
+
   /** ES cjk-analyzer analog, OPT-IN: ASCII alnum runs tokenize as
     * words (lowercased), CJK runs (Han ideographs + Hiragana/Katakana
     * + Hangul) emit OVERLAPPING BIGRAMS — "中文分" → 中文, 文分 — the
@@ -167,4 +187,89 @@ object TextAnalyzer {
     * regexp_replace (Java regex on both sides, codegen'd). */
   def stemCol(c: Column): Column =
     StemRules.foldLeft(c) { case (w, (p, r)) => regexp_replace(w, p, r) }
+
+  // ------------------------- full Porter (steps 2-4), EnglishFull only
+
+  // measure gates as regex fragments: m>0 ≈ one vowel-consonant pair in
+  // the captured stem, m>1 ≈ two (vowel RUNS collapse naturally — the
+  // pair matches the run's last vowel). Digits count as consonants,
+  // same domain discipline as the step-1 table.
+  private val M1 = "[a-z0-9]*[aeiou][^aeiou][a-z0-9]*"
+  private val M2 = "[a-z0-9]*[aeiou][^aeiou][a-z0-9]*[aeiou][^aeiou][a-z0-9]*"
+
+  /** One Porter step: ordered rules where the FIRST match fires and
+    * ENDS the step (Porter substitutes at most once per step — a
+    * plain fold would cascade inside the step and over-stem, e.g.
+    * generalization → gener via ization→ize→∅ AND THEN al→∅ in the
+    * same step-4 pass). */
+  type StemStep = Seq[(String, String)]
+
+  /** Porter step 2 (m>0): -ational→-ate family. Longest overlapping
+    * suffixes first (ational before tional, ization before ation). */
+  val PorterStep2: StemStep = Seq(
+    s"^($M1)ational$$" -> "$1ate", s"^($M1)tional$$" -> "$1tion",
+    s"^($M1)enci$$" -> "$1ence", s"^($M1)anci$$" -> "$1ance",
+    s"^($M1)izer$$" -> "$1ize", s"^($M1)abli$$" -> "$1able",
+    s"^($M1)alli$$" -> "$1al", s"^($M1)entli$$" -> "$1ent",
+    s"^($M1)eli$$" -> "$1e", s"^($M1)ousli$$" -> "$1ous",
+    s"^($M1)ization$$" -> "$1ize", s"^($M1)ation$$" -> "$1ate",
+    s"^($M1)ator$$" -> "$1ate", s"^($M1)alism$$" -> "$1al",
+    s"^($M1)iveness$$" -> "$1ive", s"^($M1)fulness$$" -> "$1ful",
+    s"^($M1)ousness$$" -> "$1ous", s"^($M1)aliti$$" -> "$1al",
+    s"^($M1)iviti$$" -> "$1ive", s"^($M1)biliti$$" -> "$1ble")
+
+  /** Porter step 3 (m>0): -icate/-ative/-alize/-iciti/-ical/-ful/-ness. */
+  val PorterStep3: StemStep = Seq(
+    s"^($M1)icate$$" -> "$1ic", s"^($M1)ative$$" -> "$1",
+    s"^($M1)alize$$" -> "$1al", s"^($M1)iciti$$" -> "$1ic",
+    s"^($M1)ical$$" -> "$1ic", s"^($M1)ful$$" -> "$1",
+    s"^($M1)ness$$" -> "$1")
+
+  /** Porter step 4 (m>1): drop the derivational suffix outright. The
+    * `ion` rule needs the [st]-final stem AND the measure counted over
+    * a stem whose final consonant may BE that s/t — a lookahead gates
+    * the measure over the whole pre-`ion` prefix, then the group pins
+    * the [st]. Porter's own list order (ement before ment before ent). */
+  val PorterStep4: StemStep = Seq(
+    s"^($M2)al$$" -> "$1", s"^($M2)ance$$" -> "$1",
+    s"^($M2)ence$$" -> "$1", s"^($M2)er$$" -> "$1",
+    s"^($M2)ic$$" -> "$1", s"^($M2)able$$" -> "$1",
+    s"^($M2)ible$$" -> "$1", s"^($M2)ant$$" -> "$1",
+    s"^($M2)ement$$" -> "$1", s"^($M2)ment$$" -> "$1",
+    s"^($M2)ent$$" -> "$1",
+    "^(?=(?:[a-z0-9]*[aeiou][^aeiou]){2}[a-z0-9]*ion$)([a-z0-9]*[st])ion$" -> "$1",
+    s"^($M2)ou$$" -> "$1", s"^($M2)ism$$" -> "$1",
+    s"^($M2)ate$$" -> "$1", s"^($M2)iti$$" -> "$1",
+    s"^($M2)ous$$" -> "$1", s"^($M2)ive$$" -> "$1",
+    s"^($M2)ize$$" -> "$1")
+
+  private def applyStep(t: String, step: StemStep): String =
+    step.collectFirst { case (p, r) if t.matches(p) => t.replaceAll(p, r) }
+      .getOrElse(t)
+
+  private def applyStepCol(c: Column, step: StemStep): Column =
+    step.foldRight(c) { case ((p, r), acc) =>
+      when(c.rlike(p), regexp_replace(c, p, r)).otherwise(acc)
+    }
+
+  /** Driver-side FULL Porter: step-1 rules (everything in [[StemRules]]
+    * but the final-e drop), then steps 2-4 first-match-wins, then the
+    * final-e drop — e-removal must come LAST or step 2-4 suffixes like
+    * -ize/-ate never match (centralize → centraliz would keep its z).
+    * Step 5b (double-l) stays out of scope, documented. */
+  def stemFull(t: String): String = {
+    val s1 = StemRules.init.foldLeft(t) { case (w, (p, r)) => w.replaceAll(p, r) }
+    val s4 = Seq(PorterStep2, PorterStep3, PorterStep4).foldLeft(s1)(applyStep)
+    val (p5, r5) = StemRules.last
+    s4.replaceAll(p5, r5)
+  }
+
+  /** Executor-side FULL Porter — the SAME tables through
+    * regexp_replace / rlike when-chains (Java regex both sides). */
+  def stemFullCol(c: Column): Column = {
+    val s1 = StemRules.init.foldLeft(c) { case (w, (p, r)) => regexp_replace(w, p, r) }
+    val s4 = Seq(PorterStep2, PorterStep3, PorterStep4).foldLeft(s1)(applyStepCol)
+    val (p5, r5) = StemRules.last
+    regexp_replace(s4, p5, r5)
+  }
 }

@@ -1529,6 +1529,47 @@ class EngineSpec extends AnyFunSuite {
       Search.Request(path = "/", qp = Some("_all:widget")))))
   }
 
+  test("full Porter (steps 2-4): canonical vocabulary + driver/executor drift") {
+    import spark.implicits._
+    import graft.qp.TextAnalyzer
+    // canonical Porter outputs through the 1a-1c → 2 → 3 → 4 → 5a
+    // pipeline; each pinned pair exercises a different step-2/3/4 rule
+    // family and the one-substitution-per-step contract
+    // (generalization must NOT lose its -al in the same step-4 pass
+    // that drops -ize)
+    val vocab = Seq(
+      "relational" -> "relat",        // 2: ational→ate, 5a e-drop
+      "conditional" -> "condit",      // 2: tional→tion, 4: (t)ion
+      "generalization" -> "gener",    // 2: ization→ize, 3: alize→al, 4: al
+      "effective" -> "effect",        // 4: ive (m>1)
+      "hopefulness" -> "hope",        // 2: fulness→ful, 3: ful→∅
+      "dependent" -> "depend",        // 4: ent
+      "adoption" -> "adopt",          // 4: (t)ion, stem-final t ≠ pair consonant
+      "station" -> "station",         // 4: ion gate m>1 fails (m=1) — kept
+      "electriciti" -> "electr",      // 3: iciti→ic, then 4: ic (m>1) —
+                                      // cross-STEP cascade is canonical
+      "operator" -> "oper",           // 2: ator→ate, 4: ate (m>1)
+      "feed" -> "feed",               // untouched (1b eed guard)
+      "widgets" -> "widget")          // step-1 only input unchanged by 2-4
+    vocab.foreach { case (in, want) =>
+      assert(TextAnalyzer.stemFull(in) == want,
+        s"stemFull($in) = ${TextAnalyzer.stemFull(in)}, want $want")
+    }
+    // driver fold == executor when-chain over the pinned vocabulary
+    // plus random tokens (the same drift guard the lite stem has)
+    val rnd = org.scalacheck.Gen.listOfN(300,
+      org.scalacheck.Gen.chooseNum(1, 12).flatMap(n =>
+        org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.frequency(
+          10 -> org.scalacheck.Gen.alphaLowerChar,
+          2 -> org.scalacheck.Gen.numChar)).map(_.mkString)))
+      .sample.get.distinct
+    val words = vocab.map(_._1) ++ rnd
+    val got = words.toDF("w")
+      .select(TextAnalyzer.stemFullCol(col("w"))).as[String].collect()
+    assert(words.map(TextAnalyzer.stemFull) == got.toSeq,
+      "driver and executor full-Porter folds diverged")
+  }
+
   test("english analyzer: stop-word position gaps are preserved (ES match_phrase)") {
     import graft.qp.TextAnalyzer
     graft.qp.Namespaces.register("o", "c://o#")
