@@ -197,11 +197,19 @@ object TextAnalyzer {
   private val M1 = "[a-z0-9]*[aeiou][^aeiou][a-z0-9]*"
   private val M2 = "[a-z0-9]*[aeiou][^aeiou][a-z0-9]*[aeiou][^aeiou][a-z0-9]*"
 
-  /** One Porter step: ordered rules where the FIRST match fires and
-    * ENDS the step (Porter substitutes at most once per step — a
-    * plain fold would cascade inside the step and over-stem, e.g.
-    * generalization → gener via ization→ize→∅ AND THEN al→∅ in the
-    * same step-4 pass). */
+  /** One Porter step: ordered rules, longest overlapping suffix
+    * first. Applied as a PLAIN SEQUENTIAL FOLD on both sides — not
+    * Porter's one-substitution-per-step — because the executor-side
+    * alternative (an rlike/when chain re-referencing the upstream
+    * expression per rule) multiplies the expression tree across steps
+    * (~29k regex evals per token at 4 chained steps) and killed the
+    * SparkContext through codegen blowup at sf0.1. The fold deviation
+    * is narrow and documented: it can cascade within a step on
+    * STACKED derivational suffixes (governmental → govern where
+    * canonical Porter stops at government — one substitution per
+    * step), which conflates strictly MORE related forms; the
+    * canonical vocabulary in EngineSpec is unchanged by it, and
+    * driver and executor share the exact same fold. */
   type StemStep = Seq[(String, String)]
 
   /** Porter step 2 (m>0): -ational→-ate family. Longest overlapping
@@ -243,33 +251,23 @@ object TextAnalyzer {
     s"^($M2)ous$$" -> "$1", s"^($M2)ive$$" -> "$1",
     s"^($M2)ize$$" -> "$1")
 
-  private def applyStep(t: String, step: StemStep): String =
-    step.collectFirst { case (p, r) if t.matches(p) => t.replaceAll(p, r) }
-      .getOrElse(t)
-
-  private def applyStepCol(c: Column, step: StemStep): Column =
-    step.foldRight(c) { case ((p, r), acc) =>
-      when(c.rlike(p), regexp_replace(c, p, r)).otherwise(acc)
-    }
-
-  /** Driver-side FULL Porter: step-1 rules (everything in [[StemRules]]
-    * but the final-e drop), then steps 2-4 first-match-wins, then the
+  /** The complete full-Porter rule sequence: step-1 rules (everything
+    * in [[StemRules]] but the final-e drop), steps 2-4, then the
     * final-e drop — e-removal must come LAST or step 2-4 suffixes like
     * -ize/-ate never match (centralize → centraliz would keep its z).
     * Step 5b (double-l) stays out of scope, documented. */
-  def stemFull(t: String): String = {
-    val s1 = StemRules.init.foldLeft(t) { case (w, (p, r)) => w.replaceAll(p, r) }
-    val s4 = Seq(PorterStep2, PorterStep3, PorterStep4).foldLeft(s1)(applyStep)
-    val (p5, r5) = StemRules.last
-    s4.replaceAll(p5, r5)
-  }
+  val FullStemRules: Seq[(String, String)] =
+    StemRules.init ++ PorterStep2 ++ PorterStep3 ++ PorterStep4 :+
+      StemRules.last
 
-  /** Executor-side FULL Porter — the SAME tables through
-    * regexp_replace / rlike when-chains (Java regex both sides). */
-  def stemFullCol(c: Column): Column = {
-    val s1 = StemRules.init.foldLeft(c) { case (w, (p, r)) => regexp_replace(w, p, r) }
-    val s4 = Seq(PorterStep2, PorterStep3, PorterStep4).foldLeft(s1)(applyStepCol)
-    val (p5, r5) = StemRules.last
-    regexp_replace(s4, p5, r5)
-  }
+  /** Driver-side FULL Porter — folds [[FullStemRules]]. */
+  def stemFull(t: String): String =
+    FullStemRules.foldLeft(t) { case (w, (p, r)) => w.replaceAll(p, r) }
+
+  /** Executor-side FULL Porter — the SAME flat table through
+    * sequential regexp_replace (Java regex both sides, linear
+    * expression tree — see the [[StemStep]] note on why NOT a
+    * first-match when-chain). */
+  def stemFullCol(c: Column): Column =
+    FullStemRules.foldLeft(c) { case (w, (p, r)) => regexp_replace(w, p, r) }
 }

@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
   *  - events: ids and users shift per replica (10× events over 10×
   *    users, same time range — the realistic growth shape for the
   *    temporal joins).
-  *  - dims/facts/embeddings: copied through (their 10× variant was
-  *    exercised in the earlier rehearsal; the fresh-this-round
-  *    operators are documents/events-bound).
+  *  - embeddings: ids shift; replica i's vectors are CYCLICALLY
+  *    ROTATED by i positions — a permutation applied uniformly within
+  *    a replica preserves norms and every intra-replica dot product
+  *    (the ANN neighbor structure is exactly the original's), while
+  *    cross-replica similarities scatter like random directions, so
+  *    no quadratic near-dup pathology and no degenerate exact-tie
+  *    top-k from verbatim copies.
+  *  - part: partkeys shift, attributes copied — the analyzer-chain
+  *    search queries scale their match set linearly (10× widget
+  *    parts), fact references still resolve to replica-0 parts.
+  *  - remaining dims/facts: copied through (their 10× variant was
+  *    exercised in the earlier rehearsal; those operators are
+  *    documents/events-bound).
   *
   * Usage: Test/runMain graft.Upscale [srcDir] [outDir] [factor]
   */
@@ -60,8 +70,30 @@ object Upscale {
       .repartition(8)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "embeddings").foreach { t =>
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until factor).map { i =>
+      if (i == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(i * maxVec)).as("vec_id"),
+        concat(slice(col("embedding"), lit(i + 1),
+            size(col("embedding")) - lit(i)),
+          slice(col("embedding"), lit(1), lit(i))).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val maxPart = part.agg(max("p_partkey")).head().getLong(0) + 1
+    (0 until factor).map { i =>
+      part.withColumn("p_partkey", col("p_partkey") + lit(i * maxPart))
+    }.reduce(_ unionByName _)
+      .repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "orders",
+      "lineitem").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
     }
