@@ -229,9 +229,64 @@ object Similarity {
     * seed): the quantizer is an INDEX artifact — trained once when the
     * corpus is indexed (the IVF build step), probed by every query.
     * Re-fitting k-means per query would charge the build to the read
-    * path. */
+    * path. Only the centroids are kept (all the scan side needs). */
   private val quantizers = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Long), org.apache.spark.ml.clustering.KMeansModel]()
+    (String, Int, Long), Array[Array[Double]]]()
+
+  /** Disk side of the index-artifact discipline, shared ACROSS JVMs —
+    * the same warm-start as the store ETL ([[graft.model.GraftStore]]):
+    * quantizers/codebooks are fitted once at indexing time, so a fresh
+    * JVM over the SAME corpus bytes must not re-pay the bounded-sample
+    * k-means (the single biggest steady cost of q_knn_pq). The
+    * artifact name carries BOTH the canonical-plan MD5 and a CONTENT
+    * fingerprint of the corpus' input files (path+size+mtime) — a
+    * regenerated corpus behind an identical plan gets a fresh fit,
+    * which the in-JVM plan-keyed map alone could not guarantee across
+    * processes. Values are driver-tiny (≤ k×dim doubles); writes are
+    * temp + ATOMIC_MOVE so concurrent JVMs race benignly; a corrupt or
+    * unreadable file falls back to refit. In-memory sources (no input
+    * files) skip the disk layer. */
+  private def diskArtifact[T <: Serializable](df: DataFrame, name: String)
+                                             (fit: => T): T = {
+    val files = df.inputFiles
+    if (files.isEmpty) return fit
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.sorted.foreach { f =>
+      val (sz, mt) =
+        try {
+          val p = java.nio.file.Paths.get(new java.net.URI(f).getPath)
+          (java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        } catch { case _: Exception => (-1L, -1L) }
+      md.update(s"$f|$sz|$mt\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val ck = md.digest().map("%02x".format(_)).mkString
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_index_artifacts")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve(s"${name}_$ck.bin")
+    def fitAndSave(): T = {
+      val v = fit
+      val tmp = java.nio.file.Files.createTempFile(dir, name, ".tmp")
+      val out = new java.io.ObjectOutputStream(
+        java.nio.file.Files.newOutputStream(tmp))
+      try out.writeObject(v) finally out.close()
+      try java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        java.nio.file.Files.deleteIfExists(tmp); ()
+      }
+      v
+    }
+    if (java.nio.file.Files.exists(f))
+      try {
+        val in = new java.io.ObjectInputStream(
+          java.nio.file.Files.newInputStream(f))
+        try in.readObject().asInstanceOf[T] finally in.close()
+      } catch { case _: Exception => fitAndSave() }
+    else fitAndSave()
+  }
 
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
               nlist: Int = 16, nprobe: Int = 8,
@@ -250,22 +305,24 @@ object Similarity {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     if (quantizers.size > 16) quantizers.clear()
-    val model = quantizers.computeIfAbsent((planKey, nlist, seed), { _ =>
-      // the quantizer trains on a BOUNDED SAMPLE of normalized vectors
-      // (angular cells; cell rank per vector is scale-invariant, so
-      // the scan side keeps raw arrays). Coarse quantizers need a few
-      // thousand points per cell, not the corpus — at 100 TB the fit
-      // reads 64k rows, the standard IVF build recipe (faiss trains
-      // the same way), and k-means cost stays independent of corpus
-      // size. maxIter 10: centroid drift past that is far below cell-
-      // boundary noise that spill assignment already absorbs.
-      val fit = base.limit(64 * 1024)
-        .select(array_to_vector(normalized(col("embedding"))).as("fv"))
-      new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-        .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(fit)
+    val cents = quantizers.computeIfAbsent((planKey, nlist, seed), { _ =>
+      diskArtifact(base, s"ivf_${planKey}_${nlist}_$seed") {
+        // the quantizer trains on a BOUNDED SAMPLE of normalized vectors
+        // (angular cells; cell rank per vector is scale-invariant, so
+        // the scan side keeps raw arrays). Coarse quantizers need a few
+        // thousand points per cell, not the corpus — at 100 TB the fit
+        // reads 64k rows, the standard IVF build recipe (faiss trains
+        // the same way), and k-means cost stays independent of corpus
+        // size. maxIter 10: centroid drift past that is far below cell-
+        // boundary noise that spill assignment already absorbs.
+        val fit = base.limit(64 * 1024)
+          .select(array_to_vector(normalized(col("embedding"))).as("fv"))
+        new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+          .setFeaturesCol("fv").setPredictionCol("cell")
+          .fit(fit).clusterCenters.map(_.toArray)
+      }
     })
-    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+    val centroids = cents.map(_.toSeq)
     /** Top-`n` cells for a vector, computed IN-ROW: similarity to each
       * centroid as native-dot literals (the quantizer is driver-tiny
       * and ships inside the plan), negated so the struct's natural
@@ -495,16 +552,18 @@ object Similarity {
     // dim is part of the key: same corpus + different dim must not
     // reuse codebooks trained for the wrong dsub split
     val books = pqCodebooks.computeIfAbsent((planKey, m, ksub, dim, seed), { _ =>
-      val sample = nrm.limit(64 * 1024)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try (0 until m).map { j =>
-        val fit = sample.select(array_to_vector(
-          slice(col("nv"), j * dsub + 1, dsub)).as("fv"))
-        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
-          .setFeaturesCol("fv").setPredictionCol("code").fit(fit)
-          .clusterCenters.map(_.toArray)
-      }.toArray
-      finally { sample.unpersist(false); () }
+      diskArtifact(base, s"pq_${planKey}_${m}_${ksub}_${dim}_$seed") {
+        val sample = nrm.limit(64 * 1024)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try (0 until m).map { j =>
+          val fit = sample.select(array_to_vector(
+            slice(col("nv"), j * dsub + 1, dsub)).as("fv"))
+          new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
+            .setFeaturesCol("fv").setPredictionCol("code").fit(fit)
+            .clusterCenters.map(_.toArray)
+        }.toArray
+        finally { sample.unpersist(false); () }
+      }
     })
     // encode in-row: per subspace the nearest centroid by L2 =
     // argmin(c·c/2 − sub·c); negated-struct sort, lowest code on ties
