@@ -123,6 +123,18 @@ object GraphQueries {
         Graph.parseXg("1[name::NATION_9]", Graph.refFields(store))))
     }),
 
+    // xg ns-wildcard field (`*.prefix`, nsWildcardPattern
+    // Parsers.scala:370-375): one level over every field CLAIMED under
+    // the ont namespace — only refNation edges leave /customer, so the
+    // expansion reaches the MACHINERY customers' nations
+    "q_xg_nswild" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/customer",
+        qp = Some("mktsegment::MACHINERY")))
+      pathsOf(Graph.xg(store, base,
+        Graph.parseXg("*.ont", Graph.refFields(store))))
+    }),
+
     // expansionLimit (webservice.xg.limit): a 10-infoton cap on an
     // expansion that reaches thousands must abort — surfaced as a
     // boolean row so the abort semantics are oracle-checkable
@@ -227,6 +239,14 @@ object GraphQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
         |    AND o_totalprice > 100000
+        |) ORDER BY path""".stripMargin,
+    "q_xg_nswild" ->
+      """SELECT path FROM (
+        |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path FROM customer
+        |  WHERE c_mktsegment = 'MACHINERY'
+        |  UNION
+        |  SELECT DISTINCT '/nation/' || CAST(c_nationkey AS VARCHAR)
+        |  FROM customer WHERE c_mktsegment = 'MACHINERY'
         |) ORDER BY path""".stripMargin,
     "q_yg_out" ->
       """SELECT path FROM (

@@ -157,6 +157,12 @@ object Graph {
       splitTop(body, ',', ctx).map { tok =>
         require(tok.nonEmpty, s"empty field in comma list '$body' in '$ctx'")
         val (f, fo) = fieldWithFilter(tok, ctx)
+        // the reference admits ns-wildcards only in the expandIn (`>`)
+        // direction: filteredFields vs filteredFieldsExact,
+        // Parsers.scala:481-489
+        require(!(incoming && f.startsWith("*.")),
+          s"ns-wildcard '$f' is not legal after '<' in '$ctx' (expandUp " +
+            "takes exact fields, Parsers.scala:487)")
         Hop(incoming, f, fo)
       }
     }.toSeq
@@ -230,6 +236,27 @@ object Graph {
   private def edgesMulti(store: GraftStore, fields: Seq[String]): DataFrame =
     store.refEdges(fields)
 
+  /** Expand ns-wildcard field tokens — `*.prefix` / `*.$nsHash`
+    * (nsWildcardPattern, Parsers.scala:370-375) — to every canonical
+    * key CLAIMED under that namespace; plain fields pass through. An
+    * unknown prefix/hash fails loud (the qp resolution discipline: a
+    * typo must not silently expand over nothing); a known namespace
+    * with zero claims expands to no edges, the schemaless behavior. */
+  private def expandNsWildcards(hops: Seq[Hop]): Seq[Hop] =
+    hops.flatMap { h =>
+      if (!h.field.startsWith("*.")) Seq(h)
+      else {
+        val q = h.field.drop(2)
+        val ns =
+          (if (q.startsWith("$")) graft.qp.Namespaces.uriOfHash(q.drop(1))
+           else graft.qp.Namespaces.uriOfPrefix(q))
+            .getOrElse(throw new IllegalArgumentException(
+              s"unknown namespace in wildcard '${h.field}'"))
+        graft.qp.Namespaces.keysInNamespace(ns)
+          .map(k => Hop(h.incoming, k, h.filter))
+      }
+    }
+
   /** Restrict target paths (col `p`) to infotons matching a qp filter.
     * Flat helper column: a semi join keyed on a nested extraction over
     * self-derived union lineage trips Catalyst's nested-column pruning
@@ -249,7 +276,9 @@ object Graph {
   private def levelTargets(store: GraftStore, frontierPaths: DataFrame,
                            hops: Level): DataFrame = {
     val fr = frontierPaths.alias("fr")
-    hops.groupBy(h => (h.incoming, h.filter)).map {
+    val expanded = expandNsWildcards(hops)
+    if (expanded.isEmpty) return frontierPaths.where(lit(false))
+    expanded.groupBy(h => (h.incoming, h.filter)).map {
       case ((incoming, fOpt), hs) =>
         val e = edgesMulti(store, hs.map(_.field)).alias("e")
         val next =
@@ -322,7 +351,9 @@ object Graph {
   private def levelChain(store: GraftStore, chain: DataFrame,
                          hops: Level): DataFrame = {
     val ch = chain.alias("ch")
-    hops.groupBy(h => (h.incoming, h.filter)).map {
+    val expanded = expandNsWildcards(hops)
+    if (expanded.isEmpty) return chain.where(lit(false))
+    expanded.groupBy(h => (h.incoming, h.filter)).map {
       case ((incoming, fOpt), hs) =>
         val e = edgesMulti(store, hs.map(_.field)).alias("e")
         val nextAll =

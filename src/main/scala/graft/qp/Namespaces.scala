@@ -123,6 +123,23 @@ object Namespaces {
     }
   }
 
+  /** All canonical keys claimed under a namespace IRI — the
+    * ns-wildcard (`*.prefix` / `*.$nsHash`) expansion universe
+    * (reference nsWildcardPattern, Parsers.scala:370-375). Sorted for
+    * deterministic expansion order. */
+  def keysInNamespace(ns: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    claims.asScala.collect { case ((n, _), key) if n == ns => key }
+      .toSeq.sorted
+  }
+
+  /** Prefix → namespace IRI (None = unregistered). */
+  def uriOfPrefix(prefix: String): Option[String] =
+    Option(byPrefix.get(prefix))
+
+  /** nsHash → namespace IRI (None = unknown hash). */
+  def uriOfHash(h: String): Option[String] = Option(byHash.get(h))
+
   /** Canonical key → full predicate IRI for every claim OUTSIDE the
     * default namespace — bare keys owned by a foreign vocabulary AND
     * qualified keys (formatter emission: a field renders under its

@@ -543,6 +543,25 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Graph.parsePaths("<") }
     intercept[IllegalArgumentException] { Graph.parsePaths("|") }
     intercept[IllegalArgumentException] { Graph.parsePaths("") }
+    // ns-wildcards: legal after '>' (filteredFields) only — expandUp
+    // takes exact fields (Parsers.scala:481-489)
+    assert(Graph.parsePaths(">*.ont") ==
+      Seq(Seq(Seq(Hop(incoming = false, "*.ont")))))
+    intercept[IllegalArgumentException] { Graph.parsePaths("<*.ont") }
+  }
+
+  test("ns-wildcard hops expand over the namespace's claimed keys") {
+    import graft.ops.Graph
+    val store = GraftStore.forDir(spark, Sf)
+    val base = store.current.where(col("system.path") === "/customer/1")
+    // every ont-claimed field: only refNation edges leave a customer
+    val out = paths(Graph.yg(store, base, ">*.ont"))
+    assert(out.exists(_.startsWith("/nation/")))
+    assert(out == paths(Graph.yg(store, base, ">refNation")))
+    // a typo'd namespace fails loud at expansion, never silently-empty
+    intercept[IllegalArgumentException] {
+      Graph.yg(store, base, ">*.nosuchns")
+    }
   }
 
   test("xg parser: > levels, comma lists, jokers, fail-loud") {
