@@ -429,6 +429,22 @@ object PipelineQueries {
     "q_bm25_rank" -> ((s, dir) =>
       TextAnalysis.bm25(docs(s, dir), Bm25Terms, k = 20)),
 
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and
+    // the TF-IDF ranking for the same probe — the standard two-signal
+    // retrieval shape (RRF consumes (doc_id, rank) pairs only, so the
+    // ANN cosine ranking can replace either side at deployment)
+    "q_hybrid_rank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+      val bm = TextAnalysis.bm25(d, Bm25Terms, k = 50)
+        .withColumn("rank", row_number().over(
+          w.orderBy(col("bm25").desc, col("doc_id").asc)))
+      val tf = TextAnalysis.tfidfRank(d, Bm25Terms, k = 50)
+        .withColumn("rank", row_number().over(
+          w.orderBy(col("tfidf").desc, col("doc_id").asc)))
+      TextAnalysis.rrfFuse(Seq(bm, tf), k = 20)
+    }),
+
     // token/char counting incl. BPE-ish estimate
     "q_text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")),
@@ -742,6 +758,42 @@ object PipelineQueries {
 
   private val TokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** RRF fusion oracle: BM25 top-`perSide` + TF-IDF top-`perSide`,
+    * each ranked on its ROUNDED score (mirroring the engine), fused by
+    * Σ 1/(60 + rank), top `k`. */
+  private def hybridSql(terms: Seq[String], perSide: Int, k: Int): String = {
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) " +
+        s"AS DOUBLE) AS df_$i"
+    }.mkString(",\n|  ")
+    val bmScore = terms.zipWithIndex.map { case (t, i) =>
+      s"ln(1 + (n - df_$i + 0.5) / (df_$i + 0.5)) * " +
+        s"(CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) * (1.2 + 1)) / " +
+        s"(CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) + " +
+        "1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+    }.mkString("\n|  + ")
+    val tfScore = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) * " +
+        s"(ln((1 + n) / (1 + df_$i)) + 1)"
+    }.mkString("\n|  + ")
+    s"""WITH d AS (SELECT doc_id, $TokensSql AS ts,
+       |  CAST(len($TokensSql) AS DOUBLE) AS dl FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+       |  $dfAggs FROM d),
+       |bm AS (SELECT doc_id, round($bmScore, 6) AS s FROM d CROSS JOIN st
+       |  ORDER BY s DESC, doc_id ASC LIMIT $perSide),
+       |bmr AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r FROM bm),
+       |tf AS (SELECT doc_id, round($tfScore, 6) AS s FROM d CROSS JOIN st
+       |  ORDER BY s DESC, doc_id ASC LIMIT $perSide),
+       |tfr AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r FROM tf),
+       |u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM bmr
+       |  UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM tfr)
+       |SELECT doc_id, round(sum(c), 6) AS rrf FROM u GROUP BY doc_id
+       |ORDER BY rrf DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
 
   /** Lloyd k-means as a DuckDB CTE chain — the SAME iterations as
     * [[graft.pipeline.Similarity.kmeans]], term for term: init = the
@@ -1306,6 +1358,7 @@ object PipelineQueries {
          |  array_to_string(chunk, ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_bm25_rank" -> bm25Sql(Bm25Terms, 20),
+    "q_hybrid_rank" -> hybridSql(Bm25Terms, 50, 20),
     "q_quality_repetition" ->
       s"""WITH t AS (SELECT doc_id,
          |  regexp_replace(text, '((\\S+ ){2}\\S+) ', '\\1'||chr(10), 'g')

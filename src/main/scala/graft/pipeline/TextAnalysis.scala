@@ -287,6 +287,54 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** TF-IDF query ranking — the lexical second signal for hybrid
+    * fusion ([[rrfFuse]]): score(doc) = Σ_t tf_t · (ln((1+N)/(1+df_t))
+    * + 1), the [[tfidfKeywords]] weight summed over the probe terms.
+    * Same 100 TB shape as [[bm25]]: one scalar-stats broadcast + a
+    * scan-side projection + TakeOrdered top-k; scores rounded to 6
+    * decimals for cross-libm reproducibility. */
+  def tfidfRank(docs: DataFrame, terms: Seq[String], k: Int,
+                textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "tfidfRank needs at least one query term")
+    val ts = tokens(col(textCol))
+    val withTok = docs.select(col("doc_id"), ts.as("ts"))
+    val statAggs =
+      count(lit(1)).cast("double").as("n") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("ts"), t), 1).otherwise(0))
+          .cast("double").as(s"df_$i")
+      }
+    val stats = withTok.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("ts"), x => x === t)).cast("double") *
+        (log((lit(1.0) + col("n")) / (lit(1.0) + col(s"df_$i"))) + lit(1.0))
+    }.reduce(_ + _)
+    withTok.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** HYBRID RETRIEVAL fusion — reciprocal-rank fusion (Cormack et al.
+    * SIGIR 2009): each input ranking contributes 1/(rrfK + rank) per
+    * document; missing documents contribute nothing. Ranker-AGNOSTIC —
+    * the inputs are (doc_id, rank) frames, so at deployment either
+    * side can be the ANN cosine ranking ([[graft.pipeline.Similarity]])
+    * instead of a lexical one; fusion cost is a union of top-k-sized
+    * frames + one tiny groupBy, independent of corpus size. Two-input
+    * fusion is float-portable (IEEE addition of two terms is
+    * commutative); for 3+ rankings the 6-decimal round keeps engines
+    * in agreement. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    rankings.map(_.select(col("doc_id"),
+        (lit(1.0) / (lit(rrfK.toDouble) + col("rank"))).as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy("doc_id").agg(round(sum("contrib"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Corpus vocabulary: per-term total frequency and document
     * frequency, top `k` by frequency (term tie-break). The tokenizer-
     * training / frequency-analysis staple — one explode + one groupBy
