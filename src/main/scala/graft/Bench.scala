@@ -132,7 +132,10 @@ object Bench {
           r
         }
       val s1 = sweep()
-      Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_RETIME_GAP_MS", "15000").toLong)
+      // tolerant parse: a garbage env value must not throw away the
+      // whole already-measured run between the two sweeps
+      Thread.sleep(sys.env.get("SPARK_GRAFT_RETIME_GAP_MS")
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(15000L))
       val s2 = sweep()
       suspects.lazyZip(s1).lazyZip(s2).foreach { case (((name, t1), i), r1, r2) =>
         val best = (Seq(t1) ++ r1 ++ r2).min

@@ -118,10 +118,16 @@ object Ingest {
     * the roundtrip (measured 11.6 s → 7.3 s at sf0.1). */
   private def mergeParsed(spark: SparkSession, infotons: DataFrame,
                           sts: Dataset[Rdf.Statement],
-                          lastModified: Timestamp): DataFrame = {
+                          lastModified: Timestamp): DataFrame =
+    mergeParsedWithDelta(spark, infotons, sts, lastModified)._1
+
+  private def mergeParsedWithDelta(spark: SparkSession, infotons: DataFrame,
+                                   sts: Dataset[Rdf.Statement],
+                                   lastModified: Timestamp)
+      : (DataFrame, DataFrame) = {
     val cached = sts.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try Merger.merge(spark, infotons,
+    try Merger.mergeWithDelta(spark, infotons,
       commandsOf(spark, cached, lastModified))
     finally cached.unpersist()
   }
@@ -133,10 +139,7 @@ object Ingest {
                       lines: Dataset[String], lastModified: Timestamp)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
-    val cached = lines.flatMap(Rdf.parseLine(_)).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try Merger.mergeWithDelta(spark, infotons,
-      commandsOf(spark, cached, lastModified))
-    finally cached.unpersist()
+    mergeParsedWithDelta(spark, infotons, lines.flatMap(Rdf.parseLine(_)),
+      lastModified)
   }
 }

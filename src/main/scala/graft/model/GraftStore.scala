@@ -238,6 +238,12 @@ object GraftStore {
     * the shared location implies a complete layout. */
   private val EtlMarker = "_GRAFT_ETL_COMPLETE"
 
+  /** Version of the MATERIALIZED LAYOUT, hashed into the cache key:
+    * bump whenever [[materialize]] / the infoton schema changes shape,
+    * or a binary upgrade would silently serve a stale pre-upgrade
+    * layout whose source fingerprint still matches. */
+  private val EtlLayoutVersion = "v1"
+
   /** Cross-JVM ETL warm start: the materialized layout lives under a
     * shared root keyed by a CONTENT FINGERPRINT of the source parquet
     * (relative name + size + mtime manifest — a driver data refresh
@@ -254,7 +260,14 @@ object GraftStore {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_store_etl_cache")
     java.nio.file.Files.createDirectories(root)
     val target = root.resolve(sourceFingerprint(d))
-    if (!java.nio.file.Files.exists(target.resolve(EtlMarker))) {
+    if (java.nio.file.Files.exists(target.resolve(EtlMarker))) {
+      // touch on reuse: the pruner ages entries by mtime, and parquet
+      // READS never update it — an actively-served layout must not
+      // look stale to a concurrent builder's prune pass
+      try java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: Exception => () }
+    } else {
       pruneStale(root, keep = target.getFileName.toString)
       val inf = TableLoader.load(s, d)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -284,6 +297,8 @@ object GraftStore {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir)
     val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"layout=$EtlLayoutVersion\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
     val stream = java.nio.file.Files.walk(root)
     try stream.iterator().asScala
       .filter(java.nio.file.Files.isRegularFile(_))
@@ -298,15 +313,20 @@ object GraftStore {
   }
 
   /** Bound the shared cache: drop published entries (other than `keep`)
-    * untouched for >3 days, and any orphaned build_ temp dirs older
-    * than 6 h (a crashed builder). */
+    * untouched for >7 days, and orphaned build_ temp dirs older than
+    * 24 h (a crashed builder — generous enough that no live build can
+    * be shot mid-materialize). Published entries are touch-on-reuse
+    * (forDir updates mtime when serving a warm hit), so only layouts
+    * no JVM has OPENED in a week age out; a JVM that opened one and
+    * then idles longer than that before its next scan remains exposed
+    * — acceptable for a /tmp cache, and it re-ETLs on the next call. */
   private def pruneStale(root: java.nio.file.Path, keep: String): Unit = {
     val now = System.currentTimeMillis()
     Option(root.toFile.listFiles()).foreach(_.foreach { f =>
       val age = now - f.lastModified()
       val stale =
-        if (f.getName.startsWith("build_")) age > 6L * 3600 * 1000
-        else f.getName != keep && age > 3L * 24 * 3600 * 1000
+        if (f.getName.startsWith("build_")) age > 24L * 3600 * 1000
+        else f.getName != keep && age > 7L * 24 * 3600 * 1000
       if (stale) rmTree(f)
     })
   }

@@ -201,6 +201,11 @@ object Graph {
         case toks => toks.map { tok =>
           require(tok.nonEmpty, s"empty field in comma list '$seg' in '$expr'")
           val (f, fo) = fieldWithFilter(tok, expr)
+          // `_` is a whole-level wildcard only (level = "_" filter? |
+          // fields, Parsers.scala:436); inside a comma list it would
+          // be a silent match-nothing field — reject like parseAll does
+          require(f != "_",
+            s"'_' is not legal inside a comma field list ('$seg' in '$expr')")
           Hop(incoming = false, f, fo)
         }
       }

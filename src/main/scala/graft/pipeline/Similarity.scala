@@ -231,7 +231,7 @@ object Similarity {
     * Re-fitting k-means per query would charge the build to the read
     * path. Only the centroids are kept (all the scan side needs). */
   private val quantizers = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Long), Array[Array[Double]]]()
+    (String, String, Int, Long), Array[Array[Double]]]()
 
   /** Disk side of the index-artifact discipline, shared ACROSS JVMs —
     * the same warm-start as the store ETL ([[graft.model.GraftStore]]):
@@ -246,26 +246,37 @@ object Similarity {
     * temp + ATOMIC_MOVE so concurrent JVMs race benignly; a corrupt or
     * unreadable file falls back to refit. In-memory sources (no input
     * files) skip the disk layer. */
-  private def diskArtifact[T <: Serializable](df: DataFrame, name: String)
-                                             (fit: => T): T = {
+  /** Content fingerprint of a frame's input files (path+size+mtime),
+    * or None when any file can't be stat'd locally (remote storage —
+    * hdfs/s3 paths are not java.nio-stattable, and a path-only hash
+    * would silently reuse stale artifacts after an in-place corpus
+    * regeneration) or when the source is in-memory. None disables
+    * BOTH the disk artifact layer and cross-content reuse of the
+    * in-JVM maps. */
+  private def contentFingerprint(df: DataFrame): Option[String] = {
     val files = df.inputFiles
-    if (files.isEmpty) return fit
+    if (files.isEmpty) return None
     val md = java.security.MessageDigest.getInstance("MD5")
+    var ok = true
     files.sorted.foreach { f =>
-      val (sz, mt) =
-        try {
-          val p = java.nio.file.Paths.get(new java.net.URI(f).getPath)
-          (java.nio.file.Files.size(p),
-            java.nio.file.Files.getLastModifiedTime(p).toMillis)
-        } catch { case _: Exception => (-1L, -1L) }
-      md.update(s"$f|$sz|$mt\n".getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        val p = java.nio.file.Paths.get(new java.net.URI(f).getPath)
+        md.update(s"$f|${java.nio.file.Files.size(p)}|${
+          java.nio.file.Files.getLastModifiedTime(p).toMillis}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Exception => ok = false }
     }
-    val ck = md.digest().map("%02x".format(_)).mkString
+    if (ok) Some(md.digest().map("%02x".format(_)).mkString) else None
+  }
+
+  private def diskArtifact[T <: Serializable](ck: Option[String],
+                                              name: String)
+                                             (fit: => T): T = {
+    if (ck.isEmpty) return fit
     val dir = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_index_artifacts")
     java.nio.file.Files.createDirectories(dir)
-    val f = dir.resolve(s"${name}_$ck.bin")
+    val f = dir.resolve(s"${name}_${ck.get}.bin")
     def fitAndSave(): T = {
       val v = fit
       val tmp = java.nio.file.Files.createTempFile(dir, name, ".tmp")
@@ -305,8 +316,13 @@ object Similarity {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     if (quantizers.size > 16) quantizers.clear()
-    val cents = quantizers.computeIfAbsent((planKey, nlist, seed), { _ =>
-      diskArtifact(base, s"ivf_${planKey}_${nlist}_$seed") {
+    // the CONTENT fingerprint joins the in-JVM key too: an in-place
+    // corpus regeneration (same path, same canonical plan — possibly a
+    // different dimension) must refit, not serve stale centroids
+    val ck = contentFingerprint(base)
+    val cents = quantizers.computeIfAbsent(
+      (planKey, ck.getOrElse(""), nlist, seed), { _ =>
+      diskArtifact(ck, s"ivf_${planKey}_${nlist}_$seed") {
         // the quantizer trains on a BOUNDED SAMPLE of normalized vectors
         // (angular cells; cell rank per vector is scale-invariant, so
         // the scan side keeps raw arrays). Coarse quantizers need a few
@@ -508,7 +524,7 @@ object Similarity {
   /** PQ codebook cache — an index artifact keyed by corpus plan +
     * params, same lifecycle discipline as [[quantizers]]. */
   private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int, Long), Array[Array[Array[Double]]]]()
+    (String, String, Int, Int, Int, Long), Array[Array[Array[Double]]]]()
 
   /** PRODUCT-QUANTIZED ANN (Jégou et al. 2011 — the faiss `PQ<m>`
     * recipe; the FOURTH index family next to LSH buckets, IVF cells
@@ -549,10 +565,13 @@ object Similarity {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     if (pqCodebooks.size > 16) pqCodebooks.clear()
-    // dim is part of the key: same corpus + different dim must not
-    // reuse codebooks trained for the wrong dsub split
-    val books = pqCodebooks.computeIfAbsent((planKey, m, ksub, dim, seed), { _ =>
-      diskArtifact(base, s"pq_${planKey}_${m}_${ksub}_${dim}_$seed") {
+    // dim and the content fingerprint are part of the key: same corpus
+    // + different dim, or an in-place regeneration behind the same
+    // plan, must not reuse codebooks trained for the wrong data
+    val ck = contentFingerprint(base)
+    val books = pqCodebooks.computeIfAbsent(
+      (planKey, ck.getOrElse(""), m, ksub, dim, seed), { _ =>
+      diskArtifact(ck, s"pq_${planKey}_${m}_${ksub}_${dim}_$seed") {
         val sample = nrm.limit(64 * 1024)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try (0 until m).map { j =>

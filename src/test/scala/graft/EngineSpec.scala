@@ -590,6 +590,9 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Graph.parseXg("a>>b", rf) }
     intercept[IllegalArgumentException] { Graph.parseXg("a[x::1]!!", rf) }
     intercept[IllegalArgumentException] { Graph.parseXg("a[", rf) }
+    // `_` is a whole-level wildcard only — inside a comma list it
+    // would be a silent match-nothing field
+    intercept[IllegalArgumentException] { Graph.parseXg("_,a", rf) }
   }
 
   test("SPARQL UNION leaves branch-only variables unbound") {
