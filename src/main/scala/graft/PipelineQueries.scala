@@ -122,6 +122,12 @@ object PipelineQueries {
           docs(s, dir).select(col("doc_id"), col("n_chars")), "n_chars")
         .orderBy("root")),
 
+    // SOFT dedup: reweight instead of drop — every cluster member kept
+    // at weight 1/|cluster| (content seen once in expectation),
+    // singletons at 1.0; the sampling-weight counterpart of canonical
+    "q_dedup_soft" -> ((s, dir) =>
+      Dedup.softWeights(clusters(s, dir), docs(s, dir)).orderBy("doc_id")),
+
     // per-source corpus dashboard: doc/token/char mass + exact-dup
     // rate in one scan + one groupBy
     "q_corpus_report" -> ((s, dir) =>
@@ -949,6 +955,23 @@ object PipelineQueries {
          |      ORDER BY d.n_chars DESC, cl.member) AS rn
          |  FROM cl JOIN documents d ON d.doc_id = cl.member)
          |WHERE rn = 1 ORDER BY root""".stripMargin,
+    "q_dedup_soft" ->
+      s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pr
+         |  UNION SELECT d2, d1 FROM pr),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+         |cl AS (SELECT node AS member, min(r) AS root FROM reach
+         |  GROUP BY node),
+         |sz AS (SELECT root, count(*) AS csz FROM cl GROUP BY root),
+         |w AS (SELECT cl.member AS doc_id,
+         |  round(CAST(1.0 AS DOUBLE) / sz.csz, 6) AS weight
+         |  FROM cl JOIN sz USING (root))
+         |SELECT d.doc_id, coalesce(w.weight, CAST(1.0 AS DOUBLE)) AS weight
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_corpus_report" ->
       s"""SELECT source, count(*) AS n_docs,
          |CAST(SUM(len($TokensSql)) AS BIGINT) AS n_tokens,

@@ -411,6 +411,27 @@ object Dedup {
       .select(col("root"), col("member").as("canonical"), col(scoreCol))
   }
 
+  /** SOFT dedup — REWEIGHT instead of drop (the SoftDedup idea: keep
+    * every near-dup cluster member and down-weight each by its cluster
+    * size, so training sees the content once in expectation without
+    * the hard-dedup cliff; the sampling-weight counterpart of
+    * [[canonical]]). Output = (doc_id, weight) for EVERY corpus doc:
+    * clustered members get round(1/|cluster|, 6), untouched docs 1.0.
+    *
+    * 100 TB shape: cluster sizes are one groupBy over the
+    * DROP-SET-SIZED cluster frame; the corpus left-joins that small
+    * frame (broadcast) — the non-dup mass never shuffles. */
+  def softWeights(clusters: DataFrame, docs: DataFrame,
+                  idCol: String = "doc_id"): DataFrame = {
+    val sizes = clusters.groupBy("root").agg(count(lit(1)).as("__csz"))
+    val memberW = clusters.join(sizes, "root")
+      .select(col("member").as(idCol),
+        round(lit(1.0) / col("__csz"), 6).as("__w"))
+    docs.select(col(idCol))
+      .join(broadcast(memberW), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__w"), lit(1.0)).as("weight"))
+  }
+
   /** EXACT-SUBSTRING dup pairs (the criterion of Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",
     * re-expressed relationally): two documents pair iff they share at

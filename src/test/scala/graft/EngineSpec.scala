@@ -1427,6 +1427,14 @@ class EngineSpec extends AnyFunSuite {
       disk.quads.where(col("predicate") === "refCustomer"))
     assert(plan.contains("PartitionFilters") &&
       plan.contains("refCustomer"))
+    // a comma-field-list level (one refEdges over a SET of predicates,
+    // the round-9 grouped-hop shape) prunes to EXACTLY those predicate
+    // partitions — the isin reaches the scan as a partition filter
+    val multi = graft.ops.Admin.debugInfo(
+      disk.refEdges(Seq("refOrders", "refPart")))
+    assert(multi.contains("PartitionFilters") &&
+      multi.contains("refOrders") && multi.contains("refPart") &&
+      !multi.contains("refCustomer"))
   }
 
   test("mergePruned rewrites only the affected __parent partitions") {
