@@ -391,6 +391,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // contamination FRACTION (GPT-3/PaLM appendix metric): per doc,
+    // share of its distinct word 8-grams found in the benchmark slice
+    // — the graded refinement of the boolean flag above
+    "q_contamination_frac" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.contaminationFraction(d,
+          d.where(col("doc_id") % 50 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
     // greedy sequence packing into 256-token context windows per
     // source — the pretraining batch-packing shape; oracle = the same
     // greedy scan as a recursive CTE
@@ -1343,6 +1353,19 @@ object PipelineQueries {
          |  FROM tok, UNNEST(generate_series(1, len(ts)-7)) AS t(i)),
          |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
          |SELECT DISTINCT g.doc_id FROM g JOIN bg USING (g)
+         |ORDER BY doc_id""".stripMargin,
+    "q_contamination_frac" ->
+      s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+         |  FROM tok, UNNEST(generate_series(1, len(ts)-7)) AS t(i)),
+         |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+         |f AS (SELECT g.doc_id,
+         |  round(CAST(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 6) AS contamination
+         |  FROM g LEFT JOIN bg ON g.g = bg.g GROUP BY g.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(f.contamination, CAST(0.0 AS DOUBLE)) AS contamination
+         |FROM documents d LEFT JOIN f USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH RECURSIVE d AS (SELECT source AS key, doc_id,

@@ -257,6 +257,39 @@ object Curation {
       .select("doc_id").distinct()
   }
 
+  /** Contamination FRACTION — the graded refinement of
+    * [[contaminated]]'s boolean (the GPT-3 / PaLM appendix
+    * contamination metric): per doc, the fraction of its DISTINCT word
+    * `n`-grams that appear anywhere in the benchmark slice. Docs with
+    * fewer than `n` tokens have no grams and report 0.0 (the metric
+    * cannot see them). Same 100 TB shape as [[contaminated]]: the
+    * benchmark gram set broadcasts, the corpus gram stream is scanned
+    * once, and the per-doc agg is map-side combined; the left join
+    * back to `docs` only restores gram-less rows. */
+  def contaminationFraction(docs: DataFrame, bench: DataFrame, n: Int,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("g"))
+      .distinct()
+    val bg = bench
+      .select(TextAnalysis.tokens(col(textCol)).as("__ts"))
+      .select(explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val perDoc = grams.join(broadcast(bg), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+        count(lit(1)), 6).as("contamination"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contamination"), lit(0.0)).as("contamination"))
+  }
+
   /** Per-key token-length QUANTILES — the length-distribution report
     * batch-shape planning reads (context-window fill, padding waste,
     * truncation rates all key off it). Exact interpolated percentiles
