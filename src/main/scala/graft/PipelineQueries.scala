@@ -391,6 +391,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // curriculum shard assignment: rank by n_chars desc, deal
+    // round-robin into 4 shards — stratified shards + in-shard score
+    // order, with the global rank computed by range partition + prefix
+    // offsets (never a single-partition window)
+    "q_curriculum" -> ((s, dir) =>
+      Curation.curriculumShards(docs(s, dir), "n_chars", shards = 4)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("rank"), col("shard"))
+        .orderBy("doc_id")),
+
     // contamination FRACTION (GPT-3/PaLM appendix metric): per doc,
     // share of its distinct word 8-grams found in the benchmark slice
     // — the graded refinement of the boolean flag above
@@ -1354,6 +1364,13 @@ object PipelineQueries {
          |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
          |SELECT DISTINCT g.doc_id FROM g JOIN bg USING (g)
          |ORDER BY doc_id""".stripMargin,
+    "q_curriculum" ->
+      """WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents)
+        |SELECT doc_id, n_chars, rank,
+        |  CAST((rank - 1) % 4 AS INT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_contamination_frac" ->
       s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
          |g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS g

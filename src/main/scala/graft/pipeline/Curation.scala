@@ -290,6 +290,45 @@ object Curation {
         coalesce(col("contamination"), lit(0.0)).as("contamination"))
   }
 
+  /** CURRICULUM shard assignment — rank the corpus by a score and deal
+    * docs ROUND-ROBIN into `shards`: every shard gets a stratified
+    * sample of the full score range, and within a shard docs come out
+    * in score order (the curriculum-learning data-ordering step;
+    * contrast ntile, which gives contiguous score BANDS).
+    *
+    * The global rank is computed WITHOUT a single-partition window —
+    * the 100 TB shape: repartitionByRange on (score desc, id) sorts
+    * the corpus across partitions, a partition-count collect (one row
+    * per partition — bounded, documented) turns per-partition
+    * row_numbers into global ranks via prefix offsets. The tie-break
+    * id inside the range key makes boundaries deterministic. */
+  def curriculumShards(docs: DataFrame, scoreCol: String, shards: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0, "curriculumShards needs shards > 0")
+    val ranged = docs.select(col(idCol), col(scoreCol))
+      .repartitionByRange(col(scoreCol).desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded collect: one (partition, count) row per partition
+      val counts = ranged.groupBy("__pid").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // prefix offsets: rows in partitions strictly before each pid
+      val offsetByPid = counts.map { case (p, _) =>
+        p -> counts.takeWhile(_._1 < p).map(_._2).sum
+      }.toMap
+      val offCol = offsetByPid.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+        when(col("__pid") === p, lit(off)).otherwise(acc)
+      }
+      val w = Window.partitionBy("__pid")
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      ranged
+        .withColumn("rank", offCol + row_number().over(w))
+        .withColumn("shard", ((col("rank") - 1) % shards).cast("int"))
+        .select(col(idCol), col(scoreCol), col("rank"), col("shard"))
+    } finally { ranged.unpersist(false); () }
+  }
+
   /** Per-key token-length QUANTILES — the length-distribution report
     * batch-shape planning reads (context-window fill, padding waste,
     * truncation rates all key off it). Exact interpolated percentiles

@@ -550,6 +550,40 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Graph.parsePaths("<*.ont") }
   }
 
+  test("yg/gqp grammar property: generated-legal parses, mutated fails loud") {
+    import graft.ops.Graph
+    import org.scalacheck.Gen
+    val field = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val filter = Gen.oneOf(
+      field.map(f => s"[$f::1]"),
+      field.map(f => s"[$f>10,[x::1,y::2]]"), // nested multi-field form
+      Gen.const(""))
+    val hop = for {
+      f <- field; fl <- filter
+    } yield s"$f$fl"
+    val level = for {
+      dir <- Gen.oneOf("<", ">")
+      k <- Gen.chooseNum(1, 3)
+      hs <- Gen.listOfN(k, hop)
+    } yield dir + hs.mkString(",")
+    val path = Gen.chooseNum(1, 3).flatMap(Gen.listOfN(_, level))
+      .map(_.mkString)
+    val expr = Gen.chooseNum(1, 3).flatMap(Gen.listOfN(_, path))
+      .map(_.mkString("|"))
+    val exprs = Gen.listOfN(200, expr).sample.get
+    exprs.foreach { e =>
+      // every generated-legal expression parses, consumes fully, and
+      // preserves the alternative count
+      val paths = Graph.parsePaths(e)
+      assert(paths.nonEmpty && paths.length == e.count(_ == '|') + 1,
+        s"parse shape for '$e'")
+      // appending garbage after a legal expression must throw — the
+      // full-consumption contract over the whole generated space
+      intercept[IllegalArgumentException] { Graph.parsePaths(e + "!!") }
+    }
+  }
+
   test("ns-wildcard hops expand over the namespace's claimed keys") {
     import graft.ops.Graph
     val store = GraftStore.forDir(spark, Sf)
