@@ -71,7 +71,14 @@ object Plans {
       "q_quality_gopher",  // 5-rule gate: ONE scan-side projection
       "q_dsir",            // dual-count table + token-key join
       "q_knn_pq",          // ADC lookup-table scan + exact re-rank
-      "q_search_stemmed")  // analyzer chain inside the pushed predicate
+      "q_search_stemmed",  // analyzer chain inside the pushed predicate
+      "q_yg_fieldlist",    // comma list level: ONE 2-predicate pruned scan per filter group
+      "q_yg_multi",        // | alternatives: per-path chains from one base, unioned
+      "q_xg_nswild",       // ns-wildcard level over the claimed-key universe
+      "q_hybrid_rank",     // two top-k rankings + tiny fusion groupBy
+      "q_dedup_soft",      // drop-set-sized size agg broadcast onto the corpus
+      "q_curriculum",      // range-partitioned global rank, NO single-partition window
+      "q_contamination_frac") // broadcast gram set + per-doc fraction agg
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")
