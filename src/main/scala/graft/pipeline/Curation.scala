@@ -238,21 +238,23 @@ object Curation {
     *
     * Returns the distinct flagged doc ids; the clean set is
     * `docs.join(contaminated, "doc_id", "left_anti")`. */
-  def contaminated(docs: DataFrame, bench: DataFrame, n: Int,
-                   textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
-    // two-step projections: tokens materialize before the gram lambda
-    // (TextAnalysis.shinglesOf caller contract — inline would
-    // re-tokenize the doc once per gram)
-    val grams = docs
-      .select(col(idCol).as("doc_id"),
+  /** Per-doc word `n`-gram stream, DISTINCT within each doc (shinglesOf
+    * array_distincts). Two-step projection: tokens materialize before
+    * the gram lambda (the shinglesOf caller contract — inline would
+    * re-tokenize the doc once per gram). Shared by [[contaminated]]
+    * and [[contaminationFraction]]. */
+  private def gramsOf(df: DataFrame, n: Int, textCol: String,
+                      idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__ts"))
       .select(col("doc_id"),
         explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("g"))
-    val bg = bench
-      .select(TextAnalysis.tokens(col(textCol)).as("__ts"))
-      .select(explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("g"))
-      .distinct()
+
+  def contaminated(docs: DataFrame, bench: DataFrame, n: Int,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val grams = gramsOf(docs, n, textCol, idCol)
+    val bg = gramsOf(bench, n, textCol, idCol).select("g").distinct()
     grams.join(broadcast(bg), Seq("g"), "left_semi")
       .select("doc_id").distinct()
   }
@@ -269,16 +271,11 @@ object Curation {
   def contaminationFraction(docs: DataFrame, bench: DataFrame, n: Int,
                             textCol: String = "text",
                             idCol: String = "doc_id"): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__ts"))
-      .select(col("doc_id"),
-        explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("g"))
-      .distinct()
-    val bg = bench
-      .select(TextAnalysis.tokens(col(textCol)).as("__ts"))
-      .select(explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("g"))
-      .distinct()
+    // gramsOf is already per-doc distinct (shinglesOf array_distincts)
+    // — no corpus-wide distinct shuffle before the broadcast join
+    val grams = gramsOf(docs, n, textCol, idCol)
+    val bg = gramsOf(bench, n, textCol, idCol)
+      .select("g").distinct()
       .withColumn("__hit", lit(1))
     val perDoc = grams.join(broadcast(bg), Seq("g"), "left")
       .groupBy("doc_id")
@@ -305,6 +302,7 @@ object Curation {
   def curriculumShards(docs: DataFrame, scoreCol: String, shards: Int,
                        idCol: String = "doc_id"): DataFrame = {
     require(shards > 0, "curriculumShards needs shards > 0")
+    val spark = docs.sparkSession
     val ranged = docs.select(col(idCol), col(scoreCol))
       .repartitionByRange(col(scoreCol).desc, col(idCol).asc)
       .withColumn("__pid", spark_partition_id())
@@ -313,19 +311,26 @@ object Curation {
       // bounded collect: one (partition, count) row per partition
       val counts = ranged.groupBy("__pid").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      // prefix offsets: rows in partitions strictly before each pid
-      val offsetByPid = counts.map { case (p, _) =>
-        p -> counts.takeWhile(_._1 < p).map(_._2).sum
-      }.toMap
-      val offCol = offsetByPid.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-        when(col("__pid") === p, lit(off)).otherwise(acc)
-      }
+      // prefix-sum offsets; shipped as a tiny broadcast-joined frame —
+      // a per-row when-chain would be O(partitions) deep per row and
+      // blow codegen limits at production partition counts
+      val offsets = counts.map(_._1)
+        .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+      val offDf = spark.createDataFrame(offsets.toSeq)
+        .toDF("__pid", "__off")
       val w = Window.partitionBy("__pid")
         .orderBy(col(scoreCol).desc, col(idCol).asc)
-      ranged
-        .withColumn("rank", offCol + row_number().over(w))
+      // eager localCheckpoint BEFORE releasing the persisted range
+      // shuffle: the offsets snapshot is only valid against the
+      // partitioning it was collected from — letting the final job
+      // recompute the range shuffle (AQE re-plan, nondeterministic
+      // upstream) could pair offsets with different partition counts
+      // and silently corrupt ranks
+      ranged.join(broadcast(offDf), Seq("__pid"))
+        .withColumn("rank", col("__off") + row_number().over(w))
         .withColumn("shard", ((col("rank") - 1) % shards).cast("int"))
         .select(col(idCol), col(scoreCol), col("rank"), col("shard"))
+        .localCheckpoint(true)
     } finally { ranged.unpersist(false); () }
   }
 

@@ -571,7 +571,9 @@ class EngineSpec extends AnyFunSuite {
       .map(_.mkString)
     val expr = Gen.chooseNum(1, 3).flatMap(Gen.listOfN(_, path))
       .map(_.mkString("|"))
-    val exprs = Gen.listOfN(200, expr).sample.get
+    // fixed seed: a failing expression must reproduce run-to-run
+    val exprs = Gen.listOfN(200, expr)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L))
     exprs.foreach { e =>
       // every generated-legal expression parses, consumes fully, and
       // preserves the alternative count
@@ -580,7 +582,9 @@ class EngineSpec extends AnyFunSuite {
         s"parse shape for '$e'")
       // appending garbage after a legal expression must throw — the
       // full-consumption contract over the whole generated space
-      intercept[IllegalArgumentException] { Graph.parsePaths(e + "!!") }
+      withClue(s"mutated '$e!!' must fail loud: ") {
+        intercept[IllegalArgumentException] { Graph.parsePaths(e + "!!") }
+      }
     }
   }
 
