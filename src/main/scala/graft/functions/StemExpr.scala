@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native full-Porter stem — one static call per token.
+  *
+  * Why a custom expression (escalation path (b), the [[GramRunStats]]
+  * rationale): the Column formulation of the 48-rule full-Porter fold
+  * is 48 chained `regexp_replace` nodes; each node pays a
+  * UTF8String→String→UTF8String round-trip and its own expression
+  * overhead per token, and the chain bloats the generated method for
+  * whatever projection contains it. Here the rule table is compiled
+  * ONCE per JVM ([[StemFull.Rules]]) and the whole fold is one tight
+  * loop; the row stays inside whole-stage codegen with one call per
+  * token. Driver and executor CANNOT drift: `TextAnalyzer.stemFull`
+  * delegates to the same [[StemFull.stemString]] this expression
+  * calls.
+  */
+case class StemFullExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "stem_full"
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    StemFull.stem(v.asInstanceOf[UTF8String])
+
+  // one static call per token — the fold body lives in compiled Scala
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StemFull.stem($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object StemFull {
+  /** The shared full-Porter table ([[graft.qp.TextAnalyzer.FullStemRules]])
+    * precompiled once per JVM. */
+  private val Rules: Array[(java.util.regex.Pattern, String)] =
+    graft.qp.TextAnalyzer.FullStemRules.map { case (p, r) =>
+      java.util.regex.Pattern.compile(p) -> r
+    }.toArray
+
+  /** Called once per token from generated code. */
+  def stem(s: UTF8String): UTF8String =
+    UTF8String.fromString(stemString(s.toString))
+
+  /** The ONE full-Porter implementation — the driver-side
+    * `TextAnalyzer.stemFull` and the executor expression both run
+    * this loop. */
+  def stemString(t: String): String = {
+    var w = t
+    var i = 0
+    while (i < Rules.length) {
+      w = Rules(i)._1.matcher(w).replaceAll(Rules(i)._2)
+      i += 1
+    }
+    w
+  }
+}

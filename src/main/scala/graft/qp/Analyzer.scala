@@ -260,14 +260,18 @@ object TextAnalyzer {
     StemRules.init ++ PorterStep2 ++ PorterStep3 ++ PorterStep4 :+
       StemRules.last
 
-  /** Driver-side FULL Porter — folds [[FullStemRules]]. */
+  /** Driver-side FULL Porter — delegates to the ONE precompiled fold
+    * ([[graft.functions.StemFull.stemString]]) the executor expression
+    * also runs, so the two sides cannot drift by construction. */
   def stemFull(t: String): String =
-    FullStemRules.foldLeft(t) { case (w, (p, r)) => w.replaceAll(p, r) }
+    graft.functions.StemFull.stemString(t)
 
-  /** Executor-side FULL Porter — the SAME flat table through
-    * sequential regexp_replace (Java regex both sides, linear
-    * expression tree — see the [[StemStep]] note on why NOT a
-    * first-match when-chain). */
+  /** Executor-side FULL Porter — a native expression making ONE static
+    * call per token into the same precompiled fold (48 chained
+    * regexp_replace nodes paid a UTF8String round-trip each; see
+    * [[graft.functions.StemFullExpr]]). */
   def stemFullCol(c: Column): Column =
-    FullStemRules.foldLeft(c) { case (w, (p, r)) => regexp_replace(w, p, r) }
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.StemFullExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
 }
