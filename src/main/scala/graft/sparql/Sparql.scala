@@ -1806,19 +1806,23 @@ object Sparql {
          query: String): DataFrame =
     spExpanded(store, paths.map(SpPath(_)), query)
 
-  /** One PATHS line: a search request plus optional xg / yg expansion
-    * of its results before they populate the subgraph — the reference
-    * SPParser accepts `?op=search&qp=…&xg=…`/`yg=…` per path
-    * (SpHandler.scala:165-253). */
+  /** One PATHS line: a search request plus optional expansion of its
+    * results before they populate the subgraph — each PATHS line is a
+    * full search URI in the reference (SpHandler.scala:165-253), so
+    * every traversal param applies: `xg`/`yg` expand, `gqp` filters
+    * (applied FIRST, like the search pipeline — a gqp-filtered base
+    * then expands). */
   final case class SpPath(req: graft.ops.Search.Request,
                           xg: Option[String] = None,
-                          yg: Option[String] = None)
+                          yg: Option[String] = None,
+                          gqp: Option[String] = None)
 
   def spExpanded(store: GraftStore, paths: Seq[SpPath],
                  query: String): DataFrame = {
     import graft.ops.{Graph, Search}
     val members = paths.map { p =>
       var df = Search.run(store, p.req)
+      p.gqp.foreach(g => df = Graph.gqp(store, df, g))
       p.xg.foreach(x => df = Graph.xg(store, df,
         Graph.parseXg(x, Graph.refFields(store))))
       p.yg.foreach(y => df = Graph.yg(store, df, y))

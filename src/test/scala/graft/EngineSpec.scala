@@ -1428,6 +1428,18 @@ class EngineSpec extends AnyFunSuite {
       Sparql.SpPath(Search.Request(path = "/region"),
         yg = Some("<refRegion"))), q)
     assert(ygExpanded.count() == 5)
+    // gqp on a PATHS line FILTERS the base before expansion: only
+    // nations whose region is ASIA populate, then xg pulls the region
+    // in — same 5 rows, narrower subgraph than the unfiltered line
+    val gqpFiltered = Sparql.spExpanded(store, Seq(
+      Sparql.SpPath(Search.Request(path = "/nation"),
+        xg = Some("refRegion"), gqp = Some(">refRegion[name::ASIA]"))), q)
+    assert(gqpFiltered.count() == 5)
+    val gqpNone = Sparql.spExpanded(store, Seq(
+      Sparql.SpPath(Search.Request(path = "/nation"),
+        xg = Some("refRegion"),
+        gqp = Some(">refRegion[name::NOSUCH]"))), q)
+    assert(gqpNone.count() == 0)
   }
 
   test("stp refreshes a materialized view only when the sensor fires") {
