@@ -77,7 +77,9 @@ object Plans {
       "q_xg_nswild",       // ns-wildcard level over the claimed-key universe
       "q_hybrid_rank",     // two top-k rankings + tiny fusion groupBy
       "q_dedup_soft",      // drop-set-sized size agg broadcast onto the corpus
-      "q_curriculum",      // range-partitioned global rank, NO single-partition window
+      // q_curriculum is eagerly checkpointed (its plan here would be a
+      // Scan ExistingRDD stub); EngineSpec asserts its pre-checkpoint
+      // shape instead: range partitioning, zero single-partition nodes
       "q_contamination_frac") // broadcast gram set + per-doc fraction agg
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")

@@ -229,15 +229,17 @@ object Curation {
       .withColumn("dup_rate",
         (col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
 
-  /** Benchmark DECONTAMINATION: flag every document sharing at least
-    * one word `n`-gram with a benchmark/eval text set — the standard
-    * leakage guard before training. The benchmark gram set is tiny
-    * relative to the corpus (eval suites, not corpora), so the join is
-    * a broadcast semi-join against the exploded corpus gram index: the
-    * corpus streams once, nothing shuffles.
-    *
-    * Returns the distinct flagged doc ids; the clean set is
-    * `docs.join(contaminated, "doc_id", "left_anti")`. */
+  /** Cap probe for an explicit broadcast hint: never counts more than
+    * cap+1 rows. Caps at or above Int.MaxValue are a misuse (`limit`
+    * takes an Int, and a >2G-entry broadcast is never sane) — fail
+    * loud instead of silently clamping the probe so everything
+    * "fits". */
+  private[pipeline] def fitsBroadcast(df: DataFrame, cap: Long): Boolean = {
+    require(cap > 0 && cap < Int.MaxValue,
+      s"broadcast cap must be in (0, Int.MaxValue): $cap")
+    df.limit((cap + 1).toInt).count() <= cap
+  }
+
   /** Per-doc word `n`-gram stream, DISTINCT within each doc (shinglesOf
     * array_distincts). Two-step projection: tokens materialize before
     * the gram lambda (the shinglesOf caller contract — inline would
@@ -250,11 +252,28 @@ object Curation {
       .select(col("doc_id"),
         explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("g"))
 
+  /** The benchmark side's distinct gram SET — text column only (an
+    * eval slice needs no doc ids). */
+  private def benchGrams(bench: DataFrame, n: Int,
+                         textCol: String): DataFrame =
+    bench.select(TextAnalysis.tokens(col(textCol)).as("__ts"))
+      .select(explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("g"))
+      .distinct()
+
+  /** Benchmark DECONTAMINATION: flag every document sharing at least
+    * one word `n`-gram with a benchmark/eval text set — the standard
+    * leakage guard before training. The benchmark gram set is tiny
+    * relative to the corpus (eval suites, not corpora), so the join is
+    * a broadcast semi-join against the exploded corpus gram index: the
+    * corpus streams once, nothing shuffles.
+    *
+    * Returns the distinct flagged doc ids; the clean set is
+    * `docs.join(contaminated, "doc_id", "left_anti")`. */
   def contaminated(docs: DataFrame, bench: DataFrame, n: Int,
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     val grams = gramsOf(docs, n, textCol, idCol)
-    val bg = gramsOf(bench, n, textCol, idCol).select("g").distinct()
+    val bg = benchGrams(bench, n, textCol)
     grams.join(broadcast(bg), Seq("g"), "left_semi")
       .select("doc_id").distinct()
   }
@@ -274,9 +293,7 @@ object Curation {
     // gramsOf is already per-doc distinct (shinglesOf array_distincts)
     // — no corpus-wide distinct shuffle before the broadcast join
     val grams = gramsOf(docs, n, textCol, idCol)
-    val bg = gramsOf(bench, n, textCol, idCol)
-      .select("g").distinct()
-      .withColumn("__hit", lit(1))
+    val bg = benchGrams(bench, n, textCol).withColumn("__hit", lit(1))
     val perDoc = grams.join(broadcast(bg), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
@@ -300,7 +317,8 @@ object Curation {
     * row_numbers into global ranks via prefix offsets. The tie-break
     * id inside the range key makes boundaries deterministic. */
   def curriculumShards(docs: DataFrame, scoreCol: String, shards: Int,
-                       idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id",
+                       eager: Boolean = true): DataFrame = {
     require(shards > 0, "curriculumShards needs shards > 0")
     val spark = docs.sparkSession
     val ranged = docs.select(col(idCol), col(scoreCol))
@@ -320,18 +338,30 @@ object Curation {
         .toDF("__pid", "__off")
       val w = Window.partitionBy("__pid")
         .orderBy(col(scoreCol).desc, col(idCol).asc)
-      // eager localCheckpoint BEFORE releasing the persisted range
-      // shuffle: the offsets snapshot is only valid against the
-      // partitioning it was collected from — letting the final job
-      // recompute the range shuffle (AQE re-plan, nondeterministic
-      // upstream) could pair offsets with different partition counts
-      // and silently corrupt ranks
-      ranged.join(broadcast(offDf), Seq("__pid"))
+      val out = ranged.join(broadcast(offDf), Seq("__pid"))
         .withColumn("rank", col("__off") + row_number().over(w))
         .withColumn("shard", ((col("rank") - 1) % shards).cast("int"))
         .select(col(idCol), col(scoreCol), col("rank"), col("shard"))
-        .localCheckpoint(true)
-    } finally { ranged.unpersist(false); () }
+      // eager: localCheckpoint BEFORE releasing the persisted range
+      // shuffle — the offsets snapshot is only valid against the
+      // partitioning it was collected from, so letting a later action
+      // recompute the range shuffle (AQE re-plan, nondeterministic
+      // upstream) could pair offsets with different partition counts
+      // and silently corrupt ranks. localCheckpoint is executor-LOCAL
+      // (lost executors lose blocks, no recompute path); a long-lived
+      // cluster deployment swaps in a reliable checkpoint or a table
+      // write at the same point.
+      // eager=false (plan inspection, callers managing their own
+      // materialization): the persist stays ALIVE to keep the offsets
+      // valid — the caller owns the release.
+      if (eager) {
+        val pinned = out.localCheckpoint(true)
+        ranged.unpersist(false)
+        pinned
+      } else out
+    } catch {
+      case e: Throwable => ranged.unpersist(false); throw e
+    }
   }
 
   /** Per-key token-length QUANTILES — the length-distribution report
@@ -501,9 +531,7 @@ object Curation {
     val bl = blocklist.select(lower(col("domain")).as("__sfx")).distinct()
     // probe the RAW feed (pre-distinct: conservative — may shuffle a
     // list whose distinct set would have fit, never the reverse)
-    val fits = blocklist
-      .limit(math.min(maxBroadcastEntries + 1, Int.MaxValue.toLong).toInt)
-      .count() <= maxBroadcastEntries
+    val fits = fitsBroadcast(blocklist, maxBroadcastEntries)
     val hitIds = tagged
       .select(col(idCol), split(col("domain"), "\\.").as("__labels"))
       .select(col(idCol), explode(suffixes).as("__sfx"))

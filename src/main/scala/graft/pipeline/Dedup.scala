@@ -422,20 +422,18 @@ object Dedup {
     * DROP-SET-SIZED cluster frame; the corpus left-joins that small
     * frame (broadcast) — the non-dup mass never shuffles. */
   def softWeights(clusters: DataFrame, docs: DataFrame,
-                  idCol: String = "doc_id",
-                  maxBroadcastEntries: Long = 2000000L): DataFrame = {
+                  idCol: String = "doc_id"): DataFrame = {
     val sizes = clusters.groupBy("root").agg(count(lit(1)).as("__csz"))
     val memberW = clusters.join(sizes, "root")
       .select(col("member").as(idCol),
         round(lit(1.0) / col("__csz"), 6).as("__w"))
-    // cap-probed broadcast (the urlFilterJoin discipline): a heavily
-    // duplicated corpus can make the member set corpus-scale — fall
-    // back to a plain shuffle join instead of a driver OOM
-    val fits = clusters
-      .limit(math.min(maxBroadcastEntries + 1, Int.MaxValue.toLong).toInt)
-      .count() <= maxBroadcastEntries
+    // NO explicit broadcast hint: a heavily duplicated corpus can make
+    // the member frame corpus-scale, and a hard hint would OOM the
+    // driver; the frame stays a lazy plan and AQE picks broadcast at
+    // RUNTIME from the build side's actual size (the drop-set-sized
+    // common case), falling back to shuffle otherwise
     docs.select(col(idCol))
-      .join(if (fits) broadcast(memberW) else memberW, Seq(idCol), "left")
+      .join(memberW, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__w"), lit(1.0)).as("weight"))
   }
 

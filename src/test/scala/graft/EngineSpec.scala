@@ -588,6 +588,27 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumShards plans a range-partitioned rank, no single-partition window") {
+    import graft.pipeline.Curation
+    val store = GraftStore.forDir(spark, Sf)
+    val d = store.current.where(col("system.path").startsWith("/customer/"))
+      .select(regexp_extract(col("system.path"), "(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        element_at(col("fields")("acctbal"), 1).getField("n").as("score"))
+    val frame = Curation.curriculumShards(d, "score", shards = 3,
+      eager = false)
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") ||
+      plan.toLowerCase.contains("range"), "expected a range partition")
+    assert(!plan.contains("SinglePartition"),
+      "global rank must not collapse to one partition")
+    // ranks are a permutation of 1..n and shards are balanced ±1
+    val rows = frame.collect()
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    val byShard = rows.groupBy(_.getInt(3)).view.mapValues(_.length).values
+    assert(byShard.max - byShard.min <= 1)
+  }
+
   test("ns-wildcard hops expand over the namespace's claimed keys") {
     import graft.ops.Graph
     val store = GraftStore.forDir(spark, Sf)
