@@ -46,7 +46,7 @@ case class StemFullExpr(child: Expression) extends UnaryExpression {
 object StemFull {
   /** The shared full-Porter table ([[graft.qp.TextAnalyzer.FullStemRules]])
     * precompiled once per JVM. */
-  private val Rules: Array[(java.util.regex.Pattern, String)] =
+  private lazy val Rules: Array[(java.util.regex.Pattern, String)] =
     graft.qp.TextAnalyzer.FullStemRules.map { case (p, r) =>
       java.util.regex.Pattern.compile(p) -> r
     }.toArray
@@ -58,11 +58,55 @@ object StemFull {
   /** The ONE full-Porter implementation — the driver-side
     * `TextAnalyzer.stemFull` and the executor expression both run
     * this loop. */
-  def stemString(t: String): String = {
+  def stemString(t: String): String = StemRunner.run(Rules, t)
+}
+
+/** Same shape for the Porter-LITE table (the [[graft.qp.TextAnalyzer.English]]
+  * default chain) — one static call per token instead of 11 chained
+  * regexp_replace nodes. */
+case class StemLiteExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "stem_lite"
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    StemLite.stem(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StemLite.stem($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object StemLite {
+  private lazy val Rules: Array[(java.util.regex.Pattern, String)] =
+    graft.qp.TextAnalyzer.StemRules.map { case (p, r) =>
+      java.util.regex.Pattern.compile(p) -> r
+    }.toArray
+
+  def stem(s: UTF8String): UTF8String =
+    UTF8String.fromString(stemString(s.toString))
+
+  /** The ONE Porter-lite implementation — `TextAnalyzer.stem` and the
+    * executor expression both run this loop. */
+  def stemString(t: String): String = StemRunner.run(Rules, t)
+}
+
+private object StemRunner {
+  def run(rules: Array[(java.util.regex.Pattern, String)],
+          t: String): String = {
     var w = t
     var i = 0
-    while (i < Rules.length) {
-      w = Rules(i)._1.matcher(w).replaceAll(Rules(i)._2)
+    while (i < rules.length) {
+      w = rules(i)._1.matcher(w).replaceAll(rules(i)._2)
       i += 1
     }
     w

@@ -179,14 +179,18 @@ object TextAnalyzer {
     "^([a-z0-9]*[aeiou][a-z0-9]*)y$" -> "$1i",         // pony → poni (sky stays)
     "^([a-z0-9]*[aeiou][a-z0-9]{2,})e$" -> "$1")       // package → packag (late stays)
 
-  /** Driver-side stem — folds [[StemRules]]. */
-  def stem(t: String): String =
-    StemRules.foldLeft(t) { case (w, (p, r)) => w.replaceAll(p, r) }
+  /** Driver-side stem — delegates to the ONE precompiled Porter-lite
+    * fold ([[graft.functions.StemLite.stemString]]) the executor
+    * expression also runs: no drift by construction. */
+  def stem(t: String): String = graft.functions.StemLite.stemString(t)
 
-  /** Executor-side stem — folds the SAME [[StemRules]] through
-    * regexp_replace (Java regex on both sides, codegen'd). */
+  /** Executor-side stem — a native expression making ONE static call
+    * per token into the same precompiled fold (was 11 chained
+    * regexp_replace nodes; see [[graft.functions.StemLiteExpr]]). */
   def stemCol(c: Column): Column =
-    StemRules.foldLeft(c) { case (w, (p, r)) => regexp_replace(w, p, r) }
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.StemLiteExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
 
   // ------------------------- full Porter (steps 2-4), EnglishFull only
 
