@@ -135,6 +135,17 @@ object GraphQueries {
         Graph.parseXg("*.ont", Graph.refFields(store))))
     }),
 
+    // xg ns-wildcard, full-URI spelling (`$nsUri#*$`, uriPattern
+    // Parsers.scala:362-364): same claimed-key expansion addressed by
+    // namespace IRI instead of prefix — FURNITURE customers' nations
+    "q_xg_uriwild" -> ((s, dir) => {
+      val store = st(s, dir)
+      val base = Search.run(store, Search.Request(path = "/customer",
+        qp = Some("mktsegment::FURNITURE")))
+      pathsOf(Graph.xg(store, base, Graph.parseXg(
+        "$" + graft.qp.Namespaces.DefaultNs + "*$", Graph.refFields(store))))
+    }),
+
     // expansionLimit (webservice.xg.limit): a 10-infoton cap on an
     // expansion that reaches thousands must abort — surfaced as a
     // boolean row so the abort semantics are oracle-checkable
@@ -247,6 +258,14 @@ object GraphQueries {
         |  UNION
         |  SELECT DISTINCT '/nation/' || CAST(c_nationkey AS VARCHAR)
         |  FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |) ORDER BY path""".stripMargin,
+    "q_xg_uriwild" ->
+      """SELECT path FROM (
+        |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS path FROM customer
+        |  WHERE c_mktsegment = 'FURNITURE'
+        |  UNION
+        |  SELECT DISTINCT '/nation/' || CAST(c_nationkey AS VARCHAR)
+        |  FROM customer WHERE c_mktsegment = 'FURNITURE'
         |) ORDER BY path""".stripMargin,
     "q_yg_out" ->
       """SELECT path FROM (

@@ -255,10 +255,36 @@ object GraftStore {
     * winner's. The layout is read-only by contract — the one mutating
     * caller ([[graft.ingest.Merger.mergePruned]] via q_merge_pruned)
     * clones `infotons/` first. */
+  /** Per-user ETL cache root (`~/.cache/graft/store_etl`, tmpdir +
+    * user-suffixed fallback), 0700 where POSIX perms exist, ownership-
+    * checked before any warm hit is served: the former shared
+    * world-writable `/tmp/graft_store_etl_cache` let another local
+    * user pre-plant a poisoned parquet layout under a predictable
+    * fingerprint name that forDir would silently serve as the store.
+    * An ownership mismatch fails LOUD — serving unverifiable data is
+    * worse than no store. */
+  private def etlCacheRoot(): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val root = sys.props.get("user.home").filter(_.nonEmpty)
+      .map(h => Paths.get(h, ".cache", "graft", "store_etl"))
+      .getOrElse(Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft_store_etl_cache_${sys.props.getOrElse("user.name", "u")}"))
+    Files.createDirectories(root)
+    try Files.setPosixFilePermissions(root,
+      java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+    catch { case _: UnsupportedOperationException => () }
+    val me = sys.props.getOrElse("user.name", "")
+    val owner =
+      try Files.getOwner(root).getName catch { case _: Exception => me }
+    require(me.isEmpty || owner == me,
+      s"ETL cache root $root owned by '$owner', not '$me' — refusing " +
+        "to serve store layouts from a directory another user controls")
+    root
+  }
+
   private def etlCachedDir(s: SparkSession, d: String): String = {
-    val root = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_store_etl_cache")
-    java.nio.file.Files.createDirectories(root)
+    val root = etlCacheRoot()
     val target = root.resolve(sourceFingerprint(d))
     if (java.nio.file.Files.exists(target.resolve(EtlMarker))) {
       // touch on reuse: the pruner ages entries by mtime, and parquet

@@ -93,7 +93,14 @@ object Graph {
     * Parsers.scala:355-360). */
   private def fieldWithFilter(tok: String, ctx: String): (String, Option[String]) = {
     var i = 0
-    while (i < tok.length && isFieldChar(tok(i))) i += 1
+    if (tok.nonEmpty && tok(0) == '$') {
+      // `$uri$` token (fullPredicateURI / uriPattern, Parsers.scala:
+      // 110,362): consume through the closing '$' — URI chars like
+      // ':' '/' '#' ';' are not plain field chars
+      val close = tok.indexOf('$', 1)
+      require(close > 1, s"unterminated '$$uri$$' field in '$tok' in '$ctx'")
+      i = close + 1
+    } else while (i < tok.length && isFieldChar(tok(i))) i += 1
     require(i > 0, s"expected field name at '$tok' in '$ctx'")
     val field = tok.substring(0, i)
     if (i == tok.length) (field, None)
@@ -159,8 +166,9 @@ object Graph {
         val (f, fo) = fieldWithFilter(tok, ctx)
         // the reference admits ns-wildcards only in the expandIn (`>`)
         // direction: filteredFields vs filteredFieldsExact,
-        // Parsers.scala:481-489
-        require(!(incoming && f.startsWith("*.")),
+        // Parsers.scala:481-489 — this covers BOTH wildcard spellings,
+        // `*.prefix`/`*.$hash` and `$nsUri(#|/|;)*$`
+        require(!(incoming && isNsWildcard(f)),
           s"ns-wildcard '$f' is not legal after '<' in '$ctx' (expandUp " +
             "takes exact fields, Parsers.scala:487)")
         Hop(incoming, f, fo)
@@ -241,25 +249,44 @@ object Graph {
   private def edgesMulti(store: GraftStore, fields: Seq[String]): DataFrame =
     store.refEdges(fields)
 
+  /** `$nsUri(#|/|;)*$` — the uriPattern ns-wildcard spelling
+    * (Parsers.scala:362-364): a `$`-delimited namespace URI whose last
+    * path segment is `*` after a `#`/`/`/`;` separator. */
+  private def isNsWildcard(f: String): Boolean =
+    f.startsWith("*.") || (f.length > 4 && f.startsWith("$") &&
+      f.endsWith("*$") && "#/;".contains(f(f.length - 3)))
+
   /** Expand ns-wildcard field tokens — `*.prefix` / `*.$nsHash`
-    * (nsWildcardPattern, Parsers.scala:370-375) — to every canonical
-    * key CLAIMED under that namespace; plain fields pass through. An
-    * unknown prefix/hash fails loud (the qp resolution discipline: a
-    * typo must not silently expand over nothing); a known namespace
-    * with zero claims expands to no edges, the schemaless behavior. */
+    * (nsWildcardPattern, Parsers.scala:366-369) and the full-URI form
+    * `$nsUri#*$` (uriPattern, :362-364) — to every canonical key
+    * CLAIMED under that namespace; `$predicateUri$` resolves to its
+    * single canonical key ([[graft.qp.Namespaces.resolve]], like the
+    * reference's fullPredicateURI, :110); plain fields pass through
+    * resolve too (dotted prefix/hash qualifiers). An unknown
+    * prefix/hash/IRI fails loud (the qp resolution discipline: a typo
+    * must not silently expand over nothing); a known namespace with
+    * zero claims expands to no edges, the schemaless behavior. */
   private def expandNsWildcards(hops: Seq[Hop]): Seq[Hop] =
     hops.flatMap { h =>
-      if (!h.field.startsWith("*.")) Seq(h)
-      else {
-        val q = h.field.drop(2)
+      val f = h.field
+      if (f.startsWith("*.")) {
+        val q = f.drop(2)
         val ns =
           (if (q.startsWith("$")) graft.qp.Namespaces.uriOfHash(q.drop(1))
            else graft.qp.Namespaces.uriOfPrefix(q))
             .getOrElse(throw new IllegalArgumentException(
-              s"unknown namespace in wildcard '${h.field}'"))
+              s"unknown namespace in wildcard '$f'"))
         graft.qp.Namespaces.keysInNamespace(ns)
           .map(k => Hop(h.incoming, k, h.filter))
-      }
+      } else if (isNsWildcard(f)) {
+        // $nsUri(#|/|;)*$ → namespace URI = inner text minus the '*'
+        // (separator kept, uriPattern's `uri.init`)
+        val ns = f.substring(1, f.length - 2)
+        require(graft.qp.Namespaces.isRegistered(ns),
+          s"unknown namespace IRI '$ns' in wildcard '$f'")
+        graft.qp.Namespaces.keysInNamespace(ns)
+          .map(k => Hop(h.incoming, k, h.filter))
+      } else Seq(Hop(h.incoming, graft.qp.Namespaces.resolve(f), h.filter))
     }
 
   /** Restrict target paths (col `p`) to infotons matching a qp filter.

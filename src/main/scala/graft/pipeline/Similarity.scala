@@ -247,54 +247,124 @@ object Similarity {
     * unreadable file falls back to refit. In-memory sources (no input
     * files) skip the disk layer. */
   /** Content fingerprint of a frame's input files (path+size+mtime),
-    * or None when any file can't be stat'd locally (remote storage —
-    * hdfs/s3 paths are not java.nio-stattable, and a path-only hash
-    * would silently reuse stale artifacts after an in-place corpus
-    * regeneration) or when the source is in-memory. None disables
-    * BOTH the disk artifact layer and cross-content reuse of the
-    * in-JVM maps. */
+    * stat'd through the Hadoop FileSystem of each path — size+mtime is
+    * available for file:// AND hdfs/s3, so a remote corpus regenerated
+    * in place behind an identical canonical plan gets a fresh
+    * fingerprint (a java.nio-only stat silently disabled content
+    * keying off-local-disk). None (stat failure or in-memory source)
+    * disables BOTH the disk artifact layer and cross-content reuse of
+    * the in-JVM maps. */
   private def contentFingerprint(df: DataFrame): Option[String] = {
     val files = df.inputFiles
     if (files.isEmpty) return None
     val md = java.security.MessageDigest.getInstance("MD5")
-    var ok = true
-    files.sorted.foreach { f =>
-      try {
-        val p = java.nio.file.Paths.get(new java.net.URI(f).getPath)
-        md.update(s"$f|${java.nio.file.Files.size(p)}|${
-          java.nio.file.Files.getLastModifiedTime(p).toMillis}\n"
+    try {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      files.sorted.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        md.update(s"$f|${st.getLen}|${st.getModificationTime}\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case _: Exception => ok = false }
-    }
-    if (ok) Some(md.digest().map("%02x".format(_)).mkString) else None
+      }
+      Some(md.digest().map("%02x".format(_)).mkString)
+    } catch { case _: Exception => None }
   }
 
-  private def diskArtifact[T <: Serializable](ck: Option[String],
-                                              name: String)
-                                             (fit: => T): T = {
-    if (ck.isEmpty) return fit
-    val dir = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_index_artifacts")
-    java.nio.file.Files.createDirectories(dir)
+  /** Embedding dimension probe, used ONLY when the content fingerprint
+    * is unavailable (rare: stat failure / in-memory source) to keep
+    * dim in the in-JVM quantizer key — without it an in-place corpus
+    * regeneration at a different dimension behind an identical plan
+    * could serve wrong-shaped centroids. One `limit(1)` job, paid only
+    * on that fallback path. */
+  private def dimProbe(base: DataFrame): Int =
+    try base.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(-1)
+    catch { case _: Exception => -1 }
+
+  // ---- plain-primitive artifact codec ----------------------------------
+  // Artifacts are nested double arrays (IVF centroids: rank 2; PQ
+  // codebooks: rank 3). They are serialized as raw
+  // DataOutputStream ints+doubles — NEVER Java object serialization:
+  // readObject on a shared-host cache file is a gadget-chain execution
+  // vector if another local user can plant a payload.
+  private val ArtifactMagic = 0x47414e44 // "GAND" — graft nested double array
+  private def writeMat(o: java.io.DataOutputStream,
+                       m: Array[Array[Double]]): Unit = {
+    o.writeInt(m.length)
+    m.foreach { r => o.writeInt(r.length); r.foreach(o.writeDouble) }
+  }
+  private def readMat(i: java.io.DataInputStream): Array[Array[Double]] = {
+    val n = i.readInt(); require(n >= 0 && n <= (1 << 20), "bad artifact")
+    Array.fill(n) {
+      val d = i.readInt(); require(d >= 0 && d <= (1 << 20), "bad artifact")
+      Array.fill(d)(i.readDouble())
+    }
+  }
+  private def writeMats(o: java.io.DataOutputStream,
+                        t: Array[Array[Array[Double]]]): Unit = {
+    o.writeInt(t.length); t.foreach(writeMat(o, _))
+  }
+  private def readMats(i: java.io.DataInputStream)
+      : Array[Array[Array[Double]]] = {
+    val n = i.readInt(); require(n >= 0 && n <= (1 << 20), "bad artifact")
+    Array.fill(n)(readMat(i))
+  }
+
+  /** Per-user artifact cache root: `~/.cache/graft/index_artifacts`
+    * (tmpdir + user-suffixed fallback), created 0700 where the
+    * filesystem supports POSIX perms. A world-writable shared
+    * `/tmp/graft_index_artifacts` with predictable names let any local
+    * user pre-plant cache files; the private dir closes that. Returns
+    * None (→ no disk layer) when no private directory can be secured. */
+  private lazy val artifactDir: Option[java.nio.file.Path] = {
+    import java.nio.file.{Files, Paths}
+    val root = sys.props.get("user.home").filter(_.nonEmpty)
+      .map(h => Paths.get(h, ".cache", "graft", "index_artifacts"))
+      .getOrElse(Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft_index_artifacts_${sys.props.getOrElse("user.name", "u")}"))
+    try {
+      Files.createDirectories(root)
+      try Files.setPosixFilePermissions(root,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+      catch { case _: UnsupportedOperationException => () }
+      // serve nothing from a directory somebody else owns (pre-planted
+      // before we first ran): ownership is the trust anchor
+      val owner = Files.getOwner(root).getName
+      val me = sys.props.getOrElse("user.name", "")
+      if (owner == me || me.isEmpty) Some(root) else None
+    } catch { case _: Exception => None }
+  }
+
+  private def diskArtifact[T](ck: Option[String], name: String,
+                              enc: (java.io.DataOutputStream, T) => Unit,
+                              dec: java.io.DataInputStream => T)
+                             (fit: => T): T = {
+    import java.nio.file.Files
+    val dirOpt = if (ck.isEmpty) None else artifactDir
+    if (dirOpt.isEmpty) return fit
+    val dir = dirOpt.get
     val f = dir.resolve(s"${name}_${ck.get}.bin")
     def fitAndSave(): T = {
       val v = fit
-      val tmp = java.nio.file.Files.createTempFile(dir, name, ".tmp")
-      val out = new java.io.ObjectOutputStream(
-        java.nio.file.Files.newOutputStream(tmp))
-      try out.writeObject(v) finally out.close()
-      try java.nio.file.Files.move(tmp, f,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val tmp = Files.createTempFile(dir, name, ".tmp")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(tmp)))
+      try { out.writeInt(ArtifactMagic); enc(out, v) } finally out.close()
+      try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileSystemException =>
-        java.nio.file.Files.deleteIfExists(tmp); ()
+        Files.deleteIfExists(tmp); ()
       }
       v
     }
-    if (java.nio.file.Files.exists(f))
+    if (Files.exists(f))
       try {
-        val in = new java.io.ObjectInputStream(
-          java.nio.file.Files.newInputStream(f))
-        try in.readObject().asInstanceOf[T] finally in.close()
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          Files.newInputStream(f)))
+        try {
+          require(in.readInt() == ArtifactMagic, "bad artifact header")
+          dec(in)
+        } finally in.close()
       } catch { case _: Exception => fitAndSave() }
     else fitAndSave()
   }
@@ -320,9 +390,13 @@ object Similarity {
     // corpus regeneration (same path, same canonical plan — possibly a
     // different dimension) must refit, not serve stale centroids
     val ck = contentFingerprint(base)
+    // fingerprint-less fallback keys on a probed dim so a regenerated
+    // in-memory corpus at a new dimension can't hit stale centroids
+    val ckKey = ck.getOrElse(s"dim=${dimProbe(base)}")
     val cents = quantizers.computeIfAbsent(
-      (planKey, ck.getOrElse(""), nlist, seed), { _ =>
-      diskArtifact(ck, s"ivf_${planKey}_${nlist}_$seed") {
+      (planKey, ckKey, nlist, seed), { _ =>
+      diskArtifact(ck, s"ivf_${planKey}_${nlist}_$seed",
+                   writeMat, readMat) {
         // the quantizer trains on a BOUNDED SAMPLE of normalized vectors
         // (angular cells; cell rank per vector is scale-invariant, so
         // the scan side keeps raw arrays). Coarse quantizers need a few
@@ -571,7 +645,8 @@ object Similarity {
     val ck = contentFingerprint(base)
     val books = pqCodebooks.computeIfAbsent(
       (planKey, ck.getOrElse(""), m, ksub, dim, seed), { _ =>
-      diskArtifact(ck, s"pq_${planKey}_${m}_${ksub}_${dim}_$seed") {
+      diskArtifact(ck, s"pq_${planKey}_${m}_${ksub}_${dim}_$seed",
+                   writeMats, readMats) {
         val sample = nrm.limit(64 * 1024)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try (0 until m).map { j =>

@@ -133,6 +133,11 @@ object Namespaces {
       .toSeq.sorted
   }
 
+  /** Whether a namespace IRI is registered (loader/ingest/claims) —
+    * the fail-loud check behind `$nsUri#*$` wildcards: an unknown IRI
+    * must not silently expand over zero fields. */
+  def isRegistered(ns: String): Boolean = uris.contains(ns)
+
   /** Prefix → namespace IRI (None = unregistered). */
   def uriOfPrefix(prefix: String): Option[String] =
     Option(byPrefix.get(prefix))

@@ -621,6 +621,28 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Graph.yg(store, base, ">*.nosuchns")
     }
+    // the full-URI wildcard spelling `$nsUri#*$` (uriPattern,
+    // Parsers.scala:362-364) expands identically to `*.prefix`
+    val uriWild = paths(Graph.yg(store, base,
+      ">$" + graft.qp.Namespaces.DefaultNs + "*$"))
+    assert(uriWild == out)
+    // unknown namespace URI fails loud too
+    intercept[IllegalArgumentException] {
+      Graph.yg(store, base, ">$cmwell://nosuch#*$")
+    }
+    // `$predicateUri$` resolves to its single canonical key
+    // (fullPredicateURI, Parsers.scala:110)
+    val uriField = paths(Graph.yg(store, base,
+      ">$" + graft.qp.Namespaces.DefaultNs + "refNation$"))
+    assert(uriField == paths(Graph.yg(store, base, ">refNation")))
+    // ns-wildcard (either spelling) still illegal after '<'
+    intercept[IllegalArgumentException] {
+      Graph.parsePaths("<$" + graft.qp.Namespaces.DefaultNs + "*$")
+    }
+    // unterminated $uri$ token fails loud, never a silent plain field
+    intercept[IllegalArgumentException] {
+      Graph.parsePaths(">$cmwell://ont#refNation")
+    }
   }
 
   test("xg parser: > levels, comma lists, jokers, fail-loud") {
