@@ -593,6 +593,23 @@ object PipelineQueries {
         .select("path", "mimeType", "dataLength", "sha256")
         .orderBy("path")),
 
+    // REAL image decode: synthetic gradient PNGs (closed-form pixels
+    // from doc_id, row filters cycling through all five PNG
+    // predictors) round-trip Spark-side through Png.decode while the
+    // oracle recomputes dims + pixel sum from the formula — any codec
+    // defect (filter math, inflate, scanline layout) breaks the sum
+    "q_file_decode" -> ((s, dir) => {
+      val content = Multimodal.pngContentStore(s, docs(s, dir))
+      Multimodal.decode(s, content)
+        .select(col("path"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          aggregate(transform(col("pixels"),
+              p => round(p * 255).cast("long")), lit(0L), _ + _)
+            .as("pixel_sum"))
+        .orderBy("path")
+    }),
+
     // URL/domain blocklist filtering (C4 source gate). The corpus has
     // no URL column, so both sides inject the same deterministic URLs
     // (mixed-case scheme/host + www + port/path noise so extraction is
@@ -1584,6 +1601,15 @@ object PipelineQueries {
         |'application/octet-stream' AS mimeType,
         |octet_length(encode(text)) AS dataLength,
         |sha256(text) AS sha256
+        |FROM documents ORDER BY path""".stripMargin,
+    "q_file_decode" ->
+      """SELECT '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |  CAST(4 + (doc_id % 4) * 2 AS BIGINT) AS width,
+        |  CAST(5 + (doc_id % 3) * 2 AS BIGINT) AS height,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(0, (4 + (doc_id % 4) * 2) *
+        |                       (5 + (doc_id % 3) * 2) - 1),
+        |    i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS pixel_sum
         |FROM documents ORDER BY path""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id, list_reduce(

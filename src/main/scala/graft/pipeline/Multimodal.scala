@@ -43,10 +43,39 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("pixels", ArrayType(FloatType))))
 
-  /** ==== STUB ====  Deterministic fake decoder: derives an 8×8
-    * single-channel "image" from the payload bytes (xorshift over a
-    * seed hash). A real implementation would run an image codec over
-    * `data` HERE and nowhere else. */
+  /** Deterministic synthetic-PNG content store: gradient grayscale
+    * images derived from doc_id (w = 4+(id%4)·2 ∈ {4,6,8,10},
+    * h = 5+(id%3)·2 ∈ {5,7,9}, pixel(i) = (id·31 + i·7) mod 256),
+    * encoded as REAL PNGs with the row filter cycling 0-4 — every
+    * decode exercises all five scanline filters. The closed-form pixel
+    * content is what makes the decode path ORACLE-checkable: DuckDB
+    * recomputes dims + pixel sum from doc_id while Spark round-trips
+    * the actual bytes through [[Png.decode]]. */
+  def pngContentStore(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("mimeType", StringType),
+      StructField("dataLength", LongType),
+      StructField("sha256", StringType),
+      StructField("data", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      val w = 4 + (id % 4).toInt * 2
+      val h = 5 + (id % 3).toInt * 2
+      val px = Array.tabulate(w * h)(i => ((id * 31 + i * 7) % 256).toInt)
+      val data = Png.encodeGray(w, h, px)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(data).map("%02x".format(_)).mkString
+      Row(s"/documents/$id", "image/png", data.length.toLong, sha, data)
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** ==== STUB (non-PNG payloads only) ====  Deterministic fake
+    * decoder: derives an 8×8 single-channel "image" from the payload
+    * bytes (xorshift over a seed hash). PNG payloads take the REAL
+    * [[Png.decode]] path; this stand-in remains only for mime types
+    * whose codecs genuinely don't exist in this container. */
   private def fakeDecode(data: Array[Byte]): (Int, Int, Array[Float]) = {
     var seed = data.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
     val px = Array.ofDim[Float](64)
@@ -59,11 +88,17 @@ object Multimodal {
     (8, 8, px)
   }
 
-  /** Decode payloads partition-by-partition (streaming iterator — the
-    * shape a real codec plugs into). */
+  /** Decode payloads partition-by-partition (streaming iterator — one
+    * payload in flight per task). PNG payloads decode for REAL
+    * ([[Png.decode]]: zlib + the five scanline filters, JDK-only); a
+    * payload with the PNG signature that can't be decoded fails LOUD
+    * (never a silent fake). Other mime types fall back to the marked
+    * [[fakeDecode]] stand-in. */
   def decode(spark: SparkSession, content: DataFrame): DataFrame = {
     val rdd = content.select("path", "data").rdd.mapPartitions(_.map { r =>
-      val (w, h, px) = fakeDecode(r.getAs[Array[Byte]]("data"))
+      val data = r.getAs[Array[Byte]]("data")
+      val (w, h, px) =
+        if (Png.isPng(data)) Png.decode(data) else fakeDecode(data)
       Row(r.getString(0), w, h, px)
     })
     spark.createDataFrame(rdd, DecodedSchema)

@@ -1372,6 +1372,76 @@ class EngineSpec extends AnyFunSuite {
     assert(feats.forall(_.getSeq[Float](1).length == 4))
   }
 
+  test("PNG codec: encode/decode round-trips exactly under every filter") {
+    import graft.pipeline.Png
+    val rnd = new scala.util.Random(7)
+    // each fixed filter type alone, then the cycling strategy
+    (Seq[Int => Int](_ => 0, _ => 1, _ => 2, _ => 3, _ => 4, _ % 5))
+      .zipWithIndex.foreach { case (filt, fi) =>
+        val (w, h) = (3 + fi, 5 + fi)
+        val px = Array.fill(w * h)(rnd.nextInt(256))
+        val bytes = Png.encodeGray(w, h, px, filt)
+        assert(Png.isPng(bytes))
+        val (dw, dh, out) = Png.decode(bytes)
+        assert(dw == w && dh == h)
+        // grayscale decode is exact: v/255 round-trips to v
+        assert(out.map(f => math.round(f * 255)).toSeq == px.toSeq,
+          s"filter strategy #$fi")
+      }
+    // RGB decodes through Rec.601 luma
+    val rgb = Array[Byte](255.toByte, 0, 0, /**/ 0, 255.toByte, 0,
+      0, 0, 255.toByte, /**/ 255.toByte, 255.toByte, 255.toByte)
+    val (w2, h2, luma) = Png.decode(Png.encode(2, 2, 2, rgb))
+    assert(w2 == 2 && h2 == 2)
+    assert(math.abs(luma(0) - 0.299f) < 1e-3 &&
+      math.abs(luma(1) - 0.587f) < 1e-3 &&
+      math.abs(luma(2) - 0.114f) < 1e-3 && math.abs(luma(3) - 1.0f) < 1e-3)
+    // fail-loud: interlace flag (IHDR byte 28), truncation, garbage
+    val good = Png.encodeGray(4, 4, Array.fill(16)(128))
+    val interlaced = good.clone(); interlaced(28) = 1
+    intercept[IllegalArgumentException] { Png.decode(interlaced) }
+    intercept[IllegalArgumentException] { Png.decode(good.take(40)) }
+    intercept[IllegalArgumentException] { Png.decode("nope".getBytes) }
+  }
+
+  test("PNG payloads take the real decode path end-to-end " +
+      "(decode -> resize -> features)") {
+    import graft.pipeline.Png
+    import spark.implicits._
+    // 8x8 gradient image: pixel(i) = i*4 (0..252), all filters cycled
+    val px = Array.tabulate(64)(_ * 4)
+    val content = Seq(("/img/real", "image/png", Png.encodeGray(8, 8, px)))
+      .toDF("path", "mimeType", "data")
+    val dec = Multimodal.decode(spark, content).collect().head
+    assert(dec.getInt(1) == 8 && dec.getInt(2) == 8)
+    assert(dec.getSeq[Float](3).map(f => math.round(f * 255)).toSeq ==
+      px.toSeq, "decoded pixels are the encoded bytes, not a fake hash")
+    // resize f=2: block means of the gradient
+    val resized = Multimodal.resize(Multimodal.decode(spark, content), 2)
+      .collect().head
+    assert(resized.getInt(1) == 4 && resized.getInt(2) == 4)
+    val exp = for (oy <- 0 until 4; ox <- 0 until 4) yield {
+      val s = (for (dy <- 0 to 1; dx <- 0 to 1)
+        yield px((oy * 2 + dy) * 8 + ox * 2 + dx) / 255.0f).sum
+      s / 4.0f
+    }
+    resized.getSeq[Float](3).zip(exp).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-5f)
+    }
+    // features: 4 quadrant means over the decoded frame
+    val feats = Multimodal.features(Multimodal.decode(spark, content))
+      .collect().head.getSeq[Float](1)
+    assert(feats.length == 4 && feats.forall(f => f >= 0f && f <= 1f))
+    // a payload CLAIMING PNG (valid signature, corrupt body) fails
+    // loud, never falls back to the fake decoder
+    val sigPlusGarbage =
+      Png.encodeGray(2, 2, Array(1, 2, 3, 4)).take(8) ++
+        Array.fill[Byte](10)(42)
+    val bad = Seq(("/img/bad", "image/png", sigPlusGarbage))
+      .toDF("path", "mimeType", "data")
+    intercept[Exception] { Multimodal.decode(spark, bad).collect() }
+  }
+
   test("resize average-pools blocks exactly and fails loud on " +
       "non-divisible dims") {
     import spark.implicits._
