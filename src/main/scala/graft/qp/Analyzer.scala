@@ -255,14 +255,26 @@ object TextAnalyzer {
     s"^($M2)ous$$" -> "$1", s"^($M2)ive$$" -> "$1",
     s"^($M2)ize$$" -> "$1")
 
+  /** Porter step 5b (m>1): a final double-l loses one l — controll →
+    * control, install → instal; roll (m=1) stays. The measure gate is
+    * a LOOKAHEAD because the final ll is itself the last measure
+    * pair's consonant run (a plain `(M2)l` capture could never align:
+    * the pair consumes the first l). Runs AFTER 5a like the canonical
+    * order; the step-1b doubled-consonant restoration deliberately
+    * excludes l (Porter's *L exception), so -ll words reach this rule
+    * intact (controlled → controll → control). */
+  val PorterStep5b: StemStep = Seq(s"^(?=$M2)([a-z0-9]*l)l$$" -> "$1")
+
   /** The complete full-Porter rule sequence: step-1 rules (everything
     * in [[StemRules]] but the final-e drop), steps 2-4, then the
-    * final-e drop — e-removal must come LAST or step 2-4 suffixes like
-    * -ize/-ate never match (centralize → centraliz would keep its z).
-    * Step 5b (double-l) stays out of scope, documented. */
+    * final-e drop — e-removal must come LAST (of the suffix steps) or
+    * step 2-4 suffixes like -ize/-ate never match (centralize →
+    * centraliz would keep its z) — then the 5b double-l reduction.
+    * This closes the last named stemmer residual; only the
+    * per-language stemmer zoo stays out (documented). */
   val FullStemRules: Seq[(String, String)] =
-    StemRules.init ++ PorterStep2 ++ PorterStep3 ++ PorterStep4 :+
-      StemRules.last
+    StemRules.init ++ PorterStep2 ++ PorterStep3 ++ PorterStep4 ++
+      (StemRules.last +: PorterStep5b)
 
   /** Driver-side FULL Porter — delegates to the ONE precompiled fold
     * ([[graft.functions.StemFull.stemString]]) the executor expression

@@ -1747,7 +1747,12 @@ class EngineSpec extends AnyFunSuite {
                                       // cross-STEP cascade is canonical
       "operator" -> "oper",           // 2: ator→ate, 4: ate (m>1)
       "feed" -> "feed",               // untouched (1b eed guard)
-      "widgets" -> "widget")          // step-1 only input unchanged by 2-4
+      "widgets" -> "widget",          // step-1 only input unchanged by 2-4
+      "controll" -> "control",        // 5b: double-l, m>1
+      "controlled" -> "control",      // 1b keeps ll (Porter *L), 5b drops one
+      "enrolling" -> "enrol",         // 1b ing-drop → enroll, 5b → enrol
+      "install" -> "instal",          // 5b: canonical Porter (m=2)
+      "roll" -> "roll")               // 5b gate m>1 fails (m=1) — kept
     vocab.foreach { case (in, want) =>
       assert(TextAnalyzer.stemFull(in) == want,
         s"stemFull($in) = ${TextAnalyzer.stemFull(in)}, want $want")
