@@ -202,6 +202,14 @@ object GraphQueries {
     "q_gremlin_range" -> ((s, dir) =>
       graft.ops.Gremlin.eval(st(s, dir),
           """g.V.has("mktsegment").has("acctbal", "gt", "9000").id""")
+        .orderBy("id")),
+
+    // Gremlin EDGE pipes (Blueprints outE + implicit edge-id terminal):
+    // composite ids in the reference JenaEdge.getId format
+    // `outV-label->inV` pin the edge frame's from/label/to fidelity
+    "q_gremlin_edges" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.V.has("mktsegment", "BUILDING").has("acctbal", "gt", "9900").outE("refNation").id""")
         .orderBy("id")))
 
   val oracles: Map[String, String] = Map(
@@ -218,6 +226,12 @@ object GraphQueries {
     "q_gremlin_range" ->
       """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS id
         |FROM customer WHERE c_acctbal > 9000
+        |ORDER BY id""".stripMargin,
+    "q_gremlin_edges" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) ||
+        |  '-refNation->/nation/' || CAST(c_nationkey AS VARCHAR) AS id
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
         |ORDER BY id""".stripMargin,
     "q_xg" ->
       """SELECT path FROM (

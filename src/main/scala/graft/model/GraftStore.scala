@@ -96,6 +96,17 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
         col("vType") === InfotonModel.TRef)
       .select(col("subject").as("from"), col("s").as("to"))
 
+  /** [[refEdges]] keeping the predicate as the edge LABEL — the
+    * Blueprints edge view (Gremlin outE/inE/bothE pipes; reference
+    * JenaEdge.getLabel = predicate URI). Same pruned scan. */
+  def refEdgesLabeled(predLocals: Seq[String]): DataFrame =
+    quads.where(col("current") &&
+        col("kind") =!= InfotonModel.KindDeleted &&
+        col("predicate").isin(predLocals: _*) &&
+        col("vType") === InfotonModel.TRef)
+      .select(col("subject").as("from"), col("predicate").as("label"),
+        col("s").as("to"))
+
   /** [[refEdges]] keeping the graph tag — per-named-graph closures
     * (`GRAPH ?g` + property paths) walk edges within one graph, so the
     * tag rides the frontier as a join key. */

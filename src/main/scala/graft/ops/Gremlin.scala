@@ -40,12 +40,24 @@ import org.apache.spark.sql.functions._
   *   .limit(n)               first n vertices in id order (Gremlin's
   *                           stream order is undefined; id order makes
   *                           the pipe deterministic here)
-  *   .id                     terminal: vertex ids        → col `id`
+  *   .outE("f") / .outE      vertex → EDGE frontier: edges leaving the
+  *                           frontier (no arg = every reference field)
+  *   .inE("f")  / .inE       edges entering the frontier
+  *   .bothE("f") / .bothE    union of both edge directions
+  *   .outV                   edge → vertex: each edge's SOURCE
+  *   .inV                    edge → vertex: each edge's TARGET
+  *   .label                  edge terminal: labels         → col `label`
+  *   .id                     terminal: vertex ids → col `id`; on an
+  *                           edge frontier, `outV-label->inV` composite
+  *                           ids (JenaEdge.getId format)
   *   .values("prop")         terminal: property lexicals → col `value`
   *   .count()                terminal: row count         → col `count`
   * }}}
-  * A chain without an explicit terminal ends as `.id`. Unknown pipes
-  * and malformed chains fail loud — parity with the reference's
+  * A chain without an explicit terminal ends as `.id`. Edges carry NO
+  * properties (reference JenaEdge.getProperty throws "RDF Edge has no
+  * Props"), so has/hasNot/values on an edge frontier fail loud, as do
+  * vertex hops without an interposed inV/outV. Unknown pipes and
+  * malformed chains fail loud — parity with the reference's
   * `[ Gremlin Syntax Error ]`, minus the silent string swallow.
   */
 object Gremlin {
@@ -58,6 +70,9 @@ object Gremlin {
   private[ops] sealed trait Step
   private[ops] final case class Start(id: Option[String]) extends Step
   private[ops] final case class Hop(dir: Dir, field: Option[String]) extends Step
+  private[ops] final case class HopE(dir: Dir, field: Option[String]) extends Step
+  private[ops] final case class VertexOf(in: Boolean) extends Step
+  private[ops] case object LabelStep extends Step
   private[ops] final case class Has(prop: String, cmp: String,
                                     value: Option[String]) extends Step
   private[ops] final case class HasNot(prop: String) extends Step
@@ -116,6 +131,15 @@ object Gremlin {
         case ("in", Seq(f)) => Hop(In, Some(f))
         case ("both", Seq()) => Hop(Both, None)
         case ("both", Seq(f)) => Hop(Both, Some(f))
+        case ("outE", Seq()) => HopE(Out, None)
+        case ("outE", Seq(f)) => HopE(Out, Some(f))
+        case ("inE", Seq()) => HopE(In, None)
+        case ("inE", Seq(f)) => HopE(In, Some(f))
+        case ("bothE", Seq()) => HopE(Both, None)
+        case ("bothE", Seq(f)) => HopE(Both, Some(f))
+        case ("outV", Seq()) => VertexOf(in = false)
+        case ("inV", Seq()) => VertexOf(in = true)
+        case ("label", Seq()) => LabelStep
         case ("has", Seq(p)) => Has(p, "exists", None)
         case ("has", Seq(p, v)) => Has(p, "eq", Some(v))
         case ("has", Seq(p, op, v))
@@ -153,11 +177,50 @@ object Gremlin {
       case _ => throw new IllegalStateException("unreachable")
     }
     var terminal: Option[DataFrame] = None
+    // edge-frontier mode (outE/inE/bothE): Some(from,label,to) until an
+    // inV/outV collapses it back to vertices. Vertex-only pipes on an
+    // edge frontier fail loud (reference: RDF edges carry no props).
+    var edges: Option[DataFrame] = None
+    def requireVertexMode(pipe: String): Unit =
+      require(edges.isEmpty,
+        s"gremlin syntax error: .$pipe needs a vertex frontier " +
+          s"(insert .inV/.outV after an edge pipe) in '$query'")
+    def requireEdgeMode(pipe: String): Unit =
+      require(edges.nonEmpty,
+        s"gremlin syntax error: .$pipe needs an edge frontier " +
+          s"(.outE/.inE/.bothE) in '$query'")
+    val edgeId = concat(col("from"), lit("-"), col("label"), lit("->"),
+      col("to")).as("id")
     steps.tail.foreach { s =>
       require(terminal.isEmpty,
         s"gremlin syntax error: pipe after terminal in '$query'")
       s match {
+        case HopE(dir, field) =>
+          requireVertexMode(field.fold("outE/inE/bothE")(f => s"outE($f)"))
+          val fields = field.map(Seq(_)).getOrElse(Graph.refFields(store))
+          require(fields.nonEmpty, "edge hop over empty reference-field universe")
+          val e = store.refEdgesLabeled(fields).alias("e")
+          val fr = frontier.alias("fr")
+          def pick = Seq(col("e.from").as("from"), col("e.label").as("label"),
+            col("e.to").as("to"))
+          def outE = e.join(fr, col("e.from") === col("fr.p")).select(pick: _*)
+          def inE = e.join(fr, col("e.to") === col("fr.p")).select(pick: _*)
+          edges = Some((dir match {
+            case Out => outE
+            case In => inE
+            case Both => outE.unionByName(inE)
+          }).distinct())
+        case VertexOf(in) =>
+          requireEdgeMode(if (in) "inV" else "outV")
+          // Blueprints orientation: outV = edge source, inV = target
+          frontier = edges.get
+            .select(col(if (in) "to" else "from").as("p")).distinct()
+          edges = None
+        case LabelStep =>
+          requireEdgeMode("label")
+          terminal = Some(edges.get.select(col("label")))
         case Hop(dir, field) =>
+          requireVertexMode("out/in/both")
           val fields = field.map(Seq(_)).getOrElse(Graph.refFields(store))
           require(fields.nonEmpty, "hop over empty reference-field universe")
           val e = store.refEdges(fields).alias("e")
@@ -172,6 +235,7 @@ object Gremlin {
             case Both => fwd.unionByName(rev)
           }).distinct()
         case Has(prop, cmp, vOpt) =>
+          requireVertexMode("has") // RDF Edge has no Props (JenaEdge)
           // same typed dispatch as the qp operators — reuse the filter
           // compiler instead of re-deriving slot routing; neq is the
           // row-level negation of ::, matching MustNot semantics
@@ -202,6 +266,7 @@ object Gremlin {
             .join(frontier, col("fp") === col("p"), "left_semi")
             .select(col("fp").as("p"))
         case HasNot(prop) =>
+          requireVertexMode("hasNot")
           val exists = new FilterCompiler(store)
             .compile(QpParser.parse(s"$prop:"))
           frontier = store.current.where(!exists)
@@ -209,23 +274,36 @@ object Gremlin {
             .join(frontier, col("fp") === col("p"), "left_semi")
             .select(col("fp").as("p"))
         case Values(prop) =>
+          requireVertexMode("values")
           val canonical = Namespaces.resolve(prop)
           terminal = Some(store.quads
             .where(col("current") && col("predicate") === canonical)
             .join(frontier, col("subject") === col("p"), "left_semi")
             .select(col("s").as("value")))
         case Limit(n) =>
-          frontier = frontier.orderBy(col("p")).limit(n)
+          // deterministic order in both modes (Gremlin stream order is
+          // undefined; composite edge id mirrors the vertex id order)
+          edges match {
+            case Some(e) => edges = Some(
+              e.orderBy(col("from"), col("label"), col("to")).limit(n))
+            case None => frontier = frontier.orderBy(col("p")).limit(n)
+          }
         case DedupStep =>
-          frontier = frontier.distinct()
+          edges match {
+            case Some(e) => edges = Some(e.distinct())
+            case None    => frontier = frontier.distinct()
+          }
         case Id =>
-          terminal = Some(frontier.select(col("p").as("id")))
+          terminal = Some(edges.fold(frontier.select(col("p").as("id")))(
+            _.select(edgeId)))
         case Count =>
-          terminal = Some(frontier.agg(count(lit(1)).as("count")))
+          terminal = Some(edges.getOrElse(frontier)
+            .agg(count(lit(1)).as("count")))
         case _: Start => throw new IllegalArgumentException(
           s"gremlin syntax error: g.v/g.V mid-chain in '$query'")
       }
     }
-    terminal.getOrElse(frontier.select(col("p").as("id")))
+    terminal.getOrElse(
+      edges.fold(frontier.select(col("p").as("id")))(_.select(edgeId)))
   }
 }

@@ -2576,6 +2576,55 @@ class EngineSpec extends AnyFunSuite {
       Gremlin.eval(store, """g.v("/nation/1").id.out""") }
   }
 
+  test("gremlin edge pipes: outE/inE/bothE, inV/outV, label, edge ids") {
+    import graft.ops.Gremlin
+    val store = GraftStore.forDir(spark, Sf)
+    // outE.inV ≡ out (same targets through the edge frame)
+    val viaEdge = Gremlin.eval(store,
+        """g.v("/customer/1").outE("refNation").inV.id""")
+      .collect().map(_.getString(0)).toSet
+    val viaOut = Gremlin.eval(store, """g.v("/customer/1").out("refNation").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(viaEdge == viaOut && viaEdge.nonEmpty)
+    // outV returns to the source side
+    assert(Gremlin.eval(store,
+        """g.v("/customer/1").outE("refNation").outV.id""")
+      .collect().map(_.getString(0)).toSet == Set("/customer/1"))
+    // composite edge id mirrors JenaEdge.getId: outV-label->inV
+    val eid = Gremlin.eval(store, """g.v("/customer/1").outE("refNation")""")
+      .collect().map(_.getString(0))
+    assert(eid.length == 1 &&
+      eid.head.matches("/customer/1-refNation->/nation/\\d+"))
+    // label terminal over a wildcard outE names every leaving field
+    val labels = Gremlin.eval(store, """g.v("/customer/1").outE.label""")
+      .collect().map(_.getString(0)).toSet
+    assert(labels == Set("refNation"))
+    // inE finds the edges POINTING AT the frontier; count matches in()
+    val inECount = Gremlin.eval(store,
+        """g.v("/nation/1").inE("refNation").count()""").head().getLong(0)
+    val inCount = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").count()""").head().getLong(0)
+    assert(inECount == inCount && inECount > 0)
+    // bothE = leaving ∪ entering edges
+    val bothE = Gremlin.eval(store, """g.v("/nation/1").bothE.label""")
+      .collect().map(_.getString(0)).toSet
+    assert(bothE.contains("refRegion") && bothE.contains("refNation"))
+    // limit on an edge frontier is deterministic (from,label,to order)
+    val lim = Gremlin.eval(store, """g.V.outE("refRegion").limit(2)""")
+      .collect().map(_.getString(0)).toSeq
+    assert(lim == lim.sorted && lim.size == 2)
+    // fail-loud: edges have no props; vertex hops need inV/outV first;
+    // inV needs an edge frontier
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.outE.has("mktsegment", "BUILDING")""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.outE.out("refNation")""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/customer/1").inV""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/customer/1").label""") }
+  }
+
   test("connected components fold pair lists into dedup clusters") {
     import spark.implicits._
     // triangle {1,2,3}, chain 10-11-12-13 (tests multi-hop label
