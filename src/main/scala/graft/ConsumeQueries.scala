@@ -48,6 +48,50 @@ object ConsumeQueries {
       ids(Consume.bulkConsume(store, token, threshold = 5000).chunk)
     }),
 
+    // EXPANDABLE consume: drain /orders (totalprice filter) in
+    // expandable chunks — each chunk gqp-filtered to BUILDING-customer
+    // orders then xg-expanded to the customers (reference order
+    // gqp→yg→xg). The loop pins the TOKEN-RESUME INVARIANT directly:
+    // every chunk's position token must equal the plain (unexpanded)
+    // consume's token for the same position, and the drained base rows
+    // must partition the matching set exactly (sum of chunk sizes ==
+    // matching rows — no loss, no duplication across resumes). The
+    // unioned expansion is chunk-boundary-independent, so it is the
+    // oracle-checkable surface (static-row indexTimes are xxhash-based
+    // and not SQL-expressible).
+    "q_consume_expand" -> ((s, dir) => {
+      val store = st(s, dir)
+      val qp = Some("totalprice>400000")
+      var tok = Consume.createConsumer("/orders", qp)
+      var expanded = List.empty[DataFrame]
+      var baseCount = 0L
+      var chunks = 0
+      var done = false
+      while (!done) {
+        val plain = Consume.consume(store, tok, chunkSize = 1500)
+        val exp = Consume.consumeExpand(store, tok,
+          xg = Some("refCustomer"),
+          gqp = Some(">refCustomer[mktsegment::BUILDING]"),
+          chunkSize = 1500)
+        require(plain.nextToken == exp.nextToken,
+          "expansion moved the position token")
+        exp.nextToken match {
+          case None => done = true
+          case Some(next) =>
+            expanded ::= exp.chunk.select(col("system.path").as("path"))
+            baseCount += plain.chunk.count()
+            chunks += 1
+            tok = next
+        }
+      }
+      val matching = Search.run(store,
+        Search.Request(path = "/orders", qp = qp)).count()
+      expanded.reduce(_ union _).distinct()
+        .withColumn("resumed_exactly",
+          lit(chunks > 1 && baseCount == matching))
+        .orderBy("path")
+    }),
+
     // create-iterator / next-chunk: three keyset-scroll chunks over
     // /orders, resumed through the returned tokens
     "q_iterator" -> ((s, dir) => {
@@ -114,6 +158,16 @@ object ConsumeQueries {
        |ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_consume_expand" ->
+      """SELECT path, TRUE AS resumed_exactly FROM (
+        |  SELECT '/orders/' || CAST(o_orderkey AS VARCHAR) AS path
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice > 400000 AND c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT DISTINCT '/customer/' || CAST(o_custkey AS VARCHAR)
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice > 400000 AND c_mktsegment = 'BUILDING'
+        |) ORDER BY path""".stripMargin,
     "q_consume_chunk" -> chunkSql("0", 3000),
     "q_consume_resume" -> chunkSql(
       """(SELECT max(it) FROM (SELECT epoch_us(ts) AS it FROM events

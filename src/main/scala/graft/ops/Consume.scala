@@ -97,6 +97,31 @@ object Consume {
                   threshold: Int = 100000): Result =
     consume(store, token, threshold)
 
+  /** EXPANDABLE consume — `_consume` with per-chunk graph expansion
+    * (the reference's second consume mode: chunks capped by
+    * `consume.expandable-chunk-size`, application.conf:101, hardLimit
+    * pick Application.scala:1495; expansion order gqp → yg → xg,
+    * expandSearchResultsForSortedIteration, Application.scala:
+    * 1696-1806). The POSITION TOKEN is computed on the UNEXPANDED
+    * chunk and advances exactly as [[consume]] does — gqp may filter a
+    * chunk to nothing and xg/yg may add neighbors without ever moving
+    * the cursor, so a consumer resumes loss-free regardless of what
+    * expansion did to the payload. Expansion output follows the Graph
+    * operators' semantics: gqp filters the chunk, yg/xg union in the
+    * reached CURRENT infotons. */
+  def consumeExpand(store: GraftStore, token: String,
+                    xg: Option[String] = None, yg: Option[String] = None,
+                    gqp: Option[String] = None,
+                    chunkSize: Int = 3000): Result = {
+    val base = consume(store, token, chunkSize)
+    var chunk = base.chunk
+    gqp.foreach(g => chunk = Graph.gqp(store, chunk, g))
+    yg.foreach(y => chunk = Graph.yg(store, chunk, y))
+    xg.foreach(x => chunk = Graph.xg(store, chunk,
+      Graph.parseXg(x, Graph.refFields(store))))
+    Result(chunk, base.nextToken)
+  }
+
   /** `op=create-iterator` / `op=next-chunk` (FTSService.startScroll:721,
     * scroll:796; ScrollActor) — a deterministic scroll over a filtered
     * result, ordered by path.
