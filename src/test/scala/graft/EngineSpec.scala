@@ -3175,6 +3175,43 @@ class EngineSpec extends AnyFunSuite {
     assert(left.count() == plain.count() + 1)
   }
 
+  test("BGP build-side: the selective star pattern is broadcast") {
+    // the reference hand-orders triple patterns by cardinality
+    // (JenaArqExtensions.scala:83-170); the repo deliberately delegates
+    // build-side choice to AQE — trust, but verify: a star BGP with
+    // one selective constant-object pattern must broadcast THAT side,
+    // and this pins it against a Spark default flip
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec}
+    val store = GraftStore.forDir(spark, Sf)
+    val q = """PREFIX ont: <cmwell://ont#>
+      |SELECT ?seg WHERE {
+      |  ?c ont:custkey 42 . ?c ont:mktsegment ?seg }""".stripMargin
+    val df = Sparql.select(store, q)
+    assert(df.count() == 1) // the selective pattern is really selective
+    def broadcasts(p: SparkPlan): Seq[SparkPlan] = {
+      val self: Seq[SparkPlan] =
+        p match { case b: BroadcastExchangeLike => Seq(b); case _ => Nil }
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case o => o.children
+      }
+      self ++ kids.flatMap(broadcasts)
+    }
+    df.collect()
+    val bs = broadcasts(df.queryExecution.executedPlan)
+    assert(bs.nonEmpty,
+      "star BGP with a selective pattern must plan a broadcast join " +
+        "(regression: strategy flipped to sort-merge)")
+    assert(bs.exists(_.toString.contains("custkey")) &&
+      !bs.exists(_.toString.contains("mktsegment")),
+      "the BROADCAST side must be the selective custkey pattern, " +
+        "not the wide mktsegment scan")
+  }
+
   test("bucketed quads: subject self-join needs no exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
