@@ -62,27 +62,36 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // Quiet reference profile: the committed bench_last.json from the
-    // previous quiet run. Read BEFORE this run overwrites it — used
+    // Quiet reference profile for THIS sf: bench_last.json when its sf
+    // tag matches (the driver's sf0.1 artifact), else the per-sf
+    // sidecar bench_<sf>.json (sf1 trend runs — a full run at another
+    // sf must never clobber the driver reference, and gets its own
+    // trend line instead). Read BEFORE this run overwrites it — used
     // only to decide which queries to re-time (sandbox contention
     // bursts inflate a random ~10-query window 3-8×; three driver
     // rounds in a row lost 20-50% of wall-time to it), never to cap a
     // measurement.
-    val refTimes: Map[String, Double] =
+    val sfTagEarly = sfDir.split('/').last
+    def parseQueries(path: String, sf: String): Option[Map[String, Double]] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_last.json")), "UTF-8")
+          java.nio.file.Paths.get(path)), "UTF-8")
         val qi = txt.indexOf("\"queries\":{")
-        // a reference at a different scale factor is not a baseline
-        // (an sf1 rehearsal vs sf0.1 refs would re-time everything)
-        if (qi < 0 || !txt.contains("\"sf\":\"" + sfDir.split('/').last + "\""))
-          Map.empty
+        if (qi < 0 || !txt.contains("\"sf\":\"" + sf + "\"")) None
         else {
           val body = txt.substring(qi + 11, txt.indexOf('}', qi))
-          "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          Some("\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch { case _: Throwable => None }
+    // which file is this sf's reference (and overwrite target)?
+    val refPath: String =
+      if (parseQueries("bench_last.json", sfTagEarly).isDefined ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get("bench_last.json")))
+        "bench_last.json"
+      else s"bench_$sfTagEarly.json"
+    val refTimes: Map[String, Double] =
+      parseQueries(refPath, sfTagEarly).getOrElse(Map.empty)
 
     // Queries that share cachePersist'd intermediates sort adjacently
     // (q_dedup_*, q_pipeline_*); release the Dedup registry when the
@@ -221,8 +230,11 @@ object Bench {
       try {
         if (refTimes.isEmpty)
           // first run at this sf — the fresh profile IS the reference
+          // (refPath diverts to bench_<sf>.json when bench_last.json
+          // belongs to a different sf, so an sf1 trend run can never
+          // clobber the driver's sf0.1 reference)
           java.nio.file.Files.writeString(
-            java.nio.file.Paths.get("bench_last.json"), freshLine)
+            java.nio.file.Paths.get(refPath), freshLine)
         else {
           // a same-sf reference exists: never degrade it. Raw run goes
           // to bench_fresh.json for audit; the reference keeps
@@ -235,15 +247,15 @@ object Bench {
           val refLine =
             s"""{"metric":"total","value":${refSeed.map(_._2).sum},"unit":"sec","etl":$etl,"queries":$qs,"fresh_total":${results.map(_._2).sum},"median_ratio":$medianRatio$retimedField,"sf":"$sfTag"}"""
           java.nio.file.Files.writeString(
-            java.nio.file.Paths.get("bench_last.json"), refLine + "\n")
+            java.nio.file.Paths.get(refPath), refLine + "\n")
           System.err.println(String.format(java.util.Locale.ROOT,
-            "[bench] reference bench_last.json re-seeded with per-query" +
-              " minima (median fresh/ref ratio %.2f); raw run in" +
-              " bench_fresh.json", Double.box(medianRatio)))
+            "[bench] reference %s re-seeded with per-query minima" +
+              " (median fresh/ref ratio %.2f); raw run in" +
+              " bench_fresh.json", refPath, Double.box(medianRatio)))
         }
       } catch { case _: Throwable => () }
     } else System.err.println(
-      "[bench] filtered run — bench_last.json left untouched")
+      "[bench] filtered run — reference profile left untouched")
     // Stop Spark BEFORE printing: its log threads share stdout and an
     // interleaved WARN mid-line makes the JSON unparseable (round-3 bench
     // line was valid in bench_last.json but the driver recorded a parse

@@ -16,14 +16,14 @@ import org.apache.spark.sql.types._
   * partitioned by path prefix like everything else, and metadata-only
   * queries never deserialize a single payload byte (column pruning).
   *
-  * Decode / feature-extract are structured as streaming per-partition
-  * batch transforms (`mapPartitions` over an iterator — one payload in
-  * flight per task, the batch shape a real codec needs). The codec
-  * itself is a clearly marked deterministic STUB: this container has
-  * no image/audio libraries, so `decodeStub` derives fake fixed-shape
-  * "pixels" from the payload bytes. Swapping in a real decoder changes
-  * ONLY the marked function — schema, partitioning and batch shape
-  * stay.
+  * Decode runs IN-ROW as a native Catalyst expression
+  * ([[graft.functions.PngDecodeExpr]]) so payload bytes never leave
+  * the columnar batch: PNG payloads decode for REAL through the
+  * JDK-only [[Png]] codec (zlib + the five scanline filters), and
+  * only non-PNG mime types fall back to the clearly marked
+  * deterministic stand-in [[fakeDecode]] (this container has no other
+  * codec libraries). Feature-extract / resize / frame-sample are pure
+  * Column expressions over the decoded frame.
   */
 object Multimodal {
 
@@ -76,7 +76,7 @@ object Multimodal {
     * bytes (xorshift over a seed hash). PNG payloads take the REAL
     * [[Png.decode]] path; this stand-in remains only for mime types
     * whose codecs genuinely don't exist in this container. */
-  private def fakeDecode(data: Array[Byte]): (Int, Int, Array[Float]) = {
+  private[graft] def fakeDecode(data: Array[Byte]): (Int, Int, Array[Float]) = {
     var seed = data.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
     val px = Array.ofDim[Float](64)
     var i = 0
@@ -88,20 +88,22 @@ object Multimodal {
     (8, 8, px)
   }
 
-  /** Decode payloads partition-by-partition (streaming iterator — one
-    * payload in flight per task). PNG payloads decode for REAL
-    * ([[Png.decode]]: zlib + the five scanline filters, JDK-only); a
-    * payload with the PNG signature that can't be decoded fails LOUD
-    * (never a silent fake). Other mime types fall back to the marked
-    * [[fakeDecode]] stand-in. */
+  /** Decode payloads IN-ROW via the native
+    * [[graft.functions.PngDecodeExpr]] expression — the decode stays
+    * inside whole-stage codegen (the earlier `rdd.mapPartitions`
+    * formulation exited Tungsten and paid a row-conversion per
+    * payload). PNG payloads decode for REAL ([[Png.decode]]: zlib +
+    * the five scanline filters, JDK-only); a payload with the PNG
+    * signature that can't be decoded fails LOUD (never a silent
+    * fake). Other mime types fall back to the marked [[fakeDecode]]
+    * stand-in. */
   def decode(spark: SparkSession, content: DataFrame): DataFrame = {
-    val rdd = content.select("path", "data").rdd.mapPartitions(_.map { r =>
-      val data = r.getAs[Array[Byte]]("data")
-      val (w, h, px) =
-        if (Png.isPng(data)) Png.decode(data) else fakeDecode(data)
-      Row(r.getString(0), w, h, px)
-    })
-    spark.createDataFrame(rdd, DecodedSchema)
+    val d = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.PngDecodeExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("data"))))
+    content.select(col("path"), d.as("d"))
+      .select(col("path"), col("d.width").as("width"),
+        col("d.height").as("height"), col("d.pixels").as("pixels"))
   }
 
   /** Feature extraction over decoded pixels: per-quadrant mean pooling
