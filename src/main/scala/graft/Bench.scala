@@ -241,7 +241,11 @@ object Bench {
           // per-query minima (see mergeReference).
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get("bench_fresh.json"), freshLine)
-          val (refSeed, medianRatio) = mergeReference(results, refTimes)
+          // an errored query's time-to-failure (often near-zero) must
+          // not min-merge into the reference — drop it; it re-enters
+          // as a baseline-less new query once it runs green again
+          val (refSeed, medianRatio) = mergeReference(
+            results.filterNot { case (n, _) => errors.contains(n) }, refTimes)
           val qs = refSeed.map { case (k, v) => "\"" + k + "\":" + v }
             .mkString("{", ",", "}")
           val refLine =
