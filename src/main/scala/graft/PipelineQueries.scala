@@ -610,6 +610,22 @@ object PipelineQueries {
         .orderBy("path")
     }),
 
+    // REAL audio decode: synthetic PCM16 WAVs (closed-form samples
+    // from doc_id) round-trip through Wav.decode; the oracle
+    // recomputes frame counts + the exact integer sample sum — any
+    // codec defect (chunk walk, endianness, normalization) breaks it
+    "q_audio_decode" -> ((s, dir) => {
+      val content = Multimodal.wavContentStore(s, docs(s, dir))
+      Multimodal.decodeAudio(s, content)
+        .select(col("path"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          size(col("samples")).cast("long").as("n_samples"),
+          aggregate(transform(col("samples"),
+              x => round(x * 32768).cast("long")), lit(0L), _ + _)
+            .as("sample_sum"))
+        .orderBy("path")
+    }),
+
     // URL/domain blocklist filtering (C4 source gate). The corpus has
     // no URL column, so both sides inject the same deterministic URLs
     // (mixed-case scheme/host + www + port/path noise so extraction is
@@ -1610,6 +1626,15 @@ object PipelineQueries {
         |    generate_series(0, (4 + (doc_id % 4) * 2) *
         |                       (5 + (doc_id % 3) * 2) - 1),
         |    i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS pixel_sum
+        |FROM documents ORDER BY path""".stripMargin,
+    "q_audio_decode" ->
+      """SELECT '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(0, 800 + (doc_id % 5) * 160 - 1),
+        |    i -> (doc_id * 17 + i * 3) % 2001 - 1000)) AS BIGINT)
+        |    AS sample_sum
         |FROM documents ORDER BY path""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id, list_reduce(

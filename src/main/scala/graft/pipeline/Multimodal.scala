@@ -71,6 +71,66 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Deterministic synthetic-WAV content store — the audio analog of
+    * [[pngContentStore]]: per doc a mono PCM16 clip at 8 kHz,
+    * n = 800+(id%5)·160 frames, sample(i) = (id·17 + i·3) mod 2001 −
+    * 1000 (closed form ⇒ DuckDB recomputes counts and the exact
+    * integer sample sum while Spark round-trips the actual RIFF
+    * bytes through [[Wav.decode]]). */
+  def wavContentStore(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("mimeType", StringType),
+      StructField("dataLength", LongType),
+      StructField("sha256", StringType),
+      StructField("data", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      val n = 800 + (id % 5).toInt * 160
+      val samples = Array.tabulate(n)(i =>
+        (((id * 17 + i * 3) % 2001) - 1000).toShort)
+      val data = Wav.encodePcm16(8000, 1, samples)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(data).map("%02x".format(_)).mkString
+      Row(s"/documents/$id", "audio/wav", data.length.toLong, sha, data)
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Decode audio payloads IN-ROW via the native
+    * [[graft.functions.WavDecodeExpr]] — same columnar discipline as
+    * [[decode]]. Non-WAV payloads fail loud (no stand-in: fabricated
+    * samples would make every downstream feature silently
+    * meaningless). */
+  def decodeAudio(spark: SparkSession, content: DataFrame): DataFrame = {
+    val d = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.WavDecodeExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("data"))))
+    content.select(col("path"), d.as("d"))
+      .select(col("path"), col("d.sample_rate").as("sample_rate"),
+        col("d.channels").as("channels"), col("d.samples").as("samples"))
+  }
+
+  /** Audio features over decoded samples — pure Column expressions
+    * (a projection at scale, no shuffle, no UDF): duration, RMS
+    * energy, zero-crossing count, peak amplitude. */
+  def audioFeatures(decoded: DataFrame): DataFrame = {
+    val n = size(col("samples"))
+    val rms = sqrt(aggregate(col("samples"), lit(0.0d),
+      (a, x) => a + x.cast("double") * x.cast("double")) / n)
+    // count sign flips between consecutive samples (zip the array
+    // with its tail — an in-row fold, no explode)
+    val zc = aggregate(
+      zip_with(col("samples"),
+        slice(col("samples"), lit(2), greatest(n - 1, lit(0))),
+        (a, b) => when(a.cast("double") * b.cast("double") < 0, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    decoded.select(col("path"),
+      (n.cast("double") / col("sample_rate")).as("duration_sec"),
+      rms.as("rms"), zc.as("zero_crossings"),
+      array_max(transform(col("samples"), x => abs(x))).as("peak"))
+  }
+
   /** ==== STUB (non-PNG payloads only) ====  Deterministic fake
     * decoder: derives an 8×8 single-channel "image" from the payload
     * bytes (xorshift over a seed hash). PNG payloads take the REAL

@@ -1442,6 +1442,65 @@ class EngineSpec extends AnyFunSuite {
     intercept[Exception] { Multimodal.decode(spark, bad).collect() }
   }
 
+  test("WAV codec: PCM16 round-trip, stereo averaging, chunk walk, " +
+      "fail-loud") {
+    import graft.pipeline.Wav
+    val rnd = new scala.util.Random(11)
+    // mono round-trip is exact through the /32768 normalization
+    val mono = Array.fill(300)((rnd.nextInt(65536) - 32768).toShort)
+    val (rate, ch, got) = Wav.decode(Wav.encodePcm16(8000, 1, mono))
+    assert(rate == 8000 && ch == 1)
+    assert(got.map(f => math.round(f * 32768).toShort).toSeq == mono.toSeq)
+    // stereo decodes to the per-frame channel average
+    val stereo = Array[Short](100, 200, -300, 100, 32767, 32767)
+    val (_, ch2, avg) = Wav.decode(Wav.encodePcm16(44100, 2, stereo))
+    assert(ch2 == 2 && avg.length == 3)
+    // per-frame mean stays in sample units: (100+200)/2 / 32768
+    assert(math.abs(avg(0) - 150f / 32768f) < 1e-6f)
+    assert(math.abs(avg(1) - (-100f) / 32768f) < 1e-6f)
+    // ancillary chunks (odd-length, word-aligned) are skipped
+    val plain = Wav.encodePcm16(8000, 1, mono)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes ++ Array[Byte](0) // pad
+    val withList = plain.take(12) ++ listChunk ++ plain.drop(12)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val riffLen = withList.length - 8
+    (0 to 3).foreach(i => withList(4 + i) = ((riffLen >> (8 * i)) & 0xff).toByte)
+    val (r3, _, got3) = Wav.decode(withList)
+    assert(r3 == 8000 && got3.length == mono.length)
+    // fail-loud: garbage, truncation, non-PCM tag, wrong bit depth
+    intercept[IllegalArgumentException] { Wav.decode("RIFFnope".getBytes) }
+    intercept[IllegalArgumentException] { Wav.decode(plain.take(30)) }
+    val badTag = plain.clone(); badTag(20) = 3 // IEEE float tag
+    intercept[IllegalArgumentException] { Wav.decode(badTag) }
+    val badBits = plain.clone(); badBits(34) = 8
+    intercept[IllegalArgumentException] { Wav.decode(badBits) }
+  }
+
+  test("audio decode -> features end-to-end over real WAV payloads") {
+    import graft.pipeline.{Multimodal, Wav}
+    import spark.implicits._
+    // 1 second at 8 Hz alternating +/-: 4 crossings in 8 samples,
+    // |s| = 16384 everywhere -> rms = 0.5, peak = 0.5
+    val s = Array[Short](16384, 16384, -16384, -16384, 16384, 16384,
+      -16384, -16384)
+    val content = Seq(("/audio/a", "audio/wav", Wav.encodePcm16(8, 1, s)))
+      .toDF("path", "mimeType", "data")
+    val dec = Multimodal.decodeAudio(spark, content)
+    val row = dec.collect().head
+    assert(row.getInt(1) == 8 && row.getInt(2) == 1 &&
+      row.getSeq[Float](3).length == 8)
+    val f = Multimodal.audioFeatures(dec).collect().head
+    assert(math.abs(f.getAs[Double]("duration_sec") - 1.0) < 1e-9)
+    assert(math.abs(f.getAs[Double]("rms") - 0.5) < 1e-6)
+    assert(f.getAs[Int]("zero_crossings") == 3)
+    assert(math.abs(f.getAs[Float]("peak") - 0.5f) < 1e-6f)
+    // a non-WAV payload through the audio path fails loud
+    val bad = Seq(("/audio/bad", "audio/wav", "not audio".getBytes))
+      .toDF("path", "mimeType", "data")
+    intercept[Exception] { Multimodal.decodeAudio(spark, bad).collect() }
+  }
+
   test("resize average-pools blocks exactly and fails loud on " +
       "non-divisible dims") {
     import spark.implicits._
