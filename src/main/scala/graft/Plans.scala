@@ -80,7 +80,9 @@ object Plans {
       // q_curriculum is eagerly checkpointed (its plan here would be a
       // Scan ExistingRDD stub); EngineSpec asserts its pre-checkpoint
       // shape instead: range partitioning, zero single-partition nodes
-      "q_contamination_frac") // broadcast gram set + per-doc fraction agg
+      "q_contamination_frac", // broadcast gram set + per-doc fraction agg
+      "q_file_decode")        // native png_decode expression in-row —
+                              // decode inside WholeStageCodegen, no RDD exit
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")
