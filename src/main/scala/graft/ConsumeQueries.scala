@@ -62,17 +62,24 @@ object ConsumeQueries {
     "q_consume_expand" -> ((s, dir) => {
       val store = st(s, dir)
       val qp = Some("totalprice>400000")
+      val matching = Search.run(store,
+        Search.Request(path = "/orders", qp = qp)).count()
+      // the invariant under test is token-resume ACROSS expanded
+      // chunks, not a fixed chunk byte-size: size the chunk so the
+      // drain is ~3 chunks at ANY sf (a fixed 1500 meant 31 chunks ×
+      // several actions at sf0.1 — 32 s of pure loop overhead)
+      val chunkSize = math.max(1L, (matching + 2) / 3).toInt
       var tok = Consume.createConsumer("/orders", qp)
       var expanded = List.empty[DataFrame]
       var baseCount = 0L
       var chunks = 0
       var done = false
       while (!done) {
-        val plain = Consume.consume(store, tok, chunkSize = 1500)
+        val plain = Consume.consume(store, tok, chunkSize)
         val exp = Consume.consumeExpand(store, tok,
           xg = Some("refCustomer"),
           gqp = Some(">refCustomer[mktsegment::BUILDING]"),
-          chunkSize = 1500)
+          chunkSize = chunkSize)
         require(plain.nextToken == exp.nextToken,
           "expansion moved the position token")
         exp.nextToken match {
@@ -84,8 +91,6 @@ object ConsumeQueries {
             tok = next
         }
       }
-      val matching = Search.run(store,
-        Search.Request(path = "/orders", qp = qp)).count()
       expanded.reduce(_ union _).distinct()
         .withColumn("resumed_exactly",
           lit(chunks > 1 && baseCount == matching))
