@@ -204,6 +204,14 @@ object GraphQueries {
           """g.V.has("mktsegment").has("acctbal", "gt", "9000").id""")
         .orderBy("id")),
 
+    // Gremlin `.path` terminal: every result row carries its full
+    // visited trail (rendered '>'-joined so it stays relational) —
+    // rich BUILDING customers through their nation to its region
+    "q_gremlin_path" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.V.has("mktsegment", "BUILDING").has("acctbal", "gt", "9900").out("refNation").out("refRegion").path""")
+        .orderBy("path")),
+
     // Gremlin EDGE pipes (Blueprints outE + implicit edge-id terminal):
     // composite ids in the reference JenaEdge.getId format
     // `outV-label->inV` pin the edge frame's from/label/to fidelity
@@ -233,6 +241,13 @@ object GraphQueries {
         |FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
         |ORDER BY id""".stripMargin,
+    "q_gremlin_path" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) ||
+        |  '>/nation/' || CAST(c_nationkey AS VARCHAR) ||
+        |  '>/region/' || CAST(n_regionkey AS VARCHAR) AS path
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
+        |ORDER BY path""".stripMargin,
     "q_xg" ->
       """SELECT path FROM (
         |  SELECT '/orders/' || CAST(o_orderkey AS VARCHAR) AS path FROM orders

@@ -73,6 +73,7 @@ object Gremlin {
   private[ops] final case class HopE(dir: Dir, field: Option[String]) extends Step
   private[ops] final case class VertexOf(in: Boolean) extends Step
   private[ops] case object LabelStep extends Step
+  private[ops] case object PathStep extends Step
   private[ops] final case class Has(prop: String, cmp: String,
                                     value: Option[String]) extends Step
   private[ops] final case class HasNot(prop: String) extends Step
@@ -140,6 +141,7 @@ object Gremlin {
         case ("outV", Seq()) => VertexOf(in = false)
         case ("inV", Seq()) => VertexOf(in = true)
         case ("label", Seq()) => LabelStep
+        case ("path", Seq()) => PathStep
         case ("has", Seq(p)) => Has(p, "exists", None)
         case ("has", Seq(p, v)) => Has(p, "eq", Some(v))
         case ("has", Seq(p, op, v))
@@ -162,11 +164,14 @@ object Gremlin {
   }
 
   /** Evaluate a pipe chain against a store. Non-terminal steps thread a
-    * one-column (`p`) frontier of vertex ids; the terminal projects it. */
+    * one-column (`p`) frontier of vertex ids; the terminal projects it.
+    * A `.path` terminal switches to the trail-threading evaluator
+    * ([[evalPath]]). */
   def eval(store: GraftStore, query: String): DataFrame = {
     val steps = parse(query)
     require(steps.nonEmpty && steps.head.isInstanceOf[Start],
       s"gremlin chain must start with g.v(...)/g.V: '$query'")
+    if (steps.contains(PathStep)) return evalPath(store, steps, query)
     var frontier: DataFrame = steps.head match {
       case Start(Some(id)) =>
         // existence-checked like Blueprints getVertex: a missing id is
@@ -305,5 +310,81 @@ object Gremlin {
     }
     terminal.getOrElse(
       edges.fold(frontier.select(col("p").as("id")))(_.select(edgeId)))
+  }
+
+  /** `.path` evaluator — each frontier row carries its full visited
+    * trail (Gremlin 2's PathPipe over vertex chains; the reference
+    * runs it via the Blueprints pipeline). The trail rides the hop
+    * joins as an array column and renders as a `>`-joined string so
+    * results stay relational (and oracle-comparable). Filters are
+    * LEFT SEMI/ANTI joins keyed on the head vertex — the trail
+    * columns pass through untouched. Edge pipes and property
+    * terminals don't compose with `.path` here and fail loud; `.path`
+    * must be the terminal. */
+  private def evalPath(store: GraftStore, steps: Seq[Step],
+                       query: String): DataFrame = {
+    require(steps.last == PathStep && steps.count(_ == PathStep) == 1,
+      s"gremlin syntax error: .path must be the single terminal in '$query'")
+    def seed(base: DataFrame): DataFrame =
+      base.select(col("system.path").as("p"),
+        array(col("system.path")).as("trail"))
+    var fr: DataFrame = steps.head match {
+      case Start(Some(id)) =>
+        seed(store.current.where(col("system.path") === id))
+      case Start(None) => seed(store.current)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    def semiOn(pred: org.apache.spark.sql.Column, joinType: String): Unit =
+      fr = fr.join(store.current.where(pred)
+          .select(col("system.path").as("fp")),
+        col("p") === col("fp"), joinType)
+    steps.tail.init.foreach {
+      case Hop(dir, field) =>
+        val fields = field.map(Seq(_)).getOrElse(Graph.refFields(store))
+        require(fields.nonEmpty, "hop over empty reference-field universe")
+        val e = store.refEdges(fields).alias("e")
+        val f2 = fr.alias("fr")
+        def fwd = e.join(f2, col("e.from") === col("fr.p"))
+          .select(col("e.to").as("p"),
+            concat(col("fr.trail"), array(col("e.to"))).as("trail"))
+        def rev = e.join(f2, col("e.to") === col("fr.p"))
+          .select(col("e.from").as("p"),
+            concat(col("fr.trail"), array(col("e.from"))).as("trail"))
+        fr = (dir match {
+          case Out => fwd
+          case In => rev
+          case Both => fwd.unionByName(rev)
+        }).distinct()
+      case Has(prop, cmp, vOpt) =>
+        val qpExpr = (cmp, vOpt) match {
+          case ("exists", None) => s"$prop:"
+          case ("eq", Some(v))  => s"$prop::$v"
+          case ("neq", Some(v)) => s"$prop::$v"
+          case ("gt", Some(v))  => s"$prop>$v"
+          case ("gte", Some(v)) => s"$prop>>$v"
+          case ("lt", Some(v))  => s"$prop<$v"
+          case ("lte", Some(v)) => s"$prop<<$v"
+          case other => throw new IllegalArgumentException(
+            s"gremlin syntax error: has comparator $other")
+        }
+        val pred0 = new FilterCompiler(store).compile(QpParser.parse(qpExpr))
+        val pred =
+          if (cmp == "neq")
+            new FilterCompiler(store).compile(QpParser.parse(s"$prop:")) &&
+              !pred0
+          else pred0
+        semiOn(pred, "left_semi")
+      case HasNot(prop) =>
+        semiOn(new FilterCompiler(store).compile(QpParser.parse(s"$prop:")),
+          "left_anti")
+      case DedupStep => fr = fr.distinct()
+      case Limit(n) =>
+        fr = fr.withColumn("__ord", array_join(col("trail"), ">"))
+          .orderBy("__ord").limit(n).drop("__ord")
+      case other => throw new IllegalArgumentException(
+        s"gremlin syntax error: .path does not compose with " +
+          s"$other in '$query' (vertex chains only)")
+    }
+    fr.select(array_join(col("trail"), ">").as("path"))
   }
 }

@@ -2672,6 +2672,27 @@ class EngineSpec extends AnyFunSuite {
     val lim = Gremlin.eval(store, """g.V.outE("refRegion").limit(2)""")
       .collect().map(_.getString(0)).toSeq
     assert(lim == lim.sorted && lim.size == 2)
+    // .path terminal: full trails as '>'-joined strings
+    val trail = Gremlin.eval(store,
+        """g.v("/customer/1").out("refNation").out("refRegion").path""")
+      .collect().map(_.getString(0))
+    assert(trail.length == 1 &&
+      trail.head.matches("/customer/1>/nation/\\d+>/region/\\d+"))
+    // bare path = each start vertex alone
+    assert(Gremlin.eval(store, """g.v("/customer/1").path""")
+      .collect().map(_.getString(0)).toSeq == Seq("/customer/1"))
+    // filters compose (semi joins keep the trail); `in` prepends the
+    // reverse hop's source
+    val inTrail = Gremlin.eval(store,
+        """g.v("/nation/11").in("refNation").has("mktsegment", "BUILDING").limit(2).path""")
+      .collect().map(_.getString(0))
+    assert(inTrail.length == 2 &&
+      inTrail.forall(_.matches("/nation/11>/customer/\\d+")))
+    // .path must be terminal; edge pipes don't compose with it
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/customer/1").path.out""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/customer/1").outE.path""") }
     // fail-loud: edges have no props; vertex hops need inV/outV first;
     // inV needs an edge frontier
     intercept[IllegalArgumentException] {
