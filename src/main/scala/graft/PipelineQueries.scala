@@ -240,6 +240,14 @@ object PipelineQueries {
       Dedup.embeddingDupPairs(emb(s, dir), tau = 0.4)
         .select("v1", "v2").orderBy("v1", "v2")),
 
+    // NOTE on the bench number: this GROUNDED query runs BOTH the LSH
+    // path and the exact quadratic baseline (plus two anti-joins) —
+    // the exact set is what makes recall oracle-checkable — so its
+    // time tracks the exact baseline's. Production is
+    // embeddingDupPairsLsh ALONE, at a near-dup threshold (tau 0.9+)
+    // where more planes per table make the blocking strong; the demo
+    // tau=0.4 is deliberately loose so the pair set is non-trivial at
+    // sf0.01.
     // embedding-cosine near-dup pairs via multi-table LSH blocking +
     // exact verify. Oracle-checkable contract: DuckDB independently
     // counts the exact pair set (n_exact must match the engine's
