@@ -618,6 +618,22 @@ object PipelineQueries {
         .orderBy("path")
     }),
 
+    // REAL video frame extraction: concatenated-PNG streams split by
+    // signature scan, each frame decoded by the real codec — the
+    // oracle recomputes per-frame dims + pixel sums from the closed
+    // form, so the splitter AND the per-frame decode are both pinned
+    "q_video_frames" -> ((s, dir) => {
+      val content = Multimodal.videoContentStore(s, docs(s, dir))
+      Multimodal.decodeFrames(s, content)
+        .select(col("path"), col("frame_no").cast("long").as("frame_no"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          aggregate(transform(col("pixels"),
+              p => round(p * 255).cast("long")), lit(0L), _ + _)
+            .as("pixel_sum"))
+        .orderBy("path", "frame_no")
+    }),
+
     // REAL audio decode: synthetic PCM16 WAVs (closed-form samples
     // from doc_id) round-trip through Wav.decode; the oracle
     // recomputes frame counts + the exact integer sample sum — any
@@ -1635,6 +1651,21 @@ object PipelineQueries {
         |                       (5 + (doc_id % 3) * 2) - 1),
         |    i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS pixel_sum
         |FROM documents ORDER BY path""".stripMargin,
+    "q_video_frames" ->
+      """SELECT path, frame_no, width, height,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(0, CAST(width * height - 1 AS BIGINT)),
+        |    i -> (did * 13 + frame_no * 7 + i * 5) % 256)) AS BIGINT)
+        |    AS pixel_sum
+        |FROM (
+        |  SELECT doc_id AS did,
+        |    '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |    unnest(generate_series(0, CAST(2 + doc_id % 3 AS BIGINT)))
+        |      AS frame_no,
+        |    CAST(6 AS BIGINT) AS width,
+        |    CAST(4 + (doc_id % 2) * 2 AS BIGINT) AS height
+        |  FROM documents)
+        |ORDER BY path, frame_no""".stripMargin,
     "q_audio_decode" ->
       """SELECT '/documents/' || CAST(doc_id AS VARCHAR) AS path,
         |  CAST(8000 AS BIGINT) AS sample_rate,

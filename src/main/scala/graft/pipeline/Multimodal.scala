@@ -71,6 +71,49 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Deterministic synthetic-VIDEO content store: per doc a
+    * concatenated-PNG frame stream (3+(id%3) frames, all 6×(4+(id%2)·2),
+    * frame f's pixel(i) = (id·13 + f·7 + i·5) mod 256) — the closed
+    * form makes per-frame decode oracle-checkable end to end. */
+  def videoContentStore(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("mimeType", StringType),
+      StructField("dataLength", LongType),
+      StructField("sha256", StringType),
+      StructField("data", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      val (w, h) = (6, 4 + (id % 2).toInt * 2)
+      val frames = (0 until 3 + (id % 3).toInt).map { f =>
+        Png.encodeGray(w, h, Array.tabulate(w * h)(i =>
+          ((id * 13 + f * 7 + i * 5) % 256).toInt))
+      }
+      val data = frames.reduce(_ ++ _)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(data).map("%02x".format(_)).mkString
+      Row(s"/documents/$id", "video/x-png-stream", data.length.toLong, sha, data)
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-frame decode of a concatenated-PNG "video" payload —
+    * [[graft.functions.PngFramesExpr]] splits and decodes IN-ROW, and
+    * `posexplode` turns the frame array into (path, frame_no, width,
+    * height, pixels) rows. This supersedes [[frameSample]]'s
+    * byte-block stand-in wherever the payload really is a frame
+    * stream; frameSample remains the generic sampler for opaque
+    * container formats. */
+  def decodeFrames(spark: SparkSession, content: DataFrame): DataFrame = {
+    val d = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.PngFramesExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("data"))))
+    content.select(col("path"), posexplode(d).as(Seq("frame_no", "f")))
+      .select(col("path"), col("frame_no"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.pixels").as("pixels"))
+  }
+
   /** Deterministic synthetic-WAV content store — the audio analog of
     * [[pngContentStore]]: per doc a mono PCM16 clip at 8 kHz,
     * n = 800+(id%5)·160 frames, sample(i) = (id·17 + i·3) mod 2001 −

@@ -1442,6 +1442,32 @@ class EngineSpec extends AnyFunSuite {
     intercept[Exception] { Multimodal.decode(spark, bad).collect() }
   }
 
+  test("PNG frame stream splits by signature and decodes per frame") {
+    import graft.pipeline.{Multimodal, Png}
+    import spark.implicits._
+    // three frames with distinct dims/content concatenated
+    val f0 = Png.encodeGray(3, 2, Array(0, 50, 100, 150, 200, 250))
+    val f1 = Png.encodeGray(2, 2, Array(1, 2, 3, 4))
+    val f2 = Png.encodeGray(4, 1, Array(9, 8, 7, 6))
+    val content = Seq(("/video/a", "video/x-png-stream", f0 ++ f1 ++ f2))
+      .toDF("path", "mimeType", "data")
+    val rows = Multimodal.decodeFrames(spark, content)
+      .orderBy("frame_no").collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 3, 2), (1, 2, 2), (2, 4, 1)))
+    assert(rows(1).getSeq[Float](4).map(f => math.round(f * 255)).toSeq ==
+      Seq(1, 2, 3, 4))
+    // a stream not STARTING with a signature fails loud
+    val bad = Seq(("/video/bad", "video/x-png-stream",
+      Array[Byte](1, 2, 3) ++ f0)).toDF("path", "mimeType", "data")
+    intercept[Exception] { Multimodal.decodeFrames(spark, bad).collect() }
+    // a corrupt middle frame fails loud, not silently skipped
+    val corrupt = Seq(("/video/c", "video/x-png-stream",
+      f0 ++ f1.take(20) ++ f2)).toDF("path", "mimeType", "data")
+    intercept[Exception] { Multimodal.decodeFrames(spark, corrupt).collect() }
+  }
+
   test("WAV codec: PCM16 round-trip, stereo averaging, chunk walk, " +
       "fail-loud") {
     import graft.pipeline.Wav
