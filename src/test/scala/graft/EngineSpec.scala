@@ -1442,6 +1442,57 @@ class EngineSpec extends AnyFunSuite {
     intercept[Exception] { Multimodal.decode(spark, bad).collect() }
   }
 
+  test("metadata-only content queries never read the binary payload " +
+      "column (pruning proof)") {
+    import graft.pipeline.Multimodal
+    // the 100 TB claim in Multimodal's doc: payloads live in a binary
+    // column of the content table, and metadata queries must prune it
+    // at the SCAN — assert on the parquet ReadSchema, not just rows
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_content_prune").toString
+    try {
+      Multimodal.pngContentStore(spark, docs.limit(50))
+        .write.mode("overwrite").parquet(dir)
+      val meta = spark.read.parquet(dir)
+        .select("path", "mimeType", "dataLength")
+      meta.collect()
+      val scanStr = meta.queryExecution.executedPlan.toString
+      assert(scanStr.contains("ReadSchema"))
+      assert(!scanStr.contains("data:binary"),
+        s"metadata projection read the payload column:\n$scanStr")
+      // control: the decode path DOES read it
+      val dec = spark.read.parquet(dir).select("path", "data")
+      assert(dec.queryExecution.executedPlan.toString.contains("data:binary"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("WAV codec property: arbitrary PCM16 clips round-trip exactly") {
+    import graft.pipeline.Wav
+    val gen = for {
+      rate <- org.scalacheck.Gen.oneOf(8000, 16000, 44100)
+      ch <- org.scalacheck.Gen.oneOf(1, 2)
+      frames <- org.scalacheck.Gen.chooseNum(1, 400)
+      samples <- org.scalacheck.Gen.listOfN(frames * ch,
+        org.scalacheck.Gen.chooseNum(Short.MinValue, Short.MaxValue))
+    } yield (rate, ch, samples.map(_.toShort).toArray)
+    org.scalacheck.Gen.listOfN(60, gen).sample.get.foreach {
+      case (rate, ch, samples) =>
+        val (r, c, out) = Wav.decode(Wav.encodePcm16(rate, ch, samples))
+        assert(r == rate && c == ch && out.length == samples.length / ch)
+        // per-frame channel-mean in sample units round-trips exactly:
+        // the mean of <=2 shorts is a multiple of 0.5, and k/65536
+        // floats are exact
+        val expect = samples.grouped(ch)
+          .map(f => f.map(_.toInt).sum.toFloat / (ch * 32768.0f)).toSeq
+        assert(out.toSeq == expect)
+    }
+  }
+
   test("PNG frame stream splits by signature and decodes per frame") {
     import graft.pipeline.{Multimodal, Png}
     import spark.implicits._
