@@ -634,6 +634,38 @@ object PipelineQueries {
         .orderBy("path", "frame_no")
     }),
 
+    // multimodal retrieval END-TO-END: decode real PNGs -> 4-chunk
+    // integer feature vector (sum of round(px*255) per fixed 16-pixel
+    // chunk — integers, so BOTH engines rank exactly) -> top-3
+    // neighbors per probe image by L1 distance, ties broken by path.
+    // Pins the decode -> featurize -> retrieve composition, the
+    // embedding-similarity shape over image payloads.
+    "q_image_knn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val content = Multimodal.pngContentStore(s, docs(s, dir))
+      val dec = Multimodal.decode(s, content)
+      val chunkSum = (q: Int) => aggregate(
+        transform(slice(col("pixels"), q * 16 + 1, 16),
+          p => round(p * 255).cast("long")), lit(0L), _ + _)
+      val feats = dec.select(col("path"),
+        array((0 until 4).map(chunkSum): _*).as("f"))
+      val queries = feats.where(col("path").isin(
+          "/documents/0", "/documents/1", "/documents/2"))
+        .select(col("path").as("query_path"), col("f").as("qf"))
+      val scored = feats
+        .join(broadcast(queries), col("path") =!= col("query_path"))
+        .select(col("query_path"), col("path").as("neighbor_path"),
+          aggregate(zip_with(col("f"), col("qf"), (a, b) => abs(a - b)),
+            lit(0L), _ + _).as("dist"))
+      val w = Window.partitionBy("query_path")
+        .orderBy(col("dist"), col("neighbor_path"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("query_path"), col("rank").cast("long").as("rank"),
+          col("neighbor_path"), col("dist"))
+        .orderBy("query_path", "rank")
+    }),
+
     // REAL audio decode: synthetic PCM16 WAVs (closed-form samples
     // from doc_id) round-trip through Wav.decode; the oracle
     // recomputes frame counts + the exact integer sample sum — any
@@ -1666,6 +1698,34 @@ object PipelineQueries {
         |    CAST(4 + (doc_id % 2) * 2 AS BIGINT) AS height
         |  FROM documents)
         |ORDER BY path, frame_no""".stripMargin,
+    "q_image_knn" ->
+      """WITH px AS (
+        |  SELECT doc_id AS did,
+        |    '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |    (4 + (doc_id % 4) * 2) * (5 + (doc_id % 3) * 2) AS n
+        |  FROM documents),
+        |f AS (SELECT path, [
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(0, least(15, n - 1)), i -> (did*31 + i*7) % 256)), 0),
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(16, least(31, n - 1)), i -> (did*31 + i*7) % 256)), 0),
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(32, least(47, n - 1)), i -> (did*31 + i*7) % 256)), 0),
+        |  coalesce(list_sum(list_transform(
+        |    generate_series(48, least(63, n - 1)), i -> (did*31 + i*7) % 256)), 0)
+        |  ] AS f FROM px),
+        |q AS (SELECT path AS query_path, f AS qf FROM f
+        |  WHERE path IN ('/documents/0', '/documents/1', '/documents/2')),
+        |scored AS (
+        |  SELECT q.query_path, f.path AS neighbor_path,
+        |    abs(f.f[1]-q.qf[1]) + abs(f.f[2]-q.qf[2]) +
+        |    abs(f.f[3]-q.qf[3]) + abs(f.f[4]-q.qf[4]) AS dist
+        |  FROM f JOIN q ON f.path <> q.query_path)
+        |SELECT query_path, CAST(rank AS BIGINT) AS rank, neighbor_path,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_path
+        |        ORDER BY dist, neighbor_path) AS rank FROM scored)
+        |WHERE rank <= 3 ORDER BY query_path, rank""".stripMargin,
     "q_audio_decode" ->
       """SELECT '/documents/' || CAST(doc_id AS VARCHAR) AS path,
         |  CAST(8000 AS BIGINT) AS sample_rate,
