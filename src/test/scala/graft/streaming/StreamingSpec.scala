@@ -351,6 +351,37 @@ class StreamingSpec extends AnyFunSuite {
         Set[Any]("/ev/1", "/ev/2"))
     } finally q.stop()
   }
+
+  test("multimodal decode composes with streaming micro-batches") {
+    // the codec expressions are ordinary Catalyst expressions, so a
+    // content stream decodes inside each micro-batch with no special
+    // streaming path — new payloads arriving on a feed get decoded +
+    // featurized incrementally (the training-pipeline ingest shape)
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Array[Byte])]
+    val decoded = graft.pipeline.Multimodal.decode(spark,
+      ms.toDF().toDF("path", "data"))
+    val feats = graft.pipeline.Multimodal.features(decoded)
+    val q = feats.writeStream.format("memory").queryName("mmstream")
+      .outputMode("append").start()
+    try {
+      val px = Array.tabulate(64)(_ * 4)
+      ms.addData(("/img/s1", graft.pipeline.Png.encodeGray(8, 8, px)))
+      q.processAllAvailable()
+      ms.addData(("/img/s2", graft.pipeline.Png.encodeGray(8, 8,
+        px.map(255 - _))))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT path, embedding FROM mmstream")
+        .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+      assert(rows.keySet == Set("/img/s1", "/img/s2"))
+      assert(rows.values.forall(_.length == 4))
+      // the two gradients are complements (p + p' = 255 per pixel), so
+      // each feature pair sums to 1.0 → 4.0 over the vector
+      val s1 = rows("/img/s1").sum; val s2 = rows("/img/s2").sum
+      assert(math.abs((s1 + s2) - 4.0f) < 1e-3f)
+    } finally q.stop()
+  }
 }
 
 /** Executor-side collector for the deliver test (object = static, so
