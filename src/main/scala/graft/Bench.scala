@@ -84,12 +84,31 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap)
         }
       } catch { case _: Throwable => None }
-    // which file is this sf's reference (and overwrite target)?
-    val refPath: String =
-      if (parseQueries("bench_last.json", sfTagEarly).isDefined ||
-          !java.nio.file.Files.exists(java.nio.file.Paths.get("bench_last.json")))
-        "bench_last.json"
-      else s"bench_$sfTagEarly.json"
+    // Which file is this sf's reference (and overwrite target)?
+    // Decided from the sf TAG alone, not parse success: a corrupt
+    // same-sf bench_last.json must be repaired (this run's fresh
+    // profile re-seeds it), not permanently diverted to the sidecar.
+    // bench_last.json is by convention the DRIVER's sf0.1 artifact, so
+    // when it is missing (or corrupt beyond sf-tag recovery) only a
+    // driver-sf run may (re)seed it — a first-ever sf1 trend run falls
+    // through to its own bench_sf1.json.
+    val DriverSf = "sf0.1"
+    val refPath: String = {
+      val lastTxt =
+        try Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_last.json")), "UTF-8"))
+        catch { case _: Throwable => None }
+      lastTxt match {
+        case Some(txt) if txt.contains("\"sf\":\"" + sfTagEarly + "\"") =>
+          "bench_last.json" // same sf — even if otherwise corrupt, rewrite it
+        case Some(txt) if !txt.contains("\"sf\":\"") && sfTagEarly == DriverSf =>
+          "bench_last.json" // sf tag lost to corruption: repair at the driver sf
+        case Some(_) => s"bench_$sfTagEarly.json" // genuine sf mismatch
+        case None =>
+          if (sfTagEarly == DriverSf) "bench_last.json"
+          else s"bench_$sfTagEarly.json"
+      }
+    }
     val refTimes: Map[String, Double] =
       parseQueries(refPath, sfTagEarly).getOrElse(Map.empty)
 

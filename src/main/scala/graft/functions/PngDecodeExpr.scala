@@ -67,12 +67,15 @@ object PngDecode {
 }
 
 /** Frame extraction over a concatenated-PNG stream — the "video"
-  * payload shape: signature-scan splits the byte stream into frames,
-  * each decoded by the same [[PngDecode]] path, returning an ARRAY of
-  * (width, height, pixels) structs to `posexplode` into per-frame
-  * rows. Fail-loud contract: the payload must START with a PNG
-  * signature (a stream that merely contains one somewhere is
-  * corrupt), and every frame decodes or throws. */
+  * payload shape: each frame's extent is determined exactly by walking
+  * its chunk structure (signature, then length-prefixed chunks to
+  * IEND), so signature-shaped bytes INSIDE an IDAT payload can never
+  * cause a false split. Each frame decodes through the same
+  * [[PngDecode]] path, returning an ARRAY of (width, height, pixels)
+  * structs to `posexplode` into per-frame rows. Fail-loud contract:
+  * the payload must START with a PNG signature, every frame's chunk
+  * walk must terminate at IEND within bounds, and every subsequent
+  * frame must again start with a signature. */
 case class PngFramesExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "png_frames"
   override def dataType: DataType =
@@ -103,19 +106,39 @@ object PngFrames {
   private def sigAt(d: Array[Byte], o: Int): Boolean =
     o + 8 <= d.length && (0 until 8).forall(i => (d(o + i) & 0xff) == Sig(i))
 
+  private def be32(d: Array[Byte], o: Int): Int =
+    ((d(o) & 0xff) << 24) | ((d(o + 1) & 0xff) << 16) |
+      ((d(o + 2) & 0xff) << 8) | (d(o + 3) & 0xff)
+
+  /** End offset (exclusive) of the frame starting at `start`: walk the
+    * length-prefixed chunks after the signature until IEND. */
+  private def frameEnd(data: Array[Byte], start: Int): Int = {
+    var pos = start + 8
+    while (true) {
+      require(pos + 8 <= data.length, "truncated PNG frame (chunk header)")
+      val len = be32(data, pos)
+      val ctype = new String(data, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 12 + len <= data.length,
+        s"truncated PNG frame (chunk $ctype)")
+      pos += 12 + len
+      if (ctype == "IEND") return pos
+    }
+    pos // unreachable
+  }
+
   /** Called once per row from generated code. */
   def compute(data: Array[Byte]): ArrayData = {
     require(sigAt(data, 0),
       "not a PNG frame stream (must start with a PNG signature)")
-    val starts = scala.collection.mutable.ArrayBuffer(0)
-    var o = 8
-    while (o + 8 <= data.length) {
-      if (sigAt(data, o)) { starts += o; o += 8 } else o += 1
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var o = 0
+    while (o < data.length) {
+      require(sigAt(data, o),
+        s"corrupt frame stream (no PNG signature at offset $o)")
+      val end = frameEnd(data, o)
+      rows += (PngDecode.compute(java.util.Arrays.copyOfRange(data, o, end)): Any)
+      o = end
     }
-    val ends = starts.drop(1) :+ data.length
-    val rows: Array[Any] = starts.zip(ends).map { case (a, b) =>
-      PngDecode.compute(java.util.Arrays.copyOfRange(data, a, b)): Any
-    }.toArray
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
   }
 }

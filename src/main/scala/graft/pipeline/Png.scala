@@ -55,6 +55,13 @@ object Png {
       require(len >= 0 && pos + 12 + len <= data.length,
         s"truncated PNG (chunk $ctype)")
       val off = pos + 8
+      // fail-loud contract covers bit corruption too: every chunk's
+      // stored CRC32 (over type + body) must match, or zlib/structure-
+      // preserving flips would decode silently to wrong pixels
+      val crc = new java.util.zip.CRC32()
+      crc.update(data, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be32(off + len),
+        s"corrupt PNG (chunk $ctype CRC mismatch)")
       ctype match {
         case "IHDR" =>
           require(len == 13, "bad IHDR length")

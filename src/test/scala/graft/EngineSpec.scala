@@ -1399,7 +1399,14 @@ class EngineSpec extends AnyFunSuite {
     // fail-loud: interlace flag (IHDR byte 28), truncation, garbage
     val good = Png.encodeGray(4, 4, Array.fill(16)(128))
     val interlaced = good.clone(); interlaced(28) = 1
-    intercept[IllegalArgumentException] { Png.decode(interlaced) }
+    // re-sign the IHDR chunk (type+body = bytes 12..28, CRC at 29..32)
+    // so the decoder reaches the interlace check, not the CRC check
+    val crc = new java.util.zip.CRC32()
+    crc.update(interlaced, 12, 17)
+    val cv = crc.getValue.toInt
+    (0 to 3).foreach(i => interlaced(29 + i) = ((cv >>> (24 - 8 * i)) & 0xff).toByte)
+    val ie = intercept[IllegalArgumentException] { Png.decode(interlaced) }
+    assert(ie.getMessage.contains("interlaced"))
     intercept[IllegalArgumentException] { Png.decode(good.take(40)) }
     intercept[IllegalArgumentException] { Png.decode("nope".getBytes) }
   }
@@ -1493,7 +1500,7 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("PNG frame stream splits by signature and decodes per frame") {
+  test("PNG frame stream splits by chunk walk and decodes per frame") {
     import graft.pipeline.{Multimodal, Png}
     import spark.implicits._
     // three frames with distinct dims/content concatenated
@@ -1517,6 +1524,90 @@ class EngineSpec extends AnyFunSuite {
     val corrupt = Seq(("/video/c", "video/x-png-stream",
       f0 ++ f1.take(20) ++ f2)).toDF("path", "mimeType", "data")
     intercept[Exception] { Multimodal.decodeFrames(spark, corrupt).collect() }
+    // junk between two valid frames (no signature at the boundary the
+    // chunk walk lands on) fails loud too
+    val junk = Seq(("/video/j", "video/x-png-stream",
+      f0 ++ Array[Byte](0, 0, 0) ++ f1)).toDF("path", "mimeType", "data")
+    intercept[Exception] { Multimodal.decodeFrames(spark, junk).collect() }
+  }
+
+  test("frame split is immune to signature bytes inside IDAT " +
+      "(chunk-walk, not signature-scan)") {
+    // A stored (uncompressed) deflate block whose pixel bytes ARE the
+    // 8-byte PNG signature: a signature-scan splitter would false-split
+    // mid-frame and fail loud on a VALID stream; the chunk walk derives
+    // each frame's extent from its chunk structure and must decode both
+    // frames exactly.
+    val sigPixels = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A)
+    def storedPng(pixels: Array[Int]): Array[Byte] = {
+      // 1-row gray image, filter 0, Deflater.NO_COMPRESSION => the raw
+      // filtered bytes appear verbatim inside IDAT
+      val filtered = Array[Byte](0) ++ pixels.map(p => (p & 0xff).toByte)
+      val defl = new java.util.zip.Deflater(
+        java.util.zip.Deflater.NO_COMPRESSION)
+      defl.setInput(filtered); defl.finish()
+      val z = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!defl.finished()) { val n = defl.deflate(buf); z.write(buf, 0, n) }
+      defl.end()
+      val out = new java.io.ByteArrayOutputStream()
+      Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+        .foreach(out.write)
+      def be32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+      }
+      def chunk(t: String, body: Array[Byte]): Unit = {
+        be32(body.length)
+        val tb = t.getBytes("US-ASCII")
+        out.write(tb, 0, 4); out.write(body, 0, body.length)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(body)
+        be32(crc.getValue.toInt)
+      }
+      val ihdr = new java.io.ByteArrayOutputStream()
+      def hbe32(v: Int): Unit = {
+        ihdr.write((v >>> 24) & 0xff); ihdr.write((v >>> 16) & 0xff)
+        ihdr.write((v >>> 8) & 0xff); ihdr.write(v & 0xff)
+      }
+      hbe32(pixels.length); hbe32(1)
+      ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      chunk("IHDR", ihdr.toByteArray)
+      chunk("IDAT", z.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    val f0 = storedPng(sigPixels)
+    // the trap is real: a full signature occurs INSIDE f0's bytes
+    // beyond the leading one
+    val sigB = sigPixels.map(_.toByte)
+    assert((9 until f0.length - 8).exists(o =>
+      sigB.indices.forall(i => f0(o + i) == sigB(i))),
+      "fixture must embed a signature inside IDAT")
+    val f1 = storedPng(Array(1, 2, 3, 4))
+    val frames = graft.functions.PngFrames.compute(f0 ++ f1)
+    assert(frames.numElements() == 2)
+    val r0 = frames.getStruct(0, 3)
+    assert(r0.getInt(0) == 8 && r0.getInt(1) == 1)
+    assert(r0.getArray(2).toFloatArray().map(f => math.round(f * 255)).toSeq
+      == sigPixels.toSeq)
+    val r1 = frames.getStruct(1, 3)
+    assert(r1.getInt(0) == 4 && r1.getInt(1) == 1)
+  }
+
+  test("PNG decode verifies chunk CRCs (fail-loud on bit corruption)") {
+    import graft.pipeline.Png
+    val good = Png.encodeGray(4, 4, Array.tabulate(16)(_ * 16))
+    assert(Png.decode(good)._1 == 4) // sanity: pristine bytes decode
+    // flip one byte inside the IDAT body (IHDR spans bytes 8..32, so
+    // IDAT data starts at 41) — structure stays valid, CRC must trip
+    val flipped = good.clone(); flipped(44) = (flipped(44) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException] { Png.decode(flipped) }
+    assert(e.getMessage.contains("CRC"))
+    // corruption in the header chunk: flip an IHDR body byte
+    val flippedHdr = good.clone(); flippedHdr(26) = 9
+    intercept[IllegalArgumentException] { Png.decode(flippedHdr) }
   }
 
   test("WAV codec: PCM16 round-trip, stereo averaging, chunk walk, " +
@@ -1557,8 +1648,9 @@ class EngineSpec extends AnyFunSuite {
   test("audio decode -> features end-to-end over real WAV payloads") {
     import graft.pipeline.{Multimodal, Wav}
     import spark.implicits._
-    // 1 second at 8 Hz alternating +/-: 4 crossings in 8 samples,
-    // |s| = 16384 everywhere -> rms = 0.5, peak = 0.5
+    // 1 second at 8 Hz alternating +/-: 3 sign flips across the 8
+    // samples (non-cyclic consecutive-pair count), |s| = 16384
+    // everywhere -> rms = 0.5, peak = 0.5
     val s = Array[Short](16384, 16384, -16384, -16384, 16384, 16384,
       -16384, -16384)
     val content = Seq(("/audio/a", "audio/wav", Wav.encodePcm16(8, 1, s)))
