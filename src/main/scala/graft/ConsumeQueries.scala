@@ -51,14 +51,16 @@ object ConsumeQueries {
     // EXPANDABLE consume: drain /orders (totalprice filter) in
     // expandable chunks — each chunk gqp-filtered to BUILDING-customer
     // orders then xg-expanded to the customers (reference order
-    // gqp→yg→xg). The loop pins the TOKEN-RESUME INVARIANT directly:
-    // every chunk's position token must equal the plain (unexpanded)
-    // consume's token for the same position, and the drained base rows
-    // must partition the matching set exactly (sum of chunk sizes ==
-    // matching rows — no loss, no duplication across resumes). The
-    // unioned expansion is chunk-boundary-independent, so it is the
-    // oracle-checkable surface (static-row indexTimes are xxhash-based
-    // and not SQL-expressible).
+    // gqp→yg→xg). One boundary action per chunk: the chunk is consumed
+    // once and expanded lazily through expandChunk (the token-equality
+    // pin — consumeExpand's token == plain consume's token — lives in a
+    // ScalaTest; by construction it cannot drift here). The drained
+    // base rows must still partition the matching set exactly (no
+    // loss, no duplication across resumes): the unionAll of the plain
+    // chunks is counted ONCE at the end against the matching count.
+    // The unioned expansion is chunk-boundary-independent, so it is
+    // the oracle-checkable surface (static-row indexTimes are
+    // xxhash-based and not SQL-expressible).
     "q_consume_expand" -> ((s, dir) => {
       val store = st(s, dir)
       val qp = Some("totalprice>400000")
@@ -71,29 +73,30 @@ object ConsumeQueries {
       val chunkSize = math.max(1L, (matching + 2) / 3).toInt
       var tok = Consume.createConsumer("/orders", qp)
       var expanded = List.empty[DataFrame]
-      var baseCount = 0L
+      var plains = List.empty[DataFrame]
       var chunks = 0
       var done = false
       while (!done) {
         val plain = Consume.consume(store, tok, chunkSize)
-        val exp = Consume.consumeExpand(store, tok,
-          xg = Some("refCustomer"),
-          gqp = Some(">refCustomer[mktsegment::BUILDING]"),
-          chunkSize = chunkSize)
-        require(plain.nextToken == exp.nextToken,
-          "expansion moved the position token")
-        exp.nextToken match {
+        plain.nextToken match {
           case None => done = true
           case Some(next) =>
+            val exp = Consume.expandChunk(store, plain,
+              xg = Some("refCustomer"),
+              gqp = Some(">refCustomer[mktsegment::BUILDING]"))
             expanded ::= exp.chunk.select(col("system.path").as("path"))
-            baseCount += plain.chunk.count()
+            plains ::= plain.chunk.select(col("system.uuid").as("u"))
             chunks += 1
             tok = next
         }
       }
+      // exact-partition check, one action: unionAll keeps duplicates,
+      // so sum-of-chunk-sizes == matching rows detects both loss and
+      // double-consumption at the seams
+      val drained = plains.reduce(_ unionAll _).count()
       expanded.reduce(_ union _).distinct()
         .withColumn("resumed_exactly",
-          lit(chunks > 1 && baseCount == matching))
+          lit(chunks > 1 && drained == matching))
         .orderBy("path")
     }),
 

@@ -112,8 +112,20 @@ object Consume {
   def consumeExpand(store: GraftStore, token: String,
                     xg: Option[String] = None, yg: Option[String] = None,
                     gqp: Option[String] = None,
-                    chunkSize: Int = 3000): Result = {
-    val base = consume(store, token, chunkSize)
+                    chunkSize: Int = 3000): Result =
+    expandChunk(store, consume(store, token, chunkSize), xg, yg, gqp)
+
+  /** Expansion of an ALREADY-consumed chunk — the same gqp → yg → xg
+    * order as [[consumeExpand]], with zero additional actions: the
+    * returned position token is the base result's BY CONSTRUCTION
+    * (expansion never moves the cursor), which is the invariant
+    * [[consumeExpand]] re-derives by consuming internally. A drain
+    * loop that already holds each chunk's [[Result]] should expand
+    * through this instead of paying a second boundary computation per
+    * chunk. */
+  def expandChunk(store: GraftStore, base: Result,
+                  xg: Option[String] = None, yg: Option[String] = None,
+                  gqp: Option[String] = None): Result = {
     var chunk = base.chunk
     gqp.foreach(g => chunk = Graph.gqp(store, chunk, g))
     yg.foreach(y => chunk = Graph.yg(store, chunk, y))

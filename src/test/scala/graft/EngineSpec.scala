@@ -109,6 +109,44 @@ class EngineSpec extends AnyFunSuite {
     assert(Consume.consume(store, r2.nextToken.get, 3).nextToken.isEmpty)
   }
 
+  test("expandable consume: expansion never moves the position token") {
+    // the pin that used to run inside q_consume_expand's drain loop
+    // (now single-consume via expandChunk): consumeExpand's token must
+    // equal the plain consume's token at every position — gqp may
+    // filter a chunk to nothing and xg may add neighbors without ever
+    // moving the cursor
+    val store = GraftStore.forDir(spark, Sf)
+    val qp = Some("totalprice>400000")
+    var tok = Consume.createConsumer("/orders", qp)
+    var steps = 0
+    var sawEmptyExpansion = false
+    var done = false
+    while (!done && steps < 50) {
+      val plain = Consume.consume(store, tok, 20)
+      val exp = Consume.consumeExpand(store, tok,
+        xg = Some("refCustomer"),
+        gqp = Some(">refCustomer[mktsegment::BUILDING]"), chunkSize = 20)
+      assert(plain.nextToken == exp.nextToken,
+        "expansion moved the position token")
+      // expandChunk returns the base token verbatim (by construction)
+      assert(Consume.expandChunk(store, plain,
+        xg = Some("refCustomer")).nextToken == plain.nextToken)
+      plain.nextToken match {
+        case None => done = true
+        case Some(next) =>
+          if (exp.chunk.isEmpty && !plain.chunk.isEmpty)
+            sawEmptyExpansion = true
+          tok = next; steps += 1
+      }
+    }
+    assert(done, "drain did not terminate")
+    assert(steps > 1, "drain must cross at least one resume")
+    // informational: a fully-filtered chunk still advanced the cursor
+    // if one occurred (data-dependent; the assert above already pinned
+    // token equality for every chunk either way)
+    if (sawEmptyExpansion) assert(steps > 0)
+  }
+
   test("export slices partition the stream with no loss or overlap") {
     val store = GraftStore.forDir(spark, Sf)
     val slices = Consume.exportSlices(store, "/user", 100).collect()
