@@ -469,14 +469,29 @@ object Similarity {
     * index-ordered double dot products over IDENTICAL rounded
     * centroid values, so the argmin decisions agree exactly.
     *
-    * 100 TB shape: assignment is a scan-side projection (k native-dot
-    * expression nodes against centroid literals — no shuffle, no
-    * explode); the update is ONE map-side-combined aggregation of
-    * k×dim cells; centroids (k×dim doubles) live on the driver like
-    * any trained quantizer and ship inside the plan. Cost per
-    * iteration = one corpus scan + a k×dim-row shuffle, independent
-    * of corpus width. Returns (vec_id, cluster). */
-  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    * 100 TB shape: for small k, assignment is a scan-side projection
+    * (k native-dot expression nodes against centroid literals — no
+    * shuffle, no explode); past [[KmeansLiteralMax]] centroids the
+    * literal expression tree stops being codegen-able (k×dim inline
+    * literals), so assignment switches to a BROADCAST JOIN against a
+    * k-row centroid table — each corpus row meets all k centroids
+    * map-side and the per-row argmin collapses in the partial
+    * aggregation before any shuffle (identical arithmetic: same
+    * rounded centroids, same `c·c − 2·(v·c)` native dot, same
+    * (dist, cluster) tie order). The update is ONE map-side-combined
+    * aggregation of k×dim cells; centroids (k×dim doubles) live on
+    * the driver like any trained quantizer. Cost per iteration = one
+    * corpus scan + a k×dim-row shuffle, independent of corpus width.
+    * Returns (vec_id, cluster). */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeans(emb, k, iters, KmeansLiteralMax)
+
+  /** Largest k assigned through inline centroid literals; beyond it
+    * the broadcast-join path takes over (see [[kmeans]]). */
+  val KmeansLiteralMax = 64
+
+  private[graft] def kmeans(emb: DataFrame, k: Int, iters: Int,
+                            literalMax: Int): DataFrame = {
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
     def round6(x: Double): Double =
@@ -486,7 +501,7 @@ object Similarity {
         .map(_.getSeq[Double](1).map(round6).toIndexedSeq).toIndexedSeq
     require(cents.size == k,
       s"kmeans: k=$k but corpus has only ${cents.size} vectors")
-    def assign(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    def assignLiteral(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
       val scored = cs.zipWithIndex.map { case (c, i) =>
         // c·c on the driver, index-ordered — the same sequential
         // double accumulation the native dot and the oracle's
@@ -500,6 +515,26 @@ object Similarity {
       e.select(col("vec_id"), col("v"),
         array_min(array(scored: _*)).getField("cluster").as("cluster"))
     }
+    def assignJoin(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val cents = cs.zipWithIndex.map { case (c, i) =>
+        (i, c, c.foldLeft(0.0)((acc, x) => acc + x * x))
+      }.toDF("cluster", "c", "cc")
+      // broadcast k rows; each corpus row meets all k centroids inside
+      // its own partition, and min(struct) partial-aggregates the k
+      // candidates back to one row per vec_id BEFORE the exchange
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), struct(
+          (col("cc") - lit(2.0) * dotFixed(col("v"), col("c"))).as("dist"),
+          col("cluster").as("cluster"), col("v").as("v")).as("sc"))
+        .groupBy("vec_id")
+        .agg(min("sc").as("m"))
+        .select(col("vec_id"), col("m.v").as("v"),
+          col("m.cluster").as("cluster"))
+    }
+    def assign(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame =
+      if (cs.size <= literalMax) assignLiteral(cs) else assignJoin(cs)
     for (_ <- 1 to iters) {
       val upd = assign(cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
