@@ -660,6 +660,53 @@ object PipelineQueries {
         .orderBy("path")
     }),
 
+    // REAL ImageIO decode (BMP): the same closed-form gradient as
+    // q_file_decode encoded via the JDK BMP writer — lossless, so the
+    // oracle pins the ImageIO path pixel-exactly
+    "q_image_decode_bmp" -> ((s, dir) => {
+      val content = Multimodal.imageIoContentStore(s, docs(s, dir),
+        "bmp", "image/bmp")
+      Multimodal.decode(s, content)
+        .select(col("path"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          aggregate(transform(col("pixels"),
+              p => round(p * 255).cast("long")), lit(0L), _ + _)
+            .as("pixel_sum"))
+        .orderBy("path")
+    }),
+
+    // REAL ImageIO decode (GIF): ≤256 gray palette — also lossless
+    "q_image_decode_gif" -> ((s, dir) => {
+      val content = Multimodal.imageIoContentStore(s, docs(s, dir),
+        "gif", "image/gif")
+      Multimodal.decode(s, content)
+        .select(col("path"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          aggregate(transform(col("pixels"),
+              p => round(p * 255).cast("long")), lit(0L), _ + _)
+            .as("pixel_sum"))
+        .orderBy("path")
+    }),
+
+    // REAL ImageIO decode (JPEG — lossy): constant-tone frames, so
+    // dims are exact and every decoded pixel must sit within DC-
+    // quantization tolerance (±8) of the closed-form tone — the
+    // lossless-safe assertion surface for a lossy codec
+    "q_image_decode_jpeg" -> ((s, dir) => {
+      val content = Multimodal.jpegContentStore(s, docs(s, dir))
+      val docId = element_at(split(col("path"), "/"), 3).cast("long")
+      val tone = (docId * 37) % 256
+      Multimodal.decode(s, content)
+        .select(col("path"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          forall(col("pixels"),
+            p => abs(round(p * 255) - tone) <= 8).as("tone_ok"))
+        .orderBy("path")
+    }),
+
     // REAL video frame extraction: concatenated-PNG streams split by
     // signature scan, each frame decoded by the real codec — the
     // oracle recomputes per-frame dims + pixel sums from the closed
@@ -1724,6 +1771,33 @@ object PipelineQueries {
         |    generate_series(0, (4 + (doc_id % 4) * 2) *
         |                       (5 + (doc_id % 3) * 2) - 1),
         |    i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS pixel_sum
+        |FROM documents ORDER BY path""".stripMargin,
+    // BMP/GIF are lossless: identical oracle to q_file_decode — the
+    // closed-form gradient pins the ImageIO decode exactly
+    "q_image_decode_bmp" ->
+      """SELECT '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |  CAST(4 + (doc_id % 4) * 2 AS BIGINT) AS width,
+        |  CAST(5 + (doc_id % 3) * 2 AS BIGINT) AS height,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(0, (4 + (doc_id % 4) * 2) *
+        |                       (5 + (doc_id % 3) * 2) - 1),
+        |    i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS pixel_sum
+        |FROM documents ORDER BY path""".stripMargin,
+    "q_image_decode_gif" ->
+      """SELECT '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |  CAST(4 + (doc_id % 4) * 2 AS BIGINT) AS width,
+        |  CAST(5 + (doc_id % 3) * 2 AS BIGINT) AS height,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(0, (4 + (doc_id % 4) * 2) *
+        |                       (5 + (doc_id % 3) * 2) - 1),
+        |    i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS pixel_sum
+        |FROM documents ORDER BY path""".stripMargin,
+    // JPEG is lossy: dims exact, per-pixel tone within ±8 as a boolean
+    "q_image_decode_jpeg" ->
+      """SELECT '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |  CAST(8 + (doc_id % 3) * 8 AS BIGINT) AS width,
+        |  CAST(8 + (doc_id % 2) * 8 AS BIGINT) AS height,
+        |  TRUE AS tone_ok
         |FROM documents ORDER BY path""".stripMargin,
     "q_video_frames" ->
       """SELECT path, frame_no, width, height,

@@ -57,10 +57,16 @@ object PngDecode {
     StructField("pixels", ArrayType(FloatType, containsNull = false),
       nullable = false)))
 
-  /** Called once per row from generated code. */
+  /** Called once per row from generated code. Routing by payload
+    * signature: PNG → the hand-written [[graft.pipeline.Png]] codec;
+    * BMP/GIF/JPEG → the JDK's ImageIO ([[graft.pipeline.Images]]);
+    * only signature-less payloads fall back to the marked stand-in.
+    * Every claimed format decodes or fails loud. */
   def compute(data: Array[Byte]): InternalRow = {
     val (w, h, px) =
       if (graft.pipeline.Png.isPng(data)) graft.pipeline.Png.decode(data)
+      else if (graft.pipeline.Images.hasImageIoCodec(data))
+        graft.pipeline.Images.decode(data)
       else graft.pipeline.Multimodal.fakeDecode(data)
     new GenericInternalRow(Array[Any](w, h, ArrayData.toArrayData(px)))
   }

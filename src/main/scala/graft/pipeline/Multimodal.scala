@@ -19,11 +19,12 @@ import org.apache.spark.sql.types._
   * Decode runs IN-ROW as a native Catalyst expression
   * ([[graft.functions.PngDecodeExpr]]) so payload bytes never leave
   * the columnar batch: PNG payloads decode for REAL through the
-  * JDK-only [[Png]] codec (zlib + the five scanline filters), and
-  * only non-PNG mime types fall back to the clearly marked
-  * deterministic stand-in [[fakeDecode]] (this container has no other
-  * codec libraries). Feature-extract / resize / frame-sample are pure
-  * Column expressions over the decoded frame.
+  * JDK-only [[Png]] codec (zlib + the five scanline filters),
+  * BMP/GIF/JPEG through the JDK's ImageIO ([[Images]]), and only
+  * payloads with no recognizable signature fall back to the clearly
+  * marked deterministic stand-in [[fakeDecode]] (this container has
+  * no codec libraries beyond the JDK). Feature-extract / resize /
+  * frame-sample are pure Column expressions over the decoded frame.
   */
 object Multimodal {
 
@@ -67,6 +68,59 @@ object Multimodal {
       val sha = java.security.MessageDigest.getInstance("SHA-256")
         .digest(data).map("%02x".format(_)).mkString
       Row(s"/documents/$id", "image/png", data.length.toLong, sha, data)
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Synthetic BMP/GIF content store — the SAME closed-form gradient
+    * as [[pngContentStore]] (w = 4+(id%4)·2, h = 5+(id%3)·2,
+    * pixel(i) = (id·31 + i·7) mod 256) encoded through the JDK
+    * ImageIO writer. Both formats round-trip gray losslessly, so the
+    * identical DuckDB oracle pins the REAL ImageIO decode path
+    * exactly, pixel for pixel. */
+  def imageIoContentStore(spark: SparkSession, docs: DataFrame,
+                          format: String, mime: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("mimeType", StringType),
+      StructField("dataLength", LongType),
+      StructField("sha256", StringType),
+      StructField("data", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      val w = 4 + (id % 4).toInt * 2
+      val h = 5 + (id % 3).toInt * 2
+      val px = Array.tabulate(w * h)(i => ((id * 31 + i * 7) % 256).toInt)
+      val data = Images.encodeGray(w, h, px, format)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(data).map("%02x".format(_)).mkString
+      Row(s"/documents/$id", mime, data.length.toLong, sha, data)
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Synthetic JPEG content store — constant-tone frames (every pixel
+    * = (id·37) mod 256, w = 8+(id%3)·8, h = 8+(id%2)·8): JPEG is
+    * lossy, but a flat block round-trips within DC-quantization error,
+    * so dims are exact and every pixel stays within a small pinned
+    * tolerance of the closed-form tone — the lossless-safe assertion
+    * surface for a lossy codec. */
+  def jpegContentStore(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("mimeType", StringType),
+      StructField("dataLength", LongType),
+      StructField("sha256", StringType),
+      StructField("data", BinaryType)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      val w = 8 + (id % 3).toInt * 8
+      val h = 8 + (id % 2).toInt * 8
+      val tone = ((id * 37) % 256).toInt
+      val data = Images.encodeGray(w, h, Array.fill(w * h)(tone), "jpg")
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(data).map("%02x".format(_)).mkString
+      Row(s"/documents/$id", "image/jpeg", data.length.toLong, sha, data)
     })
     spark.createDataFrame(rdd, schema)
   }
@@ -174,11 +228,13 @@ object Multimodal {
       array_max(transform(col("samples"), x => abs(x))).as("peak"))
   }
 
-  /** ==== STUB (non-PNG payloads only) ====  Deterministic fake
-    * decoder: derives an 8×8 single-channel "image" from the payload
-    * bytes (xorshift over a seed hash). PNG payloads take the REAL
-    * [[Png.decode]] path; this stand-in remains only for mime types
-    * whose codecs genuinely don't exist in this container. */
+  /** ==== STUB (signature-less payloads only) ====  Deterministic
+    * fake decoder: derives an 8×8 single-channel "image" from the
+    * payload bytes (xorshift over a seed hash). PNG payloads take the
+    * REAL [[Png.decode]] path and BMP/GIF/JPEG the REAL
+    * [[Images.decode]] path; this stand-in remains only for payloads
+    * whose format genuinely has no codec in this container (no
+    * signature match at all). */
   private[graft] def fakeDecode(data: Array[Byte]): (Int, Int, Array[Float]) = {
     var seed = data.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
     val px = Array.ofDim[Float](64)
@@ -196,10 +252,11 @@ object Multimodal {
     * inside whole-stage codegen (the earlier `rdd.mapPartitions`
     * formulation exited Tungsten and paid a row-conversion per
     * payload). PNG payloads decode for REAL ([[Png.decode]]: zlib +
-    * the five scanline filters, JDK-only); a payload with the PNG
-    * signature that can't be decoded fails LOUD (never a silent
-    * fake). Other mime types fall back to the marked [[fakeDecode]]
-    * stand-in. */
+    * the five scanline filters, JDK-only), BMP/GIF/JPEG through
+    * ImageIO ([[Images.decode]]); a payload whose signature claims a
+    * decodable format but can't be decoded fails LOUD (never a
+    * silent fake). Only signature-less payloads fall back to the
+    * marked [[fakeDecode]] stand-in. */
   def decode(spark: SparkSession, content: DataFrame): DataFrame = {
     val d = org.apache.spark.sql.graftshim.ColumnBridge.column(
       graft.functions.PngDecodeExpr(

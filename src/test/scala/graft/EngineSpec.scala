@@ -1449,6 +1449,65 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Png.decode("nope".getBytes) }
   }
 
+  test("ImageIO codecs: BMP and GIF round-trip exactly, JPEG flat " +
+      "tones within DC tolerance, fail-loud on corrupt payloads") {
+    import graft.pipeline.Images
+    val rnd = new scala.util.Random(3)
+    val (w, h) = (10, 7)
+    val px = Array.fill(w * h)(rnd.nextInt(256))
+    for (fmt <- Seq("bmp", "gif")) {
+      val bytes = Images.encodeGray(w, h, px, fmt)
+      assert(if (fmt == "bmp") Images.isBmp(bytes) else Images.isGif(bytes))
+      assert(Images.hasImageIoCodec(bytes) && !graft.pipeline.Png.isPng(bytes))
+      val (dw, dh, out) = Images.decode(bytes)
+      assert(dw == w && dh == h)
+      assert(out.map(f => math.round(f * 255)).toSeq == px.toSeq,
+        s"$fmt gray round-trip must be exact")
+    }
+    // JPEG: flat tones round-trip within DC-quantization error
+    for (tone <- Seq(0, 37, 128, 200, 255)) {
+      val bytes = Images.encodeGray(16, 16, Array.fill(256)(tone), "jpg")
+      assert(Images.isJpeg(bytes))
+      val (dw, dh, out) = Images.decode(bytes)
+      assert(dw == 16 && dh == 16)
+      val maxErr = out.map(f => math.abs(math.round(f * 255) - tone)).max
+      info(s"jpeg tone $tone maxErr $maxErr")
+      assert(maxErr <= 8, s"tone $tone err $maxErr")
+    }
+    // fail-loud: a payload CLAIMING a decodable signature with a
+    // garbage body must throw, never fall back to the fake decoder
+    intercept[Exception] { Images.decode(
+      Array(0xff, 0xd8, 0xff).map(_.toByte) ++ Array.fill[Byte](20)(7)) }
+    intercept[Exception] { Images.decode(
+      "BM".getBytes ++ Array.fill[Byte](10)(1)) }
+  }
+
+  test("BMP/GIF/JPEG payloads take the real ImageIO decode path " +
+      "through Multimodal.decode") {
+    import graft.pipeline.Images
+    import spark.implicits._
+    val px = Array.tabulate(48)(i => (i * 5) % 256)
+    val rows = Seq(
+      ("/img/bmp", "image/bmp", Images.encodeGray(8, 6, px, "bmp")),
+      ("/img/gif", "image/gif", Images.encodeGray(8, 6, px, "gif")),
+      ("/img/jpg", "image/jpeg",
+        Images.encodeGray(8, 6, Array.fill(48)(100), "jpg")))
+      .toDF("path", "mimeType", "data")
+    val dec = Multimodal.decode(spark, rows).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // BMP/GIF: exact pixels (NOT the 8x8 fake — dims prove routing)
+    for (p <- Seq("/img/bmp", "/img/gif")) {
+      val r = dec(p)
+      assert(r.getInt(1) == 8 && r.getInt(2) == 6, p)
+      assert(r.getSeq[Float](3).map(f => math.round(f * 255)).toSeq ==
+        px.toSeq, p)
+    }
+    val j = dec("/img/jpg")
+    assert(j.getInt(1) == 8 && j.getInt(2) == 6)
+    assert(j.getSeq[Float](3).forall(f =>
+      math.abs(math.round(f * 255) - 100) <= 8))
+  }
+
   test("PNG payloads take the real decode path end-to-end " +
       "(decode -> resize -> features)") {
     import graft.pipeline.Png
