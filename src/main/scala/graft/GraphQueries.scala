@@ -218,6 +218,22 @@ object GraphQueries {
     "q_gremlin_edges" -> ((s, dir) =>
       graft.ops.Gremlin.eval(st(s, dir),
           """g.V.has("mktsegment", "BUILDING").has("acctbal", "gt", "9900").outE("refNation").id""")
+        .orderBy("id")),
+
+    // Gremlin BOUNDED loop: .loop("x", 2) desugars the wildcard in()
+    // since .as("x") into two hop-join levels — region ← nations ←
+    // {customers, suppliers} (closure loops fail loud; see Gremlin)
+    "q_gremlin_loop" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.v("/region/1").as("x").in().loop("x", 2).id""")
+        .orderBy("id")),
+
+    // Gremlin as/back (BackFilterPipe): nations of region 1 that have
+    // at least one rich BUILDING customer — the filter constrains two
+    // hops downstream, .back rewinds the SURVIVORS to the named step
+    "q_gremlin_back" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.v("/region/1").in("refRegion").as("n").in("refNation").has("mktsegment", "BUILDING").has("acctbal", "gt", "9000").back("n").id""")
         .orderBy("id")))
 
   val oracles: Map[String, String] = Map(
@@ -240,6 +256,22 @@ object GraphQueries {
         |  '-refNation->/nation/' || CAST(c_nationkey AS VARCHAR) AS id
         |FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
+        |ORDER BY id""".stripMargin,
+    "q_gremlin_loop" ->
+      """SELECT id FROM (
+        |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS id
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = 1
+        |  UNION
+        |  SELECT '/supplier/' || CAST(s_suppkey AS VARCHAR)
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 1
+        |) ORDER BY id""".stripMargin,
+    "q_gremlin_back" ->
+      """SELECT DISTINCT '/nation/' || CAST(n_nationkey AS VARCHAR) AS id
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 1 AND c_mktsegment = 'BUILDING'
+        |  AND c_acctbal > 9000
         |ORDER BY id""".stripMargin,
     "q_gremlin_path" ->
       """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) ||

@@ -52,6 +52,22 @@ import org.apache.spark.sql.functions._
   *                           ids (JenaEdge.getId format)
   *   .values("prop")         terminal: property lexicals → col `value`
   *   .count()                terminal: row count         → col `count`
+  *   .as("x")                name the current step: the frontier
+  *                           carries each row's vertex at x alongside
+  *                           (per-path, like gqp's origin threading)
+  *   .back("x")              rewind to the vertices the SURVIVING rows
+  *                           had at .as("x") — filters applied after x
+  *                           keep constraining, the emitted frontier is
+  *                           the ancestor set (Gremlin 2 BackFilterPipe)
+  *   .loop("x", n)           BOUNDED loop: repeat the pipes since
+  *                           .as("x") so the segment runs n times total
+  *                           (n a literal 1-20; desugars to n-1 extra
+  *                           copies of the hop joins — no driver
+  *                           iteration). .loop(k, n) counts k pipes
+  *                           back instead of a label. The reference
+  *                           evals closure loops via its Groovy script
+  *                           engine; closures / missing counts are
+  *                           unbounded here and FAIL LOUD.
   * }}}
   * A chain without an explicit terminal ends as `.id`. Edges carry NO
   * properties (reference JenaEdge.getProperty throws "RDF Edge has no
@@ -82,6 +98,10 @@ object Gremlin {
   private[ops] case object DedupStep extends Step
   private[ops] case object Id extends Step
   private[ops] case object Count extends Step
+  private[ops] final case class As(label: String) extends Step
+  private[ops] final case class Back(label: String) extends Step
+  private[ops] final case class Loop(target: Either[Int, String],
+                                     times: Int) extends Step
 
   /** Parse `g.v("/a").out("f").has("p","v").values("n")` into steps.
     * Quoted args must not contain `)` (the reference's own start-node
@@ -153,6 +173,22 @@ object Gremlin {
         case ("limit", Seq(n))
           if n.nonEmpty && n.length <= 9 && n.forall(_.isDigit) => Limit(n.toInt)
         case ("dedup", Seq()) => DedupStep
+        case ("as", Seq(l)) if l.nonEmpty => As(l)
+        case ("back", Seq(l)) if l.nonEmpty => Back(l)
+        // bounded loops only: a literal total-iteration count 1-20 (the
+        // segment desugars to repeated hop joins — the cap bounds plan
+        // size). The count is REQUIRED: the reference's closure loops
+        // (`loop(1){it.loops<3}`) need its Groovy engine; without a
+        // bound the desugaring would be unbounded — fail loud.
+        case ("loop", Seq(t, n))
+          if n.nonEmpty && n.length <= 2 && n.forall(_.isDigit) &&
+            n.toInt >= 1 && n.toInt <= 20 =>
+          Loop(if (t.nonEmpty && t.forall(_.isDigit)) Left(t.toInt)
+               else Right(t), n.toInt)
+        case ("loop", badArgs) => throw new IllegalArgumentException(
+          "gremlin syntax error: unbounded .loop(" +
+            badArgs.mkString(",") + ") unsupported — use " +
+            ".loop(label|k, n) with a literal iteration count 1-20")
         case ("values", Seq(p)) => Values(p)
         case ("property", Seq(p)) => Values(p) // Blueprints alias
         case ("id", Seq()) => Id
@@ -163,12 +199,49 @@ object Gremlin {
     }.toSeq
   }
 
+  /** Desugar every bounded [[Loop]] into repeated copies of its
+    * segment (the pipes since the named/counted position) — loops
+    * compile to n-1 extra hop-join levels, so evaluation stays a
+    * declarative join chain with no driver iteration. Segments must be
+    * vertex pipes only (hops/filters/dedup): edge pipes, terminals and
+    * nested as/back inside a segment fail loud. */
+  private[ops] def expandLoops(steps: Seq[Step], query: String): Seq[Step] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Step]
+    steps.foreach {
+      case Loop(target, times) =>
+        val from = target match {
+          case Right(label) =>
+            val i = out.lastIndexOf(As(label))
+            require(i >= 0, s"gremlin syntax error: .loop target " +
+              s"'$label' has no preceding .as in '$query'")
+            i + 1
+          case Left(k) =>
+            require(k >= 1 && k < out.size, s"gremlin syntax error: " +
+              s".loop($k, ...) reaches past the chain start in '$query'")
+            out.size - k
+        }
+        val segment = out.slice(from, out.size).toSeq
+        require(segment.nonEmpty,
+          s"gremlin syntax error: empty .loop segment in '$query'")
+        require(segment.forall {
+          case _: Hop | _: Has | _: HasNot | DedupStep => true
+          case _ => false
+        }, "gremlin syntax error: .loop segment must contain only " +
+          s"vertex pipes (out/in/both/has/hasNot/dedup) in '$query'")
+        for (_ <- 2 to times) out ++= segment
+      case s => out += s
+    }
+    out.toSeq
+  }
+
   /** Evaluate a pipe chain against a store. Non-terminal steps thread a
-    * one-column (`p`) frontier of vertex ids; the terminal projects it.
+    * frontier of vertex ids in column `p`, plus one carry column per
+    * live `.as` name (each row = a (head, named-ancestors) path — the
+    * same origin-threading shape as gqp); the terminal projects it.
     * A `.path` terminal switches to the trail-threading evaluator
     * ([[evalPath]]). */
   def eval(store: GraftStore, query: String): DataFrame = {
-    val steps = parse(query)
+    val steps = expandLoops(parse(query), query)
     require(steps.nonEmpty && steps.head.isInstanceOf[Start],
       s"gremlin chain must start with g.v(...)/g.V: '$query'")
     if (steps.contains(PathStep)) return evalPath(store, steps, query)
@@ -182,6 +255,9 @@ object Gremlin {
       case _ => throw new IllegalStateException("unreachable")
     }
     var terminal: Option[DataFrame] = None
+    // live .as carry columns (insertion-ordered): __as_<label> rides
+    // every vertex hop so .back can rewind surviving rows
+    var carries: Vector[String] = Vector.empty
     // edge-frontier mode (outE/inE/bothE): Some(from,label,to) until an
     // inV/outV collapses it back to vertices. Vertex-only pipes on an
     // edge frontier fail loud (reference: RDF edges carry no props).
@@ -202,6 +278,8 @@ object Gremlin {
       s match {
         case HopE(dir, field) =>
           requireVertexMode(field.fold("outE/inE/bothE")(f => s"outE($f)"))
+          require(carries.isEmpty, "gremlin syntax error: edge pipes " +
+            s"do not compose with live .as names (use .back first) in '$query'")
           val fields = field.map(Seq(_)).getOrElse(Graph.refFields(store))
           require(fields.nonEmpty, "edge hop over empty reference-field universe")
           val e = store.refEdgesLabeled(fields).alias("e")
@@ -230,10 +308,12 @@ object Gremlin {
           require(fields.nonEmpty, "hop over empty reference-field universe")
           val e = store.refEdges(fields).alias("e")
           val fr = frontier.alias("fr")
+          def pickV(head: org.apache.spark.sql.Column) =
+            head.as("p") +: carries.map(c => col(s"fr.$c"))
           def fwd = e.join(fr, col("e.from") === col("fr.p"))
-            .select(col("e.to").as("p"))
+            .select(pickV(col("e.to")): _*)
           def rev = e.join(fr, col("e.to") === col("fr.p"))
-            .select(col("e.from").as("p"))
+            .select(pickV(col("e.from")): _*)
           frontier = (dir match {
             case Out => fwd
             case In => rev
@@ -266,18 +346,17 @@ object Gremlin {
               new FilterCompiler(store).compile(QpParser.parse(s"$prop:")) &&
                 !pred0
             else pred0
-          frontier = store.current.where(pred)
-            .select(col("system.path").as("fp"))
-            .join(frontier, col("fp") === col("p"), "left_semi")
-            .select(col("fp").as("p"))
+          // frontier stays the LEFT side so .as carry columns survive
+          frontier = frontier.join(store.current.where(pred)
+              .select(col("system.path").as("fp")),
+            col("p") === col("fp"), "left_semi")
         case HasNot(prop) =>
           requireVertexMode("hasNot")
           val exists = new FilterCompiler(store)
             .compile(QpParser.parse(s"$prop:"))
-          frontier = store.current.where(!exists)
-            .select(col("system.path").as("fp"))
-            .join(frontier, col("fp") === col("p"), "left_semi")
-            .select(col("fp").as("p"))
+          frontier = frontier.join(store.current.where(!exists)
+              .select(col("system.path").as("fp")),
+            col("p") === col("fp"), "left_semi")
         case Values(prop) =>
           requireVertexMode("values")
           val canonical = Namespaces.resolve(prop)
@@ -287,12 +366,28 @@ object Gremlin {
             .select(col("s").as("value")))
         case Limit(n) =>
           // deterministic order in both modes (Gremlin stream order is
-          // undefined; composite edge id mirrors the vertex id order)
+          // undefined; composite edge id mirrors the vertex id order;
+          // carry columns tie-break duplicate heads)
           edges match {
             case Some(e) => edges = Some(
               e.orderBy(col("from"), col("label"), col("to")).limit(n))
-            case None => frontier = frontier.orderBy(col("p")).limit(n)
+            case None => frontier = frontier
+              .orderBy((col("p") +: carries.map(col)): _*).limit(n)
           }
+        case As(label) =>
+          requireVertexMode("as")
+          val cname = s"__as_$label"
+          frontier = frontier.withColumn(cname, col("p"))
+          if (!carries.contains(cname)) carries :+= cname
+        case Back(label) =>
+          requireVertexMode("back")
+          val cname = s"__as_$label"
+          require(carries.contains(cname), s"gremlin syntax error: " +
+            s".back target '$label' has no preceding .as in '$query'")
+          val keep = carries.filterNot(_ == cname)
+          frontier = frontier
+            .select((col(cname).as("p") +: keep.map(col)): _*).distinct()
+          carries = keep
         case DedupStep =>
           edges match {
             case Some(e) => edges = Some(e.distinct())
@@ -306,6 +401,10 @@ object Gremlin {
             .agg(count(lit(1)).as("count")))
         case _: Start => throw new IllegalArgumentException(
           s"gremlin syntax error: g.v/g.V mid-chain in '$query'")
+        // Loop is desugared by expandLoops and PathStep early-returns
+        // to evalPath before this loop — neither can appear here
+        case other => throw new IllegalStateException(
+          s"unreachable pipe $other in '$query'")
       }
     }
     terminal.getOrElse(

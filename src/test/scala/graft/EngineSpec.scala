@@ -2985,6 +2985,56 @@ class EngineSpec extends AnyFunSuite {
       Gremlin.eval(store, """g.v("/customer/1").label""") }
   }
 
+  test("gremlin loop/as/back: bounded loops desugar to hop joins, " +
+      "back rewinds survivors, unbounded loops fail loud") {
+    import graft.ops.Gremlin
+    val store = GraftStore.forDir(spark, Sf)
+    // loop("x", 2) ≡ writing the hop twice
+    val viaLoop = Gremlin.eval(store,
+        """g.v("/customer/1").as("x").out().loop("x", 2).id""")
+      .collect().map(_.getString(0)).toSet
+    val manual = Gremlin.eval(store, """g.v("/customer/1").out().out().id""")
+      .collect().map(_.getString(0)).toSet
+    assert(viaLoop == manual && viaLoop.nonEmpty)
+    // numeric form counts pipes back instead of a label
+    val viaK = Gremlin.eval(store,
+        """g.v("/customer/1").out().loop(1, 2).id""")
+      .collect().map(_.getString(0)).toSet
+    assert(viaK == manual)
+    // a filter inside the segment repeats with it
+    val filtered = Gremlin.eval(store,
+        """g.v("/region/1").as("x").in().dedup().loop("x", 2).count()""")
+      .head().getLong(0)
+    assert(filtered > 0)
+    // back: nations of region 1 with a BUILDING customer — a subset of
+    // region 1's nations, every member really reached by a survivor
+    val backed = Gremlin.eval(store,
+        """g.v("/region/1").in("refRegion").as("n").in("refNation").has("mktsegment", "BUILDING").back("n").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(backed.nonEmpty && backed.forall(_.startsWith("/nation/")))
+    val allNations = Gremlin.eval(store,
+        """g.v("/region/1").in("refRegion").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(backed.subsetOf(allNations))
+    // unbounded/over-bounded loops fail loud (closures need the
+    // reference's Groovy engine; our contract is a literal count 1-20)
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/customer/1").as("x").out().loop("x")""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/customer/1").out().loop(1, 99)""") }
+    // loop target must exist; segment must be vertex pipes only
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/customer/1").out().loop("nope", 2)""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store,
+        """g.v("/customer/1").as("x").outE().loop("x", 2)""") }
+    // back target must exist; edge pipes reject live carries
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/customer/1").out().back("x")""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/customer/1").as("x").outE("refNation")""") }
+  }
+
   test("connected components fold pair lists into dedup clusters") {
     import spark.implicits._
     // triangle {1,2,3}, chain 10-11-12-13 (tests multi-hop label
