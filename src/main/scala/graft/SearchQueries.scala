@@ -113,6 +113,20 @@ object SearchQueries {
             analyzer = graft.qp.TextAnalyzer.EnglishFull))
         .select(col("system.path").as("path")).orderBy("path")),
 
+    // German-analyzer opt-in (the per-language ES chain analog): the
+    // probe "den Ringen" raw-matches NOTHING, but analyzes to the
+    // single term "ring" — "den" is a German stop word (gap sentinel,
+    // trimmed), "ringen" (dative plural of Ring) loses its -en by the
+    // light-German step-1 rule — so this query is non-vacuous ONLY
+    // through the German chain (Standard sees "ringen" verbatim; the
+    // English Porter rules never touch a bare -en); EngineSpec pins
+    // the disagreement plus the umlaut folding/tokenizing behavior
+    "q_search_stemmed_de" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("name:den Ringen"),
+            analyzer = graft.qp.TextAnalyzer.German))
+        .select(col("system.path").as("path")).orderBy("path")),
+
     // Like (`~`) — fuzzy, ES AUTO fuzziness
     "q_search_fuzzy" -> ((s, dir) =>
       Search.run(st(s, dir),
@@ -249,6 +263,10 @@ object SearchQueries {
     "q_search_stemmed_full" ->
       """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
         |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
+        |ORDER BY path""".stripMargin,
+    "q_search_stemmed_de" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'ring')
         |ORDER BY path""".stripMargin,
     "q_search_fuzzy" ->
       """SELECT '/region/' || CAST(r_regionkey AS VARCHAR) AS path FROM region

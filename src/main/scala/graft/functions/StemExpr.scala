@@ -100,6 +100,44 @@ object StemLite {
   def stemString(t: String): String = StemRunner.run(Rules, t)
 }
 
+/** Same shape for the light-GERMAN table (the
+  * [[graft.qp.TextAnalyzer.German]] chain) — one static call per token. */
+case class StemDeExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "stem_de"
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    StemDe.stem(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.StemDe.stem($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object StemDe {
+  private lazy val Rules: Array[(java.util.regex.Pattern, String)] =
+    graft.qp.TextAnalyzer.GermanStemRules.map { case (p, r) =>
+      java.util.regex.Pattern.compile(p) -> r
+    }.toArray
+
+  def stem(s: UTF8String): UTF8String =
+    UTF8String.fromString(stemString(s.toString))
+
+  /** The ONE light-German implementation — `TextAnalyzer.stemDe` and
+    * the executor expression both run this loop. */
+  def stemString(t: String): String = StemRunner.run(Rules, t)
+}
+
 private object StemRunner {
   def run(rules: Array[(java.util.regex.Pattern, String)],
           t: String): String = {

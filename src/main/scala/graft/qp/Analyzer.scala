@@ -150,6 +150,89 @@ object TextAnalyzer {
     }
   }
 
+  /** Light German analyzer, OPT-IN — the first per-language chain
+    * beyond English (reference: per-language ES analyzers installed by
+    * the index templates, indices_template_new.json:33-115). Differences
+    * from the ASCII chains, each forced by German orthography:
+    *   - tokenizes on German letter runs — umlauts/ß are LETTERS here,
+    *     not delimiters (the shared `[^a-z0-9]+` split would cut
+    *     "Glück" into "gl"+"ck");
+    *   - case-folds ASCII + ÄÖÜ via a locale-free translate on BOTH
+    *     sides (the Cjk discipline — never the JVM-locale lower());
+    *   - stems with the published light-German rules (Savoy 2006, the
+    *     recipe behind Lucene's GermanLightStemFilter): ß→ss and
+    *     umlaut→base normalization, then two gated plural/case suffix
+    *     steps — applied as the repo's standard sequential fold;
+    *   - German stop set with the same [[PositionGap]] sentinel
+    *     position semantics as [[English]].
+    * Driver and executor share ONE precompiled fold
+    * ([[graft.functions.StemDe.stemString]]) — no drift by
+    * construction. */
+  case object German extends TextAnalyzer {
+    private[qp] val UpperDe = "ABCDEFGHIJKLMNOPQRSTUVWXYZÄÖÜ"
+    private[qp] val LowerDe = "abcdefghijklmnopqrstuvwxyzäöü"
+    private val RunDelims = "[^a-zäöüß0-9]+"
+    private def fold(s: String): String = s.map { c =>
+      val i = UpperDe.indexOf(c.toInt)
+      if (i >= 0) LowerDe(i) else c
+    }
+    def queryTokens(v: String): Seq[String] = {
+      val marked = fold(v).split(RunDelims).toSeq.filter(_.nonEmpty)
+        .map(t => if (GermanStopWords(t)) PositionGap else stemDe(t))
+      marked.dropWhile(_ == PositionGap)
+        .reverse.dropWhile(_ == PositionGap).reverse
+    }
+    /** Unused under the overridden [[tokensOf]] — identity. */
+    def docTokens(raw: Column): Column = raw
+    override def tokensOf(s: Column): Column = {
+      val runs = filter(split(translate(s, UpperDe, LowerDe), RunDelims),
+        t => t =!= "")
+      transform(runs, t =>
+        when(t.isin(GermanStopWords.toSeq: _*), lit(PositionGap))
+          .otherwise(stemDeCol(t)))
+    }
+  }
+
+  /** Common German function-word stop set (articles, pronouns,
+    * frequent conjunctions/prepositions — the stable core of the
+    * public Snowball german list). Checked BEFORE stemming, like
+    * [[StopWords]]. */
+  val GermanStopWords: Set[String] = Set(
+    "aber", "als", "am", "an", "auch", "auf", "aus", "bei", "bin",
+    "bis", "das", "dem", "den", "der", "des", "die", "du", "ein",
+    "eine", "einem", "einen", "einer", "eines", "er", "es", "für",
+    "hat", "ich", "im", "in", "ist", "mit", "nicht", "oder", "sie",
+    "sind", "und", "von", "war", "wir", "zu", "zum", "zur")
+
+  /** Light-German stem rules (Savoy 2006), as the repo's standard
+    * ordered (pattern → replacement) fold: ß/umlaut normalization
+    * first (tokens are pure [a-z0-9] afterwards), then the two suffix
+    * steps with their original length gates encoded as minimum-stem
+    * quantifiers (-ern needs len>5 ⇒ stem ≥3, -em/-en/-er/-es len>4,
+    * -e len>3, -s len>3 after a valid s-ending; step 2: -est len>5,
+    * -er/-en len>4, -st len>4 after a valid st-ending). The
+    * sequential fold mirrors the canonical two-step cascade
+    * (step 1 -ern then step 2 -er both fire, as in the original). */
+  val GermanStemRules: Seq[(String, String)] = Seq(
+    "ß" -> "ss", "ä" -> "a", "ö" -> "o", "ü" -> "u",
+    "^([a-z0-9]{3,})ern$" -> "$1",
+    "^([a-z0-9]{3,})e[mnrs]$" -> "$1",
+    "^([a-z0-9]{3,})e$" -> "$1",
+    "^([a-z0-9]{2,}[bdfghklmnrt])s$" -> "$1",
+    "^([a-z0-9]{3,})est$" -> "$1",
+    "^([a-z0-9]{3,})e[rn]$" -> "$1",
+    "^([a-z0-9]{2,}[bdfghklmnt])st$" -> "$1")
+
+  /** Driver-side German stem — same one-fold discipline as [[stem]]. */
+  def stemDe(t: String): String = graft.functions.StemDe.stemString(t)
+
+  /** Executor-side German stem — one static call per token into the
+    * same precompiled fold ([[graft.functions.StemDeExpr]]). */
+  def stemDeCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.StemDeExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
   /** Lucene EnglishAnalyzer's default stop set (33 words, public and
     * stable across Lucene versions). */
   val StopWords: Set[String] = Set(

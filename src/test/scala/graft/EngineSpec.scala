@@ -2116,6 +2116,61 @@ class EngineSpec extends AnyFunSuite {
     assert(run("t.o:quick the fox") == Set("/d/2", "/d/3"))
   }
 
+  test("german analyzer: umlaut folding, light stemming, stop gaps, " +
+      "driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    // canonical light-German outputs (Savoy rules as the shared fold)
+    val vocab = Seq(
+      "ringen" -> "ring",       // step1 -en
+      "ringe" -> "ring",        // step1 -e
+      "rings" -> "ring",        // step1 -s after valid s-ending (g)
+      "kindern" -> "kind",      // step1 -ern
+      "häuser" -> "haus",       // umlaut fold + step1 -er ("-us" kept:
+                                // s after vowel is not a valid ending)
+      "süße" -> "suss",         // ß→ss + -e
+      "schönsten" -> "schon",   // -en then -st: the two-step cascade
+      "garten" -> "gart",       // -en
+      "autos" -> "autos",       // -s gate: 'o' is not a valid s-ending
+      "see" -> "see",           // -e gate: len>3 required
+      "rot" -> "rot")           // no rule fires
+    vocab.foreach { case (in, want) =>
+      assert(TextAnalyzer.stemDe(in) == want,
+        s"stemDe($in) = ${TextAnalyzer.stemDe(in)}, want $want")
+    }
+    // driver fold == executor expression over pinned + random tokens
+    // (umlauts/ß included in the alphabet)
+    import spark.implicits._
+    val alphabet = "abcdefghijklmnopqrstuvwxyzäöüß0123456789"
+    val rnd = new scala.util.Random(17)
+    val words = vocab.map(_._1) ++ (1 to 300).map(_ =>
+      (1 to (1 + rnd.nextInt(11)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString).distinct
+    val got = words.toDF("w")
+      .select(TextAnalyzer.stemDeCol(col("w"))).as[String].collect()
+    assert(words.map(TextAnalyzer.stemDe) == got.toSeq,
+      "driver and executor german folds diverged")
+    // end to end: umlauted German text, own tokenizer (umlauts are
+    // letters, not delimiters), stop-word gap semantics
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://d/1> <c://o#t> \"Die große Blume\" .",
+      "<c://d/2> <c://o#t> \"große Blumen im Garten\" .",
+      "<c://d/3> <c://o#t> \"kleine Häuser\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/d", qp = Some(qp), analyzer = an)))
+    // plural probe reaches the singular ONLY through the German chain
+    assert(run("t.o:Blumen", TextAnalyzer.German) == Set("/d/1", "/d/2"))
+    assert(run("t.o:blumen", TextAnalyzer.Standard) == Set("/d/2"))
+    // umlaut fold: ASCII probe finds the umlauted plural
+    assert(run("t.o:Haus", TextAnalyzer.German) == Set("/d/3"))
+    // interior stop word leaves a position gap (ES slop-0 semantics)
+    assert(run("t.o:Blumen im Garten", TextAnalyzer.German) == Set("/d/2"))
+    // leading stop word trims away; phrase still anchors
+    assert(run("t.o:die große Blume", TextAnalyzer.German) ==
+      Set("/d/1", "/d/2"))
+  }
+
   test("cjk analyzer: bigram phrase match sees CJK text; standard cannot") {
     import graft.qp.TextAnalyzer
     graft.qp.Namespaces.register("o", "c://o#")
