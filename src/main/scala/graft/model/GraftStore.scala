@@ -184,13 +184,40 @@ object GraftStore {
     * writers, each producing a path-disjoint, internally-sorted file —
     * which also makes point-read row-group pruning sharper than one
     * giant file. */
-  def materializeInfotons(store: GraftStore, dir: String): Unit =
-    store.infotons
-      .withColumn("__parent", col("system.parent"))
-      .repartitionByRange(col("__parent"), col("system.path"))
+  def materializeInfotons(store: GraftStore, dir: String,
+                          partitions: Option[Int] = None): Unit = {
+    val base = store.infotons.withColumn("__parent", col("system.parent"))
+    val keys = Seq(col("__parent"), col("system.path"))
+    partitions.fold(base.repartitionByRange(keys: _*))(
+        n => base.repartitionByRange(n, keys: _*))
       .sortWithinPartitions(col("system.path"), col("system.indexTime"))
       .write.mode("overwrite").partitionBy("__parent")
       .parquet(s"$dir/infotons")
+  }
+
+  /** The consume-oriented SECONDARY layout: indexTime-major within
+    * each `__parent` partition (range-partitioned AND sorted on
+    * (__parent, indexTime)), so per-file and per-row-group indexTime
+    * min/max are TIGHT and pairwise disjoint. The primary layout
+    * ([[materializeInfotons]]) sorts path-major for point reads and
+    * the merge write path — under it a consume range predicate scans
+    * most row groups of a directory because every row group spans
+    * nearly the whole indexTime range. A consume-heavy parent (the
+    * inter-DC sync / bulk-export shape, reference
+    * BulkScrollHandler.scala:81-129) writes this layout once and every
+    * `_consume` chunk prunes to the boundary row groups; the row-group
+    * stats contract is pinned by EngineSpec against parquet footers. */
+  def materializeInfotonsByIndexTime(store: GraftStore, dir: String,
+                                     partitions: Option[Int] = None): Unit = {
+    val base = store.infotons.withColumn("__parent", col("system.parent"))
+    val keys = Seq(col("__parent"), col("system.indexTime"),
+      col("system.path"))
+    partitions.fold(base.repartitionByRange(keys: _*))(
+        n => base.repartitionByRange(n, keys: _*))
+      .sortWithinPartitions(col("system.indexTime"), col("system.path"))
+      .write.mode("overwrite").partitionBy("__parent")
+      .parquet(s"$dir/infotons_consume")
+  }
 
   /** Open a materialized store. Scans hit real parquet: pushdown,
     * partition pruning and row-group skipping all visible in

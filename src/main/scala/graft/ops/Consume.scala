@@ -27,9 +27,17 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   *
   * Scale: finding the boundary is a `limit(N).agg(max)` — a top-N over
   * a (pushed-down) range filter, not a global sort; the chunk itself
-  * is a pure range predicate, so at 100 TB a consumer only ever scans
-  * the parquet row groups whose indexTime min/max overlap the range
-  * (storage sorted/partitioned by indexTime makes this file pruning).
+  * is a pure range predicate. Row-group pruning depends on the
+  * LAYOUT: the primary materialized layout sorts path-major within
+  * each parent (point reads, merge writes), so its per-row-group
+  * indexTime min/max stay wide and a consume over a big directory
+  * scans most row groups. Consume-heavy parents write the
+  * indexTime-major secondary layout
+  * ([[graft.model.GraftStore.materializeInfotonsByIndexTime]]) whose
+  * row-group indexTime ranges are tight and disjoint — there the
+  * range predicate prunes to the boundary row groups (pinned against
+  * parquet footer stats by EngineSpec), which is what makes a 100 TB
+  * drain per-chunk-sized instead of per-directory-sized.
   */
 object Consume {
 

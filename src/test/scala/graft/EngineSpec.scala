@@ -160,6 +160,83 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("consume layout: indexTime-major row groups are tight/disjoint " +
+      "and a range predicate prunes; path-major row groups are wide") {
+    import scala.jdk.CollectionConverters._
+    val store = GraftStore.forDir(spark, Sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_consume_layout").toString
+    try {
+      // explicit partition count: at sf0.001 the default range split
+      // gives /user one bucket — several files per parent are what the
+      // row-group-stats contrast needs (and what any real corpus has)
+      GraftStore.materializeInfotons(store, dir, Some(48))
+      GraftStore.materializeInfotonsByIndexTime(store, dir, Some(48))
+      // per-row-group (min, max) of system.indexTime straight from the
+      // parquet footers — the stats the reader's row-group skip uses
+      def rowGroups(sub: String): Seq[(Long, Long)] = {
+        val base = java.nio.file.Paths.get(dir, sub, "__parent=%2Fuser")
+        val parentDir =
+          if (java.nio.file.Files.exists(base)) base
+          else java.nio.file.Files.list(java.nio.file.Paths.get(dir, sub))
+            .iterator().asScala.find(_.getFileName.toString
+              .matches("__parent=.*user.*")).getOrElse(
+            fail(s"no /user partition under $dir/$sub"))
+        val conf = spark.sessionState.newHadoopConf()
+        java.nio.file.Files.walk(parentDir).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.flatMap { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+              val c = b.getColumns.asScala.find(
+                _.getPath.toDotString.equalsIgnoreCase("system.indextime"))
+                .getOrElse(fail("no system.indexTime column chunk"))
+              val st = c.getStatistics
+              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+            } finally r.close()
+          }
+      }
+      val primary = rowGroups("infotons")
+      val consume = rowGroups("infotons_consume")
+      assert(consume.size >= 3, s"need several row groups, got $consume")
+      // consume layout: pairwise DISJOINT indexTime ranges
+      val sorted = consume.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 < b._1,
+          s"overlapping consume row groups: $a vs $b")
+        case _ =>
+      }
+      // a mid-stream chunk window overlaps few consume groups but
+      // (path-major sort ⇒ wide stats) most primary groups
+      val lo = sorted.head._1; val hi = sorted.last._2
+      val w0 = lo + (hi - lo) * 45 / 100
+      val w1 = lo + (hi - lo) * 55 / 100
+      def overlapping(gs: Seq[(Long, Long)]) =
+        gs.count { case (mn, mx) => mx >= w0 && mn <= w1 }
+      assert(overlapping(consume) <= 2,
+        s"consume layout must prune to the boundary groups: " +
+          s"${overlapping(consume)} of ${consume.size}")
+      assert(overlapping(primary) >= primary.size / 2,
+        s"expected wide primary stats, ${overlapping(primary)} of " +
+          s"${primary.size} overlap")
+      // both layouts answer the same range predicate identically
+      val a = spark.read.parquet(s"$dir/infotons")
+        .where(col("system.indexTime") > w0 &&
+          col("system.indexTime") <= w1).count()
+      val b = spark.read.parquet(s"$dir/infotons_consume")
+        .where(col("system.indexTime") > w0 &&
+          col("system.indexTime") <= w1).count()
+      assert(a == b && b > 0)
+    } finally {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator()
+      while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+    }
+  }
+
   test("iterator chunks partition the sorted result") {
     val store = GraftStore.forDir(spark, Sf)
     var token = Consume.createIterator("/nation")
