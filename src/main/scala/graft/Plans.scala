@@ -81,8 +81,11 @@ object Plans {
       // Scan ExistingRDD stub); EngineSpec asserts its pre-checkpoint
       // shape instead: range partitioning, zero single-partition nodes
       "q_contamination_frac", // broadcast gram set + per-doc fraction agg
-      "q_file_decode")        // native png_decode expression in-row —
+      "q_file_decode",        // native png_decode expression in-row —
                               // decode inside WholeStageCodegen, no RDD exit
+      "q_image_decode_jpeg",  // ImageIO route of the same in-row decode
+      "q_gremlin_loop",       // bounded loop desugared to hop-join levels
+      "q_search_stemmed_de")  // German chain inside the pushed predicate
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")
