@@ -487,8 +487,12 @@ object Similarity {
     kmeans(emb, k, iters, KmeansLiteralMax)
 
   /** Largest k assigned through inline centroid literals; beyond it
-    * the broadcast-join path takes over (see [[kmeans]]). */
-  val KmeansLiteralMax = 64
+    * the broadcast-join path takes over (see [[kmeans]]). Measured
+    * crossover at sf0.1/dim 64: k=40 literal 4.0 s vs join 1.6 s —
+    * the k×dim literal tree's analysis/codegen cost dominates well
+    * before the arithmetic does, so only genuinely small k stays
+    * inline. */
+  val KmeansLiteralMax = 16
 
   private[graft] def kmeans(emb: DataFrame, k: Int, iters: Int,
                             literalMax: Int): DataFrame = {
