@@ -127,6 +127,19 @@ object SearchQueries {
             analyzer = graft.qp.TextAnalyzer.German))
         .select(col("system.path").as("path")).orderBy("path")),
 
+    // French-analyzer opt-in: the probe "les widgets" raw-matches
+    // NOTHING, but analyzes to the single term "widget" — "les" is a
+    // French stop word (gap, trimmed; the ENGLISH chain would stem it
+    // to the term "le" and phrase-fail) and "widgets" loses its
+    // plural -s by the minimal stemmer — so the match is non-vacuous
+    // ONLY through the French chain; elision/apostrophe behavior is
+    // pinned in EngineSpec
+    "q_search_stemmed_fr" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("name:les widgets"),
+            analyzer = graft.qp.TextAnalyzer.French))
+        .select(col("system.path").as("path")).orderBy("path")),
+
     // Like (`~`) — fuzzy, ES AUTO fuzziness
     "q_search_fuzzy" -> ((s, dir) =>
       Search.run(st(s, dir),
@@ -267,6 +280,10 @@ object SearchQueries {
     "q_search_stemmed_de" ->
       """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
         |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'ring')
+        |ORDER BY path""".stripMargin,
+    "q_search_stemmed_fr" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
         |ORDER BY path""".stripMargin,
     "q_search_fuzzy" ->
       """SELECT '/region/' || CAST(r_regionkey AS VARCHAR) AS path FROM region

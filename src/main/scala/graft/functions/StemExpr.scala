@@ -138,6 +138,79 @@ object StemDe {
   def stemString(t: String): String = StemRunner.run(Rules, t)
 }
 
+/** French token→term — the WHOLE per-token chain (elision strip,
+  * apostrophe drop, stop-gap, minimal stem) as one static call, the
+  * [[graft.qp.TextAnalyzer.French]] executor side. One combined
+  * function rather than mirrored Column stages because elision makes
+  * the chain multi-stage per token: a single shared implementation is
+  * drift-free by construction. */
+case class FrTermExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "fr_term"
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    FrTerm.termU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FrTerm.termU($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object FrTerm {
+  private lazy val Stops = graft.qp.TextAnalyzer.FrenchStopWords
+  private lazy val Elisions = graft.qp.TextAnalyzer.FrenchElisions
+
+  def termU(s: UTF8String): UTF8String = UTF8String.fromString(term(s.toString))
+
+  /** The ONE French per-token chain — driver `queryTokens` and the
+    * executor expression both run this. Input: a lowercase French
+    * letter/digit/apostrophe run. Output: the index term, the
+    * position-gap sentinel for stop words, or "" for tokens that
+    * normalize away entirely (both sides filter those out before
+    * positions are assigned). */
+  def term(tok: String): String = {
+    // elision strip at the FIRST apostrophe of either kind
+    var t = tok
+    val i1 = t.indexOf('\''); val i2 = t.indexOf('’')
+    val ap = if (i1 < 0) i2 else if (i2 < 0) i1 else math.min(i1, i2)
+    if (ap > 0 && ap < t.length - 1 && Elisions.contains(t.substring(0, ap)))
+      t = t.substring(ap + 1)
+    // interior apostrophes are orthographic (aujourd'hui) — drop them
+    t = t.filterNot(c => c == '\'' || c == '’')
+    if (t.isEmpty) return ""
+    if (Stops.contains(t)) return graft.qp.TextAnalyzer.PositionGap
+    stem(t)
+  }
+
+  /** Savoy's French minimal stemmer (the Lucene
+    * FrenchMinimalStemFilter algorithm): tokens shorter than 6 chars
+    * pass through; -aux → -al; else a trailing x drops; else trailing
+    * s, then r, then e, then é drop in sequence; a final doubled
+    * letter collapses. */
+  def stem(t: String): String = {
+    if (t.length < 6) return t
+    if (t.last == 'x')
+      return if (t.endsWith("aux")) t.dropRight(2) + "l" else t.dropRight(1)
+    var w = t
+    if (w.last == 's') w = w.dropRight(1)
+    if (w.last == 'r') w = w.dropRight(1)
+    if (w.last == 'e') w = w.dropRight(1)
+    if (w.last == 'é') w = w.dropRight(1)
+    if (w.length >= 2 && w.last == w(w.length - 2)) w = w.dropRight(1)
+    w
+  }
+}
+
 private object StemRunner {
   def run(rules: Array[(java.util.regex.Pattern, String)],
           t: String): String = {

@@ -193,6 +193,67 @@ object TextAnalyzer {
     }
   }
 
+  /** Light French analyzer, OPT-IN — second per-language chain.
+    * French adds a stage no other chain has: ELISION — "l'avion" is
+    * ONE token whose article prefix must drop before stop/stem
+    * checks (Lucene's ElisionFilter), so apostrophes are letters to
+    * the tokenizer and the per-token pipeline is elision-strip →
+    * apostrophe-drop → stop-check → minimal stem (Savoy's published
+    * French minimal stemmer: the one Lucene's FrenchMinimalStemFilter
+    * ships — len≥6 gate, aux→al, then trailing x/s/r/e/é and a final
+    * doubled letter). Because the chain is multi-stage per token,
+    * BOTH sides run the ONE shared token→term function
+    * ([[graft.functions.FrTerm.term]], native on the executor via
+    * [[graft.functions.FrTermExpr]]) — stop words come back as
+    * [[PositionGap]] sentinels with the usual phrase semantics. */
+  case object French extends TextAnalyzer {
+    private[qp] val UpperFr = "ABCDEFGHIJKLMNOPQRSTUVWXYZÀÂÄÇÉÈÊËÎÏÔÖÙÛÜŸ"
+    private[qp] val LowerFr = "abcdefghijklmnopqrstuvwxyzàâäçéèêëîïôöùûüÿ"
+    private val RunDelims = "[^a-zàâäçéèêëîïôöùûüÿœæ0-9'’]+"
+    private def fold(s: String): String = s.map { c =>
+      val i = UpperFr.indexOf(c.toInt)
+      if (i >= 0) LowerFr(i) else c
+    }
+    def queryTokens(v: String): Seq[String] = {
+      val marked = fold(v).split(RunDelims).toSeq.filter(_.nonEmpty)
+        .map(graft.functions.FrTerm.term).filter(_.nonEmpty)
+      marked.dropWhile(_ == PositionGap)
+        .reverse.dropWhile(_ == PositionGap).reverse
+    }
+    /** Unused under the overridden [[tokensOf]] — identity. */
+    def docTokens(raw: Column): Column = raw
+    override def tokensOf(s: Column): Column = {
+      val runs = filter(split(translate(s, UpperFr, LowerFr), RunDelims),
+        t => t =!= "")
+      filter(transform(runs, t => frTermCol(t)), t => t =!= "")
+    }
+  }
+
+  /** Common French function-word stop set (articles incl. elided
+    * forms' cores, pronouns, frequent prepositions — the stable core
+    * of the public Snowball french list). Checked on the
+    * elision-stripped token. */
+  val FrenchStopWords: Set[String] = Set(
+    "au", "aux", "avec", "ce", "ces", "cette", "dans", "de", "des",
+    "du", "elle", "en", "est", "et", "il", "ils", "je", "la", "le",
+    "les", "leur", "lui", "ma", "mais", "ne", "nous", "on", "ou",
+    "par", "pas", "plus", "pour", "qui", "que", "sa", "se", "ses",
+    "son", "sont", "sur", "tu", "un", "une", "vous")
+
+  /** Elidable article/particle prefixes (Lucene ElisionFilter's French
+    * default set): stripped with their apostrophe before any other
+    * per-token stage. */
+  val FrenchElisions: Set[String] = Set(
+    "l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu",
+    "lorsqu", "puisqu")
+
+  /** Executor-side French token→term — one static call per token into
+    * the same shared chain ([[graft.functions.FrTermExpr]]). */
+  def frTermCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.FrTermExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
   /** Common German function-word stop set (articles, pronouns,
     * frequent conjunctions/prepositions — the stable core of the
     * public Snowball german list). Checked BEFORE stemming, like

@@ -2248,6 +2248,64 @@ class EngineSpec extends AnyFunSuite {
       Set("/d/1", "/d/2"))
   }
 
+  test("french analyzer: elision, minimal stemming, stop gaps, " +
+      "driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    import graft.functions.FrTerm
+    // canonical minimal-stemmer outputs
+    val vocab = Seq(
+      "chevaux" -> "cheval",    // aux → al
+      "journaux" -> "journal",
+      "widgets" -> "widget",    // plural -s (len ≥ 6)
+      "fleurs" -> "fleu",       // -s then -r: the documented cascade
+      "roses" -> "roses",       // len < 6 gate: untouched
+      "grandes" -> "grand",     // -s then -e cascade
+      "belles" -> "bel",        // -s, -e, doubled-l collapse
+      "heureux" -> "heureu",    // trailing x (not aux)
+      "été" -> "été")           // short, untouched
+    vocab.foreach { case (in, want) =>
+      assert(FrTerm.stem(in) == want,
+        s"stemFr($in) = ${FrTerm.stem(in)}, want $want")
+    }
+    // the per-token chain: elision before stop before stem
+    assert(FrTerm.term("l'avion") == "avion")
+    assert(FrTerm.term("d'énormes") == "énorm")
+    assert(FrTerm.term("qu'il") == TextAnalyzer.PositionGap) // il = stop
+    assert(FrTerm.term("aujourd'hui") == "aujourdhui") // interior apostrophe
+    assert(FrTerm.term("les") == TextAnalyzer.PositionGap)
+    // a dangling apostrophe is not an elision (nothing follows): the
+    // bare letter survives as its own term on both sides
+    assert(FrTerm.term("l'") == "l")
+    assert(FrTerm.term("'") == "") // lone apostrophe normalizes away
+    // driver tokenization == executor expression (incl. apostrophes,
+    // accents, uppercase elision)
+    import spark.implicits._
+    val texts = Seq("L'avion des fleurs", "qu'il pleut aujourd'hui",
+      "JOURNAUX et chevaux", "d'été l'", "abc", "")
+    val sparkToks = texts.toDF("s")
+      .select(TextAnalyzer.French.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    // tokensOf keeps untrimmed gaps; rebuild the same view driver-side
+    val driverToks = texts.map(t => TextAnalyzer.French
+      .queryTokens("x " + t + " x").drop(1).dropRight(1))
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+    // end to end over a French store
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://f/1> <c://o#t> \"l'avion rouge\" .",
+      "<c://f/2> <c://o#t> \"les avions des lignes\" .",
+      "<c://f/3> <c://o#t> \"la fleur du jardin\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/f", qp = Some(qp), analyzer = an)))
+    // plural probe + elided doc: both normalize to "avion", so French
+    // also reaches the elided singular; Standard only the literal
+    assert(run("t.o:avions", TextAnalyzer.French) == Set("/f/1", "/f/2"))
+    assert(run("t.o:avions", TextAnalyzer.Standard) == Set("/f/2"))
+    // interior stop word leaves one position gap
+    assert(run("t.o:fleur du jardin", TextAnalyzer.French) == Set("/f/3"))
+  }
+
   test("cjk analyzer: bigram phrase match sees CJK text; standard cannot") {
     import graft.qp.TextAnalyzer
     graft.qp.Namespaces.register("o", "c://o#")
