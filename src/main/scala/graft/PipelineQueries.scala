@@ -723,6 +723,30 @@ object PipelineQueries {
         .orderBy("path", "frame_no")
     }),
 
+    // resize = integer-factor average pooling over decoded frames —
+    // the standard image-preprocessing step of a multimodal training
+    // pipeline, run END-TO-END on real bytes: decode the concatenated-
+    // PNG stream, 2×2-pool every frame, report a position-weighted
+    // integer projection. round(p·255·f²) recovers each output
+    // pixel's source-block value sum EXACTLY (4 exact float32 terms,
+    // see Multimodal.resize), so both engines compare integers; the
+    // (o+1) position weight makes the block STRUCTURE load-bearing,
+    // not just the total (which pooling preserves trivially).
+    "q_image_resize" -> ((s, dir) => {
+      val content = Multimodal.videoContentStore(s, docs(s, dir))
+      val frames = Multimodal.decodeFrames(s, content)
+      Multimodal.resize(frames, 2, Seq("path", "frame_no"))
+        .select(col("path"), col("frame_no").cast("long").as("frame_no"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          aggregate(
+            zip_with(col("pixels"),
+              sequence(lit(1), size(col("pixels")), lit(1)),
+              (p, w) => round(p * 1020).cast("long") * w.cast("long")),
+            lit(0L), _ + _).as("pooled_wsum"))
+        .orderBy("path", "frame_no")
+    }),
+
     // multimodal retrieval END-TO-END: decode real PNGs -> 4-chunk
     // integer feature vector (sum of round(px*255) per fixed 16-pixel
     // chunk — integers, so BOTH engines rank exactly) -> top-3
@@ -768,6 +792,31 @@ object PipelineQueries {
           aggregate(transform(col("samples"),
               x => round(x * 32768).cast("long")), lit(0L), _ + _)
             .as("sample_sum"))
+        .orderBy("path")
+    }),
+
+    // windowed audio framing (VAD-style segmentation): decode real
+    // RIFF bytes, frame into 160-sample (20 ms @ 8 kHz) windows,
+    // per-frame energy Σx² in-row. energy·2^30 recovers the integer
+    // sum of squared PCM16 samples EXACTLY (each sample v/2^15 and
+    // v² are exact in float32/double for |v| ≤ 1000), so counts,
+    // totals, peaks and the argmax frame are integer-compared.
+    // first-occurrence argmax on both sides (array_position /
+    // list_position) keeps ties deterministic.
+    "q_audio_frames" -> ((s, dir) => {
+      val content = Multimodal.wavContentStore(s, docs(s, dir))
+      val fr = Multimodal.audioFrames(
+        Multimodal.decodeAudio(s, content), 160)
+      val asInt = (e: org.apache.spark.sql.Column) =>
+        round(e * lit(1073741824.0d)).cast("long")
+      fr.select(col("path"),
+          col("n_frames").cast("long").as("n_frames"),
+          asInt(aggregate(col("frame_energy"), lit(0.0d), _ + _))
+            .as("total_energy"),
+          asInt(array_max(col("frame_energy"))).as("peak_energy"),
+          (array_position(col("frame_energy"),
+            array_max(col("frame_energy"))) - 1).cast("long")
+            .as("peak_frame"))
         .orderBy("path")
     }),
 
@@ -1814,6 +1863,33 @@ object PipelineQueries {
         |    CAST(4 + (doc_id % 2) * 2 AS BIGINT) AS height
         |  FROM documents)
         |ORDER BY path, frame_no""".stripMargin,
+    // 2×2 pooling over the same closed-form frames: output pixel o
+    // (row-major over a 3×(h/2) grid) pools source indices
+    // b, b+1, b+6, b+7 where b = (o//3)·2·6 + (o%3)·2; the engine's
+    // round(p·1020) is exactly that 4-value sum
+    "q_image_resize" ->
+      """SELECT path, frame_no,
+        |  CAST(3 AS BIGINT) AS width,
+        |  CAST(height / 2 AS BIGINT) AS height,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(0, CAST(3 * (height / 2) - 1 AS BIGINT)),
+        |    o -> ((did * 13 + frame_no * 7
+        |             + ((o // 3) * 12 + (o % 3) * 2) * 5) % 256
+        |        + (did * 13 + frame_no * 7
+        |             + ((o // 3) * 12 + (o % 3) * 2 + 1) * 5) % 256
+        |        + (did * 13 + frame_no * 7
+        |             + ((o // 3) * 12 + (o % 3) * 2 + 6) * 5) % 256
+        |        + (did * 13 + frame_no * 7
+        |             + ((o // 3) * 12 + (o % 3) * 2 + 7) * 5) % 256)
+        |       * (o + 1))) AS BIGINT) AS pooled_wsum
+        |FROM (
+        |  SELECT doc_id AS did,
+        |    '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |    unnest(generate_series(0, CAST(2 + doc_id % 3 AS BIGINT)))
+        |      AS frame_no,
+        |    CAST(4 + (doc_id % 2) * 2 AS BIGINT) AS height
+        |  FROM documents)
+        |ORDER BY path, frame_no""".stripMargin,
     "q_image_knn" ->
       """WITH px AS (
         |  SELECT doc_id AS did,
@@ -1851,6 +1927,25 @@ object PipelineQueries {
         |    i -> (doc_id * 17 + i * 3) % 2001 - 1000)) AS BIGINT)
         |    AS sample_sum
         |FROM documents ORDER BY path""".stripMargin,
+    // same closed-form samples framed into 160-sample windows;
+    // frame j's energy = Σ v(160j+i)² over i<160, all integer
+    "q_audio_frames" ->
+      """SELECT '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |  CAST(5 + doc_id % 5 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(e) AS BIGINT) AS total_energy,
+        |  CAST(list_max(e) AS BIGINT) AS peak_energy,
+        |  CAST(list_position(e, list_max(e)) - 1 AS BIGINT)
+        |    AS peak_frame
+        |FROM (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(0, CAST(4 + doc_id % 5 AS BIGINT)),
+        |    j -> list_sum(list_transform(generate_series(0, 159),
+        |      i -> CAST((doc_id * 17 + (j * 160 + i) * 3) % 2001 - 1000
+        |                AS BIGINT)
+        |         * CAST((doc_id * 17 + (j * 160 + i) * 3) % 2001 - 1000
+        |                AS BIGINT)))) AS e
+        |  FROM documents)
+        |ORDER BY path""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id, list_reduce(
          |  list_prepend(CAST(0 AS BIGINT),

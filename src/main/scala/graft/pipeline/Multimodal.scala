@@ -283,8 +283,11 @@ object Multimodal {
     * expressions over the pixel array, so at scale it is a projection
     * on the decoded frame, no shuffle, no UDF. Width/height must be
     * divisible by `f` (fail-loud per row otherwise: a silent crop
-    * would corrupt training data). */
-  def resize(decoded: DataFrame, f: Int): DataFrame = {
+    * would corrupt training data). `keys` names the identity columns
+    * to carry through (default just `path`; pass `path, frame_no` to
+    * resize a decoded frame stream). */
+  def resize(decoded: DataFrame, f: Int,
+             keys: Seq[String] = Seq("path")): DataFrame = {
     require(f >= 1, s"pool factor >= 1: $f")
     val w = col("width"); val h = col("height")
     val guard = when(w % f === 0 && h % f === 0, lit(true))
@@ -308,9 +311,33 @@ object Multimodal {
     // select list would lateral-alias-shadow the input columns the
     // pooling lambda reads (observed: pooled read the resized width)
     decoded.where(guard)
-      .select(col("path"), ow.as("__w"), oh.as("__h"), pooled.as("__px"))
-      .select(col("path"), col("__w").as("width"),
-        col("__h").as("height"), col("__px").as("pixels"))
+      .select(keys.map(col) ++
+        Seq(ow.as("__w"), oh.as("__h"), pooled.as("__px")): _*)
+      .select(keys.map(col) ++
+        Seq(col("__w").as("width"), col("__h").as("height"),
+          col("__px").as("pixels")): _*)
+  }
+
+  /** Frame decoded audio into fixed non-overlapping windows of
+    * `frameLen` samples and compute per-frame energy (Σ x² over the
+    * window) — the VAD/segmentation primitive of an audio curation
+    * pipeline. Pure in-row Column expressions (`transform` over the
+    * frame index + `aggregate` over a `slice`): at scale this is a
+    * projection on the decoded clip, no shuffle, no explode, no UDF.
+    * A trailing partial window (n % frameLen ≠ 0) is dropped, the
+    * standard hop-framing convention. */
+  def audioFrames(decoded: DataFrame, frameLen: Int): DataFrame = {
+    require(frameLen >= 1, s"frameLen >= 1: $frameLen")
+    val n = size(col("samples"))
+    val nf = (n / frameLen).cast("int")
+    // guard nf=0: sequence(0,-1,step 1) is an error, not an empty array
+    val energies = when(nf > 0,
+      transform(sequence(lit(0), nf - 1, lit(1)), j =>
+        aggregate(slice(col("samples"), j * frameLen + 1, lit(frameLen)),
+          lit(0.0d), (a, x) => a + x.cast("double") * x.cast("double"))))
+      .otherwise(array().cast("array<double>"))
+    decoded.select(col("path"), col("sample_rate"),
+      nf.as("n_frames"), energies.as("frame_energy"))
   }
 
   /** Frame sampling for "video" payloads: every `stride`-th 64-byte

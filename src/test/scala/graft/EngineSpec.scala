@@ -1864,6 +1864,29 @@ class EngineSpec extends AnyFunSuite {
       Multimodal.resize(bad, 2).collect()
     }
     assert(e.getMessage != null)
+    // keys carry: frame_no rides a frame-stream resize
+    val framed = Seq(("/img/a", 3L, 4, 4, px))
+      .toDF("path", "frame_no", "width", "height", "pixels")
+    val kept = Multimodal.resize(framed, 2, Seq("path", "frame_no"))
+      .collect().head
+    assert(kept.getLong(1) == 3L && kept.getInt(2) == 2)
+  }
+
+  test("audioFrames: per-window energy, tail drop, empty guard") {
+    val s2 = spark
+    import s2.implicits._
+    // 5 samples, frameLen 2 → 2 frames, trailing sample dropped
+    val decoded = Seq(("/a/1", 8000, Seq(0.5f, -0.5f, 0.25f, 0f, 1f)))
+      .toDF("path", "sample_rate", "samples")
+    val out = Multimodal.audioFrames(decoded, 2).collect().head
+    assert(out.getInt(2) == 2)
+    val e = out.getSeq[Double](3)
+    assert(math.abs(e(0) - 0.5) < 1e-12 && math.abs(e(1) - 0.0625) < 1e-12)
+    // shorter than one frame → zero frames, empty energies (not an error)
+    val tiny = Seq(("/a/2", 8000, Seq(0.5f)))
+      .toDF("path", "sample_rate", "samples")
+    val t = Multimodal.audioFrames(tiny, 2).collect().head
+    assert(t.getInt(2) == 0 && t.getSeq[Double](3).isEmpty)
   }
 
   test("qp date ranges compare on the timestamp slot") {
