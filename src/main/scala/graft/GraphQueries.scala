@@ -234,6 +234,15 @@ object GraphQueries {
     "q_gremlin_back" -> ((s, dir) =>
       graft.ops.Gremlin.eval(st(s, dir),
           """g.v("/region/1").in("refRegion").as("n").in("refNation").has("mktsegment", "BUILDING").has("acctbal", "gt", "9000").back("n").id""")
+        .orderBy("id")),
+
+    // Gremlin groupCount (GroupCountPipe): how many BUILDING customers
+    // reach each nation — hops preserve multiplicity (one path per
+    // customer), unlike the deduping id-frontier evaluator
+    "q_gremlin_groupcount" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.V.has("mktsegment", "BUILDING").out("refNation").groupCount""")
+        .select(col("id"), col("n").cast("long").as("n"))
         .orderBy("id")))
 
   val oracles: Map[String, String] = Map(
@@ -280,6 +289,11 @@ object GraphQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
         |ORDER BY path""".stripMargin,
+    "q_gremlin_groupcount" ->
+      """SELECT '/nation/' || CAST(c_nationkey AS VARCHAR) AS id,
+        |  count(*) AS n
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY id""".stripMargin,
     "q_xg" ->
       """SELECT path FROM (
         |  SELECT '/orders/' || CAST(o_orderkey AS VARCHAR) AS path FROM orders

@@ -52,6 +52,10 @@ import org.apache.spark.sql.functions._
   *                           ids (JenaEdge.getId format)
   *   .values("prop")         terminal: property lexicals → col `value`
   *   .count()                terminal: row count         → col `count`
+  *   .groupCount             terminal: per-vertex traversal-path
+  *                           count → rows (id, n) (Gremlin 2's
+  *                           GroupCountPipe map; hops preserve
+  *                           multiplicity — see [[evalGroupCount]])
   *   .as("x")                name the current step: the frontier
   *                           carries each row's vertex at x alongside
   *                           (per-path, like gqp's origin threading)
@@ -90,6 +94,7 @@ object Gremlin {
   private[ops] final case class VertexOf(in: Boolean) extends Step
   private[ops] case object LabelStep extends Step
   private[ops] case object PathStep extends Step
+  private[ops] case object GroupCountStep extends Step
   private[ops] final case class Has(prop: String, cmp: String,
                                     value: Option[String]) extends Step
   private[ops] final case class HasNot(prop: String) extends Step
@@ -193,6 +198,7 @@ object Gremlin {
         case ("property", Seq(p)) => Values(p) // Blueprints alias
         case ("id", Seq()) => Id
         case ("count", Seq()) => Count
+        case ("groupCount", Seq()) => GroupCountStep
         case other => throw new IllegalArgumentException(
           s"gremlin syntax error: unsupported pipe .$name(${as.mkString(",")})")
       }
@@ -245,6 +251,8 @@ object Gremlin {
     require(steps.nonEmpty && steps.head.isInstanceOf[Start],
       s"gremlin chain must start with g.v(...)/g.V: '$query'")
     if (steps.contains(PathStep)) return evalPath(store, steps, query)
+    if (steps.contains(GroupCountStep))
+      return evalGroupCount(store, steps, query)
     var frontier: DataFrame = steps.head match {
       case Start(Some(id)) =>
         // existence-checked like Blueprints getVertex: a missing id is
@@ -322,30 +330,11 @@ object Gremlin {
         case Has(prop, cmp, vOpt) =>
           requireVertexMode("has") // RDF Edge has no Props (JenaEdge)
           // same typed dispatch as the qp operators — reuse the filter
-          // compiler instead of re-deriving slot routing; neq is the
-          // row-level negation of ::, matching MustNot semantics
-          val qpExpr = (cmp, vOpt) match {
-            case ("exists", None)  => s"$prop:" // empty value = exists
-            case ("eq", Some(v))   => s"$prop::$v"
-            case ("neq", Some(v))  => s"$prop::$v"
-            case ("gt", Some(v))   => s"$prop>$v"
-            case ("gte", Some(v))  => s"$prop>>$v"
-            case ("lt", Some(v))   => s"$prop<$v"
-            case ("lte", Some(v))  => s"$prop<<$v"
-            case other => throw new IllegalArgumentException(
-              s"gremlin syntax error: has comparator $other")
-          }
-          val pred0 = new FilterCompiler(store)
-            .compile(QpParser.parse(qpExpr))
-          // Blueprints T.neq requires the property to EXIST with a
-          // differing value — a bare negation would match every
-          // property-less vertex (directory infotons). Multi-valued
-          // fields follow the qp MustNot convention: NO value equals v.
-          val pred =
-            if (cmp == "neq")
-              new FilterCompiler(store).compile(QpParser.parse(s"$prop:")) &&
-                !pred0
-            else pred0
+          // compiler instead of re-deriving slot routing; neq requires
+          // the property to EXIST with a differing value (Blueprints
+          // T.neq — a bare negation would match every property-less
+          // vertex), matching the qp MustNot convention per value
+          val pred = hasPredicate(store, prop, cmp, vOpt, query)
           // frontier stays the LEFT side so .as carry columns survive
           frontier = frontier.join(store.current.where(pred)
               .select(col("system.path").as("fp")),
@@ -455,24 +444,7 @@ object Gremlin {
           case Both => fwd.unionByName(rev)
         }).distinct()
       case Has(prop, cmp, vOpt) =>
-        val qpExpr = (cmp, vOpt) match {
-          case ("exists", None) => s"$prop:"
-          case ("eq", Some(v))  => s"$prop::$v"
-          case ("neq", Some(v)) => s"$prop::$v"
-          case ("gt", Some(v))  => s"$prop>$v"
-          case ("gte", Some(v)) => s"$prop>>$v"
-          case ("lt", Some(v))  => s"$prop<$v"
-          case ("lte", Some(v)) => s"$prop<<$v"
-          case other => throw new IllegalArgumentException(
-            s"gremlin syntax error: has comparator $other")
-        }
-        val pred0 = new FilterCompiler(store).compile(QpParser.parse(qpExpr))
-        val pred =
-          if (cmp == "neq")
-            new FilterCompiler(store).compile(QpParser.parse(s"$prop:")) &&
-              !pred0
-          else pred0
-        semiOn(pred, "left_semi")
+        semiOn(hasPredicate(store, prop, cmp, vOpt, query), "left_semi")
       case HasNot(prop) =>
         semiOn(new FilterCompiler(store).compile(QpParser.parse(s"$prop:")),
           "left_anti")
@@ -485,5 +457,90 @@ object Gremlin {
           s"$other in '$query' (vertex chains only)")
     }
     fr.select(array_join(col("trail"), ">").as("path"))
+  }
+
+  /** Shared `.has` → qp predicate compilation (Blueprints T.*
+    * comparators routed through the typed filter compiler; neq =
+    * property exists with a differing value). */
+  private def hasPredicate(store: GraftStore, prop: String, cmp: String,
+      vOpt: Option[String], query: String): org.apache.spark.sql.Column = {
+    val qpExpr = (cmp, vOpt) match {
+      case ("exists", None) => s"$prop:"
+      case ("eq", Some(v))  => s"$prop::$v"
+      case ("neq", Some(v)) => s"$prop::$v"
+      case ("gt", Some(v))  => s"$prop>$v"
+      case ("gte", Some(v)) => s"$prop>>$v"
+      case ("lt", Some(v))  => s"$prop<$v"
+      case ("lte", Some(v)) => s"$prop<<$v"
+      case other => throw new IllegalArgumentException(
+        s"gremlin syntax error: has comparator $other in '$query'")
+    }
+    val pred0 = new FilterCompiler(store).compile(QpParser.parse(qpExpr))
+    if (cmp == "neq")
+      new FilterCompiler(store).compile(QpParser.parse(s"$prop:")) && !pred0
+    else pred0
+  }
+
+  /** `.groupCount` evaluator — Gremlin 2's GroupCountPipe over vertex
+    * chains: counts how many traversal paths END at each vertex, so
+    * hops must PRESERVE multiplicity (the id-frontier evaluator
+    * dedups after every hop). Spark-first shape: the frontier carries
+    * a count column and every hop is one equi-join followed by
+    * `groupBy(head).sum(cnt)` — partial (map-side) aggregation keeps
+    * each shuffle bounded by the frontier's DISTINCT vertex set, so a
+    * 100 TB chain is a short sequence of pre-aggregated joins, never
+    * a path-materializing explosion. Filters are semi/anti joins on
+    * the head (counts ride through); `.dedup` collapses multiplicity
+    * back to 1 (its stream meaning); `.limit` takes the first n
+    * heads in id order. Edge pipes / as / back / property terminals
+    * don't compose with `.groupCount` here and fail loud; it must be
+    * the terminal. Output rows (id, n) = the reference's
+    * groupCount map entries. */
+  private def evalGroupCount(store: GraftStore, steps: Seq[Step],
+                             query: String): DataFrame = {
+    require(steps.last == GroupCountStep &&
+      steps.count(_ == GroupCountStep) == 1,
+      s"gremlin syntax error: .groupCount must be the single terminal " +
+        s"in '$query'")
+    def seed(base: DataFrame): DataFrame =
+      base.select(col("system.path").as("p"), lit(1L).as("cnt"))
+    var fr: DataFrame = steps.head match {
+      case Start(Some(id)) =>
+        seed(store.current.where(col("system.path") === id))
+      case Start(None) => seed(store.current)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    def semiOn(pred: org.apache.spark.sql.Column, joinType: String): Unit =
+      fr = fr.join(store.current.where(pred)
+          .select(col("system.path").as("fp")),
+        col("p") === col("fp"), joinType)
+    steps.tail.init.foreach {
+      case Hop(dir, field) =>
+        val fields = field.map(Seq(_)).getOrElse(Graph.refFields(store))
+        require(fields.nonEmpty, "hop over empty reference-field universe")
+        val e = store.refEdges(fields).alias("e")
+        val f2 = fr.alias("fr")
+        def fwd = e.join(f2, col("e.from") === col("fr.p"))
+          .select(col("e.to").as("p"), col("fr.cnt").as("cnt"))
+        def rev = e.join(f2, col("e.to") === col("fr.p"))
+          .select(col("e.from").as("p"), col("fr.cnt").as("cnt"))
+        fr = (dir match {
+          case Out => fwd
+          case In => rev
+          case Both => fwd.unionByName(rev)
+        }).groupBy("p").agg(sum("cnt").as("cnt"))
+      case Has(prop, cmp, vOpt) =>
+        semiOn(hasPredicate(store, prop, cmp, vOpt, query), "left_semi")
+      case HasNot(prop) =>
+        semiOn(new FilterCompiler(store).compile(QpParser.parse(s"$prop:")),
+          "left_anti")
+      case DedupStep =>
+        fr = fr.select(col("p")).distinct().withColumn("cnt", lit(1L))
+      case Limit(n) => fr = fr.orderBy(col("p")).limit(n)
+      case other => throw new IllegalArgumentException(
+        s"gremlin syntax error: .groupCount does not compose with " +
+          s"$other in '$query' (vertex chains only)")
+    }
+    fr.select(col("p").as("id"), col("cnt").as("n"))
   }
 }

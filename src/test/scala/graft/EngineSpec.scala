@@ -3248,6 +3248,37 @@ class EngineSpec extends AnyFunSuite {
       Gremlin.eval(store, """g.v("/customer/1").as("x").outE("refNation")""") }
   }
 
+  test("gremlin groupCount: hops preserve path multiplicity, dedup " +
+      "resets it, non-vertex pipes fail loud") {
+    import graft.ops.Gremlin
+    val store = GraftStore.forDir(spark, Sf)
+    // per-nation in-path counts = customer counts per nation
+    val gc = Gremlin.eval(store, """g.V.has("mktsegment").out("refNation").groupCount""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = spark.read.parquet(s"$Sf/customer.parquet")
+      .groupBy(concat(lit("/nation/"), col("c_nationkey").cast("string")))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gc == want && gc.values.sum > gc.size,
+      "multiplicity must survive the hop (counts > 1 somewhere)")
+    // dedup collapses multiplicity back to 1 before the next hop
+    val deduped = Gremlin.eval(store,
+        """g.V.has("mktsegment").out("refNation").dedup().groupCount""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deduped.keySet == want.keySet && deduped.values.forall(_ == 1L))
+    // two-hop multiplicity: region counts = Σ over nations
+    val byRegion = Gremlin.eval(store,
+        """g.V.has("mktsegment").out("refNation").out("refRegion").groupCount""")
+      .collect().map(r => r.getLong(1)).sum
+    assert(byRegion == want.values.sum)
+    // groupCount must be terminal; edge pipes / as don't compose
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.groupCount.out""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.outE("refNation").groupCount""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.as("x").out().groupCount""") }
+  }
+
   test("connected components fold pair lists into dedup clusters") {
     import spark.implicits._
     // triangle {1,2,3}, chain 10-11-12-13 (tests multi-hop label
