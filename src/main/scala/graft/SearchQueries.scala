@@ -140,6 +140,19 @@ object SearchQueries {
             analyzer = graft.qp.TextAnalyzer.French))
         .select(col("system.path").as("path")).orderBy("path")),
 
+    // Spanish-analyzer opt-in: "los gizmos" raw-matches NOTHING, but
+    // analyzes to the single term "gizm" — "los" is a Spanish stop
+    // word (gap, trimmed) and "gizmos" loses -os by the light stemmer
+    // (Savoy 2006), meeting the doc token "gizmo" stemmed to the same
+    // "gizm" — so the match is non-vacuous ONLY through the Spanish
+    // chain (Standard indexes "gizmo" verbatim and the phrase
+    // "los gizmos" fails; accent/stop edge cases pinned in EngineSpec)
+    "q_search_stemmed_es" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("name:los gizmos"),
+            analyzer = graft.qp.TextAnalyzer.Spanish))
+        .select(col("system.path").as("path")).orderBy("path")),
+
     // Like (`~`) — fuzzy, ES AUTO fuzziness
     "q_search_fuzzy" -> ((s, dir) =>
       Search.run(st(s, dir),
@@ -284,6 +297,10 @@ object SearchQueries {
     "q_search_stemmed_fr" ->
       """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
         |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
+        |ORDER BY path""".stripMargin,
+    "q_search_stemmed_es" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'gizmo')
         |ORDER BY path""".stripMargin,
     "q_search_fuzzy" ->
       """SELECT '/region/' || CAST(r_regionkey AS VARCHAR) AS path FROM region

@@ -211,6 +211,80 @@ object FrTerm {
   }
 }
 
+/** Spanish token→term — stop-gap + light stem as one static call, the
+  * [[graft.qp.TextAnalyzer.Spanish]] executor side. Combined like
+  * [[FrTerm]] (not a regex fold like German) because the published
+  * algorithm is conditional character surgery — a length gate BEFORE
+  * accent folding, then suffix dispatch on the last characters — that
+  * regex rules would state less clearly than ten lines of code. */
+case class EsTermExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "es_term"
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    EsTerm.termU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.EsTerm.termU($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object EsTerm {
+  private lazy val Stops = graft.qp.TextAnalyzer.SpanishStopWords
+
+  def termU(s: UTF8String): UTF8String = UTF8String.fromString(term(s.toString))
+
+  /** The ONE Spanish per-token chain — driver `queryTokens` and the
+    * executor expression both run this. Stop check runs on the RAW
+    * folded token (the set carries accented forms — "más", "él"),
+    * before stemming, like the English/German chains. */
+  def term(tok: String): String = {
+    if (Stops.contains(tok)) return graft.qp.TextAnalyzer.PositionGap
+    stem(tok)
+  }
+
+  /** Light Spanish stemmer (Savoy 2006 — the published algorithm
+    * behind Lucene's SpanishLightStemFilter): tokens shorter than 5
+    * chars pass through UNTOUCHED (accents included — "más" keeps
+    * its á); otherwise accented vowels fold to their base, then one
+    * suffix rule fires: trailing o/a/e drops; -os/-as/-es drops both;
+    * -ces → -z (veces → vez); -eses → -es. Anything else passes. */
+  def stem(t: String): String = {
+    if (t.length < 5) return t
+    val w = t.map {
+      case 'à' | 'á' | 'â' | 'ä' => 'a'
+      case 'è' | 'é' | 'ê' | 'ë' => 'e'
+      case 'ì' | 'í' | 'î' | 'ï' => 'i'
+      case 'ò' | 'ó' | 'ô' | 'ö' => 'o'
+      case 'ù' | 'ú' | 'û' | 'ü' => 'u'
+      case c => c
+    }
+    val n = w.length
+    w(n - 1) match {
+      case 'o' | 'a' | 'e' => w.substring(0, n - 1)
+      case 's' =>
+        if (w(n - 2) == 'e' && w(n - 3) == 's' && w(n - 4) == 'e')
+          w.substring(0, n - 2)
+        else if (w(n - 2) == 'e' && w(n - 3) == 'c')
+          w.substring(0, n - 3) + "z"
+        else if (w(n - 2) == 'o' || w(n - 2) == 'a' || w(n - 2) == 'e')
+          w.substring(0, n - 2)
+        else w
+      case _ => w
+    }
+  }
+}
+
 private object StemRunner {
   def run(rules: Array[(java.util.regex.Pattern, String)],
           t: String): String = {

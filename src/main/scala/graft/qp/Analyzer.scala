@@ -229,6 +229,58 @@ object TextAnalyzer {
     }
   }
 
+  /** Light Spanish analyzer, OPT-IN — third per-language chain.
+    * Same shape as [[German]] (no elision stage): tokenize on Spanish
+    * letter runs (accented vowels and ñ are LETTERS), case-fold via a
+    * locale-free translate on BOTH sides, then per token stop-check →
+    * light stem. The stop check runs on the RAW folded token (the set
+    * carries accented forms); the stemmer is Savoy 2006, the published
+    * algorithm behind Lucene's SpanishLightStemFilter — len≥5 gate,
+    * accent fold, one suffix rule (-o/-a/-e, -os/-as/-es, -ces→-z,
+    * -eses→-es). Both sides run the ONE shared token→term function
+    * ([[graft.functions.EsTerm.term]], native on the executor via
+    * [[graft.functions.EsTermExpr]]) — drift-free by construction. */
+  case object Spanish extends TextAnalyzer {
+    private[qp] val UpperEs = "ABCDEFGHIJKLMNOPQRSTUVWXYZÁÉÍÓÚÜÑ"
+    private[qp] val LowerEs = "abcdefghijklmnopqrstuvwxyzáéíóúüñ"
+    private val RunDelims = "[^a-zàáâäèéêëìíîïòóôöùúûüñ0-9]+"
+    private def fold(s: String): String = s.map { c =>
+      val i = UpperEs.indexOf(c.toInt)
+      if (i >= 0) LowerEs(i) else c
+    }
+    def queryTokens(v: String): Seq[String] = {
+      val marked = fold(v).split(RunDelims).toSeq.filter(_.nonEmpty)
+        .map(graft.functions.EsTerm.term)
+      marked.dropWhile(_ == PositionGap)
+        .reverse.dropWhile(_ == PositionGap).reverse
+    }
+    /** Unused under the overridden [[tokensOf]] — identity. */
+    def docTokens(raw: Column): Column = raw
+    override def tokensOf(s: Column): Column = {
+      val runs = filter(split(translate(s, UpperEs, LowerEs), RunDelims),
+        t => t =!= "")
+      transform(runs, t => esTermCol(t))
+    }
+  }
+
+  /** Common Spanish function-word stop set (articles, pronouns,
+    * frequent prepositions/conjunctions — the stable core of the
+    * public Snowball spanish list, accented forms included). */
+  val SpanishStopWords: Set[String] = Set(
+    "a", "al", "como", "con", "cual", "cuando", "de", "del", "donde",
+    "el", "él", "ella", "ellos", "en", "entre", "esa", "ese", "esta",
+    "este", "esto", "hasta", "hay", "la", "las", "le", "les", "lo",
+    "los", "más", "me", "muy", "ni", "no", "nos", "o", "otra", "otro",
+    "para", "pero", "por", "porque", "que", "qué", "se", "sin",
+    "sobre", "su", "sus", "también", "un", "una", "uno", "y", "ya")
+
+  /** Executor-side Spanish token→term — one static call per token
+    * into the same shared chain ([[graft.functions.EsTermExpr]]). */
+  def esTermCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.EsTermExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
   /** Common French function-word stop set (articles incl. elided
     * forms' cores, pronouns, frequent prepositions — the stable core
     * of the public Snowball french list). Checked on the

@@ -2329,6 +2329,61 @@ class EngineSpec extends AnyFunSuite {
     assert(run("t.o:fleur du jardin", TextAnalyzer.French) == Set("/f/3"))
   }
 
+  test("spanish analyzer: light stemming, accent gate, stop gaps, " +
+      "driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    import graft.functions.EsTerm
+    // canonical Savoy-2006 outputs
+    val vocab = Seq(
+      "gizmos" -> "gizm",       // -os drops both
+      "casas" -> "cas",         // -as drops both
+      "grandes" -> "grand",     // -es drops both
+      "libro" -> "libr",        // trailing o
+      "grande" -> "grand",      // trailing e
+      "veces" -> "vez",         // -ces → -z
+      "meses" -> "mes",         // -eses → -es
+      "casa" -> "casa",         // len < 5 gate: untouched
+      "más" -> "más",           // short keeps its accent
+      "canción" -> "cancion",   // accent folds, no suffix rule
+      "ciudad" -> "ciudad")     // no rule fires
+    vocab.foreach { case (in, want) =>
+      assert(EsTerm.stem(in) == want,
+        s"stemEs($in) = ${EsTerm.stem(in)}, want $want")
+    }
+    // stop check runs on the raw folded token, accented forms included
+    assert(EsTerm.term("los") == TextAnalyzer.PositionGap)
+    assert(EsTerm.term("más") == TextAnalyzer.PositionGap)
+    assert(EsTerm.term("también") == TextAnalyzer.PositionGap)
+    assert(EsTerm.term("gizmos") == "gizm")
+    // driver tokenization == executor expression (accents, case, ñ)
+    import spark.implicits._
+    val texts = Seq("Los GIZMOS de la señora", "más canciones aquí",
+      "El niño come", "abc", "")
+    val sparkToks = texts.toDF("s")
+      .select(TextAnalyzer.Spanish.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    val driverToks = texts.map(t => TextAnalyzer.Spanish
+      .queryTokens("x " + t + " x").drop(1).dropRight(1))
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+    // end to end over a Spanish store
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://e/1> <c://o#t> \"el libro grande\" .",
+      "<c://e/2> <c://o#t> \"los libros grandes\" .",
+      "<c://e/3> <c://o#t> \"un gizmo más\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/e", qp = Some(qp), analyzer = an)))
+    // inflected probe reaches both numbers through the stemmer
+    // (libros/libro → libr, grandes/grande → grand); Standard only
+    // the literal
+    assert(run("t.o:libros grandes", TextAnalyzer.Spanish) ==
+      Set("/e/1", "/e/2"))
+    assert(run("t.o:libros grandes", TextAnalyzer.Standard) == Set("/e/2"))
+    // trailing stop word trims to the single stemmed term
+    assert(run("t.o:gizmo más", TextAnalyzer.Spanish) == Set("/e/3"))
+  }
+
   test("cjk analyzer: bigram phrase match sees CJK text; standard cannot") {
     import graft.qp.TextAnalyzer
     graft.qp.Namespaces.register("o", "c://o#")
