@@ -87,7 +87,10 @@ object ConsumeQueries {
             expanded ::= exp.chunk.select(col("system.path").as("path"))
             plains ::= plain.chunk.select(col("system.uuid").as("u"))
             chunks += 1
-            tok = next
+            // the boundary action already counted the pending rows:
+            // an under-full chunk is the last one — skip the final
+            // empty-probe action the reference protocol would pay
+            if (plain.exhausted) done = true else tok = next
         }
       }
       // exact-partition check, one action: unionAll keeps duplicates,
@@ -142,7 +145,8 @@ object ConsumeQueries {
       var res = Consume.consume(store, Consume.createConsumer("/supplier"))
       while (res.nextToken.isDefined) {
         mirror = graft.ingest.Merger.overwrite(s, mirror, res.chunk)
-        res = Consume.consume(store, res.nextToken.get)
+        res = if (res.exhausted) Consume.Result(res.chunk.limit(0), None)
+              else Consume.consume(store, res.nextToken.get)
       }
       val st2 = GraftStore.fromInfotons(s, mirror, Some(store.fieldTypes))
       val src = Search.run(store, Search.Request(path = "/supplier"))

@@ -68,7 +68,15 @@ object Consume {
     }
   }
 
-  final case class Result(chunk: DataFrame, nextToken: Option[String])
+  /** `exhausted` is a zero-cost drain hint: true when the boundary
+    * top-N saw fewer than chunkSize pending rows, i.e. this chunk is
+    * the last non-empty one and the next consume would return None.
+    * The token protocol is unchanged (the reference's consumer learns
+    * it is done from an empty chunk); a drain LOOP that honors the
+    * hint skips that final empty-probe action. false on token-less
+    * results and on paths that don't compute a count (nextChunk). */
+  final case class Result(chunk: DataFrame, nextToken: Option[String],
+                          exhausted: Boolean = false)
 
   /** `op=create-consumer` — initial token for a path+qp scan. */
   def createConsumer(path: String, qp: Option[String] = None): String =
@@ -93,7 +101,8 @@ object Consume {
     else {
       val boundary = bRow.getLong(0)
       val chunk = pending.where(col("system.indexTime") <= boundary)
-      Result(chunk, Some(st.copy(from = boundary).encode))
+      Result(chunk, Some(st.copy(from = boundary).encode),
+        exhausted = bRow.getLong(1) < chunkSize)
     }
   }
 
@@ -139,7 +148,7 @@ object Consume {
     yg.foreach(y => chunk = Graph.yg(store, chunk, y))
     xg.foreach(x => chunk = Graph.xg(store, chunk,
       Graph.parseXg(x, Graph.refFields(store))))
-    Result(chunk, base.nextToken)
+    Result(chunk, base.nextToken, base.exhausted)
   }
 
   /** `op=create-iterator` / `op=next-chunk` (FTSService.startScroll:721,

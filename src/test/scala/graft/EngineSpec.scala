@@ -104,9 +104,17 @@ class EngineSpec extends AnyFunSuite {
     // of equal indexTimes — the chunk must still be a complete set
     val r1 = Consume.consume(store, Consume.createConsumer("/ev"), 3)
     assert(paths(r1.chunk) == (1 to 5).map(i => s"/ev/$i").toSet)
+    // full top-N (3 of 10 pending) → not exhausted
+    assert(!r1.exhausted)
     val r2 = Consume.consume(store, r1.nextToken.get, 3)
     assert(paths(r2.chunk) == (6 to 10).map(i => s"/ev/$i").toSet)
+    assert(!r2.exhausted) // 5 pending > chunkSize 3
     assert(Consume.consume(store, r2.nextToken.get, 3).nextToken.isEmpty)
+    // under-full boundary flags the drain hint: chunkSize 7 sees all 5
+    // remaining rows, so the next consume is provably empty
+    val r2b = Consume.consume(store, r1.nextToken.get, 7)
+    assert(r2b.exhausted && r2b.nextToken.isDefined)
+    assert(paths(r2b.chunk) == (6 to 10).map(i => s"/ev/$i").toSet)
   }
 
   test("expandable consume: expansion never moves the position token") {
