@@ -723,6 +723,23 @@ object PipelineQueries {
         .orderBy("path", "frame_no")
     }),
 
+    // temporal frame sampling over the REAL decoded stream (the
+    // keyframe-stride op of a video curation pipeline): split +
+    // decode in-row, keep every 2nd frame. The stride predicate on
+    // frame_no composes with the posexplode — no second decode, and
+    // at scale the filter runs on the exploded frame rows of the same
+    // single scan.
+    "q_video_sample" -> ((s, dir) => {
+      val content = Multimodal.videoContentStore(s, docs(s, dir))
+      Multimodal.decodeFrames(s, content)
+        .where(col("frame_no") % 2 === 0)
+        .select(col("path"), col("frame_no").cast("long").as("frame_no"),
+          aggregate(transform(col("pixels"),
+              p => round(p * 255).cast("long")), lit(0L), _ + _)
+            .as("pixel_sum"))
+        .orderBy("path", "frame_no")
+    }),
+
     // resize = integer-factor average pooling over decoded frames —
     // the standard image-preprocessing step of a multimodal training
     // pipeline, run END-TO-END on real bytes: decode the concatenated-
@@ -787,6 +804,24 @@ object PipelineQueries {
       val content = Multimodal.wavContentStore(s, docs(s, dir))
       Multimodal.decodeAudio(s, content)
         .select(col("path"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          size(col("samples")).cast("long").as("n_samples"),
+          aggregate(transform(col("samples"),
+              x => round(x * 32768).cast("long")), lit(0L), _ + _)
+            .as("sample_sum"))
+        .orderBy("path")
+    }),
+
+    // integer-factor decimation (the resample plumbing): decode real
+    // RIFF bytes, keep every 2nd sample, halve the rate. The kept-
+    // sample integer sum is exact the same way q_audio_decode's is
+    // (each sample v/2^15 exact in float32), so dims, rate and the
+    // decimated sum are integer-compared end to end.
+    "q_audio_resample" -> ((s, dir) => {
+      val content = Multimodal.wavContentStore(s, docs(s, dir))
+      val rs = Multimodal.audioResample(
+        Multimodal.decodeAudio(s, content), 2)
+      rs.select(col("path"),
           col("sample_rate").cast("long").as("sample_rate"),
           size(col("samples")).cast("long").as("n_samples"),
           aggregate(transform(col("samples"),
@@ -1863,6 +1898,22 @@ object PipelineQueries {
         |    CAST(4 + (doc_id % 2) * 2 AS BIGINT) AS height
         |  FROM documents)
         |ORDER BY path, frame_no""".stripMargin,
+    "q_video_sample" ->
+      """SELECT path, frame_no,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(0, CAST(width * height - 1 AS BIGINT)),
+        |    i -> (did * 13 + frame_no * 7 + i * 5) % 256)) AS BIGINT)
+        |    AS pixel_sum
+        |FROM (
+        |  SELECT doc_id AS did,
+        |    '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |    unnest(generate_series(0, CAST(2 + doc_id % 3 AS BIGINT)))
+        |      AS frame_no,
+        |    CAST(6 AS BIGINT) AS width,
+        |    CAST(4 + (doc_id % 2) * 2 AS BIGINT) AS height
+        |  FROM documents)
+        |WHERE frame_no % 2 = 0
+        |ORDER BY path, frame_no""".stripMargin,
     // 2×2 pooling over the same closed-form frames: output pixel o
     // (row-major over a 3×(h/2) grid) pools source indices
     // b, b+1, b+6, b+7 where b = (o//3)·2·6 + (o%3)·2; the engine's
@@ -1925,6 +1976,17 @@ object PipelineQueries {
         |  CAST(list_sum(list_transform(
         |    generate_series(0, 800 + (doc_id % 5) * 160 - 1),
         |    i -> (doc_id * 17 + i * 3) % 2001 - 1000)) AS BIGINT)
+        |    AS sample_sum
+        |FROM documents ORDER BY path""".stripMargin,
+    // same closed-form samples decimated by 2: kept sample i is
+    // source sample 2i, i.e. (id*17 + 6i) % 2001 - 1000
+    "q_audio_resample" ->
+      """SELECT '/documents/' || CAST(doc_id AS VARCHAR) AS path,
+        |  CAST(4000 AS BIGINT) AS sample_rate,
+        |  CAST((800 + (doc_id % 5) * 160) // 2 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(0, (800 + (doc_id % 5) * 160) // 2 - 1),
+        |    i -> (doc_id * 17 + i * 6) % 2001 - 1000)) AS BIGINT)
         |    AS sample_sum
         |FROM documents ORDER BY path""".stripMargin,
     // same closed-form samples framed into 160-sample windows;

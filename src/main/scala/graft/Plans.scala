@@ -85,7 +85,10 @@ object Plans {
                               // decode inside WholeStageCodegen, no RDD exit
       "q_image_decode_jpeg",  // ImageIO route of the same in-row decode
       "q_gremlin_loop",       // bounded loop desugared to hop-join levels
-      "q_search_stemmed_de")  // German chain inside the pushed predicate
+      "q_search_stemmed_de",  // German chain inside the pushed predicate
+      "q_gremlin_groupcount", // hop = join + partial-agg'd groupBy(head)
+      "q_audio_frames",       // windowed energies in-row: scan-side projection
+      "q_image_resize")       // decode + pool + weigh: one codegen projection
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")

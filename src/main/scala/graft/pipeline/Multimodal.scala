@@ -228,6 +228,30 @@ object Multimodal {
       array_max(transform(col("samples"), x => abs(x))).as("peak"))
   }
 
+  /** Integer-factor audio decimation (every `f`-th sample kept, rate
+    * divided by `f`) — the resample primitive of an audio
+    * normalization pipeline (true band-limited resampling would
+    * low-pass first; decimation is the plumbing both share). Pure
+    * in-row Column expressions, a projection at scale. The rate must
+    * divide evenly (fail-loud per row: a silently fractional rate
+    * would corrupt every downstream duration). */
+  def audioResample(decoded: DataFrame, f: Int): DataFrame = {
+    require(f >= 1, s"decimation factor >= 1: $f")
+    val guard = when(col("sample_rate") % f === 0, lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"audioResample: rate not divisible by $f: "),
+        col("sample_rate").cast("string"))))
+    val n = size(col("samples"))
+    val kept = ((n + f - 1) / f).cast("int") // ceil: indices 0, f, ... < n
+    val out = when(kept > 0,
+      transform(sequence(lit(0), kept - 1, lit(1)),
+        i => element_at(col("samples"), (i * f + 1).cast("int"))))
+      .otherwise(array().cast("array<float>"))
+    decoded.where(guard)
+      .select(col("path"), (col("sample_rate") / f).cast("int")
+        .as("sample_rate"), out.as("samples"))
+  }
+
   /** ==== STUB (signature-less payloads only) ====  Deterministic
     * fake decoder: derives an 8×8 single-channel "image" from the
     * payload bytes (xorshift over a seed hash). PNG payloads take the

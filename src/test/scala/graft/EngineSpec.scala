@@ -1880,6 +1880,21 @@ class EngineSpec extends AnyFunSuite {
     assert(kept.getLong(1) == 3L && kept.getInt(2) == 2)
   }
 
+  test("audioResample: integer decimation, ceil length, rate guard") {
+    val s2 = spark
+    import s2.implicits._
+    // 5 samples / 2 → indices 0,2,4 (ceil), rate halves
+    val decoded = Seq(("/a/1", 8000, Seq(0.1f, 0.2f, 0.3f, 0.4f, 0.5f)))
+      .toDF("path", "sample_rate", "samples")
+    val out = Multimodal.audioResample(decoded, 2).collect().head
+    assert(out.getInt(1) == 4000)
+    assert(out.getSeq[Float](2) == Seq(0.1f, 0.3f, 0.5f))
+    // non-divisible rate fails loud
+    val bad = Seq(("/a/2", 8001, Seq(0.1f)))
+      .toDF("path", "sample_rate", "samples")
+    intercept[Exception] { Multimodal.audioResample(bad, 2).collect() }
+  }
+
   test("audioFrames: per-window energy, tail drop, empty guard") {
     val s2 = spark
     import s2.implicits._
