@@ -243,7 +243,50 @@ object GraphQueries {
       graft.ops.Gremlin.eval(st(s, dir),
           """g.V.has("mktsegment", "BUILDING").out("refNation").groupCount""")
         .select(col("id"), col("n").cast("long").as("n"))
-        .orderBy("id")))
+        .orderBy("id")),
+
+    // Gremlin .order (OrderPipe): the ENGINE emits the sorted stream —
+    // no .orderBy here; the oracle's ORDER BY pins that the pipe
+    // itself produced id order end-to-end through the implicit
+    // id terminal
+    "q_gremlin_order" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.v("/region/1").in("refRegion").in("refNation").has("mktsegment", "BUILDING").has("acctbal", "gt", "9000").order""")),
+
+    // Gremlin .select (SelectPipe): project the .as-named steps as
+    // columns — customer / nation / region triples for rich BUILDING
+    // customers
+    "q_gremlin_select" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.V.has("mktsegment", "BUILDING").has("acctbal", "gt", "9900").as("c").out("refNation").as("n").out("refRegion").as("r").select""")
+        .orderBy("c")),
+
+    // Gremlin .aggregate/.except (AggregatePipe + ExceptFilterPipe):
+    // bag customer 1's home nation, expand to its region's nations,
+    // drop the bag — the classic "neighbors except already-seen"
+    // collect-and-filter idiom as one anti-join
+    "q_gremlin_except" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.v("/customer/1").out("refNation").aggregate("home").out("refRegion").in("refRegion").except("home").id""")
+        .orderBy("id")),
+
+    // Gremlin .retain (RetainFilterPipe): bag the nations with a rich
+    // BUILDING customer, expand through their regions to ALL sibling
+    // nations, retain the bag — the semi-join dual of except
+    "q_gremlin_retain" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.V.has("mktsegment", "BUILDING").has("acctbal", "gt", "9000").out("refNation").aggregate("rich").out("refRegion").in("refRegion").retain("rich").id""")
+        .orderBy("id")),
+
+    // Gremlin .simplePath (SimplePathFilterPipe): two wildcard both()
+    // hops from nation 1 — every there-and-back path (via its region,
+    // customers or suppliers) revisits nation 1 and is dropped; the
+    // survivors are sibling nations, customer orders and supplier
+    // lineitems
+    "q_gremlin_simplepath" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.v("/nation/1").both().both().simplePath.path""")
+        .orderBy("path")))
 
   val oracles: Map[String, String] = Map(
     "q_expansion_limit" -> "SELECT TRUE AS limited",
@@ -294,6 +337,53 @@ object GraphQueries {
         |  count(*) AS n
         |FROM customer WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY id""".stripMargin,
+    "q_gremlin_order" ->
+      """SELECT DISTINCT '/customer/' || CAST(c_custkey AS VARCHAR) AS id
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 1 AND c_mktsegment = 'BUILDING'
+        |  AND c_acctbal > 9000
+        |ORDER BY id""".stripMargin,
+    "q_gremlin_select" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS c,
+        |  '/nation/' || CAST(c_nationkey AS VARCHAR) AS n,
+        |  '/region/' || CAST(n_regionkey AS VARCHAR) AS r
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900
+        |ORDER BY c""".stripMargin,
+    "q_gremlin_except" ->
+      """SELECT DISTINCT '/nation/' || CAST(n2.n_nationkey AS VARCHAR) AS id
+        |FROM customer c
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON n2.n_regionkey = n1.n_regionkey
+        |WHERE c.c_custkey = 1 AND n2.n_nationkey <> n1.n_nationkey
+        |ORDER BY id""".stripMargin,
+    "q_gremlin_retain" ->
+      """SELECT DISTINCT '/nation/' || CAST(c_nationkey AS VARCHAR) AS id
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+        |ORDER BY id""".stripMargin,
+    "q_gremlin_simplepath" ->
+      """SELECT path FROM (
+        |  SELECT '/nation/1>/region/' || CAST(n_regionkey AS VARCHAR) ||
+        |    '>/nation/' || CAST(n_nationkey AS VARCHAR) AS path
+        |  FROM nation
+        |  WHERE n_regionkey =
+        |    (SELECT n_regionkey FROM nation WHERE n_nationkey = 1)
+        |    AND n_nationkey <> 1
+        |  UNION
+        |  SELECT '/nation/1>/customer/' || CAST(c_custkey AS VARCHAR) ||
+        |    '>/orders/' || CAST(o_orderkey AS VARCHAR)
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  WHERE c_nationkey = 1
+        |  UNION
+        |  SELECT '/nation/1>/supplier/' || CAST(s_suppkey AS VARCHAR) ||
+        |    '>/lineitem/' || CAST(l_orderkey AS VARCHAR) || '-' ||
+        |    CAST(l_linenumber AS VARCHAR) || '-' ||
+        |    CAST(l_partkey AS VARCHAR) || '-' ||
+        |    CAST(l_suppkey AS VARCHAR)
+        |  FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = 1
+        |) ORDER BY path""".stripMargin,
     "q_xg" ->
       """SELECT path FROM (
         |  SELECT '/orders/' || CAST(o_orderkey AS VARCHAR) AS path FROM orders

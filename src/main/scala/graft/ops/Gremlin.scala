@@ -63,6 +63,28 @@ import org.apache.spark.sql.functions._
   *                           had at .as("x") — filters applied after x
   *                           keep constraining, the emitted frontier is
   *                           the ancestor set (Gremlin 2 BackFilterPipe)
+  *   .order                  sort the stream by natural (id) order
+  *                           (Gremlin 2 OrderPipe, no-closure form).
+  *                           Spark only preserves a sort through
+  *                           projections/limits, so only limit/id/
+  *                           select/label may follow — fail loud
+  *                           otherwise rather than silently unordered
+  *   .select                 terminal: one column per named (.as)
+  *                           step, in naming order (Gremlin 2
+  *                           SelectPipe, no-args form)
+  *   .simplePath             drop traversal paths that revisit a
+  *                           vertex (Gremlin 2 SimplePathFilterPipe);
+  *                           routes through the trail-threading
+  *                           evaluator — composes with .path, or ends
+  *                           as the implicit id terminal
+  *   .aggregate("b")         snapshot the current vertex set into
+  *                           named bag b; stream continues unchanged
+  *                           (Gremlin 2 AggregatePipe — relational
+  *                           form: a lineage snapshot, no collect)
+  *   .except("b")            drop vertices present in bag b
+  *                           (ExceptFilterPipe → anti-join)
+  *   .retain("b")            keep only vertices present in bag b
+  *                           (RetainFilterPipe → semi-join)
   *   .loop("x", n)           BOUNDED loop: repeat the pipes since
   *                           .as("x") so the segment runs n times total
   *                           (n a literal 1-20; desugars to n-1 extra
@@ -95,6 +117,12 @@ object Gremlin {
   private[ops] case object LabelStep extends Step
   private[ops] case object PathStep extends Step
   private[ops] case object GroupCountStep extends Step
+  private[ops] case object OrderStep extends Step
+  private[ops] case object SelectStep extends Step
+  private[ops] case object SimplePathStep extends Step
+  private[ops] final case class AggregateStep(bag: String) extends Step
+  private[ops] final case class ExceptStep(bag: String) extends Step
+  private[ops] final case class RetainStep(bag: String) extends Step
   private[ops] final case class Has(prop: String, cmp: String,
                                     value: Option[String]) extends Step
   private[ops] final case class HasNot(prop: String) extends Step
@@ -199,6 +227,12 @@ object Gremlin {
         case ("id", Seq()) => Id
         case ("count", Seq()) => Count
         case ("groupCount", Seq()) => GroupCountStep
+        case ("order", Seq()) => OrderStep
+        case ("select", Seq()) => SelectStep
+        case ("simplePath", Seq()) => SimplePathStep
+        case ("aggregate", Seq(b)) if b.nonEmpty => AggregateStep(b)
+        case ("except", Seq(b)) if b.nonEmpty => ExceptStep(b)
+        case ("retain", Seq(b)) if b.nonEmpty => RetainStep(b)
         case other => throw new IllegalArgumentException(
           s"gremlin syntax error: unsupported pipe .$name(${as.mkString(",")})")
       }
@@ -250,9 +284,23 @@ object Gremlin {
     val steps = expandLoops(parse(query), query)
     require(steps.nonEmpty && steps.head.isInstanceOf[Start],
       s"gremlin chain must start with g.v(...)/g.V: '$query'")
-    if (steps.contains(PathStep)) return evalPath(store, steps, query)
+    if (steps.contains(PathStep) || steps.contains(SimplePathStep))
+      return evalPath(store, steps, query)
     if (steps.contains(GroupCountStep))
       return evalGroupCount(store, steps, query)
+    // .order sorts the RELATIONAL stream; Spark only preserves a sort
+    // through projections and limits (any join would re-shuffle it
+    // away), so pipes after .order are restricted to the
+    // order-preserving set — anything else fails loud rather than
+    // silently emitting unordered rows
+    steps.indexOf(OrderStep) match {
+      case -1 => ()
+      case oi => require(steps.drop(oi + 1).forall {
+        case (_: Limit) | Id | SelectStep | LabelStep => true
+        case _ => false
+      }, "gremlin syntax error: only order-preserving pipes " +
+        s"(limit/id/select/label) may follow .order in '$query'")
+    }
     var frontier: DataFrame = steps.head match {
       case Start(Some(id)) =>
         // existence-checked like Blueprints getVertex: a missing id is
@@ -266,6 +314,9 @@ object Gremlin {
     // live .as carry columns (insertion-ordered): __as_<label> rides
     // every vertex hop so .back can rewind surviving rows
     var carries: Vector[String] = Vector.empty
+    // named bags (.aggregate): head-vertex-set snapshots that later
+    // .except/.retain filter against via anti/semi joins
+    var bags: Map[String, DataFrame] = Map.empty
     // edge-frontier mode (outE/inE/bothE): Some(from,label,to) until an
     // inV/outV collapses it back to vertices. Vertex-only pipes on an
     // edge frontier fail loud (reference: RDF edges carry no props).
@@ -382,6 +433,48 @@ object Gremlin {
             case Some(e) => edges = Some(e.distinct())
             case None    => frontier = frontier.distinct()
           }
+        case AggregateStep(bag) =>
+          // Gremlin 2 AggregatePipe: snapshot the current head-vertex
+          // set into a named bag; the stream continues unchanged. The
+          // snapshot is a DataFrame lineage, not a driver collect —
+          // later except/retain joins against it distribute normally
+          requireVertexMode("aggregate")
+          bags += bag -> frontier.select(col("p")).distinct()
+        case ExceptStep(bag) =>
+          // Gremlin 2 ExceptFilterPipe over a named bag: anti-join
+          requireVertexMode("except")
+          require(bags.contains(bag), s"gremlin syntax error: .except " +
+            s"bag '$bag' has no preceding .aggregate in '$query'")
+          frontier = frontier.join(
+            bags(bag).select(col("p").as("fp")),
+            col("p") === col("fp"), "left_anti")
+        case RetainStep(bag) =>
+          // Gremlin 2 RetainFilterPipe over a named bag: semi-join
+          requireVertexMode("retain")
+          require(bags.contains(bag), s"gremlin syntax error: .retain " +
+            s"bag '$bag' has no preceding .aggregate in '$query'")
+          frontier = frontier.join(
+            bags(bag).select(col("p").as("fp")),
+            col("p") === col("fp"), "left_semi")
+        case OrderStep =>
+          // Gremlin 2 OrderPipe, no-closure form: natural (id) order of
+          // the current stream; carries tie-break duplicate heads so
+          // the emitted order is total and deterministic
+          edges match {
+            case Some(e) => edges = Some(
+              e.orderBy(col("from"), col("label"), col("to")))
+            case None => frontier = frontier
+              .orderBy((col("p") +: carries.map(col)): _*)
+          }
+        case SelectStep =>
+          // Gremlin 2 SelectPipe, no-args form: one column per named
+          // (.as) step, in naming order — the head vertex itself is
+          // only emitted if it was named
+          requireVertexMode("select")
+          require(carries.nonEmpty, "gremlin syntax error: .select " +
+            s"needs at least one preceding .as name in '$query'")
+          terminal = Some(frontier.select(
+            carries.map(c => col(c).as(c.stripPrefix("__as_"))): _*))
         case Id =>
           terminal = Some(edges.fold(frontier.select(col("p").as("id")))(
             _.select(edgeId)))
@@ -411,7 +504,8 @@ object Gremlin {
     * must be the terminal. */
   private def evalPath(store: GraftStore, steps: Seq[Step],
                        query: String): DataFrame = {
-    require(steps.last == PathStep && steps.count(_ == PathStep) == 1,
+    require(steps.count(_ == PathStep) <= 1 &&
+      (!steps.contains(PathStep) || steps.last == PathStep),
       s"gremlin syntax error: .path must be the single terminal in '$query'")
     def seed(base: DataFrame): DataFrame =
       base.select(col("system.path").as("p"),
@@ -426,7 +520,14 @@ object Gremlin {
       fr = fr.join(store.current.where(pred)
           .select(col("system.path").as("fp")),
         col("p") === col("fp"), joinType)
-    steps.tail.init.foreach {
+    // explicit terminals (.path / .id) are handled after the fold; a
+    // chain ending in any other pipe gets the implicit id terminal, so
+    // only strip the last step when it IS an explicit terminal
+    val body = steps.last match {
+      case PathStep | Id => steps.tail.init
+      case _             => steps.tail
+    }
+    body.foreach {
       case Hop(dir, field) =>
         val fields = field.map(Seq(_)).getOrElse(Graph.refFields(store))
         require(fields.nonEmpty, "hop over empty reference-field universe")
@@ -449,6 +550,11 @@ object Gremlin {
         semiOn(new FilterCompiler(store).compile(QpParser.parse(s"$prop:")),
           "left_anti")
       case DedupStep => fr = fr.distinct()
+      case SimplePathStep =>
+        // Gremlin 2 SimplePathFilterPipe: drop traversal paths that
+        // revisit a vertex — pure per-row array predicate, no shuffle
+        fr = fr.where(size(array_distinct(col("trail"))) ===
+          size(col("trail")))
       case Limit(n) =>
         fr = fr.withColumn("__ord", array_join(col("trail"), ">"))
           .orderBy("__ord").limit(n).drop("__ord")
@@ -456,7 +562,12 @@ object Gremlin {
         s"gremlin syntax error: .path does not compose with " +
           s"$other in '$query' (vertex chains only)")
     }
-    fr.select(array_join(col("trail"), ">").as("path"))
+    if (steps.last == PathStep)
+      fr.select(array_join(col("trail"), ">").as("path"))
+    else
+      // a .simplePath chain without a .path terminal emits the head
+      // vertex set (implicit id terminal, id-frontier dedup semantics)
+      fr.select(col("p").as("id")).distinct()
   }
 
   /** Shared `.has` → qp predicate compilation (Blueprints T.*

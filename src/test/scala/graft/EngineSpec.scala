@@ -3357,6 +3357,92 @@ class EngineSpec extends AnyFunSuite {
       Gremlin.eval(store, """g.V.as("x").out().groupCount""") }
   }
 
+  test("gremlin order/select/simplePath: engine-sorted stream, named-" +
+      "step projection, revisit filtering") {
+    import graft.ops.Gremlin
+    val store = GraftStore.forDir(spark, Sf)
+    // .order emits the stream already id-sorted (no orderBy on top)
+    val ordered = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").has("mktsegment").order""")
+      .collect().map(_.getString(0)).toSeq
+    assert(ordered.nonEmpty && ordered == ordered.sorted)
+    // order → limit composes (top-n by id)
+    val top3 = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").has("mktsegment").order.limit(3)""")
+      .collect().map(_.getString(0)).toSeq
+    assert(top3 == ordered.take(3))
+    // a hop after .order would lose the sort — fail loud
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.order.out("refNation")""") }
+    // .select projects the .as-named steps as columns, naming order
+    val sel = Gremlin.eval(store,
+      """g.v("/customer/1").as("c").out("refNation").as("n").select""")
+    assert(sel.columns.toSeq == Seq("c", "n"))
+    val row = sel.collect().head
+    assert(row.getString(0) == "/customer/1" &&
+      row.getString(1).startsWith("/nation/"))
+    // .select without a preceding .as fails loud
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.v("/customer/1").out("refNation").select""") }
+    // .simplePath: out-and-back via the same vertex is dropped; with
+    // .path every surviving trail has no repeats
+    val trails = Gremlin.eval(store,
+        """g.v("/customer/1").out("refNation").both().simplePath.path""")
+      .collect().map(_.getString(0)).toSeq
+    assert(trails.forall { t =>
+      val hops = t.split(">").toSeq
+      hops.distinct == hops && !hops.tail.contains("/customer/1")
+    })
+    // the same chain WITHOUT simplePath does contain the revisit
+    val all = Gremlin.eval(store,
+        """g.v("/customer/1").out("refNation").both().path""")
+      .collect().map(_.getString(0)).toSeq
+    assert(all.exists(_.split(">").toSeq.tail.contains("/customer/1")) &&
+      all.size > trails.size)
+    // simplePath without .path ends as the implicit id terminal
+    val ids = Gremlin.eval(store,
+        """g.v("/customer/1").out("refNation").both().simplePath""")
+    assert(ids.columns.toSeq == Seq("id") &&
+      !ids.collect().map(_.getString(0)).contains("/customer/1"))
+  }
+
+  test("gremlin aggregate/except/retain: named bags filter via " +
+      "anti/semi joins") {
+    import graft.ops.Gremlin
+    val store = GraftStore.forDir(spark, Sf)
+    // except drops the bagged home nation from the sibling expansion
+    val sib = Gremlin.eval(store,
+        """g.v("/customer/1").out("refNation").aggregate("h").out("refRegion").in("refRegion").except("h").id""")
+      .collect().map(_.getString(0)).toSet
+    val home = Gremlin.eval(store,
+        """g.v("/customer/1").out("refNation").id""")
+      .collect().map(_.getString(0)).toSet
+    val all = Gremlin.eval(store,
+        """g.v("/customer/1").out("refNation").out("refRegion").in("refRegion").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(sib == all -- home && sib.nonEmpty)
+    // retain is the semi-join dual: except(b) ∪ retain(b) = stream
+    val ret = Gremlin.eval(store,
+        """g.v("/customer/1").out("refNation").aggregate("h").out("refRegion").in("refRegion").retain("h").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(ret == home && (sib ++ ret) == all)
+    // the bag snapshots the set at aggregate time, not at filter time:
+    // a later hop doesn't change what was bagged
+    val snap = Gremlin.eval(store,
+        """g.v("/nation/1").aggregate("b").out("refRegion").in("refRegion").retain("b").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(snap == Set("/nation/1"))
+    // except/retain against an undeclared bag fail loud
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.except("nope").id""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.retain("nope").id""") }
+    // aggregate on an edge frontier fails loud (vertex pipe)
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store,
+        """g.v("/customer/1").outE("refNation").aggregate("e")""") }
+  }
+
   test("connected components fold pair lists into dedup clusters") {
     import spark.implicits._
     // triangle {1,2,3}, chain 10-11-12-13 (tests multi-hop label
