@@ -131,7 +131,11 @@ object Bench {
       catch { case e: Throwable =>
         errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}".take(300)
       }
-      (System.nanoTime() - t) / 1e9
+      val sec = (System.nanoTime() - t) / 1e9
+      // live progress on STDERR only — the driver parses stdout's
+      // single JSON line; this is for humans watching a long run
+      System.err.println(f"[bench] $name%-28s $sec%7.1f s")
+      sec
     }
     val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
       val t = timeOnce(name, fn)

@@ -88,7 +88,8 @@ object Plans {
       "q_search_stemmed_de",  // German chain inside the pushed predicate
       "q_gremlin_groupcount", // hop = join + partial-agg'd groupBy(head)
       "q_audio_frames",       // windowed energies in-row: scan-side projection
-      "q_image_resize")       // decode + pool + weigh: one codegen projection
+      "q_image_resize",       // decode + pool + weigh: one codegen projection
+      "q_gremlin_simplepath") // trail-threading hops + in-row revisit filter
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")

@@ -80,12 +80,24 @@ emit("events", f"""
          event_type, value, props
   FROM '{SRC}/events.parquet', {R}""")
 
+# EVERY token gets the replica prefix (not just a leading marker):
+# a single prepended token leaves replicas ~94% shingle-Jaccard
+# similar, so each source doc's 10 replicas form a near-dup CLIQUE
+# and candidate-pair counts grow ~100x — quadratic data pathology,
+# not engine scaling. Prefixing every token destroys cross-replica
+# shingle overlap entirely while preserving the within-replica
+# near-dup structure verbatim (A ~ B at sf0.1 => A_r ~ B_r at each
+# r) — the pair set and cluster sizes scale exactly 10x linear.
 emit("documents", f"""
   SELECT doc_id + r * {B_DOC} AS doc_id,
-         CASE WHEN r = 0 THEN text ELSE 'r' || r || ' ' || text END AS text,
+         CASE WHEN r = 0 THEN text
+              ELSE array_to_string(
+                list_transform(str_split(text, ' '),
+                               t -> 'r' || r || t), ' ') END AS text,
          lang, source,
          CASE WHEN r = 0 THEN n_chars
-              ELSE n_chars + length('r' || r || ' ') END AS n_chars
+              ELSE n_chars + (length(str_split(text, ' '))
+                              * length('r' || r)) END AS n_chars
   FROM '{SRC}/documents.parquet', {R}""")
 
 # cyclic rotation by r positions: element i of replica r is source
