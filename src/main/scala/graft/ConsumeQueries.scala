@@ -64,42 +64,52 @@ object ConsumeQueries {
     "q_consume_expand" -> ((s, dir) => {
       val store = st(s, dir)
       val qp = Some("totalprice>400000")
-      val matching = Search.run(store,
-        Search.Request(path = "/orders", qp = qp)).count()
       // the invariant under test is token-resume ACROSS expanded
-      // chunks, not a fixed chunk byte-size: size the chunk so the
-      // drain is ~3 chunks at ANY sf (a fixed 1500 meant 31 chunks ×
-      // several actions at sf0.1 — 32 s of pure loop overhead)
+      // chunks, not a fixed chunk byte-size: size the drain to ~3
+      // chunks at ANY sf (a fixed 1500 meant 31 chunks × several
+      // actions at sf0.1 — 32 s of pure loop overhead). The sizing
+      // count is FOLDED into the first boundary probe (consumeSized:
+      // one action returns count + quantile boundary + drain hint),
+      // so a k-chunk drain costs exactly k driver actions plus the
+      // final result materialization.
+      val tok0 = Consume.createConsumer("/orders", qp)
+      val (first, matching) = Consume.consumeSized(store, tok0,
+        targetChunks = 3)
       val chunkSize = math.max(1L, (matching + 2) / 3).toInt
-      var tok = Consume.createConsumer("/orders", qp)
       var expanded = List.empty[DataFrame]
       var plains = List.empty[DataFrame]
       var chunks = 0
-      var done = false
+      var res = first
+      var done = matching == 0
       while (!done) {
-        val plain = Consume.consume(store, tok, chunkSize)
-        plain.nextToken match {
+        res.nextToken match {
           case None => done = true
           case Some(next) =>
-            val exp = Consume.expandChunk(store, plain,
+            val exp = Consume.expandChunk(store, res,
               xg = Some("refCustomer"),
               gqp = Some(">refCustomer[mktsegment::BUILDING]"))
             expanded ::= exp.chunk.select(col("system.path").as("path"))
-            plains ::= plain.chunk.select(col("system.uuid").as("u"))
+            plains ::= res.chunk.select(col("system.uuid").as("u"))
             chunks += 1
             // the boundary action already counted the pending rows:
             // an under-full chunk is the last one — skip the final
             // empty-probe action the reference protocol would pay
-            if (plain.exhausted) done = true else tok = next
+            if (res.exhausted) done = true
+            else res = Consume.consume(store, next, chunkSize)
         }
       }
-      // exact-partition check, one action: unionAll keeps duplicates,
-      // so sum-of-chunk-sizes == matching rows detects both loss and
-      // double-consumption at the seams
-      val drained = plains.reduce(_ unionAll _).count()
+      // exact-partition check folded INTO the result plan (no driver
+      // action of its own): unionAll keeps duplicates, so
+      // sum-of-chunk-sizes == matching rows detects both loss and
+      // double-consumption at the seams; the 1-row aggregate joins
+      // the result as a broadcast scalar
+      val drained = plains.reduce(_ unionAll _)
+        .agg(count(lit(1)).as("drained_rows"))
       expanded.reduce(_ union _).distinct()
+        .crossJoin(broadcast(drained))
         .withColumn("resumed_exactly",
-          lit(chunks > 1 && drained == matching))
+          lit(chunks > 1) && col("drained_rows") === lit(matching))
+        .drop("drained_rows")
         .orderBy("path")
     }),
 

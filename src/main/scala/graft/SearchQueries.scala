@@ -153,6 +153,33 @@ object SearchQueries {
             analyzer = graft.qp.TextAnalyzer.Spanish))
         .select(col("system.path").as("path")).orderBy("path")),
 
+    // Italian-analyzer opt-in: "gli widgeti" raw-matches NOTHING, but
+    // analyzes to the single term "widget" — "gli" is an Italian stop
+    // word (gap, trimmed) and "widgeti" (Italian-inflected plural of
+    // the loanword) loses its final -i by the light stemmer (Savoy
+    // 2006: one final-vowel rule), meeting the doc token "widget"
+    // (consonant-final → untouched) — so the match is non-vacuous
+    // ONLY through the Italian chain (Standard sees "widgeti"
+    // verbatim); elision behavior is pinned in EngineSpec
+    "q_search_stemmed_it" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("name:gli widgeti"),
+            analyzer = graft.qp.TextAnalyzer.Italian))
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // Portuguese-analyzer opt-in: "os gizmos" raw-matches NOTHING,
+    // but analyzes to the single term "gizm" — "os" is a Portuguese
+    // stop word (gap, trimmed) and "gizmos" reduces -s then drops the
+    // theme vowel -o by the light stemmer (Savoy 2006), meeting the
+    // doc token "gizmo" stemmed to the same "gizm" — non-vacuous ONLY
+    // through the Portuguese chain (the plural-alternation and
+    // feminine edge cases are pinned in EngineSpec)
+    "q_search_stemmed_pt" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("name:os gizmos"),
+            analyzer = graft.qp.TextAnalyzer.Portuguese))
+        .select(col("system.path").as("path")).orderBy("path")),
+
     // Like (`~`) — fuzzy, ES AUTO fuzziness
     "q_search_fuzzy" -> ((s, dir) =>
       Search.run(st(s, dir),
@@ -299,6 +326,14 @@ object SearchQueries {
         |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
         |ORDER BY path""".stripMargin,
     "q_search_stemmed_es" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'gizmo')
+        |ORDER BY path""".stripMargin,
+    "q_search_stemmed_it" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
+        |ORDER BY path""".stripMargin,
+    "q_search_stemmed_pt" ->
       """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
         |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'gizmo')
         |ORDER BY path""".stripMargin,

@@ -285,6 +285,202 @@ object EsTerm {
   }
 }
 
+/** Italian token→term — the WHOLE per-token chain (elision strip,
+  * apostrophe drop, stop-gap, light stem) as one static call, the
+  * [[graft.qp.TextAnalyzer.Italian]] executor side. Combined like
+  * [[FrTerm]] because Italian shares French's elision stage
+  * (l'amico, dell'arte): the multi-stage per-token pipeline runs as
+  * ONE shared implementation so driver and executor cannot drift. */
+case class ItTermExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "it_term"
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ItTerm.termU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ItTerm.termU($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object ItTerm {
+  private lazy val Stops = graft.qp.TextAnalyzer.ItalianStopWords
+  private lazy val Elisions = graft.qp.TextAnalyzer.ItalianElisions
+
+  def termU(s: UTF8String): UTF8String = UTF8String.fromString(term(s.toString))
+
+  /** The ONE Italian per-token chain — driver `queryTokens` and the
+    * executor expression both run this. Same stage order as
+    * [[FrTerm.term]]: elision strip → apostrophe drop → stop check
+    * (raw folded token, accented forms in the set) → light stem. */
+  def term(tok: String): String = {
+    var t = tok
+    val i1 = t.indexOf('\''); val i2 = t.indexOf('’')
+    val ap = if (i1 < 0) i2 else if (i2 < 0) i1 else math.min(i1, i2)
+    if (ap > 0 && ap < t.length - 1 && Elisions.contains(t.substring(0, ap)))
+      t = t.substring(ap + 1)
+    t = t.filterNot(c => c == '\'' || c == '’')
+    if (t.isEmpty) return ""
+    if (Stops.contains(t)) return graft.qp.TextAnalyzer.PositionGap
+    stem(t)
+  }
+
+  /** Light Italian stemmer (Savoy 2006 — the published algorithm
+    * behind Lucene's ItalianLightStemFilter): tokens shorter than 6
+    * chars pass through untouched (accents included); otherwise
+    * accented vowels fold to their base, then ONE final-vowel rule
+    * fires — Italian plurals are vowel-final: trailing -e/-i/-a/-o
+    * drops, taking a preceding i (gatti→gatt, case→cas, studie→stud)
+    * or the h of a hard-consonant spelling (banche→banc, fichi→fic)
+    * with it. Consonant-final tokens (loanwords) pass unchanged. */
+  def stem(t: String): String = {
+    if (t.length < 6) return t
+    val w = t.map {
+      case 'à' | 'á' | 'â' | 'ä' => 'a'
+      case 'è' | 'é' | 'ê' | 'ë' => 'e'
+      case 'ì' | 'í' | 'î' | 'ï' => 'i'
+      case 'ò' | 'ó' | 'ô' | 'ö' => 'o'
+      case 'ù' | 'ú' | 'û' | 'ü' => 'u'
+      case c => c
+    }
+    val n = w.length
+    w(n - 1) match {
+      case 'e' =>
+        if (w(n - 2) == 'i' || w(n - 2) == 'h') w.substring(0, n - 2)
+        else w.substring(0, n - 1)
+      case 'i' =>
+        if (w(n - 2) == 'h' || w(n - 2) == 'i') w.substring(0, n - 2)
+        else w.substring(0, n - 1)
+      case 'a' =>
+        if (w(n - 2) == 'i') w.substring(0, n - 2)
+        else w.substring(0, n - 1)
+      case 'o' =>
+        if (w(n - 2) == 'i') w.substring(0, n - 2)
+        else w.substring(0, n - 1)
+      case _ => w
+    }
+  }
+}
+
+/** Portuguese token→term — stop-gap + light stem as one static call,
+  * the [[graft.qp.TextAnalyzer.Portuguese]] executor side. Combined
+  * like [[EsTerm]] (no elision stage) because the published recipe is
+  * conditional character surgery — a staged plural reduction whose
+  * rules REWRITE characters (-ns→-m, -ais→-al, -ões→-ão), a feminine
+  * normalization, a final-vowel drop, then the accent fold LAST (the
+  * plural rules must still see ã/ó/é) — which regex rules would state
+  * less clearly than the direct transcription below. */
+case class PtTermExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "pt_term"
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PtTerm.termU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PtTerm.termU($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object PtTerm {
+  private lazy val Stops = graft.qp.TextAnalyzer.PortugueseStopWords
+
+  def termU(s: UTF8String): UTF8String = UTF8String.fromString(term(s.toString))
+
+  /** The ONE Portuguese per-token chain — driver `queryTokens` and the
+    * executor expression both run this. Stop check runs on the RAW
+    * folded token (the set carries accented forms — "não", "é",
+    * "também"), before stemming, like the Spanish chain. */
+  def term(tok: String): String = {
+    if (Stops.contains(tok)) return graft.qp.TextAnalyzer.PositionGap
+    stem(tok)
+  }
+
+  /** Light Portuguese stemmer (Savoy 2006 — the published recipe
+    * behind Lucene's PortugueseLightStemFilter): tokens shorter than 4
+    * chars pass through; otherwise (1) PLURAL reduction — the written
+    * plural alternations, longest/most-specific first: -es after
+    * r/s/l/z drops the -es; -ns → -m (bens→bem); -éis/-eis → -el
+    * (papéis→papel); -ais → -al (animais→animal); -óis → -ol
+    * (lençóis→lençol); other -is → -il (barris→barril); -ões/-ães →
+    * -ão (corações→coração); -mente drops (len>6); any other final -s
+    * drops — then (2) FEMININE normalization on long -a tokens
+    * (-inha/-eira→-o len>7; -osa/-ica/-ida/-ada/-iva→-o, -ora→-or,
+    * -esa→-ês, -na→-no len>6), (3) the final theme vowel a/e/o drops
+    * (len>4), and (4) accents fold to base letters (ç→c) LAST, so the
+    * plural rules above still see their accented spellings. */
+  def stem(t: String): String = {
+    if (t.length < 4) return t
+    var w = removePlural(t)
+    if (w.length > 3 && w.last == 'a') w = normFeminine(w)
+    if (w.length > 4 && (w.last == 'a' || w.last == 'e' || w.last == 'o'))
+      w = w.dropRight(1)
+    w.map {
+      case 'á' | 'â' | 'ã' | 'à' => 'a'
+      case 'é' | 'ê' => 'e'
+      case 'í' => 'i'
+      case 'ó' | 'ô' | 'õ' => 'o'
+      case 'ú' | 'ü' => 'u'
+      case 'ç' => 'c'
+      case c => c
+    }
+  }
+
+  private def removePlural(t: String): String = {
+    val n = t.length
+    if (n > 4 && t.endsWith("es") &&
+        (t(n - 3) == 'r' || t(n - 3) == 's' || t(n - 3) == 'l' ||
+         t(n - 3) == 'z')) return t.dropRight(2)
+    if (n > 3 && t.endsWith("ns")) return t.dropRight(2) + "m"
+    if (n > 4 && (t.endsWith("eis") || t.endsWith("éis")))
+      return t.dropRight(3) + "el"
+    if (n > 4 && t.endsWith("ais")) return t.dropRight(3) + "al"
+    if (n > 4 && t.endsWith("óis")) return t.dropRight(3) + "ol"
+    if (n > 4 && t.endsWith("is")) return t.dropRight(2) + "il"
+    if (n > 3 && (t.endsWith("ões") || t.endsWith("ães")))
+      return t.dropRight(3) + "ão"
+    if (n > 6 && t.endsWith("mente")) return t.dropRight(5)
+    if (n > 3 && t.last == 's') return t.dropRight(1)
+    t
+  }
+
+  private def normFeminine(w: String): String = {
+    val n = w.length
+    if (n > 7 && (w.endsWith("inha") || w.endsWith("iaca") ||
+        w.endsWith("eira"))) return w.dropRight(1) + "o"
+    if (n > 6) {
+      if (w.endsWith("osa") || w.endsWith("ica") || w.endsWith("ida") ||
+          w.endsWith("ada") || w.endsWith("iva") || w.endsWith("ama"))
+        return w.dropRight(1) + "o"
+      if (w.endsWith("ona")) return w.dropRight(3) + "ão"
+      if (w.endsWith("ora")) return w.dropRight(1)
+      if (w.endsWith("esa")) return w.dropRight(3) + "ês"
+      if (w.endsWith("na")) return w.dropRight(1) + "o"
+    }
+    w
+  }
+}
+
 private object StemRunner {
   def run(rules: Array[(java.util.regex.Pattern, String)],
           t: String): String = {

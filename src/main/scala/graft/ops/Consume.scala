@@ -106,6 +106,41 @@ object Consume {
     }
   }
 
+  /** First-chunk probe that also SIZES the drain — ONE action returns
+    * the total pending count, a ~(1/targetChunks) quantile boundary,
+    * and the max indexTime (the drain-complete hint). A drain loop
+    * that wants ~targetChunks chunks over an unknown-size pending set
+    * starts here instead of paying a separate COUNT action before the
+    * first boundary probe: the caller derives
+    * chunkSize = ceil(n/targetChunks) for the remaining [[consume]]
+    * calls. The boundary is an OBSERVED indexTime
+    * (approx_percentile returns a value from the data), so the chunk
+    * keeps [[consume]]'s set semantics — `from < it <= boundary`,
+    * ties included — and the token advances exactly as [[consume]]'s
+    * would; only the boundary PICK differs (approximate quantile
+    * instead of exact top-N), which the reference itself allows:
+    * bulk-consume binary-searches an approximate range end rather
+    * than counting exactly (BulkScrollHandler.scala:81-129). */
+  def consumeSized(store: GraftStore, token: String,
+                   targetChunks: Int): (Result, Long) = {
+    val st = State.decode(token)
+    val pending = matching(store, st)
+      .where(col("system.indexTime") > st.from)
+    val row = pending.agg(
+      count(lit(1)).as("n"),
+      percentile_approx(col("system.indexTime"),
+        lit(1.0 / targetChunks), lit(100000)).as("b"),
+      max(col("system.indexTime")).as("mx")).head()
+    val n = row.getLong(0)
+    if (n == 0) (Result(pending.limit(0), None), 0L)
+    else {
+      val boundary = row.getLong(1)
+      val chunk = pending.where(col("system.indexTime") <= boundary)
+      (Result(chunk, Some(st.copy(from = boundary).encode),
+        exhausted = boundary == row.getLong(2)), n)
+    }
+  }
+
   /** `op=bulk-consume` — like consume but sized for throughput
     * (consume.bulk.threshold=100000): one indexTime RANGE per call.
     * The reference binary-searches the range end; here it's the exact

@@ -263,6 +263,122 @@ object TextAnalyzer {
     }
   }
 
+  /** Light Italian analyzer, OPT-IN — fourth per-language chain.
+    * Italian shares French's ELISION stage (l'amico, dell'arte are
+    * one token whose article prefix drops before stop/stem checks —
+    * Lucene's ElisionFilter with the Italian article set), so
+    * apostrophes are letters to the tokenizer and BOTH sides run the
+    * ONE shared token→term chain ([[graft.functions.ItTerm.term]],
+    * native on the executor via [[graft.functions.ItTermExpr]]):
+    * elision strip → apostrophe drop → stop check → light stem (Savoy
+    * 2006, the recipe behind Lucene's ItalianLightStemFilter — len≥6
+    * gate, accent fold, one final-vowel rule). Stop words come back
+    * as [[PositionGap]] sentinels with the usual phrase semantics. */
+  case object Italian extends TextAnalyzer {
+    private[qp] val UpperIt = "ABCDEFGHIJKLMNOPQRSTUVWXYZÀÈÉÌÍÎÒÓÙÚ"
+    private[qp] val LowerIt = "abcdefghijklmnopqrstuvwxyzàèéìíîòóùú"
+    private val RunDelims = "[^a-zàèéìíîòóùú0-9'’]+"
+    private def fold(s: String): String = s.map { c =>
+      val i = UpperIt.indexOf(c.toInt)
+      if (i >= 0) LowerIt(i) else c
+    }
+    def queryTokens(v: String): Seq[String] = {
+      val marked = fold(v).split(RunDelims).toSeq.filter(_.nonEmpty)
+        .map(graft.functions.ItTerm.term).filter(_.nonEmpty)
+      marked.dropWhile(_ == PositionGap)
+        .reverse.dropWhile(_ == PositionGap).reverse
+    }
+    /** Unused under the overridden [[tokensOf]] — identity. */
+    def docTokens(raw: Column): Column = raw
+    override def tokensOf(s: Column): Column = {
+      val runs = filter(split(translate(s, UpperIt, LowerIt), RunDelims),
+        t => t =!= "")
+      filter(transform(runs, t => itTermCol(t)), t => t =!= "")
+    }
+  }
+
+  /** Light Portuguese analyzer, OPT-IN — fifth per-language chain.
+    * Same shape as [[Spanish]] (no elision stage): tokenize on
+    * Portuguese letter runs (accented vowels, ç and the nasal tildes
+    * are LETTERS), case-fold via a locale-free translate on BOTH
+    * sides, then per token stop-check → light stem. The stop check
+    * runs on the RAW folded token (the set carries accented forms);
+    * the stemmer is Savoy 2006, the published recipe behind Lucene's
+    * PortugueseLightStemFilter — staged plural reduction (written
+    * alternations like -ões→-ão, -ais→-al), feminine normalization,
+    * theme-vowel drop, accent fold last. Both sides run the ONE
+    * shared token→term function ([[graft.functions.PtTerm.term]],
+    * native on the executor via [[graft.functions.PtTermExpr]]). */
+  case object Portuguese extends TextAnalyzer {
+    private[qp] val UpperPt = "ABCDEFGHIJKLMNOPQRSTUVWXYZÁÂÃÀÇÉÊÍÓÔÕÚÜ"
+    private[qp] val LowerPt = "abcdefghijklmnopqrstuvwxyzáâãàçéêíóôõúü"
+    private val RunDelims = "[^a-záâãàçéêíóôõúü0-9]+"
+    private def fold(s: String): String = s.map { c =>
+      val i = UpperPt.indexOf(c.toInt)
+      if (i >= 0) LowerPt(i) else c
+    }
+    def queryTokens(v: String): Seq[String] = {
+      val marked = fold(v).split(RunDelims).toSeq.filter(_.nonEmpty)
+        .map(graft.functions.PtTerm.term)
+      marked.dropWhile(_ == PositionGap)
+        .reverse.dropWhile(_ == PositionGap).reverse
+    }
+    /** Unused under the overridden [[tokensOf]] — identity. */
+    def docTokens(raw: Column): Column = raw
+    override def tokensOf(s: Column): Column = {
+      val runs = filter(split(translate(s, UpperPt, LowerPt), RunDelims),
+        t => t =!= "")
+      transform(runs, t => ptTermCol(t))
+    }
+  }
+
+  /** Common Italian function-word stop set (articles incl. the elided
+    * forms' cores, pronouns, frequent prepositions — the stable core
+    * of the public Snowball italian list, accented forms included).
+    * Checked on the elision-stripped token. */
+  val ItalianStopWords: Set[String] = Set(
+    "a", "ad", "agli", "al", "alla", "alle", "anche", "che", "chi",
+    "ci", "come", "con", "da", "dal", "dalla", "degli", "dei", "del",
+    "della", "delle", "di", "e", "ed", "è", "era", "gli", "ha",
+    "hanno", "ho", "i", "il", "in", "la", "le", "lei", "lo", "loro",
+    "lui", "ma", "mi", "ne", "nei", "nel", "nella", "non", "o", "per",
+    "più", "quella", "quello", "questa", "questo", "se", "si", "sono",
+    "su", "sua", "sue", "sui", "suo", "tra", "tu", "un", "una", "uno")
+
+  /** Elidable article/particle prefixes (Lucene ElisionFilter's
+    * Italian default set): stripped with their apostrophe before any
+    * other per-token stage. */
+  val ItalianElisions: Set[String] = Set(
+    "c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+    "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+    "v", "d")
+
+  /** Executor-side Italian token→term — one static call per token
+    * into the same shared chain ([[graft.functions.ItTermExpr]]). */
+  def itTermCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.ItTermExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
+  /** Common Portuguese function-word stop set (articles, pronouns,
+    * frequent prepositions/conjunctions — the stable core of the
+    * public Snowball portuguese list, accented forms included). */
+  val PortugueseStopWords: Set[String] = Set(
+    "a", "à", "ao", "aos", "as", "às", "com", "como", "da", "das",
+    "de", "do", "dos", "e", "é", "ela", "ele", "eles", "em", "entre",
+    "era", "essa", "esse", "esta", "este", "eu", "foi", "há", "isso",
+    "isto", "já", "mais", "mas", "me", "mesmo", "muito", "na", "não",
+    "nas", "nem", "no", "nos", "o", "os", "ou", "para", "pela",
+    "pelo", "por", "quando", "que", "quem", "se", "sem", "ser", "seu",
+    "sua", "também", "tem", "um", "uma", "você")
+
+  /** Executor-side Portuguese token→term — one static call per token
+    * into the same shared chain ([[graft.functions.PtTermExpr]]). */
+  def ptTermCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.PtTermExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
   /** Common Spanish function-word stop set (articles, pronouns,
     * frequent prepositions/conjunctions — the stable core of the
     * public Snowball spanish list, accented forms included). */

@@ -117,6 +117,41 @@ class EngineSpec extends AnyFunSuite {
     assert(paths(r2b.chunk) == (6 to 10).map(i => s"/ev/$i").toSet)
   }
 
+  test("consumeSized: one probe returns count + boundary; the chain " +
+      "with plain consume drains loss-free") {
+    val b1 = (1 to 5).map(i => s"""<c://sz/$i> <c://o#v> "a" .""")
+    val b2 = (6 to 10).map(i => s"""<c://sz/$i> <c://o#v> "b" .""")
+    val b3 = (11 to 15).map(i => s"""<c://sz/$i> <c://o#v> "c" .""")
+    import spark.implicits._
+    val s1 = Ingest.ingest(spark, Ingest.emptyStore(spark), b1.toDS(),
+      T("2024-01-01 00:00:00"))
+    val s2 = Ingest.ingest(spark, s1, b2.toDS(), T("2024-01-02 00:00:00"))
+    val s3 = Ingest.ingest(spark, s2, b3.toDS(), T("2024-01-03 00:00:00"))
+    val store = GraftStore.fromInfotons(spark, s3)
+    val (first, n) = Consume.consumeSized(store,
+      Consume.createConsumer("/sz"), targetChunks = 3)
+    assert(n == 15) // the sizing count, from the SAME action
+    // the boundary is an observed indexTime: the chunk is a complete
+    // tie-group-closed set (here: exactly the first batch)
+    assert(paths(first.chunk) == (1 to 5).map(i => s"/sz/$i").toSet)
+    assert(!first.exhausted)
+    // the returned token chains into plain consume with the derived
+    // chunkSize: the remaining rows drain with no loss, no duplicates
+    val chunkSize = ((n + 2) / 3).toInt
+    var res = first
+    var all = paths(first.chunk).toList
+    while (res.nextToken.isDefined && !res.exhausted) {
+      res = Consume.consume(store, res.nextToken.get, chunkSize)
+      all = all ++ paths(res.chunk).toList
+    }
+    assert(all.sorted == (1 to 15).map(i => s"/sz/$i").sorted.toList)
+    assert(all.distinct.size == 15)
+    // empty pending set: no token, zero count
+    val (drained, n0) = Consume.consumeSized(store,
+      Consume.State("/sz", Long.MaxValue, None).encode, 3)
+    assert(n0 == 0 && drained.nextToken.isEmpty)
+  }
+
   test("expandable consume: expansion never moves the position token") {
     // the pin that used to run inside q_consume_expand's drain loop
     // (now single-consume via expandChunk): consumeExpand's token must
@@ -2405,6 +2440,131 @@ class EngineSpec extends AnyFunSuite {
     assert(run("t.o:libros grandes", TextAnalyzer.Standard) == Set("/e/2"))
     // trailing stop word trims to the single stemmed term
     assert(run("t.o:gizmo más", TextAnalyzer.Spanish) == Set("/e/3"))
+  }
+
+  test("italian analyzer: elision, final-vowel stemming, stop gaps, " +
+      "driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    import graft.functions.ItTerm
+    // canonical Savoy-2006 outputs (one final-vowel rule, len≥6 gate)
+    val vocab = Seq(
+      "widgeti" -> "widget",    // plain final -i
+      "ragazzi" -> "ragazz",    // plain final -i
+      "ragazze" -> "ragazz",    // plain final -e: plurals meet
+      "banche" -> "banc",       // -he: hard-consonant spelling, h goes
+      "fuochi" -> "fuoc",       // -hi likewise
+      "studio" -> "stud",       // -io: i goes with the o
+      "grazie" -> "graz",       // -ie
+      "università" -> "universit", // accent folds, then final -a
+      "piccolo" -> "piccol",    // plain final -o
+      "piccoli" -> "piccol",    // singular and plural meet
+      "casa" -> "casa",         // len < 6 gate: untouched
+      "gatti" -> "gatti",       // len < 6 gate: short plurals pass
+      "widget" -> "widget")     // consonant-final loanword: untouched
+    vocab.foreach { case (in, want) =>
+      assert(ItTerm.stem(in) == want,
+        s"stemIt($in) = ${ItTerm.stem(in)}, want $want")
+    }
+    // the per-token chain: elision before stop before stem
+    assert(ItTerm.term("l'amico") == "amico") // len 5 < 6: unstemmed
+    assert(ItTerm.term("dell'arte") == "arte") // len 4 < 6: unstemmed
+    assert(ItTerm.term("nell'aria") == "aria")
+    assert(ItTerm.term("un'idea") == "idea")
+    assert(ItTerm.term("l'automobile") == "automobil")
+    assert(ItTerm.term("gli") == TextAnalyzer.PositionGap)
+    assert(ItTerm.term("più") == TextAnalyzer.PositionGap)
+    assert(ItTerm.term("l'") == "l") // dangling apostrophe: no elision
+    assert(ItTerm.term("'") == "")
+    // driver tokenization == executor expression (apostrophes,
+    // accents, uppercase elision)
+    import spark.implicits._
+    val texts = Seq("L'amico dei ragazzi", "nell'ARIA della città",
+      "un'idea più grande", "abc", "")
+    val sparkToks = texts.toDF("s")
+      .select(TextAnalyzer.Italian.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    val driverToks = texts.map(t => TextAnalyzer.Italian
+      .queryTokens("x " + t + " x").drop(1).dropRight(1))
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+    // end to end over an Italian store
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://i/1> <c://o#t> \"la ragazza piccola\" .",
+      "<c://i/2> <c://o#t> \"i ragazzi piccoli\" .",
+      "<c://i/3> <c://o#t> \"l'automobile rossa\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/i", qp = Some(qp), analyzer = an)))
+    // inflected probe reaches both genders/numbers through the stemmer
+    // (ragazzi/ragazza → ragazz, piccoli/piccola → piccol); Standard
+    // only the literal
+    assert(run("t.o:ragazzi piccoli", TextAnalyzer.Italian) ==
+      Set("/i/1", "/i/2"))
+    assert(run("t.o:ragazzi piccoli", TextAnalyzer.Standard) == Set("/i/2"))
+    // the elided doc is reachable through the plural probe
+    assert(run("t.o:automobili", TextAnalyzer.Italian) == Set("/i/3"))
+  }
+
+  test("portuguese analyzer: plural alternations, feminine norm, " +
+      "stop gaps, driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    import graft.functions.PtTerm
+    // canonical Savoy-2006 outputs: the staged plural reduction must
+    // run BEFORE the accent fold (the rules see ã/ó/é), theme vowel
+    // drops after, fold last
+    val vocab = Seq(
+      "gizmos" -> "gizm",       // -s then theme -o
+      "livros" -> "livr",       // -s then theme -o
+      "livro" -> "livr",        // singular and plural meet
+      "bens" -> "bem",          // -ns → -m
+      "papéis" -> "papel",      // -éis → -el
+      "animais" -> "animal",    // -ais → -al
+      "lençóis" -> "lencol",    // -óis → -ol (ç folds last)
+      "barris" -> "barril",     // -is → -il
+      "corações" -> "coraca",   // -ões → -ão, theme -o, fold
+      "coração" -> "coraca",    // singular meets the plural
+      "flores" -> "flor",       // -es after r
+      "rapidamente" -> "rapid", // -mente, then theme -a
+      "famosa" -> "famos",      // feminine meets masculine
+      "famoso" -> "famos",
+      "pequenina" -> "pequenin", // -na → -no, then theme vowel
+      "casa" -> "casa",         // len 4: no theme-vowel drop (>4 gate)
+      "pé" -> "pé")             // len < 4 gate: untouched, accent kept
+    vocab.foreach { case (in, want) =>
+      assert(PtTerm.stem(in) == want,
+        s"stemPt($in) = ${PtTerm.stem(in)}, want $want")
+    }
+    // stop check runs on the raw folded token, accented forms included
+    assert(PtTerm.term("os") == TextAnalyzer.PositionGap)
+    assert(PtTerm.term("não") == TextAnalyzer.PositionGap)
+    assert(PtTerm.term("também") == TextAnalyzer.PositionGap)
+    assert(PtTerm.term("gizmos") == "gizm")
+    // driver tokenization == executor expression (tildes, ç, case)
+    import spark.implicits._
+    val texts = Seq("Os GIZMOS do coração", "não há corações aqui",
+      "as flores pequeninas", "abc", "")
+    val sparkToks = texts.toDF("s")
+      .select(TextAnalyzer.Portuguese.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    val driverToks = texts.map(t => TextAnalyzer.Portuguese
+      .queryTokens("x " + t + " x").drop(1).dropRight(1))
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+    // end to end over a Portuguese store
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://p/1> <c://o#t> \"o livro grande\" .",
+      "<c://p/2> <c://o#t> \"os livros grandes\" .",
+      "<c://p/3> <c://o#t> \"um gizmo também\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/p", qp = Some(qp), analyzer = an)))
+    // inflected probe reaches both numbers through the stemmer
+    // (livros/livro → livr, grandes/grande → grand)
+    assert(run("t.o:livros grandes", TextAnalyzer.Portuguese) ==
+      Set("/p/1", "/p/2"))
+    assert(run("t.o:livros grandes", TextAnalyzer.Standard) == Set("/p/2"))
+    // trailing stop word trims to the single stemmed term
+    assert(run("t.o:gizmo também", TextAnalyzer.Portuguese) == Set("/p/3"))
   }
 
   test("cjk analyzer: bigram phrase match sees CJK text; standard cannot") {
