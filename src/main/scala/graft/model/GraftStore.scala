@@ -62,6 +62,27 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
       .select(col("subject"), col("predicate"), col("v.*"),
         col("lastModified"), col("indexTime"), col("current"), col("kind"))
 
+  /** The same store serving ENTITY scans from the consume-oriented
+    * SECONDARY layout (`infotons_consume`,
+    * [[GraftStore.materializeInfotonsByIndexTime]]) when the
+    * materialized dir carries one — indexTime-major row groups with
+    * tight, pairwise-disjoint min/max stats, so a `_consume` chunk's
+    * range predicate prunes to the boundary row groups instead of
+    * scanning most of the directory (the path-major primary sorts for
+    * point reads; its per-row-group indexTime stats span nearly the
+    * whole range). Falls back to the primary view when no secondary
+    * layout exists (in-memory stores, merged clones): same rows, same
+    * semantics, only the pruning differs. The quad view is shared —
+    * expansion (gqp/yg/xg) keys on quads, not the entity layout. */
+  lazy val consumeView: GraftStore = materializedDir match {
+    case Some(dir)
+        if new java.io.File(s"$dir/infotons_consume").isDirectory =>
+      new GraftStore(spark,
+        spark.read.parquet(s"$dir/infotons_consume").drop("__parent"),
+        fieldTypes, Some(quads), analyzedOnly, materializedDir)
+    case _ => this
+  }
+
   /** The same store with its quad view restricted to a subgraph (the
     * `_sp` PATHS populate step — a filter, not a copy). */
   def scopedTo(sub: DataFrame): GraftStore =
@@ -147,6 +168,10 @@ object GraftStore {
     *     bucketed (path / subject) for shuffle-free joins. */
   def materialize(store: GraftStore, dir: String): Unit = {
     materializeInfotons(store, dir)
+    // the consume-oriented secondary layout rides the same ETL: one
+    // more sorted pass at write time buys row-group-pruned `_consume`
+    // range scans for every later drain ([[GraftStore.consumeView]])
+    materializeInfotonsByIndexTime(store, dir)
     store.quads // same range rationale as materializeInfotons
       .repartitionByRange(col("predicate"), col("subject"))
       .sortWithinPartitions(col("subject"))
@@ -280,7 +305,7 @@ object GraftStore {
     * bump whenever [[materialize]] / the infoton schema changes shape,
     * or a binary upgrade would silently serve a stale pre-upgrade
     * layout whose source fingerprint still matches. */
-  private val EtlLayoutVersion = "v1"
+  private val EtlLayoutVersion = "v2" // v2: + infotons_consume secondary layout
 
   /** Cross-JVM ETL warm start: the materialized layout lives under a
     * shared root keyed by a CONTENT FINGERPRINT of the source parquet

@@ -82,9 +82,14 @@ object Consume {
   def createConsumer(path: String, qp: Option[String] = None): String =
     State(path, 0L, qp).encode
 
+  // consume scans read the indexTime-major SECONDARY layout when the
+  // store carries one ([[graft.model.GraftStore.consumeView]]): the
+  // chunk's range predicate then prunes to the boundary row groups —
+  // the reference's bulk-consume shape (BulkScrollHandler.scala:81-129)
+  // at parquet granularity. Identity fallback otherwise.
   private def matching(store: GraftStore, st: State): DataFrame =
-    Search.run(store, Search.Request(path = st.path, qp = st.qp,
-      withHistory = st.withHistory))
+    Search.run(store.consumeView, Search.Request(path = st.path,
+      qp = st.qp, withHistory = st.withHistory))
 
   /** `_consume` — next chunk after the token; chunkSize defaults to the
     * reference's consume.simple-chunk-size=3000. */
@@ -250,7 +255,7 @@ object Consume {
     * reference's ~100k-doc ranges. */
   def exportSlices(store: GraftStore, path: String,
                    sliceSize: Int): DataFrame = {
-    val base = Search.run(store,
+    val base = Search.run(store.consumeView,
         Search.Request(path = path, withHistory = true))
       .select(col("system.indexTime").as("it"))
     val n = base.count()
