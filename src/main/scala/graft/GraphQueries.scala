@@ -253,6 +253,16 @@ object GraphQueries {
       graft.ops.Gremlin.eval(st(s, dir),
           """g.v("/region/1").in("refRegion").in("refNation").has("mktsegment", "BUILDING").has("acctbal", "gt", "9000").order""")),
 
+    // Gremlin .filter{closure}, translatable subset: comparison
+    // closures desugar onto the typed has-comparators (numeric >=
+    // compares numbers; string == the keyword slot) — programmatic
+    // closures still fail loud (they need the reference's Groovy
+    // engine; see Gremlin.parseFilterClosure)
+    "q_gremlin_filter" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.v("/nation/1").in("refNation").filter{it.acctbal >= 8000}.filter{it.mktsegment == "BUILDING"}.id""")
+        .orderBy("id")),
+
     // Gremlin .select (SelectPipe): project the .as-named steps as
     // columns — customer / nation / region triples for rich BUILDING
     // customers
@@ -302,6 +312,11 @@ object GraphQueries {
     "q_gremlin_range" ->
       """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS id
         |FROM customer WHERE c_acctbal > 9000
+        |ORDER BY id""".stripMargin,
+    "q_gremlin_filter" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS id
+        |FROM customer WHERE c_nationkey = 1 AND c_acctbal >= 8000
+        |AND c_mktsegment = 'BUILDING'
         |ORDER BY id""".stripMargin,
     "q_gremlin_edges" ->
       """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) ||

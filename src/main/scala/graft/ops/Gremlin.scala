@@ -78,13 +78,34 @@ import org.apache.spark.sql.functions._
   *                           evaluator — composes with .path, or ends
   *                           as the implicit id terminal
   *   .aggregate("b")         snapshot the current vertex set into
-  *                           named bag b; stream continues unchanged
-  *                           (Gremlin 2 AggregatePipe — relational
-  *                           form: a lineage snapshot, no collect)
+  *                           named bag b; stream continues unchanged.
+  *                           DIALECT NOTE (intentional divergence):
+  *                           Gremlin 2's AggregatePipe fills a caller-
+  *                           supplied Collection object — no string
+  *                           overload exists — and except/retain with
+  *                           STRINGS refer to named .as steps with
+  *                           per-path equality semantics. Here the
+  *                           string names a GLOBAL bag (the relational
+  *                           re-expression: a lineage snapshot, no
+  *                           driver-side collection), and
+  *                           except/retain filter against bags only —
+  *                           a string that matches a live .as name but
+  *                           no bag fails loud with "no preceding
+  *                           .aggregate" rather than silently applying
+  *                           different semantics. Re-using a bag name
+  *                           APPENDS (union), matching the
+  *                           one-Collection accumulation of the
+  *                           original.
   *   .except("b")            drop vertices present in bag b
   *                           (ExceptFilterPipe → anti-join)
   *   .retain("b")            keep only vertices present in bag b
   *                           (RetainFilterPipe → semi-join)
+  *   .filter{it.p op lit}    the mechanically-translatable closure
+  *                           subset: desugars onto .has(p, cmp, lit)'s
+  *                           typed comparators (op: == != > >= < <=;
+  *                           it.getProperty("p") accepted). Any other
+  *                           closure body needs the reference's
+  *                           Groovy engine and FAILS LOUD.
   *   .loop("x", n)           BOUNDED loop: repeat the pipes since
   *                           .as("x") so the segment runs n times total
   *                           (n a literal 1-20; desugars to n-1 extra
@@ -138,12 +159,17 @@ object Gremlin {
 
   /** Parse `g.v("/a").out("f").has("p","v").values("n")` into steps.
     * Quoted args must not contain `)` (the reference's own start-node
-    * extraction regex has the same shape, GremlinParser.scala:44). */
+    * extraction regex has the same shape, GremlinParser.scala:44).
+    * A `{...}` closure body is recognized ONLY on `.filter` and only
+    * for the mechanically-translatable comparison shape (see
+    * [[parseFilterClosure]]); every other closure needs the
+    * reference's Groovy script engine and fails loud. */
   private[ops] def parse(query: String): Seq[Step] = {
     val q = query.trim
     require(q == "g" || q.startsWith("g."),
       s"gremlin chain must start at g: '$query'")
-    val step = """\.\s*([A-Za-z]+)\s*(?:\(\s*([^)]*?)\s*\))?""".r
+    val step =
+      """\.\s*([A-Za-z]+)\s*(?:\(\s*([^)]*?)\s*\)|\{([^}]*)\})?""".r
     val consumed = step.findAllMatchIn(q.drop(1)).map(_.matched.length).sum
     require(1 + consumed == q.length,
       s"gremlin syntax error at char ${1 + consumed}: '$query'")
@@ -175,8 +201,18 @@ object Gremlin {
       out.toSeq
     }
     step.findAllMatchIn(q.drop(1)).map { m =>
+      val closure = Option(m.group(3))
       val (name, as) = (m.group(1), args(Option(m.group(2)).getOrElse("")))
-      (name, as) match {
+      if (closure.isDefined) {
+        if (name == "filter") parseFilterClosure(closure.get, query)
+        else throw new IllegalArgumentException(
+          s"gremlin syntax error: .$name{${closure.get}} closures need " +
+            s"the reference's Groovy engine — unsupported in '$query'")
+      } else (name, as) match {
+        // .filter with a parenthesized arg is not a Gremlin 2 form
+        case ("filter", _) => throw new IllegalArgumentException(
+          "gremlin syntax error: .filter takes a closure " +
+            s"(.filter{it.prop op literal}) in '$query'")
         case ("v", Seq(id)) => Start(Some(id))
         case ("V", Seq()) => Start(None)
         case ("out", Seq()) => Hop(Out, None)
@@ -237,6 +273,41 @@ object Gremlin {
           s"gremlin syntax error: unsupported pipe .$name(${as.mkString(",")})")
       }
     }.toSeq
+  }
+
+  /** The mechanically-translatable `.filter{...}` subset: closures of
+    * the shape `it.<prop> <op> <literal>` (op one of == != > >= < <=,
+    * literal a quoted string or a number) desugar onto the SAME typed
+    * comparators `.has(prop, cmp, v)` compiles to — the qp filter
+    * compiler's slot dispatch, so numeric fields compare as numbers.
+    * `it.getProperty("p")` is accepted as an alias for `it.p` (both
+    * are live Blueprints spellings). This narrows the fail-loud
+    * closure domain to genuinely programmatic bodies (`it.loops < 3`,
+    * side effects, regex tests…), which only the reference's Groovy
+    * script engine (GremlinParser.scala:29-99) can run — those still
+    * fail loud, never silently approximate. */
+  private[ops] def parseFilterClosure(body: String, query: String): Step = {
+    val b = body.trim
+    val pat = java.util.regex.Pattern.compile(
+      """^it\s*\.\s*(?:getProperty\(\s*"([^"]+)"\s*\)|([A-Za-z_][\w.\-#$]*))\s*""" +
+        """(==|!=|>=|<=|>|<)\s*(?:"((?:[^"\\]|\\.)*)"|(-?\d+(?:\.\d+)?))$""")
+    val m = pat.matcher(b)
+    if (!m.matches()) throw new IllegalArgumentException(
+      s"gremlin syntax error: .filter{$b} is not of the translatable " +
+        s"shape it.<prop> <op> <literal> — programmatic closures need " +
+        s"the reference's Groovy engine, unsupported in '$query'")
+    val prop = Option(m.group(1)).getOrElse(m.group(2))
+    val v = Option(m.group(4))
+      .map(_.replaceAll("\\\\(.)", "$1")).getOrElse(m.group(5))
+    val cmp = m.group(3) match {
+      case "==" => "eq"
+      case "!=" => "neq"
+      case ">"  => "gt"
+      case ">=" => "gte"
+      case "<"  => "lt"
+      case "<=" => "lte"
+    }
+    Has(prop, cmp, Some(v))
   }
 
   /** Desugar every bounded [[Loop]] into repeated copies of its
@@ -329,8 +400,14 @@ object Gremlin {
       require(edges.nonEmpty,
         s"gremlin syntax error: .$pipe needs an edge frontier " +
           s"(.outE/.inE/.bothE) in '$query'")
-    val edgeId = concat(col("from"), lit("-"), col("label"), lit("->"),
-      col("to")).as("id")
+    // the composite edge id, also the edge-frontier SORT key: .order/
+    // .limit sort by the exact expression .id emits so the visible
+    // stream order always matches the id order ((from,label,to) tuple
+    // order can disagree with it when one `from` is a strict prefix
+    // of another)
+    val edgeOrder = concat(col("from"), lit("-"), col("label"),
+      lit("->"), col("to"))
+    val edgeId = edgeOrder.as("id")
     steps.tail.foreach { s =>
       require(terminal.isEmpty,
         s"gremlin syntax error: pipe after terminal in '$query'")
@@ -409,8 +486,7 @@ object Gremlin {
           // undefined; composite edge id mirrors the vertex id order;
           // carry columns tie-break duplicate heads)
           edges match {
-            case Some(e) => edges = Some(
-              e.orderBy(col("from"), col("label"), col("to")).limit(n))
+            case Some(e) => edges = Some(e.orderBy(edgeOrder).limit(n))
             case None => frontier = frontier
               .orderBy((col("p") +: carries.map(col)): _*).limit(n)
           }
@@ -437,9 +513,15 @@ object Gremlin {
           // Gremlin 2 AggregatePipe: snapshot the current head-vertex
           // set into a named bag; the stream continues unchanged. The
           // snapshot is a DataFrame lineage, not a driver collect —
-          // later except/retain joins against it distribute normally
+          // later except/retain joins against it distribute normally.
+          // Re-using a bag name APPENDS into the same collection
+          // (Gremlin 2's aggregate fills one backing Collection), so
+          // the second snapshot unions with the first instead of
+          // silently replacing it
           requireVertexMode("aggregate")
-          bags += bag -> frontier.select(col("p")).distinct()
+          val snap = frontier.select(col("p")).distinct()
+          bags += bag -> bags.get(bag)
+            .fold(snap)(_.unionByName(snap).distinct())
         case ExceptStep(bag) =>
           // Gremlin 2 ExceptFilterPipe over a named bag: anti-join
           requireVertexMode("except")
@@ -461,8 +543,7 @@ object Gremlin {
           // the current stream; carries tie-break duplicate heads so
           // the emitted order is total and deterministic
           edges match {
-            case Some(e) => edges = Some(
-              e.orderBy(col("from"), col("label"), col("to")))
+            case Some(e) => edges = Some(e.orderBy(edgeOrder))
             case None => frontier = frontier
               .orderBy((col("p") +: carries.map(col)): _*)
           }

@@ -3641,6 +3641,65 @@ class EngineSpec extends AnyFunSuite {
         """g.v("/customer/1").outE("refNation").aggregate("e")""") }
   }
 
+  test("gremlin filter{} translatable subset desugars to typed has; " +
+      "programmatic closures fail loud; bag re-use appends") {
+    import graft.ops.Gremlin
+    val store = GraftStore.forDir(spark, Sf)
+    // comparison closure == the equivalent has-comparator, both forms
+    val viaFilter = Gremlin.eval(store,
+        """g.V.has("mktsegment").filter{it.acctbal > 9000}.id""")
+      .collect().map(_.getString(0)).toSet
+    val viaHas = Gremlin.eval(store,
+        """g.V.has("mktsegment").has("acctbal", "gt", "9000").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(viaFilter == viaHas && viaFilter.nonEmpty)
+    // string equality + getProperty alias
+    val eq1 = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").filter{it.mktsegment == "MACHINERY"}.id""")
+      .collect().map(_.getString(0)).toSet
+    val eq2 = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").filter{it.getProperty("mktsegment") == "MACHINERY"}.id""")
+      .collect().map(_.getString(0)).toSet
+    assert(eq1 == eq2 && eq1.nonEmpty)
+    // != keeps only property-carrying vertices with a differing value
+    // (T.neq semantics via the has-compiler)
+    val neq = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").filter{it.mktsegment != "MACHINERY"}.id""")
+      .collect().map(_.getString(0)).toSet
+    val withProp = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").has("mktsegment").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(neq == withProp -- eq1 && neq.nonEmpty)
+    // programmatic closures fail loud — they need the Groovy engine
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.filter{it.name.contains("x")}.id""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.filter{it.acctbal > it.limit}.id""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.sideEffect{x += it}.id""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.filter("notaclosure").id""") }
+    // re-using a bag name APPENDS (Gremlin 2 accumulates into one
+    // collection): the FIRST snapshot must survive the second
+    // aggregate — retain over the nation's in-neighborhood still
+    // finds the bagged customer (an overwrite would empty this)
+    val kept = Gremlin.eval(store,
+        """g.v("/customer/1").aggregate("b").out("refNation").aggregate("b").in("refNation").retain("b").id"""
+      ).collect().map(_.getString(0)).toSet
+    assert(kept.contains("/customer/1"),
+      s"first snapshot lost on bag re-use: $kept")
+    // and the SECOND snapshot is live too: except over the region's
+    // nations drops the bagged home nation
+    val sibs = Gremlin.eval(store,
+        """g.v("/customer/1").aggregate("b").out("refNation").aggregate("b").out("refRegion").in("refRegion").except("b").id"""
+      ).collect().map(_.getString(0)).toSet
+    val home = Gremlin.eval(store,
+        """g.v("/customer/1").out("refNation").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(sibs.nonEmpty && (sibs & home).isEmpty,
+      s"second snapshot missing: $sibs / $home")
+  }
+
   test("connected components fold pair lists into dedup clusters") {
     import spark.implicits._
     // triangle {1,2,3}, chain 10-11-12-13 (tests multi-hop label
