@@ -103,9 +103,13 @@ import org.apache.spark.sql.functions._
   *   .filter{it.p op lit}    the mechanically-translatable closure
   *                           subset: desugars onto .has(p, cmp, lit)'s
   *                           typed comparators (op: == != > >= < <=;
-  *                           it.getProperty("p") accepted). Any other
-  *                           closure body needs the reference's
-  *                           Groovy engine and FAILS LOUD.
+  *                           it.getProperty("p") accepted;
+  *                           &&-conjunctions of such comparisons
+  *                           desugar to consecutive has steps — exact,
+  *                           filters compose conjunctively). Any other
+  *                           closure body (||, method calls, state)
+  *                           needs the reference's Groovy engine and
+  *                           FAILS LOUD.
   *   .loop("x", n)           BOUNDED loop: repeat the pipes since
   *                           .as("x") so the segment runs n times total
   *                           (n a literal 1-20; desugars to n-1 extra
@@ -200,7 +204,7 @@ object Gremlin {
         s"gremlin syntax error: trailing comma ($raw)")
       out.toSeq
     }
-    step.findAllMatchIn(q.drop(1)).map { m =>
+    step.findAllMatchIn(q.drop(1)).flatMap { m =>
       val closure = Option(m.group(3))
       val (name, as) = (m.group(1), args(Option(m.group(2)).getOrElse("")))
       if (closure.isDefined) {
@@ -208,7 +212,7 @@ object Gremlin {
         else throw new IllegalArgumentException(
           s"gremlin syntax error: .$name{${closure.get}} closures need " +
             s"the reference's Groovy engine — unsupported in '$query'")
-      } else (name, as) match {
+      } else Seq[Step]((name, as) match {
         // .filter with a parenthesized arg is not a Gremlin 2 form
         case ("filter", _) => throw new IllegalArgumentException(
           "gremlin syntax error: .filter takes a closure " +
@@ -271,7 +275,7 @@ object Gremlin {
         case ("retain", Seq(b)) if b.nonEmpty => RetainStep(b)
         case other => throw new IllegalArgumentException(
           s"gremlin syntax error: unsupported pipe .$name(${as.mkString(",")})")
-      }
+      })
     }.toSeq
   }
 
@@ -286,28 +290,51 @@ object Gremlin {
     * side effects, regex tests…), which only the reference's Groovy
     * script engine (GremlinParser.scala:29-99) can run — those still
     * fail loud, never silently approximate. */
-  private[ops] def parseFilterClosure(body: String, query: String): Step = {
-    val b = body.trim
+  private[ops] def parseFilterClosure(body: String,
+                                      query: String): Seq[Step] = {
+    // && splits OUTSIDE quoted literals only — a quoted "&&" is data.
+    // Conjuncts desugar to consecutive Has steps (filters compose
+    // conjunctively in a pipe chain, so this is exact, not an
+    // approximation). Disjunction (||) stays untranslated: a per-row
+    // OR across different property slots has no has-pipe equivalent.
+    val conjuncts = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var inQ = false; var i = 0
+      val b = body.trim
+      while (i < b.length) {
+        val c = b.charAt(i)
+        if (c == '"' && (i == 0 || b.charAt(i - 1) != '\\')) inQ = !inQ
+        if (!inQ && c == '&' && i + 1 < b.length && b.charAt(i + 1) == '&') {
+          out += cur.result(); cur.clear(); i += 2
+        } else { cur += c; i += 1 }
+      }
+      out += cur.result()
+      out.toSeq.map(_.trim)
+    }
     val pat = java.util.regex.Pattern.compile(
       """^it\s*\.\s*(?:getProperty\(\s*"([^"]+)"\s*\)|([A-Za-z_][\w.\-#$]*))\s*""" +
         """(==|!=|>=|<=|>|<)\s*(?:"((?:[^"\\]|\\.)*)"|(-?\d+(?:\.\d+)?))$""")
-    val m = pat.matcher(b)
-    if (!m.matches()) throw new IllegalArgumentException(
-      s"gremlin syntax error: .filter{$b} is not of the translatable " +
-        s"shape it.<prop> <op> <literal> — programmatic closures need " +
-        s"the reference's Groovy engine, unsupported in '$query'")
-    val prop = Option(m.group(1)).getOrElse(m.group(2))
-    val v = Option(m.group(4))
-      .map(_.replaceAll("\\\\(.)", "$1")).getOrElse(m.group(5))
-    val cmp = m.group(3) match {
-      case "==" => "eq"
-      case "!=" => "neq"
-      case ">"  => "gt"
-      case ">=" => "gte"
-      case "<"  => "lt"
-      case "<=" => "lte"
+    conjuncts.map { c =>
+      val m = pat.matcher(c)
+      if (!m.matches()) throw new IllegalArgumentException(
+        s"gremlin syntax error: .filter{${body.trim}} is not of the " +
+          s"translatable shape it.<prop> <op> <literal> " +
+          s"[&& ...] — programmatic closures need the reference's " +
+          s"Groovy engine, unsupported in '$query'")
+      val prop = Option(m.group(1)).getOrElse(m.group(2))
+      val v = Option(m.group(4))
+        .map(_.replaceAll("\\\\(.)", "$1")).getOrElse(m.group(5))
+      val cmp = m.group(3) match {
+        case "==" => "eq"
+        case "!=" => "neq"
+        case ">"  => "gt"
+        case ">=" => "gte"
+        case "<"  => "lt"
+        case "<=" => "lte"
+      }
+      Has(prop, cmp, Some(v))
     }
-    Has(prop, cmp, Some(v))
   }
 
   /** Desugar every bounded [[Loop]] into repeated copies of its

@@ -3670,9 +3670,24 @@ class EngineSpec extends AnyFunSuite {
         """g.v("/nation/1").in("refNation").has("mktsegment").id""")
       .collect().map(_.getString(0)).toSet
     assert(neq == withProp -- eq1 && neq.nonEmpty)
+    // && conjunction desugars to consecutive has steps — exact
+    val conj = Gremlin.eval(store,
+        """g.V.filter{it.mktsegment == "MACHINERY" && it.acctbal > 0}.id""")
+      .collect().map(_.getString(0)).toSet
+    val conj2 = Gremlin.eval(store,
+        """g.V.has("mktsegment", "MACHINERY").has("acctbal", "gt", "0").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(conj == conj2 && conj.nonEmpty)
+    // a quoted && is DATA, not a conjunction split: this parses as a
+    // single equality on the literal "A && B" (empty result, no error)
+    assert(Gremlin.eval(store,
+      """g.V.filter{it.mktsegment == "A && B"}.id""").collect().isEmpty)
     // programmatic closures fail loud — they need the Groovy engine
     intercept[IllegalArgumentException] {
       Gremlin.eval(store, """g.V.filter{it.name.contains("x")}.id""") }
+    intercept[IllegalArgumentException] { // || is not translatable
+      Gremlin.eval(store,
+        """g.V.filter{it.acctbal > 5 || it.acctbal < 1}.id""") }
     intercept[IllegalArgumentException] {
       Gremlin.eval(store, """g.V.filter{it.acctbal > it.limit}.id""") }
     intercept[IllegalArgumentException] {
