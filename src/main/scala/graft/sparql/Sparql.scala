@@ -1475,16 +1475,32 @@ object Sparql {
     // some right solution; disjoint domains remove nothing (SPARQL
     // spec). One distributed anti-join on the shared variables.
     g.minuses.foreach { m =>
-      val (md, _) = solutionsOf(store, m, langVars, typeVars,
+      val (md, mm) = solutionsOf(store, m, langVars, typeVars,
         graphVar, named)
       val a = df
       val shared = joinVars(a, md)
       if (shared.nonEmpty) {
         val b = md.select(md.columns.map(c => col(c).as(s"__m_$c")).toSeq: _*)
-        val compatible = shared.map(c => a(c).isNull ||
-          b(s"__m_$c").isNull || a(c) === b(s"__m_$c")).reduce(_ && _)
-        val overlap = shared.map(c => a(c).isNotNull &&
-          b(s"__m_$c").isNotNull).reduce(_ || _)
+        // null-compatibility is only REAL for variables that can be
+        // unbound on a side (OPTIONAL-produced); a sure-bound variable
+        // compares as plain equality. This matters for the PLAN, not
+        // just clarity: `isNull || =` disjuncts leave Spark no equi
+        // keys to hash on, so an all-loose condition plans as a
+        // nested-loop anti-join — quadratic in the group sizes (44×
+        // at 10× data, measured). With the common all-sure-bound case
+        // reduced to pure equality the anti-join hashes, and the
+        // domain-overlap guard is automatically true (both sides
+        // non-null), so it drops out.
+        val loose = shared.filter(c => maybe(c) || mm(c))
+        val sure = shared.filterNot(loose.contains)
+        val compatible = (
+          sure.map(c => a(c) === b(s"__m_$c")) ++
+          loose.map(c => a(c).isNull || b(s"__m_$c").isNull ||
+            a(c) === b(s"__m_$c"))).reduce(_ && _)
+        val overlap =
+          if (sure.nonEmpty) lit(true)
+          else shared.map(c => a(c).isNotNull &&
+            b(s"__m_$c").isNotNull).reduce(_ || _)
         df = a.join(b, compatible && overlap, "left_anti")
       }
     }
