@@ -89,7 +89,11 @@ object Plans {
       "q_gremlin_groupcount", // hop = join + partial-agg'd groupBy(head)
       "q_audio_frames",       // windowed energies in-row: scan-side projection
       "q_image_resize",       // decode + pool + weigh: one codegen projection
-      "q_gremlin_simplepath") // trail-threading hops + in-row revisit filter
+      "q_gremlin_simplepath", // trail-threading hops + in-row revisit filter
+      "q_gremlin_filter",     // filter{} closure desugared to typed has semi-joins
+      "q_search_stemmed_pt",  // Portuguese chain inside the pushed predicate
+      "q_sparql_minus",       // MINUS as a HASH anti-join (equi keys visible)
+      "q_bulk_consume")       // served from the indexTime-major secondary layout
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")
