@@ -6,22 +6,28 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native full-Porter stem — one static call per token.
+/** Shared shape of the per-token native analyzer expressions:
+  * string → string, ONE static call per token into a chain
+  * precompiled once per JVM.
   *
-  * Why a custom expression (escalation path (b), the [[GramRunStats]]
-  * rationale): the Column formulation of the 48-rule full-Porter fold
-  * is 48 chained `regexp_replace` nodes; each node pays a
-  * UTF8String→String→UTF8String round-trip and its own expression
-  * overhead per token, and the chain bloats the generated method for
-  * whatever projection contains it. Here the rule table is compiled
-  * ONCE per JVM ([[StemFull.Rules]]) and the whole fold is one tight
-  * loop; the row stays inside whole-stage codegen with one call per
-  * token. Driver and executor CANNOT drift: `TextAnalyzer.stemFull`
-  * delegates to the same [[StemFull.stemString]] this expression
-  * calls.
-  */
-case class StemFullExpr(child: Expression) extends UnaryExpression {
-  override def prettyName: String = "stem_full"
+  * Why custom expressions at all (escalation path (b), the
+  * [[GramRunStats]] rationale): the Column formulation of a stem
+  * chain is N chained `regexp_replace` nodes (48 for full Porter);
+  * each node pays a UTF8String→String→UTF8String round-trip and its
+  * own expression overhead per token, and the chain bloats the
+  * generated method of whatever projection contains it. Here the
+  * whole chain is one tight compiled loop; the row stays inside
+  * whole-stage codegen with one call per token. Driver and executor
+  * CANNOT drift: each chain's driver-side entry point delegates to
+  * the same static function the generated code calls. */
+abstract class TokenFnExpr extends UnaryExpression {
+  /** Fully-qualified static method the generated code calls — must
+    * take and return UTF8String (null-safety comes from
+    * nullSafeCodeGen). */
+  protected def staticCall: String
+  /** The same function, for interpreted (non-codegen) eval. */
+  protected def run(s: UTF8String): UTF8String
+
   override def dataType: DataType = child.dataType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -30,15 +36,19 @@ case class StemFullExpr(child: Expression) extends UnaryExpression {
       s"$prettyName needs string, got ${dt.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any =
-    StemFull.stem(v.asInstanceOf[UTF8String])
+  override def nullSafeEval(v: Any): Any = run(v.asInstanceOf[UTF8String])
 
-  // one static call per token — the fold body lives in compiled Scala
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.StemFull.stem($c);")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $staticCall($c);")
+}
 
+/** Native full-Porter stem — steps 1-5 of the published algorithm as
+  * one precompiled regex fold ([[StemFull]]). */
+case class StemFullExpr(child: Expression) extends TokenFnExpr {
+  override def prettyName: String = "stem_full"
+  protected def staticCall: String = "graft.functions.StemFull.stem"
+  protected def run(s: UTF8String): UTF8String = StemFull.stem(s)
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 }
@@ -61,27 +71,12 @@ object StemFull {
   def stemString(t: String): String = StemRunner.run(Rules, t)
 }
 
-/** Same shape for the Porter-LITE table (the [[graft.qp.TextAnalyzer.English]]
-  * default chain) — one static call per token instead of 11 chained
-  * regexp_replace nodes. */
-case class StemLiteExpr(child: Expression) extends UnaryExpression {
+/** Same shape for the Porter-LITE table (the
+  * [[graft.qp.TextAnalyzer.English]] default chain). */
+case class StemLiteExpr(child: Expression) extends TokenFnExpr {
   override def prettyName: String = "stem_lite"
-  override def dataType: DataType = child.dataType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StringType => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs string, got ${dt.simpleString}")
-  }
-
-  override def nullSafeEval(v: Any): Any =
-    StemLite.stem(v.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.StemLite.stem($c);")
-
+  protected def staticCall: String = "graft.functions.StemLite.stem"
+  protected def run(s: UTF8String): UTF8String = StemLite.stem(s)
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 }
@@ -101,25 +96,11 @@ object StemLite {
 }
 
 /** Same shape for the light-GERMAN table (the
-  * [[graft.qp.TextAnalyzer.German]] chain) — one static call per token. */
-case class StemDeExpr(child: Expression) extends UnaryExpression {
+  * [[graft.qp.TextAnalyzer.German]] chain). */
+case class StemDeExpr(child: Expression) extends TokenFnExpr {
   override def prettyName: String = "stem_de"
-  override def dataType: DataType = child.dataType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StringType => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs string, got ${dt.simpleString}")
-  }
-
-  override def nullSafeEval(v: Any): Any =
-    StemDe.stem(v.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.StemDe.stem($c);")
-
+  protected def staticCall: String = "graft.functions.StemDe.stem"
+  protected def run(s: UTF8String): UTF8String = StemDe.stem(s)
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 }
@@ -144,24 +125,10 @@ object StemDe {
   * function rather than mirrored Column stages because elision makes
   * the chain multi-stage per token: a single shared implementation is
   * drift-free by construction. */
-case class FrTermExpr(child: Expression) extends UnaryExpression {
+case class FrTermExpr(child: Expression) extends TokenFnExpr {
   override def prettyName: String = "fr_term"
-  override def dataType: DataType = child.dataType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StringType => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs string, got ${dt.simpleString}")
-  }
-
-  override def nullSafeEval(v: Any): Any =
-    FrTerm.termU(v.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.FrTerm.termU($c);")
-
+  protected def staticCall: String = "graft.functions.FrTerm.termU"
+  protected def run(s: UTF8String): UTF8String = FrTerm.termU(s)
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 }
@@ -217,24 +184,10 @@ object FrTerm {
   * algorithm is conditional character surgery — a length gate BEFORE
   * accent folding, then suffix dispatch on the last characters — that
   * regex rules would state less clearly than ten lines of code. */
-case class EsTermExpr(child: Expression) extends UnaryExpression {
+case class EsTermExpr(child: Expression) extends TokenFnExpr {
   override def prettyName: String = "es_term"
-  override def dataType: DataType = child.dataType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StringType => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs string, got ${dt.simpleString}")
-  }
-
-  override def nullSafeEval(v: Any): Any =
-    EsTerm.termU(v.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.EsTerm.termU($c);")
-
+  protected def staticCall: String = "graft.functions.EsTerm.termU"
+  protected def run(s: UTF8String): UTF8String = EsTerm.termU(s)
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 }
@@ -291,24 +244,10 @@ object EsTerm {
   * [[FrTerm]] because Italian shares French's elision stage
   * (l'amico, dell'arte): the multi-stage per-token pipeline runs as
   * ONE shared implementation so driver and executor cannot drift. */
-case class ItTermExpr(child: Expression) extends UnaryExpression {
+case class ItTermExpr(child: Expression) extends TokenFnExpr {
   override def prettyName: String = "it_term"
-  override def dataType: DataType = child.dataType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StringType => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs string, got ${dt.simpleString}")
-  }
-
-  override def nullSafeEval(v: Any): Any =
-    ItTerm.termU(v.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ItTerm.termU($c);")
-
+  protected def staticCall: String = "graft.functions.ItTerm.termU"
+  protected def run(s: UTF8String): UTF8String = ItTerm.termU(s)
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 }
@@ -380,24 +319,10 @@ object ItTerm {
   * normalization, a final-vowel drop, then the accent fold LAST (the
   * plural rules must still see ã/ó/é) — which regex rules would state
   * less clearly than the direct transcription below. */
-case class PtTermExpr(child: Expression) extends UnaryExpression {
+case class PtTermExpr(child: Expression) extends TokenFnExpr {
   override def prettyName: String = "pt_term"
-  override def dataType: DataType = child.dataType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StringType => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs string, got ${dt.simpleString}")
-  }
-
-  override def nullSafeEval(v: Any): Any =
-    PtTerm.termU(v.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.PtTerm.termU($c);")
-
+  protected def staticCall: String = "graft.functions.PtTerm.termU"
+  protected def run(s: UTF8String): UTF8String = PtTerm.termU(s)
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 }

@@ -128,6 +128,8 @@ object Consume {
     * than counting exactly (BulkScrollHandler.scala:81-129). */
   def consumeSized(store: GraftStore, token: String,
                    targetChunks: Int): (Result, Long) = {
+    require(targetChunks >= 1,
+      s"consumeSized needs targetChunks >= 1, got $targetChunks")
     val st = State.decode(token)
     val pending = matching(store, st)
       .where(col("system.indexTime") > st.from)

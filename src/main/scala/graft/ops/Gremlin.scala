@@ -106,10 +106,15 @@ import org.apache.spark.sql.functions._
   *                           it.getProperty("p") accepted;
   *                           &&-conjunctions of such comparisons
   *                           desugar to consecutive has steps — exact,
-  *                           filters compose conjunctively). Any other
-  *                           closure body (||, method calls, state)
-  *                           needs the reference's Groovy engine and
-  *                           FAILS LOUD.
+  *                           filters compose conjunctively). Closure
+  *                           != follows GROOVY null semantics (a
+  *                           property-less vertex passes — null is
+  *                           unequal), unlike has(p,"neq",v)'s
+  *                           Blueprints T.neq (exists-gated); ordering
+  *                           ops are existence-gated on both surfaces
+  *                           (null does not order). Any other closure
+  *                           body (||, method calls, state) needs the
+  *                           reference's Groovy engine and FAILS LOUD.
   *   .loop("x", n)           BOUNDED loop: repeat the pipes since
   *                           .as("x") so the segment runs n times total
   *                           (n a literal 1-20; desugars to n-1 extra
@@ -327,7 +332,11 @@ object Gremlin {
         .map(_.replaceAll("\\\\(.)", "$1")).getOrElse(m.group(5))
       val cmp = m.group(3) match {
         case "==" => "eq"
-        case "!=" => "neq"
+        // Groovy closure semantics: null != lit is TRUE — a vertex
+        // without the property passes (unlike Blueprints T.neq, which
+        // the has() pipe keeps). Ordering comparisons stay
+        // existence-gated on both surfaces: null does not order.
+        case "!=" => "neq_unbound"
         case ">"  => "gt"
         case ">=" => "gte"
         case "<"  => "lt"
@@ -683,14 +692,31 @@ object Gremlin {
     * property exists with a differing value). */
   private def hasPredicate(store: GraftStore, prop: String, cmp: String,
       vOpt: Option[String], query: String): org.apache.spark.sql.Column = {
+    // the literal is DATA, never qp syntax: quote it (qp's
+    // double-quoted form, backslash-escaping) so a comma/bracket in a
+    // has/filter value compares as itself instead of silently
+    // re-parsing as a qp conjunction
+    def q(v: String) =
+      "\"" + v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      } + "\""
     val qpExpr = (cmp, vOpt) match {
       case ("exists", None) => s"$prop:"
-      case ("eq", Some(v))  => s"$prop::$v"
-      case ("neq", Some(v)) => s"$prop::$v"
-      case ("gt", Some(v))  => s"$prop>$v"
-      case ("gte", Some(v)) => s"$prop>>$v"
-      case ("lt", Some(v))  => s"$prop<$v"
-      case ("lte", Some(v)) => s"$prop<<$v"
+      case ("eq", Some(v))  => s"$prop::${q(v)}"
+      case ("neq", Some(v)) => s"$prop::${q(v)}"
+      // the CLOSURE spelling of != (Groovy `it.p != lit`): null is
+      // unequal, so a property-less vertex passes — qp's MustNot has
+      // exactly that missing-field-keeps-the-row convention. The
+      // has(p,"neq",v) Blueprints form above stays exists-gated (T.neq
+      // matches nothing on a missing property) — two live dialects,
+      // each matched to its surface.
+      case ("neq_unbound", Some(v)) => s"-$prop::${q(v)}"
+      case ("gt", Some(v))  => s"$prop>${q(v)}"
+      case ("gte", Some(v)) => s"$prop>>${q(v)}"
+      case ("lt", Some(v))  => s"$prop<${q(v)}"
+      case ("lte", Some(v)) => s"$prop<<${q(v)}"
       case other => throw new IllegalArgumentException(
         s"gremlin syntax error: has comparator $other in '$query'")
     }

@@ -1469,7 +1469,14 @@ object Sparql {
       val (lex, num) = bindCols(e, df)
       df = df.withColumn(v, lex)
       num.foreach(n => df = df.withColumn(s"${v}__n", n))
-      if (bindRefs(e).exists(maybe)) maybe += v
+      // a BIND var is maybe-unbound not only when a referenced var is
+      // (the old rule) but whenever the EXPRESSION can yield null on
+      // bound inputs — SPARQL type errors bind nothing (IF on a
+      // non-boolean, date accessors on a non-dateTime, …). Catalyst's
+      // nullability flag is the conservative oracle for that; missing
+      // it classified such vars sure-bound and broke MINUS/EXISTS
+      // null-compatibility on them.
+      if (bindRefs(e).exists(maybe) || df.schema(v).nullable) maybe += v
     }
     // MINUS — remove solutions compatible with (and domain-overlapping)
     // some right solution; disjoint domains remove nothing (SPARQL

@@ -49,8 +49,13 @@ class AnalyzerDriftSpec extends AnyFunSuite {
     sep <- Gen.oneOf(" ", "  ", ", ", ". ", "-", "; ")
   } yield ws.mkString(sep)
 
+  // fixed seed: a failing text must reproduce on re-run (the
+  // assertion message carries the text, but determinism keeps CI
+  // meaningful). Bump the seed to re-roll the corpus deliberately.
   private lazy val texts: Seq[String] =
-    Gen.listOfN(300, textGen).sample.get.distinct
+    Gen.listOfN(300, textGen)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L))
+      .get.distinct
 
   /** The padding trick from the fixed-text tests: tokensOf keeps
     * untrimmed position-gap sentinels, queryTokens trims them — pad

@@ -1150,6 +1150,20 @@ class EngineSpec extends AnyFunSuite {
       """SELECT ?s WHERE { ?s <c://o#tag> ?t .
         |MINUS { ?x <c://o#num> ?n } } ORDER BY ?s""".stripMargin).collect()
     assert(d.length == 3)
+    // a BIND var that goes UNBOUND via a SPARQL type error (YEAR on a
+    // non-dateTime lexical → null on BOTH sides) is null-COMPATIBLE,
+    // so removal still keys on the sure-bound ?s: the hash-anti-join
+    // fast path must classify ?y loose even though its ref ?t is
+    // sure-bound (Catalyst nullability, not just ref propagation)
+    val ty = Sparql.select(tagStore,
+      """SELECT ?s WHERE { ?s <c://o#tag> ?t . BIND(YEAR(?t) AS ?y)
+        |MINUS { ?s <c://o#num> ?n . ?s <c://o#tag> ?t2 .
+        |        BIND(YEAR(?t2) AS ?y) } } ORDER BY ?s""".stripMargin)
+      .collect()
+    // /doc/3 carries num (the minus side matches it; ?y null on both
+    // sides is compatible, ?s overlaps) → removed; 1 and 2 stay
+    assert(ty.map(_.getString(0)).toSeq == Seq("/doc/1", "/doc/2"),
+      s"nullable BIND var must not defeat MINUS: ${ty.toSeq}")
   }
 
   test("SPARQL FILTER EXISTS and NOT EXISTS semi/anti-join the group") {
@@ -3661,15 +3675,38 @@ class EngineSpec extends AnyFunSuite {
         """g.v("/nation/1").in("refNation").filter{it.getProperty("mktsegment") == "MACHINERY"}.id""")
       .collect().map(_.getString(0)).toSet
     assert(eq1 == eq2 && eq1.nonEmpty)
-    // != keeps only property-carrying vertices with a differing value
-    // (T.neq semantics via the has-compiler)
+    // closure != is GROOVY-null: a vertex without the property passes
+    // (nation 1's in-frontier holds suppliers, which carry no
+    // mktsegment — they must survive), while has(p,"neq",v) stays
+    // Blueprints-T.neq exists-gated
+    // nation 3 has BOTH a supplier (no mktsegment) and a MACHINERY
+    // customer at this sf, so the two dialects are distinguishable
     val neq = Gremlin.eval(store,
-        """g.v("/nation/1").in("refNation").filter{it.mktsegment != "MACHINERY"}.id""")
+        """g.v("/nation/3").in("refNation").filter{it.mktsegment != "MACHINERY"}.id""")
+      .collect().map(_.getString(0)).toSet
+    val frontierAll = Gremlin.eval(store,
+        """g.v("/nation/3").in("refNation").id""")
       .collect().map(_.getString(0)).toSet
     val withProp = Gremlin.eval(store,
-        """g.v("/nation/1").in("refNation").has("mktsegment").id""")
+        """g.v("/nation/3").in("refNation").has("mktsegment").id""")
       .collect().map(_.getString(0)).toSet
-    assert(neq == withProp -- eq1 && neq.nonEmpty)
+    val eq3 = Gremlin.eval(store,
+        """g.v("/nation/3").in("refNation").filter{it.mktsegment == "MACHINERY"}.id""")
+      .collect().map(_.getString(0)).toSet
+    assert(neq == frontierAll -- eq3 && neq.nonEmpty)
+    assert(neq.exists(_.startsWith("/supplier/")),
+      s"property-less vertices must pass closure !=: $neq")
+    val neqHas = Gremlin.eval(store,
+        """g.v("/nation/3").in("refNation").has("mktsegment", "neq", "MACHINERY").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(neqHas == withProp -- eq3, "has-form neq stays exists-gated")
+    assert(!neqHas.exists(_.startsWith("/supplier/")))
+    // a qp metacharacter in the literal is DATA, not qp syntax: this
+    // compares against the literal string (no vertex carries it),
+    // never re-parses as mktsegment::MACHINERY AND acctbal>0
+    assert(Gremlin.eval(store,
+      """g.V.filter{it.mktsegment == "MACHINERY,acctbal>0"}.id""")
+      .collect().isEmpty)
     // && conjunction desugars to consecutive has steps — exact
     val conj = Gremlin.eval(store,
         """g.V.filter{it.mktsegment == "MACHINERY" && it.acctbal > 0}.id""")
