@@ -193,40 +193,65 @@ object TextAnalyzer {
     }
   }
 
-  /** Light French analyzer, OPT-IN — second per-language chain.
-    * French adds a stage no other chain has: ELISION — "l'avion" is
-    * ONE token whose article prefix must drop before stop/stem
-    * checks (Lucene's ElisionFilter), so apostrophes are letters to
-    * the tokenizer and the per-token pipeline is elision-strip →
-    * apostrophe-drop → stop-check → minimal stem (Savoy's published
-    * French minimal stemmer: the one Lucene's FrenchMinimalStemFilter
-    * ships — len≥6 gate, aux→al, then trailing x/s/r/e/é and a final
-    * doubled letter). Because the chain is multi-stage per token,
-    * BOTH sides run the ONE shared token→term function
-    * ([[graft.functions.FrTerm.term]], native on the executor via
-    * [[graft.functions.FrTermExpr]]) — stop words come back as
-    * [[PositionGap]] sentinels with the usual phrase semantics. */
-  case object French extends TextAnalyzer {
-    private[qp] val UpperFr = "ABCDEFGHIJKLMNOPQRSTUVWXYZÀÂÄÇÉÈÊËÎÏÔÖÙÛÜŸ"
-    private[qp] val LowerFr = "abcdefghijklmnopqrstuvwxyzàâäçéèêëîïôöùûüÿ"
-    private val RunDelims = "[^a-zàâäçéèêëîïôöùûüÿœæ0-9'’]+"
+  /** Shared shape of the Latin-script per-language chains (French /
+    * Spanish / Italian / Portuguese): a LOCALE-FREE case fold (the
+    * same translate table on both sides — never the JVM-locale
+    * lower(), the Cjk discipline), a letter-run tokenizer whose
+    * delimiter class makes the language's letters (accents, ñ, ç,
+    * apostrophes where elision exists) NOT delimiters, and ONE
+    * combined token→term function running identically on the driver
+    * (queryTokens) and the executor (a native expression) — stop
+    * words come back as [[PositionGap]] sentinels with the usual
+    * phrase semantics. `emptyTerms` marks chains whose term function
+    * can normalize a token away entirely (elision leftovers) — those
+    * drop before positions are assigned, on BOTH sides. German keeps
+    * its two-stage (stop-set + regex-fold stem) form and does not
+    * ride this base. */
+  sealed abstract class LatinChain extends TextAnalyzer {
+    protected def upperTable: String
+    protected def lowerTable: String
+    protected def runDelims: String
+    protected def term(tok: String): String
+    protected def termCol(c: Column): Column
+    protected def emptyTerms: Boolean = false
     private def fold(s: String): String = s.map { c =>
-      val i = UpperFr.indexOf(c.toInt)
-      if (i >= 0) LowerFr(i) else c
+      val i = upperTable.indexOf(c.toInt)
+      if (i >= 0) lowerTable(i) else c
     }
     def queryTokens(v: String): Seq[String] = {
-      val marked = fold(v).split(RunDelims).toSeq.filter(_.nonEmpty)
-        .map(graft.functions.FrTerm.term).filter(_.nonEmpty)
+      val toks = fold(v).split(runDelims).toSeq.filter(_.nonEmpty).map(term)
+      val marked = if (emptyTerms) toks.filter(_.nonEmpty) else toks
       marked.dropWhile(_ == PositionGap)
         .reverse.dropWhile(_ == PositionGap).reverse
     }
     /** Unused under the overridden [[tokensOf]] — identity. */
     def docTokens(raw: Column): Column = raw
     override def tokensOf(s: Column): Column = {
-      val runs = filter(split(translate(s, UpperFr, LowerFr), RunDelims),
+      val runs = filter(
+        split(translate(s, upperTable, lowerTable), runDelims),
         t => t =!= "")
-      filter(transform(runs, t => frTermCol(t)), t => t =!= "")
+      val terms = transform(runs, t => termCol(t))
+      if (emptyTerms) filter(terms, t => t =!= "") else terms
     }
+  }
+
+  /** Light French analyzer, OPT-IN — second per-language chain.
+    * French adds a stage the ASCII chains lack: ELISION — "l'avion"
+    * is ONE token whose article prefix must drop before stop/stem
+    * checks (Lucene's ElisionFilter), so apostrophes are letters to
+    * the tokenizer and the per-token pipeline is elision-strip →
+    * apostrophe-drop → stop-check → minimal stem (Savoy's published
+    * French minimal stemmer: the one Lucene's FrenchMinimalStemFilter
+    * ships — len≥6 gate, aux→al, then trailing x/s/r/e/é and a final
+    * doubled letter). The shared chain:
+    * [[graft.functions.FrTerm.term]] / [[graft.functions.FrTermExpr]]. */
+  case object French extends LatinChain {
+    protected def upperTable = "ABCDEFGHIJKLMNOPQRSTUVWXYZÀÂÄÇÉÈÊËÎÏÔÖÙÛÜŸ"
+    protected def lowerTable = "abcdefghijklmnopqrstuvwxyzàâäçéèêëîïôöùûüÿ"
+    protected def runDelims = "[^a-zàâäçéèêëîïôöùûüÿœæ0-9'’]+"
+    protected def term(tok: String): String = graft.functions.FrTerm.term(tok)
+    protected def termCol(c: Column): Column = frTermCol(c)
+    override protected def emptyTerms: Boolean = true
   }
 
   /** Light Spanish analyzer, OPT-IN — third per-language chain.
@@ -240,27 +265,12 @@ object TextAnalyzer {
     * -eses→-es). Both sides run the ONE shared token→term function
     * ([[graft.functions.EsTerm.term]], native on the executor via
     * [[graft.functions.EsTermExpr]]) — drift-free by construction. */
-  case object Spanish extends TextAnalyzer {
-    private[qp] val UpperEs = "ABCDEFGHIJKLMNOPQRSTUVWXYZÁÉÍÓÚÜÑ"
-    private[qp] val LowerEs = "abcdefghijklmnopqrstuvwxyzáéíóúüñ"
-    private val RunDelims = "[^a-zàáâäèéêëìíîïòóôöùúûüñ0-9]+"
-    private def fold(s: String): String = s.map { c =>
-      val i = UpperEs.indexOf(c.toInt)
-      if (i >= 0) LowerEs(i) else c
-    }
-    def queryTokens(v: String): Seq[String] = {
-      val marked = fold(v).split(RunDelims).toSeq.filter(_.nonEmpty)
-        .map(graft.functions.EsTerm.term)
-      marked.dropWhile(_ == PositionGap)
-        .reverse.dropWhile(_ == PositionGap).reverse
-    }
-    /** Unused under the overridden [[tokensOf]] — identity. */
-    def docTokens(raw: Column): Column = raw
-    override def tokensOf(s: Column): Column = {
-      val runs = filter(split(translate(s, UpperEs, LowerEs), RunDelims),
-        t => t =!= "")
-      transform(runs, t => esTermCol(t))
-    }
+  case object Spanish extends LatinChain {
+    protected def upperTable = "ABCDEFGHIJKLMNOPQRSTUVWXYZÁÉÍÓÚÜÑ"
+    protected def lowerTable = "abcdefghijklmnopqrstuvwxyzáéíóúüñ"
+    protected def runDelims = "[^a-zàáâäèéêëìíîïòóôöùúûüñ0-9]+"
+    protected def term(tok: String): String = graft.functions.EsTerm.term(tok)
+    protected def termCol(c: Column): Column = esTermCol(c)
   }
 
   /** Light Italian analyzer, OPT-IN — fourth per-language chain.
@@ -274,27 +284,13 @@ object TextAnalyzer {
     * 2006, the recipe behind Lucene's ItalianLightStemFilter — len≥6
     * gate, accent fold, one final-vowel rule). Stop words come back
     * as [[PositionGap]] sentinels with the usual phrase semantics. */
-  case object Italian extends TextAnalyzer {
-    private[qp] val UpperIt = "ABCDEFGHIJKLMNOPQRSTUVWXYZÀÈÉÌÍÎÒÓÙÚ"
-    private[qp] val LowerIt = "abcdefghijklmnopqrstuvwxyzàèéìíîòóùú"
-    private val RunDelims = "[^a-zàèéìíîòóùú0-9'’]+"
-    private def fold(s: String): String = s.map { c =>
-      val i = UpperIt.indexOf(c.toInt)
-      if (i >= 0) LowerIt(i) else c
-    }
-    def queryTokens(v: String): Seq[String] = {
-      val marked = fold(v).split(RunDelims).toSeq.filter(_.nonEmpty)
-        .map(graft.functions.ItTerm.term).filter(_.nonEmpty)
-      marked.dropWhile(_ == PositionGap)
-        .reverse.dropWhile(_ == PositionGap).reverse
-    }
-    /** Unused under the overridden [[tokensOf]] — identity. */
-    def docTokens(raw: Column): Column = raw
-    override def tokensOf(s: Column): Column = {
-      val runs = filter(split(translate(s, UpperIt, LowerIt), RunDelims),
-        t => t =!= "")
-      filter(transform(runs, t => itTermCol(t)), t => t =!= "")
-    }
+  case object Italian extends LatinChain {
+    protected def upperTable = "ABCDEFGHIJKLMNOPQRSTUVWXYZÀÈÉÌÍÎÒÓÙÚ"
+    protected def lowerTable = "abcdefghijklmnopqrstuvwxyzàèéìíîòóùú"
+    protected def runDelims = "[^a-zàèéìíîòóùú0-9'’]+"
+    protected def term(tok: String): String = graft.functions.ItTerm.term(tok)
+    protected def termCol(c: Column): Column = itTermCol(c)
+    override protected def emptyTerms: Boolean = true
   }
 
   /** Light Portuguese analyzer, OPT-IN — fifth per-language chain.
@@ -309,27 +305,12 @@ object TextAnalyzer {
     * theme-vowel drop, accent fold last. Both sides run the ONE
     * shared token→term function ([[graft.functions.PtTerm.term]],
     * native on the executor via [[graft.functions.PtTermExpr]]). */
-  case object Portuguese extends TextAnalyzer {
-    private[qp] val UpperPt = "ABCDEFGHIJKLMNOPQRSTUVWXYZÁÂÃÀÇÉÊÍÓÔÕÚÜ"
-    private[qp] val LowerPt = "abcdefghijklmnopqrstuvwxyzáâãàçéêíóôõúü"
-    private val RunDelims = "[^a-záâãàçéêíóôõúü0-9]+"
-    private def fold(s: String): String = s.map { c =>
-      val i = UpperPt.indexOf(c.toInt)
-      if (i >= 0) LowerPt(i) else c
-    }
-    def queryTokens(v: String): Seq[String] = {
-      val marked = fold(v).split(RunDelims).toSeq.filter(_.nonEmpty)
-        .map(graft.functions.PtTerm.term)
-      marked.dropWhile(_ == PositionGap)
-        .reverse.dropWhile(_ == PositionGap).reverse
-    }
-    /** Unused under the overridden [[tokensOf]] — identity. */
-    def docTokens(raw: Column): Column = raw
-    override def tokensOf(s: Column): Column = {
-      val runs = filter(split(translate(s, UpperPt, LowerPt), RunDelims),
-        t => t =!= "")
-      transform(runs, t => ptTermCol(t))
-    }
+  case object Portuguese extends LatinChain {
+    protected def upperTable = "ABCDEFGHIJKLMNOPQRSTUVWXYZÁÂÃÀÇÉÊÍÓÔÕÚÜ"
+    protected def lowerTable = "abcdefghijklmnopqrstuvwxyzáâãàçéêíóôõúü"
+    protected def runDelims = "[^a-záâãàçéêíóôõúü0-9]+"
+    protected def term(tok: String): String = graft.functions.PtTerm.term(tok)
+    protected def termCol(c: Column): Column = ptTermCol(c)
   }
 
   /** Common Italian function-word stop set (articles incl. the elided
