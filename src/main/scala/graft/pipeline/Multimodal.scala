@@ -44,6 +44,16 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("pixels", ArrayType(FloatType))))
 
+  /** Fan the doc ids across the session's cores before payload
+    * synthesis: the ids come from a small parquet file (often ONE
+    * split), and without this every synthetic encode — ImageIO JPEG
+    * writes especially — serializes on a single task (measured: the
+    * sf1 JPEG store spent ~25 s on one core). The synthesized
+    * payloads are the test fixture; the operator under test is the
+    * DECODE, which must not inherit the fixture's partitioning. */
+  private def spreadIds(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select("doc_id").repartition(spark.sparkContext.defaultParallelism)
+
   /** Deterministic synthetic-PNG content store: gradient grayscale
     * images derived from doc_id (w = 4+(id%4)·2 ∈ {4,6,8,10},
     * h = 5+(id%3)·2 ∈ {5,7,9}, pixel(i) = (id·31 + i·7) mod 256),
@@ -59,7 +69,7 @@ object Multimodal {
       StructField("dataLength", LongType),
       StructField("sha256", StringType),
       StructField("data", BinaryType)))
-    val rdd = docs.select("doc_id").rdd.mapPartitions(_.map { r =>
+    val rdd = spreadIds(spark, docs).rdd.mapPartitions(_.map { r =>
       val id = r.getLong(0)
       val w = 4 + (id % 4).toInt * 2
       val h = 5 + (id % 3).toInt * 2
@@ -86,7 +96,7 @@ object Multimodal {
       StructField("dataLength", LongType),
       StructField("sha256", StringType),
       StructField("data", BinaryType)))
-    val rdd = docs.select("doc_id").rdd.mapPartitions(_.map { r =>
+    val rdd = spreadIds(spark, docs).rdd.mapPartitions(_.map { r =>
       val id = r.getLong(0)
       val w = 4 + (id % 4).toInt * 2
       val h = 5 + (id % 3).toInt * 2
@@ -112,7 +122,7 @@ object Multimodal {
       StructField("dataLength", LongType),
       StructField("sha256", StringType),
       StructField("data", BinaryType)))
-    val rdd = docs.select("doc_id").rdd.mapPartitions(_.map { r =>
+    val rdd = spreadIds(spark, docs).rdd.mapPartitions(_.map { r =>
       val id = r.getLong(0)
       val w = 8 + (id % 3).toInt * 8
       val h = 8 + (id % 2).toInt * 8
@@ -136,7 +146,7 @@ object Multimodal {
       StructField("dataLength", LongType),
       StructField("sha256", StringType),
       StructField("data", BinaryType)))
-    val rdd = docs.select("doc_id").rdd.mapPartitions(_.map { r =>
+    val rdd = spreadIds(spark, docs).rdd.mapPartitions(_.map { r =>
       val id = r.getLong(0)
       val (w, h) = (6, 4 + (id % 2).toInt * 2)
       val frames = (0 until 3 + (id % 3).toInt).map { f =>
@@ -181,7 +191,7 @@ object Multimodal {
       StructField("dataLength", LongType),
       StructField("sha256", StringType),
       StructField("data", BinaryType)))
-    val rdd = docs.select("doc_id").rdd.mapPartitions(_.map { r =>
+    val rdd = spreadIds(spark, docs).rdd.mapPartitions(_.map { r =>
       val id = r.getLong(0)
       val n = 800 + (id % 5).toInt * 160
       val samples = Array.tabulate(n)(i =>
