@@ -263,6 +263,14 @@ object GraphQueries {
           """g.v("/nation/1").in("refNation").filter{it.acctbal >= 8000}.filter{it.mktsegment == "BUILDING"}.id""")
         .orderBy("id")),
 
+    // Gremlin .transform{...} pure-projection subset (TransformPipe):
+    // it.prop desugars to the values pipe; the filter closure upstream
+    // keeps the chain a real Gremlin-2 porting shape
+    "q_gremlin_transform" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.v("/nation/1").in("refNation").filter{it.acctbal >= 8000}.transform{it.name}""")
+        .orderBy("value")),
+
     // Gremlin .select (SelectPipe): project the .as-named steps as
     // columns — customer / nation / region triples for rich BUILDING
     // customers
@@ -318,6 +326,10 @@ object GraphQueries {
         |FROM customer WHERE c_nationkey = 1 AND c_acctbal >= 8000
         |AND c_mktsegment = 'BUILDING'
         |ORDER BY id""".stripMargin,
+    "q_gremlin_transform" ->
+      """SELECT c_name AS value FROM customer
+        |WHERE c_nationkey = 1 AND c_acctbal >= 8000
+        |ORDER BY value""".stripMargin,
     "q_gremlin_edges" ->
       """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) ||
         |  '-refNation->/nation/' || CAST(c_nationkey AS VARCHAR) AS id

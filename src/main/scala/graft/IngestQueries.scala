@@ -326,7 +326,77 @@ object IngestQueries {
       .orderBy("custkey")
   }
 
+  /** Multi-writer merge + comma-token modifier search: every customer
+    * path takes TWO same-batch write commands from different identities
+    * ("w" plus "even"/"odd" by custkey parity), so the merged version's
+    * `system.lastModifiedBy` is the sorted comma-joined contributor set
+    * ("even,w" / "odd,w" — reference bg/Merger.scala:312). The search
+    * `system.lastModifiedBy::even` must match by COMMA-TOKEN membership
+    * (the comma_analyzer the index template installs on exactly this
+    * field, indices_template_new.json:13-22,206) — whole-string
+    * equality would return zero rows, so the query is non-vacuous only
+    * through the analyzer semantics. */
+  private def searchModifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = st(s, dir)
+    val cmds = store.current
+      .where(col("system.path").startsWith("/customer/"))
+      .select(col("system.path"), Search.fieldN("custkey"),
+        Search.fieldS("name"))
+      .as[(String, Double, String)]
+      .flatMap { case (p, ck, nm) =>
+        val parity = if (ck.toLong % 2 == 0) "even" else "odd"
+        Seq(
+          Merger.Command("write", p, T0,
+            Map("name" -> Seq(Merger.FieldValue(nm, None, None, None,
+              InfotonModel.TString, None, None))), Map.empty, by = "w"),
+          Merger.Command("write", p, T0,
+            Map("custkey" -> Seq(Merger.FieldValue(ck.toLong.toString,
+              Some(ck), None, None, InfotonModel.TLong, None, None))),
+            Map.empty, by = parity))
+      }
+    val merged = Merger.merge(s, Ingest.emptyStore(s), cmds)
+    val st2 = GraftStore.fromInfotons(s, merged, Some(store.fieldTypes))
+    Search.run(st2, Search.Request(path = "/customer",
+        qp = Some("system.lastModifiedBy::even")))
+      .select(Search.fieldN("custkey").cast("long").as("custkey"),
+        col("system.lastModifiedBy").as("modifiers"))
+      .orderBy("custkey")
+  }
+
+  /** Russian-analyzer opt-in, over INGESTED Cyrillic content (the raw
+    * tables are ASCII, so the query synthesizes its corpus like
+    * nsCollision does): even customers get the value "журналами"
+    * (instrumental plural), odd get "книгами". The probe "и журналов"
+    * (stop word + GENITIVE plural of the same noun) raw-matches
+    * NOTHING — the match exists only because both declensions meet at
+    * the stem "журнал" under the Russian light stemmer and "и" drops
+    * as a stop gap; the Standard chain treats Cyrillic as delimiters
+    * (zero probe tokens → zero rows). First non-Latin alphabetic
+    * chain; drift pinned in AnalyzerDriftSpec. */
+  private def searchStemmedRu(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
+    val nt = cust.select(col("system.path").as("p"),
+        Search.fieldN("custkey").cast("long").as("ck"))
+      .as[(String, Long)]
+      .map { case (p, ck) =>
+        val w = if (ck % 2 == 0) "журналами" else "книгами"
+        s"""<cmwell:/$p> <x://vocab#tag> "$w" ."""
+      }
+    val st2 = GraftStore.fromInfotons(s,
+      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0))
+    Search.run(st2, Search.Request(path = "/customer",
+        qp = Some("tag:и журналов"),
+        analyzer = graft.qp.TextAnalyzer.Russian))
+      .select(regexp_extract(col("system.path"), "^/customer/(\\d+)$", 1)
+        .cast("long").as("custkey"))
+      .orderBy("custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_search_modifier" -> searchModifier,
+    "q_search_stemmed_ru" -> searchStemmedRu,
     "q_ingest_roundtrip" -> roundtrip,
     "q_ns_collision" -> nsCollision,
     "q_ow_replay" -> owReplay,
@@ -342,6 +412,12 @@ object IngestQueries {
     "q_with_deleted" -> withDeleted)
 
   val oracles: Map[String, String] = Map(
+    "q_search_modifier" ->
+      """SELECT c_custkey AS custkey, 'even,w' AS modifiers FROM customer
+        |WHERE c_custkey % 2 = 0 ORDER BY custkey""".stripMargin,
+    "q_search_stemmed_ru" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |WHERE c_custkey % 2 = 0 ORDER BY custkey""".stripMargin,
     "q_ns_collision" ->
       """SELECT c_custkey AS custkey, c_mktsegment AS seg_v1,
         |c_name AS seg_v2 FROM customer ORDER BY custkey""".stripMargin,

@@ -486,6 +486,15 @@ object PipelineQueries {
       Curation.hashSplit(docs(s, dir))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
+    // LEAKAGE-SAFE split: hash key = near-dup cluster root (shared CC
+    // build), so a cluster never straddles train/test — a per-doc
+    // split would let a test doc's near-twin sit in train and the
+    // eval measure memorization
+    "q_split_leakage" -> ((s, dir) =>
+      Curation.clusterSplit(docs(s, dir), clusters(s, dir))
+        .select("doc_id", "group_key", "bucket", "split")
+        .orderBy("doc_id")),
+
     // deterministic mixture resampling: md5-uniform per doc vs its
     // source's target rate — the domain-reweighting lever; three
     // sources down-sampled, the rest kept
@@ -1254,6 +1263,31 @@ object PipelineQueries {
          |SELECT d.doc_id, coalesce(w.weight, CAST(1.0 AS DOUBLE)) AS weight
          |FROM documents d LEFT JOIN w USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pr
+         |  UNION SELECT d2, d1 FROM pr),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+         |cl AS (SELECT node AS member, min(r) AS root FROM reach
+         |  GROUP BY node),
+         |k AS (SELECT d.doc_id,
+         |  coalesce(cl.root, d.doc_id) AS group_key,
+         |  md5('csplit:' || CAST(coalesce(cl.root, d.doc_id) AS VARCHAR)) AS h
+         |  FROM documents d LEFT JOIN cl ON cl.member = d.doc_id),
+         |b AS (SELECT doc_id, group_key,
+         |  (ascii(substr(h, 1, 1)) -
+         |    CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
+         |  ascii(substr(h, 2, 1)) -
+         |    CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END AS bucket
+         |  FROM k)
+         |SELECT doc_id, group_key, bucket,
+         |  CASE WHEN bucket < 246 THEN 'train'
+         |       WHEN bucket < 251 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q_corpus_report" ->
       s"""SELECT source, count(*) AS n_docs,
          |CAST(SUM(len($TokensSql)) AS BIGINT) AS n_tokens,

@@ -406,6 +406,78 @@ object PtTerm {
   }
 }
 
+/** Russian token→term — stop-gap + light stem as one static call, the
+  * [[graft.qp.TextAnalyzer.Russian]] executor side. Combined like
+  * [[EsTerm]]: the recipe is length-gated suffix surgery over
+  * Cyrillic declension endings, clearer as direct code than as a
+  * regex fold. */
+case class RuTermExpr(child: Expression) extends TokenFnExpr {
+  override def prettyName: String = "ru_term"
+  protected def staticCall: String = "graft.functions.RuTerm.termU"
+  protected def run(s: UTF8String): UTF8String = RuTerm.termU(s)
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object RuTerm {
+  private lazy val Stops = graft.qp.TextAnalyzer.RussianStopWords
+
+  def termU(s: UTF8String): UTF8String = UTF8String.fromString(term(s.toString))
+
+  /** The ONE Russian per-token chain — driver `queryTokens` and the
+    * executor expression both run this. Stop check runs on the RAW
+    * folded token (the set carries ё-forms — "её", "ещё"), before
+    * stemming. */
+  def term(tok: String): String = {
+    if (Stops.contains(tok)) return graft.qp.TextAnalyzer.PositionGap
+    stem(tok)
+  }
+
+  // the common noun/adjective case endings, grouped by length, each
+  // group behind its own minimum-length gate (UniNE light-Russian
+  // shape: remove ONE case ending, longest match first, then a final
+  // -ь/-и/-нн cleanup). Ordered longest-first within each group.
+  private val Suf4 = Array("иями", "оями")
+  private val Suf3 = Array("иям", "иях", "оям", "оях", "ями", "ами",
+    "его", "ему", "ими", "ого", "ому", "ыми", "оев")
+  private val Suf2 = Array("ая", "яя", "ях", "юю", "ах", "ею", "их",
+    "ия", "ию", "ой", "ом", "ов", "ое", "ою", "ую", "ям", "ых", "ея",
+    "ам", "ем", "ей", "ём", "ев", "ий", "ый", "им", "ые", "ым", "ми")
+  private val Drop1 = Set('а', 'е', 'и', 'о', 'у', 'й', 'ы', 'я', 'ь')
+
+  /** Light Russian stemmer (the UniNE CLEF light-stemmer recipe family
+    * — the approach behind Lucene's RussianLightStemFilter; an analog,
+    * documented): ё folds to е first (orthographic variance), then ONE
+    * case-ending removal fires — 4-char endings need len>6, 3-char
+    * len>5, 2-char len>4, a final declension vowel/soft-sign len>3 —
+    * then the cleanup: a trailing ь or и drops (infinitive/soft stems)
+    * and a doubled нн loses one н. Tokens without Cyrillic endings
+    * (ASCII loanwords, digits) pass through untouched. */
+  def stem(t: String): String = {
+    if (t.length < 4) return t
+    val w = t.replace('ё', 'е')
+    normalize(removeCase(w))
+  }
+
+  private def removeCase(w: String): String = {
+    val n = w.length
+    if (n > 6) { val i = Suf4.indexWhere(w.endsWith); if (i >= 0) return w.dropRight(4) }
+    if (n > 5) { val i = Suf3.indexWhere(w.endsWith); if (i >= 0) return w.dropRight(3) }
+    if (n > 4) { val i = Suf2.indexWhere(w.endsWith); if (i >= 0) return w.dropRight(2) }
+    if (n > 3 && Drop1.contains(w.last)) return w.dropRight(1)
+    w
+  }
+
+  private def normalize(w: String): String = {
+    val n = w.length
+    if (n > 3) {
+      if (w.last == 'ь' || w.last == 'и') return w.dropRight(1)
+      if (w.last == 'н' && w(n - 2) == 'н') return w.dropRight(1)
+    }
+    w
+  }
+}
+
 private object StemRunner {
   def run(rules: Array[(java.util.regex.Pattern, String)],
           t: String): String = {

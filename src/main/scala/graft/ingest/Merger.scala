@@ -36,11 +36,16 @@ object Merger {
     * op ∈ write | update | delete_attrs | delete_path.
     * `deleteFields`: field → values to remove; an EMPTY value list
     * removes the whole field (markReplace). `kind` lets a write create
-    * a LinkInfoton / FileInfoton instead of a plain object. */
+    * a LinkInfoton / FileInfoton instead of a plain object. `by` is the
+    * writing identity — the merged version records the SORTED DISTINCT
+    * set of its contributors comma-joined (reference bg/Merger.scala:312),
+    * which is why the index side analyzes `system.lastModifiedBy` with
+    * the comma tokenizer (indices_template_new.json:13-22,206). */
   final case class Command(op: String, path: String, lastModified: Timestamp,
                            fields: Map[String, Seq[FieldValue]],
                            deleteFields: Map[String, Seq[FieldValue]],
-                           kind: String = InfotonModel.KindObject)
+                           kind: String = InfotonModel.KindObject,
+                           by: String = "ingest")
 
   final case class SystemRow(path: String, parent: String,
                              lastModified: Timestamp, lastModifiedBy: String,
@@ -116,8 +121,12 @@ object Merger {
       }: _*)
       val parent0 = path.replaceAll("/[^/]+$", "")
       val parent = if (path == "/") "$root" else if (parent0.isEmpty) "/" else parent0
+      // multi-writer fold: the version's modifier field is the sorted
+      // distinct contributor set, comma-joined (bg/Merger.scala:312 —
+      // SortedSet(cmds.map(_.lastModifiedBy)).mkString(","))
+      val by = sorted.map(_.by).distinct.sorted.mkString(",")
       Some(InfotonRow(
-        SystemRow(path, parent, new Timestamp(lm), "ingest",
+        SystemRow(path, parent, new Timestamp(lm), by,
           uuid = null, dc = "local", indexTime = lm * 1000L, current = true,
           kind = if (deleted) InfotonModel.KindDeleted else kind,
           protocol = "cmwell"),

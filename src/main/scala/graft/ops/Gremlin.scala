@@ -115,6 +115,11 @@ import org.apache.spark.sql.functions._
   *                           (null does not order). Any other closure
   *                           body (||, method calls, state) needs the
   *                           reference's Groovy engine and FAILS LOUD.
+  *   .transform{it.p}        the pure-projection TransformPipe subset:
+  *                           it → identity, it.id → the id terminal,
+  *                           it.prop / it.getProperty("p") → the
+  *                           .values(prop) pipe. Computed bodies
+  *                           (concat, arithmetic, calls) FAIL LOUD.
   *   .loop("x", n)           BOUNDED loop: repeat the pipes since
   *                           .as("x") so the segment runs n times total
   *                           (n a literal 1-20; desugars to n-1 extra
@@ -214,6 +219,7 @@ object Gremlin {
       val (name, as) = (m.group(1), args(Option(m.group(2)).getOrElse("")))
       if (closure.isDefined) {
         if (name == "filter") parseFilterClosure(closure.get, query)
+        else if (name == "transform") parseTransformClosure(closure.get, query)
         else throw new IllegalArgumentException(
           s"gremlin syntax error: .$name{${closure.get}} closures need " +
             s"the reference's Groovy engine — unsupported in '$query'")
@@ -282,6 +288,32 @@ object Gremlin {
           s"gremlin syntax error: unsupported pipe .$name(${as.mkString(",")})")
       })
     }.toSeq
+  }
+
+  /** The mechanically-translatable `.transform{...}` subset
+    * (Gremlin 2 TransformPipe): pure property projections —
+    * `transform{it}` is the identity (no step), `transform{it.id}` is
+    * the id terminal, and `transform{it.prop}` /
+    * `transform{it.getProperty("p")}` is exactly the `.values(prop)`
+    * pipe (Groovy resolves `it.prop` on a Blueprints element to
+    * getProperty). Anything computed — string concat, arithmetic,
+    * method calls — is genuinely programmatic and needs the
+    * reference's Groovy engine (GremlinParser.scala:29-99): fail
+    * loud, never silently approximate. */
+  private[ops] def parseTransformClosure(body: String,
+                                         query: String): Seq[Step] = {
+    val b = body.trim
+    if (b == "it") return Seq.empty
+    val pat = java.util.regex.Pattern.compile(
+      """^it\s*\.\s*(?:getProperty\(\s*"([^"]+)"\s*\)|([A-Za-z_][\w.\-#$]*))$""")
+    val m = pat.matcher(b)
+    if (!m.matches()) throw new IllegalArgumentException(
+      s"gremlin syntax error: .transform{$b} is not a pure property " +
+        "projection (it / it.id / it.<prop> / it.getProperty(\"p\")) — " +
+        s"programmatic closures need the reference's Groovy engine, " +
+        s"unsupported in '$query'")
+    val prop = Option(m.group(1)).getOrElse(m.group(2))
+    if (prop == "id") Seq(Id) else Seq(Values(prop))
   }
 
   /** The mechanically-translatable `.filter{...}` subset: closures of

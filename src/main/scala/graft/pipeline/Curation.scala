@@ -73,12 +73,55 @@ object Curation {
     require(cuts.nonEmpty && cuts.last._2 == 256 &&
       cuts.map(_._2) == cuts.map(_._2).sorted,
       s"cuts must ascend to 256: $cuts")
-    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
-    val bucket = hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))
-    val split = cuts.foldRight(lit(cuts.last._1)) { case ((name, cut), acc) =>
+    val bucket = bucketOf(col(idCol), salt)
+    val split = splitOf(bucket, cuts)
+    docs.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** Stable bucket in 0..255 from the first two hex chars of
+    * md5(salt:key) — the shared arithmetic behind [[hashSplit]] and
+    * [[clusterSplit]]. */
+  private def bucketOf(key: Column, salt: String): Column = {
+    val h = md5(concat(lit(salt + ":"), key.cast("string")))
+    hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))
+  }
+
+  private def splitOf(bucket: Column, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == 256 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must ascend to 256: $cuts")
+    cuts.foldRight(lit(cuts.last._1)) { case ((name, cut), acc) =>
       when(bucket < cut, lit(name)).otherwise(acc)
     }
-    docs.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** LEAKAGE-SAFE train/val/test split: like [[hashSplit]], but the
+    * hash key is the document's NEAR-DUP CLUSTER label (`clusters` =
+    * (member, root) from [[Dedup.connectedComponents]] over any pair
+    * frame), so every member of a near-dup cluster lands on the SAME
+    * side. A plain per-doc split leaks: a test document's near-twin
+    * sits in train and the eval measures memorization, not
+    * generalization — the standard fix in code/LM dataset curation is
+    * to split by dedup cluster, which this operator is.
+    *
+    * Scale shape: `clusters` is drop-set-sized (only docs that appear
+    * in some pair), the join is a broadcast-or-shuffle left join on
+    * the id, and the split itself stays the same portable md5
+    * arithmetic — singletons (no cluster row) key on their own id,
+    * identical to [[hashSplit]] up to the salt. No global state, no
+    * sort; stable under corpus growth except where clusters
+    * themselves merge (which genuinely must re-side). */
+  def clusterSplit(docs: DataFrame, clusters: DataFrame,
+                   idCol: String = "doc_id", salt: String = "csplit",
+                   cuts: Seq[(String, Int)] = Seq(
+                     "train" -> 246, "val" -> 251, "test" -> 256)): DataFrame = {
+    val cl = clusters.select(col("member").as(idCol), col("root"))
+    val key = coalesce(col("root"), col(idCol))
+    docs.join(cl, Seq(idCol), "left")
+      .withColumn("group_key", key)
+      .withColumn("bucket", bucketOf(key, salt))
+      .withColumn("split", splitOf(bucketOf(key, salt), cuts))
+      .drop("root")
   }
 
   /** Deterministic MIXTURE RESAMPLING: keep a doc iff its md5-derived

@@ -313,6 +313,54 @@ object TextAnalyzer {
     protected def termCol(c: Column): Column = ptTermCol(c)
   }
 
+  /** Light Russian analyzer, OPT-IN — the first NON-LATIN alphabetic
+    * chain (the [[LatinChain]] base is script-agnostic: tables, a
+    * letter-run delimiter class, one shared token→term function).
+    * Cyrillic uppercase folds through the same locale-free translate
+    * discipline (the JVM-locale lower() trap is worse for Cyrillic —
+    * it is ALL outside ASCII), the tokenizer keeps Latin letters too
+    * (Russian text quotes Latin identifiers verbatim — the Lucene
+    * russian chain's standard tokenizer does the same), and the
+    * per-token chain is stop-check (Cyrillic function words, raw
+    * folded token) → light stem: ё→е normalization, one case-ending
+    * removal pass over the common noun/adjective declension suffixes
+    * with length gates, then a final -ь/-и/-нн cleanup — the UniNE
+    * CLEF light-Russian recipe family (the approach behind Lucene's
+    * RussianLightStemFilter); an ANALOG, documented, not byte parity.
+    * ASCII tokens pass through the stemmer untouched (no Cyrillic
+    * suffix can match). Shared chain: [[graft.functions.RuTerm.term]]
+    * / [[graft.functions.RuTermExpr]]. */
+  case object Russian extends LatinChain {
+    protected def upperTable =
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZАБВГДЕЁЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ"
+    protected def lowerTable =
+      "abcdefghijklmnopqrstuvwxyzабвгдеёжзийклмнопрстуфхцчшщъыьэюя"
+    protected def runDelims = "[^a-z0-9а-яё]+"
+    protected def term(tok: String): String = graft.functions.RuTerm.term(tok)
+    protected def termCol(c: Column): Column = ruTermCol(c)
+  }
+
+  /** Common Russian function-word stop set (conjunctions, particles,
+    * pronouns, frequent prepositions — the stable core of the public
+    * Snowball russian list). Checked on the raw folded token. */
+  val RussianStopWords: Set[String] = Set(
+    "а", "без", "бы", "был", "была", "были", "было", "быть", "в",
+    "вам", "вас", "весь", "во", "вот", "все", "всё", "вы", "где",
+    "да", "даже", "для", "до", "его", "ее", "её", "ей", "ему",
+    "если", "есть", "еще", "ещё", "же", "за", "и", "из", "или",
+    "им", "их", "к", "как", "кто", "ли", "меня", "мне", "мы", "на",
+    "не", "него", "ней", "нет", "ни", "но", "ну", "о", "об", "он",
+    "она", "они", "от", "по", "под", "при", "с", "со", "так",
+    "такой", "там", "тебя", "то", "тогда", "тоже", "только", "тот",
+    "ты", "у", "уже", "что", "чтобы", "это", "этот", "я")
+
+  /** Executor-side Russian token→term — one static call per token
+    * into the same shared chain ([[graft.functions.RuTermExpr]]). */
+  def ruTermCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.RuTermExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
   /** Common Italian function-word stop set (articles incl. the elided
     * forms' cores, pronouns, frequent prepositions — the stable core
     * of the public Snowball italian list, accented forms included).

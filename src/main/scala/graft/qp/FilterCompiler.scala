@@ -189,6 +189,23 @@ final class FilterCompiler(store: GraftStore,
   private def systemPredicate(vo: ValueOp, field: String,
                               v: String): Column = {
     val c = col(field)
+    // system.lastModifiedBy is the ONE system field the reference
+    // indexes through a custom content analyzer — the comma tokenizer
+    // (indices_template_new.json:13-22,206) — because the merge fold
+    // stores the version's contributor set comma-joined
+    // (bg/Merger.scala:312). A term or match query therefore hits any
+    // ONE contributor token, so Equals and Contains are both
+    // comma-token membership here, not whole-string equality.
+    if (field == "system.lastModifiedBy")
+      return vo match {
+        case Equals | Contains => array_contains(split(c, ","), lit(v))
+        case Like => exists(split(c, ","),
+          t => levenshtein(t, lit(v)) <= lit(autoFuzz(v)))
+        case GreaterThan => c > lit(v)
+        case GreaterThanOrEquals => c >= lit(v)
+        case LessThan => c < lit(v)
+        case LessThanOrEquals => c <= lit(v)
+      }
     vo match {
       case Equals | Contains => c === lit(v)
       case GreaterThan => c > lit(v)

@@ -36,6 +36,8 @@ class AnalyzerDriftSpec extends AnyFunSuite {
       "los", "gizmos", "canción", "señora", "más", "veces", "meses",
       "gli", "l'amico", "dell'arte", "città", "ragazzi", "perché",
       "os", "não", "corações", "papéis", "lençóis", "também", "bens",
+      "и", "журналами", "журналов", "книгами", "ещё", "её", "Ёлка",
+      "странный", "жизнь", "ночи", "abcжурналmix",
       "中文分析", "机器学习", "カタカナ", "한국어", "abc中文mix"),
     3 -> Gen.choose(1, 9).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)),
@@ -74,7 +76,8 @@ class AnalyzerDriftSpec extends AnyFunSuite {
     "french" -> TextAnalyzer.French,
     "spanish" -> TextAnalyzer.Spanish,
     "italian" -> TextAnalyzer.Italian,
-    "portuguese" -> TextAnalyzer.Portuguese)
+    "portuguese" -> TextAnalyzer.Portuguese,
+    "russian" -> TextAnalyzer.Russian)
 
   test("generated text: executor tokensOf == driver queryTokens for " +
       "every chain") {

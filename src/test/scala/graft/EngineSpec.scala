@@ -2619,6 +2619,64 @@ class EngineSpec extends AnyFunSuite {
     assert(run("t.o:gizmo também", TextAnalyzer.Portuguese) == Set("/p/3"))
   }
 
+  test("russian analyzer: declension endings meet at the stem, ё fold, " +
+      "stop gaps, Cyrillic case fold, driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    import graft.functions.RuTerm
+    // canonical light-stemmer outputs: one case-ending removal
+    // (longest first, length-gated), then the -ь/-и/-нн cleanup
+    val vocab = Seq(
+      "журналами" -> "журнал",   // -ами (instrumental pl)
+      "журналов" -> "журнал",    // -ов (genitive pl)
+      "журнал" -> "журнал",      // nominative meets the obliques
+      "книгами" -> "книг",       // -ами
+      "книга" -> "книг",         // final declension vowel
+      "ночи" -> "ноч",           // -и drops
+      "ночь" -> "ноч",           // -ь drops: singular meets plural
+      "странный" -> "стран",     // -ый, then the doubled-нн cleanup
+      "ёлками" -> "елк",         // ё→е first, then -ами, then cleanup
+      "синяя" -> "син",          // -яя (adjective fem)
+      "дом" -> "дом",            // len < 4 gate: untouched
+      "ring" -> "ring",          // ASCII loanword passes untouched
+      "x86" -> "x86")
+    vocab.foreach { case (in, want) =>
+      assert(RuTerm.stem(in) == want,
+        s"stemRu($in) = ${RuTerm.stem(in)}, want $want")
+    }
+    // stop check on the raw folded token, ё-forms included
+    assert(RuTerm.term("и") == TextAnalyzer.PositionGap)
+    assert(RuTerm.term("ещё") == TextAnalyzer.PositionGap)
+    assert(RuTerm.term("её") == TextAnalyzer.PositionGap)
+    assert(RuTerm.term("журналов") == "журнал")
+    // driver tokenization == executor expression (Cyrillic case fold
+    // is ALL outside ASCII — the locale-free translate discipline)
+    import spark.implicits._
+    val texts = Seq("И ЖУРНАЛАМИ тоже", "Ёлками и ёлками",
+      "смесь abc журналов 123", "abc", "")
+    val sparkToks = texts.toDF("s")
+      .select(TextAnalyzer.Russian.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    val driverToks = texts.map(t => TextAnalyzer.Russian
+      .queryTokens("zq " + t + " zq").drop(1).dropRight(1))
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+    // end to end over a Russian store
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://r/1> <c://o#t> \"журналами пользуюсь\" .",
+      "<c://r/2> <c://o#t> \"журнал на столе\" .",
+      "<c://r/3> <c://o#t> \"книгами пользуюсь\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/r", qp = Some(qp), analyzer = an)))
+    // the genitive probe reaches BOTH declensions through the stemmer
+    assert(run("t.o:журналов", TextAnalyzer.Russian) == Set("/r/1", "/r/2"))
+    // the Standard chain treats Cyrillic as delimiters: zero tokens,
+    // zero matches (the pinned pre-existing behavior)
+    assert(run("t.o:журналов", TextAnalyzer.Standard).isEmpty)
+    // leading stop word trims to the single stemmed term
+    assert(run("t.o:и книгами", TextAnalyzer.Russian) == Set("/r/3"))
+  }
+
   test("cjk analyzer: bigram phrase match sees CJK text; standard cannot") {
     import graft.qp.TextAnalyzer
     graft.qp.Namespaces.register("o", "c://o#")
@@ -3750,6 +3808,36 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(sibs.nonEmpty && (sibs & home).isEmpty,
       s"second snapshot missing: $sibs / $home")
+  }
+
+  test("gremlin transform{} pure projections: it / it.id / it.prop; " +
+      "computed bodies fail loud") {
+    import graft.ops.Gremlin
+    val store = graft.model.GraftStore.forDir(spark, Sf)
+    // it.prop ≡ .values(prop)
+    val viaTransform = Gremlin.eval(store,
+        """g.V.has("mktsegment", "BUILDING").transform{it.name}""")
+      .collect().map(_.getString(0)).toSet
+    val viaValues = Gremlin.eval(store,
+        """g.V.has("mktsegment", "BUILDING").values("name")""")
+      .collect().map(_.getString(0)).toSet
+    assert(viaTransform == viaValues && viaTransform.nonEmpty)
+    // it.getProperty("p") alias
+    assert(Gremlin.eval(store,
+        """g.V.has("mktsegment", "BUILDING").transform{it.getProperty("name")}""")
+      .collect().map(_.getString(0)).toSet == viaValues)
+    // transform{it} is the identity, transform{it.id} the id terminal
+    val ids = Gremlin.eval(store,
+        """g.V.has("mktsegment", "BUILDING").transform{it}.id""")
+      .collect().map(_.getString(0)).toSet
+    assert(ids == Gremlin.eval(store,
+        """g.V.has("mktsegment", "BUILDING").transform{it.id}""")
+      .collect().map(_.getString(0)).toSet && ids.nonEmpty)
+    // computed bodies need the Groovy engine — fail loud
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.transform{it.name + "x"}""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.transform{it.out("refNation")}""") }
   }
 
   test("connected components fold pair lists into dedup clusters") {

@@ -103,4 +103,17 @@ class MergerSpec extends AnyFunSuite {
   test("no commands means no version") {
     assert(mergeOne("/x/1", Some(base(Map.empty)), Nil).isEmpty)
   }
+
+  test("multi-writer fold records sorted distinct modifiers comma-joined") {
+    // reference bg/Merger.scala:312 —
+    // SortedSet(cmds.map(_.lastModifiedBy)).mkString(",")
+    val Some(m) = mergeOne("/x/1", None, Seq(
+      Command("write", "/x/1", ts("2024-02-01 00:00:00"),
+        Map("a" -> Seq(sv("v1"))), Map.empty, by = "zoe"),
+      Command("write", "/x/1", ts("2024-02-02 00:00:00"),
+        Map("b" -> Seq(sv("v2"))), Map.empty, by = "amy"),
+      Command("write", "/x/1", ts("2024-02-03 00:00:00"),
+        Map("c" -> Seq(sv("v3"))), Map.empty, by = "amy"))): @unchecked
+    assert(m.system.lastModifiedBy == "amy,zoe")
+  }
 }
