@@ -486,6 +486,30 @@ object PipelineQueries {
       Curation.hashSplit(docs(s, dir))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
+    // SCRIPT detection: per-doc writing-system character profile +
+    // dominant script — the router that picks the analyzer chain
+    // (Cyrillic → Russian, Han/Kana → Cjk) before any language-id.
+    // One codegen'd projection, no shuffle.
+    "q_script_profile" -> ((s, dir) =>
+      TextAnalysis.scriptProfile(docs(s, dir)).orderBy("doc_id")),
+
+    // TEXT NORMALIZATION (the pre-dedup web-pipeline stage): each doc
+    // is deterministically wrapped in markup noise (tags, entities, a
+    // control char, extra blank lines), then normalizeText must strip
+    // it all back — tag strip, entity decode in the
+    // no-double-decode order (&amp;lt; stays the literal &lt;),
+    // control drop, whitespace collapse. Pure codegen'd
+    // regexp_replace chain, no shuffle; the oracle replays the exact
+    // chain in SQL.
+    "q_normalize_text" -> ((s, dir) => {
+      val wrapped = docs(s, dir).select(col("doc_id"),
+        concat(lit("<div class=\"post\">\n\n\n  <p>"),
+          regexp_replace(col("text"), " ", "&nbsp;"),
+          lit("</p>\u0001<!-- footer -->&amp;lt;end&gt;</div>")).as("text"))
+      Curation.normalizeText(wrapped)
+        .select(col("doc_id"), col("norm_text")).orderBy("doc_id")
+    }),
+
     // LEAKAGE-SAFE split: hash key = near-dup cluster root (shared CC
     // build), so a cluster never straddles train/test — a per-doc
     // split would let a test doc's near-twin sit in train and the
@@ -862,6 +886,49 @@ object PipelineQueries {
             array_max(col("frame_energy"))) - 1).cast("long")
             .as("peak_frame"))
         .orderBy("path")
+    }),
+
+    // CHECKSUM-GATED card redaction: both sides inject two candidates
+    // per doc — a dash-grouped number whose Luhn CHECK DIGIT is
+    // computed in the query, and a bare 16-digit companion that is
+    // valid only for doc_id%3==0 (else its check digit is off by 5) —
+    // so n_valid varies and redaction hits exactly the validated
+    // spellings. Extraction, the per-candidate Luhn aggregate, and
+    // the replace fold all run in-row.
+    "q_redact_cards" -> ((s, dir) => {
+      val b = lpad((col("doc_id") * 387420489L + 12345L).cast("string"),
+        15, "0")
+      // check digit with the check position in place: right-index r
+      // over the 15 base digits, r odd doubles
+      val sum15 = aggregate(sequence(lit(1), lit(15)), lit(0), (acc, r) => {
+        val dig = b.substr(lit(16) - r, lit(1)).cast("int")
+        val dd = when(r % 2 === 1, dig * 2).otherwise(dig)
+        acc + when(dd > 9, dd - 9).otherwise(dd)
+      })
+      val check = (lit(10) - (sum15 % 10)) % 10
+      val valid16 = concat(b, check.cast("string"))
+      val grouped = concat_ws("-", valid16.substr(1, 4),
+        valid16.substr(5, 4), valid16.substr(9, 4), valid16.substr(13, 4))
+      val second = concat(b,
+        when(col("doc_id") % 3 === 0, check)
+          .otherwise((check + 5) % 10).cast("string"))
+      val wrapped = docs(s, dir).withColumn("text",
+        concat(col("text"), lit(" card "), grouped,
+          lit(" ref "), second))
+      Curation.redactCards(wrapped).orderBy("doc_id")
+    }),
+
+    // SPECTRAL audio features: decode real RIFF bytes, frame into
+    // 160-sample windows, single-bin DFT magnitudes² at k=1,2,4,8
+    // entirely in-row (zip_with + aggregate — no UDF, no shuffle).
+    // The oracle recomputes the closed-form samples and the same DFT
+    // relationally; magnitudes rounded to 6 dp on both sides (trig is
+    // the one libm-divergent stage, error ≤1e-13 per frame).
+    "q_audio_spectra" -> ((s, dir) => {
+      val content = Multimodal.wavContentStore(s, docs(s, dir))
+      Multimodal.audioSpectra(
+          Multimodal.decodeAudio(s, content), 160, Seq(1, 2, 4, 8))
+        .orderBy("path", "frame")
     }),
 
     // URL/domain blocklist filtering (C4 source gate). The corpus has
@@ -1263,6 +1330,60 @@ object PipelineQueries {
          |SELECT d.doc_id, coalesce(w.weight, CAST(1.0 AS DOUBLE)) AS weight
          |FROM documents d LEFT JOIN w USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q_script_profile" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(length(text) -
+        |    length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS INT)
+        |    AS n_latin,
+        |  CAST(length(text) -
+        |    length(regexp_replace(text, '[\p{Cyrillic}]', '', 'g')) AS INT)
+        |    AS n_cyrillic,
+        |  CAST(length(text) -
+        |    length(regexp_replace(text, '[\p{Han}]', '', 'g')) AS INT)
+        |    AS n_han,
+        |  CAST(length(text) -
+        |    length(regexp_replace(text, '[\p{Hiragana}\p{Katakana}]', '', 'g'))
+        |    AS INT) AS n_kana,
+        |  CAST(length(text) -
+        |    length(regexp_replace(text, '[\p{Hangul}]', '', 'g')) AS INT)
+        |    AS n_hangul,
+        |  CAST(length(text) -
+        |    length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digit
+        |  FROM documents),
+        |b AS (SELECT *,
+        |  greatest(n_latin, n_cyrillic, n_han, n_kana, n_hangul) AS best
+        |  FROM c)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han, n_kana, n_hangul,
+        |  n_digit,
+        |  CASE WHEN best = 0 THEN 'und'
+        |       WHEN n_latin = best THEN 'latin'
+        |       WHEN n_cyrillic = best THEN 'cyrillic'
+        |       WHEN n_han = best THEN 'han'
+        |       WHEN n_kana = best THEN 'kana'
+        |       ELSE 'hangul' END AS dominant
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_normalize_text" ->
+      """WITH w AS (SELECT doc_id,
+        |  '<div class="post">' || chr(10) || chr(10) || chr(10) ||
+        |  '  <p>' || replace(text, ' ', '&nbsp;') || '</p>' || chr(1) ||
+        |  '<!-- footer -->&amp;lt;end&gt;</div>' AS t FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+        |  FROM w),
+        |s2 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS t
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t
+        |  FROM s4),
+        |s6 AS (SELECT doc_id,
+        |  regexp_replace(t, '\n{3,}', chr(10) || chr(10), 'g') AS t FROM s5)
+        |SELECT doc_id, regexp_replace(t, '^\s+|\s+$', '', 'g') AS norm_text
+        |FROM s6 ORDER BY doc_id""".stripMargin,
     "q_split_leakage" ->
       s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
          |edges AS (SELECT d1 AS a, d2 AS b FROM pr
@@ -2049,6 +2170,104 @@ object PipelineQueries {
          |      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
          |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // same injected construction + the same Luhn arithmetic,
+    // relationally: check digit from the 15-digit base, candidates by
+    // regexp_extract_all, validity by a per-candidate digit fold,
+    // redaction by list_reduce over the validated spellings
+    "q_redact_cards" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  lpad(CAST(doc_id * 387420489 + 12345 AS VARCHAR), 15, '0') AS b
+        |  FROM documents),
+        |ck AS (SELECT doc_id, text, b,
+        |  CAST((10 - list_sum(list_transform(generate_series(1, 15), r ->
+        |    CASE WHEN (CASE WHEN r % 2 = 1
+        |        THEN 2 * CAST(substr(b, 16 - r, 1) AS INT)
+        |        ELSE CAST(substr(b, 16 - r, 1) AS INT) END) > 9
+        |      THEN (CASE WHEN r % 2 = 1
+        |        THEN 2 * CAST(substr(b, 16 - r, 1) AS INT)
+        |        ELSE CAST(substr(b, 16 - r, 1) AS INT) END) - 9
+        |      ELSE (CASE WHEN r % 2 = 1
+        |        THEN 2 * CAST(substr(b, 16 - r, 1) AS INT)
+        |        ELSE CAST(substr(b, 16 - r, 1) AS INT) END) END)) % 10) % 10
+        |    AS VARCHAR) AS chk FROM base),
+        |w AS (SELECT doc_id,
+        |  text || ' card ' ||
+        |  substr(b || chk, 1, 4) || '-' || substr(b || chk, 5, 4) || '-' ||
+        |  substr(b || chk, 9, 4) || '-' || substr(b || chk, 13, 4) ||
+        |  ' ref ' || b ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chk
+        |       ELSE CAST((CAST(chk AS INT) + 5) % 10 AS VARCHAR) END AS t
+        |  FROM ck),
+        |c AS (SELECT doc_id, t,
+        |  regexp_extract_all(t,
+        |    '\b(?:\d{4}[ -]){3}\d{4}\b|\b\d{13,16}\b') AS cands FROM w),
+        |v AS (SELECT doc_id, t, cands,
+        |  list_filter(cands, c -> list_sum(list_transform(
+        |    generate_series(1, length(replace(replace(c, ' ', ''), '-', ''))),
+        |    q -> CASE WHEN (CASE WHEN q % 2 = 0
+        |        THEN 2 * CAST(substr(replace(replace(c, ' ', ''), '-', ''),
+        |          length(replace(replace(c, ' ', ''), '-', '')) - q + 1, 1)
+        |          AS INT)
+        |        ELSE CAST(substr(replace(replace(c, ' ', ''), '-', ''),
+        |          length(replace(replace(c, ' ', ''), '-', '')) - q + 1, 1)
+        |          AS INT) END) > 9
+        |      THEN (CASE WHEN q % 2 = 0
+        |        THEN 2 * CAST(substr(replace(replace(c, ' ', ''), '-', ''),
+        |          length(replace(replace(c, ' ', ''), '-', '')) - q + 1, 1)
+        |          AS INT)
+        |        ELSE CAST(substr(replace(replace(c, ' ', ''), '-', ''),
+        |          length(replace(replace(c, ' ', ''), '-', '')) - q + 1, 1)
+        |          AS INT) END) - 9
+        |      ELSE (CASE WHEN q % 2 = 0
+        |        THEN 2 * CAST(substr(replace(replace(c, ' ', ''), '-', ''),
+        |          length(replace(replace(c, ' ', ''), '-', '')) - q + 1, 1)
+        |          AS INT)
+        |        ELSE CAST(substr(replace(replace(c, ' ', ''), '-', ''),
+        |          length(replace(replace(c, ' ', ''), '-', '')) - q + 1, 1)
+        |          AS INT) END) END)) % 10 = 0) AS valids
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(len(cands) AS INT) AS n_candidates,
+        |  CAST(len(valids) AS INT) AS n_valid,
+        |  list_reduce(list_prepend(t, valids),
+        |    (acc, x) -> replace(acc, x, '[CARD]')) AS redacted
+        |FROM v ORDER BY doc_id""".stripMargin,
+    // closed-form samples (the wavContentStore generator) + the same
+    // single-bin DFT, relationally: per (doc, frame), re/im sums over
+    // the 160-sample slice, magnitudes rounded 6 dp
+    "q_audio_spectra" ->
+      """WITH f AS (SELECT doc_id, CAST(t.j AS INT) AS frame
+        |  FROM documents,
+        |  UNNEST(generate_series(0, CAST(4 + doc_id % 5 AS BIGINT))) AS t(j)),
+        |c AS (SELECT doc_id, frame,
+        |  list_transform(generate_series(0, 159), i ->
+        |    CAST((doc_id * 17 + (frame * 160 + i) * 3) % 2001 - 1000
+        |         AS DOUBLE) / 32768.0) AS xs
+        |  FROM f),
+        |m AS (SELECT doc_id, frame,
+        |  list_sum(list_transform(generate_series(0, 159),
+        |    i -> xs[i + 1] * cos(i * (2 * pi() * 1 / 160.0)))) AS re1,
+        |  list_sum(list_transform(generate_series(0, 159),
+        |    i -> xs[i + 1] * sin(i * (2 * pi() * 1 / 160.0)))) AS im1,
+        |  list_sum(list_transform(generate_series(0, 159),
+        |    i -> xs[i + 1] * cos(i * (2 * pi() * 2 / 160.0)))) AS re2,
+        |  list_sum(list_transform(generate_series(0, 159),
+        |    i -> xs[i + 1] * sin(i * (2 * pi() * 2 / 160.0)))) AS im2,
+        |  list_sum(list_transform(generate_series(0, 159),
+        |    i -> xs[i + 1] * cos(i * (2 * pi() * 4 / 160.0)))) AS re4,
+        |  list_sum(list_transform(generate_series(0, 159),
+        |    i -> xs[i + 1] * sin(i * (2 * pi() * 4 / 160.0)))) AS im4,
+        |  list_sum(list_transform(generate_series(0, 159),
+        |    i -> xs[i + 1] * cos(i * (2 * pi() * 8 / 160.0)))) AS re8,
+        |  list_sum(list_transform(generate_series(0, 159),
+        |    i -> xs[i + 1] * sin(i * (2 * pi() * 8 / 160.0)))) AS im8
+        |  FROM c)
+        |SELECT '/documents/' || CAST(doc_id AS VARCHAR) AS path, frame,
+        |  round(re1 * re1 + im1 * im1, 6) AS mag2_1,
+        |  round(re2 * re2 + im2 * im2, 6) AS mag2_2,
+        |  round(re4 * re4 + im4 * im4, 6) AS mag2_4,
+        |  round(re8 * re8 + im8 * im8, 6) AS mag2_8
+        |FROM m ORDER BY path, frame""".stripMargin,
     // same injection arithmetic; blocklist semantics as an OR/LIKE
     // chain (exact host or '.'-suffix) — the independent relational
     // statement of the engine's suffix-chain semi-join

@@ -93,7 +93,10 @@ object Plans {
       "q_gremlin_filter",     // filter{} closure desugared to typed has semi-joins
       "q_search_stemmed_pt",  // Portuguese chain inside the pushed predicate
       "q_sparql_minus",       // MINUS as a HASH anti-join (equi keys visible)
-      "q_bulk_consume")       // served from the indexTime-major secondary layout
+      "q_bulk_consume",       // served from the indexTime-major secondary layout
+      "q_split_leakage",      // drop-set-sized cluster join + md5 bucket projection
+      "q_search_modifier",    // comma-token membership on a system column
+      "q_search_stemmed_ru")  // Cyrillic chain inside the pushed predicate
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")

@@ -168,6 +168,48 @@ object Curation {
     docs.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
   }
 
+  /** Payment-card candidate pattern: 4-4-4-4 groups (space or dash)
+    * or a bare 13-16 digit run. Same subset discipline as
+    * [[PiiPatterns]] — means the same thing in Java and RE2. */
+  val CardPattern: String =
+    "\\b(?:\\d{4}[ -]){3}\\d{4}\\b|\\b\\d{13,16}\\b"
+
+  /** Luhn checksum over a digit-string Column, as pure expressions:
+    * indexing from the RIGHT (q=1 is the check digit), every
+    * even-q digit doubles and folds its digit sum; valid iff the
+    * total ≡ 0 (mod 10). One aggregate over a per-candidate digit
+    * sequence — stays inside codegen. */
+  def luhnOk(d: Column): Column = {
+    val n = length(d)
+    val s = aggregate(sequence(lit(1), n), lit(0), (acc, q) => {
+      val dig = d.substr(n - q + 1, lit(1)).cast("int")
+      val dd = when(q % 2 === 0, dig * 2).otherwise(dig)
+      acc + when(dd > 9, dd - 9).otherwise(dd)
+    })
+    s % 10 === 0
+  }
+
+  /** CHECKSUM-GATED card redaction — the false-positive-aware PII
+    * pass: a bare 16-digit pattern alone redacts order ids, EANs and
+    * hashes-in-prose, so real pipelines gate the match on the Luhn
+    * checksum (what makes a digit run a plausible card number) and
+    * redact ONLY validated candidates. Per doc: candidate count,
+    * Luhn-valid count, and the text with each valid candidate (its
+    * original spelling, separators included) replaced by `[CARD]`.
+    * Everything is in-row expression work — extract-all, a per-
+    * candidate Luhn aggregate, a replace fold — no UDF, no shuffle. */
+  def redactCards(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(CardPattern), lit(0))
+    def stripped(c: Column) = regexp_replace(c, "[ -]", "")
+    val valids = filter(cands, c => luhnOk(stripped(c)))
+    docs.select(col(idCol),
+      size(cands).as("n_candidates"),
+      size(valids).as("n_valid"),
+      aggregate(valids, col(textCol),
+        (t, c) => replace(t, c, lit("[CARD]"))).as("redacted"))
+  }
+
   /** SEQUENCE PACKING: assign documents to context-window bins of at
     * most `budget` tokens using the greedy first-fit-in-order rule —
     * scan docs in id order per key, close the bin when the next doc
@@ -512,6 +554,41 @@ object Curation {
         size(kept).as("n_kept"),
         (size(kept) >= minLines).as("page_keep"),
         array_join(kept, "\n").as("clean_text"))
+  }
+
+  /** TEXT NORMALIZATION — the stage every web-corpus pipeline (C4,
+    * CCNet, RefinedWeb) runs BEFORE line filters and dedup, because
+    * markup noise poisons both (a `<p>` tag splits a shingle, an
+    * `&nbsp;` breaks exact-hash dedup of visually identical text):
+    *   1. strip HTML/XML tags (`<...>` → one space — tags are
+    *      word boundaries, never joins: "word<br>word" is two words),
+    *      comments included;
+    *   2. decode the frequent entities (amp/lt/gt/quot/#39/apos/nbsp)
+    *      — `&amp;` LAST so `&amp;lt;` decodes to the literal "&lt;",
+    *      not to "<" (double-decode bug);
+    *   3. drop control characters (C0 minus tab/newline);
+    *   4. collapse runs of spaces/tabs to one space, trim line edges,
+    *      collapse 3+ newlines to a paragraph break.
+    * Everything is a codegen'd regexp_replace chain over the scan —
+    * no UDF, no shuffle; the regex subset means the same thing in
+    * Java and RE2-family engines (no lookaround, no backrefs), so an
+    * external validator reproduces the output bit-for-bit. */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    var t: Column = col(textCol)
+    t = regexp_replace(t, "<[^>]*>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+        "&amp;" -> "&").foreach { case (e, r) =>
+      t = regexp_replace(t, java.util.regex.Pattern.quote(e),
+        java.util.regex.Matcher.quoteReplacement(r))
+    }
+    t = regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    t = regexp_replace(t, "[ \\t]+", " ")
+    t = regexp_replace(t, " ?\\n ?", "\n")
+    t = regexp_replace(t, "\\n{3,}", "\n\n")
+    // whitespace-trim BOTH kinds (trim() is space-only): leading and
+    // trailing newline runs from stripped leading markup must go too
+    docs.withColumn("norm_text", regexp_replace(t, "^\\s+|\\s+$", ""))
   }
 
   /** Registrable host from a URL — scheme and `www.` stripped,

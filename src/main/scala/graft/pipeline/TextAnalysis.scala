@@ -157,6 +157,46 @@ object TextAnalysis {
       .select("doc_id", "lang_guess")
   }
 
+  /** SCRIPT (writing-system) detection — the cheap upstream router a
+    * multilingual pipeline runs BEFORE language-id (the stop-word
+    * profile above only separates languages WITHIN the Latin script;
+    * the analyzer registry keys on script first: Cyrillic → the
+    * Russian chain, Han/Kana → Cjk, Latin → per-language). Counts
+    * characters per script class with pure `length(regexp_replace)`
+    * arithmetic — one codegen'd projection over the scan, no shuffle,
+    * no UDF; the classes are Unicode script properties, which mean the
+    * same thing in Java regex and RE2-family engines, so an external
+    * validator reproduces the counts exactly. `dominant` is the argmax
+    * with a fixed tie-break order (declaration order below), `und`
+    * when no class scores. */
+  def scriptProfile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // (name, Java regex class, one char of the class for doc)
+    val classes = Seq(
+      "latin" -> "[a-zA-Z]",
+      "cyrillic" -> "[\\p{IsCyrillic}]",
+      "han" -> "[\\p{IsHan}]",
+      "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]",
+      "hangul" -> "[\\p{IsHangul}]",
+      "digit" -> "[0-9]")
+    val t = col(textCol)
+    val counted = classes.foldLeft(docs.select(col("doc_id"), t.as("__t"))) {
+      case (df, (name, cls)) =>
+        df.withColumn(s"n_$name",
+          length(col("__t")) - length(regexp_replace(col("__t"), cls, "")))
+    }
+    // dominant over the LETTER scripts only (digits are script-neutral)
+    val letters = classes.map(_._1).filterNot(_ == "digit")
+    val best = letters.map(n => col(s"n_$n")).reduce(greatest(_, _))
+    val dominant = letters.foldRight(lit("und")) { case (n, acc) =>
+      when(col(s"n_$n") === col("__best") && col("__best") > 0, lit(n))
+        .otherwise(acc)
+    }
+    counted.withColumn("__best", best)
+      .withColumn("dominant", dominant)
+      .select(Seq(col("doc_id")) ++
+        classes.map { case (n, _) => col(s"n_$n") } :+ col("dominant"): _*)
+  }
+
   /** Rolling-hash (Karp-Rabin-style) document fingerprint over the
     * token stream: acc = (acc*1000003 + (ascii(t)*131 + len(t))) mod
     * 2^31-1. The per-token hash is deliberately portable (plain
