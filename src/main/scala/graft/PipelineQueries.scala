@@ -888,6 +888,14 @@ object PipelineQueries {
         .orderBy("path")
     }),
 
+    // WEIGHTED sampling without replacement (A-Res, deterministic):
+    // 20 docs per source, inclusion ∝ n_chars via the u^(1/w) key
+    // over the portable md5-uniform. One window rank per source.
+    "q_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(docs(s, dir), "n_chars", 20)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")),
+
     // CHECKSUM-GATED card redaction: both sides inject two candidates
     // per doc — a dash-grouped number whose Luhn CHECK DIGIT is
     // computed in the query, and a bare 16-digit companion that is
@@ -2170,6 +2178,29 @@ object PipelineQueries {
          |      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
          |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // same md5-uniform + A-Res key, relationally: row_number per
+    // source over key desc with the id tie-break
+    "q_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |  md5('wsample:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |u AS (SELECT doc_id, source, n_chars,
+        |  CAST((((ascii(substr(h, 1, 1)) -
+        |      CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
+        |    (ascii(substr(h, 2, 1)) -
+        |      CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END)) * 16 +
+        |    (ascii(substr(h, 3, 1)) -
+        |      CASE WHEN substr(h, 3, 1) <= '9' THEN 48 ELSE 87 END)) * 16 +
+        |    (ascii(substr(h, 4, 1)) -
+        |      CASE WHEN substr(h, 4, 1) <= '9' THEN 48 ELSE 87 END)
+        |    AS DOUBLE) / 65536.0 AS u
+        |  FROM h),
+        |r AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY pow(u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id)
+        |    AS rn
+        |  FROM u)
+        |SELECT source, doc_id, n_chars FROM r WHERE rn <= 20
+        |ORDER BY source, doc_id""".stripMargin,
     // same injected construction + the same Luhn arithmetic,
     // relationally: check digit from the 15-digit base, candidates by
     // regexp_extract_all, validity by a per-candidate digit fold,

@@ -143,6 +143,37 @@ object Curation {
     docs.where(v.cast("double") / 65536.0 < rate)
   }
 
+  /** WEIGHTED sampling WITHOUT replacement, deterministic (the
+    * Efraimidis-Spirakis A-Res scheme): each doc draws a stable
+    * md5-uniform u ∈ [0,1) from (salt, id) — the [[hashSplit]]
+    * portability story — and competes with the key u^(1/w); the top-k
+    * keys per group win. Higher weight → larger key in expectation,
+    * so inclusion probability is proportional to weight, exactly the
+    * quality-weighted subcorpus draw a curation pass wants
+    * ("sample 20 docs per source, longer docs more likely").
+    *
+    * 100 TB shape: one window rank per group (same plan as
+    * quotaSample's exact pick); the key is per-doc arithmetic in the
+    * scan. Determinism across engines: u has 65536 distinct values
+    * (4 hex chars) so key gaps sit orders of magnitude above any
+    * libm pow() last-ulp divergence, and exact key ties (same u,
+    * same w) break on the id. */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int,
+                     groupCol: String = "source",
+                     idCol: String = "doc_id",
+                     salt: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val v = Seq(1, 2, 3, 4).map(i => hexVal(substring(h, i, 1)))
+      .reduce((a, c) => a * 16 + c)
+    val u = v.cast("double") / 65536.0
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(key.desc, col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
   /** PII patterns, applied in declaration order. Kept to syntax that
     * means the same thing in Java regex and RE2-family engines (no
     * lookaround, no backrefs) so an external validator reproduces the

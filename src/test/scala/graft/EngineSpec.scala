@@ -2677,6 +2677,23 @@ class EngineSpec extends AnyFunSuite {
     assert(run("t.o:и книгами", TextAnalyzer.Russian) == Set("/r/3"))
   }
 
+  test("per-row text/PII/script operators plan with ZERO exchanges") {
+    // the 100 TB contract for the per-row family: normalization,
+    // script profiling and checksum-gated redaction are scan-side
+    // projections — any Exchange here would mean an accidental
+    // shuffle in what must stay embarrassingly parallel
+    import graft.pipeline.{Curation, TextAnalysis}
+    val d = spark.read.parquet(s"$Sf/documents.parquet")
+    for ((name, df) <- Seq(
+        "normalizeText" -> Curation.normalizeText(d),
+        "scriptProfile" -> TextAnalysis.scriptProfile(d),
+        "redactCards" -> Curation.redactCards(d))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name shuffles: ${plan.take(600)}")
+    }
+  }
+
   test("cjk analyzer: bigram phrase match sees CJK text; standard cannot") {
     import graft.qp.TextAnalyzer
     graft.qp.Namespaces.register("o", "c://o#")
