@@ -503,7 +503,7 @@ object PipelineQueries {
     // chain in SQL.
     "q_normalize_text" -> ((s, dir) => {
       val wrapped = docs(s, dir).select(col("doc_id"),
-        concat(lit("<div class=\"post\">\n\n\n  <p>"),
+        concat(lit("<div class=\"post\">\r\n\n\n  <p>"),
           regexp_replace(col("text"), " ", "&nbsp;"),
           lit("</p>\u0001<!-- footer -->&amp;lt;end&gt;</div>")).as("text"))
       Curation.normalizeText(wrapped)
@@ -1363,7 +1363,7 @@ object PipelineQueries {
         |  FROM c)
         |SELECT doc_id, n_latin, n_cyrillic, n_han, n_kana, n_hangul,
         |  n_digit,
-        |  CASE WHEN best = 0 THEN 'und'
+        |  CASE WHEN best IS NULL OR best = 0 THEN 'und'
         |       WHEN n_latin = best THEN 'latin'
         |       WHEN n_cyrillic = best THEN 'cyrillic'
         |       WHEN n_han = best THEN 'han'
@@ -1372,7 +1372,7 @@ object PipelineQueries {
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_normalize_text" ->
       """WITH w AS (SELECT doc_id,
-        |  '<div class="post">' || chr(10) || chr(10) || chr(10) ||
+        |  '<div class="post">' || chr(13) || chr(10) || chr(10) || chr(10) ||
         |  '  <p>' || replace(text, ' ', '&nbsp;') || '</p>' || chr(1) ||
         |  '<!-- footer -->&amp;lt;end&gt;</div>' AS t FROM documents),
         |s1 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
@@ -1382,7 +1382,8 @@ object PipelineQueries {
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
         |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s1),
         |s3 AS (SELECT doc_id,
-        |  regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS t
+        |  regexp_replace(regexp_replace(t, '\r\n?', chr(10), 'g'),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS t
         |  FROM s2),
         |s4 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t
         |  FROM s3),

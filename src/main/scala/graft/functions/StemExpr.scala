@@ -454,8 +454,11 @@ object RuTerm {
     * and a doubled нн loses one н. Tokens without Cyrillic endings
     * (ASCII loanwords, digits) pass through untouched. */
   def stem(t: String): String = {
-    if (t.length < 4) return t
+    // ё→е is NORMALIZATION (Russians routinely type е for ё), not
+    // suffix surgery — it must run before the length gate or short
+    // tokens ("ёж") never meet their е-spelled twins
     val w = t.replace('ё', 'е')
+    if (w.length < 4) return w
     normalize(removeCase(w))
   }
 

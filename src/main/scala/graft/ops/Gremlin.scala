@@ -304,16 +304,29 @@ object Gremlin {
                                          query: String): Seq[Step] = {
     val b = body.trim
     if (b == "it") return Seq.empty
+    // the bare `it.name` form takes UNDOTTED names only: a dot there
+    // is indistinguishable from a chained Groovy accessor
+    // (it.name.bytes), which is genuinely programmatic and must fail
+    // loud, not silently probe a nonexistent dotted field. Dotted /
+    // namespace-qualified property spellings use the EXPLICIT
+    // getProperty("local.prefix") form, which also disambiguates a
+    // property literally named "id" from the element-id terminal
+    // (only bare `it.id` is the terminal).
     val pat = java.util.regex.Pattern.compile(
-      """^it\s*\.\s*(?:getProperty\(\s*"([^"]+)"\s*\)|([A-Za-z_][\w.\-#$]*))$""")
+      """^it\s*\.\s*(?:getProperty\(\s*"([^"]+)"\s*\)|([A-Za-z_][\w\-#$]*))$""")
     val m = pat.matcher(b)
     if (!m.matches()) throw new IllegalArgumentException(
       s"gremlin syntax error: .transform{$b} is not a pure property " +
-        "projection (it / it.id / it.<prop> / it.getProperty(\"p\")) — " +
-        s"programmatic closures need the reference's Groovy engine, " +
-        s"unsupported in '$query'")
-    val prop = Option(m.group(1)).getOrElse(m.group(2))
-    if (prop == "id") Seq(Id) else Seq(Values(prop))
+        "projection (it / it.id / it.<prop> / it.getProperty(\"p\"); " +
+        "dotted names only via getProperty) — programmatic closures " +
+        s"need the reference's Groovy engine, unsupported in '$query'")
+    val explicit = Option(m.group(1))
+    explicit match {
+      case Some(p) => Seq(Values(p))
+      case None =>
+        val prop = m.group(2)
+        if (prop == "id") Seq(Id) else Seq(Values(prop))
+    }
   }
 
   /** The mechanically-translatable `.filter{...}` subset: closures of
@@ -349,8 +362,12 @@ object Gremlin {
       out += cur.result()
       out.toSeq.map(_.trim)
     }
+    // bare `it.name` takes UNDOTTED names only (same rule as
+    // parseTransformClosure: a dot is indistinguishable from a
+    // chained Groovy accessor, which must fail loud); dotted /
+    // ns-qualified spellings use the explicit getProperty form
     val pat = java.util.regex.Pattern.compile(
-      """^it\s*\.\s*(?:getProperty\(\s*"([^"]+)"\s*\)|([A-Za-z_][\w.\-#$]*))\s*""" +
+      """^it\s*\.\s*(?:getProperty\(\s*"([^"]+)"\s*\)|([A-Za-z_][\w\-#$]*))\s*""" +
         """(==|!=|>=|<=|>|<)\s*(?:"((?:[^"\\]|\\.)*)"|(-?\d+(?:\.\d+)?))$""")
     conjuncts.map { c =>
       val m = pat.matcher(c)

@@ -69,14 +69,10 @@ object Curation {
   def hashSplit(docs: DataFrame, idCol: String = "doc_id",
                 salt: String = "split",
                 cuts: Seq[(String, Int)] = Seq(
-                  "train" -> 246, "val" -> 251, "test" -> 256)): DataFrame = {
-    require(cuts.nonEmpty && cuts.last._2 == 256 &&
-      cuts.map(_._2) == cuts.map(_._2).sorted,
-      s"cuts must ascend to 256: $cuts")
-    val bucket = bucketOf(col(idCol), salt)
-    val split = splitOf(bucket, cuts)
-    docs.withColumn("bucket", bucket).withColumn("split", split)
-  }
+                  "train" -> 246, "val" -> 251, "test" -> 256)): DataFrame =
+    // cuts validation lives in splitOf (the one shared place)
+    docs.withColumn("bucket", bucketOf(col(idCol), salt))
+      .withColumn("split", splitOf(col("bucket"), cuts))
 
   /** Stable bucket in 0..255 from the first two hex chars of
     * md5(salt:key) — the shared arithmetic behind [[hashSplit]] and
@@ -84,6 +80,17 @@ object Curation {
   private def bucketOf(key: Column, salt: String): Column = {
     val h = md5(concat(lit(salt + ":"), key.cast("string")))
     hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))
+  }
+
+  /** Stable md5-uniform in [0,1) from (salt, id) — 4 hex chars, so
+    * 65536 distinct values; shared by [[mixtureSample]] and
+    * [[weightedSample]]. The distinct-value count is LOAD-BEARING for
+    * the latter's cross-engine determinism (key gaps must dominate
+    * libm pow noise) — change it in one place or not at all. */
+  private def uniformOf(id: Column, salt: String): Column = {
+    val h = md5(concat(lit(salt + ":"), id.cast("string")))
+    Seq(1, 2, 3, 4).map(i => hexVal(substring(h, i, 1)))
+      .reduce((a, c) => a * 16 + c).cast("double") / 65536.0
   }
 
   private def splitOf(bucket: Column, cuts: Seq[(String, Int)]): Column = {
@@ -116,11 +123,10 @@ object Curation {
                    cuts: Seq[(String, Int)] = Seq(
                      "train" -> 246, "val" -> 251, "test" -> 256)): DataFrame = {
     val cl = clusters.select(col("member").as(idCol), col("root"))
-    val key = coalesce(col("root"), col(idCol))
     docs.join(cl, Seq(idCol), "left")
-      .withColumn("group_key", key)
-      .withColumn("bucket", bucketOf(key, salt))
-      .withColumn("split", splitOf(bucketOf(key, salt), cuts))
+      .withColumn("group_key", coalesce(col("root"), col(idCol)))
+      .withColumn("bucket", bucketOf(col("group_key"), salt))
+      .withColumn("split", splitOf(col("bucket"), cuts))
       .drop("root")
   }
 
@@ -136,11 +142,8 @@ object Curation {
                     rates: Map[String, Double], idCol: String = "doc_id",
                     salt: String = "mix"): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 1), s"rates in [0,1]: $rates")
-    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
-    val v = Seq(1, 2, 3, 4).map(i => hexVal(substring(h, i, 1)))
-      .reduce((a, c) => a * 16 + c)
     val rate = coalesce(element_at(typedLit(rates), col(keyCol)), lit(1.0))
-    docs.where(v.cast("double") / 65536.0 < rate)
+    docs.where(uniformOf(col(idCol), salt) < rate)
   }
 
   /** WEIGHTED sampling WITHOUT replacement, deterministic (the
@@ -163,10 +166,7 @@ object Curation {
                      idCol: String = "doc_id",
                      salt: String = "wsample"): DataFrame = {
     require(k >= 1, s"k >= 1: $k")
-    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
-    val v = Seq(1, 2, 3, 4).map(i => hexVal(substring(h, i, 1)))
-      .reduce((a, c) => a * 16 + c)
-    val u = v.cast("double") / 65536.0
+    val u = uniformOf(col(idCol), salt)
     val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(key.desc, col(idCol))
@@ -597,7 +597,11 @@ object Curation {
     *   2. decode the frequent entities (amp/lt/gt/quot/#39/apos/nbsp)
     *      — `&amp;` LAST so `&amp;lt;` decodes to the literal "&lt;",
     *      not to "<" (double-decode bug);
-    *   3. drop control characters (C0 minus tab/newline);
+    *   3. fold line endings (CRLF and lone CR → LF) so the line
+    *      rules below see ONE newline convention — a CRLF doc and its
+    *      LF twin must normalize identically or exact-dedup misses
+    *      them — then drop the remaining control characters (C0 minus
+    *      tab/newline);
     *   4. collapse runs of spaces/tabs to one space, trim line edges,
     *      collapse 3+ newlines to a paragraph break.
     * Everything is a codegen'd regexp_replace chain over the scan —
@@ -613,6 +617,7 @@ object Curation {
       t = regexp_replace(t, java.util.regex.Pattern.quote(e),
         java.util.regex.Matcher.quoteReplacement(r))
     }
+    t = regexp_replace(t, "\\r\\n?", "\n")
     t = regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
     t = regexp_replace(t, "[ \\t]+", " ")
     t = regexp_replace(t, " ?\\n ?", "\n")

@@ -3855,6 +3855,18 @@ class EngineSpec extends AnyFunSuite {
       Gremlin.eval(store, """g.V.transform{it.name + "x"}""") }
     intercept[IllegalArgumentException] {
       Gremlin.eval(store, """g.V.transform{it.out("refNation")}""") }
+    // a chained Groovy accessor is indistinguishable from a dotted
+    // field in the bare form — fail loud, never silently probe a
+    // nonexistent dotted field (same rule in filter{})
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.transform{it.name.bytes}""") }
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.filter{it.name.bytes == "x"}.id""") }
+    // getProperty("id") is the PROPERTY named id (none exists here —
+    // empty), not the element-id terminal (only bare it.id is)
+    assert(Gremlin.eval(store,
+      """g.V.has("mktsegment", "BUILDING").transform{it.getProperty("id")}""")
+      .collect().isEmpty)
   }
 
   test("connected components fold pair lists into dedup clusters") {
