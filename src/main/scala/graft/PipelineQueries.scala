@@ -888,6 +888,44 @@ object PipelineQueries {
         .orderBy("path")
     }),
 
+    // MATRYOSHKA truncation grounded against the full ranking: 64→16
+    // dims + renormalize, exact top-5 in the TRUNCATED space per
+    // query, plus the overlap count vs the full-dim exact top-5 —
+    // the storage/recall trade, value-checked (the oracle recomputes
+    // both rankings on the sliced raw lists; cosine is
+    // scale-invariant so renormalization preserves the order)
+    "q_embed_truncate" -> ((s, dir) => {
+      val tr = Similarity.truncateEmbeddings(emb(s, dir), 16)
+      val trTop = Similarity.cosineTopK(tr, Seq(0L, 1L, 2L), 5)
+        .select("query_id", "rank", "neighbor_id")
+      val fullTop = Similarity.cosineTopK(emb(s, dir), Seq(0L, 1L, 2L), 5)
+        .select("query_id", "neighbor_id")
+      val overlap = trTop.select("query_id", "neighbor_id")
+        .join(fullTop, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      trTop.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("trunc_top1"))
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"), col("trunc_top1"),
+          coalesce(col("n"), lit(0L)).as("n_overlap_full"))
+        .orderBy("query_id")
+    }),
+
+    // CORPUS SNAPSHOT DIFF: the current snapshot drops every 5th doc,
+    // rewrites every (kept) 7th, and gains a clone per 11th under a
+    // fresh id — per-id status via the digest-projected full-outer
+    // join (text never moves)
+    "q_corpus_diff" -> ((s, dir) => {
+      val prev = docs(s, dir)
+      val base = prev.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val added = prev.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Curation.corpusDiff(prev, base.unionByName(added))
+        .orderBy("doc_id")
+    }),
+
     // WEIGHTED sampling without replacement (A-Res, deterministic):
     // 20 docs per source, inclusion ∝ n_chars via the u^(1/w) key
     // over the portable md5-uniform. One window rank per source.
@@ -2179,6 +2217,53 @@ object PipelineQueries {
          |      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
          |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // truncated-space and full-space exact rankings recomputed on the
+    // sliced raw lists (cosine is scale-invariant, so the engine's
+    // renormalization preserves this order)
+    "q_embed_truncate" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |  list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS t
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, t AS qt FROM e
+        |  WHERE vec_id IN (0, 1, 2)),
+        |ts AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(e.t, q.qt) DESC,
+        |             e.vec_id ASC) AS rank
+        |  FROM e JOIN q ON e.vec_id <> q.query_id),
+        |fs AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+        |             e.vec_id ASC) AS rank
+        |  FROM e JOIN q ON e.vec_id <> q.query_id),
+        |ov AS (SELECT ts.query_id, count(*) AS n
+        |  FROM ts JOIN fs ON ts.query_id = fs.query_id
+        |    AND ts.neighbor_id = fs.neighbor_id
+        |  WHERE ts.rank <= 5 AND fs.rank <= 5 GROUP BY ts.query_id)
+        |SELECT ts.query_id, ts.neighbor_id AS trunc_top1,
+        |  coalesce(ov.n, 0) AS n_overlap_full
+        |FROM ts LEFT JOIN ov ON ts.query_id = ov.query_id
+        |WHERE ts.rank = 1 ORDER BY ts.query_id""".stripMargin,
+    // the same mutation arithmetic, relationally: per-id status via
+    // digest comparison over the full outer join
+    "q_corpus_diff" ->
+      """WITH prev AS (SELECT doc_id, md5(text) AS d FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |             ELSE text END) AS d
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS d
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+        |  CASE WHEN prev.d IS NULL THEN 'added'
+        |       WHEN cur.d IS NULL THEN 'removed'
+        |       WHEN prev.d = cur.d THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // same md5-uniform + A-Res key, relationally: row_number per
     // source over key desc with the id tie-break
     "q_weighted_sample" ->

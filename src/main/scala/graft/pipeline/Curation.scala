@@ -146,6 +146,30 @@ object Curation {
     docs.where(uniformOf(col(idCol), salt) < rate)
   }
 
+  /** CORPUS SNAPSHOT DIFF by content digest — the data-ops primitive
+    * behind incremental reprocessing ("which docs changed since the
+    * last crawl?") and ingest auditing: per id, `added` (new id),
+    * `removed` (id gone), `changed` (same id, different content
+    * digest) or `unchanged`.
+    *
+    * 100 TB shape: both sides project to (id, md5) BEFORE the
+    * full-outer join, so the text never moves — the shuffle carries
+    * two 32-byte digests per id, and with both snapshots bucketed by
+    * id it needs no exchange at all. Downstream incremental passes
+    * anti-join on `unchanged` to touch only the delta. */
+  def corpusDiff(prev: DataFrame, cur: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val a = prev.select(col(idCol).as("__id"), md5(col(textCol)).as("__dp"))
+    val b = cur.select(col(idCol).as("__id"), md5(col(textCol)).as("__dc"))
+    a.join(b, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__dp").isNull, "added")
+          .when(col("__dc").isNull, "removed")
+          .when(col("__dp") === col("__dc"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** WEIGHTED sampling WITHOUT replacement, deterministic (the
     * Efraimidis-Spirakis A-Res scheme): each doc draws a stable
     * md5-uniform u ∈ [0,1) from (salt, id) — the [[hashSplit]]

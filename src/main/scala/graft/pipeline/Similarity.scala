@@ -55,6 +55,24 @@ object Similarity {
     transform(a, x => x.cast("double") / nrm)
   }
 
+  /** MATRYOSHKA truncation (Kusupati et al. 2022): keep the first `d`
+    * dimensions and L2-renormalize — the storage/latency lever for
+    * embeddings trained matryoshka-style, where every prefix is
+    * itself a valid (coarser) embedding. A 64→16 cut is a 4× smaller
+    * ANN index scan with mildly degraded recall; q_embed_truncate
+    * grounds exactly that trade against the full-dim ranking.
+    * In-row slice + native-dot norm, zero shuffle; a zero prefix
+    * stays zero instead of dividing by 0. */
+  def truncateEmbeddings(emb: DataFrame, d: Int,
+                         vecCol: String = "embedding"): DataFrame = {
+    require(d >= 1, s"d >= 1: $d")
+    val t = slice(col(vecCol), 1, d)
+    val nrm = sqrt(graft.functions.VectorExprs.dot(t, t))
+    emb.withColumn(vecCol,
+      when(nrm > 0, transform(t, x => x.cast("double") / nrm))
+        .otherwise(transform(t, x => x.cast("double"))))
+  }
+
   /** Brute-force cosine top-k: for each query vector (small set,
     * broadcast), the k nearest among all embeddings. Returns
     * (query_id, rank, neighbor_id, cosine). */
