@@ -211,6 +211,32 @@ object PipelineQueries {
       Sessions.sessionize(graft.model.TableLoader.events(s, dir), 30)
         .orderBy("user_id", "start_us")),
 
+    // INTERVAL OVERLAP JOIN: user sessions × 8 deterministic
+    // maintenance windows spanning the event range — per window, how
+    // many sessions overlap it. Bucketed equi-join (1 h buckets) with
+    // the one-bucket pair dedup; the oracle recomputes sessions,
+    // windows and the naive overlap count relationally.
+    "q_overlap_join" -> ((s, dir) => {
+      val ev = graft.model.TableLoader.events(s, dir)
+      val sess = Sessions.sessionize(ev, 30)
+        .select(col("start_us"), col("last_us"))
+      val Array(r) = ev.agg(unix_micros(min(col("ts"))).as("lo"),
+        unix_micros(max(col("ts"))).as("hi")).collect(): @unchecked
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val (step, width) = ((hi - lo) / 10, (hi - lo) / 12)
+      val wins = s.range(8).select(col("id").as("window_id"),
+        (lit(lo) + col("id") * lit(step)).as("w_start"),
+        (lit(lo) + col("id") * lit(step) + lit(width)).as("w_end"))
+      val hits = Sessions.overlapJoin(sess, wins,
+          "start_us", "last_us", "w_start", "w_end",
+          bucketWidth = 3600000000L)
+        .groupBy("window_id").agg(count(lit(1)).as("n"))
+      wins.join(hits, Seq("window_id"), "left")
+        .select(col("window_id"),
+          coalesce(col("n"), lit(0L)).as("n_sessions"))
+        .orderBy("window_id")
+    }),
+
     // AS-OF join: each purchase attributed to the user's latest view
     // at-or-before it (union + per-key carry-forward — one sort, no
     // O(n·m) intermediate); oracle = DuckDB's native ASOF LEFT JOIN
@@ -926,6 +952,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // LEAKAGE AUDIT — the measurement that justifies clusterSplit:
+    // over the exact near-dup pair set, count pairs whose members
+    // land on DIFFERENT splits under (a) the plain per-doc hash split
+    // and (b) the cluster-aware split. (b) is structurally zero; (a)
+    // leaks. Two rows, value-checked — the oracle recomputes both
+    // assignments over the recursive-CTE pair set.
+    "q_split_audit" -> ((s, dir) => {
+      val pairs = jaccard(s, dir).select("d1", "d2")
+      val plain = Curation.hashSplit(docs(s, dir))
+        .select(col("doc_id"), col("split"))
+      val clustered = Curation.clusterSplit(docs(s, dir), clusters(s, dir))
+        .select(col("doc_id"), col("split"))
+      def audit(name: String, assign: DataFrame): DataFrame =
+        pairs
+          .join(assign.withColumnRenamed("doc_id", "d1")
+            .withColumnRenamed("split", "s1"), Seq("d1"))
+          .join(assign.withColumnRenamed("doc_id", "d2")
+            .withColumnRenamed("split", "s2"), Seq("d2"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L))
+              .as("n_cross_split"))
+          .select(lit(name).as("scheme"), col("n_pairs"),
+            col("n_cross_split"))
+      audit("hash", plain).unionByName(audit("cluster", clustered))
+        .orderBy("scheme")
+    }),
+
     // WEIGHTED sampling without replacement (A-Res, deterministic):
     // 20 docs per source, inclusion ∝ n_chars via the u^(1/w) key
     // over the portable md5-uniform. One window rank per source.
@@ -1318,6 +1371,28 @@ object PipelineQueries {
         |  epoch_us(max(ts)) AS last_us, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, start_us""".stripMargin,
+    "q_overlap_join" ->
+      """WITH m AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+        |  THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |  AS sid FROM m),
+        |sess AS (SELECT epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) AS last_us FROM s GROUP BY user_id, sid),
+        |mm AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+        |  FROM events),
+        |wins AS (SELECT CAST(t.k AS BIGINT) AS window_id,
+        |  lo + t.k * ((hi - lo) // 10) AS w_start,
+        |  lo + t.k * ((hi - lo) // 10) + ((hi - lo) // 12) AS w_end
+        |  FROM mm, UNNEST(generate_series(0, 7)) AS t(k))
+        |SELECT window_id,
+        |  CAST(count(sess.start_us) AS BIGINT) AS n_sessions
+        |FROM wins LEFT JOIN sess
+        |  ON sess.start_us <= wins.w_end AND wins.w_start <= sess.last_us
+        |GROUP BY window_id ORDER BY window_id""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         |  v.event_id AS view_event_id, v.value AS view_value
@@ -2217,6 +2292,59 @@ object PipelineQueries {
          |      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
          |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // both assignments recomputed over the recursive-CTE pair set:
+    // per-doc hash split vs cluster-root split, cross-split pair
+    // counts per scheme
+    "q_split_audit" ->
+      s"""WITH RECURSIVE pr AS ($JaccardPairsSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pr
+         |  UNION SELECT d2, d1 FROM pr),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+         |cl AS (SELECT node AS member, min(r) AS root FROM reach
+         |  GROUP BY node),
+         |hb AS (SELECT doc_id,
+         |  md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |hsp AS (SELECT doc_id, CASE
+         |  WHEN (ascii(substr(h, 1, 1)) -
+         |      CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
+         |    ascii(substr(h, 2, 1)) -
+         |      CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END < 246
+         |    THEN 'train'
+         |  WHEN (ascii(substr(h, 1, 1)) -
+         |      CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
+         |    ascii(substr(h, 2, 1)) -
+         |      CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END < 251
+         |    THEN 'val' ELSE 'test' END AS split FROM hb),
+         |cb AS (SELECT d.doc_id,
+         |  md5('csplit:' || CAST(coalesce(cl.root, d.doc_id) AS VARCHAR))
+         |    AS h
+         |  FROM documents d LEFT JOIN cl ON cl.member = d.doc_id),
+         |csp AS (SELECT doc_id, CASE
+         |  WHEN (ascii(substr(h, 1, 1)) -
+         |      CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
+         |    ascii(substr(h, 2, 1)) -
+         |      CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END < 246
+         |    THEN 'train'
+         |  WHEN (ascii(substr(h, 1, 1)) -
+         |      CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
+         |    ascii(substr(h, 2, 1)) -
+         |      CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END < 251
+         |    THEN 'val' ELSE 'test' END AS split FROM cb),
+         |a AS (SELECT 'hash' AS scheme, count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN h1.split <> h2.split THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cross_split
+         |  FROM pr JOIN hsp h1 ON h1.doc_id = pr.d1
+         |    JOIN hsp h2 ON h2.doc_id = pr.d2),
+         |b AS (SELECT 'cluster' AS scheme, count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN c1.split <> c2.split THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cross_split
+         |  FROM pr JOIN csp c1 ON c1.doc_id = pr.d1
+         |    JOIN csp c2 ON c2.doc_id = pr.d2)
+         |SELECT * FROM a UNION ALL SELECT * FROM b
+         |ORDER BY scheme""".stripMargin,
     // truncated-space and full-space exact rankings recomputed on the
     // sliced raw lists (cosine is scale-invariant, so the engine's
     // renormalization preserves this order)

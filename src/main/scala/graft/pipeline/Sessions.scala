@@ -186,4 +186,45 @@ object Sessions {
     // sort taxes consumers that re-aggregate or join the matrix — the
     // call site sorts if it wants to (funnel/sessionize convention)
   }
+
+  /** Exact integral division on long columns. `(c / lit(w))` routes
+    * through DOUBLE division, and a value one below a bucket boundary
+    * (k·w − 1, quotient k − 1/w) rounds UP to k when 1/w is inside
+    * half an ulp of the quotient — a real misbucketing at epoch-micro
+    * magnitudes. Subtracting the remainder first makes the numerator
+    * an exact multiple, whose division is exact by IEEE. */
+  private def idiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** INTERVAL OVERLAP JOIN: all pairs (a, b) whose closed intervals
+    * [aStart,aEnd] and [bStart,bEnd] intersect. Spark has no interval
+    * join; the naive form is a cross join with a range predicate —
+    * quadratic, the classic accidental scale-killer. The scale shape:
+    * explode BOTH sides to the fixed-width time buckets their
+    * interval covers, equi-join on the bucket (so only temporally
+    * near rows ever meet), verify the exact overlap, and keep a
+    * qualifying pair ONLY in the bucket containing
+    * max(aStart, bStart) — each overlapping pair meets in exactly
+    * that one bucket, so the join needs NO distinct pass. Bucket
+    * width is the tuning knob: around the median interval length the
+    * per-row explode factor stays ~2 while the equi-join prunes
+    * everything non-near. Both sides shuffle once on the bucket key —
+    * the same plan as any equi-join, skew-safe for time-spread data. */
+  def overlapJoin(a: DataFrame, b: DataFrame,
+                  aStart: String, aEnd: String,
+                  bStart: String, bEnd: String,
+                  bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth >= 1: $bucketWidth")
+    def buckets(s: Column, e: Column) =
+      sequence(idiv(s, bucketWidth), idiv(e, bucketWidth))
+    val ab = a.withColumn("__bk",
+      explode(buckets(col(aStart), col(aEnd))))
+    val bb = b.withColumn("__bk",
+      explode(buckets(col(bStart), col(bEnd))))
+    ab.join(bb, Seq("__bk"))
+      .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("__bk") === idiv(greatest(col(aStart), col(bStart)),
+          bucketWidth))
+      .drop("__bk")
+  }
 }

@@ -2677,6 +2677,31 @@ class EngineSpec extends AnyFunSuite {
     assert(run("t.o:и книгами", TextAnalyzer.Russian) == Set("/r/3"))
   }
 
+  test("overlap join: bucketed equi-join equals the naive cross form " +
+      "at any bucket width, exactly one row per qualifying pair") {
+    import spark.implicits._
+    // multi-bucket spans, touching endpoints (closed intervals),
+    // disjoint tails — at widths smaller than, comparable to and
+    // larger than every interval
+    val a = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 200L, 210L),
+      (4L, 95L, 305L)).toDF("aid", "sa", "ea")
+    val b = Seq((10L, 90L, 110L), (11L, 210L, 400L), (12L, 500L, 600L),
+      (13L, 100L, 100L)).toDF("bid", "sb", "eb")
+    val want = a.crossJoin(b)
+      .where(col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    for (w <- Seq(7L, 100L, 1000L)) {
+      val got = graft.pipeline.Sessions.overlapJoin(
+          a, b, "sa", "ea", "sb", "eb", w)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.sorted == want, s"w=$w: ${got.sorted} vs $want")
+      assert(got.size == got.distinct.size,
+        s"w=$w emitted duplicates: $got")
+    }
+  }
+
   test("per-row text/PII/script operators plan with ZERO exchanges") {
     // the 100 TB contract for the per-row family: normalization,
     // script profiling and checksum-gated redaction are scan-side
