@@ -512,6 +512,17 @@ object PipelineQueries {
       Curation.hashSplit(docs(s, dir))
         .select("doc_id", "bucket", "split").orderBy("doc_id")),
 
+    // SENTENCE segmentation: the synthetic corpus has no sentence
+    // punctuation, so both sides inject terminators deterministically
+    // (every " a " becomes ". "), then segment with the shared
+    // RE2-portable run pattern — one row per (doc, sent_idx, sentence)
+    "q_sentences" -> ((s, dir) =>
+      TextAnalysis.sentences(
+          docs(s, dir).withColumn("text",
+            regexp_replace(col("text"),
+              java.util.regex.Pattern.quote(" a "), ". ")))
+        .orderBy("doc_id", "sent_idx")),
+
     // SCRIPT detection: per-doc writing-system character profile +
     // dominant script — the router that picks the analyzer chain
     // (Cyrillic → Russian, Han/Kana → Cjk) before any language-id.
@@ -1451,6 +1462,18 @@ object PipelineQueries {
          |SELECT d.doc_id, coalesce(w.weight, CAST(1.0 AS DOUBLE)) AS weight
          |FROM documents d LEFT JOIN w USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q_sentences" ->
+      """WITH w AS (SELECT doc_id, replace(text, ' a ', '. ') AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |  list_filter(list_transform(
+        |    regexp_extract_all(t, '[^.!?]+[.!?]*'), s -> trim(s)),
+        |    s -> s <> '') AS ls
+        |  FROM w)
+        |SELECT doc_id, CAST(t.i - 1 AS INT) AS sent_idx,
+        |  ls[t.i] AS sentence
+        |FROM l, UNNEST(generate_series(1, len(ls))) AS t(i)
+        |ORDER BY doc_id, sent_idx""".stripMargin,
     "q_script_profile" ->
       """WITH c AS (SELECT doc_id,
         |  CAST(length(text) -

@@ -96,7 +96,12 @@ object Plans {
       "q_bulk_consume",       // served from the indexTime-major secondary layout
       "q_split_leakage",      // drop-set-sized cluster join + md5 bucket projection
       "q_search_modifier",    // comma-token membership on a system column
-      "q_search_stemmed_ru")  // Cyrillic chain inside the pushed predicate
+      "q_search_stemmed_ru",  // Cyrillic chain inside the pushed predicate
+      "q_overlap_join",       // bucket-exploded interval equi-join, no distinct
+      "q_embed_truncate",     // sliced-prefix rankings + broadcast query side
+      "q_corpus_diff",        // digest-projected full-outer join (text never moves)
+      "q_weighted_sample",    // A-Res key in the scan + per-group window rank
+      "q_audio_spectra")      // in-row DFT projection — no shuffle
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")

@@ -157,6 +157,22 @@ object TextAnalysis {
       .select("doc_id", "lang_guess")
   }
 
+  /** SENTENCE SEGMENTATION — the boundary pass under per-sentence
+    * dedup, citation alignment and sentence-bounded chunking: a
+    * sentence is a maximal run of non-terminator characters plus its
+    * trailing terminator run ([.!?]+), extracted with ONE
+    * regexp_extract_all (no lookbehind — the pattern must mean the
+    * same thing in Java regex and RE2, and RE2 has no lookaround),
+    * then trimmed, with empty/whitespace-only fragments dropped.
+    * Returns one row per (doc, sent_idx, sentence) via posexplode —
+    * a pure in-row projection before the explode, no shuffle. */
+  def sentences(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val raw = regexp_extract_all(col(textCol),
+      lit("[^.!?]+[.!?]*"), lit(0))
+    val cleaned = filter(transform(raw, s => trim(s)), s => s =!= "")
+    docs.select(col("doc_id"), posexplode(cleaned).as(Seq("sent_idx", "sentence")))
+  }
+
   /** SCRIPT (writing-system) detection — the cheap upstream router a
     * multilingual pipeline runs BEFORE language-id (the stop-word
     * profile above only separates languages WITHIN the Latin script;
