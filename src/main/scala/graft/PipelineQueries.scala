@@ -72,26 +72,35 @@ object PipelineQueries {
     }
   }
 
+  /** Shared ranking-comparison scaffold: the primary ranking's top-1
+    * per query plus the size of the intersection between its member
+    * set and `other`'s (query_id, neighbor_id) set. One copy of the
+    * overlap-measurement logic — [[annCheck]] and q_embed_truncate
+    * both ride it. */
+  private def rankOverlap(primary: DataFrame, other: DataFrame,
+                          top1Name: String): DataFrame = {
+    val overlap = primary.select("query_id", "neighbor_id")
+      .join(other.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    primary.where(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as(top1Name))
+      .join(overlap, Seq("query_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+  }
+
   /** Grounded ANN check row set: per query vector, the EXACT top-1
     * neighbor (reproduced independently by the DuckDB oracle) plus a
     * boolean asserting the approximate top-k overlaps the exact top-k
     * at >= minOverlap — recall measured against the engine's own exact
     * ranking, grounded through the oracle's top-1 agreement. */
   private def annCheck(e: DataFrame, approx: DataFrame,
-                       minOverlap: Int): DataFrame = {
-    val exact = Similarity.cosineTopK(e, Seq(0L, 1L, 2L), 5)
-      .select("query_id", "rank", "neighbor_id")
-    val overlap = exact.select("query_id", "neighbor_id")
-      .join(approx.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
-    exact.where(col("rank") === 1)
-      .select(col("query_id"), col("neighbor_id").as("exact_top1"))
-      .join(overlap, Seq("query_id"), "left")
+                       minOverlap: Int): DataFrame =
+    rankOverlap(Similarity.cosineTopK(e, Seq(0L, 1L, 2L), 5)
+        .select("query_id", "rank", "neighbor_id"), approx, "exact_top1")
       .select(col("query_id"), col("exact_top1"),
-        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("recall_ok"))
+        (col("n_overlap") >= minOverlap).as("recall_ok"))
       .orderBy("query_id")
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup (hash-groupBy on content digest)
@@ -937,14 +946,9 @@ object PipelineQueries {
         .select("query_id", "rank", "neighbor_id")
       val fullTop = Similarity.cosineTopK(emb(s, dir), Seq(0L, 1L, 2L), 5)
         .select("query_id", "neighbor_id")
-      val overlap = trTop.select("query_id", "neighbor_id")
-        .join(fullTop, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n"))
-      trTop.where(col("rank") === 1)
-        .select(col("query_id"), col("neighbor_id").as("trunc_top1"))
-        .join(overlap, Seq("query_id"), "left")
+      rankOverlap(trTop, fullTop, "trunc_top1")
         .select(col("query_id"), col("trunc_top1"),
-          coalesce(col("n"), lit(0L)).as("n_overlap_full"))
+          col("n_overlap").as("n_overlap_full"))
         .orderBy("query_id")
     }),
 
@@ -1206,6 +1210,21 @@ object PipelineQueries {
     s"CAST((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) " +
       "AS DOUBLE) / 65536.0"
   }
+
+  /** md5-hex bucket arithmetic (first two hex chars → 0..255) shared
+    * by the split oracles — the SQL mirror of Curation's bucketOf.
+    * `h` is a SQL expression yielding the md5 hex string. */
+  private def bucketSql(h: String): String =
+    s"(ascii(substr($h, 1, 1)) - CASE WHEN substr($h, 1, 1) <= '9' " +
+      s"THEN 48 ELSE 87 END) * 16 + ascii(substr($h, 2, 1)) - " +
+      s"CASE WHEN substr($h, 2, 1) <= '9' THEN 48 ELSE 87 END"
+
+  /** The 246/251/256 split cuts as a SQL CASE — single-sourced with
+    * [[bucketSql]] so a cut change edits ONE place (the engine-side
+    * constants live in Curation.hashSplit's default). */
+  private def splitCaseSql(bucket: String): String =
+    s"CASE WHEN $bucket < 246 THEN 'train' " +
+      s"WHEN $bucket < 251 THEN 'val' ELSE 'test' END"
 
   /** BM25 oracle SQL — generated from the SAME term list with every
     * arithmetic step in the same operator order as
@@ -1543,16 +1562,10 @@ object PipelineQueries {
          |  coalesce(cl.root, d.doc_id) AS group_key,
          |  md5('csplit:' || CAST(coalesce(cl.root, d.doc_id) AS VARCHAR)) AS h
          |  FROM documents d LEFT JOIN cl ON cl.member = d.doc_id),
-         |b AS (SELECT doc_id, group_key,
-         |  (ascii(substr(h, 1, 1)) -
-         |    CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
-         |  ascii(substr(h, 2, 1)) -
-         |    CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END AS bucket
+         |b AS (SELECT doc_id, group_key, ${bucketSql("h")} AS bucket
          |  FROM k)
          |SELECT doc_id, group_key, bucket,
-         |  CASE WHEN bucket < 246 THEN 'train'
-         |       WHEN bucket < 251 THEN 'val'
-         |       ELSE 'test' END AS split
+         |  ${splitCaseSql("bucket")} AS split
          |FROM b ORDER BY doc_id""".stripMargin,
     "q_corpus_report" ->
       s"""SELECT source, count(*) AS n_docs,
@@ -2040,19 +2053,11 @@ object PipelineQueries {
          |LEFT JOIN d2 ON lm.doc_id = d2.doc_id
          |ORDER BY doc_id""".stripMargin,
     "q_corpus_split" ->
-      """WITH h AS (SELECT doc_id,
-        |  md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
-        |b AS (SELECT doc_id,
-        |  (ascii(substr(h, 1, 1)) -
-        |    CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
-        |  ascii(substr(h, 2, 1)) -
-        |    CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END AS bucket
-        |  FROM h)
-        |SELECT doc_id, bucket,
-        |  CASE WHEN bucket < 246 THEN 'train'
-        |       WHEN bucket < 251 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin,
+      s"""WITH h AS (SELECT doc_id,
+         |  md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |b AS (SELECT doc_id, ${bucketSql("h")} AS bucket FROM h)
+         |SELECT doc_id, bucket, ${splitCaseSql("bucket")} AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id, len($TokensSql) AS n_tokens,
          |length(text) AS n_chars,
@@ -2330,32 +2335,16 @@ object PipelineQueries {
          |  GROUP BY node),
          |hb AS (SELECT doc_id,
          |  md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
-         |hsp AS (SELECT doc_id, CASE
-         |  WHEN (ascii(substr(h, 1, 1)) -
-         |      CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
-         |    ascii(substr(h, 2, 1)) -
-         |      CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END < 246
-         |    THEN 'train'
-         |  WHEN (ascii(substr(h, 1, 1)) -
-         |      CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
-         |    ascii(substr(h, 2, 1)) -
-         |      CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END < 251
-         |    THEN 'val' ELSE 'test' END AS split FROM hb),
+         |hbb AS (SELECT doc_id, ${bucketSql("h")} AS bucket FROM hb),
+         |hsp AS (SELECT doc_id, ${splitCaseSql("bucket")} AS split
+         |  FROM hbb),
          |cb AS (SELECT d.doc_id,
          |  md5('csplit:' || CAST(coalesce(cl.root, d.doc_id) AS VARCHAR))
          |    AS h
          |  FROM documents d LEFT JOIN cl ON cl.member = d.doc_id),
-         |csp AS (SELECT doc_id, CASE
-         |  WHEN (ascii(substr(h, 1, 1)) -
-         |      CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
-         |    ascii(substr(h, 2, 1)) -
-         |      CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END < 246
-         |    THEN 'train'
-         |  WHEN (ascii(substr(h, 1, 1)) -
-         |      CASE WHEN substr(h, 1, 1) <= '9' THEN 48 ELSE 87 END) * 16 +
-         |    ascii(substr(h, 2, 1)) -
-         |      CASE WHEN substr(h, 2, 1) <= '9' THEN 48 ELSE 87 END < 251
-         |    THEN 'val' ELSE 'test' END AS split FROM cb),
+         |cbb AS (SELECT doc_id, ${bucketSql("h")} AS bucket FROM cb),
+         |csp AS (SELECT doc_id, ${splitCaseSql("bucket")} AS split
+         |  FROM cbb),
          |a AS (SELECT 'hash' AS scheme, count(*) AS n_pairs,
          |  CAST(sum(CASE WHEN h1.split <> h2.split THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_cross_split

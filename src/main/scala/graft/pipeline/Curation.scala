@@ -160,8 +160,14 @@ object Curation {
   def corpusDiff(prev: DataFrame, cur: DataFrame,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val a = prev.select(col(idCol).as("__id"), md5(col(textCol)).as("__dp"))
-    val b = cur.select(col(idCol).as("__id"), md5(col(textCol)).as("__dc"))
+    // NULL text digests to a sentinel no md5 hex string can collide
+    // with: md5(null) is null, and a null digest would read as "id
+    // absent" — a prev-side null-text doc would misreport as `added`.
+    // With the sentinel, null==null is `unchanged` and null vs text
+    // is `changed`, which is what a diff means.
+    def digest(c: Column) = coalesce(md5(c), lit("<null-text>"))
+    val a = prev.select(col(idCol).as("__id"), digest(col(textCol)).as("__dp"))
+    val b = cur.select(col(idCol).as("__id"), digest(col(textCol)).as("__dc"))
     a.join(b, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
         when(col("__dp").isNull, "added")

@@ -192,9 +192,13 @@ object Sessions {
     * (k·w − 1, quotient k − 1/w) rounds UP to k when 1/w is inside
     * half an ulp of the quotient — a real misbucketing at epoch-micro
     * magnitudes. Subtracting the remainder first makes the numerator
-    * an exact multiple, whose division is exact by IEEE. */
+    * an exact multiple of w; the division then runs in DECIMAL, not
+    * double (a double quotient is only exact below 2^53 — epoch
+    * micros stay under that until ~2255, but the helper is generic
+    * over long columns, where nanos/offsets reach it). An exact
+    * integer quotient survives decimal division at any scale. */
   private def idiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
 
   /** INTERVAL OVERLAP JOIN: all pairs (a, b) whose closed intervals
     * [aStart,aEnd] and [bStart,bEnd] intersect. Spark has no interval
@@ -215,6 +219,15 @@ object Sessions {
                   bStart: String, bEnd: String,
                   bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth >= 1: $bucketWidth")
+    // fail loud on the two silent-corruption preconditions: shared
+    // column names make col(aStart) ambiguous after the bucket join
+    // (rename one side first — asofJoin's outPrefix discipline), and
+    // a pre-existing __bk would be overwritten then dropped
+    val dup = a.columns.toSet intersect b.columns.toSet
+    require(dup.isEmpty,
+      s"overlapJoin inputs share column names $dup — rename one side")
+    require(!a.columns.contains("__bk") && !b.columns.contains("__bk"),
+      "overlapJoin inputs must not carry a __bk column")
     def buckets(s: Column, e: Column) =
       sequence(idiv(s, bucketWidth), idiv(e, bucketWidth))
     val ab = a.withColumn("__bk",

@@ -67,9 +67,10 @@ object Similarity {
                          vecCol: String = "embedding"): DataFrame = {
     require(d >= 1, s"d >= 1: $d")
     val t = slice(col(vecCol), 1, d)
-    val nrm = sqrt(graft.functions.VectorExprs.dot(t, t))
+    // reuse the one normalization implementation (oracle-parity-
+    // sensitive arithmetic lives in exactly one place)
     emb.withColumn(vecCol,
-      when(nrm > 0, transform(t, x => x.cast("double") / nrm))
+      when(sqrt(graft.functions.VectorExprs.dot(t, t)) > 0, normalized(t))
         .otherwise(transform(t, x => x.cast("double"))))
   }
 
