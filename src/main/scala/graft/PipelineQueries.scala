@@ -934,6 +934,23 @@ object PipelineQueries {
         .orderBy("path")
     }),
 
+    // CENTROID-DISTANCE outliers: per label, the 3 vectors farthest
+    // from the label's mean — the noise/mislabel signal run before
+    // per-cluster dedup. Distances rounded 6 dp (the mean is a
+    // different summation order than the oracle's per-dim avg;
+    // divergence ≤1e-12, far inside the rounding).
+    "q_embed_outliers" -> ((s, dir) => {
+      val d = Similarity.centroidDistance(emb(s, dir))
+        .select(col("label"), col("vec_id"),
+          round(col("centroid_dist"), 6).as("dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label")
+        .orderBy(col("dist").desc, col("vec_id").asc)
+      d.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+        .select("label", "rnk", "vec_id", "dist")
+        .orderBy("label", "rnk")
+    }),
+
     // MATRYOSHKA truncation grounded against the full ranking: 64→16
     // dims + renormalize, exact top-5 in the TRUNCATED space per
     // query, plus the overlap count vs the full-dim exact top-5 —
@@ -2320,6 +2337,23 @@ object PipelineQueries {
          |      t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
          |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-dim label means + L2 distances + top-3 rank recomputed
+    // relationally; both sides rank on the ROUNDED distance with the
+    // vec_id tie-break
+    "q_embed_outliers" ->
+      """WITH x AS (SELECT label, vec_id, t.i AS i,
+        |  CAST(embedding[t.i] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+        |c AS (SELECT label, i, avg(v) AS m FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.label, x.vec_id,
+        |  round(sqrt(sum((x.v - c.m) * (x.v - c.m))), 6) AS dist
+        |  FROM x JOIN c ON x.label = c.label AND x.i = c.i
+        |  GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id, dist,
+        |  CAST(row_number() OVER (PARTITION BY label
+        |    ORDER BY dist DESC, vec_id ASC) AS INT) AS rnk FROM d)
+        |SELECT label, rnk, vec_id, dist FROM r WHERE rnk <= 3
+        |ORDER BY label, rnk""".stripMargin,
     // both assignments recomputed over the recursive-CTE pair set:
     // per-doc hash split vs cluster-root split, cross-split pair
     // counts per scheme

@@ -74,6 +74,36 @@ object Similarity {
         .otherwise(transform(t, x => x.cast("double"))))
   }
 
+  /** Per-group CENTROID DISTANCE — the embedding-space outlier signal
+    * (mislabeled / noisy / off-distribution rows sit far from their
+    * group's mean; the filter SemDeDup-style pipelines run before
+    * per-cluster dedup). Two stages, both group-count-bounded:
+    *   1. centroids: posexplode to (group, dim, value) → avg — ONE
+    *      shuffle keyed (group, dim), the standard distributed
+    *      array-mean shape — then re-assemble each centroid array
+    *      (group-count × dim rows, tiny);
+    *   2. broadcast the centroids back onto the scan and compute the
+    *      L2 distance IN-ROW (zip_with + native dot-style fold).
+    * Returns the input plus a `centroid_dist` column. */
+  def centroidDistance(emb: DataFrame, groupCol: String = "label",
+                       vecCol: String = "embedding"): DataFrame = {
+    val cent = emb.select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .groupBy(col(groupCol), col("__d"))
+      .agg(avg(col("__v")).as("__m"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__m"))))
+        .as("__dm"))
+      .select(col(groupCol),
+        transform(col("__dm"), x => x.getField("__m")).as("__cent"))
+    val diff = zip_with(col(vecCol), col("__cent"),
+      (x, c) => (x.cast("double") - c) * (x.cast("double") - c))
+    emb.join(broadcast(cent), Seq(groupCol))
+      .withColumn("centroid_dist",
+        sqrt(aggregate(diff, lit(0.0d), _ + _)))
+      .drop("__cent")
+  }
+
   /** Brute-force cosine top-k: for each query vector (small set,
     * broadcast), the k nearest among all embeddings. Returns
     * (query_id, rank, neighbor_id, cosine). */
