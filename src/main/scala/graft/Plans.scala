@@ -101,7 +101,8 @@ object Plans {
       "q_embed_truncate",     // sliced-prefix rankings + broadcast query side
       "q_corpus_diff",        // digest-projected full-outer join (text never moves)
       "q_weighted_sample",    // A-Res key in the scan + per-group window rank
-      "q_audio_spectra")      // in-row DFT projection — no shuffle
+      "q_audio_spectra",      // in-row DFT projection — no shuffle
+      "q_embed_outliers")     // (group,dim) mean + broadcast centroids, in-row L2
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")
