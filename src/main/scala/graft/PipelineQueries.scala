@@ -249,6 +249,23 @@ object PipelineQueries {
     // AS-OF join: each purchase attributed to the user's latest view
     // at-or-before it (union + per-key carry-forward — one sort, no
     // O(n·m) intermediate); oracle = DuckDB's native ASOF LEFT JOIN
+    // FORWARD as-of: each purchase attributed to the user's NEXT
+    // error at-or-after it (time-to-next-error attribution) — the
+    // mirrored carry (following frame, first()); oracle = correlated
+    // min-ts subqueries with the same (ts, event_id) tie-break
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = graft.model.TableLoader.events(s, dir)
+      Sessions.asofJoinForward(
+          ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.where(col("event_type") === "error"),
+          payloadCols = Seq("event_id", "value"), outPrefix = "err_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("err_event_id"), col("err_value"))
+        .orderBy("event_id")
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       val ev = graft.model.TableLoader.events(s, dir)
       Sessions.asofJoin(
@@ -1440,6 +1457,18 @@ object PipelineQueries {
         |FROM wins LEFT JOIN sess
         |  ON sess.start_us <= wins.w_end AND wins.w_start <= sess.last_us
         |GROUP BY window_id ORDER BY window_id""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  (SELECT e.event_id FROM events e
+        |   WHERE e.event_type = 'error' AND e.user_id = p.user_id
+        |     AND e.ts >= p.ts
+        |   ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) AS err_event_id,
+        |  (SELECT e.value FROM events e
+        |   WHERE e.event_type = 'error' AND e.user_id = p.user_id
+        |     AND e.ts >= p.ts
+        |   ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) AS err_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         |  v.event_id AS view_event_id, v.value AS view_value

@@ -54,7 +54,29 @@ object Sessions {
   def asofJoin(left: DataFrame, right: DataFrame,
                keyCol: String = "user_id", tsCol: String = "ts",
                payloadCols: Seq[String] = Seq("event_id", "value"),
-               outPrefix: String = "r_"): DataFrame = {
+               outPrefix: String = "r_"): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, payloadCols, outPrefix,
+      forward = false)
+
+  /** FORWARD as-of: each left row picks the EARLIEST right row with
+    * `right.ts >= left.ts` for the same key — the "next event after"
+    * attribution (time-to-next-error, next-touch conversion). Same
+    * union + one-per-key-sort shape as the backward [[asofJoin]],
+    * mirrored: the carry scans the FOLLOWING frame and same-ts right
+    * rows sort after the left row so a tie (r.ts == l.ts) still
+    * matches, with the payload head ascending as the deterministic
+    * tie-break among simultaneous right rows. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      keyCol: String = "user_id", tsCol: String = "ts",
+                      payloadCols: Seq[String] = Seq("event_id", "value"),
+                      outPrefix: String = "r_"): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, payloadCols, outPrefix,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+                       keyCol: String, tsCol: String,
+                       payloadCols: Seq[String], outPrefix: String,
+                       forward: Boolean): DataFrame = {
     val payload = struct(payloadCols.map(col): _*)
     val pType = right.select(payload.as("p")).schema.head.dataType
     val lStruct = struct(left.columns.map(col): _*)
@@ -65,12 +87,27 @@ object Sessions {
     val l = left.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
       lit(0).as("__side"), lit(null).cast(pType).as("__p"),
       lStruct.as("__l"))
-    val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__side").desc,
-        col("__p").getField(payloadCols.head).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: right rows sort BEFORE same-ts left rows (side desc)
+    // and the match is the LAST payload in the preceding frame;
+    // forward: right rows sort AFTER same-ts left rows (side asc) and
+    // the match is the FIRST payload in the following frame. Payload
+    // head ascending in both — last() picks the max simultaneous id,
+    // first() the min: each direction's tie-break is pinned by its
+    // oracle.
+    val w0 = Window.partitionBy("__k")
+    val (w, pick) =
+      if (forward)
+        (w0.orderBy(col("__t").asc, col("__side").asc,
+            col("__p").getField(payloadCols.head).asc)
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing),
+         first(col("__p"), ignoreNulls = true))
+      else
+        (w0.orderBy(col("__t").asc, col("__side").desc,
+            col("__p").getField(payloadCols.head).asc)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+         last(col("__p"), ignoreNulls = true))
     r.unionByName(l)
-      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__m", pick.over(w))
       .where(col("__side") === 0)
       .select(col("__l.*") +:
         payloadCols.map(c =>
