@@ -976,9 +976,13 @@ object PipelineQueries {
     // scale-invariant so renormalization preserves the order)
     "q_embed_truncate" -> ((s, dir) => {
       val tr = Similarity.truncateEmbeddings(emb(s, dir), 16)
-      val trTop = Similarity.cosineTopK(tr, Seq(0L, 1L, 2L), 5)
+      // 12 dp rounding before ranking on BOTH sides (engine computes
+      // cosine on renormalized slices, the oracle on raw slices —
+      // equal in exact arithmetic, last-ulp apart in libm)
+      val trTop = Similarity.cosineTopK(tr, Seq(0L, 1L, 2L), 5, roundDp = 12)
         .select("query_id", "rank", "neighbor_id")
-      val fullTop = Similarity.cosineTopK(emb(s, dir), Seq(0L, 1L, 2L), 5)
+      val fullTop = Similarity
+        .cosineTopK(emb(s, dir), Seq(0L, 1L, 2L), 5, roundDp = 12)
         .select("query_id", "neighbor_id")
       rankOverlap(trTop, fullTop, "trunc_top1")
         .select(col("query_id"), col("trunc_top1"),
@@ -2432,12 +2436,12 @@ object PipelineQueries {
         |  WHERE vec_id IN (0, 1, 2)),
         |ts AS (SELECT query_id, e.vec_id AS neighbor_id,
         |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY list_cosine_similarity(e.t, q.qt) DESC,
+        |    ORDER BY round(list_cosine_similarity(e.t, q.qt), 12) DESC,
         |             e.vec_id ASC) AS rank
         |  FROM e JOIN q ON e.vec_id <> q.query_id),
         |fs AS (SELECT query_id, e.vec_id AS neighbor_id,
         |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+        |    ORDER BY round(list_cosine_similarity(e.v, q.qv), 12) DESC,
         |             e.vec_id ASC) AS rank
         |  FROM e JOIN q ON e.vec_id <> q.query_id),
         |ov AS (SELECT ts.query_id, count(*) AS n
@@ -2485,7 +2489,8 @@ object PipelineQueries {
         |  FROM h),
         |r AS (SELECT doc_id, source, n_chars,
         |  row_number() OVER (PARTITION BY source
-        |    ORDER BY pow(u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id)
+        |    ORDER BY round(pow(u, 1.0 / CAST(n_chars AS DOUBLE)), 12)
+        |      DESC, doc_id)
         |    AS rn
         |  FROM u)
         |SELECT source, doc_id, n_chars FROM r WHERE rn <= 20

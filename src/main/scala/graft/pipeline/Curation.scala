@@ -187,17 +187,20 @@ object Curation {
     *
     * 100 TB shape: one window rank per group (same plan as
     * quotaSample's exact pick); the key is per-doc arithmetic in the
-    * scan. Determinism across engines: u has 65536 distinct values
-    * (4 hex chars) so key gaps sit orders of magnitude above any
-    * libm pow() last-ulp divergence, and exact key ties (same u,
-    * same w) break on the id. */
+    * scan. Determinism across engines: the key rounds to 12 dp BEFORE
+    * the rank — two docs with different (u, w) can land within one
+    * ulp of each other, where Java Math.pow vs another libm could
+    * order them differently; after rounding, near-coincident keys
+    * become exact ties and resolve through the id tie-break
+    * identically on both engines (libm divergence <= 1e-13 only flips
+    * a rounding boundary with probability ~ulp/1e-12). */
   def weightedSample(docs: DataFrame, weightCol: String, k: Int,
                      groupCol: String = "source",
                      idCol: String = "doc_id",
                      salt: String = "wsample"): DataFrame = {
     require(k >= 1, s"k >= 1: $k")
     val u = uniformOf(col(idCol), salt)
-    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    val key = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 12)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(key.desc, col(idCol))
     docs.withColumn("__rn", row_number().over(w))

@@ -108,14 +108,20 @@ object Similarity {
     * broadcast), the k nearest among all embeddings. Returns
     * (query_id, rank, neighbor_id, cosine). */
   def cosineTopK(emb: DataFrame, queryIds: Seq[Long],
-                 k: Int): DataFrame = {
+                 k: Int, roundDp: Int = -1): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
     val queries = broadcast(
       base.where(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    // roundDp >= 0 rounds the cosine BEFORE ranking so a last-ulp libm
+    // divergence vs an oracle that recomputes the same cosine can't
+    // flip near-tied ranks — real value gaps are >= 1e-8, libm noise
+    // <= 1e-13, so 12 dp separates them (q_embed_outliers discipline).
+    val rawCos = cosineFixed(col("embedding"), col("qe"))
+    val cosExpr = if (roundDp >= 0) round(rawCos, roundDp) else rawCos
     val scored = base.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineFixed(col("embedding"), col("qe")).as("cosine"))
+        cosExpr.as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -197,14 +197,18 @@ final class FilterCompiler(store: GraftStore,
     // ONE contributor token, so Equals and Contains are both
     // comma-token membership here, not whole-string equality.
     if (field == "system.lastModifiedBy")
+      // ALL ops match per token — a range query against a
+      // comma-analyzed text field compares each emitted token in ES,
+      // so 'even,w' > 'm' holds through the 'w' token even though the
+      // whole joined string sorts below 'm'.
       return vo match {
         case Equals | Contains => array_contains(split(c, ","), lit(v))
         case Like => exists(split(c, ","),
           t => levenshtein(t, lit(v)) <= lit(autoFuzz(v)))
-        case GreaterThan => c > lit(v)
-        case GreaterThanOrEquals => c >= lit(v)
-        case LessThan => c < lit(v)
-        case LessThanOrEquals => c <= lit(v)
+        case GreaterThan => exists(split(c, ","), t => t > lit(v))
+        case GreaterThanOrEquals => exists(split(c, ","), t => t >= lit(v))
+        case LessThan => exists(split(c, ","), t => t < lit(v))
+        case LessThanOrEquals => exists(split(c, ","), t => t <= lit(v))
       }
     vo match {
       case Equals | Contains => c === lit(v)

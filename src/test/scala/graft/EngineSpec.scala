@@ -4580,4 +4580,40 @@ class EngineSpec extends AnyFunSuite {
     val chk = Similarity.pcaCheck(d, c = 2).head()
     assert(chk.getBoolean(1) && chk.getBoolean(2) && chk.getBoolean(3))
   }
+
+  test("lastModifiedBy range ops compare per comma token " +
+      "(comma_analyzer parity)") {
+    import spark.implicits._
+    import graft.ingest.Merger
+    def sv(v: String) = Merger.FieldValue(v, None, None, None,
+      InfotonModel.TString, None, None)
+    val t0 = T("2024-01-01 00:00:00")
+    // /lmb/1 merges contributors {even, w} -> "even,w";
+    // /lmb/2 merges {odd, w} -> "odd,w"
+    val cmds = Seq(
+      Merger.Command("write", "/lmb/1", t0, Map("a" -> Seq(sv("x"))),
+        Map.empty, by = "even"),
+      Merger.Command("write", "/lmb/1", t0, Map("b" -> Seq(sv("y"))),
+        Map.empty, by = "w"),
+      Merger.Command("write", "/lmb/2", t0, Map("a" -> Seq(sv("x"))),
+        Map.empty, by = "odd"),
+      Merger.Command("write", "/lmb/2", t0, Map("b" -> Seq(sv("y"))),
+        Map.empty, by = "w")).toDS()
+    val store = GraftStore.fromInfotons(spark,
+      Merger.merge(spark, Ingest.emptyStore(spark), cmds))
+    def q(qp: String): Set[String] = paths(Search.run(store,
+      Search.Request(path = "/lmb", qp = Some(qp))))
+    // > matches through ANY token: both docs carry "w" > "m", even
+    // though the whole joined string "even,w" sorts BELOW "m" — the
+    // discriminating case the whole-string comparison got wrong
+    assert(q("system.lastModifiedBy>m") == Set("/lmb/1", "/lmb/2"))
+    // < matches only where some token sorts below: "even" < "f";
+    // {odd, w} has none
+    assert(q("system.lastModifiedBy<f") == Set("/lmb/1"))
+    // >> (>=) through an exact token; << (<=) through the low token
+    assert(q("system.lastModifiedBy>>w") == Set("/lmb/1", "/lmb/2"))
+    assert(q("system.lastModifiedBy<<even") == Set("/lmb/1"))
+    // equality stays token-membership, not whole-string
+    assert(q("system.lastModifiedBy::odd") == Set("/lmb/2"))
+  }
 }
