@@ -35,12 +35,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SearchQueries.all ++ AggQueries.all ++ GraphQueries.all ++
       ConsumeQueries.all ++ PipelineQueries.all ++ IngestQueries.all ++
-      SparqlQueries.all
+      SparqlQueries.all ++ StreamQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     SearchQueries.oracles ++ AggQueries.oracles ++ GraphQueries.oracles ++
       ConsumeQueries.oracles ++ PipelineQueries.oracles ++
-      IngestQueries.oracles ++ SparqlQueries.oracles
+      IngestQueries.oracles ++ SparqlQueries.oracles ++
+      StreamQueries.oracles
 }

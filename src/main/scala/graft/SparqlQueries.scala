@@ -350,9 +350,38 @@ object SparqlQueries {
           |SELECT ?c ?nm WHERE {
           |  ?c ont:refNation ?n . ?n ont:name ?nm .
           |} ORDER BY ?c""".stripMargin)
+    }),
+
+    // SPARQL IMPORTS analog (SpHandler.scala:201-203 loads stored Jena
+    // custom functions into the evaluation context): a registered
+    // function dispatches from FILTER position as a Spark UDF. The
+    // probe — digit-sum-divisibility over the name's digits — is not
+    // expressible by any builtin, so the rows exist only through the
+    // registered function; the oracle reproduces the arithmetic on
+    // the custkey digits (the name's digit content).
+    "q_sparql_imports" -> ((s, dir) => {
+      Sparql.registerFunction(s, "graftDigitSumDiv") { (v, n) =>
+        v != null && v.iterator.filter(_.isDigit).map(_ - '0').sum %
+          n.toInt == 0
+      }
+      run(s, dir,
+        """PREFIX ont: <cmwell://ont#>
+          |SELECT ?c ?n WHERE {
+          |  ?c ont:name ?n .
+          |  ?c ont:mktsegment ?m .
+          |  FILTER graftDigitSumDiv(?n, "7")
+          |} ORDER BY ?c""".stripMargin)
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_sparql_imports" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS c,
+        |  c_name AS n
+        |FROM customer
+        |WHERE (c_custkey % 10 + (c_custkey // 10) % 10 +
+        |  (c_custkey // 100) % 10 + (c_custkey // 1000) % 10 +
+        |  (c_custkey // 10000) % 10 + (c_custkey // 100000) % 10) % 7 = 0
+        |ORDER BY c""".stripMargin,
     "q_sparql_builtins" ->
       """SELECT '/nation/' || n_nationkey AS n, n_name AS name,
         |  CASE WHEN length(n_name) >= 9 THEN 'long' ELSE 'short' END AS tag

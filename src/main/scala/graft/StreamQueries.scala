@@ -1,0 +1,176 @@
+package graft
+
+import graft.ingest.Merger
+import graft.model.{GraftStore, InfotonModel}
+import graft.ops.Search
+import graft.streaming.{Stp, Streaming}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the STREAMING surfaces (SURVEY.md §2.6
+  * qstream / subscribe / stp) — the operators whose ScalaTest coverage
+  * the oracle gate couldn't see. Each runs the real streaming code
+  * path (Structured Streaming micro-batches through a file source, or
+  * the stp sensor/refresh loop) and lifts the relational POST-STATE to
+  * a DuckDB-checkable result.
+  */
+object StreamQueries {
+
+  private def st(s: SparkSession, dir: String): GraftStore =
+    GraftStore.forDir(s, dir)
+
+  private val T0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  /** 2024-01-15T00:00Z in epoch micros — the qstream replay cut.
+    * indexTime is timezone-free micros on both engines (the loader
+    * reads the parquet NANOS value raw; DuckDB's epoch_us returns the
+    * same raw micros), so the literal must be built from the naive
+    * datetime, never through a local-zone java.sql.Timestamp. */
+  private val QstreamCut: Long =
+    java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+
+  /** The streamed corpus: every /user event VERSION plus the /customer
+    * tree as decoys — the path scope and qp of each rule/request must
+    * do the filtering, so the source deliberately carries rows the
+    * subscription should NOT match. */
+  private def streamSource(store: GraftStore): DataFrame =
+    store.infotons.where(col("system.path").startsWith("/user/") ||
+      col("system.path").startsWith("/customer/"))
+
+  /** Run `transform` of a micro-batched stream of `src`'s rows through
+    * Structured Streaming (file source → memory sink), return the
+    * collected sink table. The parquet hand-off is the ONLY way to
+    * drive a real streaming plan from a batch frame without a broker;
+    * the temp dir is deleted once the stream drains (the memory sink
+    * owns the rows from then on). */
+  private def throughStream(s: SparkSession, src: DataFrame)
+                           (transform: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_src_").toString
+    src.write.mode("overwrite").parquet(dir)
+    val sink = s"graft_stream_sink_${System.nanoTime()}"
+    val q = transform(s.readStream.schema(src.schema).parquet(dir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    s.table(sink)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op=qstream: the search request applied to a LIVE stream of
+    // infoton versions — path scope + qp + indexTime offset (resume
+    // from a cursor position, the streaming analog of consume's
+    // token). The /customer decoys and pre-cut events must not pass.
+    "q_qstream" -> ((s, dir) => {
+      val store = st(s, dir)
+      val out = throughStream(s, streamSource(store)) { stream =>
+        Streaming.qstream(stream, store,
+          Search.Request(path = "/user",
+            qp = Some("event_type::purchase")),
+          fromIndexTime = QstreamCut)
+          .select(Search.fieldN("event_id").cast("long").as("event_id"))
+      }
+      out.orderBy("event_id")
+    }),
+
+    // op=subscribe: RTS rules compiled once, every arriving version
+    // tagged with the subscribers whose (path, qp) rule it matches;
+    // non-matching rows dropped. One row per (version, subscriber).
+    "q_subscribe" -> ((s, dir) => {
+      val store = st(s, dir)
+      val out = throughStream(s, streamSource(store)) { stream =>
+        Streaming.subscribe(stream, store, Seq(
+            Streaming.Rule("purchase-watch", "/user",
+              Some("event_type::purchase")),
+            Streaming.Rule("error-watch", "/user",
+              Some("event_type::error")),
+            Streaming.Rule("bal-watch", "/customer",
+              Some("acctbal>9000"))))
+          .select(col("system.path").as("path"),
+            Search.fieldN("event_id").cast("long").as("event_id"),
+            explode(col("subscribers")).as("subscriber"))
+      }
+      out.select("path", "subscriber", "event_id")
+        .orderBy("path", "subscriber", "event_id")
+    }),
+
+    // stp (SPARQL-triggered materialized view): sensor = a consume
+    // cursor on /customer; tick 1 materializes, tick 2 (no new
+    // versions) is a provable no-op, then a write batch (+10000 for
+    // every custkey % 100 == 0) fires tick 3, which re-evaluates the
+    // view over the merged store — newly-qualifying customers appear.
+    "q_stp" -> ((s, dir) => {
+      import s.implicits._
+      val store = st(s, dir)
+      val job = Stp.Job("hot-building", "/customer", None,
+        """PREFIX ont: <cmwell://ont#>
+          |SELECT ?c WHERE {
+          |  ?c ont:mktsegment "BUILDING" .
+          |  ?c ont:acctbal ?b .
+          |  FILTER (?b > 9000)
+          |} ORDER BY ?c""".stripMargin)
+      val r1 = Stp.refresh(store, job, Stp.initialToken(job))
+      require(r1.view.isDefined && r1.newVersions > 0,
+        "initial tick must materialize")
+      val r2 = Stp.refresh(store, job, r1.nextToken)
+      val quietNoop = r2.view.isEmpty && r2.newVersions == 0L
+      val cmds = store.current
+        .where(col("system.path").startsWith("/customer/"))
+        .select(col("system.path"), Search.fieldN("custkey"),
+          Search.fieldN("acctbal"))
+        .as[(String, Double, Double)]
+        .filter(_._2.toLong % 100 == 0)
+        .map { case (p, _, bal) =>
+          val nv = bal + 10000
+          Merger.Command("update", p, T0,
+            Map("acctbal" -> Seq(Merger.FieldValue(nv.toString, Some(nv),
+              None, None, InfotonModel.TDouble, None, None))),
+            Map("acctbal" -> Seq.empty))
+        }
+      val merged = Merger.merge(s, store.infotons, cmds)
+      val st2 = GraftStore.fromInfotons(s, merged, Some(store.fieldTypes))
+      val r3 = Stp.refresh(st2, job, r2.nextToken)
+      r3.view.getOrElse(sys.error("delta tick must re-materialize"))
+        .withColumn("n_delta", lit(r3.newVersions))
+        .withColumn("quiet_noop", lit(quietNoop))
+        .orderBy("c")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_qstream" ->
+      """SELECT event_id FROM events
+        |WHERE event_type = 'purchase'
+        |  AND epoch_us(ts) > epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY event_id""".stripMargin,
+    "q_subscribe" ->
+      """SELECT path, subscriber, event_id FROM (
+        |  SELECT '/user/' || CAST(user_id AS VARCHAR) AS path,
+        |    'purchase-watch' AS subscriber, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT '/user/' || CAST(user_id AS VARCHAR),
+        |    'error-watch', event_id
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR),
+        |    'bal-watch', CAST(NULL AS BIGINT)
+        |  FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY path, subscriber, event_id""".stripMargin,
+    "q_stp" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS c,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey % 100 = 0) AS n_delta,
+        |  TRUE AS quiet_noop
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND (CASE WHEN c_custkey % 100 = 0 THEN c_acctbal + 10000
+        |       ELSE c_acctbal END) > 9000
+        |ORDER BY c""".stripMargin)
+}
