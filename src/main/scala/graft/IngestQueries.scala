@@ -394,9 +394,40 @@ object IngestQueries {
       .orderBy("custkey")
   }
 
+  /** Arabic-analyzer opt-in, over INGESTED Arabic content (the raw
+    * tables are ASCII, like [[searchStemmedRu]]): even customers get
+    * "المعلمون" (the-teachers, nominative sound plural), odd get
+    * "الكاتب" (the-writer). The probe "من المعلمين" (stop word +
+    * GENITIVE plural of the same noun) raw-matches NOTHING — the
+    * match exists only because both declensions meet at the stem
+    * "معلم" under the light-10 stemmer (ال article strip + ون/ين
+    * suffix strip) and "من" drops as a stop gap; the Standard chain
+    * treats Arabic letters as delimiters (zero probe tokens → zero
+    * rows). First RTL chain; drift pinned in AnalyzerDriftSpec. */
+  private def searchStemmedAr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
+    val nt = cust.select(col("system.path").as("p"),
+        Search.fieldN("custkey").cast("long").as("ck"))
+      .as[(String, Long)]
+      .map { case (p, ck) =>
+        val w = if (ck % 2 == 0) "المعلمون" else "الكاتب"
+        s"""<cmwell:/$p> <x://vocab#tag> "$w" ."""
+      }
+    val st2 = GraftStore.fromInfotons(s,
+      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0))
+    Search.run(st2, Search.Request(path = "/customer",
+        qp = Some("tag:من المعلمين"),
+        analyzer = graft.qp.TextAnalyzer.Arabic))
+      .select(regexp_extract(col("system.path"), "^/customer/(\\d+)$", 1)
+        .cast("long").as("custkey"))
+      .orderBy("custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_modifier" -> searchModifier,
     "q_search_stemmed_ru" -> searchStemmedRu,
+    "q_search_stemmed_ar" -> searchStemmedAr,
     "q_ingest_roundtrip" -> roundtrip,
     "q_ns_collision" -> nsCollision,
     "q_ow_replay" -> owReplay,
@@ -416,6 +447,9 @@ object IngestQueries {
       """SELECT c_custkey AS custkey, 'even,w' AS modifiers FROM customer
         |WHERE c_custkey % 2 = 0 ORDER BY custkey""".stripMargin,
     "q_search_stemmed_ru" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |WHERE c_custkey % 2 = 0 ORDER BY custkey""".stripMargin,
+    "q_search_stemmed_ar" ->
       """SELECT c_custkey AS custkey FROM customer
         |WHERE c_custkey % 2 = 0 ORDER BY custkey""".stripMargin,
     "q_ns_collision" ->

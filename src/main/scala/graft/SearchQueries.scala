@@ -180,6 +180,21 @@ object SearchQueries {
             analyzer = graft.qp.TextAnalyzer.Portuguese))
         .select(col("system.path").as("path")).orderBy("path")),
 
+    // Dutch-analyzer opt-in: "de widgetten" raw-matches NOTHING, but
+    // analyzes to the single term "widget" — "de" is a Dutch stop
+    // word (gap, trimmed) and "widgetten" (Dutch-inflected plural of
+    // the loanword, with the consonant doubling Dutch spelling
+    // demands) loses -en then undoes the tt doubling by the light
+    // stemmer, meeting the doc token "widget" (untouched) — so the
+    // match is non-vacuous ONLY through the Dutch chain (Standard
+    // sees "widgetten" verbatim; no other chain has the doubling
+    // undo); -heden/-s/-e edge cases pinned in EngineSpec
+    "q_search_stemmed_nl" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("name:de widgetten"),
+            analyzer = graft.qp.TextAnalyzer.Dutch))
+        .select(col("system.path").as("path")).orderBy("path")),
+
     // Like (`~`) — fuzzy, ES AUTO fuzziness
     "q_search_fuzzy" -> ((s, dir) =>
       Search.run(st(s, dir),
@@ -336,6 +351,10 @@ object SearchQueries {
     "q_search_stemmed_pt" ->
       """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
         |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'gizmo')
+        |ORDER BY path""".stripMargin,
+    "q_search_stemmed_nl" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
         |ORDER BY path""".stripMargin,
     "q_search_fuzzy" ->
       """SELECT '/region/' || CAST(r_regionkey AS VARCHAR) AS path FROM region

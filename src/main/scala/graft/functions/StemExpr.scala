@@ -481,6 +481,113 @@ object RuTerm {
   }
 }
 
+/** Dutch token→term — stop-gap + light stem as one static call, the
+  * [[graft.qp.TextAnalyzer.Dutch]] executor side. Combined like
+  * [[EsTerm]]: the doubling undo after the plural -en drop is
+  * conditional character surgery a regex fold would obscure. */
+case class NlTermExpr(child: Expression) extends TokenFnExpr {
+  override def prettyName: String = "nl_term"
+  protected def staticCall: String = "graft.functions.NlTerm.termU"
+  protected def run(s: UTF8String): UTF8String = NlTerm.termU(s)
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object NlTerm {
+  private lazy val Stops = graft.qp.TextAnalyzer.DutchStopWords
+
+  def termU(s: UTF8String): UTF8String = UTF8String.fromString(term(s.toString))
+
+  /** The ONE Dutch per-token chain — driver `queryTokens` and the
+    * executor expression both run this. Stop check runs on the RAW
+    * folded token, before stemming. */
+  def term(tok: String): String = {
+    if (Stops.contains(tok)) return graft.qp.TextAnalyzer.PositionGap
+    stem(tok)
+  }
+
+  private def isVowel(c: Char): Boolean = "aeiouy".indexOf(c.toInt) >= 0
+
+  /** Light Dutch stemmer (UniNE/CLEF light-recipe family — an analog,
+    * documented): tokens shorter than 4 chars pass untouched; accented
+    * vowels (tremas, French loan acutes) fold to base; then ONE suffix
+    * family fires — -heden→-heid (len≥8), plural -en with the Dutch
+    * consonant-doubling undo (bakken→bakk→bak; len≥5), plural -s
+    * (len≥4, not after s), final mute -e after a consonant (len≥4). */
+  def stem(t: String): String = {
+    if (t.length < 4) return t
+    val w = t.map {
+      case 'à' | 'á' | 'â' | 'ä' => 'a'
+      case 'è' | 'é' | 'ê' | 'ë' => 'e'
+      case 'ì' | 'í' | 'î' | 'ï' => 'i'
+      case 'ò' | 'ó' | 'ô' | 'ö' => 'o'
+      case 'ù' | 'ú' | 'û' | 'ü' => 'u'
+      case c => c
+    }
+    val n = w.length
+    if (n >= 8 && w.endsWith("heden")) return w.dropRight(5) + "heid"
+    if (n >= 5 && w.endsWith("en")) {
+      var b = w.dropRight(2)
+      if (b.length >= 3 && b.last == b(b.length - 2) && !isVowel(b.last))
+        b = b.dropRight(1)
+      return b
+    }
+    if (w.last == 's' && w(n - 2) != 's') return w.dropRight(1)
+    if (w.last == 'e' && !isVowel(w(n - 2))) return w.dropRight(1)
+    w
+  }
+}
+
+/** Arabic token→term — stop-gap + light stem as one static call, the
+  * [[graft.qp.TextAnalyzer.Arabic]] executor side. Input tokens are
+  * already normalized (hamza-alef/maksura/teh-marbuta folds, marks
+  * deleted) by the chain's fold. */
+case class ArTermExpr(child: Expression) extends TokenFnExpr {
+  override def prettyName: String = "ar_term"
+  protected def staticCall: String = "graft.functions.ArTerm.termU"
+  protected def run(s: UTF8String): UTF8String = ArTerm.termU(s)
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object ArTerm {
+  private lazy val Stops = graft.qp.TextAnalyzer.ArabicStopWords
+
+  def termU(s: UTF8String): UTF8String = UTF8String.fromString(term(s.toString))
+
+  /** The ONE Arabic per-token chain — driver `queryTokens` and the
+    * executor expression both run this. Stop check runs on the
+    * NORMALIZED token (the set carries folded spellings), before
+    * stemming. */
+  def term(tok: String): String = {
+    if (Stops.contains(tok)) return graft.qp.TextAnalyzer.PositionGap
+    stem(tok)
+  }
+
+  // definite-article prefixes, longest first (the bare ال last so
+  // وال/بال/كال/فال strip whole); the و conjunction strips separately
+  private val Articles = Array("وال", "بال", "كال", "فال", "لل", "ال")
+  // light-10 suffix list, longest-match-first; ة kept alongside ه for
+  // tokens that bypass the fold (direct stem() callers)
+  private val Suffixes = Array("ها", "ان", "ات", "ون", "ين", "يه",
+    "ية", "ه", "ة", "ي")
+
+  /** Light Arabic stemmer (the Larkey et al. light-10 family — an
+    * analog, documented): strip the و conjunction when ≥3 chars
+    * remain, then ONE definite-article prefix when ≥2 remain, then
+    * ONE longest-match suffix when ≥2 remain. ASCII tokens pass
+    * through untouched (no Arabic affix can match). */
+  def stem(t: String): String = {
+    var w = t
+    if (w.length >= 4 && w.charAt(0) == 'و') w = w.substring(1)
+    Articles.find(a => w.startsWith(a) && w.length - a.length >= 2)
+      .foreach(a => w = w.substring(a.length))
+    Suffixes.find(x => w.endsWith(x) && w.length - x.length >= 2)
+      .foreach(x => w = w.dropRight(x.length))
+    w
+  }
+}
+
 private object StemRunner {
   def run(rules: Array[(java.util.regex.Pattern, String)],
           t: String): String = {

@@ -313,6 +313,25 @@ object TextAnalyzer {
     protected def termCol(c: Column): Column = ptTermCol(c)
   }
 
+  /** Light Dutch analyzer, OPT-IN — sixth Latin chain. Same shape as
+    * [[Spanish]]/[[Portuguese]] (no elision stage; Dutch clitic
+    * apostrophes — 's ochtends, auto's — tokenize apart, the Lucene
+    * dutch chain's standard-tokenizer behavior): tokenize on Dutch
+    * letter runs (trema/acute vowels are LETTERS), case-fold via the
+    * locale-free translate, then per token stop-check → light stem.
+    * The stemmer is the UniNE/CLEF light-Dutch recipe family (an
+    * analog, documented): -heden→-heid, plural -en with the Dutch
+    * consonant-doubling undo (bakken→bak), plural -s, final mute -e —
+    * one suffix family per token, length-gated. Shared chain:
+    * [[graft.functions.NlTerm.term]] / [[graft.functions.NlTermExpr]]. */
+  case object Dutch extends LatinChain {
+    protected def upperTable = "ABCDEFGHIJKLMNOPQRSTUVWXYZÁÀÂÄÉÈÊËÍÌÎÏÓÒÔÖÚÙÛÜ"
+    protected def lowerTable = "abcdefghijklmnopqrstuvwxyzáàâäéèêëíìîïóòôöúùûü"
+    protected def runDelims = "[^a-záàâäéèêëíìîïóòôöúùûü0-9]+"
+    protected def term(tok: String): String = graft.functions.NlTerm.term(tok)
+    protected def termCol(c: Column): Column = nlTermCol(c)
+  }
+
   /** Light Russian analyzer, OPT-IN — the first NON-LATIN alphabetic
     * chain (the [[LatinChain]] base is script-agnostic: tables, a
     * letter-run delimiter class, one shared token→term function).
@@ -340,6 +359,60 @@ object TextAnalyzer {
     protected def termCol(c: Column): Column = ruTermCol(c)
   }
 
+  /** Light Arabic analyzer, OPT-IN — the first RTL chain (the Lucene
+    * arabic recipe shape: normalize → tokenize → stop → light stem).
+    * Arabic has no case, but its fold is RICHER than a 1:1 translate:
+    * the orthographic marks (tatweel, the harakat/tanwin vowel signs,
+    * shadda, sukun) must be DELETED, and the letter variants
+    * normalized (hamza-carrying alefs أ/إ/آ/ٱ → bare ا, final alef
+    * maksura ى → ي, teh marbuta ة → ه — Lucene's
+    * ArabicNormalizationFilter). The executor runs the same fold as a
+    * single `translate` (Spark deletes `from` chars with no `to`
+    * counterpart); the driver fold is the same table, so the two
+    * sides cannot diverge. Latin decoy runs fold a-z and tokenize too
+    * (Arabic text quotes Latin identifiers verbatim). Per token:
+    * stop-check (normalized function words) → light stem — the
+    * Larkey et al. light-10 family: strip the و conjunction and ONE
+    * definite-article prefix (ال وال بال كال فال لل), then ONE
+    * longest-match suffix (ها ان ات ون ين يه ية ه ة ي), each behind
+    * a minimum-stem gate. An ANALOG, documented, not byte parity. */
+  case object Arabic extends TextAnalyzer {
+    // deleted outright: tatweel + fathatan..sukun (U+064B-U+0652);
+    // escapes, not literals — combining marks in source are invisible
+    private[qp] val DropChars =
+      "\u0640\u064B\u064C\u064D\u064E\u064F\u0650\u0651\u0652"
+    private[qp] val FromChars =
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + "أإآٱ" + "ى" + "ة"
+    private[qp] val ToChars =
+      "abcdefghijklmnopqrstuvwxyz" + "اااا" + "ي" + "ه"
+    // letter runs: Latin, digits, and the Arabic letter block ء..ي
+    // (the deleted marks never reach the tokenizer)
+    private val RunDelims = "[^a-z0-9ء-ي]+"
+    private def fold(s: String): String = {
+      val b = new StringBuilder(s.length)
+      s.foreach { c =>
+        if (DropChars.indexOf(c.toInt) < 0) {
+          val i = FromChars.indexOf(c.toInt)
+          b.append(if (i >= 0) ToChars(i) else c)
+        }
+      }
+      b.toString
+    }
+    def queryTokens(v: String): Seq[String] = {
+      val toks = fold(v).split(RunDelims).toSeq.filter(_.nonEmpty)
+        .map(graft.functions.ArTerm.term)
+      toks.dropWhile(_ == PositionGap)
+        .reverse.dropWhile(_ == PositionGap).reverse
+    }
+    /** Unused under the overridden [[tokensOf]] — identity. */
+    def docTokens(raw: Column): Column = raw
+    override def tokensOf(s: Column): Column = {
+      val folded = translate(s, FromChars + DropChars, ToChars)
+      transform(filter(split(folded, RunDelims), t => t =!= ""),
+        t => arTermCol(t))
+    }
+  }
+
   /** Common Russian function-word stop set (conjunctions, particles,
     * pronouns, frequent prepositions — the stable core of the public
     * Snowball russian list). Checked on the raw folded token. */
@@ -359,6 +432,51 @@ object TextAnalyzer {
   def ruTermCol(c: Column): Column =
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       graft.functions.RuTermExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
+  /** Common Dutch function-word stop set (articles, pronouns,
+    * frequent prepositions/conjunctions — the stable core of the
+    * public Snowball dutch list). */
+  val DutchStopWords: Set[String] = Set(
+    "aan", "al", "alles", "als", "altijd", "andere", "ben", "bij",
+    "daar", "dan", "dat", "de", "der", "deze", "die", "dit", "doch",
+    "doen", "door", "dus", "een", "eens", "en", "er", "ge", "geen",
+    "geweest", "haar", "had", "heb", "hebben", "heeft", "hem", "het",
+    "hier", "hij", "hoe", "hun", "iemand", "iets", "ik", "in", "is",
+    "ja", "je", "kan", "kon", "kunnen", "maar", "me", "meer", "men",
+    "met", "mij", "mijn", "moet", "na", "naar", "niet", "niets",
+    "nog", "nu", "of", "om", "omdat", "ons", "ook", "op", "over",
+    "reeds", "te", "tegen", "toch", "toen", "tot", "u", "uit", "uw",
+    "van", "veel", "voor", "want", "waren", "was", "wat", "we",
+    "wel", "werd", "wezen", "wie", "wil", "worden", "wordt", "zal",
+    "ze", "zelf", "zich", "zij", "zijn", "zo", "zonder", "zou")
+
+  /** Executor-side Dutch token→term — one static call per token into
+    * the same shared chain ([[graft.functions.NlTermExpr]]). */
+  def nlTermCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.NlTermExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
+  /** Common Arabic function-word stop set, in NORMALIZED spellings —
+    * the stop check runs AFTER the fold, so hamza-alef forms are
+    * stored bare-alef and alef-maksura forms with ي (إلى → الي,
+    * على → علي, حتى → حتي). The stable core of the public Lucene
+    * arabic list. */
+  val ArabicStopWords: Set[String] = Set(
+    "من", "في", "علي", "الي", "عن", "ان", "لا", "ما", "مع", "هذا",
+    "هذه", "ذلك", "تلك", "التي", "الذي", "هو", "هي", "هم", "او",
+    "كان", "كانت", "يكون", "قد", "لم", "لن", "كل", "بعد", "قبل",
+    "عند", "حتي", "اذا", "ثم", "بين", "لكن", "منذ", "فيه", "فيها",
+    "عليه", "عليها", "اليه", "انه", "انها", "كما", "لدي", "غير",
+    "حول", "دون", "بها", "به", "له", "لها", "الا", "اي", "اما",
+    "ايضا", "كيف", "متي", "اين", "هل", "نحن", "انا", "انت")
+
+  /** Executor-side Arabic token→term — one static call per token into
+    * the same shared chain ([[graft.functions.ArTermExpr]]). */
+  def arTermCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.ArTermExpr(
         org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
 
   /** Common Italian function-word stop set (articles incl. the elided

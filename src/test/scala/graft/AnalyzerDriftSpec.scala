@@ -38,6 +38,10 @@ class AnalyzerDriftSpec extends AnyFunSuite {
       "os", "não", "corações", "papéis", "lençóis", "também", "bens",
       "и", "журналами", "журналов", "книгами", "ещё", "её", "Ёлка",
       "странный", "жизнь", "ночи", "abcжурналmix",
+      "de", "widgetten", "bakken", "ideeën", "mogelijkheden", "auto's",
+      "meisjes", "grootste", "één",
+      "من", "المعلمون", "المعلمين", "والكتاب", "مكتبة", "إلى", "على",
+      "مدرّسة", "abcكتابmix", "ـــ",
       "中文分析", "机器学习", "カタカナ", "한국어", "abc中文mix"),
     3 -> Gen.choose(1, 9).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)),
@@ -77,7 +81,9 @@ class AnalyzerDriftSpec extends AnyFunSuite {
     "spanish" -> TextAnalyzer.Spanish,
     "italian" -> TextAnalyzer.Italian,
     "portuguese" -> TextAnalyzer.Portuguese,
-    "russian" -> TextAnalyzer.Russian)
+    "russian" -> TextAnalyzer.Russian,
+    "dutch" -> TextAnalyzer.Dutch,
+    "arabic" -> TextAnalyzer.Arabic)
 
   test("generated text: executor tokensOf == driver queryTokens for " +
       "every chain") {
@@ -107,6 +113,8 @@ class AnalyzerDriftSpec extends AnyFunSuite {
       graft.functions.EsTerm.term(lower)
       graft.functions.ItTerm.term(lower)
       graft.functions.PtTerm.term(lower)
+      graft.functions.NlTerm.term(lower)
+      graft.functions.ArTerm.term(lower)
       graft.functions.StemLite.stemString(lower)
       graft.functions.StemFull.stemString(lower)
       graft.functions.StemDe.stemString(lower)

@@ -2677,6 +2677,102 @@ class EngineSpec extends AnyFunSuite {
     assert(run("t.o:и книгами", TextAnalyzer.Russian) == Set("/r/3"))
   }
 
+  test("dutch analyzer: -heden, plural -en with doubling undo, -s, " +
+      "mute -e, stop gaps, clitic apostrophes, driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    import graft.functions.NlTerm
+    val vocab = Seq(
+      "widgetten" -> "widget",        // -en, then tt doubling undo
+      "bakken" -> "bak",              // -en + kk undo
+      "boeken" -> "boek",             // -en, no doubling
+      "ideeen" -> "idee",             // vowel-preceded -en (ideeën folded)
+      "mogelijkheden" -> "mogelijkheid", // -heden → -heid
+      "meisjes" -> "meisje",          // plural -s
+      "grootste" -> "grootst",        // mute -e after consonant
+      "zee" -> "zee",                 // vowel before final e: untouched
+      "kas" -> "kas",                 // len < 4 gate
+      "kers" -> "ker",                // -s at the gate boundary
+      "widget" -> "widget")           // consonant-final: untouched
+    vocab.foreach { case (in, want) =>
+      assert(NlTerm.stem(in) == want,
+        s"stemNl($in) = ${NlTerm.stem(in)}, want $want")
+    }
+    assert(NlTerm.term("de") == TextAnalyzer.PositionGap)
+    assert(NlTerm.term("het") == TextAnalyzer.PositionGap)
+    assert(NlTerm.term("widgetten") == "widget")
+    import spark.implicits._
+    // clitic apostrophes tokenize APART (no elision stage): auto's →
+    // auto + s; trema folds identically on both sides
+    val texts = Seq("De WIDGETTEN zijn er", "auto's en ideeën",
+      "abc 123 één", "")
+    val sparkToks = texts.toDF("s")
+      .select(TextAnalyzer.Dutch.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    val driverToks = texts.map(t => TextAnalyzer.Dutch
+      .queryTokens("zq " + t + " zq").drop(1).dropRight(1))
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://nl/1> <c://o#t> \"rode widget hier\" .",
+      "<c://nl/2> <c://o#t> \"widgetten overal\" .",
+      "<c://nl/3> <c://o#t> \"blauwe bout\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/nl", qp = Some(qp), analyzer = an)))
+    // singular probe reaches the inflected plural through the stemmer
+    assert(run("t.o:de widget", TextAnalyzer.Dutch) == Set("/nl/1", "/nl/2"))
+    // Standard sees "widgetten" verbatim — the plural doc only
+    assert(run("t.o:widgetten", TextAnalyzer.Standard) == Set("/nl/2"))
+  }
+
+  test("arabic analyzer: normalization fold, article/suffix strip, " +
+      "stop gaps, RTL end-to-end, driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    import graft.functions.ArTerm
+    val vocab = Seq(
+      "المعلمون" -> "معلم",   // ال article + ون suffix
+      "المعلمين" -> "معلم",   // ال + ين: declensions meet at the stem
+      "والمعلمون" -> "معلم",  // و conjunction + ال + ون
+      "الكاتب" -> "كاتب",     // article only, no suffix
+      "مكتبه" -> "مكتب",      // teh-marbuta (folded to ه) suffix
+      "كتابها" -> "كتاب",     // -ها possessive
+      "لل" -> "لل",            // gate: nothing may strip below 2 chars
+      "widget" -> "widget",    // ASCII passthrough
+      "وال" -> "وال")          // affix-only token survives the gates
+    vocab.foreach { case (in, want) =>
+      assert(ArTerm.stem(in) == want,
+        s"stemAr($in) = ${ArTerm.stem(in)}, want $want")
+    }
+    // stop check on NORMALIZED spellings — إلى folds to الي first
+    assert(ArTerm.term("من") == TextAnalyzer.PositionGap)
+    assert(ArTerm.term("الي") == TextAnalyzer.PositionGap)
+    assert(TextAnalyzer.Arabic.queryTokens("إلى المعلمين") == Seq("معلم"))
+    // harakat/tatweel delete, hamza-alef and maksura fold — both sides
+    import spark.implicits._
+    val texts = Seq("مِنَ المُعَلِّمِينَ", "والكتاب إلى المكتبة",
+      "ـــ تمديد ـــ", "abc المعلمون 123", "")
+    val sparkToks = texts.toDF("s")
+      .select(TextAnalyzer.Arabic.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    val driverToks = texts.map(t => TextAnalyzer.Arabic
+      .queryTokens("zq " + t + " zq").drop(1).dropRight(1))
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://ar/1> <c://o#t> \"المعلمون هنا\" .",
+      "<c://ar/2> <c://o#t> \"معلم واحد\" .",
+      "<c://ar/3> <c://o#t> \"الكاتب هناك\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/ar", qp = Some(qp), analyzer = an)))
+    // the genitive probe reaches BOTH the plural and the bare stem
+    assert(run("t.o:المعلمين", TextAnalyzer.Arabic) == Set("/ar/1", "/ar/2"))
+    // Standard treats Arabic letters as delimiters: zero tokens
+    assert(run("t.o:المعلمين", TextAnalyzer.Standard).isEmpty)
+    // leading stop word trims to the single stemmed term
+    assert(run("t.o:من الكاتب", TextAnalyzer.Arabic) == Set("/ar/3"))
+  }
+
   test("overlap join: bucketed equi-join equals the naive cross form " +
       "at any bucket width, exactly one row per qualifying pair") {
     import spark.implicits._
