@@ -296,6 +296,17 @@ object GraphQueries {
           """g.V.has("mktsegment", "BUILDING").has("acctbal", "gt", "9000").out("refNation").aggregate("rich").out("refRegion").in("refRegion").retain("rich").id""")
         .orderBy("id")),
 
+    // Gremlin .except over a NAMED STEP (Gremlin 2's except(String...)
+    // overload, per-path equality): customer 1's same-nation
+    // neighborhood (nation → customers AND suppliers) minus the rows
+    // whose head equals the vertex held at .as("x") — i.e. minus the
+    // start itself. No bag exists, so this is non-vacuous only through
+    // the named-step branch (the string-bag form would fail loud).
+    "q_gremlin_except_step" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.v("/customer/1").as("x").out("refNation").in("refNation").except("x").id""")
+        .orderBy("id")),
+
     // Gremlin .simplePath (SimplePathFilterPipe): two wildcard both()
     // hops from nation 1 — every there-and-back path (via its region,
     // customers or suppliers) revisits nation 1 and is dropped; the
@@ -388,6 +399,17 @@ object GraphQueries {
       """SELECT DISTINCT '/nation/' || CAST(c_nationkey AS VARCHAR) AS id
         |FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+        |ORDER BY id""".stripMargin,
+    "q_gremlin_except_step" ->
+      """WITH nk AS (SELECT c_nationkey AS k FROM customer
+        |  WHERE c_custkey = 1)
+        |SELECT id FROM (
+        |  SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS id
+        |  FROM customer WHERE c_nationkey = (SELECT k FROM nk)
+        |    AND c_custkey <> 1
+        |  UNION
+        |  SELECT '/supplier/' || CAST(s_suppkey AS VARCHAR) AS id
+        |  FROM supplier WHERE s_nationkey = (SELECT k FROM nk))
         |ORDER BY id""".stripMargin,
     "q_gremlin_simplepath" ->
       """SELECT path FROM (

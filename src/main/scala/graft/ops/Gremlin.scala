@@ -87,19 +87,22 @@ import org.apache.spark.sql.functions._
   *                           per-path equality semantics. Here the
   *                           string names a GLOBAL bag (the relational
   *                           re-expression: a lineage snapshot, no
-  *                           driver-side collection), and
-  *                           except/retain filter against bags only —
-  *                           a string that matches a live .as name but
-  *                           no bag fails loud with "no preceding
-  *                           .aggregate" rather than silently applying
-  *                           different semantics. Re-using a bag name
-  *                           APPENDS (union), matching the
+  *                           driver-side collection). Re-using a bag
+  *                           name APPENDS (union), matching the
   *                           one-Collection accumulation of the
   *                           original.
-  *   .except("b")            drop vertices present in bag b
-  *                           (ExceptFilterPipe → anti-join)
-  *   .retain("b")            keep only vertices present in bag b
-  *                           (RetainFilterPipe → semi-join)
+  *   .except("b")            bag name → drop vertices present in bag b
+  *                           (ExceptFilterPipe → anti-join); a string
+  *                           naming a live .as step instead applies
+  *                           Gremlin 2's NAMED-STEP overload — drop
+  *                           rows whose head equals the vertex the
+  *                           same path held at .as("b") (per-path
+  *                           equality, a codegen'd column compare).
+  *                           A bag wins when both exist; a name that
+  *                           is neither fails loud.
+  *   .retain("b")            the dual: keep vertices present in bag b
+  *                           (RetainFilterPipe → semi-join), or keep
+  *                           rows whose head == the .as("b") vertex
   *   .filter{it.p op lit}    the mechanically-translatable closure
   *                           subset: desugars onto .has(p, cmp, lit)'s
   *                           typed comparators (op: == != > >= < <=;
@@ -608,21 +611,39 @@ object Gremlin {
           bags += bag -> bags.get(bag)
             .fold(snap)(_.unionByName(snap).distinct())
         case ExceptStep(bag) =>
-          // Gremlin 2 ExceptFilterPipe over a named bag: anti-join
+          // Gremlin 2 ExceptFilterPipe: over a named BAG it is an
+          // anti-join; when the string names a live .as step instead
+          // (Gremlin 2's except(String...) named-step overload), the
+          // comparison is PER PATH — drop rows whose current head
+          // equals the vertex this row held at .as(name). A name that
+          // is both a bag and a live .as resolves to the bag (this
+          // dialect's string-bag precedence, see the header note);
+          // a name that is neither still fails loud.
           requireVertexMode("except")
-          require(bags.contains(bag), s"gremlin syntax error: .except " +
-            s"bag '$bag' has no preceding .aggregate in '$query'")
-          frontier = frontier.join(
-            bags(bag).select(col("p").as("fp")),
-            col("p") === col("fp"), "left_anti")
+          if (bags.contains(bag))
+            frontier = frontier.join(
+              bags(bag).select(col("p").as("fp")),
+              col("p") === col("fp"), "left_anti")
+          else {
+            require(carries.contains(s"__as_$bag"),
+              s"gremlin syntax error: .except '$bag' names neither a " +
+                s"bag (.aggregate) nor a live .as step in '$query'")
+            frontier = frontier.where(col("p") =!= col(s"__as_$bag"))
+          }
         case RetainStep(bag) =>
-          // Gremlin 2 RetainFilterPipe over a named bag: semi-join
+          // Gremlin 2 RetainFilterPipe — the dual: semi-join against a
+          // bag, per-path head == .as(name) equality for a named step
           requireVertexMode("retain")
-          require(bags.contains(bag), s"gremlin syntax error: .retain " +
-            s"bag '$bag' has no preceding .aggregate in '$query'")
-          frontier = frontier.join(
-            bags(bag).select(col("p").as("fp")),
-            col("p") === col("fp"), "left_semi")
+          if (bags.contains(bag))
+            frontier = frontier.join(
+              bags(bag).select(col("p").as("fp")),
+              col("p") === col("fp"), "left_semi")
+          else {
+            require(carries.contains(s"__as_$bag"),
+              s"gremlin syntax error: .retain '$bag' names neither a " +
+                s"bag (.aggregate) nor a live .as step in '$query'")
+            frontier = frontier.where(col("p") === col(s"__as_$bag"))
+          }
         case OrderStep =>
           // Gremlin 2 OrderPipe, no-closure form: natural (id) order of
           // the current stream; carries tie-break duplicate heads so

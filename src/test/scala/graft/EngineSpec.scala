@@ -3851,6 +3851,42 @@ class EngineSpec extends AnyFunSuite {
         """g.v("/customer/1").outE("refNation").aggregate("e")""") }
   }
 
+  test("gremlin except/retain over a NAMED STEP: per-path equality " +
+      "(Gremlin 2 string overload); bag wins on a name clash") {
+    import graft.ops.Gremlin
+    val store = GraftStore.forDir(spark, Sf)
+    // except("x") with a live .as and no bag: drop rows whose head ==
+    // the vertex this path held at x — the same-nation neighborhood
+    // minus the start itself
+    val exc = Gremlin.eval(store,
+        """g.v("/customer/1").as("x").out("refNation").in("refNation").except("x").id""")
+      .collect().map(_.getString(0)).toSet
+    val hood = Gremlin.eval(store,
+        """g.v("/customer/1").out("refNation").in("refNation").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(exc == hood - "/customer/1" && exc.nonEmpty)
+    // retain("x") is the dual: exactly the rows that returned to x
+    val ret = Gremlin.eval(store,
+        """g.v("/customer/1").as("x").out("refNation").in("refNation").retain("x").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(ret == Set("/customer/1"))
+    // a name that is BOTH a bag and a live .as resolves to the bag:
+    // bagging the start then walking away and excepting drops the
+    // bagged vertex set (bag semantics), which here equals the
+    // named-step result — assert via the retain dual where the two
+    // semantics DIFFER: bag retain keeps everything in the bag
+    // (including rows whose path never returned), per-path retain
+    // would keep only head==x rows. Bag the FULL neighborhood, then
+    // retain: every row survives under bag precedence.
+    val clash = Gremlin.eval(store,
+        """g.v("/customer/1").as("b").out("refNation").in("refNation").aggregate("b").retain("b").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(clash == hood)
+    // unknown names (neither bag nor .as) still fail loud
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.as("x").except("nope").id""") }
+  }
+
   test("gremlin filter{} translatable subset desugars to typed has; " +
       "programmatic closures fail loud; bag re-use appends") {
     import graft.ops.Gremlin
