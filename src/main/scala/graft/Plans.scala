@@ -102,7 +102,11 @@ object Plans {
       "q_corpus_diff",        // digest-projected full-outer join (text never moves)
       "q_weighted_sample",    // A-Res key in the scan + per-group window rank
       "q_audio_spectra",      // in-row DFT projection — no shuffle
-      "q_embed_outliers")     // (group,dim) mean + broadcast centroids, in-row L2
+      "q_embed_outliers",     // (group,dim) mean + broadcast centroids, in-row L2
+      "q_search_stemmed_nl",  // Dutch chain inside the pushed predicate
+      "q_sparql_imports",     // registered-UDF FILTER over the BGP join
+      "q_gremlin_except_step", // named-step except: codegen'd column compare, no join
+      "q_stp")                // stp tick-3 view: BGP join over the merged store
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")
