@@ -589,6 +589,18 @@ object PipelineQueries {
       Curation.mixtureSample(docs(s, dir), "source", MixRates)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // TEMPERATURE-SMOOTHED mixture rates (mT5/XLM-R alpha sampling)
+    // with exact waterfilling to a 450-doc budget over the skewed
+    // `lang` key: at alpha 0.5 the four small languages cap at rate 1
+    // (their proportional draw exceeds their size) and the leftover
+    // budget redistributes onto English — the oracle replays the
+    // closed-form prefix computation with SQL windows. All windows
+    // run over the SOURCE-count frame (5 rows), never documents.
+    "q_mixture_alpha" -> ((s, dir) =>
+      Curation.temperatureRates(docs(s, dir), "lang",
+          alpha = 0.5, budget = 450)
+        .orderBy("source")),
+
     // fixed-window chunking with overlapping stride (window 64,
     // stride 32) — the long-document context-window shaper
     "q_chunk_docs" -> ((s, dir) =>
@@ -2026,6 +2038,30 @@ object PipelineQueries {
          |  FROM d JOIN p ON d.key = p.key AND d.rn = p.rn + 1)
          |SELECT key, doc_id, n_tokens, bin FROM p
          |ORDER BY key, doc_id""".stripMargin,
+    // the same waterfilling closed form, relationally: prefix sums in
+    // constraint order (n/q ascending) decide the capped set, the
+    // leftover budget spreads over the uncapped remainder
+    "q_mixture_alpha" ->
+      """WITH c AS (SELECT lang AS source,
+        |    CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT source, n, n / sum(n) OVER () AS p FROM c),
+        |q AS (SELECT source, n, p,
+        |    pow(p, 0.5) / sum(pow(p, 0.5)) OVER () AS q FROM s),
+        |o AS (SELECT *, sum(n) OVER w - n AS prev_n,
+        |    sum(q) OVER w - q AS prev_q
+        |  FROM q WINDOW w AS (ORDER BY n / q ASC, source ASC)),
+        |m AS (SELECT *,
+        |    ((450 - prev_n) * q >= (1 - prev_q) * n) AS capped FROM o),
+        |agg AS (SELECT
+        |    coalesce(sum(CASE WHEN capped THEN n END), 0) AS cap_n,
+        |    coalesce(sum(CASE WHEN capped THEN q END), 0) AS cap_q
+        |  FROM m)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs, round(p, 6) AS share,
+        |  round(q, 6) AS target_share,
+        |  round(CASE WHEN capped THEN 1.0
+        |    ELSE least(1.0, (450 - cap_n) * q / ((1 - cap_q) * n)) END, 6)
+        |    AS rate
+        |FROM m, agg ORDER BY source""".stripMargin,
     "q_mixture_sample" -> {
       val rateCase = MixRates.toSeq.sortBy(_._1).map { case (k, r) =>
         s"WHEN source = '$k' THEN $r" }.mkString(" ")

@@ -35,7 +35,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SearchQueries.all ++ AggQueries.all ++ GraphQueries.all ++
       ConsumeQueries.all ++ PipelineQueries.all ++ IngestQueries.all ++
-      SparqlQueries.all ++ StreamQueries.all
+      SparqlQueries.all ++ StreamQueries.all ++ AdminQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +43,5 @@ object SparkEntry {
     SearchQueries.oracles ++ AggQueries.oracles ++ GraphQueries.oracles ++
       ConsumeQueries.oracles ++ PipelineQueries.oracles ++
       IngestQueries.oracles ++ SparqlQueries.oracles ++
-      StreamQueries.oracles
+      StreamQueries.oracles ++ AdminQueries.oracles
 }

@@ -375,12 +375,12 @@ object SparqlQueries {
 
   val oracles: Map[String, String] = Map(
     "q_sparql_imports" ->
-      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS c,
-        |  c_name AS n
-        |FROM customer
-        |WHERE (c_custkey % 10 + (c_custkey // 10) % 10 +
-        |  (c_custkey // 100) % 10 + (c_custkey // 1000) % 10 +
-        |  (c_custkey // 10000) % 10 + (c_custkey // 100000) % 10) % 7 = 0
+      """WITH k AS (SELECT c_custkey, c_name,
+        |  CAST(c_custkey AS VARCHAR) AS ck FROM customer)
+        |SELECT '/customer/' || ck AS c, c_name AS n
+        |FROM k
+        |WHERE list_sum(list_transform(generate_series(1, length(ck)),
+        |  i -> CAST(substr(ck, i, 1) AS INT))) % 7 = 0
         |ORDER BY c""".stripMargin,
     "q_sparql_builtins" ->
       """SELECT '/nation/' || n_nationkey AS n, n_name AS name,

@@ -48,19 +48,28 @@ object StreamQueries {
                            (transform: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stream_src_").toString
-    src.write.mode("overwrite").parquet(dir)
     val sink = s"graft_stream_sink_${System.nanoTime()}"
-    val q = transform(s.readStream.schema(src.schema).parquet(dir))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
     try {
-      q.processAllAvailable()
-    } finally q.stop()
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      src.write.mode("overwrite").parquet(dir)
+      val q = transform(s.readStream.schema(src.schema).parquet(dir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // hand back a self-contained local frame and DROP the memory
+      // sink's catalog entry — otherwise every invocation (bench
+      // retime sweeps included) pins a dead copy of the stream output
+      // in the driver for the session's lifetime. The collected rows
+      // are bounded (filtered event stream), become garbage with the
+      // returned frame, and keep the result consumable after cleanup.
+      val out = s.table(sink)
+      val rows = out.collect()
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+      s.catalog.dropTempView(sink)
+      local
+    } finally {
+      graft.model.GraftStore.rmTree(new java.io.File(dir))
     }
-    rm(new java.io.File(dir))
-    s.table(sink)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -146,6 +146,64 @@ object Curation {
     docs.where(uniformOf(col(idCol), salt) < rate)
   }
 
+  /** TEMPERATURE-SMOOTHED mixture rates (the multilingual/multi-source
+    * sampling recipe behind mT5/XLM-R: target share q_i ∝ p_i^alpha
+    * for corpus share p_i — alpha < 1 up-weights small sources) with
+    * EXACT WATERFILLING to a total document budget: a source whose
+    * proportional draw N*q_i exceeds its size caps at rate 1 and its
+    * unused budget redistributes over the rest, iterated to the fixed
+    * point. The fixed point has closed form: sort sources by
+    * n_i / q_i ascending (most-constrained first); the capped set is
+    * the maximal prefix where the post-redistribution rate would still
+    * be >= 1, and every later source gets rate R_j * q_i / (Q_j * n_i)
+    * for the prefix's leftover budget R_j and weight Q_j — all prefix
+    * sums over a SOURCE-COUNT-sized frame (a handful of rows at any
+    * corpus size; the window is over k sources, never documents).
+    *
+    * Returns one row per source: n_docs, corpus share, smoothed target
+    * share, and the keep rate (rounded 6 dp so a downstream
+    * md5-uniform keep decision is bit-identical across engines).
+    * Compose with [[mixtureSample]]'s `uniformOf(id) < rate` filter to
+    * realize the draw. */
+  def temperatureRates(docs: DataFrame, keyCol: String, alpha: Double,
+                       budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1]: $alpha")
+    require(budget > 0, s"budget > 0: $budget")
+    val counts = docs.groupBy(col(keyCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = Window.partitionBy(lit(1))
+    val smoothed = counts
+      .withColumn("p", col("n_docs") / sum("n_docs").over(tot))
+      .withColumn("q", pow(col("p"), alpha) /
+        sum(pow(col("p"), alpha)).over(tot))
+    // constraint order: a source caps iff budget_per_target-share
+    // exceeds its size — n/q ascending puts sure-capped sources first
+    val w = Window.partitionBy(lit(1))
+      .orderBy((col("n_docs") / col("q")).asc, col("source").asc)
+    val pref = smoothed
+      .withColumn("cum_n", sum("n_docs").over(w))
+      .withColumn("cum_q", sum("q").over(w))
+    // source i caps iff EVEN AFTER every earlier (more constrained)
+    // source capped and returned its leftover, i's rate would be >= 1:
+    // (budget - cum_n(i-1)) * q_i / ((1 - cum_q(i-1)) * n_i) >= 1.
+    // Monotone in the sort order, so `capped` is a prefix.
+    val capped = (lit(budget.toDouble) - (col("cum_n") - col("n_docs"))) *
+      col("q") >= (lit(1.0) - (col("cum_q") - col("q"))) * col("n_docs")
+    val marked = pref.withColumn("capped", capped)
+    val cappedAgg = marked.where(col("capped"))
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("cap_n"),
+        coalesce(sum("q"), lit(0.0)).as("cap_q"))
+    marked.crossJoin(broadcast(cappedAgg))
+      .select(col("source"), col("n_docs"),
+        round(col("p"), 6).as("share"),
+        round(col("q"), 6).as("target_share"),
+        round(when(col("capped"), lit(1.0)).otherwise(
+          least(lit(1.0),
+            (lit(budget.toDouble) - col("cap_n")) * col("q") /
+              ((lit(1.0) - col("cap_q")) * col("n_docs")))), 6)
+          .as("rate"))
+  }
+
   /** CORPUS SNAPSHOT DIFF by content digest — the data-ops primitive
     * behind incremental reprocessing ("which docs changed since the
     * last crawl?") and ingest auditing: per id, `added` (new id),

@@ -4691,6 +4691,54 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature rates: closed-form waterfilling == iterative " +
+      "fixed point; budget realized in expectation") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    // skewed synthetic corpus: shares 100/40/25/20/15 over 5 sources
+    val sizes = Map("a" -> 100, "b" -> 40, "c" -> 25, "d" -> 20, "e" -> 15)
+    val docs = sizes.toSeq.flatMap { case (k, n) =>
+      (0 until n).map(i => (s"$k$i".hashCode.toLong, k))
+    }.toDF("doc_id", "lang")
+    for ((alpha, budget) <- Seq((0.5, 150L), (0.3, 120L), (1.0, 100L),
+        (0.7, 500L))) {
+      val got = Curation.temperatureRates(docs, "lang", alpha, budget)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(4))).toMap
+      // brute-force fixed point: repeatedly cap rate>1 sources and
+      // redistribute their leftover proportionally to target shares
+      val n = sizes.view.mapValues(_.toDouble).toMap
+      val tot = n.values.sum
+      val qRaw = n.view.mapValues(v => math.pow(v / tot, alpha)).toMap
+      val qSum = qRaw.values.sum
+      val q = qRaw.view.mapValues(_ / qSum).toMap
+      var cappedSet = Set.empty[String]
+      var changed = true
+      while (changed) {
+        val r = budget.toDouble - cappedSet.toSeq.map(n).sum
+        val qu = (q.keySet -- cappedSet).toSeq.map(q).sum
+        val newly = (q.keySet -- cappedSet).filter(k =>
+          r * q(k) / (qu * n(k)) >= 1.0)
+        changed = newly.nonEmpty
+        cappedSet ++= newly
+      }
+      val r = budget.toDouble - cappedSet.toSeq.map(n).sum
+      val qu = (q.keySet -- cappedSet).toSeq.map(q).sum
+      sizes.keys.foreach { k =>
+        val want = if (cappedSet(k)) 1.0
+          else math.min(1.0, r * q(k) / (qu * n(k)))
+        val (gotN, gotRate) = got(k)
+        assert(gotN == sizes(k))
+        assert(math.abs(gotRate - want) < 1e-5,
+          s"alpha=$alpha budget=$budget source=$k: $gotRate vs $want")
+      }
+      // expectation check: sum(rate * n) == min(budget, corpus)
+      val expTotal = got.map { case (k, (nk, rk)) => nk * rk }.sum
+      assert(math.abs(expTotal - math.min(budget.toDouble, tot)) < 0.01,
+        s"alpha=$alpha budget=$budget: E[kept] $expTotal")
+    }
+  }
+
   test("PCA recovers a planted dominant direction") {
     import spark.implicits._
     import graft.pipeline.Similarity

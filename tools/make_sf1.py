@@ -18,13 +18,38 @@ script lived in /tmp and did not survive the container):
   linearly, no verbatim-copy tie pathology); vec_id shift.
 
 Deterministic, seedless (pure arithmetic on the source rows).
-Usage: python3 tools/make_sf1.py [outdir=/tmp/sf1]
+Usage: python3 tools/make_sf1.py [outdir=/tmp/sf1] [factor=10] [profile=all]
+  factor 10  -> sf1  (the default trend set)
+  factor 100 -> sf10 (the two-decade probe; see the FACTOR note below)
+  profile    -> which tables take the full factor (the rest stay 10x):
+    all   every table (needs ~100+ GB transient scratch at factor 100
+          - the full-store ETL persists quads AND writes the layout)
+    docs  documents/events/embeddings at FACTOR (consume, dedup,
+          sessionize/as-of/overlap, stream families)
+    facts customer/supplier/part/orders at FACTOR, lineitem stays 10x
+          (xg/yg/gqp, SPARQL BGP, merge families; lineitem at 10x
+          keeps referential integrity - its r<10 order keys are a
+          subset of the 100x order key set)
 """
 import sys, os
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+# replica count: 10 = sf1 (the default trend set), 100 = sf10 (the
+# two-decade probe of the scale-critical families). Key-shift bases
+# are chosen so even 100 replicas stay collision-free (largest source
+# key 600000 << the 1M order base x 100).
+FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+PROFILE = sys.argv[3] if len(sys.argv) > 3 else "all"
+assert PROFILE in ("all", "docs", "facts"), PROFILE
+DOC_TABLES = {"documents", "events", "embeddings"}
+FACT_TABLES = {"customer", "supplier", "part", "orders"}
+def factor_of(table):
+    if PROFILE == "all":
+        return FACTOR
+    full = DOC_TABLES if PROFILE == "docs" else FACT_TABLES
+    return FACTOR if table in full else 10
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 con.sql("SET threads TO 16")
@@ -33,7 +58,13 @@ con.sql("SET threads TO 16")
 B_CUST, B_ORD, B_SUPP, B_PART = 100_000, 1_000_000, 10_000, 100_000
 B_EVT, B_USER, B_DOC, B_VEC = 1_000_000, 100_000, 10_000, 10_000
 
-R = "(SELECT unnest(generate_series(0, 9)) AS r)"
+# NOTE at FACTOR > 64: embedding replicas rotate by r mod dim (dim=64),
+# so replicas r and r-64 of the same source vector are VERBATIM equal —
+# quadratic pair pathology for the embedding-dup queries. The sf10
+# probe deliberately excludes the embedding-pair family (GroundCap
+# bounds their grounding anyway); everything else is collision-free.
+def R(table):
+    return f"(SELECT unnest(generate_series(0, {factor_of(table) - 1})) AS r)"
 
 def emit(name, sql):
     con.sql(f"COPY ({sql}) TO '{OUT}/{name}.parquet' (FORMAT PARQUET)")
@@ -47,24 +78,24 @@ emit("customer", f"""
   SELECT c_custkey + r * {B_CUST} AS c_custkey,
          c_name || CASE WHEN r = 0 THEN '' ELSE '_r' || r END AS c_name,
          c_nationkey, c_acctbal, c_mktsegment
-  FROM '{SRC}/customer.parquet', {R}""")
+  FROM '{SRC}/customer.parquet', {R('customer')}""")
 
 emit("supplier", f"""
   SELECT s_suppkey + r * {B_SUPP} AS s_suppkey,
          s_name || CASE WHEN r = 0 THEN '' ELSE '_r' || r END AS s_name,
          s_nationkey, s_acctbal
-  FROM '{SRC}/supplier.parquet', {R}""")
+  FROM '{SRC}/supplier.parquet', {R('supplier')}""")
 
 emit("part", f"""
   SELECT p_partkey + r * {B_PART} AS p_partkey,
          p_name, p_brand, p_type, p_size, p_retailprice
-  FROM '{SRC}/part.parquet', {R}""")
+  FROM '{SRC}/part.parquet', {R('part')}""")
 
 emit("orders", f"""
   SELECT o_orderkey + r * {B_ORD} AS o_orderkey,
          o_custkey + r * {B_CUST} AS o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-  FROM '{SRC}/orders.parquet', {R}""")
+  FROM '{SRC}/orders.parquet', {R('orders')}""")
 
 emit("lineitem", f"""
   SELECT l_orderkey + r * {B_ORD} AS l_orderkey,
@@ -72,13 +103,13 @@ emit("lineitem", f"""
          l_suppkey + r * {B_SUPP} AS l_suppkey,
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          l_returnflag, l_linestatus, l_shipdate
-  FROM '{SRC}/lineitem.parquet', {R}""")
+  FROM '{SRC}/lineitem.parquet', {R('lineitem')}""")
 
 emit("events", f"""
   SELECT event_id + r * {B_EVT} AS event_id, ts,
          user_id + r * {B_USER} AS user_id,
          event_type, value, props
-  FROM '{SRC}/events.parquet', {R}""")
+  FROM '{SRC}/events.parquet', {R('events')}""")
 
 # EVERY token gets the replica prefix (not just a leading marker):
 # a single prepended token leaves replicas ~94% shingle-Jaccard
@@ -98,7 +129,7 @@ emit("documents", f"""
          CASE WHEN r = 0 THEN n_chars
               ELSE n_chars + (length(str_split(text, ' '))
                               * length('r' || r)) END AS n_chars
-  FROM '{SRC}/documents.parquet', {R}""")
+  FROM '{SRC}/documents.parquet', {R('documents')}""")
 
 # cyclic rotation by r positions: element i of replica r is source
 # element (i + r) mod dim
@@ -107,4 +138,4 @@ emit("embeddings", f"""
          list_transform(generate_series(1, len(embedding)),
            i -> embedding[1 + ((i - 1 + r) % len(embedding))]) AS embedding,
          label
-  FROM '{SRC}/embeddings.parquet', {R}""")
+  FROM '{SRC}/embeddings.parquet', {R('embeddings')}""")
