@@ -154,7 +154,16 @@ object ConsumeQueries {
       var mirror = graft.ingest.Ingest.emptyStore(s)
       var res = Consume.consume(store, Consume.createConsumer("/supplier"))
       while (res.nextToken.isDefined) {
+        // CUT LINEAGE each replay round (the streaming-ingest
+        // discipline, Streaming.ingestCommands): without it the
+        // mirror is a k-deep chain of merge plans and every later
+        // consume action re-analyzes all of it — the sf10 probe
+        // caught the driver spinning single-threaded for >15 min at
+        // k=34 chunks (100x suppliers) on Catalyst re-analysis. In
+        // production each replay batch lands in the mirror store's
+        // parquet and the next reads it back — the same truncation.
         mirror = graft.ingest.Merger.overwrite(s, mirror, res.chunk)
+          .localCheckpoint()
         res = if (res.exhausted) Consume.Result(res.chunk.limit(0), None)
               else Consume.consume(store, res.nextToken.get)
       }

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Assemble bench_sf10_subset.json from the two sf10 profile runs.
+
+The sf10 probe runs the scale-critical families one decade above sf1,
+split into two dataset profiles so the store ETL fits the sandbox
+disk (see make_sf1.py): `docs` upscales documents/events/embeddings
+100x, `facts` upscales customer/supplier/part/orders 100x. Each
+query's denominator is the SAME-SESSION sf1 subset run (identical
+binary, same machine conditions), so the ratio isolates plan scaling
+from environment contention. Expected shape: the probed tables are
+10x sf1, so a linear operator on fixed cores lands at <= ~10x, with
+sub-second queries far below (fixed overheads amortize).
+
+Usage: sf10_report.py <sf1_json_line_file> <docs_json_line_file>
+                      <facts_json_line_file> <out.json>
+Each input is the Bench stdout capture (last JSON line is parsed).
+"""
+import json, sys
+
+def load(path):
+    line = [l for l in open(path) if l.lstrip().startswith('{"metric"')][-1]
+    return json.loads(line)
+
+sf1, docs, facts = (load(p) for p in sys.argv[1:4])
+sf1q = {("q_" + k if not k.startswith("q_") else k): v
+        for k, v in sf1["queries"].items()}
+
+out = {"metric": "sf10_subset", "unit": "sec",
+       "note": ("two-profile probe: each query's tables at 100x sf0.1 "
+                "(=10x sf1), remainder at 10x; denominator = same-session "
+                "sf1 run of the identical subset"),
+       "etl": {"docs": docs.get("etl"), "facts": facts.get("etl"),
+               "sf1": sf1.get("etl")},
+       "queries": {}, "flags": []}
+for profile, run in (("docs", docs), ("facts", facts)):
+    for k, v in run["queries"].items():
+        name = "q_" + k if not k.startswith("q_") else k
+        base = sf1q.get(name)
+        ratio = round(v / base, 2) if base and base > 0 else None
+        out["queries"][name] = {"profile": profile, "sf10": v,
+                                "sf1": base, "ratio": ratio}
+        # superlinear flag: >10x for 10x data AND slow enough to matter
+        if ratio is not None and ratio > 10 and v > 3.0:
+            out["flags"].append({"query": name, "sf1": base, "sf10": v,
+                                 "ratio": ratio})
+out["total_sf10"] = round(sum(q["sf10"] for q in out["queries"].values()), 2)
+out["total_sf1_subset"] = round(
+    sum(q["sf1"] for q in out["queries"].values() if q["sf1"]), 2)
+json.dump(out, open(sys.argv[4], "w"), indent=1)
+print(f"wrote {sys.argv[4]}: {len(out['queries'])} queries, "
+      f"{len(out['flags'])} superlinear flags, "
+      f"total {out['total_sf10']}s vs sf1 {out['total_sf1_subset']}s")
+for f in out["flags"]:
+    print("FLAG", f)
