@@ -33,16 +33,21 @@ out = {"metric": "sf10_subset", "unit": "sec",
                "sf1": sf1.get("etl")},
        "queries": {}, "flags": []}
 for profile, run in (("docs", docs), ("facts", facts)):
+    errs = run.get("errors", {})
     for k, v in run["queries"].items():
         name = "q_" + k if not k.startswith("q_") else k
         base = sf1q.get(name)
         ratio = round(v / base, 2) if base and base > 0 else None
-        out["queries"][name] = {"profile": profile, "sf10": v,
-                                "sf1": base, "ratio": ratio}
+        entry = {"profile": profile, "sf10": v, "sf1": base, "ratio": ratio}
+        if k in errs or name in errs:
+            # time-to-failure, not a measurement — keep the error text
+            entry["err"] = errs.get(k, errs.get(name))
+            entry["ratio"] = None
+        out["queries"][name] = entry
         # superlinear flag: >10x for 10x data AND slow enough to matter
-        if ratio is not None and ratio > 10 and v > 3.0:
+        if entry["ratio"] is not None and entry["ratio"] > 10 and v > 3.0:
             out["flags"].append({"query": name, "sf1": base, "sf10": v,
-                                 "ratio": ratio})
+                                 "ratio": entry["ratio"]})
 out["total_sf10"] = round(sum(q["sf10"] for q in out["queries"].values()), 2)
 out["total_sf1_subset"] = round(
     sum(q["sf1"] for q in out["queries"].values() if q["sf1"]), 2)
