@@ -513,6 +513,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // FUZZY decontamination: near-dup leakage the exact 8-gram flag
+    // misses — corpus docs whose bigram Jaccard vs ANY benchmark doc
+    // reaches 0.5, found via the benchmark's BROADCAST band index +
+    // exact candidate verify (the corpus never self-joins)
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.fuzzyContaminated(d, d.where(col("doc_id") % 50 === 0),
+          n = 2, tau = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // per-source lexical diversity: the corpus-balance dashboard
+    // (token volume, vocabulary, TTR, Shannon entropy per source)
+    "q_source_diversity" -> ((s, dir) =>
+      TextAnalysis.sourceDiversity(docs(s, dir), "source")
+        .orderBy("key")),
+
+    // Zipf rank-frequency slope over the top-1000 vocabulary — the
+    // naturalness gauge (templated/synthetic corpora drift off the
+    // ~-1 power law); regression inputs are k points at any scale
+    "q_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(docs(s, dir), k = 1000)),
+
     // greedy sequence packing into 256-token context windows per
     // source — the pretraining batch-packing shape; oracle = the same
     // greedy scan as a recursive CTE
@@ -1422,6 +1445,60 @@ object PipelineQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_dedup_jaccard" -> (JaccardPairsSql + " ORDER BY d1, d2"),
+    // exact all-pairs corpus x benchmark jaccard (naive in SQL; the
+    // engine reaches the same set through the broadcast band index +
+    // candidate-only verify). Self-pairs (a benchmark doc IS a corpus
+    // doc) count at jaccard 1.
+    "q_decontaminate_fuzzy" ->
+      s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS sh
+         |  FROM tok, UNNEST(generate_series(1, len(ts)-1)) AS t(i)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND b.doc_id % 50 = 0
+         |  GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS jaccard
+         |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+         |  JOIN sizes s2 ON d2 = s2.doc_id)
+         |SELECT d1 AS doc_id, count(*) AS n_bench_hits,
+         |  round(max(jaccard), 6) AS max_jaccard
+         |FROM j WHERE jaccard >= 0.5 GROUP BY 1
+         |ORDER BY doc_id""".stripMargin,
+    // the same per-source rollup; entropy via H = ln T - (sum c ln c)/T
+    "q_source_diversity" ->
+      s"""WITH tok AS (SELECT doc_id, source, $TokensSql AS ts
+         |  FROM documents),
+         |tt AS (SELECT source AS key, t FROM tok, UNNEST(ts) AS u(t)),
+         |c AS (SELECT key, t, count(*) AS c FROM tt GROUP BY 1, 2),
+         |r AS (SELECT key, CAST(sum(c) AS BIGINT) AS total_tokens,
+         |  CAST(count(*) AS BIGINT) AS distinct_tokens,
+         |  sum(c * ln(c)) AS clc FROM c GROUP BY 1),
+         |d AS (SELECT source AS key, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1)
+         |SELECT r.key, d.n_docs, total_tokens, distinct_tokens,
+         |  round(CAST(distinct_tokens AS DOUBLE) / total_tokens, 6) AS ttr,
+         |  round(ln(CAST(total_tokens AS DOUBLE)) - clc / total_tokens, 6)
+         |    AS shannon
+         |FROM r JOIN d ON r.key = d.key ORDER BY r.key""".stripMargin,
+    // least-squares ln(freq) ~ ln(rank) over the same top-k vocabulary
+    "q_zipf_slope" ->
+      s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |tf AS (SELECT t, CAST(count(*) AS DOUBLE) AS freq
+         |  FROM tok, UNNEST(ts) AS u(t) GROUP BY 1),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM tf),
+         |top AS (SELECT t, freq,
+         |  row_number() OVER (ORDER BY freq DESC, t ASC) AS rank
+         |  FROM tf ORDER BY freq DESC, t ASC LIMIT 1000),
+         |p AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(freq) AS y
+         |  FROM top),
+         |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+         |  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM p)
+         |SELECT vocab_size,
+         |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+         |  round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+         |    * sx / n, 6) AS intercept
+         |FROM a, v""".stripMargin,
     "q_pipeline_clean" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $TokensSql AS ts FROM documents),
          |q AS (SELECT doc_id FROM t WHERE len(ts) >= 5

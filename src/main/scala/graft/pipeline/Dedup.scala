@@ -154,6 +154,48 @@ object Dedup {
           (size(col("hs1")) + size(col("hs2")) - inter)).as("jaccard"))
   }
 
+  /** FUZZY benchmark decontamination — the near-dup refinement of the
+    * exact n-gram `contaminated` flag: a lightly paraphrased or
+    * truncated eval item shares no exact 8-gram but still leaks, so
+    * the guard here flags corpus docs whose n-gram JACCARD against ANY
+    * benchmark doc reaches `tau`. Returns one row per flagged doc:
+    * the distinct benchmark docs hit and the best (max) Jaccard.
+    *
+    * 100 TB shape: the BENCHMARK is the small side — its band-bucket
+    * index broadcasts, the corpus's own band index (the same written
+    * artifact the dedup family maintains) streams once through the
+    * bucket join, and the exact verification touches candidate pairs
+    * only. The corpus never self-joins and never compares against the
+    * benchmark all-pairs. Banding at 128 hashes / 64 bands × 2 rows:
+    * P(candidate) = 1 − (1 − j²)^64 ≥ 1 − 1.1e-8 at j = 0.5, so at
+    * tau ≥ 0.5 the candidate set misses nothing in practice (and the
+    * seeded hashes make recall deterministic per corpus). */
+  def fuzzyContaminated(corpus: DataFrame, bench: DataFrame,
+                        n: Int = 2, tau: Double = 0.5,
+                        textCol: String = "text"): DataFrame = {
+    val cIdx = minhashBandIndex(corpus, n, numHashes = 128, bands = 64,
+      textCol = textCol)
+    val bIdx = minhashBandIndex(bench, n, numHashes = 128, bands = 64,
+      textCol = textCol)
+    val cands = cIdx.join(
+        broadcast(bIdx.select(col("doc_id").as("bench_id"),
+          col("band"), col("bh"))),
+        Seq("band", "bh"))
+      .select(col("doc_id").as("d1"), col("bench_id").as("d2"))
+      .distinct()
+    // both pair sides must resolve in ONE doc frame for the exact
+    // verify; a benchmark held outside the corpus unions in (dedup by
+    // id — a benchmark doc that IS a corpus doc resolves once)
+    val all = corpus.select(col("doc_id"), col(textCol))
+      .unionByName(bench.select(col("doc_id"), col(textCol)))
+      .dropDuplicates("doc_id")
+    jaccardForPairs(all, cands, n, textCol)
+      .where(col("jaccard") >= tau)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+  }
+
   /** MinHash signatures: one row per doc, `numHashes` min-hash values.
     * Computed as one grouped aggregation over the inverted index (no
     * per-doc loops; map-side partial mins make the shuffle tiny).

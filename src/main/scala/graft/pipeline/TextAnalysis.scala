@@ -411,6 +411,69 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-source LEXICAL DIVERSITY report — the corpus-balance
+    * dashboard a mixture designer reads before setting sampling rates:
+    * per key, document count, token volume, distinct vocabulary,
+    * type-token ratio, and the Shannon entropy of the token
+    * distribution (low entropy = templated/repetitive source).
+    *
+    * 100 TB shape: one explode → one (key, token) groupBy (map-side
+    * combined) → one per-key rollup; nothing driver-side. Entropy via
+    * H = ln T − (Σ c·ln c)/T so the per-token division never
+    * materializes; both the ratio and H round to 6 dp (cross-engine
+    * summation order is a last-ulp effect). */
+  def sourceDiversity(docs: DataFrame, keyCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(keyCol).as("key"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("key", "t").agg(count(lit(1)).as("c"))
+    val perDoc = docs.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_docs"))
+    counts.groupBy("key")
+      .agg(sum("c").as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(col("c") * log(col("c"))).as("clc"))
+      .join(perDoc, Seq("key"))
+      .select(col("key"), col("n_docs"), col("total_tokens"),
+        col("distinct_tokens"),
+        round(col("distinct_tokens").cast("double") /
+          col("total_tokens"), 6).as("ttr"),
+        round(log(col("total_tokens").cast("double")) -
+          col("clc") / col("total_tokens"), 6).as("shannon"))
+  }
+
+  /** ZIPF SLOPE — the rank-frequency power-law exponent of the corpus
+    * vocabulary (natural text sits near −1; a heavily templated or
+    * synthetic corpus drifts off): least-squares slope of ln(freq) on
+    * ln(rank) over the TOP-`k` vocabulary. The global rank window runs
+    * over a frame already truncated to k rows (top-k by a
+    * sort-and-limit, never a corpus-wide single-partition window) —
+    * at any corpus size the regression input is k points. Returns one
+    * row: vocabulary size, the fitted slope and intercept (6 dp). */
+  def zipfSlope(docs: DataFrame, k: Int = 1000,
+                textCol: String = "text"): DataFrame = {
+    val tf = docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+    val vocabSize = tf.agg(count(lit(1)).as("vocab_size"))
+    val top = tf.orderBy(col("freq").desc, col("t").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("t").asc)))
+    val pts = top.select(log(col("rank").cast("double")).as("x"),
+      log(col("freq").cast("double")).as("y"))
+    pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("vocab_size"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")), 6).as("slope"),
+        round(col("sy") / col("n") -
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")) *
+          col("sx") / col("n"), 6).as("intercept"))
+  }
+
   /** Adjacent-bigram PMI collocations — the corpus-association miner
     * (phrase detection, tokenizer merge candidates, quality probes all
     * read it): for each bigram with at least `minCount` occurrences,
