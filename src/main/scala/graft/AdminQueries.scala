@@ -36,7 +36,13 @@ object AdminQueries {
       .map { case (p, _) =>
         Merger.Command("delete_path", p, T0, Map.empty, Map.empty)
       }
-    val tombstoned = Merger.merge(s, store.infotons, cmds)
+    // merge against the /supplier subtree only — the purge surface and
+    // the read-back never leave it, and cogrouping the other tables
+    // (plus re-deriving their current flags) is avoidable work at
+    // every scale (same scoping as q_stp's sensor subtree)
+    val tombstoned = Merger.merge(s, store.infotons
+      .where(col("system.path").startsWith("/supplier/") ||
+        col("system.path") === "/supplier"), cmds)
     val purged = Admin.purgeHistory(
       Admin.purgeHistory(
         Admin.purgePath(tombstoned, "/supplier/14"),
@@ -79,8 +85,13 @@ object AdminQueries {
           Seq(Merger.Command("delete_path", p, T0, Map.empty, Map.empty))
         else Nil
       }
-    val after = Merger.merge(s, store.infotons, cmds)
-    Admin.trackingReport(store.infotons, after)
+    // the batch touches /customer only — scope the merge (and the
+    // before-side of the uuid diff) to that subtree
+    val scoped = store.infotons
+      .where(col("system.path").startsWith("/customer/") ||
+        col("system.path") === "/customer")
+    val after = Merger.merge(s, scoped, cmds)
+    Admin.trackingReport(scoped, after)
       .select(col("parent"), col("written"),
         col("tombstones").as("n_tombstones"))
       .orderBy("parent")
