@@ -513,6 +513,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // asymmetric CONTAINMENT pairs (quote/subset detection): ordered
+    // pairs with |A∩B|/|A| >= 0.9 over bigram shingles — exact via
+    // the containment prefix filter, verified; the directional
+    // refinement Jaccard misses (a short doc quoted inside a long one)
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), n = 2, tau = 0.9)
+        .select(col("d1"), col("d2"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("d1", "d2")),
+
     // FUZZY decontamination: near-dup leakage the exact 8-gram flag
     // misses — corpus docs whose bigram Jaccard vs ANY benchmark doc
     // reaches 0.5, found via the benchmark's BROADCAST band index +
@@ -1445,6 +1455,21 @@ object PipelineQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_dedup_jaccard" -> (JaccardPairsSql + " ORDER BY d1, d2"),
+    // exact all-pairs containment (naive in SQL; the engine reaches
+    // the same set via the prefix-filtered candidate join)
+    "q_dedup_containment" ->
+      s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS sh
+         |  FROM tok, UNNEST(generate_series(1, len(ts)-1)) AS t(i)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / s1.sz, 6) AS containment
+         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+         |WHERE CAST(i AS DOUBLE) / s1.sz >= 0.9
+         |ORDER BY d1, d2""".stripMargin,
     // exact all-pairs corpus x benchmark jaccard (naive in SQL; the
     // engine reaches the same set through the broadcast band index +
     // candidate-only verify). Self-pairs (a benchmark doc IS a corpus

@@ -154,6 +154,46 @@ object Dedup {
           (size(col("hs1")) + size(col("hs2")) - inter)).as("jaccard"))
   }
 
+  /** ASYMMETRIC CONTAINMENT pairs — quote/subset detection (the
+    * RefinedWeb-style refinement Jaccard misses: a short doc fully
+    * quoted inside a long one has tiny Jaccard but containment ~1):
+    * every ordered pair (d1, d2) with |A∩B| / |A| >= tau over word
+    * n-gram shingle sets, EXACT.
+    *
+    * Candidate generation is the containment prefix filter
+    * (pigeonhole): |A∩B| >= ceil(tau*|A|) =: m forces A to share one
+    * of its first |A| - m + 1 shingles (in any fixed global order —
+    * rarity order keeps the join small) with B, so the candidate join
+    * runs A-prefix x B-full-index instead of all-pairs; candidates
+    * verify exactly. Never all-pairs, same 100 TB shape as
+    * [[jaccardPairs]] (the B side is the inverted index the dedup
+    * family already maintains). */
+  def containmentPairs(docs: DataFrame, n: Int, tau: Double,
+                       textCol: String = "text"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau in (0,1]: $tau")
+    val idx = hashedShingleIndex(docs, n, textCol)
+    val df0 = idx.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    val sized = idx.join(df0, "sh")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = sized
+      .where(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select(col("doc_id").as("d1"), col("sh"))
+    val cands = prefix
+      .join(idx.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+      .where(col("d1") =!= col("d2"))
+      .select("d1", "d2").distinct()
+    val docSets = idx.groupBy("doc_id").agg(collect_set(col("sh")).as("hs"))
+    cands
+      .join(docSets.select(col("doc_id").as("d1"), col("hs").as("h1")), "d1")
+      .join(docSets.select(col("doc_id").as("d2"), col("hs").as("h2")), "d2")
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("h1"), col("h2"))).cast("double") /
+          size(col("h1"))).as("containment"))
+      .where(col("containment") >= tau)
+  }
+
   /** FUZZY benchmark decontamination — the near-dup refinement of the
     * exact n-gram `contaminated` flag: a lightly paraphrased or
     * truncated eval item shares no exact 8-gram but still leaks, so

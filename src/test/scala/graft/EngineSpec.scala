@@ -4691,6 +4691,40 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs: prefix-filtered candidates == brute force, " +
+      "asymmetry caught where jaccard misses") {
+    import spark.implicits._
+    // doc 2 is a verbatim QUOTE inside doc 1 (containment 1.0 in the
+    // 2->1 direction; jaccard is small), doc 3 is unrelated, doc 4 is
+    // a near-copy of doc 2 with one extra token
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "gamma delta epsilon zeta"),
+      (3L, "one two three four five six"),
+      (4L, "gamma delta epsilon zeta omega")
+    ).toDF("doc_id", "text")
+    for (tau <- Seq(0.5, 0.75, 1.0)) {
+      val got = graft.pipeline.Dedup.containmentPairs(d, n = 2, tau = tau)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force over raw shingle sets
+      def grams(s: String) = s.split(" ").sliding(2).map(_.mkString(" ")).toSet
+      val m = Map(1L -> grams("alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        2L -> grams("gamma delta epsilon zeta"),
+        3L -> grams("one two three four five six"),
+        4L -> grams("gamma delta epsilon zeta omega"))
+      val want = (for {
+        a <- m.keys; b <- m.keys if a != b
+        if m(a).intersect(m(b)).size.toDouble / m(a).size >= tau
+      } yield (a, b)).toSet
+      assert(got == want, s"tau=$tau: $got vs $want")
+    }
+    // the asymmetric pair (2 contained in 1) exists; (1 in 2) doesn't
+    val pairs = graft.pipeline.Dedup.containmentPairs(d, 2, 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 1L)) && !pairs.contains((1L, 2L)))
+  }
+
   test("temperature rates: closed-form waterfilling == iterative " +
       "fixed point; budget realized in expectation") {
     import spark.implicits._
