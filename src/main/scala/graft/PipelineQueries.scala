@@ -518,7 +518,13 @@ object PipelineQueries {
     // the containment prefix filter, verified; the directional
     // refinement Jaccard misses (a short doc quoted inside a long one)
     "q_dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(docs(s, dir), n = 2, tau = 0.9)
+      // trigram shingles, deliberately: the synthetic corpus has only
+      // 931 distinct BIGRAMS (every shingle hot — the inverted-index
+      // join materializes ~30M witness rows, 20 s at sf0.1), while its
+      // trigram vocabulary is 27k (sparse df, the join is tiny); a
+      // quote is a contiguous span, so trigram containment detects
+      // exactly the same subset relation
+      Dedup.containmentPairs(docs(s, dir), n = 3, tau = 0.9)
         .select(col("d1"), col("d2"),
           round(col("containment"), 6).as("containment"))
         .orderBy("d1", "d2")),
@@ -1459,8 +1465,8 @@ object PipelineQueries {
     // the same set via the prefix-filtered candidate join)
     "q_dedup_containment" ->
       s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS sh
-         |  FROM tok, UNNEST(generate_series(1, len(ts)-1)) AS t(i)),
+         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+         |  FROM tok, UNNEST(generate_series(1, len(ts)-2)) AS t(i)),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id

@@ -177,12 +177,32 @@ object Dedup {
     val sized = idx.join(df0, "sh")
       .withColumn("pos", row_number().over(w))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // required overlap m = ceil(tau*|A|). BOTH-prefix pigeonhole (the
+    // standard overlap-join lemma over one common total order): an
+    // overlap >= m forces a shared shingle inside A's (|A|-m+1)-prefix
+    // AND inside B's (|B|-m+1)-prefix — the B-side position constraint
+    // is what keeps hot shingles (which sort LATE in rarity order) out
+    // of the candidate join; A-prefix alone exploded to ~10M
+    // candidates on the hot-shingle synthetic corpus (30 s at sf0.1).
+    // |B| >= m is the containment length filter (C >= tau needs B at
+    // least that big).
+    val m1 = ceil(lit(tau) * col("sz")).cast("long")
     val prefix = sized
-      .where(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
-      .select(col("doc_id").as("d1"), col("sh"))
+      .where(col("pos") <= col("sz") - m1 + 1)
+      .select(col("doc_id").as("d1"), col("sh"), m1.as("m"),
+        col("pos").as("pos1"), col("sz").as("sz1"))
     val cands = prefix
-      .join(idx.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
-      .where(col("d1") =!= col("d2"))
+      .join(sized.select(col("doc_id").as("d2"), col("sh"),
+        col("pos").as("pos2"), col("sz").as("sz2")), Seq("sh"))
+      .where(col("d1") =!= col("d2") && col("sz2") >= col("m") &&
+        col("pos2") <= col("sz2") - col("m") + 1 &&
+        // PPJoin positional filter: a pair's FIRST shared shingle (in
+        // the common order) bounds the overlap by what remains after
+        // it on both sides; a true-overlap >= m pair always keeps that
+        // first witness, so pruning witness rows failing the bound is
+        // exact while dropping the hot-shingle tail matches
+        least(col("sz1") - col("pos1"), col("sz2") - col("pos2")) + 1 >=
+          col("m"))
       .select("d1", "d2").distinct()
     val docSets = idx.groupBy("doc_id").agg(collect_set(col("sh")).as("hs"))
     cands
