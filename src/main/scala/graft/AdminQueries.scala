@@ -40,9 +40,8 @@ object AdminQueries {
     // the read-back never leave it, and cogrouping the other tables
     // (plus re-deriving their current flags) is avoidable work at
     // every scale (same scoping as q_stp's sensor subtree)
-    val tombstoned = Merger.merge(s, store.infotons
-      .where(col("system.path").startsWith("/supplier/") ||
-        col("system.path") === "/supplier"), cmds)
+    val tombstoned = Merger.merge(s,
+      Merger.subtree(store.infotons, "/supplier"), cmds)
     val purged = Admin.purgeHistory(
       Admin.purgeHistory(
         Admin.purgePath(tombstoned, "/supplier/14"),
@@ -87,9 +86,7 @@ object AdminQueries {
       }
     // the batch touches /customer only — scope the merge (and the
     // before-side of the uuid diff) to that subtree
-    val scoped = store.infotons
-      .where(col("system.path").startsWith("/customer/") ||
-        col("system.path") === "/customer")
+    val scoped = Merger.subtree(store.infotons, "/customer")
     val after = Merger.merge(s, scoped, cmds)
     Admin.trackingReport(scoped, after)
       .select(col("parent"), col("written"),

@@ -148,10 +148,8 @@ object StreamQueries {
       // tables (and re-exploding their quads for st2's view) would be
       // pure waste — at sf1 the full-store form spent ~30 of 37 s
       // exploding unrelated quads. Same result, subtree-sized work.
-      val scoped = store.infotons
-        .where(col("system.path").startsWith("/customer/") ||
-          col("system.path") === "/customer")
-      val merged = Merger.merge(s, scoped, cmds)
+      val merged = Merger.merge(s,
+        Merger.subtree(store.infotons, "/customer"), cmds)
       val st2 = GraftStore.fromInfotons(s, merged, Some(store.fieldTypes))
       val r3 = Stp.refresh(st2, job, r2.nextToken)
       r3.view.getOrElse(sys.error("delta tick must re-materialize"))

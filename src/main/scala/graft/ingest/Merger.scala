@@ -313,6 +313,15 @@ object Merger {
     affected
   }
 
+  /** The subtree slice a SCOPED merge runs against: every descendant
+    * of `prefix` PLUS the prefix's own directory row — dropping the
+    * root row would make [[merge]] re-synthesize a duplicate parent
+    * stub. One shared helper so the three scoped-merge call sites
+    * can't drift on that clause. */
+  def subtree(infotons: DataFrame, prefix: String): DataFrame =
+    infotons.where(col("system.path").startsWith(prefix + "/") ||
+      col("system.path") === prefix)
+
   /** `POST /_ow` overwrite (InputHandler.scala:131) — the DC-sync
     * replay path: append fully-formed version rows AS-IS (uuid,
     * lastModified, indexTime preserved — no merge, no bump, no new

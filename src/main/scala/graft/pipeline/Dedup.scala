@@ -36,6 +36,11 @@ object Dedup {
     while (df != null) { df.unpersist(false); df = registered.poll() }
   }
 
+  /** Ulp guard for ceil(tau * integer) prefix arithmetic — see the
+    * FpEps comments at the use sites. Strictly loosening: it can only
+    * grow a candidate set the exact verify then filters. */
+  private val FpEps = 1e-9
+
   /** Exact dedup: hash-groupBy on the content digest; keeps the lowest
     * id as the canonical representative. One shuffle on the digest. */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -111,7 +116,13 @@ object Dedup {
     val prefix = idx.join(df, "sh")
       .withColumn("pos", row_number().over(w))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .where(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      // FpEps inside ceil: when tau*sz is exactly integral, the double
+      // product can land one ulp HIGH and ceil would overshoot by 1 —
+      // a too-short prefix silently drops exact-boundary pairs. The
+      // epsilon can only LENGTHEN a prefix (a candidate superset), so
+      // exactness is preserved; the verify filters the slack.
+      .where(col("pos") <= col("sz") -
+        ceil(lit(tau) * col("sz") - lit(FpEps)) + 1)
       .select("doc_id", "sh", "sz", "pos")
     // persisted: both sides of the candidate self-join — without it
     // the df-join + two windows run twice
@@ -126,7 +137,8 @@ object Dedup {
             lit(tau) * greatest(col("a.sz"), col("b.sz")) &&
           lit(1) + least(col("a.sz") - col("a.pos"),
             col("b.sz") - col("b.pos")) >=
-            ceil(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz"))))
+            ceil(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")) -
+              lit(FpEps)))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     jaccardForPairs(docs, candidates, n, textCol, Some(idx))
@@ -174,9 +186,12 @@ object Dedup {
     val idx = hashedShingleIndex(docs, n, textCol)
     val df0 = idx.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "sh")
-    val sized = idx.join(df0, "sh")
+    // persisted: BOTH sides of the candidate join derive from this
+    // frame (same rationale as jaccardPairs' prefix persist — the
+    // df-join + two windows would otherwise run twice)
+    val sized = cachePersist(idx.join(df0, "sh")
       .withColumn("pos", row_number().over(w))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id"))))
     // required overlap m = ceil(tau*|A|). BOTH-prefix pigeonhole (the
     // standard overlap-join lemma over one common total order): an
     // overlap >= m forces a shared shingle inside A's (|A|-m+1)-prefix
@@ -186,7 +201,10 @@ object Dedup {
     // candidates on the hot-shingle synthetic corpus (30 s at sf0.1).
     // |B| >= m is the containment length filter (C >= tau needs B at
     // least that big).
-    val m1 = ceil(lit(tau) * col("sz")).cast("long")
+    // FpEps: see jaccardPairs — an ulp-high integral product must not
+    // shorten the prefix (overshoot drops boundary pairs); undershoot
+    // only loosens the filter, which the exact verify absorbs
+    val m1 = ceil(lit(tau) * col("sz") - lit(FpEps)).cast("long")
     val prefix = sized
       .where(col("pos") <= col("sz") - m1 + 1)
       .select(col("doc_id").as("d1"), col("sh"), m1.as("m"),
@@ -229,7 +247,10 @@ object Dedup {
     * benchmark all-pairs. Banding at 128 hashes / 64 bands × 2 rows:
     * P(candidate) = 1 − (1 − j²)^64 ≥ 1 − 1.1e-8 at j = 0.5, so at
     * tau ≥ 0.5 the candidate set misses nothing in practice (and the
-    * seeded hashes make recall deterministic per corpus). */
+    * seeded hashes make recall deterministic per corpus — at the
+    * GATED sfs the oracle comparison is therefore repeatable, never a
+    * per-run dice roll; on unseen corpora the CONTRACT is recall
+    * ≈ 1 − (1−j²)^64 per qualifying pair, not exactness). */
   def fuzzyContaminated(corpus: DataFrame, bench: DataFrame,
                         n: Int = 2, tau: Double = 0.5,
                         textCol: String = "text"): DataFrame = {
@@ -244,11 +265,13 @@ object Dedup {
       .select(col("doc_id").as("d1"), col("bench_id").as("d2"))
       .distinct()
     // both pair sides must resolve in ONE doc frame for the exact
-    // verify; a benchmark held outside the corpus unions in (dedup by
-    // id — a benchmark doc that IS a corpus doc resolves once)
+    // verify; benchmark rows union in only for ids ABSENT from the
+    // corpus (anti-join on the small side), so an id collision
+    // resolves to the corpus text DETERMINISTICALLY — dropDuplicates
+    // would keep an arbitrary row and flip verifications run to run
     val all = corpus.select(col("doc_id"), col(textCol))
-      .unionByName(bench.select(col("doc_id"), col(textCol)))
-      .dropDuplicates("doc_id")
+      .unionByName(bench.select(col("doc_id"), col(textCol))
+        .join(corpus.select("doc_id"), Seq("doc_id"), "left_anti"))
     jaccardForPairs(all, cands, n, textCol)
       .where(col("jaccard") >= tau)
       .groupBy(col("d1").as("doc_id"))

@@ -43,6 +43,11 @@ for profile, run in (("docs", docs), ("facts", facts)):
             # time-to-failure, not a measurement — keep the error text
             entry["err"] = errs.get(k, errs.get(name))
             entry["ratio"] = None
+        # a query measured in BOTH profiles must not silently clobber
+        # the first measurement (totals and the superlinear scan would
+        # miss it) — keep both, keyed by profile
+        if name in out["queries"]:
+            name = f"{name}@{profile}"
         out["queries"][name] = entry
         # superlinear flag: >10x for 10x data AND slow enough to matter
         if entry["ratio"] is not None and entry["ratio"] > 10 and v > 3.0:
