@@ -12,6 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-query work).
   */
 object Bench {
+  /** Burst-retime trigger: a query ran slower than this multiple of
+    * its quiet reference → re-time (min over runs). 3.0 through round
+    * 12, 2.0 since round 13; stamped into every full-run bench JSON as
+    * `retime_threshold` so cross-round totals stay comparable. */
+  private val RetimeThreshold = 2.0
   /** Per-query merge of a fresh full run against the committed same-sf
     * reference profile: the reference keeps each query's MINIMUM over
     * both (sandbox contention only ever inflates a measurement, so a
@@ -169,7 +174,7 @@ object Bench {
     val suspects = firstPass.zipWithIndex.filter { case ((name, t), _) =>
       refTimes.nonEmpty && !errors.contains(name) &&
         (refTimes.get(name) match {
-          case Some(ref) => t > 1.0 && t > 2.0 * math.max(ref, 0.2)
+          case Some(ref) => t > 1.0 && t > RetimeThreshold * math.max(ref, 0.2)
           case None      => t > 5.0 // new query this round, no baseline yet
         })
     }
@@ -250,10 +255,16 @@ object Bench {
     // rehearsals) must not clobber the committed reference profile the
     // retime pass keys off — that exact clobber once silenced the
     // burst defense for a whole driver run.
-    val retimedField =
+    val retimedField = (
+      // methodology stamp: the burst-retime trigger was 3x through
+      // round 12 and is 2x from round 13 on — cross-round comparisons
+      // of bench_last.json totals must account for the change, so the
+      // threshold rides in every full-run artifact
+      ",\"retime_threshold\":" + RetimeThreshold
+      ) + (
       if (retimed.isEmpty) ""
       else ",\"retimed\":" + retimed.map { case (n, (a, _)) => s"${jq(n)}:$a" }
-        .mkString("{", ",", "}")
+        .mkString("{", ",", "}"))
     if (only.isEmpty) {
       val freshLine = mkLine(_.toString, _.toString).dropRight(1) +
         retimedField + "}\n"

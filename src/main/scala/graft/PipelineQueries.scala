@@ -2154,7 +2154,7 @@ object PipelineQueries {
         |    CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
         |s AS (SELECT source, n, n / sum(n) OVER () AS p FROM c),
         |q AS (SELECT source, n, p,
-        |    pow(p, 0.5) / sum(pow(p, 0.5)) OVER () AS q FROM s),
+        |    round(pow(p, 0.5) / sum(pow(p, 0.5)) OVER (), 12) AS q FROM s),
         |o AS (SELECT *, sum(n) OVER w - n AS prev_n,
         |    sum(q) OVER w - q AS prev_q
         |  FROM q WINDOW w AS (ORDER BY n / q ASC, source ASC)),
@@ -2166,9 +2166,9 @@ object PipelineQueries {
         |  FROM m)
         |SELECT source, CAST(n AS BIGINT) AS n_docs, round(p, 6) AS share,
         |  round(q, 6) AS target_share,
-        |  round(CASE WHEN capped THEN 1.0
-        |    ELSE least(1.0, (450 - cap_n) * q / ((1 - cap_q) * n)) END, 6)
-        |    AS rate
+        |  round(round(CASE WHEN capped THEN 1.0
+        |    ELSE least(1.0, (450 - cap_n) * q / ((1 - cap_q) * n)) END,
+        |    12), 6) AS rate
         |FROM m, agg ORDER BY source""".stripMargin,
     "q_mixture_sample" -> {
       val rateCase = MixRates.toSeq.sortBy(_._1).map { case (k, r) =>

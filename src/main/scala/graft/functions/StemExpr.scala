@@ -499,14 +499,27 @@ object NlTerm {
   def termU(s: UTF8String): UTF8String = UTF8String.fromString(term(s.toString))
 
   /** The ONE Dutch per-token chain — driver `queryTokens` and the
-    * executor expression both run this. Stop check runs on the RAW
-    * folded token, before stemming. */
+    * executor expression both run this. Accents FOLD BEFORE the stop
+    * check (the Lucene dutch order): 'één' folds to 'een', which IS a
+    * stop — checking the raw spelling first would index a term ('een')
+    * no query can produce. Fold applies at every length; the <4-char
+    * stemmer bypass only skips suffix surgery. */
   def term(tok: String): String = {
-    if (Stops.contains(tok)) return graft.qp.TextAnalyzer.PositionGap
-    stem(tok)
+    val w = fold(tok)
+    if (Stops.contains(w)) return graft.qp.TextAnalyzer.PositionGap
+    stem(w)
   }
 
   private def isVowel(c: Char): Boolean = "aeiouy".indexOf(c.toInt) >= 0
+
+  private def fold(t: String): String = t.map {
+    case 'à' | 'á' | 'â' | 'ä' => 'a'
+    case 'è' | 'é' | 'ê' | 'ë' => 'e'
+    case 'ì' | 'í' | 'î' | 'ï' => 'i'
+    case 'ò' | 'ó' | 'ô' | 'ö' => 'o'
+    case 'ù' | 'ú' | 'û' | 'ü' => 'u'
+    case c => c
+  }
 
   /** Light Dutch stemmer (UniNE/CLEF light-recipe family — an analog,
     * documented): tokens shorter than 4 chars pass untouched; accented
@@ -516,14 +529,7 @@ object NlTerm {
     * (len≥4, not after s), final mute -e after a consonant (len≥4). */
   def stem(t: String): String = {
     if (t.length < 4) return t
-    val w = t.map {
-      case 'à' | 'á' | 'â' | 'ä' => 'a'
-      case 'è' | 'é' | 'ê' | 'ë' => 'e'
-      case 'ì' | 'í' | 'î' | 'ï' => 'i'
-      case 'ò' | 'ó' | 'ô' | 'ö' => 'o'
-      case 'ù' | 'ú' | 'û' | 'ü' => 'u'
-      case c => c
-    }
+    val w = fold(t) // idempotent — keeps direct callers safe
     val n = w.length
     if (n >= 8 && w.endsWith("heden")) return w.dropRight(5) + "heid"
     if (n >= 5 && w.endsWith("en")) {

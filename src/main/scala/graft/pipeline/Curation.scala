@@ -172,10 +172,15 @@ object Curation {
     val counts = docs.groupBy(col(keyCol).as("source"))
       .agg(count(lit(1)).as("n_docs"))
     val tot = Window.partitionBy(lit(1))
+    // q is pre-rounded to 12dp (the cross-engine discipline shared
+    // with weightedSample/cosineTopK): pow() is libm-dependent and a
+    // window-sum's summation order is engine-dependent, so an
+    // unrounded q can sit an ulp off a 6dp rounding boundary vs the
+    // oracle. 12dp absorbs ulp noise while preserving the closed form.
     val smoothed = counts
       .withColumn("p", col("n_docs") / sum("n_docs").over(tot))
-      .withColumn("q", pow(col("p"), alpha) /
-        sum(pow(col("p"), alpha)).over(tot))
+      .withColumn("q", round(pow(col("p"), alpha) /
+        sum(pow(col("p"), alpha)).over(tot), 12))
     // constraint order: a source caps iff budget_per_target-share
     // exceeds its size — n/q ascending puts sure-capped sources first
     val w = Window.partitionBy(lit(1))
@@ -197,10 +202,10 @@ object Curation {
       .select(col("source"), col("n_docs"),
         round(col("p"), 6).as("share"),
         round(col("q"), 6).as("target_share"),
-        round(when(col("capped"), lit(1.0)).otherwise(
+        round(round(when(col("capped"), lit(1.0)).otherwise(
           least(lit(1.0),
             (lit(budget.toDouble) - col("cap_n")) * col("q") /
-              ((lit(1.0) - col("cap_q")) * col("n_docs")))), 6)
+              ((lit(1.0) - col("cap_q")) * col("n_docs")))), 12), 6)
           .as("rate"))
   }
 

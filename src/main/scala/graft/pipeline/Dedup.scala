@@ -254,6 +254,15 @@ object Dedup {
   def fuzzyContaminated(corpus: DataFrame, bench: DataFrame,
                         n: Int = 2, tau: Double = 0.5,
                         textCol: String = "text"): DataFrame = {
+    // tau FLOOR: the banded candidate recall 1-(1-tau^2)^64 degrades
+    // fast below 0.5 (0.5 -> miss ~1.1e-8/pair; 0.3 -> ~2.4e-3/pair),
+    // and the oracle contract (exact all-pairs) only holds when misses
+    // are negligible at any realistic pair count. Callers needing a
+    // lower tau must widen the banding (more hashes / fewer rows per
+    // band), not silently accept probabilistic false negatives.
+    require(tau >= 0.5,
+      s"fuzzyContaminated: tau=$tau below the 0.5 recall floor for " +
+        "128-hash/64-band LSH; widen the banding before lowering tau")
     val cIdx = minhashBandIndex(corpus, n, numHashes = 128, bands = 64,
       textCol = textCol)
     val bIdx = minhashBandIndex(bench, n, numHashes = 128, bands = 64,

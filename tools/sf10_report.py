@@ -53,11 +53,23 @@ for profile, run in (("docs", docs), ("facts", facts)):
         if entry["ratio"] is not None and entry["ratio"] > 10 and v > 3.0:
             out["flags"].append({"query": name, "sf1": base, "sf10": v,
                                  "ratio": entry["ratio"]})
-out["total_sf10"] = round(sum(q["sf10"] for q in out["queries"].values()), 2)
-out["total_sf1_subset"] = round(
-    sum(q["sf1"] for q in out["queries"].values() if q["sf1"]), 2)
+# headline totals cover MEASURED queries only: an errored query's sf10
+# value is a time-to-failure, not a measurement, so mixing it into
+# total_sf10 while its sf1 baseline lands in total_sf1_subset would
+# compare failure semantics against measurement semantics. Errored
+# entries get their own bucket.
+ok = [q for q in out["queries"].values() if "err" not in q]
+failed = [q for q in out["queries"].values() if "err" in q]
+out["total_sf10"] = round(sum(q["sf10"] for q in ok), 2)
+out["total_sf1_subset"] = round(sum(q["sf1"] for q in ok if q["sf1"]), 2)
+if failed:
+    out["failed"] = {"n": len(failed),
+                     "time_to_failure": round(sum(q["sf10"] for q in failed), 2),
+                     "sf1_of_failed": round(
+                         sum(q["sf1"] for q in failed if q["sf1"]), 2)}
 json.dump(out, open(sys.argv[4], "w"), indent=1)
-print(f"wrote {sys.argv[4]}: {len(out['queries'])} queries, "
+print(f"wrote {sys.argv[4]}: {len(out['queries'])} queries "
+      f"({len(failed)} errored, excluded from totals), "
       f"{len(out['flags'])} superlinear flags, "
       f"total {out['total_sf10']}s vs sf1 {out['total_sf1_subset']}s")
 for f in out["flags"]:
