@@ -263,6 +263,17 @@ object GraphQueries {
           """g.v("/nation/1").in("refNation").filter{it.acctbal >= 8000}.filter{it.mktsegment == "BUILDING"}.id""")
         .orderBy("id")),
 
+    // Gremlin slashy-regex closures (the last mechanically-
+    // translatable .filter{} form): `==~` full-match desugars to
+    // anchored rlike on the string value slot, the parenthesized
+    // Groovy negation `!(... =~ ...)` to NOT-find — both inside one
+    // conjunctive closure, so the chain exercises the && split plus
+    // both polarities. Programmatic closures still fail loud.
+    "q_gremlin_regex" -> ((s, dir) =>
+      graft.ops.Gremlin.eval(st(s, dir),
+          """g.v("/nation/1").in("refNation").filter{it.name ==~ /Customer#0*\d*[02468]/ && !(it.mktsegment =~ /MACH/)}.id""")
+        .orderBy("id")),
+
     // Gremlin .transform{...} pure-projection subset (TransformPipe):
     // it.prop desugars to the values pipe; the filter closure upstream
     // keeps the chain a real Gremlin-2 porting shape
@@ -336,6 +347,12 @@ object GraphQueries {
       """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS id
         |FROM customer WHERE c_nationkey = 1 AND c_acctbal >= 8000
         |AND c_mktsegment = 'BUILDING'
+        |ORDER BY id""".stripMargin,
+    "q_gremlin_regex" ->
+      """SELECT '/customer/' || CAST(c_custkey AS VARCHAR) AS id
+        |FROM customer WHERE c_nationkey = 1
+        |AND regexp_full_match(c_name, 'Customer#0*\d*[02468]')
+        |AND NOT regexp_matches(c_mktsegment, 'MACH')
         |ORDER BY id""".stripMargin,
     "q_gremlin_transform" ->
       """SELECT c_name AS value FROM customer

@@ -338,9 +338,24 @@ object Gremlin {
     * comparators `.has(prop, cmp, v)` compiles to — the qp filter
     * compiler's slot dispatch, so numeric fields compare as numbers.
     * `it.getProperty("p")` is accepted as an alias for `it.p` (both
-    * are live Blueprints spellings). This narrows the fail-loud
+    * are live Blueprints spellings).
+    *
+    * Groovy REGEX tests translate too: `it.p ==~ /re/` (full match,
+    * Groovy `Pattern.matches`) and `it.p =~ /re/` (truthy find), plus
+    * their parenthesized negations `!(it.p ==~ /re/)` — all desugar
+    * to `rlike` on the string value slot, and since Groovy regexes
+    * ARE java.util.regex (exactly what Spark's RLike runs), the
+    * pattern language carries over verbatim. `==~` anchors via
+    * `^(?:re)$`; `=~` is RLike's native find. Bare `!~` is NOT Groovy
+    * (the reference's GremlinGroovyScriptEngine throws a syntax
+    * error on it) so it fails loud here too. Missing properties:
+    * Groovy would NPE inside the closure (getProperty → null), so
+    * both polarities are existence-gated — the same convention the
+    * ordering comparators use.
+    *
+    * This narrows the fail-loud
     * closure domain to genuinely programmatic bodies (`it.loops < 3`,
-    * side effects, regex tests…), which only the reference's Groovy
+    * side effects, method calls…), which only the reference's Groovy
     * script engine (GremlinParser.scala:29-99) can run — those still
     * fail loud, never silently approximate. */
   private[ops] def parseFilterClosure(body: String,
@@ -372,12 +387,37 @@ object Gremlin {
     val pat = java.util.regex.Pattern.compile(
       """^it\s*\.\s*(?:getProperty\(\s*"([^"]+)"\s*\)|([A-Za-z_][\w\-#$]*))\s*""" +
         """(==|!=|>=|<=|>|<)\s*(?:"((?:[^"\\]|\\.)*)"|(-?\d+(?:\.\d+)?))$""")
+    // Groovy slashy-regex tests; negation is the parenthesized Groovy
+    // form (bare !~ is not a Groovy operator — fail loud like the
+    // reference's script engine does)
+    val rpat = java.util.regex.Pattern.compile(
+      """^(!\s*\(\s*)?it\s*\.\s*(?:getProperty\(\s*"([^"]+)"\s*\)|([A-Za-z_][\w\-#$]*))\s*""" +
+        """(==~|=~)\s*/((?:[^/\\]|\\.)*)/\s*(\))?\s*$""")
     conjuncts.map { c =>
+      val rm = rpat.matcher(c)
+      if (rm.matches() && (rm.group(1) == null) == (rm.group(6) == null)) {
+        val prop = Option(rm.group(2)).getOrElse(rm.group(3))
+        // slashy-string unescape: \/ is the ONE Groovy-level escape
+        // (a literal slash); every other backslash is regex syntax
+        // and must reach the engine untouched
+        val re = rm.group(5).replace("\\/", "/")
+        val neg = rm.group(1) != null
+        val full = rm.group(4) == "==~"
+        val cmp = (if (neg) "nregex" else "regex") +
+          (if (full) "_full" else "_find")
+        Has(prop, cmp, Some(re))
+      } else parseComparatorConjunct(c, pat, body, query)
+    }
+  }
+
+  private def parseComparatorConjunct(c: String,
+      pat: java.util.regex.Pattern, body: String, query: String): Step = {
       val m = pat.matcher(c)
       if (!m.matches()) throw new IllegalArgumentException(
         s"gremlin syntax error: .filter{${body.trim}} is not of the " +
           s"translatable shape it.<prop> <op> <literal> " +
-          s"[&& ...] — programmatic closures need the reference's " +
+          s"[&& ...] (or a slashy-regex test) — programmatic closures " +
+          s"need the reference's " +
           s"Groovy engine, unsupported in '$query'")
       val prop = Option(m.group(1)).getOrElse(m.group(2))
       val v = Option(m.group(4))
@@ -395,7 +435,6 @@ object Gremlin {
         case "<=" => "lte"
       }
       Has(prop, cmp, Some(v))
-    }
   }
 
   /** Desugar every bounded [[Loop]] into repeated copies of its
@@ -762,6 +801,26 @@ object Gremlin {
     * property exists with a differing value). */
   private def hasPredicate(store: GraftStore, prop: String, cmp: String,
       vOpt: Option[String], query: String): org.apache.spark.sql.Column = {
+    // closure regex tests bypass the qp route (qp has no regex
+    // operator): rlike directly on the string value slot — Groovy
+    // regexes ARE java.util.regex, which is exactly what RLike runs,
+    // so the pattern carries over verbatim and stays codegen'd.
+    // Existence-gated in both polarities (Groovy NPEs on a missing
+    // property — see parseFilterClosure).
+    if (cmp == "regex_full" || cmp == "regex_find" ||
+        cmp == "nregex_full" || cmp == "nregex_find") {
+      val re0 = vOpt.getOrElse(throw new IllegalArgumentException(
+        s"gremlin syntax error: regex comparator without a pattern in '$query'"))
+      // ==~ is Groovy Pattern.matches (whole string); RLike is find,
+      // so anchor through a non-capturing group
+      val re = if (cmp.endsWith("_full")) "^(?:" + re0 + ")$" else re0
+      val canonical = Namespaces.resolve(prop)
+      val arr = col("fields").getItem(canonical)
+      val anyMatch = exists(arr, x => x.getField("s").rlike(re))
+      val existsP = arr.isNotNull && size(arr) > 0
+      return if (cmp.startsWith("n")) existsP && !anyMatch
+             else existsP && anyMatch
+    }
     // the literal is DATA, never qp syntax: quote it (qp's
     // double-quoted form, backslash-escaping) so a comma/bracket in a
     // has/filter value compares as itself instead of silently

@@ -3984,6 +3984,69 @@ class EngineSpec extends AnyFunSuite {
       s"second snapshot missing: $sibs / $home")
   }
 
+  test("gremlin regex closures: ==~ anchors, =~ finds, parenthesized " +
+      "negation is existence-gated, bare !~ fails loud") {
+    import graft.ops.Gremlin
+    val store = GraftStore.forDir(spark, Sf)
+    // ==~ full-match on an exact literal == the has-eq set
+    val viaRegex = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").filter{it.mktsegment ==~ /MACHINERY/}.id""")
+      .collect().map(_.getString(0)).toSet
+    val viaHas = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").has("mktsegment", "MACHINERY").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(viaRegex == viaHas && viaRegex.nonEmpty)
+    // ==~ is Groovy Pattern.matches — a partial pattern matches NOTHING
+    assert(Gremlin.eval(store,
+      """g.V.filter{it.mktsegment ==~ /MACH/}.id""").collect().isEmpty)
+    // =~ is truthy find — the same partial pattern hits MACHINERY
+    val find = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").filter{it.mktsegment =~ /MACH/}.id""")
+      .collect().map(_.getString(0)).toSet
+    assert(find == viaHas)
+    // real regex syntax rides through: alternation + char class +
+    // escaped digit class, full-match over the whole frontier
+    val alts = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").filter{it.mktsegment ==~ /(MACHINERY|BUILD\w+)/}.id""")
+      .collect().map(_.getString(0)).toSet
+    val union = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").has("mktsegment", "BUILDING").id""")
+      .collect().map(_.getString(0)).toSet ++ viaHas
+    assert(alts == union && alts.nonEmpty)
+    // Groovy-negation !(...) is EXISTENCE-GATED (Groovy itself NPEs
+    // on a missing property): nation 1's suppliers carry no
+    // mktsegment and must NOT pass, unlike the closure != dialect
+    val negated = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").filter{!(it.mktsegment =~ /MACH/)}.id""")
+      .collect().map(_.getString(0)).toSet
+    val withProp = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").has("mktsegment").id""")
+      .collect().map(_.getString(0)).toSet
+    assert(negated == withProp -- find && negated.nonEmpty)
+    assert(!negated.exists(_.startsWith("/supplier/")),
+      s"regex negation must stay existence-gated: $negated")
+    // the \/ slashy escape is the one Groovy-level unescape: a
+    // full-match against the path-valued refNation string slot
+    val esc = Gremlin.eval(store,
+        """g.V.filter{it.refNation ==~ /\/nation\/1/}.id""")
+      .collect().map(_.getString(0)).toSet
+    assert(esc == Gremlin.eval(store,
+      """g.v("/nation/1").in("refNation").id""")
+      .collect().map(_.getString(0)).toSet)
+    // conjunction mixes regex and comparator conjuncts
+    val mixed = Gremlin.eval(store,
+        """g.v("/nation/1").in("refNation").filter{it.mktsegment =~ /MACH/ && it.acctbal > 0}.id""")
+      .collect().map(_.getString(0)).toSet
+    assert(mixed.subsetOf(find))
+    // bare !~ is NOT a Groovy operator — the reference's script
+    // engine throws, so this fails loud instead of guessing
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.filter{it.mktsegment !~ /MACH/}.id""") }
+    // unbalanced negation parens fail loud too
+    intercept[IllegalArgumentException] {
+      Gremlin.eval(store, """g.V.filter{!(it.mktsegment =~ /MACH/}.id""") }
+  }
+
   test("gremlin transform{} pure projections: it / it.id / it.prop; " +
       "computed bodies fail loud") {
     import graft.ops.Gremlin
