@@ -424,10 +424,74 @@ object IngestQueries {
       .orderBy("custkey")
   }
 
+  /** Turkish-analyzer opt-in, over INGESTED Turkish content (pattern
+    * of [[searchStemmedRu]]): even customers get "İstanbul'daki
+    * kitaplardan" (proper noun + apostrophe-attached locative, then
+    * ablative plural), odd get "Ankara'daki evlerden". The probe
+    * "İSTANBUL kitapların" raw-matches NOTHING — the match needs (a)
+    * the TURKISH case fold İ→i on the all-caps probe (the
+    * dotted/dotless trap: a plain lowercase would also map the doc's
+    * I-words wrong), (b) the apostrophe cut ('daki drops), and (c)
+    * the light stemmer meeting kitapların/kitaplardan at the stem
+    * "kitap". Standard sees the accented probe token "İSTANBUL" as
+    * i-less garbage and "kitapların" verbatim → zero rows. */
+  private def searchStemmedTr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
+    val nt = cust.select(col("system.path").as("p"),
+        Search.fieldN("custkey").cast("long").as("ck"))
+      .as[(String, Long)]
+      .map { case (p, ck) =>
+        val w = if (ck % 2 == 0) "İstanbul'daki kitaplardan"
+                else "Ankara'daki evlerden"
+        s"""<cmwell:/$p> <x://vocab#tag> "$w" ."""
+      }
+    val st2 = GraftStore.fromInfotons(s,
+      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0))
+    Search.run(st2, Search.Request(path = "/customer",
+        qp = Some("tag:İSTANBUL kitapların"),
+        analyzer = graft.qp.TextAnalyzer.Turkish))
+      .select(regexp_extract(col("system.path"), "^/customer/(\\d+)$", 1)
+        .cast("long").as("custkey"))
+      .orderBy("custkey")
+  }
+
+  /** Persian-analyzer opt-in, over INGESTED Persian content: even
+    * customers get "كتاب‌های خوب" spelled with the ARABIC kaf ك and
+    * Arabic yeh ي (the spellings Arabic-keyboard text arrives in),
+    * odd get "دفترهای خوب". The probe "از کتاب" uses the FARSI keheh
+    * ک — raw bytes differ from the doc, so the match exists only
+    * through (a) the ك→ک normalization, (b) the ZWNJ split cutting
+    * the doc compound into کتاب + های, (c) های dropping as a stop
+    * gap (the chain has NO stemmer — Lucene's persian analyzer ships
+    * none; the clitic stop set does the light-morphology work), and
+    * (d) از dropping as a leading stop gap on the probe. */
+  private def searchStemmedFa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Search.run(st(s, dir), Search.Request(path = "/customer"))
+    val nt = cust.select(col("system.path").as("p"),
+        Search.fieldN("custkey").cast("long").as("ck"))
+      .as[(String, Long)]
+      .map { case (p, ck) =>
+        val w = if (ck % 2 == 0) "كتاب\u200cهاي خوب" else "دفترهاي خوب"
+        s"""<cmwell:/$p> <x://vocab#tag> "$w" ."""
+      }
+    val st2 = GraftStore.fromInfotons(s,
+      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0))
+    Search.run(st2, Search.Request(path = "/customer",
+        qp = Some("tag:از کتاب"),
+        analyzer = graft.qp.TextAnalyzer.Persian))
+      .select(regexp_extract(col("system.path"), "^/customer/(\\d+)$", 1)
+        .cast("long").as("custkey"))
+      .orderBy("custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_modifier" -> searchModifier,
     "q_search_stemmed_ru" -> searchStemmedRu,
     "q_search_stemmed_ar" -> searchStemmedAr,
+    "q_search_stemmed_tr" -> searchStemmedTr,
+    "q_search_stemmed_fa" -> searchStemmedFa,
     "q_ingest_roundtrip" -> roundtrip,
     "q_ns_collision" -> nsCollision,
     "q_ow_replay" -> owReplay,
@@ -450,6 +514,12 @@ object IngestQueries {
       """SELECT c_custkey AS custkey FROM customer
         |WHERE c_custkey % 2 = 0 ORDER BY custkey""".stripMargin,
     "q_search_stemmed_ar" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |WHERE c_custkey % 2 = 0 ORDER BY custkey""".stripMargin,
+    "q_search_stemmed_tr" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |WHERE c_custkey % 2 = 0 ORDER BY custkey""".stripMargin,
+    "q_search_stemmed_fa" ->
       """SELECT c_custkey AS custkey FROM customer
         |WHERE c_custkey % 2 = 0 ORDER BY custkey""".stripMargin,
     "q_ns_collision" ->

@@ -594,6 +594,75 @@ object ArTerm {
   }
 }
 
+/** Turkish token→term — apostrophe cut + stop-gap + light stem as one
+  * static call, the [[graft.qp.TextAnalyzer.Turkish]] executor side.
+  * Input tokens are already Turkish-case-folded (İ→i, I→ı — the
+  * dotted/dotless pair the chain's translate tables encode; a plain
+  * locale lowercase would map I→i and break every dotless-ı word). */
+case class TrTermExpr(child: Expression) extends TokenFnExpr {
+  override def prettyName: String = "tr_term"
+  protected def staticCall: String = "graft.functions.TrTerm.termU"
+  protected def run(s: UTF8String): UTF8String = TrTerm.termU(s)
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object TrTerm {
+  private lazy val Stops = graft.qp.TextAnalyzer.TurkishStopWords
+
+  def termU(s: UTF8String): UTF8String = UTF8String.fromString(term(s.toString))
+
+  /** The ONE Turkish per-token chain — driver `queryTokens` and the
+    * executor expression both run this. Order mirrors the Lucene
+    * turkish chain: APOSTROPHE CUT first (the ApostropheFilter —
+    * `istanbul'daki` keeps only `istanbul`; proper-noun suffixes
+    * attach after an apostrophe in Turkish orthography), then the
+    * stop check on the cut token, then the light stem. */
+  def term(tok: String): String = {
+    var t = tok
+    val i1 = t.indexOf('\''); val i2 = t.indexOf('’')
+    val ap = if (i1 < 0) i2 else if (i2 < 0) i1 else math.min(i1, i2)
+    if (ap >= 0) t = t.substring(0, ap)
+    if (t.isEmpty) return ""
+    if (Stops.contains(t)) return graft.qp.TextAnalyzer.PositionGap
+    stem(t)
+  }
+
+  // case/possessive endings, longest-match-first, all four vowel-
+  // harmony variants per shape (ablative -dan/-den with the hard-
+  // consonant t alternants, genitive -(n)ın, instrumental -(y)la,
+  // locative -da, 3sg possessive -(s)ı, dative/accusative vowels)
+  private val CaseSuffixes = Array(
+    "ından", "inden", "undan", "ünden", "ların", "lerin",
+    "ının", "inin", "unun", "ünün", "dan", "den", "tan", "ten",
+    "nın", "nin", "nun", "nün", "yla", "yle", "la", "le",
+    "da", "de", "ta", "te", "ın", "in", "un", "ün",
+    "sı", "si", "su", "sü", "ı", "i", "u", "ü", "a", "e")
+
+  /** Light Turkish stemmer (an ANALOG, documented — the noun-
+    * inflection subset of the agglutinative chain, suffix-harmony
+    * aware; not Snowball byte parity): strip ONE case/possessive
+    * ending (longest match, min-stem gate scaled to suffix length so
+    * a single-vowel strip never reduces below 4 chars), then the
+    * plural -lar/-ler (roots of 2 like `ev` stay reachable), then one
+    * REMAINING possessive left exposed by the plural strip
+    * (kitap-ları = kitap+lar+ı arrives with the ı already removed by
+    * stage 1; evleri = ev+ler+i needs the post-plural pass). ASCII
+    * loanwords without Turkish endings pass untouched. */
+  def stem(t: String): String = {
+    var w = t
+    CaseSuffixes.find(x => w.endsWith(x) &&
+        w.length - x.length >= (if (x.length == 1) 4 else 3))
+      .foreach(x => w = w.dropRight(x.length))
+    if (w.length >= 5 && (w.endsWith("lar") || w.endsWith("ler")))
+      w = w.dropRight(3)
+    CaseSuffixes.find(x => w.endsWith(x) &&
+        w.length - x.length >= (if (x.length == 1) 4 else 3))
+      .foreach(x => w = w.dropRight(x.length))
+    w
+  }
+}
+
 private object StemRunner {
   def run(rules: Array[(java.util.regex.Pattern, String)],
           t: String): String = {

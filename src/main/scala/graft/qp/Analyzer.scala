@@ -413,6 +413,125 @@ object TextAnalyzer {
     }
   }
 
+  /** Light Turkish analyzer, OPT-IN — the chain that exercises the
+    * canonical locale-fold trap: Turkish has a dotted/dotless-i PAIR
+    * (İ/i and I/ı), so the case fold must map İ→i but I→ı — a plain
+    * `lower()` (or any A-Z translate) maps I→i and corrupts every
+    * dotless-ı word, which is exactly why the JVM-default-locale
+    * lowercase is famous for breaking Turkish text. The
+    * [[LatinChain]] translate tables encode the pair explicitly and
+    * run locale-free on BOTH sides. Tokenizer keeps apostrophes (both
+    * kinds) as letters; the per-token chain mirrors Lucene's turkish
+    * analyzer order: APOSTROPHE CUT (drop the apostrophe and
+    * everything after it — proper-noun inflection attaches after an
+    * apostrophe in Turkish orthography: `İstanbul'daki` → `istanbul`)
+    * → stop check → light stem (an agglutinative-subset ANALOG,
+    * documented at [[graft.functions.TrTerm.stem]]: one vowel-harmony
+    * case/possessive ending, the plural -lar/-ler, one post-plural
+    * possessive). Shared chain: [[graft.functions.TrTerm.term]] /
+    * [[graft.functions.TrTermExpr]]. */
+  case object Turkish extends LatinChain {
+    // İ (U+0130) → i and I → ı (U+0131): the pair that breaks naive
+    // A-Z tables — note ASCII I is deliberately ABSENT from the A-Z
+    // run below and appended with its dotless lowercase
+    protected def upperTable =
+      "ABCDEFGHJKLMNOPQRSTUVWXYZ" + "I" + "İ" + "ÇĞÖŞÜ"
+    protected def lowerTable =
+      "abcdefghjklmnopqrstuvwxyz" + "ı" + "i" + "çğöşü"
+    protected def runDelims = "[^a-zçğıöşü0-9'’]+"
+    protected def term(tok: String): String = graft.functions.TrTerm.term(tok)
+    protected def termCol(c: Column): Column = trTermCol(c)
+    override protected def emptyTerms: Boolean = true
+  }
+
+  /** Persian analyzer, OPT-IN — the second RTL chain. Reuses the
+    * Arabic recipe shape (delete-capable fold → tokenize → stop) with
+    * the Persian-specific pieces: the fold ADDS the Persian letter
+    * normalizations (Arabic kaf ك → keheh ک, Arabic yeh ي AND alef
+    * maksura ى → Farsi yeh ی — Lucene's PersianNormalizationFilter on
+    * top of the ArabicNormalizationFilter folds) while keeping the
+    * Arabic deletions (tatweel + harakat/tanwin/shadda/sukun) and the
+    * hamza-alef / teh-marbuta folds; the ZERO-WIDTH NON-JOINER
+    * (U+200C), which Persian orthography uses INSIDE compound words
+    * (کتاب‌ها), is simply not a letter to the tokenizer, so it splits
+    * compounds exactly like Lucene's PersianCharFilter mapping it to
+    * a space; and there is NO stemmer — Lucene's PersianAnalyzer
+    * ships none (light morphology comes from the ZWNJ split + the
+    * stop set carrying the frequent clitics ها/های/می), and this
+    * chain matches that. Stop marking is set membership on both
+    * sides (the [[English]] precedent — no custom expression
+    * needed). */
+  case object Persian extends TextAnalyzer {
+    private[qp] val DropChars = Arabic.DropChars
+    private[qp] val FromChars =
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + "أإآٱ" + "ىي" + "ك" + "ة"
+    private[qp] val ToChars =
+      "abcdefghijklmnopqrstuvwxyz" + "اااا" + "یی" + "ک" + "ه"
+    // letter runs: Latin, digits, the Arabic block, and the Persian
+    // letters (پ چ ژ گ ک ی) the fold emits; ZWNJ is NOT a letter —
+    // it delimits, splitting compounds
+    private val RunDelims = "[^a-z0-9ء-يپچژگکی]+"
+    private def fold(s: String): String = {
+      val b = new StringBuilder(s.length)
+      s.foreach { c =>
+        if (DropChars.indexOf(c.toInt) < 0) {
+          val i = FromChars.indexOf(c.toInt)
+          b.append(if (i >= 0) ToChars(i) else c)
+        }
+      }
+      b.toString
+    }
+    def queryTokens(v: String): Seq[String] = {
+      val toks = fold(v).split(RunDelims).toSeq.filter(_.nonEmpty)
+        .map(t => if (PersianStopWords(t)) PositionGap else t)
+      toks.dropWhile(_ == PositionGap)
+        .reverse.dropWhile(_ == PositionGap).reverse
+    }
+    /** Unused under the overridden [[tokensOf]] — identity. */
+    def docTokens(raw: Column): Column = raw
+    override def tokensOf(s: Column): Column = {
+      val folded = translate(s, FromChars + DropChars, ToChars)
+      transform(filter(split(folded, RunDelims), t => t =!= ""),
+        t => when(t.isin(PersianStopWords.toSeq: _*), lit(PositionGap))
+          .otherwise(t))
+    }
+  }
+
+  /** Common Turkish function-word stop set (conjunctions, particles,
+    * pronouns, question clitics — the stable core of the public
+    * Lucene turkish list), in folded spellings. */
+  val TurkishStopWords: Set[String] = Set(
+    "acaba", "ama", "ancak", "artık", "asla", "az", "bazı", "belki",
+    "ben", "beni", "benim", "bir", "biri", "birkaç", "biz", "bize",
+    "bizim", "bu", "buna", "bunu", "bunun", "burada", "böyle", "çok",
+    "çünkü", "da", "daha", "de", "değil", "diye", "eğer", "en",
+    "gibi", "hem", "hep", "hepsi", "her", "hiç", "için", "ile",
+    "ise", "kadar", "ki", "kim", "mi", "mı", "mu", "mü", "nasıl",
+    "ne", "neden", "nerede", "niye", "o", "ona", "onlar", "onun",
+    "sen", "siz", "sonra", "şey", "şu", "tüm", "ve", "veya", "ya",
+    "yani", "çoğu")
+
+  /** Executor-side Turkish token→term — one static call per token
+    * into the same shared chain ([[graft.functions.TrTermExpr]]). */
+  def trTermCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.TrTermExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
+  /** Common Persian function-word stop set, in NORMALIZED spellings
+    * (the stop check runs after the fold: آن → ان, می‌... clitic
+    * tokens appear post-ZWNJ-split). Carries the plural/clitic
+    * particles (ها های می) that do Persian's light-morphology work in
+    * the absence of a stemmer. The stable core of the public Lucene
+    * persian list. */
+  val PersianStopWords: Set[String] = Set(
+    "از", "در", "به", "که", "را", "با", "این", "ان", "است", "بود",
+    "شد", "می", "ها", "های", "هایی", "برای", "تا", "هم", "او", "ما",
+    "شما", "انها", "من", "تو", "خود", "اگر", "نیز", "یا", "هر",
+    "چه", "بر", "پس", "یک", "ای", "اما", "کرد", "شده", "باید",
+    "شود", "دارد", "بی", "چون", "نه", "اند", "بودن", "کردن", "وی",
+    "انچه", "همه", "هیچ", "دیگر", "چند", "روی", "میان", "البته")
+
   /** Common Russian function-word stop set (conjunctions, particles,
     * pronouns, frequent prepositions — the stable core of the public
     * Snowball russian list). Checked on the raw folded token. */

@@ -42,6 +42,10 @@ class AnalyzerDriftSpec extends AnyFunSuite {
       "meisjes", "grootste", "één",
       "من", "المعلمون", "المعلمين", "والكتاب", "مكتبة", "إلى", "على",
       "مدرّسة", "abcكتابmix", "ـــ",
+      "ve", "İstanbul'daki", "KITAPLARDAN", "kitapların", "evlerden",
+      "İİII", "ılık", "değil", "Türkiye'nin", "çağrışım",
+      "از", "كتاب‌هاي", "کتاب‌ها", "می‌روم", "آنها",
+      "دفترهاي", "پژوهشگاه", "abcکتابmix",
       "中文分析", "机器学习", "カタカナ", "한국어", "abc中文mix"),
     3 -> Gen.choose(1, 9).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)),
@@ -83,7 +87,9 @@ class AnalyzerDriftSpec extends AnyFunSuite {
     "portuguese" -> TextAnalyzer.Portuguese,
     "russian" -> TextAnalyzer.Russian,
     "dutch" -> TextAnalyzer.Dutch,
-    "arabic" -> TextAnalyzer.Arabic)
+    "arabic" -> TextAnalyzer.Arabic,
+    "turkish" -> TextAnalyzer.Turkish,
+    "persian" -> TextAnalyzer.Persian)
 
   test("generated text: executor tokensOf == driver queryTokens for " +
       "every chain") {
@@ -115,6 +121,7 @@ class AnalyzerDriftSpec extends AnyFunSuite {
       graft.functions.PtTerm.term(lower)
       graft.functions.NlTerm.term(lower)
       graft.functions.ArTerm.term(lower)
+      graft.functions.TrTerm.term(lower)
       graft.functions.StemLite.stemString(lower)
       graft.functions.StemFull.stemString(lower)
       graft.functions.StemDe.stemString(lower)

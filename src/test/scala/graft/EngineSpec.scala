@@ -2773,6 +2773,98 @@ class EngineSpec extends AnyFunSuite {
     assert(run("t.o:من الكاتب", TextAnalyzer.Arabic) == Set("/ar/3"))
   }
 
+  test("turkish analyzer: dotted/dotless-i fold, apostrophe cut, " +
+      "vowel-harmony stem, driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    import graft.functions.TrTerm
+    val vocab = Seq(
+      "kitaplardan" -> "kitap",  // ablative + plural
+      "kitapların" -> "kitap",   // genitive-on-plural (ların one shot)
+      "kitapları" -> "kitap",    // accusative plural
+      "evlerden" -> "ev",        // harmony e-variant, 2-char root
+      "evleri" -> "ev",          // post-plural possessive pass
+      "kıtaplardan" -> "kıtap",  // dotless ı rides through the stem
+      "ev" -> "ev",              // bare short root untouched
+      "widget" -> "widget",      // ASCII loanword: no harmony suffix
+      "masa" -> "masa")          // single-vowel gate: len 4 keeps -a
+    vocab.foreach { case (in, want) =>
+      assert(TrTerm.stem(in) == want,
+        s"stemTr($in) = ${TrTerm.stem(in)}, want $want")
+    }
+    // apostrophe cut BEFORE stop/stem (Lucene ApostropheFilter)
+    assert(TrTerm.term("istanbul'daki") == "istanbul")
+    // the light stemmer also strips the root's final vowel (the
+    // dative/accusative class) — an over-stem, but IDENTICAL on both
+    // sides (a probe "türkiye" lands on the same term), so matching
+    // holds; the standard light-stemmer recall/precision trade
+    assert(TrTerm.term("türkiye'nin") == "türkiy")
+    assert(TrTerm.term("ve") == TextAnalyzer.PositionGap)
+    // THE locale trap, both directions: İ→i (probe İSTANBUL reaches
+    // lowercase istanbul) and I→ı (KITAP folds to kıtap, NOT kitap)
+    assert(TextAnalyzer.Turkish.queryTokens("İSTANBUL") == Seq("istanbul"))
+    assert(TextAnalyzer.Turkish.queryTokens("KITAP") == Seq("kıtap"))
+    assert(TextAnalyzer.Turkish.queryTokens("KİTAP") == Seq("kitap"))
+    import spark.implicits._
+    val texts = Seq("İstanbul'daki kitaplardan", "ANKARA'DAKİ EVLERDEN",
+      "ve IĞDIR ılık", "abc 123 çağrışım", "")
+    val sparkToks = texts.toDF("s")
+      .select(TextAnalyzer.Turkish.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    val driverToks = texts.map(t => TextAnalyzer.Turkish
+      .queryTokens("zq " + t + " zq").drop(1).dropRight(1))
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://tr/1> <c://o#t> \"İstanbul'daki kitaplardan\" .",
+      "<c://tr/2> <c://o#t> \"kitapları burada\" .",
+      "<c://tr/3> <c://o#t> \"Ankara'daki evlerden\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/tr", qp = Some(qp), analyzer = an)))
+    // the genitive probe reaches ablative and accusative inflections
+    assert(run("t.o:kitapların", TextAnalyzer.Turkish) ==
+      Set("/tr/1", "/tr/2"))
+    // all-caps probe folds İ→i and matches through the apostrophe cut
+    assert(run("t.o:İSTANBUL", TextAnalyzer.Turkish) == Set("/tr/1"))
+    // Standard keeps the inflection verbatim: no match anywhere
+    assert(run("t.o:kitapların", TextAnalyzer.Standard).isEmpty)
+  }
+
+  test("persian analyzer: kaf/yeh normalization, ZWNJ compound split, " +
+      "clitic stop gaps, no stemmer, driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    // fold: Arabic kaf ك → keheh ک, Arabic yeh ي → Farsi yeh ی,
+    // ZWNJ splits the compound, های drops as a clitic stop
+    assert(TextAnalyzer.Persian.queryTokens("كتاب\u200cهاي") == Seq("کتاب"))
+    // آن normalizes (آ→ا) into the stop set
+    assert(TextAnalyzer.Persian.queryTokens("آن کتاب") == Seq("کتاب"))
+    // NO stemmer: an inflection-free chain keeps the word whole
+    assert(TextAnalyzer.Persian.queryTokens("پژوهشگاه") == Seq("پژوهشگاه"))
+    import spark.implicits._
+    val texts = Seq("كتاب\u200cهاي خوب", "از کتاب", "می\u200cروم آنجا",
+      "abc دفترهاي 123", "")
+    val sparkToks = texts.toDF("s")
+      .select(TextAnalyzer.Persian.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    val driverToks = texts.map(t => TextAnalyzer.Persian
+      .queryTokens("zq " + t + " zq").drop(1).dropRight(1))
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://fa/1> <c://o#t> \"كتاب\u200cهاي خوب\" .",
+      "<c://fa/2> <c://o#t> \"کتاب تازه\" .",
+      "<c://fa/3> <c://o#t> \"دفترهاي خوب\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/fa", qp = Some(qp), analyzer = an)))
+    // Farsi-keheh probe reaches the Arabic-kaf compound through the
+    // fold + ZWNJ split + clitic gap; the unsplit دفترهای does not
+    assert(run("t.o:از کتاب", TextAnalyzer.Persian) ==
+      Set("/fa/1", "/fa/2"))
+    // Standard: Arabic-block letters are delimiters — zero tokens
+    assert(run("t.o:کتاب", TextAnalyzer.Standard).isEmpty)
+  }
+
   test("overlap join: bucketed equi-join equals the naive cross form " +
       "at any bucket width, exactly one row per qualifying pair") {
     import spark.implicits._
