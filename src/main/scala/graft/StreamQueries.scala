@@ -44,7 +44,8 @@ object StreamQueries {
     * drive a real streaming plan from a batch frame without a broker;
     * the temp dir is deleted once the stream drains (the memory sink
     * owns the rows from then on). */
-  private def throughStream(s: SparkSession, src: DataFrame)
+  private def throughStream(s: SparkSession, src: DataFrame,
+                            flushes: Seq[DataFrame] = Nil)
                            (transform: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stream_src_").toString
@@ -54,7 +55,21 @@ object StreamQueries {
       val q = transform(s.readStream.schema(src.schema).parquet(dir))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      // `flushes` arrive as LATER micro-batches (one file write + one
+      // drain each). Watermarked append-mode operators only emit a
+      // window/session once the watermark passes its close, and the
+      // watermark used by batch N is computed from batches < N — so
+      // closing ALL real windows deterministically needs TWO
+      // far-future sentinel batches: the first advances the
+      // watermark, the second triggers the batch that emits under it
+      // (no reliance on no-data micro-batch scheduling).
+      try {
+        q.processAllAvailable()
+        flushes.foreach { f =>
+          f.write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
       // hand back a self-contained local frame and DROP the memory
       // sink's catalog entry — otherwise every invocation (bench
       // retime sweeps included) pins a dead copy of the stream output
@@ -110,6 +125,76 @@ object StreamQueries {
         .orderBy("path", "subscriber", "event_id")
     }),
 
+    // Watermarked tumbling-window counts over the live event stream
+    // (the windowed extension on qstream): 6 h windows × event_type,
+    // 1 h lateness. Two far-future sentinel batches close every real
+    // window (see throughStream); the sentinel's own key group is
+    // dropped. Oracle = the full relational recount — any window the
+    // watermark machinery failed to flush (or flushed twice) breaks
+    // row parity.
+    "q_stream_window" -> ((s, dir) => {
+      val ev = graft.model.TableLoader.events(s, dir)
+      def flush(ts: String) = s.range(1).select(
+        lit(-1L).as("event_id"), to_timestamp(lit(ts)).as("ts"),
+        lit(-1L).as("user_id"), lit("__flush").as("event_type"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("props"))
+      val out = throughStream(s, ev, Seq(
+          flush("2024-03-01 00:00:00"), flush("2024-04-01 00:00:00"))) {
+        stream => Streaming.windowedCounts(stream, "ts",
+          "6 hours", "1 hour", keys = Seq("event_type"))
+      }
+      out.where(col("event_type") =!= "__flush")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          unix_micros(col("window_end")).as("window_end_us"),
+          col("event_type"), col("n"))
+        .orderBy("window_start_us", "event_type")
+    }),
+
+    // Streaming gap-sessionization: the SAME oracle as the batch
+    // q_sessionize (identical session_window semantics), but computed
+    // through real micro-batches with append-mode session state —
+    // sessions emit only once the watermark passes their close, so
+    // streaming/batch parity proves the state machinery loses nothing.
+    "q_stream_session" -> ((s, dir) => {
+      val ev = graft.model.TableLoader.events(s, dir)
+      def flush(ts: String) = s.range(1).select(
+        lit(-1L).as("event_id"), to_timestamp(lit(ts)).as("ts"),
+        lit(-1L).as("user_id"), lit("__flush").as("event_type"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("props"))
+      val out = throughStream(s, ev, Seq(
+          flush("2024-03-01 00:00:00"), flush("2024-04-01 00:00:00"))) {
+        stream => Streaming.sessionizeStream(
+          stream.select(col("ts"), col("user_id")),
+          gapMinutes = 30, lateness = "1 hour")
+      }
+      out.where(col("user_id") >= 0).orderBy("user_id", "start_us")
+    }),
+
+    // Streaming exact dedup (the in-flight ingest duplicate guard):
+    // batch 1 streams the corpus, batch 2 streams salted COPIES of
+    // every fifth doc (same text, shifted id/ts) — the keyed digest
+    // state must drop every copy ACROSS the micro-batch boundary.
+    // Emitted-count per digest is the check: a broken guard emits 2
+    // for the salted digests and breaks parity with the distinct
+    // recount.
+    "q_stream_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .withColumn("ts", timestamp_micros(
+          lit(1704067200000000L) + col("doc_id") * lit(1000000L)))
+      val copies = docs.where(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000L)
+        .withColumn("ts", timestamp_micros(
+          lit(1704067200000000L) + col("doc_id") * lit(1000000L)))
+      val out = throughStream(s, docs, Seq(copies)) { stream =>
+        Streaming.dedupStream(stream, "ts", "30 days")
+      }
+      out.groupBy("digest").agg(count(lit(1)).as("n_emitted"))
+        .orderBy("digest")
+    }),
+
     // stp (SPARQL-triggered materialized view): sensor = a consume
     // cursor on /customer; tick 1 materializes, tick 2 (no new
     // versions) is a provable no-op, then a write batch (+10000 for
@@ -159,6 +244,29 @@ object StreamQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_window" ->
+      """WITH b AS (SELECT event_type,
+        |  epoch_us(ts) - epoch_us(ts) % 21600000000 AS ws FROM events)
+        |SELECT ws AS window_start_us, ws + 21600000000 AS window_end_us,
+        |  event_type, count(*) AS n
+        |FROM b GROUP BY 1, 2, 3
+        |ORDER BY window_start_us, event_type""".stripMargin,
+    "q_stream_session" ->
+      """WITH m AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+        |  THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |  AS sid FROM m)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) AS last_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS digest, CAST(1 AS BIGINT) AS n_emitted
+        |FROM documents ORDER BY digest""".stripMargin,
     "q_qstream" ->
       """SELECT event_id FROM events
         |WHERE event_type = 'purchase'
