@@ -171,6 +171,58 @@ object IngestQueries {
   // sf dir, every later read hits the merged parquet
   private val prunedCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
+  private val bulkCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** The bulk-merge FALLBACK — the batch [[Merger.mergePruned]]
+    * refuses (>10k distinct paths; its own refusal message points
+    * here): ONE batch updates totalprice on EVERY order (15k distinct
+    * paths at sf0.01, 150k at sf0.1 — far past the incremental
+    * contract), and [[Merger.mergeBulk]] applies it as a full-store
+    * merge + generational re-materialize. Post-state oracle: every
+    * order carries exactly 2 versions and the current totalprice is
+    * the bumped value — proving the non-commanded tables survived the
+    * snapshot swap untouched is the /orders partition filter itself
+    * (a lost row would break version parity). */
+  private def mergeBulk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftStore.evictStopped(bulkCache)
+    val mdir = bulkCache.computeIfAbsent((s, dir), { _ =>
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_merge_bulk_q").toString
+      val store = st(s, dir)
+      store.materializedDir match {
+        case Some(src) => GraftStore.cloneInfotons(src, d)
+        case None => GraftStore.materializeInfotons(store, d)
+      }
+      val cmds = store.current
+        .where(col("system.path").startsWith("/orders/"))
+        .select(col("system.path"), Search.fieldN("totalprice"))
+        .as[(String, Double)]
+        .map { case (p, tp) =>
+          val nv = tp + 1
+          Merger.Command("update", p, T0,
+            Map("totalprice" -> Seq(Merger.FieldValue(nv.toString, Some(nv),
+              None, None, InfotonModel.TDouble, None, None))),
+            Map("totalprice" -> Seq.empty))
+        }
+      Merger.mergeBulk(s, d, cmds)
+      d
+    })
+    val disk = GraftStore.fromInfotons(s,
+      s.read.parquet(s"$mdir/infotons")
+        .where(col("__parent") === "/orders").drop("__parent"),
+      Some(st(s, dir).fieldTypes))
+    Search.run(disk, Search.Request(path = "/orders", withHistory = true))
+      .groupBy(col("system.path").as("path"))
+      .agg(count(lit(1)).as("n_versions"),
+        max(when(col("system.current"),
+          Search.fieldN("orderkey"))).cast("long").as("orderkey"),
+        max(when(col("system.current"),
+          Search.fieldN("totalprice"))).as("totalprice"))
+      .select("orderkey", "totalprice", "n_versions")
+      .orderBy("orderkey")
+  }
   private def mergePruned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftStore.evictStopped(prunedCache)
@@ -503,6 +555,7 @@ object IngestQueries {
     "q_ingest_trig" -> roundtripTrig,
     "q_merge_update" -> mergeUpdate,
     "q_merge_pruned" -> mergePruned,
+    "q_merge_bulk" -> mergeBulk,
     "q_merge_delete" -> mergeDelete,
     "q_with_deleted" -> withDeleted)
 
@@ -559,6 +612,11 @@ object IngestQueries {
         |CAST(CASE WHEN c_custkey % 20 = 0 THEN 2 ELSE 1 END AS BIGINT)
         |  AS n_versions
         |FROM customer ORDER BY custkey""".stripMargin,
+    "q_merge_bulk" ->
+      """SELECT o_orderkey AS orderkey,
+        |CAST(o_totalprice AS DOUBLE) + 1 AS totalprice,
+        |CAST(2 AS BIGINT) AS n_versions
+        |FROM orders ORDER BY orderkey""".stripMargin,
     "q_merge_delete" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
         |ORDER BY custkey""".stripMargin,

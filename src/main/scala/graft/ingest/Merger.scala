@@ -313,6 +313,39 @@ object Merger {
     affected
   }
 
+  /** BULK-LOAD fallback — the path [[mergePruned]]'s refusal points
+    * at (>10k distinct paths per batch): merge the batch against the
+    * FULL store and re-materialize. The 100 TB discipline is
+    * GENERATIONAL: the merged snapshot writes as a sibling directory
+    * (never read-and-overwrite the files the plan is scanning — no
+    * store-sized checkpoint needed), then swaps in with two renames
+    * and the old generation is dropped. Unlike the pruned path
+    * nothing is collected to the driver: the command batch streams
+    * through [[merge]]'s cogroup (reference semantics:
+    * bg/Merger.scala:55-300) and the rewrite is one range-partitioned
+    * sorted pass — the same layout contract as
+    * [[graft.model.GraftStore.materializeInfotons]], so every later
+    * point read / consume range prunes identically. Cost is the full
+    * snapshot rewrite, which is what a bulk load IS; batches under
+    * the 10k-path threshold should use [[mergePruned]] and pay only
+    * their partitions. */
+  def mergeBulk(spark: SparkSession, dir: String,
+                commands: Dataset[Command]): Unit = {
+    val inf = spark.read.parquet(s"$dir/infotons").drop("__parent")
+    val merged = merge(spark, inf, commands)
+    val stamp = System.nanoTime()
+    val gen = s"$dir/infotons__gen_$stamp"
+    merged.withColumn("__parent", col("system.parent"))
+      .repartitionByRange(col("__parent"), col("system.path"))
+      .sortWithinPartitions(col("system.path"), col("system.indexTime"))
+      .write.mode("overwrite").partitionBy("__parent").parquet(gen)
+    val live = java.nio.file.Paths.get(s"$dir/infotons")
+    val old = java.nio.file.Paths.get(s"$dir/infotons__old_$stamp")
+    java.nio.file.Files.move(live, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(gen), live)
+    graft.model.GraftStore.rmTree(old.toFile)
+  }
+
   /** The subtree slice a SCOPED merge runs against: every descendant
     * of `prefix` PLUS the prefix's own directory row — dropping the
     * root row would make [[merge]] re-synthesize a duplicate parent

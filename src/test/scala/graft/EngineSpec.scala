@@ -2189,6 +2189,45 @@ class EngineSpec extends AnyFunSuite {
       .getField("n")).head().getDouble(0) == 999.0)
   }
 
+  test("mergeBulk takes the batch mergePruned refuses and swaps in a " +
+      "new snapshot generation") {
+    import graft.ingest.Merger
+    import graft.ingest.Merger.{Command, FieldValue}
+    import spark.implicits._
+    val store = GraftStore.forDir(spark, Sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_merge_bulk").toString
+    GraftStore.materializeInfotons(store, dir)
+    // 10001 distinct paths: one past the incremental contract
+    // (local val: the lambda must not capture the spec instance)
+    val t0 = T("2024-07-01 00:00:00")
+    val cmds = spark.range(10001).as[Long].map { i =>
+      Command("write", s"/bulk/$i", t0,
+        Map("v" -> Seq(FieldValue(i.toString, Some(i.toDouble),
+          None, None, "l", None, None))), Map.empty)
+    }
+    // the incremental path fails loud...
+    val e = intercept[IllegalArgumentException] {
+      Merger.mergePruned(spark, dir, cmds) }
+    assert(e.getMessage.contains("bulk"))
+    // ...and the bulk fallback applies the same batch
+    Merger.mergeBulk(spark, dir, cmds)
+    val inf = spark.read.parquet(s"$dir/infotons")
+    val bulk = inf.where(col("system.path") === "/bulk/5000")
+    assert(bulk.count() == 1)
+    assert(bulk.select(element_at(col("fields")("v"), 1).getField("n"))
+      .head().getDouble(0) == 5000.0)
+    // parent directory synthesized exactly once
+    assert(inf.where(col("system.path") === "/bulk").count() == 1)
+    // non-commanded rows survive the generational swap byte-for-value
+    val c1 = inf.where(col("system.path") === "/customer/1")
+    assert(c1.count() == 1 && c1.where(col("system.current")).count() == 1)
+    // no generation debris: the swap left only the live layout
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.contains("__gen_") || n.contains("__old_"))
+    assert(leftovers.isEmpty, s"generation debris: ${leftovers.toSeq}")
+  }
+
   test("porter-lite stem: driver fold equals the Spark regexp fold") {
     import spark.implicits._
     import graft.qp.TextAnalyzer
