@@ -13,9 +13,11 @@ script lived in /tmp and did not survive the container):
 - documents: replicas token-prefixed ("r<k> " prepended) so near-dup
   structure scales LINEARLY - verbatim copies would explode pair
   counts quadratically and measure data pathology, not plans.
-- embeddings: per-replica cyclic rotation of the vector (norms and
-  intra-replica dot products preserved -> ANN structure scales
-  linearly, no verbatim-copy tie pathology); vec_id shift.
+- embeddings: per-replica cyclic rotation PLUS a deterministic
+  Rademacher sign pattern (norms and intra-replica dot products
+  preserved exactly -> ANN structure scales linearly; signs keep
+  replicas distinct past dim=64, so factor 100 has no verbatim-copy
+  tie pathology); vec_id shift.
 
 Deterministic, seedless (pure arithmetic on the source rows).
 Usage: python3 tools/make_sf1.py [outdir=/tmp/sf1] [factor=10] [profile=all]
@@ -58,11 +60,18 @@ con.sql("SET threads TO 16")
 B_CUST, B_ORD, B_SUPP, B_PART = 100_000, 1_000_000, 10_000, 100_000
 B_EVT, B_USER, B_DOC, B_VEC = 1_000_000, 100_000, 10_000, 10_000
 
-# NOTE at FACTOR > 64: embedding replicas rotate by r mod dim (dim=64),
-# so replicas r and r-64 of the same source vector are VERBATIM equal —
-# quadratic pair pathology for the embedding-dup queries. The sf10
-# probe deliberately excludes the embedding-pair family (GroundCap
-# bounds their grounding anyway); everything else is collision-free.
+# Embedding replicas: rotation by r mod dim PLUS a per-replica
+# deterministic Rademacher sign pattern, bit 0 of duckdb's hash(r*64+i)
+# (a real-avalanche mix — polynomial bit picks all failed here: r vs
+# r+64 differences are structurally even multiples of 64, so any fixed
+# bit of a polynomial in (r, i) is blind to the +64 shift). The signs
+# square away inside any intra-replica dot product, so planted
+# near-dup pairs replicate EXACTLY (dots and norms preserved — ANN
+# structure scales linearly), while cross-replica copies of one source
+# vector decorrelate (measured max cross-replica cosine 0.68 over 100
+# replicas; 50k/50k distinct vectors — no verbatim r vs r-64 tie at
+# FACTOR > 64, the collision that used to force the sf10 probe to
+# exclude the embedding family). r = 0 keeps the source rows verbatim.
 def R(table):
     return f"(SELECT unnest(generate_series(0, {factor_of(table) - 1})) AS r)"
 
@@ -136,6 +145,8 @@ emit("documents", f"""
 emit("embeddings", f"""
   SELECT vec_id + r * {B_VEC} AS vec_id,
          list_transform(generate_series(1, len(embedding)),
-           i -> embedding[1 + ((i - 1 + r) % len(embedding))]) AS embedding,
+           i -> (CASE WHEN r = 0 THEN 1
+                 WHEN hash(r * 64 + i) % 2 = 0 THEN 1 ELSE -1 END)
+                * embedding[1 + ((i - 1 + r) % len(embedding))]) AS embedding,
          label
   FROM '{SRC}/embeddings.parquet', {R('embeddings')}""")
