@@ -106,7 +106,19 @@ object Plans {
       "q_search_stemmed_nl",  // Dutch chain inside the pushed predicate
       "q_sparql_imports",     // registered-UDF FILTER over the BGP join
       "q_gremlin_except_step", // named-step except: codegen'd column compare, no join
-      "q_stp")                // stp tick-3 view: BGP join over the merged store
+      "q_stp",                // stp tick-3 view: BGP join over the merged store
+      "q_dedup_containment",  // both-prefix candidate join + positional filters
+      "q_decontaminate_fuzzy", // bench band index broadcast, candidate-only verify
+      "q_merge_bulk",         // post-swap generational layout read-back (pruned)
+      "q_gremlin_regex",      // slashy-regex closure: rlike inside the has semi-join
+      "q_search_stemmed_tr",  // Turkish chain (dotted/dotless fold) in the predicate
+      "q_search_stemmed_fa",  // Persian normalize + clitic stop-gap chain
+      "q_track",              // before/after uuid diff over the scoped merge
+      "q_purge")              // purge-all/purge-history read-back over tombstones
+      // q_stream_window/_session/_dedup return COLLECTED local frames
+      // (memory-sink rows outlive the stopped stream) — their batch
+      // plan here would be a LocalTableScan stub; StreamingSpec pins
+      // the streaming semantics and the state-bounding watermarks.
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")
