@@ -179,4 +179,110 @@ object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level k-centroid argmin (see [[CentroidArgmin]]). */
+  def centroidArgmin(v: Column, cents: Array[Array[Double]]): Column = {
+    val cc = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    ColumnBridge.column(CentroidArgmin(
+      ColumnBridge.expression(v), cents, cc))
+  }
+}
+
+/** argmin over k centroids: the cluster id j minimizing
+  * `cc(j) − 2·(cⱼ·v)` (squared L2 minus the per-row constant `v·v`),
+  * ties to the lowest j — one tight k×dim loop per row, inside
+  * whole-stage codegen.
+  *
+  * Why an expression and not a join: the k-means assignment at
+  * corpus-scaled k (SemDeDup's k ≈ n/50) previously ran as a
+  * broadcast crossJoin — n×k intermediate ROWS through a struct-min
+  * aggregation. The sf10 probe measured the blow-up: 200k vectors ×
+  * 4000 centroids = 800M rows per assignment pass, >45 min for one
+  * query. The same arithmetic as one in-row loop is n rows of k×dim
+  * flops with NO shuffle and no row machinery. A k×dim literal TREE
+  * (the small-k path) is plan-bloat-bounded (`KmeansLiteralMax`);
+  * here the centroid matrix rides along as a single reference object
+  * (one plan node at any k), the standard pattern for trained-model
+  * scoring.
+  *
+  * Arithmetic contract (oracle-portable): dots accumulate
+  * index-ordered doubles, exactly [[DotProduct]]'s order; `cc` is
+  * precomputed on the driver with the same left-fold, so literal,
+  * join and argmin paths agree bit-for-bit. */
+case class CentroidArgmin(child: Expression,
+                          cents: Array[Array[Double]],
+                          cc: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "centroid_argmin"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var best = Double.PositiveInfinity; var bestC = -1; var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      if (c.length != n)
+        throw new IllegalArgumentException(
+          s"$prettyName: vector dim $n vs centroid dim ${c.length}")
+      var d = 0.0; var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"$prettyName: null element at index $i")
+        d += c(i) * arr.getDouble(i); i += 1
+      }
+      val dist = cc(j) - 2.0 * d
+      if (dist < best) { best = dist; bestC = j }
+      j += 1
+    }
+    bestC
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cs = ctx.addReferenceObj("cents", cents, "double[][]")
+      val ccRef = ctx.addReferenceObj("cc", cc, "double[]")
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val c = ctx.freshName("c"); val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
+      s"""
+        |int $n = $v.numElements();
+        |double $best = Double.POSITIVE_INFINITY;
+        |int $bestC = -1;
+        |for (int $j = 0; $j < $cs.length; $j++) {
+        |  double[] $c = $cs[$j];
+        |  if ($c.length != $n) {
+        |    throw new IllegalArgumentException("$prettyName: vector dim "
+        |      + $n + " vs centroid dim " + $c.length);
+        |  }
+        |  double $d = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($v.isNullAt($i)) {
+        |      throw new IllegalArgumentException(
+        |        "$prettyName: null element at index " + $i);
+        |    }
+        |    $d += $c[$i] * $v.getDouble($i);
+        |  }
+        |  double $dist = $ccRef[$j] - 2.0 * $d;
+        |  if ($dist < $best) { $best = $dist; $bestC = $j; }
+        |}
+        |${ev.value} = $bestC;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
 }

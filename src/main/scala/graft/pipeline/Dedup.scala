@@ -75,8 +75,13 @@ object Dedup {
     // tokens materialize in their own projection BEFORE the explode:
     // referencing tokens(text) directly inside shingles' transform
     // lambda would inline the full tokenizer into the per-element
-    // slice — O(L²) re-tokenization per document
-    docs.select(col("doc_id"),
+    // slice — O(L²) re-tokenization per document.
+    // computeParallel: tokenize+explode multiplies each input row
+    // ~100×, so a text corpus packed into a handful of parquet splits
+    // would otherwise build the whole inverted index on those few
+    // tasks before the first shuffle widens the plan
+    Similarity.computeParallel(docs)
+      .select(col("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__ts"))
       .select(col("doc_id"),
         explode(TextAnalysis.shinglesOf(col("__ts"), n)).as("sh"))
@@ -430,7 +435,13 @@ object Dedup {
     * 100 TB path is [[embeddingDupPairsLsh]]. */
   def embeddingDupPairs(emb: DataFrame, tau: Double): DataFrame = {
     val raw = emb.select(col("vec_id"), col("embedding"))
-    val a = raw.alias("a"); val b = raw.alias("b")
+    // the non-equi pair join is a broadcast nested loop: pin the
+    // broadcast side (this operator's contract is a squarable slice)
+    // and split the STREAMED side by compute — a one-split input
+    // otherwise runs the whole n²/2 cosine pass in a single task
+    // (sf10 probe: 85 s for a 4M-pair join that parallelizes to ~3 s)
+    val a = Similarity.computeParallel(raw).alias("a")
+    val b = broadcast(raw.alias("b"))
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         Similarity.cosineFixed(col("a.embedding"), col("b.embedding"))

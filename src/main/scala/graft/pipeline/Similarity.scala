@@ -20,6 +20,37 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Session-lifetime intermediates this module persisted (the kmeans
+    * iteration corpus) — same discipline as [[Dedup.releaseCaches]]:
+    * callers (Bench family boundaries, long-lived sessions) release
+    * after the consuming action. */
+  private val registered =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cachePersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registered.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate this module registered. */
+  def releaseCaches(): Unit = {
+    var df = registered.poll()
+    while (df != null) { df.unpersist(false); df = registered.poll() }
+  }
+
+  /** Partition a COMPUTE-DENSE frame by compute, not by input bytes.
+    * Dense numeric/text corpora pack small on disk (200k embeddings ≈
+    * one 51 MB parquet split), so byte-based splitting hands a whole
+    * expansion stage — pair joins, shingle explodes, k×dim argmin
+    * scans — to one task while the other cores idle; the sf10 probe
+    * measured exactly that (single-task 4M-pair joins). A no-op when
+    * the source already splits (the many-file 100 TB case). */
+  private[pipeline] def computeParallel(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** dot product of two double arrays — index-ordered accumulation
     * (deterministic; used for oracle-parity too). Higher-order
     * functions (aggregate/zip_with) evaluate INTERPRETED per element —
@@ -159,7 +190,10 @@ object Similarity {
       }.reduce(_.bitwiseOR(_))
       struct(lit(t).as("table"), bucket.as("bucket"))
     }
-    emb.select(col("*"), explode(array(tableBuckets: _*)).as("tb"))
+    // tables × planes native dots per row — compute-dense (see
+    // computeParallel: a single-split corpus would hash in one task)
+    computeParallel(emb)
+      .select(col("*"), explode(array(tableBuckets: _*)).as("tb"))
       .withColumn("table", col("tb.table"))
       .withColumn("bucket", col("tb.bucket"))
       .drop("tb")
@@ -528,16 +562,19 @@ object Similarity {
     * (k native-dot expression nodes against centroid literals — no
     * shuffle, no explode); past [[KmeansLiteralMax]] centroids the
     * literal expression tree stops being codegen-able (k×dim inline
-    * literals), so assignment switches to a BROADCAST JOIN against a
-    * k-row centroid table — each corpus row meets all k centroids
-    * map-side and the per-row argmin collapses in the partial
-    * aggregation before any shuffle (identical arithmetic: same
-    * rounded centroids, same `c·c − 2·(v·c)` native dot, same
-    * (dist, cluster) tie order). The update is ONE map-side-combined
-    * aggregation of k×dim cells; centroids (k×dim doubles) live on
-    * the driver like any trained quantizer. Cost per iteration = one
-    * corpus scan + a k×dim-row shuffle, independent of corpus width.
-    * Returns (vec_id, cluster). */
+    * literals), so assignment switches to the native
+    * [[graft.functions.CentroidArgmin]] expression — the centroid
+    * matrix rides as ONE reference object and each row runs a tight
+    * compiled k×dim argmin loop (identical arithmetic: same rounded
+    * centroids, same `c·c − 2·(v·c)` index-ordered dots, same
+    * (dist, cluster) tie order). No n×k row expansion: the earlier
+    * broadcast-crossJoin form materialized n×k rows through a
+    * struct-min aggregation, which the sf10 probe caught at 800M
+    * rows / >45 min for one corpus-scaled-k assignment. The update is
+    * ONE map-side-combined aggregation of k×dim cells; centroids
+    * (k×dim doubles) live on the driver like any trained quantizer.
+    * Cost per iteration = one corpus scan, independent of corpus
+    * width. Returns (vec_id, cluster). */
   def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame =
     kmeans(emb, k, iters, KmeansLiteralMax)
 
@@ -551,8 +588,13 @@ object Similarity {
 
   private[graft] def kmeans(emb: DataFrame, k: Int, iters: Int,
                             literalMax: Int): DataFrame = {
-    val e = emb.select(col("vec_id"),
+    val e0 = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
+    // Assignment work is n×k×dim flops — [[computeParallel]] splits
+    // it across cores even when the corpus is one parquet split.
+    // Persisted because the loop scans the corpus iters+1 times;
+    // released by [[releaseCaches]] at the bench family boundary.
+    val e = cachePersist(computeParallel(e0))
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     var cents: IndexedSeq[IndexedSeq[Double]] =
@@ -574,26 +616,19 @@ object Similarity {
       e.select(col("vec_id"), col("v"),
         array_min(array(scored: _*)).getField("cluster").as("cluster"))
     }
-    def assignJoin(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
-      val spark = e.sparkSession
-      import spark.implicits._
-      val cents = cs.zipWithIndex.map { case (c, i) =>
-        (i, c, c.foldLeft(0.0)((acc, x) => acc + x * x))
-      }.toDF("cluster", "c", "cc")
-      // broadcast k rows; each corpus row meets all k centroids inside
-      // its own partition, and min(struct) partial-aggregates the k
-      // candidates back to one row per vec_id BEFORE the exchange
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), struct(
-          (col("cc") - lit(2.0) * dotFixed(col("v"), col("c"))).as("dist"),
-          col("cluster").as("cluster"), col("v").as("v")).as("sc"))
-        .groupBy("vec_id")
-        .agg(min("sc").as("m"))
-        .select(col("vec_id"), col("m.v").as("v"),
-          col("m.cluster").as("cluster"))
-    }
+    def assignNative(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame =
+      // one reference-object plan node at any k; per row a tight
+      // compiled k×dim loop — NO n×k row expansion, no shuffle. (The
+      // previous broadcast-crossJoin form materialized n×k rows
+      // through a struct-min aggregation; the sf10 probe measured
+      // 800M intermediate rows and >45 min for one assignment chain.)
+      // Arithmetic identical to the literal path: index-ordered dots,
+      // dist = cc − 2·(c·v), ties to the lowest cluster id.
+      e.select(col("vec_id"), col("v"),
+        graft.functions.VectorExprs.centroidArgmin(
+          col("v"), cs.map(_.toArray).toArray).as("cluster"))
     def assign(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame =
-      if (cs.size <= literalMax) assignLiteral(cs) else assignJoin(cs)
+      if (cs.size <= literalMax) assignLiteral(cs) else assignNative(cs)
     for (_ <- 1 to iters) {
       val upd = assign(cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))

@@ -3480,18 +3480,19 @@ class EngineSpec extends AnyFunSuite {
       1L -> 1, 3L -> 1, 5L -> 1))
   }
 
-  test("kmeans broadcast-join assignment matches the literal path " +
+  test("kmeans native-argmin assignment matches the literal path " +
       "exactly") {
     import graft.pipeline.Similarity
     val e = spark.read.parquet(s"$Sf/embeddings.parquet")
-    // literalMax = 1 forces every assign through the broadcast-join
-    // path; the contract (rounded centroids, c·c − 2·v·c native dot,
-    // (dist, cluster) tie order) must produce the identical map
+    // literalMax = 1 forces every assign through the CentroidArgmin
+    // reference-object path; the contract (rounded centroids,
+    // c·c − 2·v·c index-ordered dots, (dist, cluster) tie order with
+    // first-wins strict <) must produce the identical map
     val viaLiteral = Similarity.kmeans(e, 12, 2)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val viaJoin = Similarity.kmeans(e, 12, 2, literalMax = 1)
+    val viaNative = Similarity.kmeans(e, 12, 2, literalMax = 1)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(viaLiteral == viaJoin)
+    assert(viaLiteral == viaNative)
   }
 
   test("semantic pairs are a subset of the exact pair set, all within " +
