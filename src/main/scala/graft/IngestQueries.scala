@@ -183,7 +183,15 @@ object IngestQueries {
     * order carries exactly 2 versions and the current totalprice is
     * the bumped value — proving the non-commanded tables survived the
     * snapshot swap untouched is the /orders partition filter itself
-    * (a lost row would break version parity). */
+    * (a lost row would break version parity).
+    *
+    * Measurement semantics (same as [[mergePruned]]'s query): the
+    * clone + bulk merge run ONCE per (session, dir) inside the cache;
+    * repeat invocations in the same JVM measure the post-swap
+    * read-back. The FULL bulk cost is measured where it matters — the
+    * sf-trend probes run under fresh tags with the retime pass off
+    * (bench_sf10_subset.json: 194 s at sf1, 708 s at sf10_facts,
+    * 3.65× for 10× orders). */
   private def mergeBulk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftStore.evictStopped(bulkCache)

@@ -3480,6 +3480,27 @@ class EngineSpec extends AnyFunSuite {
       1L -> 1, 3L -> 1, 5L -> 1))
   }
 
+  test("compute-dense inputs split by compute, not input bytes: " +
+      "single-partition sources fan out at the expansion points") {
+    import graft.pipeline.{Dedup, Similarity}
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    // a coalesced (single-partition) corpus — the dense-parquet shape
+    // the sf10 probe caught running whole pair joins in one task
+    val docs = (0 until 64).map(i => (i.toLong, s"w$i x$i y$i z$i common"))
+      .toDF("doc_id", "text").coalesce(1)
+    assert(docs.rdd.getNumPartitions == 1)
+    assert(Dedup.shingleIndex(docs, 2).rdd.getNumPartitions >= par,
+      "shingle explode must fan out from a one-split source")
+    val emb = (0 until 64).map(i => (i.toLong,
+      Array.tabulate(8)(j => (i * 8 + j).toFloat))).toDF("vec_id", "embedding")
+      .coalesce(1)
+    assert(Similarity.lshBuckets(emb, 2, 8).rdd.getNumPartitions >= par)
+    // and an already-wide source is left alone (no gratuitous shuffle)
+    val wide = docs.repartition(par * 2)
+    assert(Dedup.shingleIndex(wide, 2).rdd.getNumPartitions == par * 2)
+  }
+
   test("kmeans native-argmin assignment matches the literal path " +
       "exactly") {
     import graft.pipeline.Similarity
