@@ -64,8 +64,23 @@ object Bench {
     // (the driver never sets it — full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Sweep order: alphabetical, EXCEPT the five streaming-protocol
+    // queries (throughStream: parquet hand-off + real micro-batch
+    // start/drain/stop cycles). Their protocol work floods the
+    // scheduler with hundreds of tiny jobs and leaves stream-exec
+    // threads winding down into the NEXT query's timing window —
+    // r14's three new multi-second stream queries pushed the fresh/
+    // quiet median ratio 1.07 → 1.20. They now run as their own tail
+    // bucket after a settle pause, so their wake cannot inflate
+    // mainline measurements (same isolation the sf10 probe uses via
+    // session='ext'); stamped into the JSON as sweep_order.
+    val StreamTail = Set("q_qstream", "q_subscribe", "q_stream_window",
+      "q_stream_session", "q_stream_dedup")
+    val selected0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = selected0.filterNot(q => StreamTail(q._1)) ++
+      selected0.filter(q => StreamTail(q._1))
+    val tailStart = selected.indexWhere(q => StreamTail(q._1))
 
     // Quiet reference profile for THIS sf: bench_last.json when its sf
     // tag matches (the driver's sf0.1 artifact), else the per-sf
@@ -143,6 +158,9 @@ object Bench {
       sec
     }
     val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
+      // settle pause at the mainline → stream-tail boundary: let the
+      // mainline's last query fully drain before protocol noise starts
+      if (i == tailStart && tailStart > 0) Thread.sleep(3000L)
       val t = timeOnce(name, fn)
       val lastOfFamily =
         i + 1 >= selected.size || family(selected(i + 1)._1) != family(name)
@@ -259,8 +277,11 @@ object Bench {
       // methodology stamp: the burst-retime trigger was 3x through
       // round 12 and is 2x from round 13 on — cross-round comparisons
       // of bench_last.json totals must account for the change, so the
-      // threshold rides in every full-run artifact
-      ",\"retime_threshold\":" + RetimeThreshold
+      // threshold rides in every full-run artifact. sweep_order
+      // likewise (round 15 on: streaming-protocol queries isolated in
+      // a tail bucket; pure-alphabetical before).
+      ",\"retime_threshold\":" + RetimeThreshold +
+      ",\"sweep_order\":\"stream_tail\""
       ) + (
       if (retimed.isEmpty) ""
       else ",\"retimed\":" + retimed.map { case (n, (a, _)) => s"${jq(n)}:$a" }

@@ -115,10 +115,6 @@ object Plans {
       "q_search_stemmed_fa",  // Persian normalize + clitic stop-gap chain
       "q_track",              // before/after uuid diff over the scoped merge
       "q_purge")              // purge-all/purge-history read-back over tombstones
-      // q_stream_window/_session/_dedup return COLLECTED local frames
-      // (memory-sink rows outlive the stopped stream) — their batch
-      // plan here would be a LocalTableScan stub; StreamingSpec pins
-      // the streaming semantics and the state-bounding watermarks.
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")
@@ -133,8 +129,66 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode).take(6000))
       sb.append("\n```\n")
     }
+    // q_stream_window/_session/_dedup return COLLECTED local frames
+    // (memory-sink rows outlive the stopped stream), so the declared
+    // query's batch plan is a LocalTableScan stub. The plan that
+    // matters — EventTimeWatermark feeding StateStoreSave /
+    // SessionWindowStateStoreSave / StreamingDeduplicateWithinWatermark
+    // — lives on the micro-batch StreamExecution, captured here from
+    // StreamingQuery.explain() after the stream drains one batch.
+    streamingPlans(spark, sfDir).foreach { case (name, plan) =>
+      sb.append(s"\n## $name (micro-batch physical plan)\n\n```\n")
+      sb.append(plan.take(6000))
+      sb.append("\n```\n")
+    }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()
+  }
+
+  /** The three streaming-extension plans, keyed by their declared
+    * query names. Each pipeline is the same operator composition the
+    * declared query drives (windowedCounts / sessionizeStream /
+    * dedupStream over the events/documents tables); one micro-batch
+    * is enough to materialize the stateful physical plan. */
+  private def streamingPlans(spark: SparkSession,
+                             sfDir: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.{DataFrame, functions => F}
+    val events = graft.model.TableLoader.events(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(F.col("doc_id"), F.col("text"))
+      .withColumn("ts", F.timestamp_micros(
+        F.lit(1704067200000000L) + F.col("doc_id") * F.lit(1000000L)))
+    def capture(src: DataFrame)(tf: DataFrame => DataFrame): String = {
+      val dir = Files.createTempDirectory("graft_plan_stream_").toString
+      val sink = s"graft_plan_sink_${System.nanoTime()}"
+      try {
+        src.write.mode("overwrite").parquet(dir)
+        val q = tf(spark.readStream.schema(src.schema).parquet(dir))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          val buf = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+            q.explain()
+          }
+          buf.toString("UTF-8")
+        } finally {
+          q.stop()
+          spark.catalog.dropTempView(sink)
+        }
+      } finally graft.model.GraftStore.rmTree(new java.io.File(dir))
+    }
+    Seq(
+      "q_stream_window" -> capture(events)(st =>
+        graft.streaming.Streaming.windowedCounts(st, "ts",
+          "6 hours", "1 hour", keys = Seq("event_type"))),
+      "q_stream_session" -> capture(events)(st =>
+        graft.streaming.Streaming.sessionizeStream(
+          st.select(F.col("ts"), F.col("user_id")),
+          gapMinutes = 30, lateness = "1 hour")),
+      "q_stream_dedup" -> capture(docs)(st =>
+        graft.streaming.Streaming.dedupStream(st, "ts", "30 days")))
   }
 }

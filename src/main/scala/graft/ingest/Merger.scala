@@ -341,9 +341,51 @@ object Merger {
       .write.mode("overwrite").partitionBy("__parent").parquet(gen)
     val live = java.nio.file.Paths.get(s"$dir/infotons")
     val old = java.nio.file.Paths.get(s"$dir/infotons__old_$stamp")
+    // Generational swap. The window between the two renames is the
+    // only instant with no live directory; if the second move fails
+    // (IO error, kill) the catch rolls the old generation back so the
+    // store is never left headless with its only copy stranded under
+    // __old_<stamp> (same swap-safety discipline as the ATOMIC_MOVE
+    // sites in Similarity.scala / GraftStore.scala — directories
+    // can't ATOMIC_MOVE portably, so roll-back-on-failure instead).
     java.nio.file.Files.move(live, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(gen), live)
+    try java.nio.file.Files.move(java.nio.file.Paths.get(gen), live)
+    catch {
+      case e: Throwable =>
+        try java.nio.file.Files.move(old, live)
+        catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
+    }
     graft.model.GraftStore.rmTree(old.toFile)
+  }
+
+  /** Startup recovery for a crash INSIDE [[mergeBulk]]'s two-rename
+    * window: if the live `infotons` directory is missing but a
+    * `__gen_`/`__old_` sibling survives, roll forward to the newest
+    * complete generation (gen preferred — it holds the merged batch)
+    * or back to the old snapshot. Idempotent; a healthy store is a
+    * no-op. Returns the action taken, for operator logs. */
+  def recoverGenerations(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(s"$dir/infotons")
+    if (Files.exists(live)) return "ok"
+    val sibs = Option(Paths.get(dir).toFile.listFiles()).getOrElse(Array())
+      .filter(f => f.getName.startsWith("infotons__"))
+      .sortBy(_.getName).reverse
+    val gen = sibs.find(f => f.getName.contains("__gen_") &&
+      Files.exists(f.toPath.resolve("_SUCCESS")))
+    val old = sibs.find(_.getName.contains("__old_"))
+    (gen, old) match {
+      case (Some(g), o) =>
+        Files.move(g.toPath, live)
+        o.foreach(f => graft.model.GraftStore.rmTree(f))
+        s"rolled-forward:${g.getName}"
+      case (None, Some(o)) =>
+        Files.move(o.toPath, live)
+        s"rolled-back:${o.getName}"
+      case _ => throw new IllegalStateException(
+        s"$dir has no infotons directory and no recoverable generation")
+    }
   }
 
   /** The subtree slice a SCOPED merge runs against: every descendant

@@ -812,8 +812,11 @@ object Gremlin {
       val re0 = vOpt.getOrElse(throw new IllegalArgumentException(
         s"gremlin syntax error: regex comparator without a pattern in '$query'"))
       // ==~ is Groovy Pattern.matches (whole string); RLike is find,
-      // so anchor through a non-capturing group
-      val re = if (cmp.endsWith("_full")) "^(?:" + re0 + ")$" else re0
+      // so anchor through a non-capturing group. \A/\z, not ^/$ —
+      // Java's $ also matches before a final line terminator, so a
+      // value with a trailing newline would full-match under ^...$
+      // where Pattern.matches (the semantics being emulated) does not.
+      val re = if (cmp.endsWith("_full")) "\\A(?:" + re0 + ")\\z" else re0
       val canonical = Namespaces.resolve(prop)
       val arr = col("fields").getItem(canonical)
       val anyMatch = exists(arr, x => x.getField("s").rlike(re))

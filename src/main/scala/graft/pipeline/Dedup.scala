@@ -433,8 +433,24 @@ object Dedup {
     * brute-force [[Similarity.cosineTopK]] plays for ANN. Use when the
     * corpus (or a filtered slice of it) is small enough to square; the
     * 100 TB path is [[embeddingDupPairsLsh]]. */
+  /** Largest slice [[embeddingDupPairs]] will square. 100k × 64-dim
+    * float vectors ≈ 30 MB broadcast and 5e9 candidate pairs — the
+    * outer edge of where an exact quadratic pass is ever the right
+    * tool; anything larger belongs to the LSH path. */
+  val EmbeddingExactMax = 100000L
+
   def embeddingDupPairs(emb: DataFrame, tau: Double): DataFrame = {
     val raw = emb.select(col("vec_id"), col("embedding"))
+    // the 'squarable slice' contract, enforced loud (mirrors the
+    // tau>=0.5 recall floor in fuzzyContaminated): past this bound the
+    // broadcast side risks driver OOM / broadcast-limit failure and
+    // the n²/2 cosine pass is the wrong algorithm — callers must
+    // route through embeddingDupPairsLsh. limit(n+1).count() probes
+    // the bound without a full scan of an oversized input.
+    require(raw.limit(EmbeddingExactMax.toInt + 1).count() <= EmbeddingExactMax,
+      s"embeddingDupPairs is the EXACT quadratic baseline for slices of" +
+        s" <= $EmbeddingExactMax vectors (broadcast self-join); this input" +
+        " exceeds it — use embeddingDupPairsLsh for corpus-scale near-dup")
     // the non-equi pair join is a broadcast nested loop: pin the
     // broadcast side (this operator's contract is a squarable slice)
     // and split the STREAMED side by compute — a one-split input

@@ -639,7 +639,17 @@ object Similarity {
       }
       cents = (0 until k).map(i => byCluster.getOrElse(i, cents(i)))
     }
-    assign(cents).select("vec_id", "cluster")
+    // Materialize the final assignment (2 narrow columns — tiny next
+    // to the corpus), then drop the iteration corpus immediately:
+    // non-bench callers (tests, library use) don't drain the registry
+    // at family boundaries, and without this every kmeans call would
+    // pin a MEMORY_AND_DISK copy of its corpus for the session
+    // lifetime. The result frame itself stays registered so
+    // releaseCaches() still frees everything at a family boundary.
+    val out = cachePersist(assign(cents).select("vec_id", "cluster"))
+    out.count()
+    e.unpersist(false)
+    out
   }
 
   /** Seeded Gaussian projection matrix (rdim × dim) — like the LSH

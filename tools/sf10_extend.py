@@ -34,10 +34,15 @@ sf1q = {("q_" + k if not k.startswith("q_") else k): v
 out = dict(existing)
 out.setdefault("queries", {})
 out.setdefault("etl", {})
+# per-session ETL key: repeated extensions must not overwrite an
+# earlier session's provenance under a fixed "_ext" suffix
+_n = 1
+while any(k.endswith(f"_ext{_n}") for k in out["etl"]):
+    _n += 1
 for profile, run in (("docs", docs), ("facts", facts)):
     if run is None:
         continue
-    out["etl"][f"{profile}_ext"] = run.get("etl")
+    out["etl"][f"{profile}_ext{_n}"] = run.get("etl")
     errs = run.get("errors", {})
     for k, v in run["queries"].items():
         name = "q_" + k if not k.startswith("q_") else k
@@ -50,7 +55,7 @@ for profile, run in (("docs", docs), ("facts", facts)):
             entry["ratio"] = None
         out["queries"][name] = entry
 if sf1:
-    out["etl"]["sf1_ext"] = sf1.get("etl")
+    out["etl"][f"sf1_ext{_n}"] = sf1.get("etl")
 
 out["flags"] = [
     {"query": n, "sf1": q["sf1"], "sf10": q["sf10"], "ratio": q["ratio"]}
@@ -67,10 +72,13 @@ if failed:
                          sum(q["sf1"] for q in failed if q["sf1"]), 2)}
 else:
     out.pop("failed", None)
-out["note"] = (existing.get("note", "") +
-               " | extended: later-round operators measured in their own "
-               "session with a same-session sf1 denominator (entries "
-               "tagged session=ext)")
+_suffix = (" | extended: later-round operators measured in their own "
+           "session with a same-session sf1 denominator (entries "
+           "tagged session=ext)")
+# idempotent: re-running an extension must not duplicate the note
+out["note"] = existing.get("note", "")
+if _suffix not in out["note"]:
+    out["note"] += _suffix
 json.dump(out, open(sys.argv[5], "w"), indent=1)
 new = [n for n, q in out["queries"].items() if q.get("session") == "ext"]
 print(f"wrote {sys.argv[5]}: {len(out['queries'])} queries "
