@@ -382,6 +382,71 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs((s1 + s2) - 4.0f) < 1e-3f)
     } finally q.stop()
   }
+
+  test("watermark bounds stateful-operator state: session and dedup " +
+      "state rows are evicted once the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // the most recent batch that actually ran a state operator
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverse.flatMap(_.stateOperators.headOption)
+        .headOption.map(_.numRowsTotal).getOrElse(-1L)
+
+    // 200 users, one open session each → 200 state rows; after the
+    // two far-future sentinels flush (the throughStream discipline:
+    // sentinel 1 advances the watermark, sentinel 2 runs the batch
+    // that evicts under it) state must hold only the sentinel user's
+    // open session — NOT the stream's history. At 100 TB ingest this
+    // bound (open sessions × lateness horizon) is what makes the
+    // operator viable; the store provider would be RocksDB
+    // (spark.sql.streaming.stateStore.providerClass) so the bounded
+    // state also leaves the JVM heap, but the BOUND itself is what
+    // this test pins.
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val sess = Streaming.sessionizeStream(
+      ms.toDF().toDF("ts", "user_id"), gapMinutes = 30, lateness = "10 minutes")
+    val q = sess.writeStream.format("memory").queryName("sbound")
+      .outputMode("append").start()
+    try {
+      ms.addData((0L until 200L).map(u =>
+        (t("2024-01-01 00:01:00"), u)): _*)
+      q.processAllAvailable()
+      assert(stateRows(q) == 200L, "one open session per user")
+      ms.addData((t("2024-02-01 00:00:00"), 9999L)) // advance watermark
+      q.processAllAvailable()
+      ms.addData((t("2024-02-01 00:00:01"), 9999L)) // evict under it
+      q.processAllAvailable()
+      val after = stateRows(q)
+      assert(after <= 2L,
+        s"all 200 closed sessions evicted, only the sentinel's open " +
+          s"session may remain: $after")
+      assert(spark.sql("SELECT count(*) FROM sbound").head().getLong(0)
+        == 200L, "every closed session was emitted exactly once")
+    } finally q.stop()
+
+    // dedup-within-watermark: 300 distinct digests → 300 state rows;
+    // after the sentinels pass the horizon the digest state is evicted
+    val ms2 = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val ded = Streaming.dedupStream(
+      ms2.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+    val q2 = ded.writeStream.format("memory").queryName("dbound")
+      .outputMode("append").start()
+    try {
+      ms2.addData((0L until 300L).map(i =>
+        (t("2024-01-01 00:01:00"), i, s"doc body $i")): _*)
+      q2.processAllAvailable()
+      assert(stateRows(q2) == 300L, "one state row per in-horizon digest")
+      ms2.addData((t("2024-02-01 00:00:00"), 9000L, "sentinel a"))
+      q2.processAllAvailable()
+      ms2.addData((t("2024-02-01 00:00:01"), 9001L, "sentinel b"))
+      q2.processAllAvailable()
+      val after = stateRows(q2)
+      assert(after <= 2L,
+        s"horizon-expired digests evicted, only sentinel digests may " +
+          s"remain: $after")
+    } finally q2.stop()
+  }
 }
 
 /** Executor-side collector for the deliver test (object = static, so

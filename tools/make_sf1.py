@@ -36,7 +36,11 @@ Usage: python3 tools/make_sf1.py [outdir=/tmp/sf1] [factor=10] [profile=all]
 import sys, os
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
+# argv[4]: alternate source sf dir — the third-decade pillar probes
+# replicate from sf0.01 so factor 1000 fits the sandbox disk (the ETL
+# writes each table's data three times: path-major, indexTime-major,
+# quads — events x1000 from sf0.1 would be a ~70 GB store).
+SRC = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 # replica count: 10 = sf1 (the default trend set), 100 = sf10 (the
 # two-decade probe of the scale-critical families). Key-shift bases
@@ -44,13 +48,21 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 # key 600000 << the 1M order base x 100).
 FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 PROFILE = sys.argv[3] if len(sys.argv) > 3 else "all"
-assert PROFILE in ("all", "docs", "facts"), PROFILE
+assert PROFILE in ("all", "docs", "facts", "events", "documents"), PROFILE
 DOC_TABLES = {"documents", "events", "embeddings"}
 FACT_TABLES = {"customer", "supplier", "part", "orders"}
+# single-table profiles for the THIRD-decade (factor 1000 = sf100)
+# probe: the sandbox disk can't hold a full sf100 store (the ETL
+# writes the events/docs data three times — path-major, indexTime-
+# major, quads), but ONE pillar at 1000x with the rest at 10x fits.
+# "events" feeds the consume/export family, "documents" exact dedup.
+SOLO = {"events": {"events"}, "documents": {"documents"}}
 def factor_of(table):
     if PROFILE == "all":
         return FACTOR
-    full = DOC_TABLES if PROFILE == "docs" else FACT_TABLES
+    full = (DOC_TABLES if PROFILE == "docs"
+            else FACT_TABLES if PROFILE == "facts"
+            else SOLO[PROFILE])
     return FACTOR if table in full else 10
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
