@@ -11,6 +11,13 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** The hot boilerplate phrase the q_*_skew queries prepend to every
+    * tenth document (and tools/make_skew.py plants in the skewed sf1
+    * twin): 13 tokens whose shingles reach document frequency ~n/10 —
+    * the template-header/cookie-banner shape of real web crawls. */
+  private val HotPhrase = "common boilerplate header inserted by the " +
+    "portal template engine every single render pass"
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -112,6 +119,21 @@ object PipelineQueries {
     // prefix-filtered candidate generation (no all-pairs join)
     "q_dedup_jaccard" -> ((s, dir) =>
       jaccard(s, dir).orderBy("d1", "d2")),
+
+    // SKEWED Jaccard dedup: a fixed 13-token boilerplate phrase
+    // prepended to every tenth document (template headers, cookie
+    // banners — the hot-shingle shape of real crawls) gives ~13
+    // bigrams document frequency n/10. The naive inverted-index join
+    // would pay sum(df²) ≈ (n/10)² rows PER hot shingle; the prefix
+    // filter's rarity order keeps hot shingles out of every prefix,
+    // so the candidate join must stay near the uniform query's size.
+    // Oracle = the exact recount over the same remapped corpus.
+    "q_dedup_jaccard_skew" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir).withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(lit(HotPhrase + " "), col("text")))
+            .otherwise(col("text"))), n = 2, tau = 0.8)
+        .orderBy("d1", "d2")),
 
     // MinHash+LSH near-dup pairs (banded bucket join + exact verify);
     // oracle = the exact-jaccard pair set (recall at j≈0.99 with
@@ -218,6 +240,19 @@ object PipelineQueries {
     // relational lag/gap-sum island formulation
     "q_sessionize" -> ((s, dir) =>
       Sessions.sessionize(graft.model.TableLoader.events(s, dir), 30)
+        .orderBy("user_id", "start_us")),
+
+    // SKEWED sessionization — the Zipf shape uniform replicas can't
+    // probe: every fifth event is remapped to ONE hot user (20% of
+    // the stream in a single session_window group; real corpora have
+    // bot/crawler users exactly like this). Same operator, same
+    // oracle formulation over the remapped stream — the hot group's
+    // session chain is hash-pinned, not just timed. The remap is
+    // deterministic in event_id so engine and oracle agree row-for-row.
+    "q_sessionize_skew" -> ((s, dir) =>
+      Sessions.sessionize(graft.model.TableLoader.events(s, dir)
+          .withColumn("user_id", when(col("event_id") % 5 === 0, lit(1L))
+            .otherwise(col("user_id"))), 30)
         .orderBy("user_id", "start_us")),
 
     // INTERVAL OVERLAP JOIN: user sessions × 8 deterministic
@@ -525,6 +560,21 @@ object PipelineQueries {
       // quote is a contiguous span, so trigram containment detects
       // exactly the same subset relation
       Dedup.containmentPairs(docs(s, dir), n = 3, tau = 0.9)
+        .select(col("d1"), col("d2"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("d1", "d2")),
+
+    // SKEWED containment: the same hot-phrase corpus as
+    // q_dedup_jaccard_skew under the asymmetric containment filter —
+    // the exact case whose A-prefix-only candidate join exploded to
+    // ~10M rows in development (hot trigrams sort LAST in rarity
+    // order; the BOTH-prefix pigeonhole is what excludes them). The
+    // declared row keeps that defense pinned against regression.
+    "q_dedup_containment_skew" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir).withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(lit(HotPhrase + " "), col("text")))
+            .otherwise(col("text"))), n = 3, tau = 0.9)
         .select(col("d1"), col("d2"),
           round(col("containment"), 6).as("containment"))
         .orderBy("d1", "d2")),
@@ -1438,8 +1488,18 @@ object PipelineQueries {
   /** Bigram-Jaccard pair SQL — the plain inverted-index formulation
     * (the engine's prefix-filtered join is exact, so this IS its
     * oracle). */
-  private val JaccardPairsSql =
-    s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
+  /** DuckDB relation for the hot-phrase skewed corpus — the SQL twin
+    * of the q_*_skew queries' text remap (same [[HotPhrase]], same
+    * doc_id % 10 rule). */
+  private def SkewDocsSql: String =
+    s"(SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN '$HotPhrase ' || text" +
+      " ELSE text END AS text FROM documents)"
+
+  /** Exact bigram-Jaccard pair SQL over a pluggable docs relation
+    * (naive inverted-index join — DuckDB absorbs the hot-shingle
+    * blowup at oracle scale; the engine must NOT). */
+  private def jaccardPairsSqlOver(rel: String): String =
+    s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM $rel AS documents),
        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS sh
        |  FROM tok, UNNEST(generate_series(1, len(ts)-1)) AS t(i)),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
@@ -1451,6 +1511,24 @@ object PipelineQueries {
        |JOIN sizes s2 ON d2 = s2.doc_id
        |WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8""".stripMargin
 
+  private val JaccardPairsSql = jaccardPairsSqlOver("documents")
+
+  /** Exact all-pairs trigram containment SQL over a pluggable docs
+    * relation — shared by the uniform and hot-phrase-skewed oracles. */
+  private def containmentSqlOver(rel: String): String =
+    s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM $rel AS documents),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+       |  FROM tok, UNNEST(generate_series(1, len(ts)-2)) AS t(i)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  round(CAST(i AS DOUBLE) / s1.sz, 6) AS containment
+       |FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+       |WHERE CAST(i AS DOUBLE) / s1.sz >= 0.9
+       |ORDER BY d1, d2""".stripMargin
+
   private val LangScores = TextAnalysis.LangProfiles.map { case (l, ws) =>
     val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(ts, t -> list_contains($arr, t))) AS s_$l"
@@ -1461,21 +1539,12 @@ object PipelineQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "q_dedup_jaccard" -> (JaccardPairsSql + " ORDER BY d1, d2"),
+    "q_dedup_jaccard_skew" ->
+      (jaccardPairsSqlOver(SkewDocsSql) + " ORDER BY d1, d2"),
     // exact all-pairs containment (naive in SQL; the engine reaches
     // the same set via the prefix-filtered candidate join)
-    "q_dedup_containment" ->
-      s"""WITH tok AS (SELECT doc_id, $TokensSql AS ts FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
-         |  FROM tok, UNNEST(generate_series(1, len(ts)-2)) AS t(i)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2,
-         |  round(CAST(i AS DOUBLE) / s1.sz, 6) AS containment
-         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id
-         |WHERE CAST(i AS DOUBLE) / s1.sz >= 0.9
-         |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_containment" -> (containmentSqlOver("documents")),
+    "q_dedup_containment_skew" -> (containmentSqlOver(SkewDocsSql)),
     // exact all-pairs corpus x benchmark jaccard (naive in SQL; the
     // engine reaches the same set through the broadcast band index +
     // candidate-only verify). Self-pairs (a benchmark doc IS a corpus
@@ -1552,6 +1621,24 @@ object PipelineQueries {
         |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
         |  THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |  AS sid FROM m)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) AS last_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+    // identical island formulation over the hot-user remap (every
+    // fifth event -> user 1) — the skewed group's merged session
+    // chain must match the engine's session_window output exactly
+    "q_sessionize_skew" ->
+      """WITH ev AS (SELECT CASE WHEN event_id % 5 = 0 THEN 1
+        |    ELSE user_id END AS user_id, ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+        |  THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT user_id, ts, sum(brk) OVER
         |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
         |  AS sid FROM m)

@@ -384,20 +384,30 @@ object GraftStore {
     * mtime) — cheap (no data read), refresh-sensitive. */
   private def sourceFingerprint(dir: String): String = {
     import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(dir)
+    // toRealPath: Files.walk does NOT follow a symlinked root, so a
+    // symlinked sf dir would walk zero regular files and EVERY such
+    // dir would share the empty-manifest key — measured in the wild:
+    // two symlinked variants silently served one stale store. Resolve
+    // first; the fingerprint is of the real content.
+    val root = java.nio.file.Paths.get(dir).toRealPath()
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(s"layout=$EtlLayoutVersion\n".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     val stream = java.nio.file.Files.walk(root)
-    try stream.iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(p => (root.relativize(p).toString, p)).toSeq.sortBy(_._1)
-      .foreach { case (rel, p) =>
-        md.update(s"$rel|${java.nio.file.Files.size(p)}|${
-          java.nio.file.Files.getLastModifiedTime(p).toMillis}\n"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
-    finally stream.close()
+    val manifest =
+      try stream.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString, p)).toSeq.sortBy(_._1)
+      finally stream.close()
+    require(manifest.nonEmpty,
+      s"store source $dir resolves to $root with no regular files — " +
+        "refusing to fingerprint an empty source (a cache key over " +
+        "nothing would alias every such dir to one store)")
+    manifest.foreach { case (rel, p) =>
+      md.update(s"$rel|${java.nio.file.Files.size(p)}|${
+        java.nio.file.Files.getLastModifiedTime(p).toMillis}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     md.digest().map("%02x".format(_)).mkString
   }
 
