@@ -46,6 +46,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // scale-adaptive shuffles: AQE starts every exchange at
+      // SPARK_GRAFT_INIT_PARTS partitions and coalesces down to its
+      // advisory size, so a fixed `cpus`-sized session no longer pins
+      // per-task shuffle volume to corpus/32 at probe scales — the
+      // documented production sizing discipline, applied through AQE
+      // instead of per-query repartitions. Defaults to `cpus` (no
+      // behavior change at the driver's sf0.1); the scale probes set
+      // it explicitly.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

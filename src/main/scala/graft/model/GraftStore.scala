@@ -54,6 +54,11 @@ final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
     * one-offs that stream the explode. */
   lazy val quadsHistory: DataFrame = explodeQuads(infotons)
 
+  /** The [[quads]] view WITHOUT the persist — a single-pass streaming
+    * explode for write-once consumers (the ETL's quad layout write),
+    * where caching would only add unroll pressure and a disk copy. */
+  private[model] def quadsStream: DataFrame = explodeQuads(current)
+
   private def explodeQuads(src: DataFrame): DataFrame =
     src.select(col("system.*"), explode(col("fields")).as(Seq("predicate", "values")))
       .select(col("path").as("subject"), col("predicate"),
@@ -168,11 +173,25 @@ object GraftStore {
     *     bucketed (path / subject) for shuffle-free joins. */
   def materialize(store: GraftStore, dir: String): Unit = {
     materializeInfotons(store, dir)
+    // The secondary layout and the quad view are derived by RE-READING
+    // the just-written path-major parquet, not from the logical build
+    // frame. Deriving all three from the in-memory frame either
+    // recomputes the source transform three times or caches the whole
+    // corpus — and at corpus scale the cache is impossible: the
+    // factor-1000 events probe (100M rows) spilled a corpus-sized
+    // MEMORY_AND_DISK cache until the volume filled. The read-back is
+    // a columnar scan of data the ETL just paid to sort — the same
+    // second pass a cluster indexing pipeline would run — and keeps
+    // the build's transient footprint at (layouts + one shuffle)
+    // instead of (layouts + a serialized copy of the corpus).
+    val onDisk = new GraftStore(store.spark,
+      store.spark.read.parquet(s"$dir/infotons").drop("__parent"),
+      store.fieldTypes, None, store.analyzedOnly)
     // the consume-oriented secondary layout rides the same ETL: one
     // more sorted pass at write time buys row-group-pruned `_consume`
     // range scans for every later drain ([[GraftStore.consumeView]])
-    materializeInfotonsByIndexTime(store, dir)
-    store.quads // same range rationale as materializeInfotons
+    materializeInfotonsByIndexTime(onDisk, dir)
+    onDisk.quadsStream // same range rationale as materializeInfotons
       .repartitionByRange(col("predicate"), col("subject"))
       .sortWithinPartitions(col("subject"))
       .write.mode("overwrite").partitionBy("predicate")
@@ -358,16 +377,38 @@ object GraftStore {
       catch { case _: Exception => () }
     } else {
       pruneStale(root, keep = target.getFileName.toString)
-      val inf = TableLoader.load(s, d)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // SCALE the build's shuffle parallelism with the input. Every
+      // shuffle inside the ETL — the current-flag window over event
+      // versions, the parents distinct, the three range-repartitioned
+      // layout writes — inherits spark.sql.shuffle.partitions, so a
+      // fixed session default (32 on the bench rig) makes per-task
+      // sort/unroll volume grow LINEARLY with the corpus: the
+      // factor-1000 events probe (100M rows) exhausted a 48g heap at
+      // 32 partitions before this scaling. Partition count comes from
+      // a metadata-only row count (~500k source rows per task, floor =
+      // the session default, ceiling 4096); the raised setting lives
+      // on a CLONED session so concurrent queries on the caller's
+      // session keep their plans, and AQE coalesces the excess away on
+      // small inputs (the repartitionByRange calls pass no explicit n,
+      // so they stay coalescible) — sf0.01..sf1 builds are unchanged.
+      // On a real cluster this is the same discipline as sizing
+      // shuffle partitions to the table, applied at the one place the
+      // engine owns the write.
+      val bs = s.newSession()
+      val buildParts = math.min(4096L, math.max(
+        bs.conf.get("spark.sql.shuffle.partitions").toLong,
+        sourceRowCount(bs, d) / 500000L + 1))
+      bs.conf.set("spark.sql.shuffle.partitions", buildParts.toString)
+      // NO build-time persist: [[materialize]] runs ONE pass over the
+      // loaded frame (the path-major write) and derives the other two
+      // layouts by re-reading that parquet, so caching the corpus here
+      // would only duplicate it onto disk (measured fatal at the
+      // factor-1000 scale probe).
+      val inf = TableLoader.load(bs, d)
       val tmp = java.nio.file.Files.createTempDirectory(root, "build_")
-      val built = new GraftStore(s, inf, TableLoader.fieldTypes, None,
+      val built = new GraftStore(bs, inf, TableLoader.fieldTypes, None,
         TableLoader.analyzedOnly)
       materialize(built, tmp.toString)
-      // drop the build-time caches: every later read is a pruned
-      // parquet scan, not a pass over the cached build frames
-      built.quads.unpersist()
-      inf.unpersist()
       java.nio.file.Files.createFile(tmp.resolve(EtlMarker))
       try java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -378,6 +419,17 @@ object GraftStore {
       }
     }
     target.toString
+  }
+
+  /** Total source rows from parquet FOOTER metadata (per-file count()
+    * with no filter/projection never touches data pages) — the input
+    * to the build-parallelism sizing above. Tables have distinct
+    * schemas, so files are counted one by one. */
+  private def sourceRowCount(s: SparkSession, d: String): Long = {
+    val real = java.nio.file.Paths.get(d).toRealPath().toFile
+    Option(real.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => s.read.parquet(f.getPath).count()).sum
   }
 
   /** MD5 over the source dir's file manifest (relative path, size,
