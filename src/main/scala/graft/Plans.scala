@@ -113,6 +113,8 @@ object Plans {
       "q_gremlin_regex",      // slashy-regex closure: rlike inside the has semi-join
       "q_search_stemmed_tr",  // Turkish chain (dotted/dotless fold) in the predicate
       "q_search_stemmed_fa",  // Persian normalize + clitic stop-gap chain
+      "q_search_stemmed_sv",  // Swedish definite-plural chain in the predicate
+      "q_search_stemmed_da",  // Danish chain with the consonant undouble
       "q_track",              // before/after uuid diff over the scoped merge
       "q_purge")              // purge-all/purge-history read-back over tombstones
     val sb = new StringBuilder

@@ -195,6 +195,35 @@ object SearchQueries {
             analyzer = graft.qp.TextAnalyzer.Dutch))
         .select(col("system.path").as("path")).orderBy("path")),
 
+    // Swedish-analyzer opt-in: "de widgetarna" raw-matches NOTHING,
+    // but analyzes to the single term "widget" — "de" is a Swedish
+    // stop word (gap, trimmed) and "widgetarna" (Swedish definite
+    // plural of the loanword) loses -arna by the light stemmer,
+    // meeting the doc token "widget" (kept whole by the short-ending
+    // gate: -et strips only past stem length 5) — non-vacuous ONLY
+    // through the Swedish chain; genitive/definite edge cases pinned
+    // in EngineSpec
+    "q_search_stemmed_sv" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("name:de widgetarna"),
+            analyzer = graft.qp.TextAnalyzer.Swedish))
+        .select(col("system.path").as("path")).orderBy("path")),
+
+    // Danish-analyzer opt-in: "de widgetterne" raw-matches NOTHING,
+    // but analyzes to the single term "widget" — "de" is a Danish
+    // stop word (gap, trimmed) and "widgetterne" (Danish definite
+    // plural, with the consonant doubling Danish spelling demands)
+    // loses -erne then undoes the tt doubling (the Snowball danish
+    // UNDOUBLE step — the behavior that distinguishes this chain
+    // from Swedish), meeting the doc token "widget" — non-vacuous
+    // ONLY through the Danish chain; undouble edge cases pinned in
+    // EngineSpec
+    "q_search_stemmed_da" -> ((s, dir) =>
+      Search.run(st(s, dir),
+          Search.Request(path = "/part", qp = Some("name:de widgetterne"),
+            analyzer = graft.qp.TextAnalyzer.Danish))
+        .select(col("system.path").as("path")).orderBy("path")),
+
     // Like (`~`) — fuzzy, ES AUTO fuzziness
     "q_search_fuzzy" -> ((s, dir) =>
       Search.run(st(s, dir),
@@ -353,6 +382,14 @@ object SearchQueries {
         |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'gizmo')
         |ORDER BY path""".stripMargin,
     "q_search_stemmed_nl" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
+        |ORDER BY path""".stripMargin,
+    "q_search_stemmed_sv" ->
+      """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
+        |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
+        |ORDER BY path""".stripMargin,
+    "q_search_stemmed_da" ->
       """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
         |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')
         |ORDER BY path""".stripMargin,

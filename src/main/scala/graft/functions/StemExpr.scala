@@ -663,6 +663,109 @@ object TrTerm {
   }
 }
 
+/** Swedish token→term — stop-gap + light stem as one static call, the
+  * [[graft.qp.TextAnalyzer.Swedish]] executor side. Input tokens are
+  * already case-folded (A-Z + ÅÄÖ translate) by the chain's fold. */
+case class SvTermExpr(child: Expression) extends TokenFnExpr {
+  override def prettyName: String = "sv_term"
+  protected def staticCall: String = "graft.functions.SvTerm.termU"
+  protected def run(s: UTF8String): UTF8String = SvTerm.termU(s)
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object SvTerm {
+  private lazy val Stops = graft.qp.TextAnalyzer.SwedishStopWords
+
+  def termU(s: UTF8String): UTF8String = UTF8String.fromString(term(s.toString))
+
+  /** The ONE Swedish per-token chain — driver `queryTokens` and the
+    * executor expression both run this: stop check, then light stem. */
+  def term(tok: String): String = {
+    if (Stops.contains(tok)) return graft.qp.TextAnalyzer.PositionGap
+    stem(tok)
+  }
+
+  /** Light Swedish stemmer (an ANALOG, documented — the noun
+    * plural/definite subset of the Snowball swedish endings, not
+    * byte parity): genitive -s first (len≥5, never after s — Swedish
+    * genitive attaches OUTSIDE the definite ending: `widgetarnas`),
+    * then the definite-plural -arna/-erna/-orna (stem≥3), then ONE
+    * short plural/definite ending -ar/-er/-or/-en/-et/-na gated at
+    * stem≥5 — the gate keeps short loanwords (`widget`, `gear`)
+    * untouched while `widgetarna` still reduces past the definite
+    * ending to the bare root on both sides of a search. */
+  def stem(t: String): String = {
+    var w = t
+    if (w.length >= 5 && w.last == 's' && w(w.length - 2) != 's')
+      w = w.dropRight(1)
+    val defPl = Array("arna", "erna", "orna")
+    defPl.find(x => w.endsWith(x) && w.length - x.length >= 3) match {
+      case Some(x) => w = w.dropRight(x.length)
+      case None =>
+        val short = Array("ar", "er", "or", "en", "et", "na")
+        short.find(x => w.endsWith(x) && w.length - x.length >= 5)
+          .foreach(x => w = w.dropRight(x.length))
+    }
+    w
+  }
+}
+
+/** Danish token→term — stop-gap + light stem as one static call, the
+  * [[graft.qp.TextAnalyzer.Danish]] executor side. Input tokens are
+  * already case-folded (A-Z + ÅÆØ translate) by the chain's fold. */
+case class DaTermExpr(child: Expression) extends TokenFnExpr {
+  override def prettyName: String = "da_term"
+  protected def staticCall: String = "graft.functions.DaTerm.termU"
+  protected def run(s: UTF8String): UTF8String = DaTerm.termU(s)
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object DaTerm {
+  private lazy val Stops = graft.qp.TextAnalyzer.DanishStopWords
+
+  def termU(s: UTF8String): UTF8String = UTF8String.fromString(term(s.toString))
+
+  /** The ONE Danish per-token chain — driver `queryTokens` and the
+    * executor expression both run this: stop check, then light stem. */
+  def term(tok: String): String = {
+    if (Stops.contains(tok)) return graft.qp.TextAnalyzer.PositionGap
+    stem(tok)
+  }
+
+  private def isVowel(c: Char): Boolean = "aeiouyæøå".indexOf(c.toInt) >= 0
+
+  /** Light Danish stemmer (an ANALOG, documented — the noun
+    * plural/definite subset of the Snowball danish endings plus its
+    * UNDOUBLE step, not byte parity): genitive -s first (len≥5,
+    * never after s), then the definite-plural -erne/-ene (stem≥3),
+    * then ONE short ending -er/-en/-et (stem≥5, the loanword gate —
+    * `widget` stays) or mute -e (stem≥5), and finally the Danish
+    * consonant-undouble the spelling demands once an ending is
+    * stripped (`widgetterne` → `widgett` → `widget` — Danish doubles
+    * the final consonant before a vowel-initial ending exactly like
+    * Dutch, and Snowball danish undoubles after removal). */
+  def stem(t: String): String = {
+    var w = t
+    if (w.length >= 5 && w.last == 's' && w(w.length - 2) != 's')
+      w = w.dropRight(1)
+    var stripped = false
+    val defPl = Array("erne", "ene")
+    defPl.find(x => w.endsWith(x) && w.length - x.length >= 3) match {
+      case Some(x) => w = w.dropRight(x.length); stripped = true
+      case None =>
+        val short = Array("er", "en", "et", "e")
+        short.find(x => w.endsWith(x) && w.length - x.length >= 5)
+          .foreach { x => w = w.dropRight(x.length); stripped = true }
+    }
+    if (stripped && w.length >= 4 && w.last == w(w.length - 2) &&
+        !isVowel(w.last))
+      w = w.dropRight(1)
+    w
+  }
+}
+
 private object StemRunner {
   def run(rules: Array[(java.util.regex.Pattern, String)],
           t: String): String = {

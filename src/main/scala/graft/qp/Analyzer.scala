@@ -444,6 +444,40 @@ object TextAnalyzer {
     override protected def emptyTerms: Boolean = true
   }
 
+  /** Light Swedish analyzer, OPT-IN — first Scandinavian chain.
+    * Same shape as [[Dutch]] (no elision, no apostrophe stage):
+    * locale-free fold over A-Z + ÅÄÖ, letter runs keep åäö, one
+    * combined stop+stem term function shared by driver and executor
+    * ([[graft.functions.SvTerm.term]] /
+    * [[graft.functions.SvTermExpr]]). The stemmer is the noun
+    * plural/definite subset of the Snowball swedish endings (an
+    * analog, documented at [[graft.functions.SvTerm.stem]]): the
+    * definite-plural -arna/-erna/-orna, a gated short ending
+    * (-ar/-er/-or/-en/-et/-na), outer genitive -s. */
+  case object Swedish extends LatinChain {
+    protected def upperTable = "ABCDEFGHIJKLMNOPQRSTUVWXYZÅÄÖ"
+    protected def lowerTable = "abcdefghijklmnopqrstuvwxyzåäö"
+    protected def runDelims = "[^a-zåäö0-9]+"
+    protected def term(tok: String): String = graft.functions.SvTerm.term(tok)
+    protected def termCol(c: Column): Column = svTermCol(c)
+  }
+
+  /** Light Danish analyzer, OPT-IN — second Scandinavian chain.
+    * Distinguished from [[Swedish]] by the å/æ/ø letter set and the
+    * UNDOUBLE step Danish spelling demands (Snowball danish's
+    * undouble: the final consonant doubles before a vowel-initial
+    * ending, so stripping -erne from `widgetterne` must also undo the
+    * tt — the same doubling undo the [[Dutch]] -en rule carries).
+    * Shared chain: [[graft.functions.DaTerm.term]] /
+    * [[graft.functions.DaTermExpr]]. */
+  case object Danish extends LatinChain {
+    protected def upperTable = "ABCDEFGHIJKLMNOPQRSTUVWXYZÅÆØ"
+    protected def lowerTable = "abcdefghijklmnopqrstuvwxyzåæø"
+    protected def runDelims = "[^a-zåæø0-9]+"
+    protected def term(tok: String): String = graft.functions.DaTerm.term(tok)
+    protected def termCol(c: Column): Column = daTermCol(c)
+  }
+
   /** Persian analyzer, OPT-IN — the second RTL chain. Reuses the
     * Arabic recipe shape (delete-capable fold → tokenize → stop) with
     * the Persian-specific pieces: the fold ADDS the Persian letter
@@ -516,6 +550,56 @@ object TextAnalyzer {
   def trTermCol(c: Column): Column =
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       graft.functions.TrTermExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
+  /** Common Swedish function-word stop set (articles, pronouns,
+    * prepositions, conjunctions — the stable core of the public
+    * Lucene/Snowball swedish list). */
+  val SwedishStopWords: Set[String] = Set(
+    "och", "det", "att", "i", "en", "jag", "hon", "som", "han", "på",
+    "den", "med", "var", "sig", "för", "så", "till", "är", "men",
+    "ett", "om", "hade", "de", "av", "icke", "mig", "du", "henne",
+    "då", "sin", "nu", "har", "inte", "hans", "honom", "skulle",
+    "hennes", "där", "min", "man", "ej", "vid", "kunde", "något",
+    "från", "ut", "när", "efter", "upp", "vi", "dem", "vad", "över",
+    "än", "dig", "kan", "sina", "här", "ha", "mot", "alla", "under",
+    "någon", "eller", "allt", "mycket", "sedan", "ju", "denna",
+    "själv", "detta", "åt", "utan", "varit", "hur", "ingen", "mitt",
+    "ni", "bli", "blev", "oss", "din", "dessa", "några", "deras",
+    "blir", "mina", "samma", "vilken", "er", "sådan", "vår", "blivit",
+    "dess", "inom", "mellan", "sådant", "varför", "varje", "vilka",
+    "ditt", "vem", "vilket", "sådana", "vart", "dina", "vars", "vårt",
+    "våra", "ert", "era", "vilkas")
+
+  /** Executor-side Swedish token→term — one static call per token
+    * into the same shared chain ([[graft.functions.SvTermExpr]]). */
+  def svTermCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.SvTermExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
+
+  /** Common Danish function-word stop set (articles, pronouns,
+    * prepositions, conjunctions — the stable core of the public
+    * Lucene/Snowball danish list). */
+  val DanishStopWords: Set[String] = Set(
+    "og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som",
+    "på", "de", "med", "han", "af", "for", "ikke", "der", "var",
+    "mig", "sig", "men", "et", "har", "om", "vi", "min", "havde",
+    "ham", "hun", "nu", "over", "da", "fra", "du", "ud", "sin",
+    "dem", "os", "op", "man", "hans", "hvor", "eller", "hvad",
+    "skal", "selv", "her", "alle", "vil", "blev", "kunne", "ind",
+    "når", "være", "dog", "noget", "ville", "jo", "deres", "efter",
+    "ned", "skulle", "denne", "end", "dette", "mit", "også", "under",
+    "have", "dig", "anden", "hende", "mine", "alt", "meget", "sit",
+    "sine", "vor", "mod", "disse", "hvis", "din", "nogle", "hos",
+    "blive", "mange", "ad", "bliver", "hendes", "været", "thi",
+    "jer", "sådan")
+
+  /** Executor-side Danish token→term — one static call per token
+    * into the same shared chain ([[graft.functions.DaTermExpr]]). */
+  def daTermCol(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.DaTermExpr(
         org.apache.spark.sql.graftshim.ColumnBridge.expression(c)))
 
   /** Common Persian function-word stop set, in NORMALIZED spellings

@@ -46,6 +46,8 @@ class AnalyzerDriftSpec extends AnyFunSuite {
       "İİII", "ılık", "değil", "Türkiye'nin", "çağrışım",
       "از", "كتاب‌هاي", "کتاب‌ها", "می‌روم", "آنها",
       "دفترهاي", "پژوهشگاه", "abcکتابmix",
+      "och", "widgetarna", "flickorna", "widgetarnas", "husen", "ÅÄÖ",
+      "og", "widgetterne", "husene", "bilerne", "widgetternes", "ÅÆØ",
       "中文分析", "机器学习", "カタカナ", "한국어", "abc中文mix"),
     3 -> Gen.choose(1, 9).flatMap(n =>
       Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)),
@@ -89,7 +91,9 @@ class AnalyzerDriftSpec extends AnyFunSuite {
     "dutch" -> TextAnalyzer.Dutch,
     "arabic" -> TextAnalyzer.Arabic,
     "turkish" -> TextAnalyzer.Turkish,
-    "persian" -> TextAnalyzer.Persian)
+    "persian" -> TextAnalyzer.Persian,
+    "swedish" -> TextAnalyzer.Swedish,
+    "danish" -> TextAnalyzer.Danish)
 
   test("generated text: executor tokensOf == driver queryTokens for " +
       "every chain") {
@@ -122,6 +126,8 @@ class AnalyzerDriftSpec extends AnyFunSuite {
       graft.functions.NlTerm.term(lower)
       graft.functions.ArTerm.term(lower)
       graft.functions.TrTerm.term(lower)
+      graft.functions.SvTerm.term(lower)
+      graft.functions.DaTerm.term(lower)
       graft.functions.StemLite.stemString(lower)
       graft.functions.StemFull.stemString(lower)
       graft.functions.StemDe.stemString(lower)

@@ -2764,6 +2764,96 @@ class EngineSpec extends AnyFunSuite {
     assert(run("t.o:widgetten", TextAnalyzer.Standard) == Set("/nl/2"))
   }
 
+  test("swedish analyzer: definite-plural strip, gated short endings, " +
+      "genitive -s, stop gaps, driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    import graft.functions.SvTerm
+    val vocab = Seq(
+      "widgetarna" -> "widget",   // definite plural -arna
+      "flickorna" -> "flick",     // -orna
+      "widgetarnas" -> "widget",  // outer genitive s, then -arna
+      "bilarna" -> "bil",         // -arna at the stem≥3 gate
+      "widget" -> "widget",       // -et blocked by the stem≥5 gate
+      "gear" -> "gear",           // -ar blocked by the gate
+      "gizmo" -> "gizmo",         // no Swedish ending
+      "husen" -> "husen",         // -en gated (stem 3 < 5)
+      "maskiner" -> "maskin",     // -er past the gate
+      "glas" -> "glas",           // len<5: genitive strip gated
+      "pass" -> "pass")           // -ss: never strip after s
+    vocab.foreach { case (in, want) =>
+      assert(SvTerm.stem(in) == want,
+        s"stemSv($in) = ${SvTerm.stem(in)}, want $want")
+    }
+    assert(SvTerm.term("de") == TextAnalyzer.PositionGap)
+    assert(SvTerm.term("och") == TextAnalyzer.PositionGap)
+    assert(SvTerm.term("widgetarna") == "widget")
+    import spark.implicits._
+    val texts = Seq("De WIDGETARNA är här", "flickorna och bilarna",
+      "åäö ÅÄÖ abc 123", "")
+    val sparkToks = texts.toDF("s")
+      .select(TextAnalyzer.Swedish.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    val driverToks = texts.map(t => TextAnalyzer.Swedish
+      .queryTokens("zq " + t + " zq").drop(1).dropRight(1))
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://sv/1> <c://o#t> \"en widget finns\" .",
+      "<c://sv/2> <c://o#t> \"widgetarna finns\" .",
+      "<c://sv/3> <c://o#t> \"bilarna finns\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/sv", qp = Some(qp), analyzer = an)))
+    // the definite plural and the bare loanword meet at the stem
+    assert(run("t.o:de widget", TextAnalyzer.Swedish) ==
+      Set("/sv/1", "/sv/2"))
+    assert(run("t.o:widgetarna", TextAnalyzer.Standard) == Set("/sv/2"))
+  }
+
+  test("danish analyzer: -erne/-ene strip with consonant undouble, " +
+      "gated short endings, stop gaps, driver/executor drift") {
+    import graft.qp.TextAnalyzer
+    import graft.functions.DaTerm
+    val vocab = Seq(
+      "widgetterne" -> "widget",  // -erne + tt undouble
+      "bilerne" -> "bil",         // -erne, no doubling
+      "husene" -> "hus",          // -ene
+      "widgetternes" -> "widget", // outer genitive s first
+      "widget" -> "widget",       // -et blocked by the stem≥5 gate
+      "plade" -> "plade",         // mute -e gated (stem 4 < 5)
+      "maskiner" -> "maskin",     // -er past the gate
+      "glas" -> "glas",           // len<5: genitive strip gated
+      "pas" -> "pas")             // short token untouched
+    vocab.foreach { case (in, want) =>
+      assert(DaTerm.stem(in) == want,
+        s"stemDa($in) = ${DaTerm.stem(in)}, want $want")
+    }
+    assert(DaTerm.term("de") == TextAnalyzer.PositionGap)
+    assert(DaTerm.term("og") == TextAnalyzer.PositionGap)
+    assert(DaTerm.term("widgetterne") == "widget")
+    import spark.implicits._
+    val texts = Seq("De WIDGETTERNE er her", "bilerne og husene",
+      "åæø ÅÆØ abc 123", "")
+    val sparkToks = texts.toDF("s")
+      .select(TextAnalyzer.Danish.tokensOf(col("s")))
+      .as[Seq[String]].collect().toSeq
+    val driverToks = texts.map(t => TextAnalyzer.Danish
+      .queryTokens("zq " + t + " zq").drop(1).dropRight(1))
+    assert(sparkToks == driverToks, s"$sparkToks vs $driverToks")
+    graft.qp.Namespaces.register("o", "c://o#")
+    val store = storeOf(Seq(
+      "<c://da/1> <c://o#t> \"en widget findes\" .",
+      "<c://da/2> <c://o#t> \"widgetterne findes\" .",
+      "<c://da/3> <c://o#t> \"bilerne findes\" ."),
+      T("2024-01-01 00:00:00"))
+    def run(qp: String, an: TextAnalyzer) = paths(Search.run(store,
+      Search.Request(path = "/da", qp = Some(qp), analyzer = an)))
+    // the undoubled definite plural and the bare loanword meet
+    assert(run("t.o:de widget", TextAnalyzer.Danish) ==
+      Set("/da/1", "/da/2"))
+    assert(run("t.o:widgetterne", TextAnalyzer.Standard) == Set("/da/2"))
+  }
+
   test("arabic analyzer: normalization fold, article/suffix strip, " +
       "stop gaps, RTL end-to-end, driver/executor drift") {
     import graft.qp.TextAnalyzer
