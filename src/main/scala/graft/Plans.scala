@@ -116,7 +116,10 @@ object Plans {
       "q_search_stemmed_sv",  // Swedish definite-plural chain in the predicate
       "q_search_stemmed_da",  // Danish chain with the consonant undouble
       "q_track",              // before/after uuid diff over the scoped merge
-      "q_purge")              // purge-all/purge-history read-back over tombstones
+      "q_purge",              // purge-all/purge-history read-back over tombstones
+      "q_sessionize_skew",    // hot-user session windows (Zipf twin fixture)
+      "q_dedup_jaccard_skew", // hot-shingle PPJoin (rarity prefix holds under skew)
+      "q_asof_forward")       // running last() carry over the reversed sort (O(rows))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")
@@ -143,6 +146,25 @@ object Plans {
       sb.append(plan.take(6000))
       sb.append("\n```\n")
     }
+    sb.append("""
+## Streaming state at scale
+
+The three stateful plans above hold state bounded by the
+watermark, not by stream history: sessions = open sessions ×
+lateness horizon, dedup = digests within the horizon, windows
+= windows in flight × keys. StreamingSpec's state-bound test
+pins the eviction (200 sessions / 300 digests → ≤2 state rows
+after the two-sentinel flush); `graft.streaming.StateProbe`
+measures stateOperators rows/bytes at any sf dir (committed
+numbers: state_probe.json). Production scale note: the
+default HDFSBackedStateStoreProvider keeps state rows on the
+executor heap — past ~10M rows/executor set
+`spark.sql.streaming.stateStore.providerClass` to
+`...state.RocksDBStateStoreProvider` (off-heap/on-disk state
+with changelog checkpointing, same semantics). The BOUND is
+provider-independent; the provider only decides where the
+bounded rows live.
+""")
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()
