@@ -335,8 +335,17 @@ object Merger {
     val merged = merge(spark, inf, commands)
     val stamp = System.nanoTime()
     val gen = s"$dir/infotons__gen_$stamp"
+    // Size the rewrite's range shuffle by the STORE, not the session:
+    // a fixed spark.sql.shuffle.partitions pins per-task sort volume
+    // to rows/N, the exact linear-growth defect the third-decade ETL
+    // probe hit at 100M rows (GraftStore.etlCachedDir carries the
+    // same sizing). The count is parquet-footer metadata, no data
+    // pages; small stores keep the session default.
+    val rewriteParts = math.min(4096L, math.max(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      inf.count() / 500000L + 1)).toInt
     merged.withColumn("__parent", col("system.parent"))
-      .repartitionByRange(col("__parent"), col("system.path"))
+      .repartitionByRange(rewriteParts, col("__parent"), col("system.path"))
       .sortWithinPartitions(col("system.path"), col("system.indexTime"))
       .write.mode("overwrite").partitionBy("__parent").parquet(gen)
     val live = java.nio.file.Paths.get(s"$dir/infotons")
