@@ -59,6 +59,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb switches streaming state to
+    // the RocksDB provider (off-heap/on-disk state, changelog
+    // checkpoints) — the documented production setting once state
+    // passes ~10M rows per executor (PLANS.md "streaming state at
+    // scale"): the default HDFSBacked provider holds every state row
+    // on the executor heap and the factor-1000 session probe (10M
+    // users) dies there with CANNOT_LOAD_STATE_STORE. Default
+    // unchanged — small-scale state fits the heap and HDFSBacked is
+    // faster there.
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()

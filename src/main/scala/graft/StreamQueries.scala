@@ -38,22 +38,53 @@ object StreamQueries {
     store.infotons.where(col("system.path").startsWith("/user/") ||
       col("system.path").startsWith("/customer/"))
 
+  /** Sink dirs of prior [[throughStream]] invocations. Each returned
+    * frame reads its sink's parquet lazily, so the dir must outlive
+    * the frame's consumption; every caller in this contract (Bench
+    * timing loop, Verify dump, oracle checks) fully materializes one
+    * stream result before issuing the next stream query, so the next
+    * invocation drains the backlog — plus a JVM shutdown hook for the
+    * last one. */
+  private val doneSinks =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def drainDoneSinks(): Unit = {
+    var d = doneSinks.poll()
+    while (d != null) {
+      graft.model.GraftStore.rmTree(new java.io.File(d))
+      d = doneSinks.poll()
+    }
+  }
+  sys.addShutdownHook(drainDoneSinks())
+
   /** Run `transform` of a micro-batched stream of `src`'s rows through
-    * Structured Streaming (file source → memory sink), return the
-    * collected sink table. The parquet hand-off is the ONLY way to
-    * drive a real streaming plan from a batch frame without a broker;
-    * the temp dir is deleted once the stream drains (the memory sink
-    * owns the rows from then on). */
+    * Structured Streaming (file source → parquet FILE sink), return
+    * the sink read back as a distributed frame. The parquet hand-off
+    * is the ONLY way to drive a real streaming plan from a batch frame
+    * without a broker. The sink side is a file sink, NOT the memory
+    * sink: memory-sink results collect into the driver JVM, which is
+    * exactly the non-scale shape this library bans elsewhere — the
+    * factor-1000 decade probe measured it fatally (q_stream_dedup at
+    * 5M docs died on spark.driver.maxResultSize; the session stream
+    * over 100M events exhausted the heap). With a file sink the
+    * result stays on disk/executors at every scale and the driver
+    * holds only the paths. */
   private def throughStream(s: SparkSession, src: DataFrame,
                             flushes: Seq[DataFrame] = Nil)
                            (transform: DataFrame => DataFrame): DataFrame = {
+    drainDoneSinks()
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stream_src_").toString
-    val sink = s"graft_stream_sink_${System.nanoTime()}"
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_sink_").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
     try {
       src.write.mode("overwrite").parquet(dir)
-      val q = transform(s.readStream.schema(src.schema).parquet(dir))
-        .writeStream.format("memory").queryName(sink)
+      val streamed = transform(s.readStream.schema(src.schema).parquet(dir))
+      val outSchema = streamed.schema
+      val q = streamed.writeStream.format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
         .outputMode("append").start()
       // `flushes` arrive as LATER micro-batches (one file write + one
       // drain each). Watermarked append-mode operators only emit a
@@ -70,20 +101,13 @@ object StreamQueries {
           q.processAllAvailable()
         }
       } finally q.stop()
-      // hand back a self-contained local frame and DROP the memory
-      // sink's catalog entry — otherwise every invocation (bench
-      // retime sweeps included) pins a dead copy of the stream output
-      // in the driver for the session's lifetime. The collected rows
-      // are bounded (filtered event stream), become garbage with the
-      // returned frame, and keep the result consumable after cleanup.
-      val out = s.table(sink)
-      val rows = out.collect()
-      val local = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
-      s.catalog.dropTempView(sink)
-      local
+      doneSinks.add(sinkDir)
+      // explicit schema: a stream that emitted zero rows leaves a
+      // sink with metadata but no data files — inference would throw
+      s.read.schema(outSchema).parquet(sinkDir)
     } finally {
       graft.model.GraftStore.rmTree(new java.io.File(dir))
+      graft.model.GraftStore.rmTree(new java.io.File(ckpt))
     }
   }
 

@@ -34,17 +34,32 @@ object StateProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // same opt-in as Bench: the documented production provider once
+    // state passes ~10M rows/executor (the HDFSBacked default is
+    // on-heap and fails CANNOT_LOAD_STATE_STORE at the 100M-event
+    // session probe). memoryUsedBytes then reports RocksDB's usage.
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.sparkContext.setLogLevel("ERROR")
 
     def measure(src: DataFrame, flushes: Seq[DataFrame])
                (tf: DataFrame => DataFrame): (Long, Long, Long, Long) = {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_state_probe_").toString
-      val sink = s"graft_state_sink_${System.nanoTime()}"
+      // FILE sink, not the memory sink: the probe reads only
+      // StreamingQueryProgress, never the rows — and at probe scales
+      // the memory sink's driver-collected output is itself the OOM
+      // (measured at 100M events). The rows land in a discarded dir.
+      val sinkDir = java.nio.file.Files
+        .createTempDirectory("graft_state_probe_sink_").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_state_probe_ckpt_").toString
       try {
         src.write.mode("overwrite").parquet(dir)
         val q = tf(spark.readStream.schema(src.schema).parquet(dir))
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet").option("path", sinkDir)
+          .option("checkpointLocation", ckpt)
           .outputMode("append").start()
         def stateNow(): (Long, Long) =
           q.recentProgress.reverse.flatMap(_.stateOperators.headOption)
@@ -59,10 +74,12 @@ object StateProbe {
           }
           val (afterRows, afterBytes) = stateNow()
           (peakRows, peakBytes, afterRows, afterBytes)
-        } finally {
-          q.stop(); spark.catalog.dropTempView(sink)
-        }
-      } finally graft.model.GraftStore.rmTree(new java.io.File(dir))
+        } finally q.stop()
+      } finally {
+        graft.model.GraftStore.rmTree(new java.io.File(dir))
+        graft.model.GraftStore.rmTree(new java.io.File(sinkDir))
+        graft.model.GraftStore.rmTree(new java.io.File(ckpt))
+      }
     }
 
     val ev = graft.model.TableLoader.events(spark, sfDir)
