@@ -134,10 +134,10 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode).take(6000))
       sb.append("\n```\n")
     }
-    // q_stream_window/_session/_dedup return COLLECTED local frames
-    // (memory-sink rows outlive the stopped stream), so the declared
-    // query's batch plan is a LocalTableScan stub. The plan that
-    // matters — EventTimeWatermark feeding StateStoreSave /
+    // q_stream_window/_session/_dedup return the FILE SINK read back
+    // as a batch frame, so the declared query's batch plan is just a
+    // parquet scan of the sink. The plan that matters —
+    // EventTimeWatermark feeding StateStoreSave /
     // SessionWindowStateStoreSave / StreamingDeduplicateWithinWatermark
     // — lives on the micro-batch StreamExecution, captured here from
     // StreamingQuery.explain() after the stream drains one batch.

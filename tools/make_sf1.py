@@ -48,7 +48,8 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 # key 600000 << the 1M order base x 100).
 FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 PROFILE = sys.argv[3] if len(sys.argv) > 3 else "all"
-assert PROFILE in ("all", "docs", "facts", "events", "documents"), PROFILE
+assert PROFILE in ("all", "docs", "facts", "events", "documents",
+                   "embeddings"), PROFILE
 DOC_TABLES = {"documents", "events", "embeddings"}
 FACT_TABLES = {"customer", "supplier", "part", "orders"}
 # single-table profiles for the THIRD-decade (factor 1000 = sf100)
@@ -56,7 +57,8 @@ FACT_TABLES = {"customer", "supplier", "part", "orders"}
 # writes the events/docs data three times — path-major, indexTime-
 # major, quads), but ONE pillar at 1000x with the rest at 10x fits.
 # "events" feeds the consume/export family, "documents" exact dedup.
-SOLO = {"events": {"events"}, "documents": {"documents"}}
+SOLO = {"events": {"events"}, "documents": {"documents"},
+        "embeddings": {"embeddings"}}
 def factor_of(table):
     if PROFILE == "all":
         return FACTOR
