@@ -231,6 +231,83 @@ object IngestQueries {
       .select("orderkey", "totalprice", "n_versions")
       .orderBy("orderkey")
   }
+
+  /** Crash-window RECOVERY of the bulk write path, oracle-pinned:
+    * clone the store, park a pre-merge snapshot as the `__old_`
+    * generation, run [[Merger.mergeBulk]] (acctbal+100 on every
+    * /customer row), then simulate a hard kill inside the two-rename
+    * swap window by renaming the live layout back to `__gen_<stamp>`
+    * — exactly the on-disk state between `move(live, old)` and
+    * `move(gen, live)`: old = stale snapshot, gen = merged batch with
+    * its `_SUCCESS`, no live directory. Recovery is then the SAME
+    * function every store open runs
+    * ([[GraftStore.recoverGenerations]], wired into `forParquet`);
+    * the declared result reads the recovered store and must equal the
+    * COMPLETED merge (2 versions per customer, bumped balance) — so
+    * the oracle itself proves roll-forward chose the merged
+    * generation over the stale snapshot. The `__old_`-only rollback
+    * variant is pinned in MergerSpec. */
+  private val recoverCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  private def mergeRecover(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftStore.evictStopped(recoverCache)
+    val mdir = recoverCache.computeIfAbsent((s, dir), { _ =>
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_merge_recover_q").toString
+      val store = st(s, dir)
+      store.materializedDir match {
+        case Some(src) => GraftStore.cloneInfotons(src, d)
+        case None => GraftStore.materializeInfotons(store, d)
+      }
+      val stamp = System.nanoTime()
+      // pre-merge snapshot parked as the __old_ generation (what
+      // mergeBulk's first rename leaves stranded when the second one
+      // never runs)
+      val preTmp = java.nio.file.Files
+        .createTempDirectory("graft_merge_recover_pre").toString
+      GraftStore.cloneInfotons(d, preTmp)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(preTmp, "infotons"),
+        java.nio.file.Paths.get(d, s"infotons__old_$stamp"))
+      GraftStore.rmTree(new java.io.File(preTmp))
+      val cmds = store.current
+        .where(col("system.path").startsWith("/customer/"))
+        .select(col("system.path"), Search.fieldN("acctbal"))
+        .as[(String, Double)]
+        .map { case (p, bal) =>
+          val nv = bal + 100
+          Merger.Command("update", p, T0,
+            Map("acctbal" -> Seq(Merger.FieldValue(nv.toString, Some(nv),
+              None, None, InfotonModel.TDouble, None, None))),
+            Map("acctbal" -> Seq.empty))
+        }
+      Merger.mergeBulk(s, d, cmds)
+      // the kill: the live layout (the merged generation, _SUCCESS
+      // inside from its parquet write) renamed back to __gen_
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(d, "infotons"),
+        java.nio.file.Paths.get(d, s"infotons__gen_$stamp"))
+      val action = GraftStore.recoverGenerations(d)
+      require(action == s"rolled-forward:infotons__gen_$stamp",
+        s"expected roll-forward to the merged generation, got: $action")
+      d
+    })
+    val disk = GraftStore.fromInfotons(s,
+      s.read.parquet(s"$mdir/infotons")
+        .where(col("__parent") === "/customer").drop("__parent"),
+      Some(st(s, dir).fieldTypes))
+    Search.run(disk, Search.Request(path = "/customer", withHistory = true))
+      .groupBy(col("system.path").as("path"))
+      .agg(count(lit(1)).as("n_versions"),
+        max(when(col("system.current"),
+          Search.fieldN("custkey"))).cast("long").as("custkey"),
+        max(when(col("system.current"),
+          Search.fieldN("acctbal"))).as("acctbal"))
+      .select("custkey", "acctbal", "n_versions")
+      .orderBy("custkey")
+  }
+
   private def mergePruned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftStore.evictStopped(prunedCache)
@@ -564,6 +641,7 @@ object IngestQueries {
     "q_merge_update" -> mergeUpdate,
     "q_merge_pruned" -> mergePruned,
     "q_merge_bulk" -> mergeBulk,
+    "q_merge_recover" -> mergeRecover,
     "q_merge_delete" -> mergeDelete,
     "q_with_deleted" -> withDeleted)
 
@@ -625,6 +703,12 @@ object IngestQueries {
         |CAST(o_totalprice AS DOUBLE) + 1 AS totalprice,
         |CAST(2 AS BIGINT) AS n_versions
         |FROM orders ORDER BY orderkey""".stripMargin,
+    // the recovered store must equal the COMPLETED merge — a rollback
+    // to the stale snapshot would show 1 version and the un-bumped
+    // balance and hash-fail here
+    "q_merge_recover" ->
+      """SELECT c_custkey AS custkey, CAST(c_acctbal AS DOUBLE) + 100 AS acctbal,
+        |CAST(2 AS BIGINT) AS n_versions FROM customer ORDER BY custkey""".stripMargin,
     "q_merge_delete" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
         |ORDER BY custkey""".stripMargin,

@@ -353,6 +353,17 @@ object SearchQueries {
     "q_search_contains_raw" ->
       """SELECT doc_id FROM documents WHERE lower(text) LIKE '%a part%'
         |ORDER BY doc_id""".stripMargin,
+    // VOCABULARY ASSUMPTION shared by EVERY q_search_stemmed_* oracle
+    // below: the graft side stems DOC tokens through the language
+    // chain while the DuckDB side does an EXACT list_contains on the
+    // expected stem ('widget'/'gizmo'/'ring'). Parity therefore
+    // requires that no part-name token merely STEMS to that term
+    // without equalling it (e.g. 'widgets', 'widgetter', 'ringen' as
+    // a doc token) and that no doc token collides with a chain's stop
+    // list. The driver's part-name vocabulary satisfies this today
+    // (loanword singulars only); if the generator's vocabulary ever
+    // gains analyzer-foldable forms, these oracles must switch to
+    // stem-aware SQL, not exact match.
     "q_search_stemmed" ->
       """SELECT '/part/' || CAST(p_partkey AS VARCHAR) AS path FROM part
         |WHERE list_contains(string_split_regex(lower(p_name), '[^a-z0-9]+'), 'widget')

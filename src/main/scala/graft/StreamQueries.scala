@@ -38,23 +38,37 @@ object StreamQueries {
     store.infotons.where(col("system.path").startsWith("/user/") ||
       col("system.path").startsWith("/customer/"))
 
-  /** Sink dirs of prior [[throughStream]] invocations. Each returned
-    * frame reads its sink's parquet lazily, so the dir must outlive
-    * the frame's consumption; every caller in this contract (Bench
-    * timing loop, Verify dump, oracle checks) fully materializes one
-    * stream result before issuing the next stream query, so the next
-    * invocation drains the backlog — plus a JVM shutdown hook for the
-    * last one. */
-  private val doneSinks =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private def drainDoneSinks(): Unit = {
-    var d = doneSinks.poll()
-    while (d != null) {
-      graft.model.GraftStore.rmTree(new java.io.File(d))
-      d = doneSinks.poll()
-    }
+  /** Sink dirs of [[throughStream]] invocations. Each returned frame
+    * reads its sink's parquet LAZILY, so the dir must outlive every
+    * consumption of that frame — a fixed "reap on the next stream
+    * query" policy would invalidate a result the caller still holds
+    * (two concurrent stream results, or re-consuming an earlier one)
+    * with a FileNotFoundException at action time. Deletion is instead
+    * tied to the frame's REACHABILITY: a Cleaner reaps a sink only
+    * once the result's ANALYZED PLAN OBJECT has been
+    * garbage-collected, and a JVM shutdown hook sweeps whatever
+    * survives. The plan node — not the DataFrame wrapper — is the
+    * referent because every DERIVED frame (`result.orderBy(...)`,
+    * `result.select(...)`) captures the parent's logical plan by
+    * reference while the wrapper itself becomes garbage immediately;
+    * keying on the wrapper deleted sinks mid-consumption (measured:
+    * FAILED_READ_FILE on the very next orderBy). Disk held between
+    * collections is bounded by the stream RESULTS still referenced
+    * (post-aggregation rows, not the source corpus). */
+  private val sinkCleaner = java.lang.ref.Cleaner.create()
+  private val liveSinks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def reapOnUnreachable(frame: AnyRef, sinkDir: String): Unit = {
+    liveSinks.add(sinkDir)
+    sinkCleaner.register(frame, () => {
+      liveSinks.remove(sinkDir)
+      graft.model.GraftStore.rmTree(new java.io.File(sinkDir))
+    })
   }
-  sys.addShutdownHook(drainDoneSinks())
+  sys.addShutdownHook {
+    liveSinks.forEach(d => graft.model.GraftStore.rmTree(new java.io.File(d)))
+    liveSinks.clear()
+  }
 
   /** Run `transform` of a micro-batched stream of `src`'s rows through
     * Structured Streaming (file source → parquet FILE sink), return
@@ -71,7 +85,6 @@ object StreamQueries {
   private def throughStream(s: SparkSession, src: DataFrame,
                             flushes: Seq[DataFrame] = Nil)
                            (transform: DataFrame => DataFrame): DataFrame = {
-    drainDoneSinks()
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stream_src_").toString
     val sinkDir = java.nio.file.Files
@@ -101,10 +114,11 @@ object StreamQueries {
           q.processAllAvailable()
         }
       } finally q.stop()
-      doneSinks.add(sinkDir)
       // explicit schema: a stream that emitted zero rows leaves a
       // sink with metadata but no data files — inference would throw
-      s.read.schema(outSchema).parquet(sinkDir)
+      val result = s.read.schema(outSchema).parquet(sinkDir)
+      reapOnUnreachable(result.queryExecution.analyzed, sinkDir)
+      result
     } finally {
       graft.model.GraftStore.rmTree(new java.io.File(dir))
       graft.model.GraftStore.rmTree(new java.io.File(ckpt))

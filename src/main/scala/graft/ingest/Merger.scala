@@ -335,15 +335,21 @@ object Merger {
     val merged = merge(spark, inf, commands)
     val stamp = System.nanoTime()
     val gen = s"$dir/infotons__gen_$stamp"
-    // Size the rewrite's range shuffle by the STORE, not the session:
-    // a fixed spark.sql.shuffle.partitions pins per-task sort volume
-    // to rows/N, the exact linear-growth defect the third-decade ETL
-    // probe hit at 100M rows (GraftStore.etlCachedDir carries the
-    // same sizing). The count is parquet-footer metadata, no data
-    // pages; small stores keep the session default.
+    // Size the rewrite's range shuffle by STORE + BATCH, not the
+    // session: a fixed spark.sql.shuffle.partitions pins per-task
+    // sort volume to rows/N, the exact linear-growth defect the
+    // third-decade ETL probe hit at 100M rows (GraftStore.etlCachedDir
+    // carries the same sizing). The batch term matters when a LARGE
+    // command batch lands on a small or empty store — sizing from the
+    // pre-merge snapshot alone would keep the session default and
+    // reintroduce the linear defect on the very load that creates the
+    // store. Store count is parquet-footer metadata (no data pages);
+    // the command count is one pass over the batch, cheap next to the
+    // full snapshot rewrite. Small store+batch keeps the session
+    // default.
     val rewriteParts = math.min(4096L, math.max(
       spark.conf.get("spark.sql.shuffle.partitions").toLong,
-      inf.count() / 500000L + 1)).toInt
+      (inf.count() + commands.count()) / 500000L + 1)).toInt
     merged.withColumn("__parent", col("system.parent"))
       .repartitionByRange(rewriteParts, col("__parent"), col("system.path"))
       .sortWithinPartitions(col("system.path"), col("system.indexTime"))
@@ -368,34 +374,18 @@ object Merger {
     graft.model.GraftStore.rmTree(old.toFile)
   }
 
-  /** Startup recovery for a crash INSIDE [[mergeBulk]]'s two-rename
-    * window: if the live `infotons` directory is missing but a
-    * `__gen_`/`__old_` sibling survives, roll forward to the newest
-    * complete generation (gen preferred — it holds the merged batch)
-    * or back to the old snapshot. Idempotent; a healthy store is a
-    * no-op. Returns the action taken, for operator logs. */
-  def recoverGenerations(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val live = Paths.get(s"$dir/infotons")
-    if (Files.exists(live)) return "ok"
-    val sibs = Option(Paths.get(dir).toFile.listFiles()).getOrElse(Array())
-      .filter(f => f.getName.startsWith("infotons__"))
-      .sortBy(_.getName).reverse
-    val gen = sibs.find(f => f.getName.contains("__gen_") &&
-      Files.exists(f.toPath.resolve("_SUCCESS")))
-    val old = sibs.find(_.getName.contains("__old_"))
-    (gen, old) match {
-      case (Some(g), o) =>
-        Files.move(g.toPath, live)
-        o.foreach(f => graft.model.GraftStore.rmTree(f))
-        s"rolled-forward:${g.getName}"
-      case (None, Some(o)) =>
-        Files.move(o.toPath, live)
-        s"rolled-back:${o.getName}"
-      case _ => throw new IllegalStateException(
+  /** Operator entry for [[mergeBulk]] crash-window recovery. The
+    * repair itself lives with the layout it repairs
+    * ([[graft.model.GraftStore.recoverGenerations]]) and runs
+    * automatically on every store open; this explicit form is the
+    * STRICT variant for ops tooling — a dir with nothing to recover
+    * is an error here, not a shrug. */
+  def recoverGenerations(dir: String): String =
+    graft.model.GraftStore.recoverGenerations(dir) match {
+      case "none" => throw new IllegalStateException(
         s"$dir has no infotons directory and no recoverable generation")
+      case action => action
     }
-  }
 
   /** The subtree slice a SCOPED merge runs against: every descendant
     * of `prefix` PLUS the prefix's own directory row — dropping the

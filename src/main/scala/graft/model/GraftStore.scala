@@ -18,7 +18,7 @@ import java.util.concurrent.ConcurrentHashMap
   */
 final class GraftStore(val spark: SparkSession, val infotons: DataFrame,
                        val fieldTypes: Map[String, String],
-                       quadsOverride: Option[DataFrame] = None,
+                       private[model] val quadsOverride: Option[DataFrame] = None,
                        /** Fields indexed ANALYZED-ONLY (no keyword /
                          * doc-values slot): searchable, but aggregation
                          * and sort reject them fail-loud, mirroring the
@@ -191,7 +191,12 @@ object GraftStore {
     // more sorted pass at write time buys row-group-pruned `_consume`
     // range scans for every later drain ([[GraftStore.consumeView]])
     materializeInfotonsByIndexTime(onDisk, dir)
-    onDisk.quadsStream // same range rationale as materializeInfotons
+    // an EXPLICIT quads override on the passed store (a forParquet
+    // open's on-disk view, a withQuads clone) is honored verbatim —
+    // deriving from the re-read infotons here would silently discard
+    // it; an override-free store streams the derivation instead
+    // (same range rationale as materializeInfotons)
+    store.quadsOverride.getOrElse(onDisk.quadsStream)
       .repartitionByRange(col("predicate"), col("subject"))
       .sortWithinPartitions(col("subject"))
       .write.mode("overwrite").partitionBy("predicate")
@@ -263,12 +268,47 @@ object GraftStore {
       .parquet(s"$dir/infotons_consume")
   }
 
+  /** Startup recovery for a crash inside
+    * [[graft.ingest.Merger.mergeBulk]]'s two-rename swap window: if
+    * the live `infotons` directory is missing but a `__gen_`/`__old_`
+    * sibling survives, roll forward to the newest COMPLETE generation
+    * (`_SUCCESS` present — it holds the merged batch) or back to the
+    * old snapshot. Idempotent; a healthy store returns "ok" without
+    * touching the filesystem, and a dir with neither a live layout
+    * nor a generation returns "none" (so opening a genuinely absent
+    * store still fails with the natural read error, not a recovery
+    * error). Invoked by every [[forParquet]] open, so the repair is
+    * automatic at the next store open after a hard kill — no manual
+    * operator step. Returns the action taken, for operator logs. */
+  def recoverGenerations(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(s"$dir/infotons")
+    if (Files.exists(live)) return "ok"
+    val sibs = Option(Paths.get(dir).toFile.listFiles()).getOrElse(Array())
+      .filter(f => f.getName.startsWith("infotons__"))
+      .sortBy(_.getName).reverse
+    val gen = sibs.find(f => f.getName.contains("__gen_") &&
+      Files.exists(f.toPath.resolve("_SUCCESS")))
+    val old = sibs.find(_.getName.contains("__old_"))
+    (gen, old) match {
+      case (Some(g), o) =>
+        Files.move(g.toPath, live)
+        o.foreach(f => rmTree(f))
+        s"rolled-forward:${g.getName}"
+      case (None, Some(o)) =>
+        Files.move(o.toPath, live)
+        s"rolled-back:${o.getName}"
+      case _ => "none"
+    }
+  }
+
   /** Open a materialized store. Scans hit real parquet: pushdown,
     * partition pruning and row-group skipping all visible in
     * `.explain` (vs the in-memory cache used for local iteration). */
   def forParquet(spark: SparkSession, dir: String,
                  fieldTypes: Map[String, String] = TableLoader.fieldTypes,
                  analyzedOnly: Set[String] = Set.empty): GraftStore = {
+    recoverGenerations(dir) // heal a mergeBulk crash window before reading
     val inf = spark.read.parquet(s"$dir/infotons").drop("__parent")
     val quads = spark.read.parquet(s"$dir/quads")
       .select(InfotonModel.QuadType.fieldNames.map(col): _*) // canonical order
@@ -424,12 +464,21 @@ object GraftStore {
   /** Total source rows from parquet FOOTER metadata (per-file count()
     * with no filter/projection never touches data pages) — the input
     * to the build-parallelism sizing above. Tables have distinct
-    * schemas, so files are counted one by one. */
+    * schemas, so files are counted one by one. This runs BEFORE
+    * [[TableLoader.load]], so it must tolerate every schema the
+    * loaders themselves work around: TIMESTAMP(NANOS) events
+    * generations are only readable with nanosAsLong (the same flag
+    * [[TableLoader.events]] sets on this session), and any file a
+    * count still rejects contributes 0 — sizing then falls back
+    * toward the session-default partition count, which is the
+    * pre-sizing behavior, never a crashed build. */
   private def sourceRowCount(s: SparkSession, d: String): Long = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val real = java.nio.file.Paths.get(d).toRealPath().toFile
     Option(real.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => s.read.parquet(f.getPath).count()).sum
+      .map(f => try s.read.parquet(f.getPath).count()
+                catch { case _: Exception => 0L }).sum
   }
 
   /** MD5 over the source dir's file manifest (relative path, size,

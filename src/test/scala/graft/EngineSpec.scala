@@ -2228,6 +2228,25 @@ class EngineSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"generation debris: ${leftovers.toSeq}")
   }
 
+  test("opening a store heals a mergeBulk crash window automatically") {
+    import java.nio.file.{Files, Paths}
+    val store = GraftStore.forDir(spark, Sf)
+    val dir = Files.createTempDirectory("graft_recover_open").toString
+    GraftStore.materialize(store, dir)
+    val expected = spark.read.parquet(s"$dir/infotons").count()
+    // simulate a hard kill between mergeBulk's two renames: the live
+    // layout is gone, the merged generation (complete — materialize's
+    // parquet write stamped its _SUCCESS) is stranded under __gen_
+    Files.move(Paths.get(s"$dir/infotons"),
+      Paths.get(s"$dir/infotons__gen_42"))
+    assert(Files.exists(Paths.get(s"$dir/infotons__gen_42/_SUCCESS")))
+    // no manual operator step: forParquet itself rolls forward
+    val disk = GraftStore.forParquet(spark, dir)
+    assert(Files.exists(Paths.get(s"$dir/infotons")))
+    assert(!Files.exists(Paths.get(s"$dir/infotons__gen_42")))
+    assert(disk.infotons.count() == expected)
+  }
+
   test("porter-lite stem: driver fold equals the Spark regexp fold") {
     import spark.implicits._
     import graft.qp.TextAnalyzer
