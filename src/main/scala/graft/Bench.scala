@@ -98,7 +98,13 @@ object Bench {
     // session='ext'); stamped into the JSON as sweep_order.
     val StreamTail = Set("q_qstream", "q_subscribe", "q_stream_window",
       "q_stream_session", "q_stream_dedup")
-    val selected0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_XNODE=1 adds the hot-predicate probe queries (only
+    // meaningful on generator twins that carry xnodes.parquet; never
+    // part of the declared oracle surface)
+    val benchable = SparkEntry.queries ++
+      (if (sys.env.contains("SPARK_GRAFT_XNODE")) XnodeProbe.all
+       else Map.empty)
+    val selected0 = benchable.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val selected = selected0.filterNot(q => StreamTail(q._1)) ++
       selected0.filter(q => StreamTail(q._1))

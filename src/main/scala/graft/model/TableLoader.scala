@@ -73,6 +73,7 @@ object TableLoader {
     "event_type" -> TString, "props" -> TString, "text" -> TString,
     "lang" -> TString, "source" -> TString,
     "n_chars" -> TLong, "event_id" -> TLong, "doc_id" -> TLong,
+    "xid" -> TLong,
     "refRegion" -> TRef, "refNation" -> TRef, "refCustomer" -> TRef,
     "refOrders" -> TRef, "refPart" -> TRef, "refSupplier" -> TRef)
 
@@ -253,8 +254,29 @@ object TableLoader {
       .withColumn("system", col("system")
         .withField("current", row_number().over(w) === 1))
 
-    val all = Seq(region, nation, customer, supplier, part, orders,
-      lineitem, documents, users).reduce(_ unionByName _)
+    // OPTIONAL dynamic-fields table — `xnodes.parquet`
+    // (xid LONG, fields MAP<STRING, ARRAY<STRING>>): each row becomes
+    // a /xnode/<xid> infoton whose field NAMES come from the DATA, the
+    // open-vocabulary shape real CM-Well corpora carry (infoton fields
+    // are an arbitrary map in the reference, Infoton.scala — the fixed
+    // per-table maps above are just this demo loader's projection).
+    // Values opening with '/' load as references (graph edges for
+    // xg/yg/SPARQL), everything else as strings. This is also the
+    // lever the scale probes use to generate a corpus-wide HOT
+    // PREDICATE (the rdf:type shape: one predicate owning a large
+    // share of all quads) — absent in the driver's sf dirs, so the
+    // loaded store is unchanged there.
+    val xnodes =
+      if (!new java.io.File(s"$dir/xnodes.parquet").exists()) Nil
+      else Seq(static(pq(spark, dir, "xnodes"), "xnode", col("xid"),
+        map_concat(
+          map(lit("xid"), array(lVal(col("xid")))),
+          transform_values(col("fields"), (_, vs) =>
+            transform(vs, v =>
+              when(v.startsWith("/"), rVal(v)).otherwise(sVal(v)))))))
+
+    val all = (Seq(region, nation, customer, supplier, part, orders,
+      lineitem, documents, users) ++ xnodes).reduce(_ unionByName _)
 
     // missing-parents synthesis (reference auto-creates directory
     // infotons: ImpStream.scala:326-356)

@@ -44,7 +44,8 @@ object StateProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     def measure(src: DataFrame, flushes: Seq[DataFrame])
-               (tf: DataFrame => DataFrame): (Long, Long, Long, Long) = {
+               (tf: DataFrame => DataFrame): (Long, Long, Long, Long, Double) = {
+      val t0 = System.nanoTime()
       val dir = java.nio.file.Files
         .createTempDirectory("graft_state_probe_").toString
       // FILE sink, not the memory sink: the probe reads only
@@ -73,7 +74,12 @@ object StateProbe {
             q.processAllAvailable()
           }
           val (afterRows, afterBytes) = stateNow()
-          (peakRows, peakBytes, afterRows, afterBytes)
+          // wall seconds for the whole drive (source write + every
+          // micro-batch + flushes) — the skew probe's comparison unit:
+          // a hot key concentrating session-window merge work shows up
+          // here even when the state BOUND is unchanged
+          (peakRows, peakBytes, afterRows, afterBytes,
+            (System.nanoTime() - t0) / 1e9)
         } finally q.stop()
       } finally {
         graft.model.GraftStore.rmTree(new java.io.File(dir))
@@ -86,7 +92,7 @@ object StateProbe {
       .select(col("ts"), col("user_id"))
     def evFlush(ts: String) = spark.range(1).select(
       to_timestamp(lit(ts)).as("ts"), lit(-1L).as("user_id"))
-    val (sRows, sBytes, sAfter, _) = measure(ev,
+    val (sRows, sBytes, sAfter, _, sSecs) = measure(ev,
       Seq(evFlush("2024-03-01 00:00:00"), evFlush("2024-04-01 00:00:00")))(
       st => Streaming.sessionizeStream(st, gapMinutes = 30,
         lateness = "1 hour"))
@@ -98,7 +104,7 @@ object StateProbe {
     def docFlush(ts: String, id: Long) = spark.range(1).select(
       lit(id).as("doc_id"), lit(s"sentinel $id").as("text"),
       to_timestamp(lit(ts)).as("ts"))
-    val (dRows, dBytes, dAfter, _) = measure(docs,
+    val (dRows, dBytes, dAfter, _, dSecs) = measure(docs,
       Seq(docFlush("2026-01-01 00:00:00", -1L),
         docFlush("2026-01-01 00:00:01", -2L)))(
       st => Streaming.dedupStream(st, "ts", "30 days"))
@@ -107,8 +113,9 @@ object StateProbe {
     spark.stop()
     println(s"""{"sf":"${sfDir.split('/').last}","events":$nEv,""" +
       s""""session_state_rows_peak":$sRows,"session_state_bytes_peak":$sBytes,""" +
-      s""""session_state_rows_postflush":$sAfter,"docs":$nDocs,""" +
+      s""""session_state_rows_postflush":$sAfter,""" +
+      f""""session_secs":$sSecs%.1f,"docs":$nDocs,""" +
       s""""dedup_state_rows_peak":$dRows,"dedup_state_bytes_peak":$dBytes,""" +
-      s""""dedup_state_rows_postflush":$dAfter}""")
+      f""""dedup_state_rows_postflush":$dAfter,"dedup_secs":$dSecs%.1f}""")
   }
 }

@@ -154,6 +154,31 @@ emit("documents", f"""
                               * length('r' || r)) END AS n_chars
   FROM '{SRC}/documents.parquet', {R('documents')}""")
 
+# OPT-IN dynamic-fields table (GRAFT_XNODES=<values per node>, off by
+# default so the committed trend/decade recipes are byte-identical):
+# xnodes.parquet (xid, fields MAP<VARCHAR, VARCHAR[]>) loads as
+# /xnode/<xid> infotons whose predicates come from the data
+# (TableLoader's open-vocabulary path). The UNIFORM shape: every node
+# carries XN distinct predicates p000..p<XN-1>, one customer-reference
+# value each — XN*nodes quads spread evenly over XN predicates. The
+# skew twin (make_skew.py) emits the SAME entry count per node but
+# concentrates 95% under ONE predicate (the rdf:type hot-predicate
+# shape), so skew-vs-uniform isolates the predicate distribution at
+# equal quad counts.
+XN = int(os.environ.get("GRAFT_XNODES", "0"))
+if XN:
+    B_XNODE = 10_000
+    n_cust = B_CUST * factor_of("customer")
+    emit("xnodes", f"""
+      SELECT xid,
+             map_from_entries(list_transform(generate_series(0, {XN - 1}),
+               i -> struct_pack(
+                 k := 'p' || lpad(i::VARCHAR, 3, '0'),
+                 v := ['/customer/' || ((xid * {XN} + i) % {n_cust})])))
+               AS fields
+      FROM (SELECT unnest(generate_series(0,
+             {B_XNODE * factor_of('events') - 1})) AS xid)""")
+
 # cyclic rotation by r positions: element i of replica r is source
 # element (i + r) mod dim
 emit("embeddings", f"""

@@ -128,6 +128,36 @@ emit("documents", f"""
            AS n_chars
   FROM rep""")
 
+# HOT PREDICATE (round-16, VERDICT r15 task #5): the dynamic-fields
+# twin of make_sf1.py's GRAFT_XNODES emission. SAME node count and
+# SAME total entries per node as the uniform shape, but 95% of every
+# node's values sit under ONE predicate 'hotp' (the rdf:type shape:
+# one predicate owning the store's largest quad partition by a wide
+# margin), the rest under singleton predicates from the same pool.
+# Values keep the uniform customer-ref formula, so ONLY the predicate
+# distribution differs between twins. Opt-in via GRAFT_XNODES like the
+# uniform generator.
+XN = int(os.environ.get("GRAFT_XNODES", "0"))
+if XN:
+    B_XNODE = 10_000
+    HOT = (XN * 95) // 100
+    n_cust = B_CUST * FACTOR
+    emit("xnodes", f"""
+      SELECT xid,
+             map_from_entries(
+               [struct_pack(
+                  k := 'hotp',
+                  v := list_transform(generate_series(0, {HOT - 1}),
+                    i -> '/customer/' || ((xid * {XN} + i) % {n_cust})))]
+               || list_transform(generate_series({HOT}, {XN - 1}),
+                    i -> struct_pack(
+                      k := 'p' || lpad(i::VARCHAR, 3, '0'),
+                      v := ['/customer/' ||
+                            ((xid * {XN} + i) % {n_cust})])))
+               AS fields
+      FROM (SELECT unnest(generate_series(0, {B_XNODE * FACTOR - 1}))
+            AS xid)""")
+
 emit("embeddings", f"""
   SELECT vec_id + r * {B_VEC} AS vec_id,
          list_transform(generate_series(1, len(embedding)),
