@@ -1,0 +1,53 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PROBE-ONLY query for the PRODUCTION shape of embedding near-dup
+  * discovery — τ=0.9 through the corpus-adaptive LSH index (the
+  * regime the declared τ=0.4 demo deliberately is not: at τ=0.4 the
+  * recall-feasibility bound pins the plane count to 4 and LSH cost at
+  * fixed recall is Θ(n^(1+ρ)) by theory; at τ=0.9 the same corpus
+  * buckets ~250× harder and scales near-linearly — see
+  * [[Similarity.recallFeasibleK]]). Added to Bench under
+  * SPARK_GRAFT_ANNPROD=1 for the embeddings decade pillar; never part
+  * of the declared oracle surface (the gated sf dirs' corpora are too
+  * small to separate the regimes).
+  *
+  * Output mirrors q_dedup_embedding_lsh's grounded contract: exact
+  * τ=0.9 pairs on a bounded sample anchor precision (n_extra must be
+  * 0) and recall (n_miss / n_exact), while the LSH path itself runs
+  * over the FULL corpus — the measured quantity is ITS decade trend.
+  */
+object AnnProbe {
+
+  private val GroundCap = 2000L
+  private def groundSample(e: DataFrame): DataFrame = {
+    val n = e.count()
+    if (n <= GroundCap) e
+    else {
+      val stride = ((n + GroundCap - 1) / GroundCap).toInt
+      e.where(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+    }
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_emb_lsh_prod" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val g = groundSample(e)
+      // tables = 0: the theory-true joint (k, L) sizing — the shape a
+      // production index build uses
+      val lsh = Dedup.embeddingDupPairsLsh(e, tau = 0.9, tables = 0)
+        .select("v1", "v2")
+      val lshG = lsh
+        .join(g.select(col("vec_id").as("v1")), Seq("v1"), "left_semi")
+        .join(g.select(col("vec_id").as("v2")), Seq("v2"), "left_semi")
+      val exact = Dedup.embeddingDupPairs(g, tau = 0.9).select("v1", "v2")
+      val extra = lshG.join(exact, Seq("v1", "v2"), "left_anti")
+      val missed = exact.join(lshG, Seq("v1", "v2"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+        .crossJoin(missed.agg(count(lit(1)).as("n_miss")))
+    }))
+}

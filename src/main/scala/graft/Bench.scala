@@ -103,6 +103,8 @@ object Bench {
     // part of the declared oracle surface)
     val benchable = SparkEntry.queries ++
       (if (sys.env.contains("SPARK_GRAFT_XNODE")) XnodeProbe.all
+       else Map.empty) ++
+      (if (sys.env.contains("SPARK_GRAFT_ANNPROD")) AnnProbe.all
        else Map.empty)
     val selected0 = benchable.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

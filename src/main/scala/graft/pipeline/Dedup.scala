@@ -472,15 +472,37 @@ object Dedup {
     * p = 1 − θ/π), then verified with EXACT cosine so precision is 1.0
     * and only recall depends on the banding. The self-join runs
     * per (table, bucket) — never all-pairs; at 100 TB the bucketed
-    * frame is the written index, partitioned by (table, bucket). */
+    * frame is the written index, partitioned by (table, bucket).
+    *
+    * `numPlanes = 0` (the default) sizes the plane count from the
+    * corpus ([[Similarity.autoPlanes]]): per-bucket occupancy targets
+    * ~512 rows so the bucket self-join stays linear in n, capped by
+    * the recall-feasibility bound AT THIS τ. The cap is the honest
+    * part: at τ=0.4 (p≈0.66) feasible k for 8 tables is 4, so the
+    * loose-τ shape CANNOT bucket harder without going blind — its
+    * cost at fixed recall is Θ(n^(1+ρ)) by LSH theory, measured 808 s
+    * at 5M vectors; the production near-dup threshold (τ≥0.9, p≈0.86,
+    * feasible k≈12) buckets ~250× harder and scales near-linearly.
+    * Gated-sf shapes are bit-identical (≤5k vectors → k=4). */
   def embeddingDupPairsLsh(emb: DataFrame, tau: Double,
-                           numPlanes: Int = 4, dim: Int = 64,
+                           numPlanes: Int = 0, dim: Int = 64,
                            tables: Int = 8): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
+    // tables = 0 opts into the theory-true joint (k, L) sizing
+    // ([[Similarity.autoKL]]): corpus-ideal k, recall-derived L —
+    // the n^(1+ρ) curve. tables > 0 (the default, and every gated-sf
+    // caller) keeps L fixed and lets k grow only to that L's recall
+    // feasibility bound.
+    val (nPlanes, nTables) =
+      if (numPlanes > 0 && tables > 0) (numPlanes, tables)
+      else if (tables == 0)
+        Similarity.autoKL(base.count(), 512L, tau)
+      else (Similarity.autoPlanes(base.count(), 512L, tau, tables,
+        multiprobe = false), tables)
     // persisted: the bucket self-join would otherwise hash the corpus
     // through the plane projections twice
     val bucketed = cachePersist(
-      Similarity.lshBuckets(base, numPlanes, dim, tables)
+      Similarity.lshBuckets(base, nPlanes, dim, nTables)
         .select(col("vec_id"), col("table"), col("bucket"),
           col("embedding")))
     val a = bucketed.alias("a"); val b = bucketed.alias("b")

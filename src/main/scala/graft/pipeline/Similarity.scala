@@ -160,6 +160,83 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Per-plane agreement probability for a pair at cosine `c`:
+    * p = 1 − θ/π (Goemans–Williamson). The whole (k, L) sizing theory
+    * below rides on it. */
+  private def planeAgree(cos: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+
+  /** Largest plane count k whose L-table scheme still clears `target`
+    * recall for pairs at cosine `minCos`, optionally crediting the
+    * Hamming-1 multiprobe ball (the query path probes every one-bit
+    * flip, so per-table candidate probability is
+    * p^k + k·p^(k−1)·(1−p) instead of p^k). This is the RECALL
+    * FEASIBILITY BOUND of hyperplane LSH: growing k past it makes the
+    * index fast but blind — at loose thresholds (τ≈0.4, p≈0.66) the
+    * bound is k≈4 for 8 tables, which is WHY the loose-τ demo cannot
+    * be made sub-quadratic by bucketing alone (work at fixed recall is
+    * Θ(n^(1+ρ)), ρ = ln(1/p₁)/ln(1/p₂) — Indyk–Motwani); at the
+    * production near-dup threshold (τ≥0.9, p≈0.86) it sits at k≈12+
+    * and the same corpus buckets ~250× harder.
+    *
+    * The default target is 0.7, deliberately at the model's WORST
+    * CASE (every true pair at exactly cosine `minCos`); real pair
+    * sets sit above the threshold, so delivered recall runs higher —
+    * the historical (4 planes, 8 tables) τ=0.4 shape models at 0.71
+    * and measures 0.81 on the sf0.01 fixtures (EngineSpec). */
+  private[pipeline] def recallFeasibleK(minCos: Double, tables: Int,
+                                        multiprobe: Boolean,
+                                        target: Double = 0.7): Int = {
+    val p = planeAgree(minCos)
+    val need = 1.0 - math.pow(1.0 - target, 1.0 / tables)
+    def perTable(k: Int): Double =
+      if (multiprobe) math.pow(p, k) + k * math.pow(p, k - 1) * (1 - p)
+      else math.pow(p, k)
+    (1 to 48).takeWhile(perTable(_) >= need).lastOption.getOrElse(1)
+  }
+
+  /** Corpus-adaptive plane count: enough planes to hold per-bucket
+    * occupancy near `targetBucket` rows (bucketed work stays LINEAR in
+    * the corpus: fixed k means collision probability 2^-k is a
+    * CONSTANT, so candidate volume grows quadratically — measured at
+    * the third-decade embeddings probe: 5M vectors under k=4 spent
+    * 808 s verifying bucket pairs), capped by the recall-feasibility
+    * bound above (a fast index that misses its recall target is not an
+    * index). Floor 4 keeps every gated-sf shape bit-identical. */
+  private[pipeline] def autoPlanes(n: Long, targetBucket: Long,
+                                   minCos: Double, tables: Int,
+                                   multiprobe: Boolean): Int = {
+    val corpusK = math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+    math.max(1, math.min(corpusK,
+      recallFeasibleK(minCos, tables, multiprobe)))
+  }
+
+  /** Theory-true (k, L) sizing for a recall target: k is the
+    * corpus-ideal plane count (bounded bucket occupancy → candidate
+    * work stays Θ(n·targetBucket·L)), and L is the table count the
+    * recall demands at that k — L = ⌈ln(1−R)/ln(1−p₁^k)⌉, the inverse
+    * of 1−(1−p₁^k)^L ≥ R. This is the Indyk–Motwani shape: at fixed
+    * recall, total work grows as n^(1+ρ) through L, and no bucketing
+    * choice beats that exponent — the sizing just keeps the engine ON
+    * the theory curve instead of the quadratic fixed-k curve. L is
+    * capped (each table is a written copy of the index at 100 TB);
+    * k steps down until the cap holds. */
+  private[pipeline] def autoKL(n: Long, targetBucket: Long, minCos: Double,
+                               target: Double = 0.7,
+                               maxTables: Int = 64): (Int, Int) = {
+    val p1 = planeAgree(minCos)
+    def tablesFor(k: Int): Int = {
+      val hit = math.pow(p1, k)
+      if (hit >= target) 1
+      else math.ceil(math.log(1 - target) / math.log(1 - hit)).toInt
+    }
+    var k = math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+    while (k > 1 && tablesFor(k) > maxTables) k -= 1
+    (k, math.max(1, tablesFor(k)))
+  }
+
   /** Deterministic random hyperplanes (seeded per table — no trained
     * state to ship). */
   private def planes(table: Int, numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
@@ -210,24 +287,39 @@ object Similarity {
     * wrong side of ONE hyperplane is recovered without another table —
     * probing 1+k buckets per table buys roughly the recall of several
     * extra tables at zero index-space cost (the big lever when the
-    * index is written storage: L tables = L copies of the corpus). */
+    * index is written storage: L tables = L copies of the corpus).
+    *
+    * `numPlanes = 0` (the default) sizes the plane count from the
+    * corpus via [[autoPlanes]]: per-bucket occupancy targets ~2048
+    * rows so candidate work stays linear in n, capped by the recall-
+    * feasibility bound at `minCos` contrast (0.35 = the synthetic
+    * corpus's exact-top-5 cosine — the adversarial low-contrast case).
+    * `probes = 0` then probes the full Hamming-1 ball (k+1 buckets per
+    * table, the recall the feasibility model credits). At the gated
+    * sfs (≤5k vectors) auto resolves to the historical (4 planes,
+    * 5 probes) exactly. */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-              numPlanes: Int = 4, dim: Int = 64,
-              tables: Int = 6, probes: Int = 5): DataFrame = {
+              numPlanes: Int = 0, dim: Int = 64,
+              tables: Int = 6, probes: Int = 0,
+              minCos: Double = 0.35): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
-    val bucketed = lshBuckets(base, numPlanes, dim, tables)
+    val nPlanes =
+      if (numPlanes > 0) numPlanes
+      else autoPlanes(base.count(), 2048L, minCos, tables, multiprobe = true)
+    val nProbes = if (probes > 0) probes else nPlanes + 1
+    val bucketed = lshBuckets(base, nPlanes, dim, tables)
       .select(col("vec_id"), col("table"), col("bucket"), col("embedding"))
     val queries0 = bucketed
       .where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("table").as("qt"),
         col("bucket").as("qb"), col("embedding").as("qe"))
     val probed =
-      if (probes <= 1) queries0
+      if (nProbes <= 1) queries0
       else {
         // the query's own bucket plus its (probes-1) one-bit flips;
         // only the query side fans out — the indexed side is untouched
         val alts = col("qb") +:
-          (0 until math.min(probes - 1, numPlanes)).map(j =>
+          (0 until math.min(nProbes - 1, nPlanes)).map(j =>
             col("qb").bitwiseXOR(lit(1L << j)))
         queries0.select(col("query_id"), col("qt"),
           explode(array(alts: _*)).as("qb"), col("qe"))
