@@ -119,7 +119,8 @@ object Plans {
       "q_purge",              // purge-all/purge-history read-back over tombstones
       "q_sessionize_skew",    // hot-user session windows (Zipf twin fixture)
       "q_dedup_jaccard_skew", // hot-shingle PPJoin (rarity prefix holds under skew)
-      "q_asof_forward")       // running last() carry over the reversed sort (O(rows))
+      "q_asof_forward",       // running last() carry over the reversed sort (O(rows))
+      "q_merge_recover")      // roll-forward read-back after the simulated kill window
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.Plans` against `$sfDir`. ")
@@ -164,6 +165,41 @@ executor heap — past ~10M rows/executor set
 with changelog checkpointing, same semantics). The BOUND is
 provider-independent; the provider only decides where the
 bounded rows live.
+
+## LSH sizing at scale (round 16)
+
+Hyperplane-LSH plane counts are corpus-adaptive
+(`Similarity.autoPlanes`/`autoKL`): fixed k makes bucket
+collision probability a constant (2^-k), so candidate volume
+grows quadratically — the third-decade embeddings probe
+measured 808 s at 5M vectors under the fixed 4-plane demo
+shape. Auto-k targets constant bucket occupancy (candidate
+work linear in n) but is CAPPED by the recall-feasibility
+bound of the (τ, L) scheme: at τ=0.4 (per-plane agreement
+p≈0.63) feasible k for 8 tables is 4 — the loose-τ demo
+cannot bucket harder without going blind, and its cost at
+fixed recall is Θ(n^(1+ρ)) by LSH theory (Indyk–Motwani),
+ρ = ln(1/p₁)/ln(1/p₂). At the production near-dup threshold
+(τ≥0.9, p≈0.86) feasible k is 12+, and `tables = 0` opts
+into the joint (k, L) sizing: corpus-ideal k, L =
+⌈ln(1−R)/ln(1−p₁^k)⌉ tables — the engine stays ON the theory
+curve instead of the quadratic fixed-k curve. Gated-sf
+corpora resolve to the historical (4, 8) shape bit-for-bit
+(LshSizingSpec).
+
+## Hot predicate / dynamic fields (round 16)
+
+`xnodes.parquet` (optional, generator-emitted) loads as
+/xnode/<xid> infotons whose predicates come from the DATA —
+the open-vocabulary infoton shape, and the lever for planting
+an rdf:type-style hot predicate owning the store's largest
+quad partition. The quad layout partitions by predicate, so
+queries over OTHER predicates prune past the hot partition
+entirely (their skew ratios stay ~1), a full-pool alternation
+compiles to ONE isin scan (XnodeProbe x_hot_alt), and a
+variable-predicate pattern groups BY the skewed key under
+partial aggregation (x_hot_group). Committed evidence:
+bench_skew.json hot-predicate rows.
 """)
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
