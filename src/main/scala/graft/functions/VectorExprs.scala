@@ -180,6 +180,12 @@ object VectorExprs {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Column-level multi-table LSH signatures (see [[LshSignatures]]). */
+  def lshSignatures(v: Column, planes: Array[Array[Double]],
+                    tables: Int, planesPerTable: Int): Column =
+    ColumnBridge.column(LshSignatures(
+      ColumnBridge.expression(v), planes, tables, planesPerTable))
+
   /** Column-level k-centroid argmin (see [[CentroidArgmin]]). */
   def centroidArgmin(v: Column, cents: Array[Array[Double]]): Column = {
     val cc = cents.map { c =>
@@ -213,6 +219,119 @@ object VectorExprs {
   * index-ordered doubles, exactly [[DotProduct]]'s order; `cc` is
   * precomputed on the driver with the same left-fold, so literal,
   * join and argmin paths agree bit-for-bit. */
+/** ALL (table, plane) sign-bit LSH signatures in ONE in-row loop:
+  * returns array<long> of length `tables`, element t = the table's
+  * bucket id (bit j set ⇔ planes(t·planesPerTable + j) · v ≥ 0).
+  *
+  * Why one expression and not tables×planes [[DotProduct]] columns:
+  * each dot is its own 64-iteration generated loop, and 56 of them
+  * (8 tables × 7 planes) inline into a single whole-stage method past
+  * the JIT's ~8 KB compile limit — the stage silently runs as
+  * INTERPRETED bytecode (measured: 8 dot columns over 50k rows =
+  * 0.5 s, 56 dots = 26.8 s — 100× off linear). Here the plane matrix
+  * rides along as one reference object and the generated code is a
+  * fixed-size nested loop — one plan node and a JIT-compilable method
+  * at any (k, L), the same pattern as [[CentroidArgmin]].
+  *
+  * Bit semantics are exactly the historical per-plane column fold:
+  * same plane order, same `≥ 0` test, bit j = 1L << j — gated-sf
+  * bucket ids are bit-identical (pinned by EngineSpec's LSH recall
+  * numbers). */
+case class LshSignatures(child: Expression,
+                         planes: Array[Array[Double]],
+                         tables: Int, planesPerTable: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "lsh_signatures"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      if (planes.length == tables * planesPerTable)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: ${planes.length} planes != $tables tables × " +
+          s"$planesPerTable planes/table")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val fl = isFloat
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L; var j = 0
+      while (j < planesPerTable) {
+        val p = planes(t * planesPerTable + j)
+        if (p.length != n) throw new IllegalArgumentException(
+          s"$prettyName: vector dim $n vs plane dim ${p.length}")
+        var d = 0.0; var i = 0
+        while (i < n) {
+          if (arr.isNullAt(i)) throw new IllegalArgumentException(
+            s"$prettyName: null element at index $i")
+          d += p(i) * (if (fl) arr.getFloat(i).toDouble else arr.getDouble(i))
+          i += 1
+        }
+        if (d >= 0) sig |= 1L << j
+        j += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val get = if (isFloat) "(double)%V%.getFloat(%I%)" else "%V%.getDouble(%I%)"
+    nullSafeCodeGen(ctx, ev, v => {
+      val ps = ctx.addReferenceObj("planes", planes, "double[][]")
+      val n = ctx.freshName("n"); val t = ctx.freshName("t")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val p = ctx.freshName("p")
+      val sig = ctx.freshName("sig"); val sigs = ctx.freshName("sigs")
+      val elem = get.replace("%V%", v).replace("%I%", i)
+      s"""
+        |int $n = $v.numElements();
+        |long[] $sigs = new long[$tables];
+        |for (int $t = 0; $t < $tables; $t++) {
+        |  long $sig = 0L;
+        |  for (int $j = 0; $j < $planesPerTable; $j++) {
+        |    double[] $p = $ps[$t * $planesPerTable + $j];
+        |    if ($p.length != $n) {
+        |      throw new IllegalArgumentException("$prettyName: vector dim "
+        |        + $n + " vs plane dim " + $p.length);
+        |    }
+        |    double $d = 0.0;
+        |    for (int $i = 0; $i < $n; $i++) {
+        |      if ($v.isNullAt($i)) {
+        |        throw new IllegalArgumentException(
+        |          "$prettyName: null element at index " + $i);
+        |      }
+        |      $d += $p[$i] * ($elem);
+        |    }
+        |    if ($d >= 0) $sig |= 1L << $j;
+        |  }
+        |  $sigs[$t] = $sig;
+        |}
+        |${ev.value} =
+        |  new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 case class CentroidArgmin(child: Expression,
                           cents: Array[Array[Double]],
                           cc: Array[Double])

@@ -255,25 +255,23 @@ object Similarity {
     * ≈ 0.35); the L-table union is what makes hyperplane LSH usable. */
   def lshBuckets(emb: DataFrame, numPlanes: Int, dim: Int,
                  tables: Int = 1): DataFrame = {
-    val tableBuckets = (0 until tables).map { t =>
-      val bucket = planes(t, numPlanes, dim).zipWithIndex.map { case (p, i) =>
-        // native vec_dot against the plane literal: ONE expression
-        // node per plane — an unrolled getItem tree across
-        // tables × planes × dim overflows codegen method limits and
-        // reverts the projection to interpreted eval
-        val planeDot = graft.functions.VectorExprs.dot(
-          col("embedding"), array(p.map(lit): _*))
-        when(planeDot >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
-    // tables × planes native dots per row — compute-dense (see
-    // computeParallel: a single-split corpus would hash in one task)
+    // ALL tables×planes signatures in ONE native expression
+    // ([[graft.functions.LshSignatures]]): per-plane vec_dot columns
+    // were one generated 64-iteration loop EACH, and past ~10 of them
+    // the inlined whole-stage method exceeds the JIT's compile limit —
+    // the projection silently runs interpreted (measured 100× off
+    // linear at 56 dots, the very first corpus-adaptive sizing). The
+    // plane matrix rides as a single reference object; posexplode
+    // yields (table = array position, bucket = signature), exactly
+    // the historical (table, bucket) pairs bit-for-bit.
+    val mat: Array[Array[Double]] = (0 until tables).iterator
+      .flatMap(t => planes(t, numPlanes, dim)).map(_.toArray).toArray
+    val sigs = graft.functions.VectorExprs.lshSignatures(
+      col("embedding"), mat, tables, numPlanes)
+    // compute-dense hashing (see computeParallel: a single-split
+    // corpus would hash in one task)
     computeParallel(emb)
-      .select(col("*"), explode(array(tableBuckets: _*)).as("tb"))
-      .withColumn("table", col("tb.table"))
-      .withColumn("bucket", col("tb.bucket"))
-      .drop("tb")
+      .select(col("*"), posexplode(sigs).as(Seq("table", "bucket")))
   }
 
   /** Bucketed ANN top-k: exact cosine ranking restricted to the union
