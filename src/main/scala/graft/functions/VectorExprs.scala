@@ -186,6 +186,23 @@ object VectorExprs {
     ColumnBridge.column(LshSignatures(
       ColumnBridge.expression(v), planes, tables, planesPerTable))
 
+  /** Column-level matrix × vector (see [[MatVec]]). */
+  def matVec(v: Column, mat: Array[Array[Double]]): Column =
+    ColumnBridge.column(MatVec(ColumnBridge.expression(v), mat))
+
+  /** Column-level PQ encoding (see [[PqEncode]]). */
+  def pqEncode(nv: Column, books: Array[Array[Array[Double]]],
+               dsub: Int): Column = {
+    val halfCC = books.map(_.map(c => c.map(x => x * x).sum / 2.0))
+    ColumnBridge.column(PqEncode(
+      ColumnBridge.expression(nv), books, halfCC, dsub))
+  }
+
+  /** Column-level ADC sum (see [[PqAdc]]). */
+  def pqAdc(codes: Column, lut: Column): Column =
+    ColumnBridge.column(PqAdc(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
+
   /** Column-level k-centroid argmin (see [[CentroidArgmin]]). */
   def centroidArgmin(v: Column, cents: Array[Array[Double]]): Column = {
     val cc = cents.map { c =>
@@ -330,6 +347,224 @@ case class LshSignatures(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+/** Matrix × vector in ONE in-row loop: returns array<double> of
+  * length `mat.length`, element j = mat(j) · v with [[DotProduct]]'s
+  * index-ascending accumulation. Same JIT rationale as
+  * [[LshSignatures]]: per-row-of-the-matrix DotProduct COLUMNS each
+  * generate their own loop and a 32-row projection (the JL sketch)
+  * blows the whole-stage method past the JIT compile limit into
+  * interpreted bytecode; here the matrix is one reference object and
+  * the generated code is a fixed nested loop at any shape. */
+case class MatVec(child: Expression, mat: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "mat_vec"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val fl = isFloat
+    val out = new Array[Double](mat.length)
+    var j = 0
+    while (j < mat.length) {
+      val r = mat(j)
+      if (r.length != n) throw new IllegalArgumentException(
+        s"$prettyName: vector dim $n vs matrix row dim ${r.length}")
+      var d = 0.0; var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i")
+        d += (if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)) * r(i)
+        i += 1
+      }
+      out(j) = d
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "(double)%V%.getFloat(%I%)" else "%V%.getDouble(%I%)"
+    nullSafeCodeGen(ctx, ev, v => {
+      val ms = ctx.addReferenceObj("mat", mat, "double[][]")
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val r = ctx.freshName("r"); val out = ctx.freshName("out")
+      val elem = get.replace("%V%", v).replace("%I%", i)
+      s"""
+        |int $n = $v.numElements();
+        |double[] $out = new double[$ms.length];
+        |for (int $j = 0; $j < $ms.length; $j++) {
+        |  double[] $r = $ms[$j];
+        |  if ($r.length != $n) {
+        |    throw new IllegalArgumentException("$prettyName: vector dim "
+        |      + $n + " vs matrix row dim " + $r.length);
+        |  }
+        |  double $d = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($v.isNullAt($i)) {
+        |      throw new IllegalArgumentException(
+        |        "$prettyName: null element at index " + $i);
+        |    }
+        |    $d += ($elem) * $r[$i];
+        |  }
+        |  $out[$j] = $d;
+        |}
+        |${ev.value} =
+        |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** PQ sub-codes for all `m` subspaces in ONE in-row loop: code j =
+  * argmin over the subspace's codebook of ‖sub − c‖², computed as
+  * halfCC(j)(c) − sub·c (halfCC = Σc²/2 precomputed on the driver),
+  * strict-less argmin so ties keep the LOWEST code — bit-for-bit the
+  * negated-struct-sort column formulation it replaces (whose
+  * m×ksub inlined dot loops and struct sorts blew the JIT method
+  * limit, the [[LshSignatures]] disease). Subspace j reads elements
+  * [j·dsub, (j+1)·dsub) of the normalized vector. */
+case class PqEncode(child: Expression,
+                    books: Array[Array[Array[Double]]],
+                    halfCC: Array[Array[Double]], dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<double> (normalized), got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = books.length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j); val hcc = halfCC(j)
+      var best = Double.PositiveInfinity; var bestC = -1; var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0; var i = 0
+        while (i < dsub) {
+          d += arr.getDouble(j * dsub + i) * cent(i); i += 1
+        }
+        val nd = hcc(c) - d
+        if (nd < best) { best = nd; bestC = c }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val bs = ctx.addReferenceObj("books", books, "double[][][]")
+      val hs = ctx.addReferenceObj("halfCC", halfCC, "double[][]")
+      val m = ctx.freshName("m"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val nd = ctx.freshName("nd")
+      val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
+      val out = ctx.freshName("out"); val cent = ctx.freshName("cent")
+      s"""
+        |int $m = $bs.length;
+        |int[] $out = new int[$m];
+        |for (int $j = 0; $j < $m; $j++) {
+        |  double $best = Double.POSITIVE_INFINITY;
+        |  int $bestC = -1;
+        |  for (int $c = 0; $c < $bs[$j].length; $c++) {
+        |    double[] $cent = $bs[$j][$c];
+        |    double $d = 0.0;
+        |    for (int $i = 0; $i < $dsub; $i++) {
+        |      $d += $v.getDouble($j * $dsub + $i) * $cent[$i];
+        |    }
+        |    double $nd = $hs[$j][$c] - $d;
+        |    if ($nd < $best) { $best = $nd; $bestC = $c; }
+        |  }
+        |  $out[$j] = $bestC;
+        |}
+        |${ev.value} =
+        |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** ADC score: Σⱼ lut(j)(codes(j)) — the PQ scan's per-candidate sum
+  * of table lookups, as a tight generated loop over two array COLUMNS
+  * (codes from the scan, the query's lookup table from the broadcast
+  * row). Replaces an `aggregate(zip_with(...))` pair of higher-order
+  * functions that evaluate interpreted per element on every
+  * (candidate × query) row. Left-fold order is j ascending, exactly
+  * the HOF's. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<int>, array<array<double>>), got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    var acc = 0.0; var j = 0
+    val m = codes.numElements()
+    while (j < m) {
+      acc += lut.getArray(j).getDouble(codes.getInt(j)); j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cs, lut) => {
+      val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
+      s"""
+        |double $acc = 0.0;
+        |for (int $j = 0; $j < $cs.numElements(); $j++) {
+        |  $acc += $lut.getArray($j).getDouble($cs.getInt($j));
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class CentroidArgmin(child: Expression,

@@ -770,10 +770,12 @@ object Similarity {
   def rpTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
              rdim: Int = 32, dim: Int = 64, cand: Int = 200,
              seed: Long = 20260814L): DataFrame = {
+    // ONE MatVec node, not rdim per-row DotProduct columns: 32 inlined
+    // dot loops blow the whole-stage method past the JIT compile limit
+    // (the LshSignatures disease — measured 100× off linear)
     val mat = rpMatrix(rdim, dim, seed)
     def reduced(v: Column): Column =
-      array(mat.map(r => graft.functions.VectorExprs.dot(
-        v, array(r.map(lit): _*))): _*)
+      graft.functions.VectorExprs.matVec(v, mat.map(_.toArray).toArray)
     val base = emb.select(col("vec_id"), col("embedding"))
     val idx = base.select(col("vec_id"), reduced(col("embedding")).as("rv"))
     val queries = broadcast(idx.where(col("vec_id").isin(queryIds: _*))
@@ -889,19 +891,13 @@ object Similarity {
       }
     })
     // encode in-row: per subspace the nearest centroid by L2 =
-    // argmin(c·c/2 − sub·c); negated-struct sort, lowest code on ties
-    def codeOf(j: Int): Column = {
-      val sub = slice(col("nv"), j * dsub + 1, dsub)
-      val scored = books(j).zipWithIndex.map { case (c, i) =>
-        struct((lit(c.map(x => x * x).sum / 2.0) -
-          dotFixed(sub, array(c.map(lit): _*))).as("nd"),
-          lit(i).as("code"))
-      }
-      element_at(sort_array(array(scored.toIndexedSeq: _*)), 1)
-        .getField("code")
-    }
+    // argmin(c·c/2 − sub·c), ties to the lowest code — ONE PqEncode
+    // node for all m subspaces (the former per-subspace negated-
+    // struct sorts carried m×ksub inlined dot loops past the JIT
+    // method limit, the LshSignatures disease)
     val coded = nrm.select(col("vec_id"),
-      array((0 until m).map(codeOf): _*).as("codes"))
+      graft.functions.VectorExprs.pqEncode(col("nv"), books, dsub)
+        .as("codes"))
     // ADC lookup tables for the bounded probe set (driver-side dots
     // over the normalized queries — cosine ≈ Σ_j lut[j][code_j])
     val qVecs = nrm.where(col("vec_id").isin(queryIds: _*))
@@ -914,10 +910,11 @@ object Similarity {
       })
     }
     val queries = broadcast(luts.toDF("query_id", "lut"))
-    val approx = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-        (c, j) => element_at(element_at(col("lut"), j + 1), c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // tight generated loop over the two array columns — the
+    // aggregate(zip_with(...)) HOF pair evaluates interpreted per
+    // element on every (candidate × query) row; same left-fold order
+    val approx = graft.functions.VectorExprs.pqAdc(
+      col("codes"), col("lut"))
     val wCand = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val candidates = coded.join(queries, col("vec_id") =!= col("query_id"))
@@ -957,11 +954,11 @@ object Similarity {
     (0 until c).map(j => (0 until pc.numRows).map(i => pc(i, j)))
   }
 
-  /** Project onto components (c native-dot expression nodes — a pure
-    * scan-speed projection). */
+  /** Project onto components — ONE MatVec node at any component count
+    * (per-component dot columns hit the JIT method limit past ~10,
+    * the LshSignatures disease). */
   def pcaProject(v: Column, comps: Seq[Seq[Double]]): Column =
-    array(comps.map(w => graft.functions.VectorExprs.dot(
-      v, array(w.map(lit): _*))): _*)
+    graft.functions.VectorExprs.matVec(v, comps.map(_.toArray).toArray)
 
   /** Grounded PCA check row (the declared-query contract for a
     * trained artifact the oracle can't re-derive — same pattern as
