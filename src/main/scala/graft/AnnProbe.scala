@@ -46,8 +46,13 @@ object AnnProbe {
       val exact = Dedup.embeddingDupPairs(g, tau = 0.9).select("v1", "v2")
       val extra = lshG.join(exact, Seq("v1", "v2"), "left_anti")
       val missed = exact.join(lshG, Seq("v1", "v2"), "left_anti")
+      // n_pairs_full forces the UNRESTRICTED mining path: the sample
+      // semi-joins above let Catalyst push the 2000-id filter into
+      // both sides of the bucket self-join, so without this column
+      // the row would measure only index build + sample verify
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
         .crossJoin(missed.agg(count(lit(1)).as("n_miss")))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_pairs_full")))
     }))
 }
