@@ -203,6 +203,11 @@ object VectorExprs {
     ColumnBridge.column(PqAdc(
       ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
 
+  /** Column-level top-n centroid ids (see [[CentroidTopN]]). */
+  def centroidTopN(v: Column, cents: Array[Array[Double]], n: Int): Column =
+    ColumnBridge.column(CentroidTopN(
+      ColumnBridge.expression(v), cents, n))
+
   /** Column-level k-centroid argmin (see [[CentroidArgmin]]). */
   def centroidArgmin(v: Column, cents: Array[Array[Double]]): Column = {
     val cc = cents.map { c =>
@@ -512,6 +517,113 @@ case class PqEncode(child: Expression,
         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Top-`n` centroids by dot similarity in ONE in-row loop: returns
+  * array<int> of the n best centroid ids, dot DESCENDING with ties to
+  * the LOWEST id — bit-for-bit the negated-struct `sort_array` ranking
+  * it replaces (whose per-centroid literal dot structs stop being
+  * codegen-able past ~10 centroids, the [[LshSignatures]] disease —
+  * and corpus-adaptive IVF wants hundreds of cells). Insertion sort
+  * into an n-slot window: candidates iterate id-ascending and replace
+  * only on STRICTLY greater dot, so equal dots keep the earlier id. */
+case class CentroidTopN(child: Expression,
+                        cents: Array[Array[Double]], n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "centroid_topn"
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      if (n >= 1 && n <= cents.length) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: n=$n out of range for ${cents.length} centroids")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val fl = isFloat
+    val bestD = Array.fill(n)(Double.NegativeInfinity)
+    val bestC = Array.fill(n)(-1)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length != dim) throw new IllegalArgumentException(
+        s"$prettyName: vector dim $dim vs centroid dim ${cent.length}")
+      var d = 0.0; var i = 0
+      while (i < dim) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i")
+        d += (if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)) * cent(i)
+        i += 1
+      }
+      if (d > bestD(n - 1)) {
+        var p = n - 1
+        while (p > 0 && d > bestD(p - 1)) {
+          bestD(p) = bestD(p - 1); bestC(p) = bestC(p - 1); p -= 1
+        }
+        bestD(p) = d; bestC(p) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestC)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "(double)%V%.getFloat(%I%)" else "%V%.getDouble(%I%)"
+    nullSafeCodeGen(ctx, ev, v => {
+      val cs = ctx.addReferenceObj("cents", cents, "double[][]")
+      val dim = ctx.freshName("dim"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val p = ctx.freshName("p"); val cent = ctx.freshName("cent")
+      val bestD = ctx.freshName("bestD"); val bestC = ctx.freshName("bestC")
+      val elem = get.replace("%V%", v).replace("%I%", i)
+      s"""
+        |int $dim = $v.numElements();
+        |double[] $bestD = new double[$n];
+        |int[] $bestC = new int[$n];
+        |java.util.Arrays.fill($bestD, Double.NEGATIVE_INFINITY);
+        |java.util.Arrays.fill($bestC, -1);
+        |for (int $c = 0; $c < $cs.length; $c++) {
+        |  double[] $cent = $cs[$c];
+        |  if ($cent.length != $dim) {
+        |    throw new IllegalArgumentException("$prettyName: vector dim "
+        |      + $dim + " vs centroid dim " + $cent.length);
+        |  }
+        |  double $d = 0.0;
+        |  for (int $i = 0; $i < $dim; $i++) {
+        |    if ($v.isNullAt($i)) {
+        |      throw new IllegalArgumentException(
+        |        "$prettyName: null element at index " + $i);
+        |    }
+        |    $d += ($elem) * $cent[$i];
+        |  }
+        |  if ($d > $bestD[$n - 1]) {
+        |    int $p = $n - 1;
+        |    while ($p > 0 && $d > $bestD[$p - 1]) {
+        |      $bestD[$p] = $bestD[$p - 1]; $bestC[$p] = $bestC[$p - 1]; $p--;
+        |    }
+        |    $bestD[$p] = $d; $bestC[$p] = $c;
+        |  }
+        |}
+        |${ev.value} =
+        |  new org.apache.spark.sql.catalyst.util.GenericArrayData($bestC);
+      """.stripMargin
+    })
+  }
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

@@ -549,11 +549,29 @@ object Similarity {
   }
 
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-              nlist: Int = 16, nprobe: Int = 8,
+              nlist: Int = 0, nprobe: Int = 0,
               assign: Int = 2, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val base = emb.select(col("vec_id"), col("embedding"))
+    // `nlist = 0` (the default) sizes the cell count from the corpus:
+    // a FIXED nlist=16 with nprobe=8 scans 50% of the corpus per
+    // query — a constant-factor "index", the same non-scaling shape
+    // the LSH fixed-k defect had. The faiss recipe is nlist ≈ √n;
+    // auto uses the next power of two, capped at 1024 (the bounded
+    // 64k-sample fit keeps ≥64 points per cell there), with nprobe =
+    // nlist/16 — a 6% scan fraction at the cap. Corpora ≤64k rows
+    // keep the historical (16, 8) exactly, so every gated sf (and the
+    // f10 decade base) is bit-identical.
+    val nL =
+      if (nlist > 0) nlist
+      else {
+        val n = base.count()
+        if (n <= 65536) 16
+        else math.min(1024, Integer.highestOneBit(
+          math.ceil(math.sqrt(n.toDouble)).toInt - 1) * 2)
+      }
+    val nP = if (nprobe > 0) nprobe else math.max(8, nL / 16)
     // 128-bit canonical-plan key (a 32-bit hash could silently hand a
     // colliding corpus another corpus's quantizer); bounded so a
     // long-lived session over many corpora can't grow without limit.
@@ -573,8 +591,8 @@ object Similarity {
     // in-memory corpus at a new dimension can't hit stale centroids
     val ckKey = ck.getOrElse(s"dim=${dimProbe(base)}")
     val cents = quantizers.computeIfAbsent(
-      (planKey, ckKey, nlist, seed), { _ =>
-      diskArtifact(ck, s"ivf_${planKey}_${nlist}_$seed",
+      (planKey, ckKey, nL, seed), { _ =>
+      diskArtifact(ck, s"ivf_${planKey}_${nL}_$seed",
                    writeMat, readMat) {
         // the quantizer trains on a BOUNDED SAMPLE of normalized vectors
         // (angular cells; cell rank per vector is scale-invariant, so
@@ -586,26 +604,20 @@ object Similarity {
         // boundary noise that spill assignment already absorbs.
         val fit = base.limit(64 * 1024)
           .select(array_to_vector(normalized(col("embedding"))).as("fv"))
-        new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+        new KMeans().setK(nL).setSeed(seed).setMaxIter(10)
           .setFeaturesCol("fv").setPredictionCol("cell")
           .fit(fit).clusterCenters.map(_.toArray)
       }
     })
-    val centroids = cents.map(_.toSeq)
-    /** Top-`n` cells for a vector, computed IN-ROW: similarity to each
-      * centroid as native-dot literals (the quantizer is driver-tiny
-      * and ships inside the plan), negated so the struct's natural
-      * ascending sort ranks best-first, then slice. No explode×nlist
-      * of the embedding column, no row_number window — the old
-      * window formulation shuffled every embedding nlist times. */
-    def topCellsArr(vec: Column, n: Int): Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        struct((-dotFixed(vec, array(c.map(lit): _*))).as("nsim"),
-          lit(i).as("cell"))
-      }
-      transform(slice(sort_array(array(scored: _*)), 1, n),
-        _.getField("cell"))
-    }
+    // Top-`n` cells for a vector, computed IN-ROW via ONE native
+    // CentroidTopN node (the quantizer rides as a reference object):
+    // the former per-centroid literal dot structs + sort_array stop
+    // being codegen-able past ~10 centroids — the LshSignatures
+    // disease — and corpus-adaptive nlist reaches 1024. Ranking is
+    // bit-identical (dot descending, ties to the lowest cell). No
+    // explode×nlist of the embedding column, no row_number window.
+    def topCellsArr(vec: Column, n: Int): Column =
+      graft.functions.VectorExprs.centroidTopN(vec, cents, n)
     // SPILL ASSIGNMENT: each vector is indexed in its `assign` nearest
     // cells, the corpus-side analog of query multi-probe — a neighbor
     // just across a cell boundary stays findable. Index grows by
@@ -616,7 +628,7 @@ object Similarity {
       explode(topCellsArr(col("embedding"), assign)).as("cell"))
     val topCells = base.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(topCellsArr(col("embedding"), nprobe)).as("cell"))
+        explode(topCellsArr(col("embedding"), nP)).as("cell"))
     val scored = assigned.join(broadcast(topCells), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
