@@ -32,14 +32,43 @@ object AnnProbe {
     }
   }
 
+  /** The synthetic corpus carries NO pairs above cosine ~0.51 (its
+    * near-dups are deliberately loose), so a τ=0.9 truth set would be
+    * EMPTY and the recall contract vacuous. The probe therefore
+    * PLANTS one true near-dup per grounded-sample vector: a
+    * deterministic ±30% per-dimension sign scaling (cosine ≈
+    * 1/√1.09 ≈ 0.958 to its source — the realistic
+    * almost-identical-duplicate shape) at vec_id + 10¹², appended to
+    * both the corpus and the grounding sample. n_exact then equals
+    * the planted-pair count and n_miss measures the index's real
+    * recall at the production threshold. */
+  private val PlantBase = 1000000000000L
+  private def plantDups(sample: DataFrame): DataFrame =
+    sample.select((col("vec_id") + lit(PlantBase)).as("vec_id"),
+      zip_with(col("embedding"),
+        sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => (x * (lit(1.0) + lit(0.3) *
+          when(pmod(xxhash64(col("vec_id") * 97 + i), lit(2)) === 0, 1.0)
+            .otherwise(-1.0))).cast("float")).as("embedding"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_emb_lsh_prod" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val g = groundSample(e)
+      val e0 = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val g0 = groundSample(e0)
+      val planted = plantDups(g0)
+      val e = e0.unionByName(planted)
+      val g = g0.unionByName(planted)
       // tables = 0: the theory-true joint (k, L) sizing — the shape a
-      // production index build uses
+      // production index build uses. The pair OUTPUT is tiny (true
+      // near-dups only) but the mining pass behind it shuffles the
+      // whole bucketed corpus — and this probe consumes the pair set
+      // THREE times (precision anti-join, recall anti-join, full
+      // count). localCheckpoint materializes one mining pass; without
+      // it the three consumers ran three concurrent corpus shuffles
+      // (measured: ENOSPC at 5M vectors on a 49 GB-free volume).
       val lsh = Dedup.embeddingDupPairsLsh(e, tau = 0.9, tables = 0)
-        .select("v1", "v2")
+        .select("v1", "v2").localCheckpoint(true)
       val lshG = lsh
         .join(g.select(col("vec_id").as("v1")), Seq("v1"), "left_semi")
         .join(g.select(col("vec_id").as("v2")), Seq("v2"), "left_semi")

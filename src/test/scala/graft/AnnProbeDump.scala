@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object AnnProbeDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { dir =>
+      val row = AnnProbe.all("x_dedup_emb_lsh_prod")(spark, dir).head()
+      println(s"[annprobe] $dir n_exact=${row.getLong(0)} " +
+        s"n_extra=${row.getLong(1)} n_miss=${row.getLong(2)} " +
+        s"n_pairs_full=${row.getLong(3)}")
+    }
+    spark.stop()
+  }
+}
