@@ -70,6 +70,49 @@ object StreamQueries {
     liveSinks.clear()
   }
 
+  /** Cleaner reaping is GC-DRIVEN: in a long-lived session that
+    * rarely collects, unreachable sinks can pile up on disk until
+    * shutdown. This opportunistic drain (invoked at every
+    * [[throughStream]] entry) bounds that: once the live sinks hold
+    * more than `SinkDiskSoftLimit` bytes it requests a GC so the
+    * Cleaner can run its registered actions — only sinks whose plan
+    * objects are genuinely unreachable are freed, so frames the
+    * caller still holds stay valid (a hard delete-past-threshold
+    * would violate exactly the reachability contract the Cleaner
+    * exists for). Bulk consumers that need DETERMINISTIC space reuse
+    * call [[drainAllSinks]] at a point where no stream result is
+    * still held. */
+  private val SinkDiskSoftLimit: Long =
+    sys.env.get("SPARK_GRAFT_STREAM_SINK_SOFT_LIMIT_BYTES")
+      .map(_.toLong).getOrElse(2L * 1024 * 1024 * 1024)
+  private def dirBytes(d: String): Long = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum
+    catch { case _: Exception => 0L } finally s.close()
+  }
+  private def drainIfOverSoftLimit(): Unit = {
+    val held = liveSinks.toArray(Array.empty[String]).map(dirBytes).sum
+    if (held > SinkDiskSoftLimit) {
+      System.gc() // lets the Cleaner reap sinks whose plans are garbage
+      Thread.sleep(50) // cleaner thread runs async; give it a beat
+    }
+  }
+
+  /** EXPLICIT release hook: deterministically deletes EVERY stream
+    * sink, reaped-or-not. Invalidates any stream result the caller
+    * still holds (its lazy parquet read will fail at next action) —
+    * for bulk consumers that process results eagerly and want disk
+    * back NOW rather than at the next GC. Also the escape hatch for
+    * the `result.rdd` hazard: extracting the RDD and dropping the
+    * Dataset drops the analyzed-plan referent the Cleaner keys on, so
+    * such callers must either keep the Dataset reachable while the
+    * RDD is in use, or finish with the RDD before any drain/GC. */
+  def drainAllSinks(): Unit = {
+    liveSinks.forEach(d => graft.model.GraftStore.rmTree(new java.io.File(d)))
+    liveSinks.clear()
+  }
+
   /** Run `transform` of a micro-batched stream of `src`'s rows through
     * Structured Streaming (file source → parquet FILE sink), return
     * the sink read back as a distributed frame. The parquet hand-off
@@ -85,6 +128,7 @@ object StreamQueries {
   private def throughStream(s: SparkSession, src: DataFrame,
                             flushes: Seq[DataFrame] = Nil)
                            (transform: DataFrame => DataFrame): DataFrame = {
+    drainIfOverSoftLimit()
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stream_src_").toString
     val sinkDir = java.nio.file.Files

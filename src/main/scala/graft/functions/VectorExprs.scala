@@ -465,6 +465,11 @@ case class PqEncode(child: Expression,
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val m = books.length
+    if (arr.numElements() != m * dsub) throw new IllegalArgumentException(
+      s"$prettyName: vector dim ${arr.numElements()} vs ${m * dsub} " +
+        s"(m=$m x dsub=$dsub) — on UnsafeArrayData an out-of-bounds " +
+        "getDouble returns garbage silently, so the dim is checked up " +
+        "front like the sibling vector expressions")
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -498,6 +503,10 @@ case class PqEncode(child: Expression,
       val out = ctx.freshName("out"); val cent = ctx.freshName("cent")
       s"""
         |int $m = $bs.length;
+        |if ($v.numElements() != $m * $dsub) {
+        |  throw new IllegalArgumentException("$prettyName: vector dim "
+        |    + $v.numElements() + " vs " + ($m * $dsub));
+        |}
         |int[] $out = new int[$m];
         |for (int $j = 0; $j < $m; $j++) {
         |  double $best = Double.POSITIVE_INFINITY;

@@ -328,7 +328,15 @@ object Merger {
     * point read / consume range prunes identically. Cost is the full
     * snapshot rewrite, which is what a bulk load IS; batches under
     * the 10k-path threshold should use [[mergePruned]] and pay only
-    * their partitions. */
+    * their partitions.
+    *
+    * CONCURRENCY: must not run while other processes OPEN the same
+    * store dir — [[graft.model.GraftStore.recoverGenerations]] runs
+    * on every open and cannot distinguish this swap-in-progress from
+    * a crashed one, so a concurrent open may steal the roll-forward
+    * mid-swap (single-writer-no-concurrent-open is the contract; the
+    * recovery itself is safe against concurrent OPENS racing each
+    * other). */
   def mergeBulk(spark: SparkSession, dir: String,
                 commands: Dataset[Command]): Unit = {
     val inf = spark.read.parquet(s"$dir/infotons").drop("__parent")

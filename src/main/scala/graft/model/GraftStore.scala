@@ -279,11 +279,33 @@ object GraftStore {
     * store still fails with the natural read error, not a recovery
     * error). Invoked by every [[forParquet]] open, so the repair is
     * automatic at the next store open after a hard kill — no manual
-    * operator step. Returns the action taken, for operator logs. */
+    * operator step. Returns the action taken, for operator logs.
+    *
+    * CONCURRENCY: recovery heals a DEAD writer, it does not
+    * coordinate with a LIVE one — [[graft.ingest.Merger.mergeBulk]]
+    * must not run concurrently with opens of the same store dir (the
+    * recovery cannot distinguish a crash window from a swap in
+    * progress, so an open during the two-rename window may steal the
+    * roll-forward). Concurrent OPENS racing each other are safe: each
+    * move is wrapped so a FileAlreadyExists / NoSuchFile thrown
+    * because a sibling open healed the store first re-checks the live
+    * dir and reports the store healthy instead of failing a healthy
+    * open. */
   def recoverGenerations(dir: String): String = {
     import java.nio.file.{Files, Paths}
     val live = Paths.get(s"$dir/infotons")
     if (Files.exists(live)) return "ok"
+    // a concurrent recoverGenerations may complete any of the steps
+    // between our existence checks and our moves; every filesystem
+    // mutation below treats "someone else already did it" as success
+    // when the live dir exists afterwards
+    def moveOr(src: java.nio.file.Path, took: String): Option[String] =
+      try { Files.move(src, live); Some(took) }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.NoSuchFileException =>
+          if (Files.exists(live)) Some("ok:healed-concurrently") else None
+      }
     val sibs = Option(Paths.get(dir).toFile.listFiles()).getOrElse(Array())
       .filter(f => f.getName.startsWith("infotons__"))
       .sortBy(_.getName).reverse
@@ -292,13 +314,19 @@ object GraftStore {
     val old = sibs.find(_.getName.contains("__old_"))
     (gen, old) match {
       case (Some(g), o) =>
-        Files.move(g.toPath, live)
-        o.foreach(f => rmTree(f))
-        s"rolled-forward:${g.getName}"
+        moveOr(g.toPath, s"rolled-forward:${g.getName}") match {
+          case Some(took) =>
+            if (took.startsWith("rolled-forward"))
+              o.foreach(f => try rmTree(f) catch { case _: Exception => () })
+            took
+          case None => "none"
+        }
       case (None, Some(o)) =>
-        Files.move(o.toPath, live)
-        s"rolled-back:${o.getName}"
-      case _ => "none"
+        moveOr(o.toPath, s"rolled-back:${o.getName}").getOrElse("none")
+      case _ =>
+        // both branches raced away between listFiles and here — if a
+        // sibling recovery installed the live dir, the store is fine
+        if (Files.exists(live)) "ok:healed-concurrently" else "none"
     }
   }
 
@@ -473,12 +501,30 @@ object GraftStore {
     * toward the session-default partition count, which is the
     * pre-sizing behavior, never a crashed build. */
   private def sourceRowCount(s: SparkSession, d: String): Long = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val real = java.nio.file.Paths.get(d).toRealPath().toFile
-    Option(real.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => try s.read.parquet(f.getPath).count()
-                catch { case _: Exception => 0L }).sum
+    // nanosAsLong is scoped to the counts (save/restore): leaving it
+    // set would change how every later nanos-parquet read on this
+    // session behaves as a side effect of store SIZING
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val saved = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
+    try {
+      val real = java.nio.file.Paths.get(d).toRealPath().toFile
+      Option(real.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => try s.read.parquet(f.getPath).count()
+                  catch { case e: Exception =>
+                    // a failed count degrades SIZING only (falls back
+                    // toward the session default), but never silently:
+                    // a corrupted source should show up in the logs
+                    System.err.println(s"[graft] sourceRowCount: could " +
+                      s"not count ${f.getPath} (${e.getClass.getSimpleName}" +
+                      s": ${e.getMessage}) — contributing 0 rows to sizing")
+                    0L
+                  }).sum
+    } finally saved match {
+      case Some(v) => s.conf.set(flag, v)
+      case None => s.conf.unset(flag)
+    }
   }
 
   /** MD5 over the source dir's file manifest (relative path, size,

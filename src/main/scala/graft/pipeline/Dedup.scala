@@ -495,6 +495,10 @@ object Dedup {
     // feasibility bound.
     val (nPlanes, nTables) =
       if (numPlanes > 0 && tables > 0) (numPlanes, tables)
+      else if (tables == 0 && numPlanes > 0)
+        // caller pinned the bucket granularity: size only L from it
+        // (an explicit k was previously discarded by the autoKL branch)
+        (numPlanes, Similarity.tablesForPinnedK(numPlanes, tau))
       else if (tables == 0)
         Similarity.autoKL(base.count(), 512L, tau)
       else (Similarity.autoPlanes(base.count(), 512L, tau, tables,

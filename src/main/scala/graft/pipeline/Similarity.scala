@@ -237,6 +237,26 @@ object Similarity {
     (k, math.max(1, tablesFor(k)))
   }
 
+  /** L for a CALLER-pinned k: the table count the recall target
+    * demands at exactly `k` planes (same inverse formula as
+    * [[autoKL]], no k search). Lets a caller fix bucket granularity
+    * and still get the theory-true table count, instead of having an
+    * explicit k silently recomputed. Fails loud when the pinned k
+    * cannot reach the recall target within the table cap — a quietly
+    * under-recalled index is the defect class autoKL exists to
+    * prevent. */
+  private[pipeline] def tablesForPinnedK(k: Int, minCos: Double,
+                                         target: Double = 0.7,
+                                         maxTables: Int = 64): Int = {
+    val hit = math.pow(planeAgree(minCos), k)
+    val l = if (hit >= target) 1
+      else math.ceil(math.log(1 - target) / math.log(1 - hit)).toInt
+    require(l <= maxTables,
+      s"pinned k=$k at minCos=$minCos needs L=$l tables for recall " +
+        s"$target, above the cap $maxTables — lower k or the threshold")
+    math.max(1, l)
+  }
+
   /** Deterministic random hyperplanes (seeded per table — no trained
     * state to ship). */
   private def planes(table: Int, numPlanes: Int, dim: Int): Seq[Seq[Double]] = {

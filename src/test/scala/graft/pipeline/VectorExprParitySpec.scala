@@ -102,6 +102,25 @@ class VectorExprParitySpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncode rejects a vector whose dim is not m*dsub") {
+    val rnd = new scala.util.Random(37)
+    val m = 4; val dsub = dim / m; val ksub = 3
+    val books = Array.fill(m)(Array.fill(ksub)(
+      Array.fill(dsub)(rnd.nextGaussian())))
+    // a too-short vector must fail loud — on UnsafeArrayData an
+    // out-of-bounds getDouble silently returns garbage codes
+    val short = df.select(col("vec_id"),
+      transform(slice(col("embedding"), 1, dim - 2),
+        x => x.cast("double")).as("nv"))
+    val e = intercept[Exception] {
+      short.select(VectorExprs.pqEncode(col("nv"), books, dsub)).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("vector dim")), e.toString)
+  }
+
   test("PqAdc equals the j-ascending lookup fold") {
     val rows = Seq(
       (Seq(0, 2, 1), Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0),
