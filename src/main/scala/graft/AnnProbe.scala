@@ -32,24 +32,13 @@ object AnnProbe {
     }
   }
 
-  /** The synthetic corpus carries NO pairs above cosine ~0.51 (its
-    * near-dups are deliberately loose), so a τ=0.9 truth set would be
-    * EMPTY and the recall contract vacuous. The probe therefore
-    * PLANTS one true near-dup per grounded-sample vector: a
-    * deterministic ±30% per-dimension sign scaling (cosine ≈
-    * 1/√1.09 ≈ 0.958 to its source — the realistic
-    * almost-identical-duplicate shape) at vec_id + 10¹², appended to
-    * both the corpus and the grounding sample. n_exact then equals
-    * the planted-pair count and n_miss measures the index's real
-    * recall at the production threshold. */
-  private val PlantBase = 1000000000000L
+  /** The truth-set plant is SHARED with the declared
+    * q_dedup_embedding_prod ([[PipelineQueries.plantDups]] — one
+    * near-dup per sample vector at cosine ≈ 0.958, SQL-reproducible
+    * sign rule), so the decade probe measures exactly the contract
+    * the oracle pins every gate. */
   private def plantDups(sample: DataFrame): DataFrame =
-    sample.select((col("vec_id") + lit(PlantBase)).as("vec_id"),
-      zip_with(col("embedding"),
-        sequence(lit(0), size(col("embedding")) - 1),
-        (x, i) => (x * (lit(1.0) + lit(0.3) *
-          when(pmod(xxhash64(col("vec_id") * 97 + i), lit(2)) === 0, 1.0)
-            .otherwise(-1.0))).cast("float")).as("embedding"))
+    PipelineQueries.plantDups(sample).select("vec_id", "embedding")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_emb_lsh_prod" -> ((s, dir) => {

@@ -208,6 +208,20 @@ object VectorExprs {
     ColumnBridge.column(CentroidTopN(
       ColumnBridge.expression(v), cents, n))
 
+  /** Column-level cell-restricted argmin (see [[CellArgmin]]). */
+  def cellArgmin(v: Column, cell: Column,
+                 cellCents: Array[Array[Array[Double]]],
+                 cellIds: Array[Array[Int]]): Column = {
+    val cellCc = cellCents.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+    ColumnBridge.column(CellArgmin(
+      ColumnBridge.expression(v), ColumnBridge.expression(cell),
+      cellCents, cellCc, cellIds))
+  }
+
   /** Column-level k-centroid argmin (see [[CentroidArgmin]]). */
   def centroidArgmin(v: Column, cents: Array[Array[Double]]): Column = {
     val cc = cents.map { c =>
@@ -760,4 +774,116 @@ case class CentroidArgmin(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+/** Cell-restricted argmin — the FINE step of a two-level (coarse
+  * cell → in-cell argmin) quantizer assignment in ONE in-row loop:
+  * given the row's coarse `cell` (an index into `cellCents`), find
+  * the in-cell centroid minimizing `cc − 2·(c·v)` (strict-less, so
+  * ties keep the LOWEST in-cell position) and return its GLOBAL id
+  * from `cellIds`. In-cell centroid lists are id-ascending, so the
+  * tie order equals "lowest global fine cluster id" — the exact rank
+  * the DuckDB oracle mirrors with (dist ASC, fine id ASC).
+  *
+  * Why one expression: the two-level SemDeDup assignment needs a
+  * DIFFERENT centroid subset per row (its coarse cell's children); a
+  * per-cell filter+union plan re-scans the corpus once per cell, and
+  * a when-chain of per-cell [[CentroidArgmin]]s re-creates the JIT
+  * method-limit disease past ~10 cells. Here the whole nested
+  * centroid table rides as one reference object and each row runs a
+  * single tight (cellSize × dim) loop — the same cure measured for
+  * [[LshSignatures]]. Reference scale story: SURVEY §7.3 step 9
+  * (SemDeDup); the flat argmin at k = n/50 is Θ(n²/50) by
+  * construction, this two-level form is n·(√k + k/√k). */
+case class CellArgmin(left: Expression, right: Expression,
+                      cellCents: Array[Array[Array[Double]]],
+                      cellCc: Array[Array[Double]],
+                      cellIds: Array[Array[Int]])
+    extends BinaryExpression {
+  override def prettyName: String = "cell_argmin"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        if (cellCents.forall(_.nonEmpty))
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: a cell with no centroids can never assign")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<double>, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(v: Any, cellV: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val cell = cellV.asInstanceOf[Int]
+    if (cell < 0 || cell >= cellCents.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: cell $cell out of range [0, ${cellCents.length})")
+    val cents = cellCents(cell); val ccs = cellCc(cell)
+    val n = arr.numElements()
+    var best = Double.PositiveInfinity; var bestJ = -1; var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      if (c.length != n) throw new IllegalArgumentException(
+        s"$prettyName: vector dim $n vs centroid dim ${c.length}")
+      var d = 0.0; var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i")
+        d += c(i) * arr.getDouble(i); i += 1
+      }
+      val dist = ccs(j) - 2.0 * d
+      if (dist < best) { best = dist; bestJ = j }
+      j += 1
+    }
+    cellIds(cell)(bestJ)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cell) => {
+      val cs = ctx.addReferenceObj("cellCents", cellCents, "double[][][]")
+      val ccRef = ctx.addReferenceObj("cellCc", cellCc, "double[][]")
+      val ids = ctx.addReferenceObj("cellIds", cellIds, "int[][]")
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val c = ctx.freshName("c"); val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best"); val bestJ = ctx.freshName("bestJ")
+      val cents = ctx.freshName("cents"); val ccs = ctx.freshName("ccs")
+      s"""
+        |if ($cell < 0 || $cell >= $cs.length) {
+        |  throw new IllegalArgumentException("$prettyName: cell "
+        |    + $cell + " out of range [0, " + $cs.length + ")");
+        |}
+        |double[][] $cents = $cs[$cell];
+        |double[] $ccs = $ccRef[$cell];
+        |int $n = $v.numElements();
+        |double $best = Double.POSITIVE_INFINITY;
+        |int $bestJ = -1;
+        |for (int $j = 0; $j < $cents.length; $j++) {
+        |  double[] $c = $cents[$j];
+        |  if ($c.length != $n) {
+        |    throw new IllegalArgumentException("$prettyName: vector dim "
+        |      + $n + " vs centroid dim " + $c.length);
+        |  }
+        |  double $d = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($v.isNullAt($i)) {
+        |      throw new IllegalArgumentException(
+        |        "$prettyName: null element at index " + $i);
+        |    }
+        |    $d += $c[$i] * $v.getDouble($i);
+        |  }
+        |  double $dist = $ccs[$j] - 2.0 * $d;
+        |  if ($dist < $best) { $best = $dist; $bestJ = $j; }
+        |}
+        |${ev.value} = $ids[$cell][$bestJ];
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -811,4 +811,107 @@ object Dedup {
           col("b.embedding")), 6).as("cosine"))
       .where(col("cosine") >= tau)
   }
+
+  /** SCALE-SAFE SemDeDup: the same (cluster, v1, v2, cosine) contract
+    * as [[semanticPairs]], with BOTH quadratic-by-construction costs
+    * of the flat form replaced:
+    *
+    *   1. ASSIGNMENT. Flat SemDeDup at its k = n/[[targetCell]]
+    *      contract pays n·k distance evals — Θ(n²/50), measured 14.4×
+    *      for one 10× decade at 500k vectors. Here k is CAPPED at
+    *      `maxK` (the fit stays linear, one corpus-scan per Lloyd
+    *      iteration through the native argmin) and every vector is
+    *      assigned TWO-LEVEL: coarse cell = argmin over the ~√k
+    *      centroids of the fine centroids' own (driver-side) Lloyd
+    *      clustering, then fine cluster = argmin over just that
+    *      cell's children — n·(√k + k/√k) evals, one corpus pass,
+    *      single codegen'd [[graft.functions.CellArgmin]] loop per
+    *      row. The fine quantizer is an index artifact
+    *      ([[Similarity.kmeansCentroids]]): trained once per corpus
+    *      snapshot, disk-cached across JVMs like the IVF quantizer.
+    *   2. IN-CLUSTER PAIRS. While expected cluster size n/k stays ≤
+    *      `squarableCell`, pairs are the exact in-cluster self-join
+    *      (the shape the DuckDB oracle mirrors — always the case at
+    *      the gated sfs). Past the cap, cluster sizes grow with n and
+    *      the exact join is quadratic again, so mining switches to
+    *      LSH banding WITHIN clusters — candidates share (cluster,
+    *      table, bucket), verified with exact cosine; the theory-true
+    *      (k, L) production sizing of [[Similarity.autoKL]], same as
+    *      the τ=0.9 prod miner. The switch is deterministic in
+    *      (n, k), so gated-sf results are bit-identical to the exact
+    *      form.
+    *
+    * Reference anchor: SemDeDup (Abbas et al., 2023) trains a fixed-k
+    * quantizer and dedups within cells; the two-level assignment is
+    * the standard IVF-style build. Reference repo scale story:
+    * SURVEY §7.3 step 9. */
+  def semanticPairs2L(emb: DataFrame, tau: Double, targetCell: Int = 50,
+                      iters: Int = 2, maxK: Int = 1024,
+                      squarableCell: Int = 1000): DataFrame = {
+    val n = emb.count()
+    val k = math.max(10L, math.min(maxK.toLong, n / targetCell)).toInt
+    val fine = Similarity.kmeansCentroids(emb, k, iters)
+    val coarseK = math.max(1,
+      math.min(32, math.ceil(math.sqrt(k.toDouble)).toInt))
+    val (coarse, fineCell) = Similarity.lloydDriver(fine, coarseK, iters)
+    // non-empty coarse cells ascending; fine ids per cell ascending —
+    // the strict-less argmins then tie to the lowest cell / lowest
+    // global fine id, the (dist ASC, id ASC) rank the oracle mirrors
+    val byCell: IndexedSeq[(Int, Array[Int])] = fineCell.zipWithIndex
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (cell, xs) => cell -> xs.map(_._2).sorted.toArray }
+    val neCents = byCell.map { case (cell, _) => coarse(cell).toArray }
+      .toArray
+    val cellCents = byCell.map { case (_, fids) =>
+      fids.map(f => fine(f).toArray) }.toArray
+    val cellIds = byCell.map(_._2).toArray
+    val e = cachePersist(Similarity.computeParallel(
+      emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))))
+    val m = cachePersist(e.select(col("vec_id"), col("v"),
+      graft.functions.VectorExprs.cellArgmin(col("v"),
+        graft.functions.VectorExprs.centroidArgmin(col("v"), neCents),
+        cellCents, cellIds).as("cluster")))
+    val pairs =
+      if (n.toDouble / k <= squarableCell) {
+        val a = m.alias("a"); val b = m.alias("b")
+        a.join(b, col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.cluster").as("cluster"),
+            col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+            round(Similarity.cosineFixed(col("a.v"), col("b.v")), 6)
+              .as("cosine"))
+          .where(col("cosine") >= tau)
+      } else {
+        // clusters too large to square: candidates must ALSO share an
+        // LSH bucket inside their cluster. Production (τ≥0.9) bands
+        // hard; the candidate volume per cluster is
+        // Θ(size^(1+ρ))/cluster — the same curve as the global prod
+        // miner, partitioned by cluster.
+        val dim = fine.head.length
+        val (kp, lt) = Similarity.autoKL(n, 512L, tau)
+        val bucketed = cachePersist(Similarity.lshBuckets(
+          m.select(col("vec_id"), col("cluster"),
+            col("v").as("embedding")), kp, dim, lt)
+          .select("vec_id", "cluster", "table", "bucket"))
+        val a = bucketed.alias("a"); val b = bucketed.alias("b")
+        val cand = a.join(b, col("a.cluster") === col("b.cluster") &&
+            col("a.table") === col("b.table") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.cluster").as("cluster"),
+            col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+          .distinct() // a pair can meet in several tables
+        cand
+          .join(m.select(col("vec_id").as("v1"), col("v").as("va")),
+            Seq("v1"))
+          .join(m.select(col("vec_id").as("v2"), col("v").as("vb")),
+            Seq("v2"))
+          .select(col("cluster"), col("v1"), col("v2"),
+            round(Similarity.cosineFixed(col("va"), col("vb")), 6)
+              .as("cosine"))
+          .where(col("cosine") >= tau)
+      }
+    pairs
+  }
 }

@@ -710,6 +710,56 @@ object Similarity {
 
   private[graft] def kmeans(emb: DataFrame, k: Int, iters: Int,
                             literalMax: Int): DataFrame = {
+    val (e, cents) = kmeansLoop(emb, k, iters, literalMax)
+    // Materialize the final assignment (2 narrow columns — tiny next
+    // to the corpus), then drop the iteration corpus immediately:
+    // non-bench callers (tests, library use) don't drain the registry
+    // at family boundaries, and without this every kmeans call would
+    // pin a MEMORY_AND_DISK copy of its corpus for the session
+    // lifetime. The result frame itself stays registered so
+    // releaseCaches() still frees everything at a family boundary.
+    val out = cachePersist(
+      assignFrame(e, cents, literalMax).select("vec_id", "cluster"))
+    out.count()
+    e.unpersist(false)
+    out
+  }
+
+  /** Assignment frame for a fixed centroid set over the cached
+    * (vec_id, v) corpus: k native-dot literal structs at small k, the
+    * [[graft.functions.CellArgmin CentroidArgmin]] reference-object
+    * loop past [[KmeansLiteralMax]] (identical arithmetic both ways:
+    * index-ordered dots, dist = cc − 2·(c·v), ties to the lowest
+    * cluster id — no n×k row expansion either way). */
+  private def assignFrame(e: DataFrame,
+                          cs: IndexedSeq[IndexedSeq[Double]],
+                          literalMax: Int): DataFrame =
+    if (cs.size <= literalMax) {
+      val scored = cs.zipWithIndex.map { case (c, i) =>
+        // c·c on the driver, index-ordered — the same sequential
+        // double accumulation the native dot and the oracle's
+        // list_inner_product perform
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct((lit(cc) - lit(2.0) * dotFixed(col("v"),
+          array(c.map(lit): _*))).as("dist"), lit(i).as("cluster"))
+      }
+      // array_min on struct<dist,cluster>: min dist, ties to the
+      // lowest cluster id — the oracle's (dist ASC, cluster ASC) rank
+      e.select(col("vec_id"), col("v"),
+        array_min(array(scored: _*)).getField("cluster").as("cluster"))
+    } else
+      e.select(col("vec_id"), col("v"),
+        graft.functions.VectorExprs.centroidArgmin(
+          col("v"), cs.map(_.toArray).toArray).as("cluster"))
+
+  /** The Lloyd iteration core shared by [[kmeans]] (which materializes
+    * the final assignment) and [[kmeansCentroids]] (which keeps only
+    * the trained centroids): returns the CACHED double-cast corpus —
+    * caller must unpersist — and the final centroids on the 6-decimal
+    * grid. */
+  private def kmeansLoop(emb: DataFrame, k: Int, iters: Int,
+                         literalMax: Int)
+      : (DataFrame, IndexedSeq[IndexedSeq[Double]]) = {
     val e0 = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
     // Assignment work is n×k×dim flops — [[computeParallel]] splits
@@ -724,35 +774,8 @@ object Similarity {
         .map(_.getSeq[Double](1).map(round6).toIndexedSeq).toIndexedSeq
     require(cents.size == k,
       s"kmeans: k=$k but corpus has only ${cents.size} vectors")
-    def assignLiteral(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
-      val scored = cs.zipWithIndex.map { case (c, i) =>
-        // c·c on the driver, index-ordered — the same sequential
-        // double accumulation the native dot and the oracle's
-        // list_inner_product perform
-        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
-        struct((lit(cc) - lit(2.0) * dotFixed(col("v"),
-          array(c.map(lit): _*))).as("dist"), lit(i).as("cluster"))
-      }
-      // array_min on struct<dist,cluster>: min dist, ties to the
-      // lowest cluster id — the oracle's (dist ASC, cluster ASC) rank
-      e.select(col("vec_id"), col("v"),
-        array_min(array(scored: _*)).getField("cluster").as("cluster"))
-    }
-    def assignNative(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame =
-      // one reference-object plan node at any k; per row a tight
-      // compiled k×dim loop — NO n×k row expansion, no shuffle. (The
-      // previous broadcast-crossJoin form materialized n×k rows
-      // through a struct-min aggregation; the sf10 probe measured
-      // 800M intermediate rows and >45 min for one assignment chain.)
-      // Arithmetic identical to the literal path: index-ordered dots,
-      // dist = cc − 2·(c·v), ties to the lowest cluster id.
-      e.select(col("vec_id"), col("v"),
-        graft.functions.VectorExprs.centroidArgmin(
-          col("v"), cs.map(_.toArray).toArray).as("cluster"))
-    def assign(cs: IndexedSeq[IndexedSeq[Double]]): DataFrame =
-      if (cs.size <= literalMax) assignLiteral(cs) else assignNative(cs)
     for (_ <- 1 to iters) {
-      val upd = assign(cents)
+      val upd = assignFrame(e, cents, literalMax)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(round(avg("x"), 6).as("cv"))
         .collect()
@@ -761,17 +784,81 @@ object Similarity {
       }
       cents = (0 until k).map(i => byCluster.getOrElse(i, cents(i)))
     }
-    // Materialize the final assignment (2 narrow columns — tiny next
-    // to the corpus), then drop the iteration corpus immediately:
-    // non-bench callers (tests, library use) don't drain the registry
-    // at family boundaries, and without this every kmeans call would
-    // pin a MEMORY_AND_DISK copy of its corpus for the session
-    // lifetime. The result frame itself stays registered so
-    // releaseCaches() still frees everything at a family boundary.
-    val out = cachePersist(assign(cents).select("vec_id", "cluster"))
-    out.count()
-    e.unpersist(false)
-    out
+    (e, cents)
+  }
+
+  /** Final Lloyd centroids only — [[kmeans]]' loop without the
+    * assignment materialization. The fine-level quantizer of the
+    * two-level SemDeDup ([[graft.pipeline.Dedup.semanticPairs2L]]),
+    * under the same index-artifact discipline as the IVF quantizer:
+    * memoized in-JVM per (plan, content, k, iters) and on disk across
+    * JVMs, because the fit is a BUILD cost paid once per corpus
+    * snapshot, not per query. */
+  private val semCents = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int), IndexedSeq[IndexedSeq[Double]]]()
+  private[graft] def kmeansCentroids(emb: DataFrame, k: Int, iters: Int)
+      : IndexedSeq[IndexedSeq[Double]] = {
+    val planKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(emb.queryExecution.analyzed.canonicalized.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    if (semCents.size > 16) semCents.clear()
+    val ck = contentFingerprint(emb)
+    val ckKey = ck.getOrElse(s"dim=${dimProbe(emb)}")
+    semCents.computeIfAbsent((planKey, ckKey, k, iters), { _ =>
+      diskArtifact(ck, s"sem2l_${planKey}_${k}_$iters",
+                   writeMat, readMat) {
+        val (e, cents) = kmeansLoop(emb, k, iters, KmeansLiteralMax)
+        e.unpersist(false)
+        cents.map(_.toArray).toArray
+      }.map(_.toIndexedSeq).toIndexedSeq
+    })
+  }
+
+  /** Pure-driver Lloyd over a SMALL point set — the COARSE level of
+    * the two-level SemDeDup, clustering the k fine centroids
+    * (≤ maxK×dim doubles, no Spark job): the same contract as
+    * [[kmeans]] term for term — init = the k lowest-index points
+    * re-rounded to the 6-decimal grid, dist = c·c − 2·(p·c) with
+    * index-ordered double accumulation, ties to the lowest cluster
+    * id, update = round6 mean with empty clusters keeping their
+    * previous centroid — so the DuckDB oracle mirrors it with the
+    * same CTE shape as the distributed level. Returns (final
+    * centroids, per-point assignment under them). */
+  private[graft] def lloydDriver(points: IndexedSeq[IndexedSeq[Double]],
+                                 k: Int, iters: Int)
+      : (IndexedSeq[IndexedSeq[Double]], IndexedSeq[Int]) = {
+    require(points.size >= k,
+      s"lloydDriver: k=$k over ${points.size} points")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def assign(cs: IndexedSeq[IndexedSeq[Double]]): IndexedSeq[Int] =
+      points.map { p =>
+        var best = Double.PositiveInfinity; var bestC = -1; var ci = 0
+        while (ci < cs.size) {
+          val c = cs(ci)
+          var cc = 0.0; var dot = 0.0; var i = 0
+          while (i < c.length) {
+            cc += c(i) * c(i); dot += p(i) * c(i); i += 1
+          }
+          val dist = cc - 2.0 * dot
+          if (dist < best) { best = dist; bestC = ci }
+          ci += 1
+        }
+        bestC
+      }
+    var cents = points.take(k).map(_.map(round6))
+    for (_ <- 1 to iters) {
+      val a = assign(cents)
+      cents = (0 until k).map { c =>
+        val members = points.indices.filter(a(_) == c)
+        if (members.isEmpty) cents(c)
+        else (0 until points.head.length).map(d =>
+          round6(members.foldLeft(0.0)((s, m) => s + points(m)(d))
+            / members.size)).toIndexedSeq
+      }
+    }
+    (cents, assign(cents))
   }
 
   /** Seeded Gaussian projection matrix (rdim × dim) — like the LSH

@@ -3644,6 +3644,30 @@ class EngineSpec extends AnyFunSuite {
     assert(mism.isEmpty)
   }
 
+  test("two-level semantic pairs: precision 1.0, cluster-consistent, " +
+      "and the in-cluster LSH path is a subset of the exact path") {
+    import graft.pipeline.Dedup
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val pairs = Dedup.semanticPairs2L(e, tau = 0.4)
+    assert(pairs.where(col("cosine") < 0.4).isEmpty)
+    // precision 1.0 against the exact all-pairs set
+    val exact = Dedup.embeddingDupPairs(e, tau = 0.4).select("v1", "v2")
+    assert(pairs.select("v1", "v2")
+      .join(exact, Seq("v1", "v2"), "left_anti").isEmpty)
+    // forcing the squarable bound to 0 flips the SAME corpus onto the
+    // in-cluster LSH mining path: banding may MISS pairs (recall < 1
+    // at this deliberately loose τ) but must never invent one — the
+    // LSH-path output is a subset of the exact-path in-cluster pairs
+    val viaLsh = Dedup.semanticPairs2L(e, tau = 0.4, squarableCell = 0)
+    assert(viaLsh.select("cluster", "v1", "v2")
+      .join(pairs.select("cluster", "v1", "v2"),
+        Seq("cluster", "v1", "v2"), "left_anti").isEmpty)
+    // and at the production threshold shape the banding is strong
+    // enough that recall on this corpus is non-trivial
+    assert(viaLsh.count() >= pairs.count() / 2,
+      s"lsh=${viaLsh.count()} exact=${pairs.count()}")
+  }
+
   test("incremental minhash emits batch pairs only, via the corpus " +
       "band index") {
     import spark.implicits._

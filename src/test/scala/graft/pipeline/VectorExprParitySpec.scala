@@ -102,6 +102,35 @@ class VectorExprParitySpec extends AnyFunSuite {
     }
   }
 
+  test("CellArgmin equals the cell-restricted strict-less argmin " +
+      "with the global id remap") {
+    val rnd = new scala.util.Random(41)
+    // 3 cells of unequal sizes; global fine ids deliberately
+    // non-contiguous per cell, ascending within each
+    val cellIds = Array(Array(0, 3, 7), Array(1, 4), Array(2, 5, 6, 8))
+    val cents = Array.fill(9)(Array.fill(dim)(rnd.nextGaussian()))
+    // duplicate centroid INSIDE one cell → exact tie; lowest global
+    // id (the earlier in-cell position) must win
+    cents(7) = cents(3).clone()
+    val cellCents = cellIds.map(_.map(cents(_)))
+    val dv = df.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    (0 until 3).foreach { cell =>
+      val got = dv.select(col("vec_id"),
+          VectorExprs.cellArgmin(col("v"), lit(cell), cellCents, cellIds)
+            .as("cluster"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      vecs.foreach { case (id, v) =>
+        val want = cellIds(cell).zip(cellCents(cell)).map {
+          case (fid, c) =>
+            val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+            (cc - 2.0 * dotD(v, c.toIndexedSeq), fid)
+        }.minBy(identity)._2
+        assert(got(id) == want, s"vec $id cell $cell")
+      }
+    }
+  }
+
   test("PqEncode rejects a vector whose dim is not m*dsub") {
     val rnd = new scala.util.Random(37)
     val m = 4; val dsub = dim / m; val ksub = 3
