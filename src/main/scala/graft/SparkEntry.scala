@@ -35,7 +35,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SearchQueries.all ++ AggQueries.all ++ GraphQueries.all ++
       ConsumeQueries.all ++ PipelineQueries.all ++ IngestQueries.all ++
-      SparqlQueries.all ++ StreamQueries.all ++ AdminQueries.all
+      SparqlQueries.all ++ StreamQueries.all ++ AdminQueries.all ++
+      XwideQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
     SearchQueries.oracles ++ AggQueries.oracles ++ GraphQueries.oracles ++
       ConsumeQueries.oracles ++ PipelineQueries.oracles ++
       IngestQueries.oracles ++ SparqlQueries.oracles ++
-      StreamQueries.oracles ++ AdminQueries.oracles
+      StreamQueries.oracles ++ AdminQueries.oracles ++
+      XwideQueries.oracles
 }
