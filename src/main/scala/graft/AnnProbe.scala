@@ -41,6 +41,38 @@ object AnnProbe {
     PipelineQueries.plantDups(sample).select("vec_id", "embedding")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the two-level SemDeDup at the PRODUCTION threshold (τ=0.9),
+    // with the same planted-truth anchor as the prod LSH miner: the
+    // declared q_dedup_semantic_2l demos τ=0.4 (non-trivial at the
+    // gated sfs, oracle-pinned), but a τ=0.4 pair OUTPUT over
+    // clustered millions is intrinsically enormous — the production
+    // near-dup regime is τ≥0.9, where in-cluster banding prunes hard.
+    // Measured here: end-to-end cost across decades (capped-k fine
+    // fit + two-level assignment + in-cluster mining) and the planted
+    // recall THROUGH the cluster assignment (a plant that lands in a
+    // different fine cluster than its source is unfindable by
+    // SemDeDup — that cross-cluster loss is the operator's real
+    // recall tradeoff, so it is what the probe measures).
+    "x_dedup_semantic_2l_prod" -> ((s, dir) => {
+      val e0 = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val g = groundSample(e0)
+      val planted = PipelineQueries.plantDups(g)
+      val e = e0.unionByName(planted.select("vec_id", "embedding"))
+      val pairs = Dedup.semanticPairs2L(e, tau = 0.9)
+        .select("v1", "v2").localCheckpoint(true)
+      val truth = planted.alias("p")
+        .join(g.alias("g"), col("p.src") === col("g.vec_id"))
+        .select(col("g.vec_id").as("v1"), col("p.vec_id").as("v2"),
+          Similarity.cosineFixed(col("g.embedding"), col("p.embedding"))
+            .as("cosine"))
+      val truthTrue = truth.where(col("cosine") >= 0.9).select("v1", "v2")
+      val found = truthTrue.join(pairs, Seq("v1", "v2"), "left_semi")
+      truthTrue.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs_full")))
+    }),
+
     "x_dedup_emb_lsh_prod" -> ((s, dir) => {
       val e0 = s.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "embedding")
