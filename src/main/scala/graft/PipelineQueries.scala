@@ -491,9 +491,12 @@ object PipelineQueries {
     // k = n/50 flat argmin is Θ(n²/50) BY CONSTRUCTION (measured
     // 14.4× for one 10× decade). The oracle mirrors the full
     // two-level pipeline term for term: distributed fine Lloyd,
-    // driver Lloyd over the fine centroids, nearest non-empty coarse
-    // cell, argmin within the cell's children, exact in-cluster
-    // pairs. At sf0.01 (n=500): k=10 fine, 4 coarse cells.
+    // driver Lloyd over the fine centroids, top-P nearest non-empty
+    // coarse cells (multi-probe routing — top-1 squared the cell-
+    // boundary misroute into pair loss, measured 0.81 -> 0.52 planted
+    // recall), argmin across the probed cells' children, exact
+    // in-cluster pairs. At sf0.01 (n=500): k=10 fine, 4 coarse
+    // cells, 2 probes.
     "q_dedup_semantic_2l" -> ((s, dir) =>
       Dedup.semanticPairs2L(emb(s, dir), tau = 0.4)
         .orderBy("cluster", "v1", "v2")),
@@ -1562,11 +1565,13 @@ object PipelineQueries {
     * SAME Lloyd shape again — term for term — over the fine centroids
     * themselves (`coarseK` cells, the engine's driver-side
     * [[graft.pipeline.Similarity.lloydDriver]]), then the two-level
-    * assignment: each vector takes its nearest NON-EMPTY coarse cell
-    * (dist ASC, cell ASC), then the nearest fine centroid WITHIN that
-    * cell (dist ASC, fine id ASC) — ending `m2(cluster, vec_id, v)`
+    * MULTI-PROBE assignment: each vector takes its `probes` nearest
+    * NON-EMPTY coarse cells (dist ASC, cell ASC), then the nearest
+    * fine centroid across the UNION of those cells' children
+    * (dist ASC, fine id ASC) — ending `m2(cluster, vec_id, v)`
     * for the caller's pair select. */
-  private def sem2lSql(k: Int, coarseK: Int, iters: Int): String = {
+  private def sem2lSql(k: Int, coarseK: Int, iters: Int,
+                       probes: Int): String = {
     def assignF(name: String, cent: String) =
       s"""$name AS (SELECT id, cluster FROM (
          |  SELECT f.id, $cent.cluster,
@@ -1602,13 +1607,13 @@ object PipelineQueries {
       s"gcn AS (SELECT g$iters.cluster, g$iters.c FROM g$iters " +
         "JOIN ne USING (cluster))"
     parts +=
-      """vc AS (SELECT vec_id, cluster AS cell FROM (
-        |  SELECT e.vec_id, gcn.cluster,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_inner_product(gcn.c, gcn.c)
-        |        - 2 * list_inner_product(e.v, gcn.c) ASC,
-        |      gcn.cluster ASC) AS rn
-        |  FROM e CROSS JOIN gcn) WHERE rn = 1)""".stripMargin
+      s"""vc AS (SELECT vec_id, cluster AS cell FROM (
+         |  SELECT e.vec_id, gcn.cluster,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_inner_product(gcn.c, gcn.c)
+         |        - 2 * list_inner_product(e.v, gcn.c) ASC,
+         |      gcn.cluster ASC) AS rn
+         |  FROM e CROSS JOIN gcn) WHERE rn <= $probes)""".stripMargin
     parts +=
       """ff AS (SELECT fc.id AS fid, fc.cluster AS cell, f.v AS c
         |  FROM fc JOIN f ON f.id = fc.id)""".stripMargin
@@ -2016,7 +2021,7 @@ object PipelineQueries {
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY a.cluster, v1, v2""".stripMargin),
     "q_dedup_semantic_2l" ->
-      (sem2lSql(10, 4, 2) + """
+      (sem2lSql(10, 4, 2, 2) + """
         |SELECT a.cluster AS cluster, a.vec_id AS v1, b.vec_id AS v2,
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
         |FROM m2 a JOIN m2 b

@@ -865,12 +865,23 @@ object Dedup {
     val cellCents = byCell.map { case (_, fids) =>
       fids.map(f => fine(f).toArray) }.toArray
     val cellIds = byCell.map(_._2).toArray
+    // COARSE MULTI-PROBE: route each vector through its `probes`
+    // nearest non-empty cells and argmin over the union of their
+    // children. Top-1 routing squares the per-vector cell-boundary
+    // misroute probability into PAIR loss — the r17 planted-recall
+    // probe measured 0.81 (flat ceiling) → 0.52 on the
+    // weakly-clustered decade corpus; probing ~coarseK/8 cells
+    // recovers most of the ceiling at probes·(k/√k) extra flops/row,
+    // the IVF spill-assignment recipe applied to the build side.
+    val probes = math.min(neCents.length,
+      math.max(2, (neCents.length + 7) / 8))
     val e = cachePersist(Similarity.computeParallel(
       emb.select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))))
     val m = cachePersist(e.select(col("vec_id"), col("v"),
-      graft.functions.VectorExprs.cellArgmin(col("v"),
-        graft.functions.VectorExprs.centroidArgmin(col("v"), neCents),
+      graft.functions.VectorExprs.cellsArgmin(col("v"),
+        graft.functions.VectorExprs.centroidTopNDist(col("v"), neCents,
+          probes),
         cellCents, cellIds).as("cluster")))
     val pairs =
       if (n.toDouble / k <= squarableCell) {

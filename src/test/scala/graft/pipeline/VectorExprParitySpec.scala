@@ -131,6 +131,54 @@ class VectorExprParitySpec extends AnyFunSuite {
     }
   }
 
+  test("CentroidTopNDist ranks cc-2vc ascending with lowest-id ties") {
+    val rnd = new scala.util.Random(43)
+    val cents = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    cents(15) = cents(6).clone() // exact tie → earlier id must rank first
+    val n = 5
+    val dv = df.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val got = dv.select(col("vec_id"),
+        VectorExprs.centroidTopNDist(col("v"), cents, n).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = cents.toSeq.zipWithIndex.map { case (c, i) =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        (cc - 2.0 * dotD(v, c.toIndexedSeq), i)
+      }.sorted.take(n).map(_._2)
+      assert(got(id) == want, s"vec $id")
+    }
+  }
+
+  test("CellsArgmin equals the (dist, global fid) argmin over the " +
+      "probed cells' union") {
+    val rnd = new scala.util.Random(47)
+    val cellIds = Array(Array(0, 3, 7), Array(1, 4), Array(2, 5, 6, 8))
+    val cents = Array.fill(9)(Array.fill(dim)(rnd.nextGaussian()))
+    // duplicate ACROSS probed cells: fid 7 (cell 0) vs fid 4 (cell 1)
+    // — the LOWER GLOBAL fid must win even though its cell is probed
+    // second below
+    cents(7) = cents(4).clone()
+    val cellCents = cellIds.map(_.map(cents(_)))
+    val dv = df.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val probeSets = Seq(Seq(0, 1), Seq(2, 0), Seq(1, 2), Seq(0, 1, 2))
+    probeSets.foreach { ps =>
+      val got = dv.select(col("vec_id"),
+          VectorExprs.cellsArgmin(col("v"),
+            array(ps.map(lit): _*), cellCents, cellIds).as("cluster"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      vecs.foreach { case (id, v) =>
+        val want = ps.flatMap(cell => cellIds(cell).map { fid =>
+          val c = cents(fid)
+          val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+          (cc - 2.0 * dotD(v, c.toIndexedSeq), fid)
+        }).minBy(identity)._2
+        assert(got(id) == want, s"vec $id probes $ps")
+      }
+    }
+  }
+
   test("PqEncode rejects a vector whose dim is not m*dsub") {
     val rnd = new scala.util.Random(37)
     val m = 4; val dsub = dim / m; val ksub = 3
