@@ -869,12 +869,18 @@ object Dedup {
     // nearest non-empty cells and argmin over the union of their
     // children. Top-1 routing squares the per-vector cell-boundary
     // misroute probability into PAIR loss — the r17 planted-recall
-    // probe measured 0.81 (flat ceiling) → 0.52 on the
-    // weakly-clustered decade corpus; probing ~coarseK/8 cells
-    // recovers most of the ceiling at probes·(k/√k) extra flops/row,
-    // the IVF spill-assignment recipe applied to the build side.
+    // P-curve on the ADVERSARIAL near-uniform decade corpus (50k
+    // vectors, 32 cells, flat ceiling 0.812): P=1 0.523, P=2 0.571,
+    // P=4 0.637, P=8 0.720, P=16 0.770, P=32 ≡ flat 0.812 exactly
+    // (Sem2lLossProbe — the ≡ also pins the 2L machinery's
+    // bit-consistency with the flat argmin). Default P = ⌈cells/4⌉
+    // (floor 2): assignment cost P·(k/√k)+√k dots/row stays ~√k-class
+    // (the mining pass dominates end-to-end — measured +P made no
+    // wall difference), while real clustered embeddings sit far
+    // closer to the ceiling than this uniform worst case — the same
+    // adversarial-corpus caveat as the IVF cell methods.
     val probes = math.min(neCents.length,
-      math.max(2, (neCents.length + 7) / 8))
+      math.max(2, (neCents.length + 3) / 4))
     val e = cachePersist(Similarity.computeParallel(
       emb.select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))))
