@@ -45,7 +45,15 @@ def remeasure(query, sf_dir, extra_env=None, repo=None, timeout=5400):
     for line in p.stdout.splitlines():
         if line.lstrip().startswith('{"metric"'):
             try:
-                t = json.loads(line)["queries"].get(query)
+                qs = json.loads(line)["queries"]
+                # Bench's JSON line strips the "q_" prefix from query
+                # names (x_ probe names keep theirs); reporters hold
+                # either form
+                t = qs.get(query)
+                if t is None and query.startswith("q_"):
+                    t = qs.get(query[2:])
+                if t is None and ("q_" + query) != query:
+                    t = qs.get("q_" + query)
                 print(f"  remeasure {query} @ {sf_dir}: {t}s "
                       f"(fresh JVM, solo)")
                 return t
