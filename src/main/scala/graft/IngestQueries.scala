@@ -21,7 +21,13 @@ object IngestQueries {
   /** Search the re-ingested store back as comparable customer columns. */
   private def customersBack(s: SparkSession,
                             ingested: DataFrame): DataFrame = {
-    val st2 = GraftStore.fromInfotons(s, ingested)
+    // the loader dictionary covers every roundtripped field, and this
+    // read path consults no types at all (no qp, no Search-level sort:
+    // fieldN/fieldS read slots directly) — passing it skips
+    // fromInfotons' sampled-types job, one full extra action over the
+    // freshly merged store in EVERY format roundtrip query
+    val st2 = GraftStore.fromInfotons(s, ingested,
+      Some(graft.model.TableLoader.fieldTypes))
     Search.run(st2, Search.Request(path = "/customer"))
       .select(Search.fieldN("custkey").cast("long").as("custkey"),
         Search.fieldS("name").as("name"),
@@ -449,7 +455,11 @@ object IngestQueries {
         s"""<cmwell:/$p> <x://vocab1#seg> "$seg" .""",
         s"""<cmwell:/$p> <y://vocab2#seg> "$nm" .""") }
     val ingested = Ingest.ingest(s, Ingest.emptyStore(s), nt, T0)
-    val st2 = GraftStore.fromInfotons(s, ingested)
+    // this read consults no field types (no qp; values read via
+    // element_at directly) — an explicit string dictionary skips the
+    // sampled-types action (same rationale as customersBack)
+    val st2 = GraftStore.fromInfotons(s, ingested,
+      Some(Map.empty[String, String]))
     // resolve AFTER ingest claimed the keys (plan-time dictionary)
     val k1 = graft.qp.Namespaces.resolve("$x://vocab1#seg$")
     val k2 = graft.qp.Namespaces.resolve("$y://vocab2#seg$")
@@ -521,8 +531,14 @@ object IngestQueries {
         val w = if (ck % 2 == 0) "журналами" else "книгами"
         s"""<cmwell:/$p> <x://vocab#tag> "$w" ."""
       }
+    // known dictionary: the one ingested field is the string "tag"
+    // (FilterCompiler's vTypeOf default is TString anyway) — passing it
+    // skips fromInfotons' sampled-types job, a full extra action over
+    // the merged store per query (guide §1.2: don't compute what you
+    // throw away)
     val st2 = GraftStore.fromInfotons(s,
-      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0))
+      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0),
+      Some(Map("tag" -> InfotonModel.TString)))
     Search.run(st2, Search.Request(path = "/customer",
         qp = Some("tag:и журналов"),
         analyzer = graft.qp.TextAnalyzer.Russian))
@@ -551,8 +567,14 @@ object IngestQueries {
         val w = if (ck % 2 == 0) "المعلمون" else "الكاتب"
         s"""<cmwell:/$p> <x://vocab#tag> "$w" ."""
       }
+    // known dictionary: the one ingested field is the string "tag"
+    // (FilterCompiler's vTypeOf default is TString anyway) — passing it
+    // skips fromInfotons' sampled-types job, a full extra action over
+    // the merged store per query (guide §1.2: don't compute what you
+    // throw away)
     val st2 = GraftStore.fromInfotons(s,
-      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0))
+      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0),
+      Some(Map("tag" -> InfotonModel.TString)))
     Search.run(st2, Search.Request(path = "/customer",
         qp = Some("tag:من المعلمين"),
         analyzer = graft.qp.TextAnalyzer.Arabic))
@@ -583,8 +605,14 @@ object IngestQueries {
                 else "Ankara'daki evlerden"
         s"""<cmwell:/$p> <x://vocab#tag> "$w" ."""
       }
+    // known dictionary: the one ingested field is the string "tag"
+    // (FilterCompiler's vTypeOf default is TString anyway) — passing it
+    // skips fromInfotons' sampled-types job, a full extra action over
+    // the merged store per query (guide §1.2: don't compute what you
+    // throw away)
     val st2 = GraftStore.fromInfotons(s,
-      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0))
+      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0),
+      Some(Map("tag" -> InfotonModel.TString)))
     Search.run(st2, Search.Request(path = "/customer",
         qp = Some("tag:İSTANBUL kitapların"),
         analyzer = graft.qp.TextAnalyzer.Turkish))
@@ -613,8 +641,14 @@ object IngestQueries {
         val w = if (ck % 2 == 0) "كتاب\u200cهاي خوب" else "دفترهاي خوب"
         s"""<cmwell:/$p> <x://vocab#tag> "$w" ."""
       }
+    // known dictionary: the one ingested field is the string "tag"
+    // (FilterCompiler's vTypeOf default is TString anyway) — passing it
+    // skips fromInfotons' sampled-types job, a full extra action over
+    // the merged store per query (guide §1.2: don't compute what you
+    // throw away)
     val st2 = GraftStore.fromInfotons(s,
-      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0))
+      Ingest.ingest(s, Ingest.emptyStore(s), nt, T0),
+      Some(Map("tag" -> InfotonModel.TString)))
     Search.run(st2, Search.Request(path = "/customer",
         qp = Some("tag:از کتاب"),
         analyzer = graft.qp.TextAnalyzer.Persian))

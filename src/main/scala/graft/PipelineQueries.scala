@@ -1255,7 +1255,15 @@ object PipelineQueries {
       val wrapped = docs(s, dir).withColumn("text",
         concat(col("text"), lit(" card "), grouped,
           lit(" ref "), second))
-      Curation.redactCards(wrapped).orderBy("doc_id")
+      // parallelize at the QUERY level, not inside redactCards: the
+      // operator's zero-Exchange contract (per-row family plan pin)
+      // stays intact, while the bench's single-split documents scan
+      // stops running the whole regex+Luhn projection in one task —
+      // the query plan already carries an Exchange (the orderBy), so
+      // this adds no new shuffle CLASS, and at scale the input has
+      // enough splits that computeParallel is a no-op
+      Curation.redactCards(Similarity.computeParallel(wrapped))
+        .orderBy("doc_id")
     }),
 
     // SPECTRAL audio features: decode real RIFF bytes, frame into

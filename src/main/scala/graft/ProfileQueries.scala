@@ -25,6 +25,35 @@ object ProfileQueries {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-run job accounting: jobs/stages/tasks and the per-job wall
+    // times tell WHERE a query's seconds go (action count vs one slow
+    // stage) — the local stand-in for the Spark UI the guide §7.1 digs
+    // through
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val jobTimes =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val t0 = new java.util.concurrent.ConcurrentHashMap[
+          Integer, java.lang.Long]()
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); t0.put(j.jobId, j.time)
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = t0.remove(j.jobId)
+          if (s != null) jobTimes.add((j.jobId, s.longValue, j.time))
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks)
+        }
+      })
     // warm the store ETL outside any timing, like Bench
     val store = graft.model.GraftStore.forDir(spark, sfDir)
     store.infotons.count(); store.quads.count()
@@ -33,6 +62,7 @@ object ProfileQueries {
         case None => System.err.println(s"[profile] unknown query $name")
         case Some(fn) =>
           (1 to repeats).foreach { i =>
+            jobs.set(0); stages.set(0); tasks.set(0); jobTimes.clear()
             val t = System.nanoTime()
             try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
@@ -40,7 +70,17 @@ object ProfileQueries {
                 e.getMessage.take(200))
             }
             val sec = (System.nanoTime() - t) / 1e9
-            println(f"[profile] $name%-30s run $i%2d  $sec%7.2f s")
+            // settle: late listener events from the run's tail
+            Thread.sleep(200)
+            import scala.jdk.CollectionConverters._
+            val jt = jobTimes.asScala.toSeq.sortBy(_._1)
+            val jsum = jt.map(j => (j._3 - j._2) / 1e9).sum
+            val slow = jt.sortBy(j => j._2 - j._3).take(4)
+              .map(j => f"#${j._1}:${(j._3 - j._2) / 1e9}%.2f")
+              .mkString(" ")
+            println(f"[profile] $name%-30s run $i%2d  $sec%7.2f s  " +
+              f"jobs=${jobs.get}%3d stages=${stages.get}%3d " +
+              f"tasks=${tasks.get}%4d jobsum=$jsum%6.2f  slowest: $slow")
           }
           graft.pipeline.Dedup.releaseCaches()
           graft.pipeline.Similarity.releaseCaches()

@@ -34,9 +34,17 @@ object StreamQueries {
     * tree as decoys — the path scope and qp of each rule/request must
     * do the filtering, so the source deliberately carries rows the
     * subscription should NOT match. */
-  private def streamSource(store: GraftStore): DataFrame =
+  private def streamSource(store: GraftStore,
+                           keepFields: Seq[String]): DataFrame =
     store.infotons.where(col("system.path").startsWith("/user/") ||
       col("system.path").startsWith("/customer/"))
+      // ROW scope stays full (decoys included — the rules must do the
+      // row filtering); the FIELDS map is projected to the keys the
+      // request/rules reference, so the parquet hand-off write does
+      // not materialize every field of every decoy (guide §2.3) —
+      // missing keys null out exactly as they would post-transform
+      .withColumn("fields", map_filter(col("fields"),
+        (k, _) => k.isInCollection(keepFields)))
 
   /** Sink dirs of [[throughStream]] invocations. Each returned frame
     * reads its sink's parquet LAZILY, so the dir must outlive every
@@ -137,6 +145,31 @@ object StreamQueries {
       .createTempDirectory("graft_stream_ckpt_").toString
     try {
       src.write.mode("overwrite").parquet(dir)
+      // SIZE THE STREAM'S STATE PARALLELISM TO THE STREAM, not to the
+      // session: stateful operators (session windows, dedup state,
+      // windowed counts) allocate one state-store instance per shuffle
+      // partition, and every micro-batch pays a per-partition
+      // plan/commit/checkpoint round even when a partition holds a few
+      // KB — with the session's core-count partitioning a tiny replay
+      // corpus spends more wall time on state-store protocol than on
+      // rows (the same fixed-vs-scaled defect the ETL build sizing
+      // fixed, GraftStore.etlCachedDir). Partition count derives from
+      // the JUST-WRITTEN source bytes (~16 MB of source per state
+      // partition, metadata-only walk), floored at 2 and capped at the
+      // session setting, so the cap — the production value — returns
+      // exactly at the volumes where per-partition state is real;
+      // SPARK_GRAFT_STREAM_STATE_PARTS overrides for probes. State
+      // partitioning is internal to the operator: results are
+      // identical at any setting (pinned by the unchanged oracles).
+      val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
+      val streamParts = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+        .flatMap(v => scala.util.Try(v.toInt).toOption)
+        .getOrElse {
+          val srcBytes = dirBytes(dir)
+          math.max(2L, math.min(sessionParts.toLong,
+            srcBytes / (16L * 1024 * 1024) + 1)).toInt
+        }
+      s.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
       val streamed = transform(s.readStream.schema(src.schema).parquet(dir))
       val outSchema = streamed.schema
       val q = streamed.writeStream.format("parquet")
@@ -157,7 +190,14 @@ object StreamQueries {
           f.write.mode("append").parquet(dir)
           q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // restore the session's partitioning for everything after the
+        // stream (the flush writes above are partition-count-agnostic
+        // single-row frames; the stream itself pinned its state
+        // partitioning at start from the sized value)
+        s.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      }
       // explicit schema: a stream that emitted zero rows leaves a
       // sink with metadata but no data files — inference would throw
       val result = s.read.schema(outSchema).parquet(sinkDir)
@@ -176,7 +216,8 @@ object StreamQueries {
     // token). The /customer decoys and pre-cut events must not pass.
     "q_qstream" -> ((s, dir) => {
       val store = st(s, dir)
-      val out = throughStream(s, streamSource(store)) { stream =>
+      val out = throughStream(s,
+          streamSource(store, Seq("event_type", "event_id"))) { stream =>
         Streaming.qstream(stream, store,
           Search.Request(path = "/user",
             qp = Some("event_type::purchase")),
@@ -191,7 +232,9 @@ object StreamQueries {
     // non-matching rows dropped. One row per (version, subscriber).
     "q_subscribe" -> ((s, dir) => {
       val store = st(s, dir)
-      val out = throughStream(s, streamSource(store)) { stream =>
+      val out = throughStream(s,
+          streamSource(store,
+            Seq("event_type", "event_id", "acctbal"))) { stream =>
         Streaming.subscribe(stream, store, Seq(
             Streaming.Rule("purchase-watch", "/user",
               Some("event_type::purchase")),
@@ -215,12 +258,15 @@ object StreamQueries {
     // watermark machinery failed to flush (or flushed twice) breaks
     // row parity.
     "q_stream_window" -> ((s, dir) => {
+      // project to the two columns the windowed count reads BEFORE the
+      // parquet hand-off (guide §2.3 "project before the exchange"):
+      // the stream-side scan prunes columns anyway, but the hand-off
+      // WRITE otherwise materializes all six event columns to disk per
+      // run — pure I/O for data no operator touches
       val ev = graft.model.TableLoader.events(s, dir)
+        .select(col("ts"), col("event_type"))
       def flush(ts: String) = s.range(1).select(
-        lit(-1L).as("event_id"), to_timestamp(lit(ts)).as("ts"),
-        lit(-1L).as("user_id"), lit("__flush").as("event_type"),
-        lit(null).cast("double").as("value"),
-        lit(null).cast("string").as("props"))
+        to_timestamp(lit(ts)).as("ts"), lit("__flush").as("event_type"))
       val out = throughStream(s, ev, Seq(
           flush("2024-03-01 00:00:00"), flush("2024-04-01 00:00:00"))) {
         stream => Streaming.windowedCounts(stream, "ts",
@@ -239,12 +285,13 @@ object StreamQueries {
     // sessions emit only once the watermark passes their close, so
     // streaming/batch parity proves the state machinery loses nothing.
     "q_stream_session" -> ((s, dir) => {
+      // (ts, user_id) is all sessionization reads — project before the
+      // parquet hand-off, same rationale as q_stream_window; the flush
+      // sentinel keeps user_id = -1 so the post-filter is unchanged
       val ev = graft.model.TableLoader.events(s, dir)
+        .select(col("ts"), col("user_id"))
       def flush(ts: String) = s.range(1).select(
-        lit(-1L).as("event_id"), to_timestamp(lit(ts)).as("ts"),
-        lit(-1L).as("user_id"), lit("__flush").as("event_type"),
-        lit(null).cast("double").as("value"),
-        lit(null).cast("string").as("props"))
+        to_timestamp(lit(ts)).as("ts"), lit(-1L).as("user_id"))
       val out = throughStream(s, ev, Seq(
           flush("2024-03-01 00:00:00"), flush("2024-04-01 00:00:00"))) {
         stream => Streaming.sessionizeStream(

@@ -16,6 +16,20 @@ object Ingest {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       InfotonModel.InfotonType)
 
+  /** Spread the parse input over the session's parallelism BEFORE the
+    * per-line/per-document parse flatMap: ingest text typically arrives
+    * as a handful of splits (one request body, one file, one upstream
+    * task's output), and the parse — regex per NT line, a Jackson tree
+    * walk per JSON-LD document — is the CPU-heavy stage, so without
+    * this it runs serialized on those few tasks while the cluster
+    * idles (guide §2.5 "input skew: one unsplittable input"). The
+    * shuffle moves only the raw text once; inputs that already carry
+    * enough splits (any at-scale corpus) pass through untouched. */
+  private def parseParallel[T](ds: Dataset[T]): Dataset[T] = {
+    val par = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < par) ds.repartition(par) else ds
+  }
+
   /** N-Triples/N-Quads lines → write commands, one per subject
     * (LDFormatParser.rdfToInfotonsMap:586-605). */
   def commands(spark: SparkSession, lines: Dataset[String],
@@ -54,8 +68,8 @@ object Ingest {
   def ingest(spark: SparkSession, infotons: DataFrame, lines: Dataset[String],
              lastModified: Timestamp): DataFrame = {
     import spark.implicits._
-    mergeParsed(spark, infotons, lines.flatMap(Rdf.parseLine(_)),
-      lastModified)
+    mergeParsed(spark, infotons,
+      parseParallel(lines).flatMap(Rdf.parseLine(_)), lastModified)
   }
 
   /** Turtle ingest: each element is ONE whole Turtle document (Turtle
@@ -104,7 +118,8 @@ object Ingest {
                          docs: Dataset[String], lastModified: Timestamp,
                          parse: String => Seq[Rdf.Statement]): DataFrame = {
     import spark.implicits._
-    mergeParsed(spark, infotons, docs.flatMap(parse(_)), lastModified)
+    mergeParsed(spark, infotons,
+      parseParallel(docs).flatMap(parse(_)), lastModified)
   }
 
   /** Merge parsed statements with the parse paid ONCE: the statement
@@ -139,7 +154,7 @@ object Ingest {
                       lines: Dataset[String], lastModified: Timestamp)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
-    mergeParsedWithDelta(spark, infotons, lines.flatMap(Rdf.parseLine(_)),
-      lastModified)
+    mergeParsedWithDelta(spark, infotons,
+      parseParallel(lines).flatMap(Rdf.parseLine(_)), lastModified)
   }
 }

@@ -215,12 +215,22 @@ object Merger {
     val missingDf =
       if (candArr.length <= 10000) {
         val cand = candArr.toSeq
-        val existing =
-          if (cand.isEmpty) Set.empty[String]
-          else existingAll.where(col("p0").isin(cand: _*))
-            .distinct().collect().map(_.getString(0)).toSet
-        spark.createDataset(cand.filterNot(existing))(
-          org.apache.spark.sql.Encoders.STRING).toDF("p")
+        // existence stays a PUSHED-DOWN IN scan (the collected
+        // candidates are the literals — that is why the probe collect
+        // above exists), but the set difference is now a LAZY
+        // anti-join instead of a second driver action per merge: the
+        // tiny scan rides inside whichever downstream job first
+        // consumes the parents frame, one driver round-trip saved on
+        // every incremental batch
+        if (cand.isEmpty)
+          spark.createDataset(Seq.empty[String])(
+            org.apache.spark.sql.Encoders.STRING).toDF("p")
+        else
+          spark.createDataset(cand)(
+            org.apache.spark.sql.Encoders.STRING).toDF("p")
+            .join(existingAll.where(col("p0").isin(cand: _*)),
+              col("p") === col("p0"), "left_anti")
+            .select("p")
       } else {
         // the bulk path's only prior action is the 10001-row limit
         // probe, and CollectLimit can stop after a partition subset —

@@ -344,10 +344,21 @@ object GraftStore {
       Some(dir))
   }
 
-  /** Clone a materialized `infotons/` layout by file copy — the
-    * "restore a store snapshot" operation (byte-identical layout, no
-    * Spark job). Used by write-path scenarios that need a WRITABLE
-    * copy without re-running the ETL write. */
+  /** Clone a materialized `infotons/` layout — the "restore a store
+    * snapshot" operation (byte-identical layout, no Spark job). Used by
+    * write-path scenarios that need a WRITABLE copy without re-running
+    * the ETL write.
+    *
+    * HARD LINKS, not byte copies (the reflink/snapshot-clone
+    * discipline): parquet writers never modify data files in place —
+    * every mutation (dynamic partition overwrite, generational swap)
+    * writes NEW files and unlinks old ones, so linked files are safe to
+    * share and unlinking in the clone never touches the source layout.
+    * A link is O(1) metadata vs streaming the bytes, which turns the
+    * clone from layout-sized I/O into directory-walk time (the same
+    * reason storage snapshots are cheap). Falls back to a real copy per
+    * file when the filesystem refuses links (cross-device, no
+    * hard-link support). */
   def cloneInfotons(srcRoot: String, dstRoot: String): Unit = {
     val src = java.nio.file.Paths.get(srcRoot, "infotons")
     val dst = java.nio.file.Paths.get(dstRoot, "infotons")
@@ -357,8 +368,15 @@ object GraftStore {
       val q = dst.resolve(src.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(q)
-      else java.nio.file.Files.copy(p, q,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else {
+        java.nio.file.Files.deleteIfExists(q)
+        try java.nio.file.Files.createLink(q, p)
+        catch { case _: UnsupportedOperationException |
+                     _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.copy(p, q,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
     }
   }
 

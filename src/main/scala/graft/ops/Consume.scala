@@ -76,7 +76,15 @@ object Consume {
     * hint skips that final empty-probe action. false on token-less
     * results and on paths that don't compute a count (nextChunk). */
   final case class Result(chunk: DataFrame, nextToken: Option[String],
-                          exhausted: Boolean = false)
+                          exhausted: Boolean = false,
+                          /** Rows the boundary top-N saw (=
+                            * min(pending, chunkSize)) — when the chunk
+                            * was sized to swallow everything
+                            * (chunkSize ≥ pending, i.e. `exhausted`),
+                            * this IS the chunk's row count, so a
+                            * consumer needing it (stp's
+                            * newVersions) skips a recount action. */
+                          seen: Long = 0L)
 
   /** `op=create-consumer` — initial token for a path+qp scan. */
   def createConsumer(path: String, qp: Option[String] = None): String =
@@ -107,7 +115,7 @@ object Consume {
       val boundary = bRow.getLong(0)
       val chunk = pending.where(col("system.indexTime") <= boundary)
       Result(chunk, Some(st.copy(from = boundary).encode),
-        exhausted = bRow.getLong(1) < chunkSize)
+        exhausted = bRow.getLong(1) < chunkSize, seen = bRow.getLong(1))
     }
   }
 

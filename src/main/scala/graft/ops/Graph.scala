@@ -336,7 +336,12 @@ object Graph {
       val next = levelTargets(store, frontier, hops)
       checkLimit(next, limit)
       frontier = next
-      reached = reached.union(next).distinct()
+      // no per-level distinct on `reached`: the final left-semi join
+      // ([[semiByPath]]) never duplicates store rows, so accumulated
+      // duplicates are harmless — dropping the distinct removes one
+      // Exchange per level (guide §2.4); the FRONTIER stays deduped
+      // inside levelTargets, which is what bounds fan-out growth
+      reached = reached.union(next)
     }
     semiByPath(store, reached)
   }
@@ -355,7 +360,10 @@ object Graph {
         val next = levelTargets(store, frontier, level)
         checkLimit(next, limit)
         frontier = next
-        reached = reached.union(next).distinct()
+        // same rationale as xg: the final semi join tolerates
+        // duplicates, so the per-level distinct was a pure extra
+        // Exchange per hop (several per yg with alternatives)
+        reached = reached.union(next)
       }
     }
     semiByPath(store, reached)

@@ -390,7 +390,9 @@ object Dedup {
   /** 64-bit SimHash fingerprints: per bit, the sign of the sum of ±1
     * votes from each distinct token's hash. One grouped agg. */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val idx = docs.select(col("doc_id"),
+    // computeParallel: tokenize+explode fan-out pre-shuffle — see
+    // shingleIndex / substringSpanRemoval
+    val idx = Similarity.computeParallel(docs).select(col("doc_id"),
         explode(TextAnalysis.shingles(col(textCol), 1)).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val bitAggs = (0 until 64).map { i =>
@@ -667,7 +669,13 @@ object Dedup {
     * key), all combinable. */
   def substringSpanRemoval(docs: DataFrame, n: Int = 16,
                            textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    // computeParallel (same rationale as shingleIndex): the tokenize +
+    // per-position gram hash explode multiplies each input row ~100×,
+    // and a corpus packed into a handful of parquet splits would run
+    // that entire map stage on those few tasks before the gram-key
+    // shuffle widens the plan; no-op when the scan already has
+    // default-parallelism splits (every at-scale corpus)
+    val toks = Similarity.computeParallel(docs).select(col("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("ts"))
     val grams = toks.where(size(col("ts")) >= n)
       .select(col("doc_id"),
@@ -760,7 +768,9 @@ object Dedup {
     * an in-row sort of the surviving line structs. Two shuffles total
     * (line key, doc key), both on hashable keys. */
   def paragraphDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val lines = docs.select(col("doc_id"),
+    // computeParallel: the line explode fans out ~30× per doc and runs
+    // pre-shuffle — see substringSpanRemoval
+    val lines = Similarity.computeParallel(docs).select(col("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
       .where(col("line") =!= "")
     val owner = lines.groupBy("line")

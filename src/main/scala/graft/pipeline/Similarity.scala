@@ -46,7 +46,7 @@ object Similarity {
     * scans — to one task while the other cores idle; the sf10 probe
     * measured exactly that (single-task 4M-pair joins). A no-op when
     * the source already splits (the many-file 100 TB case). */
-  private[pipeline] def computeParallel(df: DataFrame): DataFrame = {
+  private[graft] def computeParallel(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

@@ -607,11 +607,22 @@ object TextAnalysis {
                textCol: String = "text"): Seq[(String, String, Long)] = {
     val chars = transform(sequence(lit(1), length(col("w"))),
       i => col("w").substr(i, lit(1)))
-    var words = docs.select(explode(tokens(col(textCol))).as("w"))
+    // computeParallel: the tokenize+explode feeding the vocab count is
+    // the corpus-sized pass of BPE training and runs pre-shuffle — a
+    // single-split corpus would tokenize serially (no-op at scale)
+    var words = Similarity.computeParallel(docs)
+      .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), chars.as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // previous round's vocab table, released only AFTER the next
+    // round's top-pair collect has materialized the current one — the
+    // former eager `next.count()` spent a second driver action per
+    // merge round purely to make unpersist safe (2N+1 jobs for N
+    // merges; now N+1). Holding two vocab-sized tables briefly is the
+    // same peak the count path had.
+    var prev: DataFrame = null
     try {
       for (_ <- 1 to merges) {
         val top = words
@@ -623,6 +634,9 @@ object TextAnalysis {
           .groupBy("a", "b").agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
           .limit(1).collect()
+        // this collect materialized `words`' persist — the round
+        // before it is now safe to drop
+        if (prev != null) { prev.unpersist(false); prev = null }
         if (top.isEmpty) return out.toSeq
         val (a, b, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
@@ -630,12 +644,14 @@ object TextAnalysis {
         val next = words.select(col("freq"),
           mergeFold(col("syms"), a, b).as("syms"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the previous round
-        words.unpersist(false)
+        prev = words
         words = next
       }
       out.toSeq
-    } finally { words.unpersist(false); () }
+    } finally {
+      if (prev != null) prev.unpersist(false)
+      words.unpersist(false); ()
+    }
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
