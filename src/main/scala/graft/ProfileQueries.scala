@@ -34,6 +34,8 @@ object ProfileQueries {
     val tasks = new java.util.concurrent.atomic.AtomicInteger
     val jobTimes =
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val stageTimes = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Long, Int, String)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         private val t0 = new java.util.concurrent.ConcurrentHashMap[
@@ -52,6 +54,11 @@ object ProfileQueries {
             : Unit = {
           stages.incrementAndGet()
           tasks.addAndGet(s.stageInfo.numTasks)
+          val d = (for { a <- s.stageInfo.submissionTime;
+                         b <- s.stageInfo.completionTime } yield b - a)
+            .getOrElse(0L)
+          stageTimes.add((s.stageInfo.stageId, d, s.stageInfo.numTasks,
+            s.stageInfo.name.take(60)))
         }
       })
     // warm the store ETL outside any timing, like Bench
@@ -63,6 +70,7 @@ object ProfileQueries {
         case Some(fn) =>
           (1 to repeats).foreach { i =>
             jobs.set(0); stages.set(0); tasks.set(0); jobTimes.clear()
+            stageTimes.clear()
             val t = System.nanoTime()
             try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
@@ -73,14 +81,15 @@ object ProfileQueries {
             // settle: late listener events from the run's tail
             Thread.sleep(200)
             import scala.jdk.CollectionConverters._
-            val jt = jobTimes.asScala.toSeq.sortBy(_._1)
-            val jsum = jt.map(j => (j._3 - j._2) / 1e9).sum
-            val slow = jt.sortBy(j => j._2 - j._3).take(4)
-              .map(j => f"#${j._1}:${(j._3 - j._2) / 1e9}%.2f")
-              .mkString(" ")
+            val st = stageTimes.asScala.toSeq
+            val ssum = st.map(_._2 / 1e3).sum
+            val slow = st.sortBy(-_._2).take(5)
+              .map(s => f"${s._2 / 1e3}%.2fs/t${s._3}:${s._4}")
+              .mkString(" | ")
             println(f"[profile] $name%-30s run $i%2d  $sec%7.2f s  " +
               f"jobs=${jobs.get}%3d stages=${stages.get}%3d " +
-              f"tasks=${tasks.get}%4d jobsum=$jsum%6.2f  slowest: $slow")
+              f"tasks=${tasks.get}%4d stagesum=$ssum%6.2f")
+            println(s"[profile]   slowest stages: $slow")
           }
           graft.pipeline.Dedup.releaseCaches()
           graft.pipeline.Similarity.releaseCaches()
