@@ -169,33 +169,37 @@ object StreamQueries {
           math.max(2L, math.min(sessionParts.toLong,
             srcBytes / (16L * 1024 * 1024) + 1)).toInt
         }
+      // restore scope covers EVERYTHING from the set — a transform or
+      // start() that throws must not leave the session pinned at the
+      // stream-sized partition count for every later batch query
       s.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
-      val streamed = transform(s.readStream.schema(src.schema).parquet(dir))
-      val outSchema = streamed.schema
-      val q = streamed.writeStream.format("parquet")
-        .option("path", sinkDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
-      // `flushes` arrive as LATER micro-batches (one file write + one
-      // drain each). Watermarked append-mode operators only emit a
-      // window/session once the watermark passes its close, and the
-      // watermark used by batch N is computed from batches < N — so
-      // closing ALL real windows deterministically needs TWO
-      // far-future sentinel batches: the first advances the
-      // watermark, the second triggers the batch that emits under it
-      // (no reliance on no-data micro-batch scheduling).
-      try {
-        q.processAllAvailable()
-        flushes.foreach { f =>
-          f.write.mode("append").parquet(dir)
+      val outSchema = try {
+        val streamed = transform(s.readStream.schema(src.schema).parquet(dir))
+        val outSchema0 = streamed.schema
+        val q = streamed.writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        // `flushes` arrive as LATER micro-batches (one file write + one
+        // drain each). Watermarked append-mode operators only emit a
+        // window/session once the watermark passes its close, and the
+        // watermark used by batch N is computed from batches < N — so
+        // closing ALL real windows deterministically needs TWO
+        // far-future sentinel batches: the first advances the
+        // watermark, the second triggers the batch that emits under it
+        // (no reliance on no-data micro-batch scheduling).
+        try {
           q.processAllAvailable()
-        }
+          flushes.foreach { f =>
+            f.write.mode("append").parquet(dir)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        outSchema0
       } finally {
-        q.stop()
         // restore the session's partitioning for everything after the
-        // stream (the flush writes above are partition-count-agnostic
-        // single-row frames; the stream itself pinned its state
-        // partitioning at start from the sized value)
+        // stream (the stream itself pinned its state partitioning at
+        // start from the sized value)
         s.conf.set("spark.sql.shuffle.partitions", sessionParts)
       }
       // explicit schema: a stream that emitted zero rows leaves a
