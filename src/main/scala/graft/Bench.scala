@@ -194,7 +194,7 @@ object Bench {
       val t = timeOnce(name, fn)
       val lastOfFamily =
         i + 1 >= selected.size || family(selected(i + 1)._1) != family(name)
-      if (lastOfFamily) { graft.pipeline.Dedup.releaseCaches(); graft.pipeline.Similarity.releaseCaches() }
+      if (lastOfFamily) { graft.pipeline.Dedup.releaseCaches(); graft.pipeline.Similarity.releaseCaches(); graft.ops.Caches.releaseCaches() }
       name -> t
     }
 
@@ -243,7 +243,7 @@ object Bench {
           val r = retry(name, i)
           val lastOfFamily = j + 1 >= suspects.size ||
             family(suspects(j + 1)._1._1) != family(name)
-          if (lastOfFamily) { graft.pipeline.Dedup.releaseCaches(); graft.pipeline.Similarity.releaseCaches() }
+          if (lastOfFamily) { graft.pipeline.Dedup.releaseCaches(); graft.pipeline.Similarity.releaseCaches(); graft.ops.Caches.releaseCaches() }
           r
         }
       val s1 = sweep()

@@ -85,11 +85,18 @@ object ConsumeQueries {
         res.nextToken match {
           case None => done = true
           case Some(next) =>
-            val exp = Consume.expandChunk(store, res,
+            // the chunk subtree (a pushed consumeView range scan) is
+            // referenced ~5× by the final plan (gqp seed + semi base,
+            // xg frontier + union, the drained count) and Catalyst
+            // inlines each reference — persist it (chunk-sized, family-
+            // boundary released) so the store scan runs once per chunk
+            val pinned = res.copy(
+              chunk = graft.ops.Caches.persist(res.chunk))
+            val exp = Consume.expandChunk(store, pinned,
               xg = Some("refCustomer"),
               gqp = Some(">refCustomer[mktsegment::BUILDING]"))
             expanded ::= exp.chunk.select(col("system.path").as("path"))
-            plains ::= res.chunk.select(col("system.uuid").as("u"))
+            plains ::= pinned.chunk.select(col("system.uuid").as("u"))
             chunks += 1
             // the boundary action already counted the pending rows:
             // an under-full chunk is the last one — skip the final

@@ -394,14 +394,19 @@ object PipelineQueries {
     // sf0.01.
     "q_dedup_embedding_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      val g = groundSample(e)
+      val g = graft.ops.Caches.persist(groundSample(e))
       val lsh = Dedup.embeddingDupPairsLsh(e, tau = 0.4).select("v1", "v2")
       // precision/recall are measured on pairs with BOTH endpoints in
-      // the grounding sample (== all pairs at the gated sfs)
-      val lshG = lsh
+      // the grounding sample (== all pairs at the gated sfs).
+      // lshG/exact are persisted (pair-set sized): lshG feeds both
+      // anti-joins and exact feeds those plus its own count — Catalyst
+      // inlines each reference, so the LSH mining and the quadratic
+      // anchor otherwise re-ran per consumer
+      val lshG = graft.ops.Caches.persist(lsh
         .join(g.select(col("vec_id").as("v1")), Seq("v1"), "left_semi")
-        .join(g.select(col("vec_id").as("v2")), Seq("v2"), "left_semi")
-      val exact = Dedup.embeddingDupPairs(g, tau = 0.4).select("v1", "v2")
+        .join(g.select(col("vec_id").as("v2")), Seq("v2"), "left_semi"))
+      val exact = graft.ops.Caches.persist(
+        Dedup.embeddingDupPairs(g, tau = 0.4).select("v1", "v2"))
       val extra = lshG.join(exact, Seq("v1", "v2"), "left_anti")
       val missed = exact.join(lshG, Seq("v1", "v2"), "left_anti")
       exact.agg(count(lit(1)).as("n_exact"))
@@ -427,8 +432,12 @@ object PipelineQueries {
     // EVERY gate, not once per probe session.
     "q_dedup_embedding_prod" -> ((s, dir) => {
       val e0 = emb(s, dir).select("vec_id", "embedding")
-      val g = groundSample(e0)
-      val planted = plantDups(g)
+      // g is referenced five times below (plant source, truth join,
+      // exact-anchor union, both lshG endpoint semis) and planted
+      // three — persist both (sample-sized) so the sample scan and
+      // the planted-vector synthesis run once, not per reference
+      val g = graft.ops.Caches.persist(groundSample(e0))
+      val planted = graft.ops.Caches.persist(plantDups(g))
       val p = planted.select("vec_id", "embedding")
       val e = e0.unionByName(p)
       // one mining pass, materialized: three consumers below would
@@ -439,14 +448,14 @@ object PipelineQueries {
       // planted truth pairs with their exact cosine — the recall
       // denominator (a plant whose true cosine lands under τ can
       // never be mined and must not count as a miss)
-      val truth = planted.alias("p")
+      val truth = graft.ops.Caches.persist(planted.alias("p")
         .join(g.alias("g"), col("p.src") === col("g.vec_id"))
         .select(col("g.vec_id").as("v1"), col("p.vec_id").as("v2"),
           round(Similarity.cosineFixed(col("g.embedding"),
-            col("p.embedding")), 6).as("cosine"))
+            col("p.embedding")), 6).as("cosine")))
       val truthTrue = truth.where(col("cosine") >= 0.9).select("v1", "v2")
       val found = truthTrue.join(lsh, Seq("v1", "v2"), "left_semi")
-      val su = g.unionByName(p)
+      val su = graft.ops.Caches.persist(g.unionByName(p))
       val exact = Dedup.embeddingDupPairs(su, tau = 0.9).select("v1", "v2")
       val lshG = lsh
         .join(su.select(col("vec_id").as("v1")), Seq("v1"), "left_semi")

@@ -49,6 +49,7 @@ object PlanDump {
         }
         graft.pipeline.Dedup.releaseCaches()
         graft.pipeline.Similarity.releaseCaches()
+        graft.ops.Caches.releaseCaches()
       }
     }
     spark.stop()

@@ -93,6 +93,7 @@ object ProfileQueries {
           }
           graft.pipeline.Dedup.releaseCaches()
           graft.pipeline.Similarity.releaseCaches()
+          graft.ops.Caches.releaseCaches()
       }
     }
     spark.stop()

@@ -366,8 +366,13 @@ object StreamQueries {
       // tables (and re-exploding their quads for st2's view) would be
       // pure waste — at sf1 the full-store form spent ~30 of 37 s
       // exploding unrelated quads. Same result, subtree-sized work.
-      val merged = Merger.merge(s,
-        Merger.subtree(store.infotons, "/customer"), cmds)
+      // persisted ([[graft.ops.Caches]]): the merged subtree feeds the
+      // tick-3 sensor probe AND every BGP triple-pattern scan of the
+      // re-evaluated view (each pattern explodes the infoton frame
+      // separately) — unpersisted, the /customer merge plan re-ran per
+      // reference
+      val merged = graft.ops.Caches.persist(Merger.merge(s,
+        Merger.subtree(store.infotons, "/customer"), cmds))
       val st2 = GraftStore.fromInfotons(s, merged, Some(store.fieldTypes))
       val r3 = Stp.refresh(st2, job, r2.nextToken)
       r3.view.getOrElse(sys.error("delta tick must re-materialize"))

@@ -30,7 +30,7 @@ object Verify {
         // the parquet write was the consuming action — drop per-query
         // pipeline caches so 60 queries don't accumulate eviction
         // pressure against the persisted store views
-        { graft.pipeline.Dedup.releaseCaches(); graft.pipeline.Similarity.releaseCaches() }
+        { graft.pipeline.Dedup.releaseCaches(); graft.pipeline.Similarity.releaseCaches(); graft.ops.Caches.releaseCaches() }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -190,14 +190,19 @@ object Aggregations {
         // the top-level sigTerms; the per-parent top-size is a window,
         // not a global limit.
         val childKey = s"${g.name}_key"
-        val fgc = view(childKey -> firstVal(store, g.field))
+        // persisted for the same two-consumer reason as [[sigTerms]]:
+        // fgc feeds both the per-parent total and the score join, bgc
+        // both the global total and the join — unpersisted, each
+        // grouped count re-ran its store scan
+        val fgc = Caches.persist(view(childKey -> firstVal(store, g.field))
           .where(col(childKey).isNotNull)
           .groupBy((keys :+ childKey).map(col): _*)
-          .agg(count(lit(1)).as(s"${g.name}_fg"))
+          .agg(count(lit(1)).as(s"${g.name}_fg")))
         val fgTot = fgc.groupBy(keys.map(col): _*)
           .agg(sum(s"${g.name}_fg").as("__fg_total"))
-        val bgc = keyed(store, sigBackground(store, g), g.field, childKey)
-          .groupBy(col(childKey)).agg(count(lit(1)).as(s"${g.name}_bg"))
+        val bgc = Caches.persist(
+          keyed(store, sigBackground(store, g), g.field, childKey)
+            .groupBy(col(childKey)).agg(count(lit(1)).as(s"${g.name}_bg")))
         val fgF = col(s"${g.name}_fg").cast("double") / col("__fg_total")
         val bgF = col(s"${g.name}_bg").cast("double") / col("__bg_total")
         val scored = fgc.join(fgTot, keys)
@@ -291,13 +296,20 @@ object Aggregations {
     * broadcast (a high-cardinality background would OOM a broadcast;
     * AQE picks one at runtime when the side is genuinely small).
     * Totals are 1-row aggregates cross-joined in (Spark broadcasts a
-    * single row for free) instead of a global unpartitioned window. */
+    * single row for free) instead of a global unpartitioned window.
+    *
+    * The grouped counts are PERSISTED ([[Caches]]): each feeds both
+    * the term join and its own total aggregate, and Catalyst inlines a
+    * twice-referenced subtree — without the persist the fg and bg
+    * store scans each ran twice per sig query (measured: 4 near-equal
+    * scan stages ≈ the whole query). Term-count-sized, released at the
+    * harness family boundary. */
   def sigTerms(store: GraftStore, fg: DataFrame, bg: DataFrame,
                spec: SigTermsAgg): DataFrame = {
-    val fgc = keyed(store, fg, spec.field, "key")
-      .groupBy("key").agg(count(lit(1)).as("fg_count"))
-    val bgc = keyed(store, bg, spec.field, "key")
-      .groupBy("key").agg(count(lit(1)).as("bg_count"))
+    val fgc = Caches.persist(keyed(store, fg, spec.field, "key")
+      .groupBy("key").agg(count(lit(1)).as("fg_count")))
+    val bgc = Caches.persist(keyed(store, bg, spec.field, "key")
+      .groupBy("key").agg(count(lit(1)).as("bg_count")))
     val fgF = col("fg_count").cast("double") / col("fg_total")
     val bgF = col("bg_count").cast("double") / col("bg_total")
     fgc.crossJoin(fgc.agg(sum("fg_count").as("fg_total")))

@@ -330,11 +330,19 @@ object Graph {
     * 716-749). Each level may fan out over several fields. */
   def xg(store: GraftStore, base: DataFrame, levels: Seq[Level],
          limit: Option[Int] = None): DataFrame = {
-    var frontier = paths(base)
+    // the frontier path-set is referenced TWICE per level (the next
+    // level's equi-join + the reached union) and Catalyst inlines the
+    // subtree at each reference — persist it ([[Caches]], path-set
+    // sized) so the base scan / each level's edge join runs once, not
+    // once per reference; the last level's targets feed only the
+    // union, so they stay unpersisted
+    var frontier = Caches.persist(paths(base))
     var reached = frontier
-    levels.foreach { hops =>
-      val next = levelTargets(store, frontier, hops)
-      checkLimit(next, limit)
+    levels.zipWithIndex.foreach { case (hops, i) =>
+      val next0 = levelTargets(store, frontier, hops)
+      checkLimit(next0, limit)
+      val next =
+        if (i < levels.size - 1) Caches.persist(next0) else next0
       frontier = next
       // no per-level distinct on `reached`: the final left-semi join
       // ([[semiByPath]]) never duplicates store rows, so accumulated
@@ -352,13 +360,20 @@ object Graph {
     * (wsutil/package.scala:850-919). */
   def yg(store: GraftStore, base: DataFrame, expr: String,
          limit: Option[Int] = None): DataFrame = {
-    val basePaths = paths(base)
+    // persisted for the same multi-reference reason as [[xg]]: the
+    // base path-set seeds EVERY `|` alternative plus the reached
+    // union, and each mid-path level feeds both the next hop and the
+    // union — unpersisted, the (often heavy) base search scan re-ran
+    // once per reference (measured 3× on a filtered /lineitem base)
+    val basePaths = Caches.persist(paths(base))
     var reached = basePaths
     parsePaths(expr).foreach { path =>
       var frontier = basePaths
-      path.foreach { level =>
-        val next = levelTargets(store, frontier, level)
-        checkLimit(next, limit)
+      path.zipWithIndex.foreach { case (level, i) =>
+        val next0 = levelTargets(store, frontier, level)
+        checkLimit(next0, limit)
+        val next =
+          if (i < path.size - 1) Caches.persist(next0) else next0
         frontier = next
         // same rationale as xg: the final semi join tolerates
         // duplicates, so the per-level distinct was a pure extra
@@ -375,9 +390,16 @@ object Graph {
     * join chains (one per alternative) finished with one LEFT SEMI
     * JOIN over the unioned origins. */
   def gqp(store: GraftStore, base: DataFrame, expr: String): DataFrame = {
-    val seed = base.select(col("system.path").as("origin"),
+    val seed0 = base.select(col("system.path").as("origin"),
       col("system.path").as("p"))
-    val origins = parsePaths(expr).map { path =>
+    val alts = parsePaths(expr)
+    // multiple `|` alternatives each chain from the seed — persist it
+    // (path-pair sized) so the base scan isn't repeated per
+    // alternative; a single-path gqp references it once and skips the
+    // persist (the final semi join's base reference is the RESULT
+    // rows themselves, which no persist of the seed can remove)
+    val seed = if (alts.size > 1) Caches.persist(seed0) else seed0
+    val origins = alts.map { path =>
       path.foldLeft(seed)(levelChain(store, _, _)).select("origin")
     }.reduce(_ union _).distinct()
     base.withColumn("__path", col("system.path"))

@@ -546,7 +546,12 @@ object Gremlin {
           val fields = field.map(Seq(_)).getOrElse(Graph.refFields(store))
           require(fields.nonEmpty, "edge hop over empty reference-field universe")
           val e = store.refEdgesLabeled(fields).alias("e")
-          val fr = frontier.alias("fr")
+          // .bothE references the frontier in BOTH direction joins and
+          // Catalyst inlines the subtree per reference — persist it
+          // (path-set sized, [[Caches]]) so the chain prefix computes
+          // once; single-direction pipes reference it once and skip it
+          val fr = (if (dir == Both) Caches.persist(frontier)
+                    else frontier).alias("fr")
           def pick = Seq(col("e.from").as("from"), col("e.label").as("label"),
             col("e.to").as("to"))
           def outE = e.join(fr, col("e.from") === col("fr.p")).select(pick: _*)
@@ -570,7 +575,9 @@ object Gremlin {
           val fields = field.map(Seq(_)).getOrElse(Graph.refFields(store))
           require(fields.nonEmpty, "hop over empty reference-field universe")
           val e = store.refEdges(fields).alias("e")
-          val fr = frontier.alias("fr")
+          // same dual-reference persist as .bothE above
+          val fr = (if (dir == Both) Caches.persist(frontier)
+                    else frontier).alias("fr")
           def pickV(head: org.apache.spark.sql.Column) =
             head.as("p") +: carries.map(c => col(s"fr.$c"))
           def fwd = e.join(fr, col("e.from") === col("fr.p"))
@@ -646,6 +653,10 @@ object Gremlin {
           // the second snapshot unions with the first instead of
           // silently replacing it
           requireVertexMode("aggregate")
+          // the snapshot forks the stream: the chain prefix feeds both
+          // the bag and the continuing frontier — persist so the
+          // prefix (often several hop joins) computes once
+          frontier = Caches.persist(frontier)
           val snap = frontier.select(col("p")).distinct()
           bags += bag -> bags.get(bag)
             .fold(snap)(_.unionByName(snap).distinct())
@@ -758,7 +769,8 @@ object Gremlin {
         val fields = field.map(Seq(_)).getOrElse(Graph.refFields(store))
         require(fields.nonEmpty, "hop over empty reference-field universe")
         val e = store.refEdges(fields).alias("e")
-        val f2 = fr.alias("fr")
+        // same dual-reference persist as the vertex-mode .both
+        val f2 = (if (dir == Both) Caches.persist(fr) else fr).alias("fr")
         def fwd = e.join(f2, col("e.from") === col("fr.p"))
           .select(col("e.to").as("p"),
             concat(col("fr.trail"), array(col("e.to"))).as("trail"))
