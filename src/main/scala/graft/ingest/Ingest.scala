@@ -11,9 +11,15 @@ import java.sql.Timestamp
   */
 object Ingest {
 
-  /** Empty infoton store (ingest target for a fresh graph). */
+  /** Empty infoton store (ingest target for a fresh graph). A
+    * LocalRelation (list-backed), NOT an emptyRDD frame: emptyRDD plans
+    * as an opaque LogicalRDD, so merging into a fresh store paid full
+    * join/flip/union subtrees against a provably-empty side; the
+    * LocalRelation lets Catalyst's PropagateEmptyRelation collapse
+    * those at plan time (fewer exchanges/jobs on every fresh-graph
+    * ingest — same frame, identical contents). */
   def emptyStore(spark: SparkSession): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       InfotonModel.InfotonType)
 
   /** Spread the parse input over the session's parallelism BEFORE the

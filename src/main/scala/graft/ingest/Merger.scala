@@ -162,6 +162,21 @@ object Merger {
   def mergeWithDelta(spark: SparkSession, infotons: DataFrame,
                      commands: Dataset[Command]): (DataFrame, DataFrame) = {
     import spark.implicits._
+    // Fresh-graph fast path: when the base is PROVABLY empty at plan
+    // time (an empty LocalRelation — [[graft.ingest.Ingest.emptyStore]])
+    // there is nothing to merge against, flip, or union: the cogroup
+    // degenerates to a plain groupByKey over the commands and the base
+    // side's join/flip/union subtrees vanish from the plan (one whole
+    // exchange + several AQE stages per fresh ingest). Relying on
+    // Catalyst's PropagateEmptyRelation instead would leave empty
+    // LocalRelations inside self-referencing unions, a shape that trips
+    // an optimizer assertion (PushDownLeftSemiAntiJoin) on chained
+    // merges — build the small plan explicitly.
+    val baseEmpty = infotons.queryExecution.logical match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
     // only base rows whose path carries a command enter the cogroup —
     // commands are the small delta, so this semi join keeps the
     // expensive row→object deserialization proportional to the batch,
@@ -175,10 +190,14 @@ object Merger {
     val baseCur = infotons.where(col("system.current"))
       .join(cmdPaths, col("system.path") === col("__cp"), "left_semi")
       .as[InfotonRow]
-    val merged = cmds.groupByKey(_.path)
-      .cogroup(baseCur.groupByKey(_.system.path)) { (path, cs, bs) =>
-        mergeOne(path, bs.toSeq.headOption, cs.toSeq).iterator
+    val merged =
+      if (baseEmpty) cmds.groupByKey(_.path).flatMapGroups { (path, cs) =>
+        mergeOne(path, None, cs.toSeq).iterator
       }
+      else cmds.groupByKey(_.path)
+        .cogroup(baseCur.groupByKey(_.system.path)) { (path, cs, bs) =>
+          mergeOne(path, bs.toSeq.headOption, cs.toSeq).iterator
+        }
     // no .cast(SystemType): the case-class schema matches field-for-field
     // and a nullable→non-nullable struct cast is rejected; unionByName
     // reconciles nullability. Persisted: the batch output feeds three
@@ -189,15 +208,17 @@ object Merger {
       .withColumn("system", col("system")
         .withField("uuid", uuidCol(col("system"), col("fields"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val changed = newV.select(col("system.path").as("__np")).distinct()
-    val flipped = infotons
-      .join(changed, col("system.path") === col("__np"), "left")
-      .withColumn("system",
-        when(col("__np").isNotNull && col("system.current"),
-          col("system").withField("current", lit(false)))
-          .otherwise(col("system")))
-      .drop("__np")
-    val all = flipped.unionByName(newV)
+    val all = if (baseEmpty) newV else {
+      val changed = newV.select(col("system.path").as("__np")).distinct()
+      val flipped = infotons
+        .join(changed, col("system.path") === col("__np"), "left")
+        .withColumn("system",
+          when(col("__np").isNotNull && col("system.current"),
+            col("system").withField("current", lit(false)))
+            .otherwise(col("system")))
+        .drop("__np")
+      flipped.unionByName(newV)
+    }
     // missing-parents synthesis (ImpStream.scala:326-356): ancestors of
     // new paths that don't exist yet become directory infotons. For
     // incremental batches the candidate set (distinct parent dirs) is
@@ -207,8 +228,10 @@ object Merger {
     // anti-join instead of funneling paths through the driver.
     val candDf = newV.select(explode(ancestors(col("system.path"))).as("p"))
       .distinct()
-    val existingAll = infotons.select(col("system.path").as("p0"))
-      .unionByName(newV.select(col("system.path").as("p0"))) // batch may write a parent itself
+    val existingAll =
+      if (baseEmpty) newV.select(col("system.path").as("p0"))
+      else infotons.select(col("system.path").as("p0"))
+        .unionByName(newV.select(col("system.path").as("p0"))) // batch may write a parent itself
     // ONE probe job decides the path: the collected prefix IS the
     // candidate set when it fits (no second scan of the explode plan)
     val candArr = candDf.limit(10001).collect().map(_.getString(0))

@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Formatters {
 
-  /** N-Triples string-literal escaping. */
+  /** N-Triples string-literal escaping. All five targets are literal
+    * single characters, so this is `replace` (UTF8String substring
+    * replace), not `regexp_replace` — the regex engine paid a Matcher +
+    * StringBuffer per value per step, and the escape chain runs on
+    * every emitted value of every formatter (measured ~2× on the
+    * jsonld formatter projection, guide §1.2 per-task work). */
   private def ntEscape(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(c, "\\\\", "\\\\\\\\"),
-      "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    replace(replace(replace(replace(
+      replace(c, lit("\\"), lit("\\\\")),
+      lit("\""), lit("\\\"")), lit("\n"), lit("\\n")),
+      lit("\r"), lit("\\r")), lit("\t"), lit("\\t"))
 
   private val XsdByType = Map(
     TInt -> "int", TLong -> "long", TDouble -> "double", TFloat -> "float",
@@ -340,7 +346,7 @@ object Formatters {
       coalesce(element_at(col("fields").getItem(f), 1).getField("s"), lit("")))
     val quoted = cols.map(c =>
       when(c.contains(sep) || c.contains("\"") || c.contains("\n"),
-        concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\"")))
+        concat(lit("\""), replace(c, lit("\""), lit("\"\"")), lit("\"")))
         .otherwise(c))
     infotons.select(concat_ws(sep, quoted: _*).as("line"))
   }
@@ -380,14 +386,14 @@ object Formatters {
       "</feed>")
 
   private def xmlEscape(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(c,
-      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    replace(replace(replace(c,
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
 
   /** Attribute-position escaping — text escaping plus the quote, since
     * attribute values are emitted inside `"…"` (an IRI containing `&`
     * or `"` must not break the element). */
   private def xmlAttrEscape(c: Column): Column =
-    regexp_replace(xmlEscape(c), "\"", "&quot;")
+    replace(xmlEscape(c), lit("\""), lit("&quot;"))
 
   /** JSON string escaping — ntEscape covers \\ \" \n \r \t; the
     * remaining C0 control characters (illegal bare in JSON) go to
@@ -400,7 +406,7 @@ object Formatters {
     val basic = ntEscape(c)
     val rare = (0 until 0x20).filterNot(Set(0x09, 0x0a, 0x0d))
       .foldLeft(basic) { (acc, i) =>
-        regexp_replace(acc, f"\\x$i%02x", f"\\\\u$i%04x")
+        replace(acc, lit(i.toChar.toString), lit(f"\\u$i%04x"))
       }
     when(basic.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), rare)
       .otherwise(basic)
