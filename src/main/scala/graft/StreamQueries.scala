@@ -162,6 +162,17 @@ object StreamQueries {
       // partitioning is internal to the operator: results are
       // identical at any setting (pinned by the unchanged oracles).
       val sessionParts = s.conf.get("spark.sql.shuffle.partitions")
+      // No-data micro-batches exist to advance watermarks/evict state
+      // WITHOUT new input; this harness never relies on them — every
+      // watermark advance that matters arrives as an explicit sentinel
+      // flush batch (see `flushes` above). Each no-data batch still
+      // pays a full protocol round (re-plan + offset/commit log +
+      // per-partition state commit), so turn them off for the stream's
+      // lifetime (save/restore like the partition sizing). Results are
+      // pinned by the unchanged oracles.
+      val noDataBefore =
+        s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val streamParts = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")
         .flatMap(v => scala.util.Try(v.toInt).toOption)
         .getOrElse {
@@ -201,6 +212,8 @@ object StreamQueries {
         // stream (the stream itself pinned its state partitioning at
         // start from the sized value)
         s.conf.set("spark.sql.shuffle.partitions", sessionParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          noDataBefore)
       }
       // explicit schema: a stream that emitted zero rows leaves a
       // sink with metadata but no data files — inference would throw
