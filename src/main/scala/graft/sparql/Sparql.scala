@@ -1903,11 +1903,22 @@ object Sparql {
     val fromIris =
       if (iris.isEmpty) Nil
       else Seq(iris.toDF("subject"))
-    val subjects = (fromVars ++ fromIris).reduce(_ union _).distinct()
-    store.quads.where(col("current") &&
-        col("kind") =!= InfotonModel.KindDeleted)
-      .join(subjects, Seq("subject"), "left_semi")
-      .select(col("subject"), col("predicate"), col("s").as("obj"))
+    val base = store.quads.where(col("current") &&
+      col("kind") =!= InfotonModel.KindDeleted)
+    // literal-only DESCRIBE: the subject set is known at plan time, so
+    // an isin predicate reaches the parquet scan as a pushed filter
+    // (row-group skipping over the whole quads layout) — the semi-join
+    // form scanned every quad row to probe a broadcast of the same
+    // literals, and paid that scan twice under the final sort's
+    // range-sampling pass
+    if (vars.isEmpty)
+      base.where(col("subject").isin(iris: _*))
+        .select(col("subject"), col("predicate"), col("s").as("obj"))
+    else {
+      val subjects = (fromVars ++ fromIris).reduce(_ union _).distinct()
+      base.join(subjects, Seq("subject"), "left_semi")
+        .select(col("subject"), col("predicate"), col("s").as("obj"))
+    }
   }
 
   /** Dataset clauses → (scan store for default-graph patterns, named
@@ -1955,6 +1966,19 @@ object Sparql {
         .select(q.select.map(it => col(it.alias)): _*)
       else sol.select(q.select.map(it => col(it.alias)): _*)
     if (q.distinct) out = out.distinct()
+    // A global ORDER BY range-partitions its child, and building the
+    // range bounds runs a SAMPLE pass over the child FIRST — when the
+    // child pipeline contains a shuffle, AQE has materialized that
+    // stage and the sample reads it cheaply, but an exchange-free
+    // pipeline (pushed-filter scans + broadcast joins, the common BGP
+    // shape) is EXECUTED TWICE, sample pass then shuffle pass. Persist
+    // the solution (result-sized, within-query, [[graft.ops.Caches]]
+    // discipline) exactly in that case so the heavy scans run once —
+    // but only for join-of-scans shapes (≥2 scans): re-running a
+    // single pushed-filter scan costs about what the cache round-trip
+    // does, so persisting there is pure overhead.
+    if (q.orderBy.nonEmpty && shouldPersistBeforeSort(out))
+      out = graft.ops.Caches.persist(out)
     out = ordered(out, q)
     // OFFSET skips after ordering, LIMIT then takes (SPARQL slice)
     q.offset.foreach(o => out = out.offset(o))
@@ -1969,6 +1993,26 @@ object Sparql {
     require(q.having.isEmpty || agg,
       "HAVING requires an aggregate select item or GROUP BY")
     agg
+  }
+
+  /** Shuffle-free join-of-scans pipeline? (≥2 file scans, no shuffle
+    * exchange — the shape whose final sort would otherwise execute the
+    * whole pipeline twice.) AdaptiveSparkPlanExec hides its tree from
+    * the generic traversal, so it is unwrapped via its public
+    * inputPlan. */
+  private def shouldPersistBeforeSort(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    var scans = 0
+    def walk(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case _: ShuffleExchangeLike => true
+      case s: FileSourceScanExec => scans += 1; false
+      case other => other.children.exists(walk)
+    }
+    val shuffled = walk(df.queryExecution.executedPlan)
+    !shuffled && scans >= 2
   }
 
   private def ordered(df: DataFrame, q: Query): DataFrame =
