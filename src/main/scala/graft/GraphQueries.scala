@@ -12,8 +12,15 @@ object GraphQueries {
   private def st(s: SparkSession, dir: String): GraftStore =
     GraftStore.forDir(s, dir)
 
-  private def pathsOf(df: DataFrame): DataFrame =
-    df.select(col("system.path").as("path")).orderBy("path")
+  private def pathsOf(df: DataFrame): DataFrame = {
+    // the traversal result is a broadcast semi-join over the store scan
+    // (shuffle-free), so the global sort's range-sampling pass would
+    // re-run that scan — persistForSort (result-sized, within-query)
+    // makes it run once; see [[graft.ops.Caches.persistForSort]]
+    val p = graft.ops.Caches.persistForSort(
+      df.select(col("system.path").as("path")))
+    p.orderBy("path")
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // xg one hop: urgent expensive orders + their customers

@@ -36,4 +36,29 @@ object Caches {
     var df = registered.poll()
     while (df != null) { df.unpersist(false); df = registered.poll() }
   }
+
+  /** Persist `df` iff a global sort directly above it would execute
+    * the pipeline twice: a range-partitioned ORDER BY runs a SAMPLE
+    * pass over its child to build the partition bounds, and when the
+    * child plan holds NO shuffle exchange (pushed scans + broadcast
+    * joins) there is no AQE-materialized stage for the sample to
+    * reuse — the whole pipeline runs sample-pass-then-shuffle-pass.
+    * Only join-of-scans shapes (≥2 file scans) qualify: re-running a
+    * single pushed-filter scan costs about what the cache round-trip
+    * does. (AdaptiveSparkPlanExec hides its tree from the generic
+    * traversal, so it is unwrapped via its public inputPlan.) */
+  def persistForSort(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    var scans = 0
+    def walk(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case _: ShuffleExchangeLike => true
+      case s: FileSourceScanExec => scans += 1; false
+      case other => other.children.exists(walk)
+    }
+    val shuffled = walk(df.queryExecution.executedPlan)
+    if (!shuffled && scans >= 2) persist(df) else df
+  }
 }

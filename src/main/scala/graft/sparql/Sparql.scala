@@ -1977,8 +1977,7 @@ object Sparql {
     // but only for join-of-scans shapes (≥2 scans): re-running a
     // single pushed-filter scan costs about what the cache round-trip
     // does, so persisting there is pure overhead.
-    if (q.orderBy.nonEmpty && shouldPersistBeforeSort(out))
-      out = graft.ops.Caches.persist(out)
+    if (q.orderBy.nonEmpty) out = graft.ops.Caches.persistForSort(out)
     out = ordered(out, q)
     // OFFSET skips after ordering, LIMIT then takes (SPARQL slice)
     q.offset.foreach(o => out = out.offset(o))
@@ -1993,26 +1992,6 @@ object Sparql {
     require(q.having.isEmpty || agg,
       "HAVING requires an aggregate select item or GROUP BY")
     agg
-  }
-
-  /** Shuffle-free join-of-scans pipeline? (≥2 file scans, no shuffle
-    * exchange — the shape whose final sort would otherwise execute the
-    * whole pipeline twice.) AdaptiveSparkPlanExec hides its tree from
-    * the generic traversal, so it is unwrapped via its public
-    * inputPlan. */
-  private def shouldPersistBeforeSort(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    var scans = 0
-    def walk(p: SparkPlan): Boolean = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
-      case _: ShuffleExchangeLike => true
-      case s: FileSourceScanExec => scans += 1; false
-      case other => other.children.exists(walk)
-    }
-    val shuffled = walk(df.queryExecution.executedPlan)
-    !shuffled && scans >= 2
   }
 
   private def ordered(df: DataFrame, q: Query): DataFrame =
