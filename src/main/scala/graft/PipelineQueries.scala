@@ -943,13 +943,15 @@ object PipelineQueries {
     // defect (filter math, inflate, scanline layout) breaks the sum
     "q_file_decode" -> ((s, dir) => {
       val content = Multimodal.pngContentStore(s, docs(s, dir))
-      Multimodal.decode(s, content)
+      // persist before sort — the PNG encode+decode pipeline would
+      // otherwise run twice (range-sample pass + shuffle pass)
+      graft.ops.Caches.persist(Multimodal.decode(s, content)
         .select(col("path"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           aggregate(transform(col("pixels"),
               p => round(p * 255).cast("long")), lit(0L), _ + _)
-            .as("pixel_sum"))
+            .as("pixel_sum")))
         .orderBy("path")
     }),
 
@@ -959,13 +961,17 @@ object PipelineQueries {
     "q_image_decode_bmp" -> ((s, dir) => {
       val content = Multimodal.imageIoContentStore(s, docs(s, dir),
         "bmp", "image/bmp")
-      Multimodal.decode(s, content)
+      // persist the result-sized frame BEFORE the global sort: the
+      // range-sample pass under orderBy re-executes its child, and
+      // here the child is the whole encode+decode pipeline above the
+      // last exchange — without the persist every image decodes twice
+      graft.ops.Caches.persist(Multimodal.decode(s, content)
         .select(col("path"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           aggregate(transform(col("pixels"),
               p => round(p * 255).cast("long")), lit(0L), _ + _)
-            .as("pixel_sum"))
+            .as("pixel_sum")))
         .orderBy("path")
     }),
 
@@ -973,13 +979,14 @@ object PipelineQueries {
     "q_image_decode_gif" -> ((s, dir) => {
       val content = Multimodal.imageIoContentStore(s, docs(s, dir),
         "gif", "image/gif")
-      Multimodal.decode(s, content)
+      // persist before sort — same double-decode rationale as the BMP
+      graft.ops.Caches.persist(Multimodal.decode(s, content)
         .select(col("path"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           aggregate(transform(col("pixels"),
               p => round(p * 255).cast("long")), lit(0L), _ + _)
-            .as("pixel_sum"))
+            .as("pixel_sum")))
         .orderBy("path")
     }),
 
@@ -991,12 +998,13 @@ object PipelineQueries {
       val content = Multimodal.jpegContentStore(s, docs(s, dir))
       val docId = element_at(split(col("path"), "/"), 3).cast("long")
       val tone = (docId * 37) % 256
-      Multimodal.decode(s, content)
+      // persist before sort — same double-decode rationale as the BMP
+      graft.ops.Caches.persist(Multimodal.decode(s, content)
         .select(col("path"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           forall(col("pixels"),
-            p => abs(round(p * 255) - tone) <= 8).as("tone_ok"))
+            p => abs(round(p * 255) - tone) <= 8).as("tone_ok")))
         .orderBy("path")
     }),
 
@@ -1006,13 +1014,15 @@ object PipelineQueries {
     // form, so the splitter AND the per-frame decode are both pinned
     "q_video_frames" -> ((s, dir) => {
       val content = Multimodal.videoContentStore(s, docs(s, dir))
-      Multimodal.decodeFrames(s, content)
+      // persist before sort — the frame split+decode pipeline would
+      // otherwise run twice (range-sample pass + shuffle pass)
+      graft.ops.Caches.persist(Multimodal.decodeFrames(s, content)
         .select(col("path"), col("frame_no").cast("long").as("frame_no"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           aggregate(transform(col("pixels"),
               p => round(p * 255).cast("long")), lit(0L), _ + _)
-            .as("pixel_sum"))
+            .as("pixel_sum")))
         .orderBy("path", "frame_no")
     }),
 
@@ -1024,12 +1034,14 @@ object PipelineQueries {
     // single scan.
     "q_video_sample" -> ((s, dir) => {
       val content = Multimodal.videoContentStore(s, docs(s, dir))
-      Multimodal.decodeFrames(s, content)
+      // persist before sort — same double-decode rationale as
+      // q_video_frames
+      graft.ops.Caches.persist(Multimodal.decodeFrames(s, content)
         .where(col("frame_no") % 2 === 0)
         .select(col("path"), col("frame_no").cast("long").as("frame_no"),
           aggregate(transform(col("pixels"),
               p => round(p * 255).cast("long")), lit(0L), _ + _)
-            .as("pixel_sum"))
+            .as("pixel_sum")))
         .orderBy("path", "frame_no")
     }),
 
@@ -1045,7 +1057,10 @@ object PipelineQueries {
     "q_image_resize" -> ((s, dir) => {
       val content = Multimodal.videoContentStore(s, docs(s, dir))
       val frames = Multimodal.decodeFrames(s, content)
-      Multimodal.resize(frames, 2, Seq("path", "frame_no"))
+      // persist before sort — same double-decode rationale as
+      // q_video_frames
+      graft.ops.Caches.persist(
+        Multimodal.resize(frames, 2, Seq("path", "frame_no"))
         .select(col("path"), col("frame_no").cast("long").as("frame_no"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
@@ -1053,7 +1068,7 @@ object PipelineQueries {
             zip_with(col("pixels"),
               sequence(lit(1), size(col("pixels")), lit(1)),
               (p, w) => round(p * 1020).cast("long") * w.cast("long")),
-            lit(0L), _ + _).as("pooled_wsum"))
+            lit(0L), _ + _).as("pooled_wsum")))
         .orderBy("path", "frame_no")
     }),
 
@@ -1070,8 +1085,12 @@ object PipelineQueries {
       val chunkSum = (q: Int) => aggregate(
         transform(slice(col("pixels"), q * 16 + 1, 16),
           p => round(p * 255).cast("long")), lit(0L), _ + _)
-      val feats = dec.select(col("path"),
-        array((0 until 4).map(chunkSum): _*).as("f"))
+      // persist the feature frame: it is referenced TWICE in the plan
+      // (probe side + the broadcast query side derives from it), and a
+      // plan tree computes each reference separately — without the
+      // persist every PNG decodes twice before the join even starts
+      val feats = graft.ops.Caches.persist(dec.select(col("path"),
+        array((0 until 4).map(chunkSum): _*).as("f")))
       val queries = feats.where(col("path").isin(
           "/documents/0", "/documents/1", "/documents/2"))
         .select(col("path").as("query_path"), col("f").as("qf"))
@@ -1095,13 +1114,15 @@ object PipelineQueries {
     // codec defect (chunk walk, endianness, normalization) breaks it
     "q_audio_decode" -> ((s, dir) => {
       val content = Multimodal.wavContentStore(s, docs(s, dir))
-      Multimodal.decodeAudio(s, content)
+      // persist before sort — the WAV decode pipeline would otherwise
+      // run twice (range-sample pass + shuffle pass)
+      graft.ops.Caches.persist(Multimodal.decodeAudio(s, content)
         .select(col("path"),
           col("sample_rate").cast("long").as("sample_rate"),
           size(col("samples")).cast("long").as("n_samples"),
           aggregate(transform(col("samples"),
               x => round(x * 32768).cast("long")), lit(0L), _ + _)
-            .as("sample_sum"))
+            .as("sample_sum")))
         .orderBy("path")
     }),
 
@@ -1114,12 +1135,14 @@ object PipelineQueries {
       val content = Multimodal.wavContentStore(s, docs(s, dir))
       val rs = Multimodal.audioResample(
         Multimodal.decodeAudio(s, content), 2)
-      rs.select(col("path"),
+      // persist before sort — same double-decode rationale as
+      // q_audio_decode
+      graft.ops.Caches.persist(rs.select(col("path"),
           col("sample_rate").cast("long").as("sample_rate"),
           size(col("samples")).cast("long").as("n_samples"),
           aggregate(transform(col("samples"),
               x => round(x * 32768).cast("long")), lit(0L), _ + _)
-            .as("sample_sum"))
+            .as("sample_sum")))
         .orderBy("path")
     }),
 
@@ -1137,14 +1160,16 @@ object PipelineQueries {
         Multimodal.decodeAudio(s, content), 160)
       val asInt = (e: org.apache.spark.sql.Column) =>
         round(e * lit(1073741824.0d)).cast("long")
-      fr.select(col("path"),
+      // persist before sort — same double-decode rationale as
+      // q_audio_decode
+      graft.ops.Caches.persist(fr.select(col("path"),
           col("n_frames").cast("long").as("n_frames"),
           asInt(aggregate(col("frame_energy"), lit(0.0d), _ + _))
             .as("total_energy"),
           asInt(array_max(col("frame_energy"))).as("peak_energy"),
           (array_position(col("frame_energy"),
             array_max(col("frame_energy"))) - 1).cast("long")
-            .as("peak_frame"))
+            .as("peak_frame")))
         .orderBy("path")
     }),
 
@@ -1283,8 +1308,10 @@ object PipelineQueries {
     // the one libm-divergent stage, error ≤1e-13 per frame).
     "q_audio_spectra" -> ((s, dir) => {
       val content = Multimodal.wavContentStore(s, docs(s, dir))
-      Multimodal.audioSpectra(
-          Multimodal.decodeAudio(s, content), 160, Seq(1, 2, 4, 8))
+      // persist before sort — same double-decode rationale as
+      // q_audio_decode
+      graft.ops.Caches.persist(Multimodal.audioSpectra(
+          Multimodal.decodeAudio(s, content), 160, Seq(1, 2, 4, 8)))
         .orderBy("path", "frame")
     }),
 

@@ -172,7 +172,10 @@ object StreamQueries {
       // pinned by the unchanged oracles.
       val noDataBefore =
         s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // compute the sizing BEFORE touching any session conf: nothing
+      // may throw between a conf.set and the try whose finally
+      // restores it (a dirBytes failure here would otherwise leave
+      // no-data batches disabled for every later query)
       val streamParts = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS")
         .flatMap(v => scala.util.Try(v.toInt).toOption)
         .getOrElse {
@@ -183,6 +186,7 @@ object StreamQueries {
       // restore scope covers EVERYTHING from the set — a transform or
       // start() that throws must not leave the session pinned at the
       // stream-sized partition count for every later batch query
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       s.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
       val outSchema = try {
         val streamed = transform(s.readStream.schema(src.schema).parquet(dir))

@@ -172,10 +172,22 @@ object Merger {
     // LocalRelations inside self-referencing unions, a shape that trips
     // an optimizer assertion (PushDownLeftSemiAntiJoin) on chained
     // merges — build the small plan explicitly.
-    val baseEmpty = infotons.queryExecution.logical match {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        l.data.isEmpty
-      case _ => false
+    // plan-time-empty detection tolerates the trivial wrappers a
+    // caller might put around emptyStore (alias, select, filter,
+    // repartition) — a bare pattern-match on the root node would
+    // silently fall back to the full cogroup plan the moment anyone
+    // wraps the empty frame (ADVICE r17)
+    val baseEmpty = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      def empty(p: LogicalPlan): Boolean = p match {
+        case l: LocalRelation => l.data.isEmpty
+        case a: SubqueryAlias => empty(a.child)
+        case pr: Project => empty(pr.child)
+        case f: Filter => empty(f.child)
+        case r: Repartition => empty(r.child)
+        case _ => false
+      }
+      empty(infotons.queryExecution.analyzed)
     }
     // only base rows whose path carries a command enter the cogroup —
     // commands are the small delta, so this semi join keeps the

@@ -51,14 +51,21 @@ object Caches {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // full traversal (no short-circuit): `scans` must be a complete
+    // plan-node count even when a shuffle exists, so the two flags stay
+    // independently meaningful if this heuristic is ever extended.
+    // Subquery/plan EXPRESSIONS are deliberately not descended — a
+    // scalar-subquery scan executes once as its own job, not per sort
+    // pass, so it neither adds re-scan cost nor disqualifies the shape.
     var scans = 0
-    def walk(p: SparkPlan): Boolean = p match {
+    var shuffled = false
+    def walk(p: SparkPlan): Unit = p match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
-      case _: ShuffleExchangeLike => true
-      case s: FileSourceScanExec => scans += 1; false
-      case other => other.children.exists(walk)
+      case _: ShuffleExchangeLike => shuffled = true; p.children.foreach(walk)
+      case s: FileSourceScanExec => scans += 1
+      case other => other.children.foreach(walk)
     }
-    val shuffled = walk(df.queryExecution.executedPlan)
+    walk(df.queryExecution.executedPlan)
     if (!shuffled && scans >= 2) persist(df) else df
   }
 }

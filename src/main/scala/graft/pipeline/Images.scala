@@ -23,6 +23,17 @@ import javax.imageio.ImageIO
   * dims plus a bounded per-pixel tolerance. */
 object Images {
 
+  // ImageIO's default stream cache is DISK-backed: every read/write
+  // through the InputStream/OutputStream entry points creates (and
+  // deletes) a temp file under java.io.tmpdir — per payload, per
+  // evaluation. All payloads here are small in-memory byte arrays, so
+  // the file round-trip is pure overhead that scales with tmpdir
+  // latency (measured: the BMP/GIF/JPEG decode queries ran 3-8×
+  // slower on a sandbox with slow /tmp; memory-cached streams remove
+  // the host dependence). JVM-wide, set once at class init — every
+  // executor initializes this object before its first decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def isBmp(d: Array[Byte]): Boolean =
     d.length >= 2 && d(0) == 'B'.toByte && d(1) == 'M'.toByte
 

@@ -1952,7 +1952,18 @@ object Sparql {
       vars.map(v => SelectItem(None, distinct = false, Some(v), v)).toSeq
     }
 
-  /** Compile + run a SPARQL SELECT against a store. */
+  /** Compile + run a SPARQL SELECT against a store.
+    *
+    * Cache lifetime: an ORDER BY query over a shuffle-free
+    * join-of-scans persists its solution frame via
+    * [[graft.ops.Caches.persistForSort]] (so the final sort's sample
+    * pass does not execute the pipeline twice). The entry is
+    * result-sized and unpersisted at the next
+    * [[graft.ops.Caches.releaseCaches]] — harness loops call it at
+    * family boundaries; a LIBRARY caller issuing many queries in one
+    * session should call `Caches.releaseCaches()` periodically (e.g.
+    * after consuming each result) or the MEMORY_AND_DISK entries
+    * accumulate for the session's lifetime (ADVICE r17). */
   def select(store: GraftStore, query: String): DataFrame = {
     val q0 = parse(query)
     require(!q0.ask, "ASK query — use Sparql.ask")
