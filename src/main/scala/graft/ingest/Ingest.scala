@@ -33,7 +33,11 @@ object Ingest {
     * enough splits (any at-scale corpus) pass through untouched. */
   private def parseParallel[T](ds: Dataset[T]): Dataset[T] = {
     val par = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions < par) ds.repartition(par) else ds
+    // plan-shape gate first — see [[graft.pipeline.Similarity.computeParallel]]:
+    // `.rdd` under AQE materializes exchange-bearing plans outright,
+    // so a shuffled input (already session-wide) skips the probe
+    if (graft.ops.Caches.hasExchange(ds.toDF())) ds
+    else if (ds.rdd.getNumPartitions < par) ds.repartition(par) else ds
   }
 
   /** N-Triples/N-Quads lines → write commands, one per subject

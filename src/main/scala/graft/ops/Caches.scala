@@ -37,6 +37,28 @@ object Caches {
     while (df != null) { df.unpersist(false); df = registered.poll() }
   }
 
+  /** True when `df`'s physical plan contains ANY exchange (shuffle or
+    * broadcast). Cheap: inspects the pre-execution adaptive plan only
+    * — unlike `df.rdd`, which under AQE MATERIALIZES every query stage
+    * (shuffle AND broadcast stages — a full throwaway execution of the
+    * frame's subtrees) just to expose the RDD. Used by the
+    * spread-before-heavy-compute guards: a shuffled frame is already
+    * distributed at the session's shuffle width, and a broadcast-join
+    * frame's probe cost (executing the build side once, discarding it)
+    * exceeds what the guard's repartition could save. */
+  def hasExchange(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    def walk(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case _: ShuffleExchangeLike => true
+      case _: BroadcastExchangeLike => true
+      case other => other.children.exists(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** Persist `df` iff a global sort directly above it would execute
     * the pipeline twice: a range-partitioned ORDER BY runs a SAMPLE
     * pass over its child to build the partition bounds, and when the

@@ -48,7 +48,14 @@ object Similarity {
     * the source already splits (the many-file 100 TB case). */
   private[graft] def computeParallel(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // plan-shape gate first: `.rdd` under AQE materializes every query
+    // stage of an exchange-bearing plan (a full throwaway execution —
+    // measured as a 2+ s "rdd at Similarity.scala" job inside
+    // q_dedup_minhash_inc) just to read a partition count. A plan that
+    // already shuffles is distributed at the session's shuffle width,
+    // so only exchange-free (scan/narrow) plans probe their splits.
+    if (graft.ops.Caches.hasExchange(df)) df
+    else if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
   /** dot product of two double arrays — index-ordered accumulation
