@@ -28,11 +28,18 @@ object IngestQueries {
     // freshly merged store in EVERY format roundtrip query
     val st2 = GraftStore.fromInfotons(s, ingested,
       Some(graft.model.TableLoader.fieldTypes))
-    Search.run(st2, Search.Request(path = "/customer"))
-      .select(Search.fieldN("custkey").cast("long").as("custkey"),
-        Search.fieldS("name").as("name"),
-        Search.fieldN("acctbal").as("acctbal"),
-        Search.fieldS("mktsegment").as("mktsegment"))
+    // persist the result-sized projection BEFORE the global sort: the
+    // range-sample pass re-executes its child, and here that child is
+    // the search-back over the merged store — the store scan and the
+    // flag-flip/union projections above the merge's last shuffle would
+    // run twice per roundtrip query (Caches discipline, family-
+    // boundary release)
+    graft.ops.Caches.persist(
+      Search.run(st2, Search.Request(path = "/customer"))
+        .select(Search.fieldN("custkey").cast("long").as("custkey"),
+          Search.fieldS("name").as("name"),
+          Search.fieldN("acctbal").as("acctbal"),
+          Search.fieldS("mktsegment").as("mktsegment")))
       .orderBy("custkey")
   }
 

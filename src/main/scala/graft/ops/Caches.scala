@@ -48,46 +48,55 @@ object Caches {
     * exceeds what the guard's repartition could save. */
   def hasExchange(df: DataFrame): Boolean = {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    // NOTE: unwrap the adaptive node via its public `executedPlan`
+    // accessor (the CURRENT physical plan — the initial plan before
+    // execution), NOT `inputPlan`: inputPlan predates the
+    // queryStagePreparation rules, so every ENSURE_REQUIREMENTS
+    // exchange is still missing from it. After (partial) execution the
+    // current plan holds QueryStageExec leaves wrapping the exchanges
+    // — they count too.
     def walk(p: SparkPlan): Boolean = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case _: ShuffleExchangeLike => true
       case _: BroadcastExchangeLike => true
+      case _: QueryStageExec => true
       case other => other.children.exists(walk)
     }
     walk(df.queryExecution.executedPlan)
   }
 
   /** Persist `df` iff a global sort directly above it would execute
-    * the pipeline twice: a range-partitioned ORDER BY runs a SAMPLE
-    * pass over its child to build the partition bounds, and when the
-    * child plan holds NO shuffle exchange (pushed scans + broadcast
-    * joins) there is no AQE-materialized stage for the sample to
-    * reuse — the whole pipeline runs sample-pass-then-shuffle-pass.
-    * Only join-of-scans shapes (≥2 file scans) qualify: re-running a
-    * single pushed-filter scan costs about what the cache round-trip
-    * does. (AdaptiveSparkPlanExec hides its tree from the generic
-    * traversal, so it is unwrapped via its public inputPlan.) */
+    * heavy work twice: a range-partitioned ORDER BY runs a SAMPLE pass
+    * over its child to build the partition bounds, and everything
+    * between the child's last materialized exchange and the sort —
+    * the whole pipeline for a pushed-scans-plus-broadcast-joins shape,
+    * the join itself for a sort-merge join — executes once for the
+    * sample and again for the shuffle. Join-of-scans shapes (≥2 file
+    * scans) qualify; single-scan pipelines are deliberately excluded
+    * because re-running one pushed-filter scan costs about what the
+    * cache round-trip does (measured r17: q_sparql_lang regressed
+    * under a blanket rule). The r17 formulation also required "no
+    * shuffle in the child", but that test ran over
+    * AdaptiveSparkPlanExec.inputPlan — which predates the
+    * queryStagePreparation rules and therefore NEVER showed an
+    * ENSURE_REQUIREMENTS exchange — so its de-facto (and measured:
+    * q_sparql_negset 3.63 → 0.27 s steady, a sort-merge join of two
+    * scans) behavior was scans-only; the condition now says what the
+    * code always did. Subquery/plan EXPRESSIONS are deliberately not
+    * descended — a scalar-subquery scan executes once as its own job,
+    * not per sort pass. */
   def persistForSort(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    // full traversal (no short-circuit): `scans` must be a complete
-    // plan-node count even when a shuffle exists, so the two flags stay
-    // independently meaningful if this heuristic is ever extended.
-    // Subquery/plan EXPRESSIONS are deliberately not descended — a
-    // scalar-subquery scan executes once as its own job, not per sort
-    // pass, so it neither adds re-scan cost nor disqualifies the shape.
     var scans = 0
-    var shuffled = false
     def walk(p: SparkPlan): Unit = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
-      case _: ShuffleExchangeLike => shuffled = true; p.children.foreach(walk)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case s: FileSourceScanExec => scans += 1
       case other => other.children.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
-    if (!shuffled && scans >= 2) persist(df) else df
+    if (scans >= 2) persist(df) else df
   }
 }
