@@ -174,4 +174,38 @@ class MergerSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no recoverable generation"))
   }
+
+  // --- fresh-store fast path (ADVICE r17: assert the plan-time-empty
+  // branch is actually taken, including through trivial wrappers) ---
+
+  private def freshCmds(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    s.createDataset(Seq(
+      Command("write", "/x/1", ts("2024-02-01 00:00:00"),
+        Map("a" -> Seq(sv("v1"))), Map.empty)))
+  }
+
+  test("fresh-store merge takes the no-cogroup fast path, wrappers included") {
+    val s = graft.SparkSuite.session
+    def planOf(base: org.apache.spark.sql.DataFrame): String =
+      Merger.merge(s, base, freshCmds(s))
+        .queryExecution.executedPlan.toString
+    val empty = graft.ingest.Ingest.emptyStore(s)
+    assert(!planOf(empty).contains("CoGroup"),
+      "bare emptyStore must take the plan-time-empty fast path")
+    // the ADVICE scenario: benign wrappers must not silently fall back
+    // to the cogroup plan
+    assert(!planOf(empty.alias("st")).contains("CoGroup"))
+    assert(!planOf(empty.select(empty.columns.map(
+      org.apache.spark.sql.functions.col): _*)).contains("CoGroup"))
+    // and a NON-empty base must still cogroup (the fast path must not
+    // over-trigger)
+    val nonEmpty = s.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row("/x/1", "/x",
+          ts("2024-01-01 00:00:00"), "t", "u0", "dc", 0L, true,
+          InfotonModel.KindObject, "cmwell"), null)),
+      InfotonModel.InfotonType)
+    assert(planOf(nonEmpty).contains("CoGroup"))
+  }
 }
