@@ -292,7 +292,11 @@ object Curation {
     val counts = PiiPatterns.map { case (name, p) =>
       regexp_count(col(textCol), lit(p)).as(s"n_$name")
     }
-    docs.select(col(idCol) +: redacted.as("redacted") +: counts: _*)
+    // computeParallel — the per-row regex chain otherwise runs on ONE
+    // scan split of a compute-dense corpus (same single-split rationale
+    // as [[graft.pipeline.TextAnalysis.quality]])
+    Similarity.computeParallel(docs)
+      .select(col(idCol) +: redacted.as("redacted") +: counts: _*)
   }
 
   /** Payment-card candidate pattern: 4-4-4-4 groups (space or dash)
@@ -720,7 +724,9 @@ object Curation {
     t = regexp_replace(t, "\\n{3,}", "\n\n")
     // whitespace-trim BOTH kinds (trim() is space-only): leading and
     // trailing newline runs from stripped leading markup must go too
-    docs.withColumn("norm_text", regexp_replace(t, "^\\s+|\\s+$", ""))
+    // computeParallel — same single-split rationale as [[redact]]
+    Similarity.computeParallel(docs)
+      .withColumn("norm_text", regexp_replace(t, "^\\s+|\\s+$", ""))
   }
 
   /** Registrable host from a URL — scheme and `www.` stripped,

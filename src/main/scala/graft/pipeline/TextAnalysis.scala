@@ -61,7 +61,11 @@ object TextAnalysis {
     val ts = col("__ts")
     val nTok = size(ts).cast("double")
     val stopArr = array(StopwordsEn.map(lit): _*)
-    docs.select(col("doc_id"), col(textCol),
+    // computeParallel: compute-dense corpora pack small on disk, so the
+    // per-row tokenize/regex projection otherwise runs on ONE scan
+    // split (measured: the whole text family serialized at sf0.1);
+    // no-op when the plan already shuffles or the scan has enough splits
+    Similarity.computeParallel(docs).select(col("doc_id"), col(textCol),
         tokens(col(textCol)).as("__ts"))
       .select(col("doc_id"),
         size(ts).as("n_tokens"),
@@ -110,7 +114,9 @@ object TextAnalysis {
     val symbolRatio =
       length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
         length(col(textCol))
-    docs.select(col("doc_id"), col(textCol), tokens(col(textCol)).as("__ts"))
+    // computeParallel — same single-split rationale as [[quality]]
+    Similarity.computeParallel(docs)
+      .select(col("doc_id"), col(textCol), tokens(col(textCol)).as("__ts"))
       .select(col("doc_id"),
         nTok.as("n_tokens"),
         (nTok >= minTokens && nTok <= maxTokens).as("rule_len"),
@@ -140,7 +146,9 @@ object TextAnalysis {
     * matches at all. */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val ts = tokens(col(textCol))
-    val scored = LangProfiles.foldLeft(docs.select(col("doc_id"), ts.as("ts"))) {
+    // computeParallel — same single-split rationale as [[quality]]
+    val scored = LangProfiles.foldLeft(
+      Similarity.computeParallel(docs).select(col("doc_id"), ts.as("ts"))) {
       case (df, (lang, words)) =>
         val arr = array(words.map(lit): _*)
         df.withColumn(s"score_$lang",
@@ -195,7 +203,9 @@ object TextAnalysis {
       "hangul" -> "[\\p{IsHangul}]",
       "digit" -> "[0-9]")
     val t = col(textCol)
-    val counted = classes.foldLeft(docs.select(col("doc_id"), t.as("__t"))) {
+    // computeParallel — same single-split rationale as [[quality]]
+    val counted = classes.foldLeft(
+      Similarity.computeParallel(docs).select(col("doc_id"), t.as("__t"))) {
       case (df, (name, cls)) =>
         df.withColumn(s"n_$name",
           length(col("__t")) - length(regexp_replace(col("__t"), cls, "")))
@@ -259,7 +269,10 @@ object TextAnalysis {
     // document ([[GramRunStats]]) — no interpreted lambdas, no
     // intermediate gram arrays; was 6.6 s at sf0.1 as Column folds,
     // 1.3 s native
-    val pre = docs
+    // computeParallel — same single-split rationale as [[quality]]:
+    // the five gram passes ran on ONE task at sf0.1 (measured 1.45 s
+    // steady, 0.75 s spread)
+    val pre = Similarity.computeParallel(docs)
       .select(col("doc_id"),
         filter(split(col(textCol), "\n"), l => l =!= "").as("__lines"),
         tokens(col(textCol)).as("__ts"))
