@@ -3041,17 +3041,36 @@ class EngineSpec extends AnyFunSuite {
   test("per-row text/PII/script operators plan with ZERO exchanges") {
     // the 100 TB contract for the per-row family: normalization,
     // script profiling and checksum-gated redaction are scan-side
-    // projections — any Exchange here would mean an accidental
-    // shuffle in what must stay embarrassingly parallel
+    // projections — no shuffle beyond the ONE deliberate compute
+    // spread on an under-split scan (computeParallel: a compute-dense
+    // corpus packs into one split, serializing the per-row work), and
+    // ZERO exchanges added when the input is already spread (the
+    // many-split 100 TB shape, stood in for by a pre-repartitioned
+    // input the plan-shape gate recognizes).
     import graft.pipeline.{Curation, TextAnalysis}
     val d = spark.read.parquet(s"$Sf/documents.parquet")
-    for ((name, df) <- Seq(
-        "normalizeText" -> Curation.normalizeText(d),
-        "scriptProfile" -> TextAnalysis.scriptProfile(d),
-        "redactCards" -> Curation.redactCards(d))) {
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"),
-        s"$name shuffles: ${plan.take(600)}")
+    val spread = d.repartition(spark.sparkContext.defaultParallelism)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    for ((name, op) <- Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        "normalizeText" -> (Curation.normalizeText(_)),
+        "scriptProfile" -> (TextAnalysis.scriptProfile(_)),
+        "redactCards" -> (Curation.redactCards(_)))) {
+      // single-split scan: at most the one deliberate roundrobin spread
+      val scanPlan = op(d).queryExecution.executedPlan.toString
+      val scanEx = exchanges(op(d))
+      assert(scanEx <= 1, s"$name shuffles beyond the spread: " +
+        s"${scanPlan.take(600)}")
+      if (scanEx == 1)
+        assert(scanPlan.contains("RoundRobinPartitioning"),
+          s"$name: the single exchange is not the compute spread: " +
+            s"${scanPlan.take(600)}")
+      // already-spread input: the operator itself adds NOTHING
+      assert(exchanges(op(spread)) == exchanges(spread),
+        s"$name adds an exchange to a spread input: " +
+          s"${op(spread).queryExecution.executedPlan.toString.take(600)}")
     }
   }
 
